@@ -1,0 +1,176 @@
+package graft
+
+import graft.sources.{Cache, Sources}
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Operator semantics, mirroring the reference's own fixtures
+ * (slice_test.go, cogroup_test.go, reduce_test.go — see FIXTURES.md A1).
+ * Results compared set-wise (the reference promises no ordering,
+ * slice_test.go:41-63).
+ */
+class SliceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def rows(s: Slice): Set[Seq[Any]] =
+    s.df.collect().toSet.map((r: Row) => r.toSeq)
+
+  test("const splits rows across shards and preserves content") {
+    import spark.implicits._
+    for (nshard <- Seq(1, 2, 3, 7)) {
+      val s = Sources.const(spark, nshard, Seq(("a", 1), ("b", 2), ("c", 3), ("d", 4), ("e", 5)))
+      assert(s.df.rdd.getNumPartitions == nshard)
+      assert(rows(s) == Set(Seq("a", 1), Seq("b", 2), Seq("c", 3), Seq("d", 4), Seq("e", 5)))
+    }
+  }
+
+  test("readerFunc: one generator call per shard, distributed") {
+    import spark.implicits._
+    val s = Sources.readerFunc(spark, 3)(shard => Iterator.tabulate(4)(i => (shard, i)))
+    assert(s.count() == 12)
+    assert(rows(s) == (for (sh <- 0 until 3; i <- 0 until 4) yield Seq(sh, i)).toSet)
+  }
+
+  test("map / filter / flatMap typed variants") {
+    import spark.implicits._
+    val s = Sources.const(spark, 2, Seq(("x", 1), ("y", 2), ("z", 3)))
+    val m = s.map[(String, Int), (String, Int)] { case (k, v) => (k, v * 10) }
+    assert(rows(m) == Set(Seq("x", 10), Seq("y", 20), Seq("z", 30)))
+    val f = s.filterF[(String, Int)](_._2 % 2 == 1)
+    assert(rows(f) == Set(Seq("x", 1), Seq("z", 3)))
+    val fm = s.flatMap[(String, Int), (String, Int)] { case (k, v) => Seq.fill(v)((k, v)) }
+    assert(fm.count() == 6)
+  }
+
+  test("reduce (declarative) == reduceF (typed +) — wordcount shape") {
+    import spark.implicits._
+    val words = Seq("a", "b", "a", "c", "b", "a").map((_, 1))
+    val s = Sources.const(spark, 3, words)
+    val declarative = s.reduce(sum(col(s.valueNames.head)).cast("int").as("n"))
+    val typed = s.reduceF[String, Int](_ + _)
+    assert(rows(declarative) == Set(Seq("a", 3), Seq("b", 2), Seq("c", 1)))
+    assert(rows(typed) == Set(Seq("a", 3), Seq("b", 2), Seq("c", 1)))
+  }
+
+  test("fold with non-mergeable accumulator (zero-value init, slice.go:858-860)") {
+    import spark.implicits._
+    val s = Sources.const(spark, 2, Seq(("k1", 2), ("k1", 3), ("k2", 4)))
+    val folded = s.fold[String, Int, Int](0)((acc, v) => acc + v * v)
+    assert(rows(folded) == Set(Seq("k1", 13), Seq("k2", 16)))
+  }
+
+  test("cogroup 2-ary full-outer with empty groups (cogroup_test.go:146-166)") {
+    import spark.implicits._
+    val left = Sources.const(spark, 2, Seq((0, "zero"), (0, "cero"), (1, "one"), (2, "two")))
+    val right = Sources.const(spark, 3, Seq((1, 1), (2, 4), (3, 9)))
+    val cg = left.cogroup(right)
+    val byKey = cg.df.collect().map(r => r.getInt(0) ->
+      (r.getSeq[String](1).sorted, r.getSeq[Int](2).sorted)).toMap
+    assert(byKey(0) == (Seq("cero", "zero"), Seq()))
+    assert(byKey(1) == (Seq("one"), Seq(1)))
+    assert(byKey(2) == (Seq("two"), Seq(4)))
+    assert(byKey(3) == (Seq(), Seq(9)))
+  }
+
+  test("join kinds derived from the key prefix") {
+    import spark.implicits._
+    val l = Sources.const(spark, 2, Seq((1, "a"), (2, "b"), (3, "c")))
+    val r = Sources.const(spark, 2, Seq((2, 20.0), (3, 30.0), (4, 40.0)))
+    assert(l.join(r, "inner").count() == 2)
+    assert(l.join(r, "left_semi").count() == 2)
+    assert(l.join(r, "left_anti").count() == 1)
+    assert(l.joinBroadcast(r, "full").count() == 4)
+  }
+
+  test("reshuffle colocates equal keys; reshard pins shard count") {
+    import spark.implicits._
+    val s = Sources.const(spark, 4, (1 to 100).map(i => (i % 5, i)))
+    val shuffled = s.reshuffle()
+    // every key lives in exactly one partition
+    val keyParts = shuffled.df.rdd.mapPartitionsWithIndex { (p, it) =>
+      it.map(r => (r.getInt(0), p))
+    }.distinct().collect().groupBy(_._1)
+    assert(keyParts.values.forall(_.length == 1))
+    assert(s.reshard(7).df.rdd.getNumPartitions == 7)
+    assert(rows(s.reshard(7)) == rows(s))
+  }
+
+  test("repartitionF: user function assigns the exact shard (reshuffle.go:44-76)") {
+    import spark.implicits._
+    val s = Sources.const(spark, 3, (1 to 20).map(i => (i, s"v$i")))
+    val p = s.repartitionF(4)(r => r.getInt(0))
+    val placed = p.df.rdd.mapPartitionsWithIndex { (part, it) =>
+      it.map(r => (r.getInt(0), part))
+    }.collect()
+    assert(placed.forall { case (k, part) => part == k % 4 })
+    assert(rows(p) == rows(s))
+  }
+
+  test("head is a PER-SHARD limit, not global (slice.go:957-994)") {
+    import spark.implicits._
+    val s = Sources.const(spark, 4, (1 to 100).map(i => (i, i)))
+    val h = s.head(2)
+    val perPart = h.df.rdd.mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(perPart.forall(_ <= 2))
+    assert(h.count() <= 8)
+  }
+
+  test("scan consumes every row exactly once (slice.go:996-1032)") {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("seen")
+    val s = Sources.const(spark, 3, (1 to 50).map(i => (i, i)))
+    s.scan((_, it) => it.foreach(_ => acc.add(1)))
+    assert(acc.value == 50)
+  }
+
+  test("writerFunc passes rows through while side-effecting") {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("written")
+    val s = Sources.const(spark, 2, (1 to 10).map(i => (i, i)))
+    val w = s.writerFunc { (_, it) => it.map { r => acc.add(1); r } }
+    assert(w.count() == 10)
+    assert(acc.value >= 10) // may re-run on retry, same caveat as reference
+  }
+
+  test("prefixed widens the key for multi-column reduce (slice.go:1034-1056)") {
+    import spark.implicits._
+    val s = Sources.const(spark, 2,
+      Seq(("a", "x", 1), ("a", "x", 2), ("a", "y", 3), ("b", "x", 4))).prefixed(2)
+    val r = s.reduce(sum(col("_3")).cast("int").as("n"))
+    assert(rows(r) == Set(Seq("a", "x", 3), Seq("a", "y", 3), Seq("b", "x", 4)))
+  }
+
+  test("cache roundtrip + readCache; cachePartial reuses existing shards") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftcache").toString
+    val s = Sources.const(spark, 3, (1 to 30).map(i => (i, s"v$i")))
+    val c = Cache.cache(s, s"$dir/full")
+    assert(rows(c) == rows(s))
+    assert(rows(Cache.readCache(spark, s"$dir/full")) == rows(s))
+
+    val p1 = Cache.cachePartial(s, s"$dir/partial")
+    assert(rows(p1) == rows(s))
+    // second run: all shards cached → replayed from files
+    val p2 = Cache.cachePartial(s, s"$dir/partial")
+    assert(rows(p2) == rows(s))
+    val nFiles = new java.io.File(s"$dir/partial").listFiles().count(_.getName.endsWith(".bin"))
+    assert(nFiles == 3)
+  }
+
+  test("results stable across shard counts (dual-executor matrix analog)") {
+    import spark.implicits._
+    val data = (1 to 200).map(i => (i % 7, i))
+    val expect = data.groupBy(_._1).map { case (k, vs) => Seq[Any](k, vs.map(_._2).sum) }.toSet
+    for (n <- Seq(1, 4)) {
+      val got = Sources.const(spark, n, data).reduce(sum(col("_2")).cast("int").as("s"))
+      assert(rows(got) == expect)
+    }
+  }
+}
