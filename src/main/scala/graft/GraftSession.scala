@@ -18,6 +18,9 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the corpus's events.ts is TIMESTAMP(NANOS), which Spark 4 only
+      // reads as long; Tables.load converts it back to a timestamp.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
@@ -29,8 +32,18 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$table.parquet")
+  def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$table.parquet")
+    // events.ts is TIMESTAMP(NANOS) in parquet; with
+    // spark.sql.legacy.parquet.nanosAsLong it arrives as a long. Convert
+    // with exact integer division (a double division would lose µs —
+    // epoch-ns exceeds double's 2^53 exact range).
+    if (table == "events")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    else df
+  }
 
   def slice(spark: SparkSession, sfDir: String, table: String): Slice =
     Slice(load(spark, sfDir, table))

@@ -1,13 +1,28 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{RefOps, Tpch}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    Tpch.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 (op_*), plus
+    * headline analytical queries (q*) and the LLM-pipeline operators. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RefOps.queries ++ Tpch.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    RefOps.oracleSql ++ Tpch.oracleSql
+
+  /** Headline subset timed by Bench (BENCH_r{N}.json). */
+  def benchQueries: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q6_revenue", "q_window_top_customers", "q_events_daily",
+    "op_flatmap", "op_cogroup", "op_reduce")
 }
