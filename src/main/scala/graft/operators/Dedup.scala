@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines, each designed
+ * for 100 TB: no driver-side materialization, candidate generation via
+ * bucket joins (never all-pairs), partial aggregation everywhere.
+ *
+ *  - exact:        hash-groupBy on content digest
+ *  - n-gram Jaccard: inverted shingle index + pair counting (exact)
+ *  - MinHash+LSH:  signature Aggregator → banded bucket join →
+ *                  exact-Jaccard verification of candidates only
+ *  - SimHash:      64-bit sketch; block-pigeonhole bucket join +
+ *                  hamming verification
+ *  - embedding:    cosine near-dup pairs (see Similarity for ANN)
+ */
+object Dedup {
+
+  import graft.functions.TextFunctions.tokens
+
+  /** Distinct word k-shingles per document: (id, shingle). The unit of
+    * Jaccard similarity. Scales: one explode, no shuffle until the
+    * consumer aggregates. */
+  def shingles(df: DataFrame, id: String, text: String, k: Int = 3): DataFrame = {
+    val t = tokens(col(text))
+    val sh = transform(sequence(lit(0), size(t) - k),
+      i => concat_ws(" ", slice(t, i + 1, lit(k))))
+    df.filter(size(t) >= k)
+      .select(col(id), explode(array_distinct(sh)).as("shingle"))
+  }
+
+  /** Exact dedup: keep the smallest id per identical content.
+    * groupBy(md5) — partial agg, no skew (digests are uniform). */
+  def exact(df: DataFrame, id: String, text: String): DataFrame =
+    df.groupBy(md5(col(text).cast("binary")).as("digest"))
+      .agg(min(col(id)).as(id), count(lit(1)).as("n_copies"))
+
+  /**
+   * Exact n-gram Jaccard similarity join via inverted index:
+   * explode shingles → self-join on shingle (co-occurrence count c) →
+   * j = c / (|A|+|B|-c). Never materializes the n² pair space — only
+   * pairs sharing ≥1 shingle, grouped with partial aggregation.
+   * At extreme scale add a document-frequency cap on shingles
+   * (drop stop-shingles) before the join; not needed for this corpus.
+   * Output: (a, b, jaccard) with a < b, jaccard >= minJ.
+   */
+  def ngramJaccardPairs(df: DataFrame, id: String, text: String,
+                        k: Int = 3, minJ: Double = 0.5): DataFrame = {
+    val sh = shingles(df, id, text, k).persist()
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(id).as("a"), col("shingle"))
+    val b = sh.select(col(id).as("b"), col("shingle"))
+    val co = a.join(b, Seq("shingle")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    co.join(sizes.withColumnRenamed(id, "a").withColumnRenamed("sz", "sa"), "a")
+      .join(sizes.withColumnRenamed(id, "b").withColumnRenamed("sz", "sb"), "b")
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("sa") + col("sb") - col("c")).cast("double"))
+      .filter(col("jaccard") >= minJ)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Element-wise-min Aggregator over long arrays — the MinHash
+    * signature combiner. Partial-aggregation capable (merge = min),
+    * so map-side combine applies before any shuffle. */
+  class MinArrayAgg(val n: Int) extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+    override def zero: Array[Long] = Array.fill(n)(Long.MaxValue)
+    override def reduce(b: Array[Long], a: Array[Long]): Array[Long] = merge(b, a)
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0; val out = new Array[Long](n)
+      while (i < n) { out(i) = math.min(x(i), y(i)); i += 1 }
+      out
+    }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /**
+   * MinHash signatures: (id, sig ARRAY<LONG>[numPerms]).
+   * "Permutation" i = xxhash64 seeded with i (a well-mixed 64-bit hash
+   * per permutation — unlike a restricted-domain affine family, which
+   * is nearly monotonic and destroys min-wise independence); per-document
+   * element-wise min via [[MinArrayAgg]] (distributed, combining).
+   */
+  def minhashSignatures(df: DataFrame, id: String, text: String,
+                        k: Int = 3, numPerms: Int = 64): DataFrame = {
+    val sh = shingles(df, id, text, k)
+    val hashes = array((0 until numPerms).map(i =>
+      xxhash64(lit(i), col("shingle"))): _*)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = new MinArrayAgg(numPerms).toColumn
+    sh.select(col(id).cast("long").as("_id"), hashes.as("h"))
+      .as[(Long, Array[Long])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("sig"))
+      .toDF(id, "sig")
+  }
+
+  /**
+   * LSH banding: signature → (band, bucket) keys; docs sharing a bucket
+   * in ANY band become candidate pairs; candidates are verified with
+   * EXACT Jaccard (via [[ngramJaccardPairs]] machinery) so the output
+   * contains no false positives. bandRows=2 with 32 bands catches
+   * j≥0.5 pairs with P(miss) ≈ (1-j²)^32 ≤ 1e-4.
+   * Output: (a, b, jaccard) — verified pairs, j >= minJ.
+   */
+  def minhashDupPairs(df: DataFrame, id: String, text: String,
+                      k: Int = 3, numPerms: Int = 64, bandRows: Int = 2,
+                      minJ: Double = 0.5): DataFrame = {
+    val nBands = numPerms / bandRows
+    val sigs = minhashSignatures(df, id, text, k, numPerms)
+    val banded = sigs.select(col(id), posexplode(
+      transform(sequence(lit(0), lit(nBands - 1)),
+        b => hash(slice(col("sig"), b * bandRows + lit(1), lit(bandRows)), b))))
+      .toDF(id, "band", "bucket")
+    val l = banded.select(col(id).as("a"), col("band"), col("bucket"))
+    val r = banded.select(col(id).as("b"), col("band"), col("bucket"))
+    val candidates = l.join(r, Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    // Verify candidates ONLY, with exact Jaccard over per-doc shingle
+    // sets (arrays are per-document sized — bounded, no n² blowup).
+    val sets = shingles(df, id, text, k).groupBy(col(id))
+      .agg(collect_list(col("shingle")).as("shset"), count(lit(1)).as("sz"))
+    val setsA = sets.select(col(id).as("a"), col("shset").as("sha"), col("sz").as("sa"))
+    val setsB = sets.select(col(id).as("b"), col("shset").as("shb"), col("sz").as("sb"))
+    candidates.join(setsA, "a").join(setsB, "b")
+      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("sa") + col("sb") - col("c")).cast("double"))
+      .filter(col("jaccard") >= minJ)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /**
+   * 64-bit SimHash over whitespace tokens: per-token xxhash64; each bit
+   * votes ±1; sign of the vote sum is the sketch bit. Pure column
+   * algebra (explode + groupBy + bit ops) — scales like a wordcount.
+   */
+  def simhash(df: DataFrame, id: String, text: String): DataFrame = {
+    val tok = df.select(col(id), explode(tokens(col(text))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$b")
+    }
+    val voted = tok.groupBy(col(id)).agg(votes.head, votes.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    voted.select(col(id), sig.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit sketches. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /**
+   * SimHash near-dup pairs with hamming <= maxDist (< 16): pigeonhole
+   * on 4 16-bit blocks — pairs within distance 3 share at least one
+   * exact block → bucket join per block, then verify. No n² scan.
+   */
+  def simhashDupPairs(df: DataFrame, id: String, text: String,
+                      maxDist: Int = 3): DataFrame = {
+    val s = simhash(df, id, text).persist()
+    val blocks = s.select(col(id), col("simhash"), posexplode(array(
+      (0 until 4).map(i =>
+        shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF(id, "simhash", "block", "bval")
+    val l = blocks.select(col(id).as("a"), col("simhash").as("sa"), col("block"), col("bval"))
+    val r = blocks.select(col(id).as("b"), col("simhash").as("sb"), col("block"), col("bval"))
+    l.join(r, Seq("block", "bval")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), hamming(col("sa"), col("sb")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+}

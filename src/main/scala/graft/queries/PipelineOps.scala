@@ -1,0 +1,225 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Multimodal, TextFunctions => TF}
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * LLM-training-data pipeline queries (dedup / similarity / text /
+ * multimodal) over the documents and embeddings tables, with DuckDB
+ * oracles wherever the algorithm is SQL-expressible. Non-replicable
+ * sketches (simhash, hyperplane LSH) ship rows-only checked here and
+ * are property-tested in PipelineSpec against their exact baselines.
+ */
+object PipelineOps {
+
+  private val EmbDim = 64 // corpus embedding dimensionality (both SFs)
+
+  /** DuckDB SQL for the explicit 64-term dot product — matches
+    * Similarity.dotUnrolled's left-associated double arithmetic. */
+  private def dotSql(a: String, b: String): String =
+    (1 to EmbDim).map(i =>
+      s"CAST($a.embedding[$i] AS DOUBLE)*CAST($b.embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- text analysis -------------------------------------------------
+    "text_token_stats" -> { (spark, dir) =>
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          TF.wsTokenCount(col("text")).cast("long").as("n_ws"),
+          TF.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
+          length(col("text")).cast("long").as("n_chars_obs"))
+        .orderBy("doc_id")
+    },
+
+    "text_quality" -> { (spark, dir) =>
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          TF.alphaRatio(col("text")).as("alpha_ratio"),
+          TF.stopwordRatio(col("text")).as("stopword_ratio"),
+          TF.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    "text_langid" -> { (spark, dir) =>
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), TF.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    "text_fingerprint" -> { (spark, dir) =>
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), TF.fingerprintMd5(col("text")).as("digest"))
+        .orderBy("doc_id")
+    },
+
+    // rolling-hash fingerprint: not SQL-replicable (xxhash64) → rows-only
+    "text_fingerprint_rolling" -> { (spark, dir) =>
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), TF.fingerprintRolling(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // --- dedup ----------------------------------------------------------
+    "dedup_exact" -> { (spark, dir) =>
+      Dedup.exact(Tables.load(spark, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    "dedup_ngram_jaccard" -> { (spark, dir) =>
+      Dedup.ngramJaccardPairs(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", k = 3, minJ = 0.5)
+        .orderBy("a", "b")
+    },
+
+    // MinHash+LSH with exact verification; deterministic. Oracle = the
+    // exact-Jaccard pair set (LSH recall at these parameters is 1.0 on
+    // this corpus — validated empirically; misses would show instantly
+    // in the hash compare).
+    "dedup_minhash" -> { (spark, dir) =>
+      Dedup.minhashDupPairs(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", k = 3, numPerms = 64, bandRows = 2, minJ = 0.5)
+        .orderBy("a", "b")
+    },
+
+    // SimHash sketch pairs — sketch not SQL-replicable → rows-only.
+    "dedup_simhash" -> { (spark, dir) =>
+      Dedup.simhashDupPairs(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", maxDist = 8)
+        .orderBy("a", "b")
+    },
+
+    "dedup_embedding" -> { (spark, dir) =>
+      Similarity.cosineDupPairs(Tables.load(spark, dir, "embeddings"),
+        "vec_id", "embedding", EmbDim, minCos = 0.4)
+        .orderBy("a", "b")
+    },
+
+    // --- similarity search ----------------------------------------------
+    "sim_topk_bruteforce" -> { (spark, dir) =>
+      val emb = Tables.load(spark, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", EmbDim, k = 5)
+        .orderBy("query_id", "rnk")
+    },
+
+    // hyperplane-LSH ANN — planes not SQL-replicable → rows-only;
+    // recall vs brute force asserted in PipelineSpec.
+    "sim_topk_lsh" -> { (spark, dir) =>
+      val emb = Tables.load(spark, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", EmbDim, k = 5)
+        .orderBy("query_id", "rnk")
+    },
+
+    // --- multimodal plumbing ---------------------------------------------
+    "mm_features" -> { (spark, dir) =>
+      val assets = Multimodal.synthesizeAssets(
+        Tables.load(spark, dir, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(assets, "doc_id", "payload")
+        .select(col("id").as("doc_id"), col("nBytes").as("n_bytes"),
+          col("checksum"), col("meta.width").as("width"))
+        .orderBy("doc_id")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "text_token_stats" ->
+      s"""SELECT doc_id,
+         |  len(list_filter(string_split_regex(text,'\\s+'), t -> len(t)>0)) AS n_ws,
+         |  len(regexp_extract_all(text, '${TF.bpePattern}')) AS n_bpe,
+         |  len(text) AS n_chars_obs
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" -> {
+      val allStops = TF.stopwords.values.flatten.toSeq.distinct
+        .map(s => s"'$s'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, text,
+         |  list_filter(string_split_regex(text,'\\s+'), x -> len(x)>0) AS toks
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         |    / CAST(len(text) AS DOUBLE) AS alpha_ratio,
+         |  CAST(len(list_filter(toks, x -> x IN ($allStops))) AS DOUBLE)
+         |    / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS stopword_ratio,
+         |  0.4 * (CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         |         / CAST(len(text) AS DOUBLE))
+         |  + 0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+         |  + 0.3 * (CAST(len(list_filter(toks, x -> x IN ($allStops))) AS DOUBLE)
+         |           / greatest(CAST(len(toks) AS DOUBLE), 1.0)) AS quality
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
+    "text_langid" -> {
+      // argmax with fixed tie-break order (de,en,es,fr,zh), 0 hits → und
+      val hitExprs = TF.langs.map { l =>
+        val set = TF.stopwords(l).map(s => s"'$s'").mkString(", ")
+        l -> s"len(list_filter(toks, x -> x IN ($set)))"
+      }
+      val best = s"greatest(${hitExprs.map(_._2).mkString(", ")})"
+      val pick = hitExprs.reverse.foldLeft("'und'") { case (acc, (l, h)) =>
+        s"CASE WHEN $h = best AND $h > 0 THEN '$l' ELSE $acc END"
+      }
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split_regex(text,'\\s+'), x -> len(x)>0) AS toks
+         |  FROM documents),
+         |s AS (SELECT doc_id, toks, $best AS best FROM t)
+         |SELECT doc_id, $pick AS lang_pred FROM s ORDER BY doc_id""".stripMargin
+    },
+    "text_fingerprint" ->
+      "SELECT doc_id, md5(text) AS digest FROM documents ORDER BY doc_id",
+    "dedup_exact" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" -> jaccardOracle(0.5),
+    "dedup_minhash" -> jaccardOracle(0.5),
+    "dedup_embedding" ->
+      s"""SELECT a.vec_id AS a, b.vec_id AS b, ${cosSql("a", "b")} AS cos
+         |FROM embeddings a, embeddings b
+         |WHERE a.vec_id < b.vec_id AND ${cosSql("a", "b")} >= 0.4
+         |ORDER BY a, b""".stripMargin,
+    "sim_topk_bruteforce" ->
+      s"""WITH scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         ${cosSql("a", "b")} AS cos
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id < 10 AND a.vec_id != b.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, rnk, neighbor_id, cos FROM ranked
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "mm_features" ->
+      """SELECT doc_id, len(text) AS n_bytes,
+        |  list_sum(list_transform(string_split(text,''), c -> ascii(c))) AS checksum,
+        |  ascii(substr(text,1,1)) % 64 + 1 AS width
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+
+  /** Exact 3-gram-shingle Jaccard pair SQL (inverted index form). */
+  private def jaccardOracle(minJ: Double): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text,'\\s+'), x -> len(x)>0) AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM toks,
+       |  LATERAL (SELECT unnest(list_transform(range(1, len(t)-1),
+       |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s)
+       |  WHERE len(t) >= 3),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a, b, CAST(c AS DOUBLE)/CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
+       |FROM pairs JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+       |WHERE CAST(c AS DOUBLE)/CAST(sa.n + sb.n - c AS DOUBLE) >= $minJ
+       |ORDER BY a, b""".stripMargin
+}

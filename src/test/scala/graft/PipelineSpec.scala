@@ -1,0 +1,119 @@
+package graft
+
+import graft.functions.{Multimodal, TextFunctions => TF}
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the LLM-pipeline operators: sketches are checked
+  * against their exact baselines (the correctness bar a sketch owes). */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val docs = Tables.load(spark, sf, "documents")
+  lazy val emb = Tables.load(spark, sf, "embeddings")
+
+  test("minhash LSH finds exactly the exact-jaccard pairs at j>=0.5") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashDupPairs(docs, "doc_id", "text", 3, 64, 2, 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact) // no false positives (verified) AND full recall here
+    assert(exact.nonEmpty) // the corpus has planted near-dups
+  }
+
+  test("minhash signature similarity estimates jaccard") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(exact.nonEmpty)
+    exact.foreach { case (a, b, j) =>
+      val est = sigs(a).zip(sigs(b)).count { case (x, y) => x == y } / 64.0
+      assert(math.abs(est - j) < 0.25, s"pair ($a,$b): est $est vs exact $j")
+    }
+  }
+
+  test("simhash: near-dup docs have small hamming distance, random pairs large") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dupDists = exact.toSeq.map { case (a, b) =>
+      java.lang.Long.bitCount(sh(a) ^ sh(b)) }
+    assert(dupDists.nonEmpty && dupDists.forall(_ <= 16),
+      s"near-dup hamming too large: $dupDists")
+    // shared-vocabulary corpus → random pairs correlate too; require
+    // clear separation between near-dup and random-pair means.
+    val ids = sh.keys.toSeq.sorted.take(40)
+    val rnd = for (a <- ids; b <- ids if a < b && !exact((a, b)))
+      yield java.lang.Long.bitCount(sh(a) ^ sh(b))
+    val dupMean = dupDists.sum.toDouble / dupDists.size
+    val rndMean = rnd.sum.toDouble / rnd.size
+    assert(dupMean + 5 < rndMean, s"no separation: dup $dupMean vs random $rndMean")
+  }
+
+  test("simhashDupPairs returns verified pairs within maxDist") {
+    val pairs = Dedup.simhashDupPairs(docs, "doc_id", "text", maxDist = 8)
+      .collect()
+    assert(pairs.forall(_.getInt(2) <= 8) || pairs.forall(r => r.getLong(2) <= 8))
+  }
+
+  test("LSH top-k recall vs brute force >= 0.6 at these parameters") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 64, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 64, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall >= 0.6, s"LSH recall $recall too low")
+  }
+
+  test("dot/cosine: unrolled == lambda variant") {
+    val both = emb.limit(50).select(
+      Similarity.dotUnrolled(col("embedding"), col("embedding"), 64).as("u"),
+      Similarity.dot(col("embedding"), col("embedding")).as("l")).collect()
+    both.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+  }
+
+  test("multimodal: feature extraction plumbing (schema, values)") {
+    val assets = Multimodal.synthesizeAssets(docs, "doc_id", "text")
+    assert(assets.schema("payload").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val feats = Multimodal.extractFeatures(assets, "doc_id", "payload")
+    val row = feats.filter(col("id") === 0).collect().head
+    val text0 = docs.filter(col("doc_id") === 0).collect().head.getString(1)
+    assert(row.getLong(1) == text0.length) // ASCII: bytes == chars
+    assert(row.getLong(2) == text0.map(_.toLong).sum)
+    assert(row.getSeq[Long](3).sum == text0.length) // histogram mass
+    val meta = row.getStruct(4)
+    assert(meta.getInt(0) == (text0.head.toInt % 64) + 1)
+  }
+
+  test("text functions: deterministic and sane on corpus") {
+    val r = docs.select(
+      TF.wsTokenCount(col("text")).as("n"),
+      TF.langId(col("text")).as("lang"),
+      TF.qualityScore(col("text")).as("q"),
+      TF.fingerprintRolling(col("text")).as("fp")).collect()
+    assert(r.forall(_.getInt(0) > 0))
+    assert(r.forall(x => x.getDouble(2) >= 0 && x.getDouble(2) <= 1))
+    // rolling fingerprint is whitespace-normalizing: same tokens → same fp
+    val fp1 = docs.select(TF.fingerprintRolling(lit("a b  c")).as("f")).head().getLong(0)
+    val fp2 = docs.select(TF.fingerprintRolling(lit("a b c")).as("f")).head().getLong(0)
+    assert(fp1 == fp2)
+  }
+
+  test("exact dedup keeps one representative per digest") {
+    val d = Dedup.exact(docs, "doc_id", "text")
+    assert(d.count() == docs.select("text").distinct().count())
+    assert(d.agg(sum("n_copies")).head().getLong(0) == docs.count())
+  }
+}
