@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Physical-plan assertions — the 100 TB discipline, checked in CI:
+ * filters reach the parquet scan, projections prune columns, small
+ * dims broadcast, aggregates are partial+final, and per-shard ops
+ * don't shuffle. Plans regress silently; these tests make the plan
+ * shape part of the contract (the analog of the reference's
+ * compile-shape goldens, exec/compile_test.go).
+ */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("filter is pushed down to the parquet scan") {
+    val df = SparkEntry.queries("op_filter")(spark, sf)
+    val f = formatted(df)
+    assert(f.contains("PushedFilters: ["), f)
+    assert(f.contains("IsNotNull(l_returnflag)") || f.contains("EqualTo(l_returnflag,R)"), f)
+  }
+
+  test("projection prunes the scan schema (ReadSchema)") {
+    val df = Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    val f = formatted(df)
+    val read = f.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && read.contains("l_quantity"), read)
+    assert(!read.contains("l_extendedprice"), read)
+  }
+
+  test("q3/q5 broadcast the dimension sides (no shuffle of the fact table for dims)") {
+    assert(plan(SparkEntry.queries("q3_shipping_priority")(spark, sf))
+      .contains("BroadcastHashJoin"))
+    assert(plan(SparkEntry.queries("q5_local_supplier")(spark, sf))
+      .contains("BroadcastHashJoin"))
+  }
+
+  test("reduce aggregates partially before the shuffle (map-side combine)") {
+    val p = plan(SparkEntry.queries("op_prefixed")(spark, sf))
+    assert(p.contains("partial_"), p) // HashAggregate(partial) before Exchange
+    assert(p.contains("Exchange"), p)
+  }
+
+  test("q1 runs as scan → partial agg → exchange → final agg (single shuffle)") {
+    val p = plan(SparkEntry.queries("q1_pricing_summary")(spark, sf))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected 1 hash exchange, plan:\n$p")
+  }
+
+  test("head(n) stays narrow — no Exchange in a per-shard limit") {
+    val s = Tables.slice(spark, sf, "lineitem").head(5)
+    assert(!plan(s.df).contains("Exchange"), plan(s.df))
+  }
+
+  test("reshuffle produces exactly one hash exchange on the key") {
+    val s = Tables.slice(spark, sf, "lineitem")
+      .select(col("l_suppkey"), col("l_quantity")).reshuffle()
+    val p = plan(s.df)
+    assert(p.contains("Exchange hashpartitioning(l_suppkey"), p)
+  }
+
+  test("whole-stage codegen covers the scan+filter+project hot path") {
+    val df = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_quantity") > 10)
+      .select((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("r"))
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    val p = plan(df)
+    assert(p.contains("*(1) Project") && p.contains("*(1) Filter"), p)
+  }
+
+  test("cogroup joins pre-aggregated sides (collect_list before the join, not after)") {
+    val df = SparkEntry.queries("op_cogroup")(spark, sf)
+    val p = plan(df)
+    // both sides must aggregate (collect_list) BEFORE the full-outer join
+    val joinIdx = p.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0 || p.contains("ShuffledHashJoin"), p)
+  }
+}
