@@ -248,6 +248,12 @@ final case class Slice(df: DataFrame, prefix: Int = 1) {
   // Misc
   // ---------------------------------------------------------------------
 
+  /** User metrics on a pass-through slice (≅ metrics.Counter/Scope,
+    * metrics/metrics.go:57-93): named observed aggregates, collected via
+    * a QueryExecutionListener or `df.observe`'s observation API. */
+  def observed(name: String, aggs: Column*): Slice =
+    Slice(df.observe(name, aggs.head, aggs.tail: _*), prefix)
+
   def union(other: Slice): Slice = Slice(df.unionByName(other.df), prefix)
   def distinct(): Slice = Slice(df.distinct(), prefix)
   def sort(cols: Column*): Slice = Slice(df.orderBy(cols: _*), prefix)

@@ -1,0 +1,28 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Skew mitigation: two-phase "salted" aggregation. Hot keys that would
+ * overload one reducer are split across `nSalts` sub-keys; phase 1
+ * aggregates (key, salt) partitions, phase 2 merges per key. Use when
+ * AQE's skew handling isn't enough (e.g. a single key holding >1
+ * executor's worth of rows at 100 TB).
+ */
+object Skew {
+
+  /**
+   * @param partial per-(key,salt) aggregate columns (must be aliased)
+   * @param merge   per-key merge of the partial columns (same aliases)
+   */
+  def saltedAgg(df: DataFrame, keys: Seq[String], nSalts: Int)(
+      partial: Seq[Column], merge: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(nSalts.toLong)))
+    salted.groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(keys.map(col): _*)
+      .agg(merge.head, merge.tail: _*)
+  }
+}

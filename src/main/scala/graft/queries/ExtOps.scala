@@ -1,0 +1,123 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{AsOfJoin, Skew}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Extended operators beyond reference parity: as-of join, rollup
+ * (grouping sets), intersect/union set ops, distinct aggregation,
+ * and skew-salted aggregation. Each with a DuckDB oracle.
+ */
+object ExtOps {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // As-of join: each purchase matched to the same user's latest
+    // signup at or before it. Timestamps compared in epoch-micros on
+    // both engines (the parquet source is nanos; Spark stores micros).
+    "q_asof_signup" -> { (spark, dir) =>
+      val ev = Tables.load(spark, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("signup_us"))
+        .agg(max(col("event_id")).as("signup_event"))
+      AsOfJoin.backward(purchases, signups,
+        keys = Seq("user_id"), leftTs = "us", rightTs = "signup_us",
+        rightVals = Seq("signup_us", "signup_event"))
+        .orderBy("event_id")
+    },
+
+    // Rollup / grouping sets (absent from the reference; free on Spark).
+    "q_rollup" -> { (spark, dir) =>
+      Tables.load(spark, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("sum_q"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // Set intersection: customers ordering in both 1996 and 1997.
+    "q_intersect" -> { (spark, dir) =>
+      val orders = Tables.load(spark, dir, "orders")
+      def year(y: Int) = orders.filter(
+        col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+        .select("o_custkey")
+      year(1996).intersect(year(1997))
+        .withColumnRenamed("o_custkey", "custkey").orderBy("custkey")
+    },
+
+    // Union of two sources (reference users express this via multiple
+    // cogroup inputs; first-class here).
+    "op_union" -> { (spark, dir) =>
+      val r = Tables.load(spark, dir, "region")
+        .select(lit("region").as("kind"), col("r_name").as("name"))
+      val n = Tables.load(spark, dir, "nation")
+        .select(lit("nation").as("kind"), col("n_name").as("name"))
+      r.unionByName(n).orderBy("kind", "name")
+    },
+
+    // Distinct aggregation (no distinct-agg in the reference).
+    "q_count_distinct" -> { (spark, dir) =>
+      Tables.load(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy("l_returnflag")
+    },
+
+    // Skew-salted two-phase aggregation — same result as a direct
+    // groupBy, robust to hot keys at scale.
+    "op_salted_agg" -> { (spark, dir) =>
+      Skew.saltedAgg(
+        Tables.load(spark, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity").cast("long").as("q")),
+        keys = Seq("l_returnflag"), nSalts = 16)(
+        partial = Seq(count(lit(1)).as("n"), sum(col("q")).as("sum_q")),
+        merge = Seq(sum(col("n")).cast("long").as("n"), sum(col("sum_q")).as("sum_q")))
+        .orderBy("l_returnflag")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_asof_signup" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us
+        |           FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, epoch_us(ts) AS signup_us,
+        |             max(event_id) AS signup_event
+        |      FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.us, s.signup_us, s.signup_event
+        |FROM p ASOF LEFT JOIN s
+        |  ON p.user_id = s.user_id AND p.us >= s.signup_us
+        |ORDER BY event_id""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |       SUM(CAST(l_quantity AS BIGINT)) AS sum_q
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_intersect" ->
+      """SELECT DISTINCT o_custkey AS custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_custkey IN (
+        |    SELECT o_custkey FROM orders
+        |    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        |ORDER BY custkey""".stripMargin,
+    "op_union" ->
+      """SELECT kind, name FROM (
+        |  SELECT 'region' AS kind, r_name AS name FROM region
+        |  UNION ALL
+        |  SELECT 'nation' AS kind, n_name AS name FROM nation)
+        |ORDER BY kind, name""".stripMargin,
+    "q_count_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |       COUNT(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "op_salted_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n, SUM(CAST(l_quantity AS BIGINT)) AS sum_q
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}
