@@ -17,8 +17,15 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // One tiny warmup action so JVM/codegen startup isn't billed to q1.
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Warmup: run each bench query once at the smallest SF so codegen
+    // compilation and JIT are not billed to the measured run (the
+    // generated-code cache is keyed by plan shape, which is identical).
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.benchQueries.foreach { name =>
+      try SparkEntry.queries(name)(spark,
+        if (new java.io.File(warmDir).isDirectory) warmDir else sfDir).collect()
+      catch { case _: Throwable => }
+    }
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -10,7 +10,7 @@ import org.apache.spark.sql.types.DecimalType
  * One query per reference operator (SURVEY.md §2.1, #1-#18 + auxiliary
  * sources), each with a DuckDB oracle. Conventions for hash-exact
  * oracle parity:
- *  - double aggregation goes through DECIMAL(38,6) (order-independent
+ *  - double aggregation goes through DECIMAL(18,6) (order-independent
  *    exact sum; identical rounding in Spark and DuckDB for |x| < 1e9),
  *    then back to double;
  *  - every computed column is aliased identically on both sides;
@@ -20,9 +20,9 @@ object RefOps {
 
   /** sum(double) that is order-independent and engine-exact. */
   private def dsum(c: org.apache.spark.sql.Column) =
-    sum(c.cast(DecimalType(38, 6))).cast("double")
+    sum(c.cast(DecimalType(18, 6))).cast("double")
   private def dsumSql(expr: String) =
-    s"CAST(SUM(CAST($expr AS DECIMAL(38,6))) AS DOUBLE)"
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,6))) AS DOUBLE)"
 
   private def tmpDir(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
@@ -65,7 +65,7 @@ object RefOps {
       Tables.slice(spark, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
           (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast(DecimalType(38, 6)).cast("double").as("revenue"))
+            .cast(DecimalType(18, 6)).cast("double").as("revenue"))
         .sort(col("l_orderkey"), col("l_linenumber")).df
     },
 
@@ -257,7 +257,7 @@ object RefOps {
         |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "op_map" ->
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+        |  CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS DOUBLE) AS revenue
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "op_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

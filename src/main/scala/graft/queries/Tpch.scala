@@ -16,9 +16,9 @@ import org.apache.spark.sql.expressions.Window
 object Tpch {
 
   private def dsum(c: org.apache.spark.sql.Column) =
-    sum(c.cast(DecimalType(38, 6))).cast("double")
+    sum(c.cast(DecimalType(18, 6))).cast("double")
   private def dsumSql(expr: String) =
-    s"CAST(SUM(CAST($expr AS DECIMAL(38,6))) AS DOUBLE)"
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,6))) AS DOUBLE)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
