@@ -87,11 +87,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(1) Project") && p.contains("*(1) Filter"), p)
   }
 
-  test("cogroup joins pre-aggregated sides (collect_list before the join, not after)") {
+  test("cogroup is union-tag-aggregate: ONE exchange, no join at all") {
     val df = SparkEntry.queries("op_cogroup")(spark, sf)
     val p = plan(df)
-    // both sides must aggregate (collect_list) BEFORE the full-outer join
-    val joinIdx = p.indexOf("SortMergeJoin")
-    assert(joinIdx >= 0 || p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("Join"), p)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected exactly 1 exchange, got $shuffles:\n$p")
   }
 }
