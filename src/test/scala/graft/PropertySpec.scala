@@ -1,0 +1,113 @@
+package graft
+
+import graft.sources.Sources
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/**
+ * Property tests (SURVEY §5 / FIXTURES A2 adoption): randomized typed
+ * columns with duplicate keys, Zipfian skew, row counts not divisible
+ * by shard counts — invariants must hold for every draw and shard
+ * count, the analog of the reference's gofuzz + testing/quick suites
+ * (slice_test.go:374-508). Draws use ScalaCheck Gen under fixed seeds
+ * so failures are reproducible (scalatestplus bridge is not on the
+ * offline classpath).
+ */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Draw `n` samples from `gen` deterministically (seeds 1..n). */
+  private def draws[T](gen: Gen[T], n: Int): Seq[T] =
+    (1 to n).map { i =>
+      gen(Gen.Parameters.default, Seed(i.toLong))
+        .getOrElse(sys.error(s"gen failed at seed $i"))
+    }
+
+  // Zipf-ish skewed keys: key k with weight ~ 1/(k+1)
+  private val skewedPair: Gen[(String, Int)] = for {
+    z <- Gen.choose(0.0, 1.0)
+    k = math.min(9, math.floor(math.pow(10.0, z * 2) / 10.0 * 9).toInt)
+    v <- Gen.choose(-1000, 1000)
+  } yield (s"k$k", v)
+
+  private val rowsGen: Gen[List[(String, Int)]] =
+    Gen.choose(1, 400).flatMap(n => Gen.listOfN(n, skewedPair))
+
+  test("reduce(+) == in-memory groupBy sum, for any data and shard count") {
+    import spark.implicits._
+    for {
+      rows <- draws(rowsGen, 6)
+      nshard <- Seq(1, 3, 7)
+    } {
+      val expect = rows.groupBy(_._1).view
+        .mapValues(_.map(_._2.toLong).sum).toMap
+      val got = Sources.const(spark, nshard, rows)
+        .reduce(sum(col("_2").cast("long")).as("s"))
+        .df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"nshard=$nshard rows=${rows.size}")
+    }
+  }
+
+  test("reduceF(typed +) == reduce(declarative sum)") {
+    import spark.implicits._
+    for (rows <- draws(rowsGen, 6)) {
+      val s = Sources.const(spark, 3, rows.map { case (k, v) => (k, v.toLong) })
+      val typed = s.reduceF[String, Long](_ + _)
+        .df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val decl = s.reduce(sum(col("_2")).as("s"))
+        .df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(typed == decl)
+    }
+  }
+
+  test("reshard/reshuffle preserve multiset content for any shard count") {
+    import spark.implicits._
+    for {
+      rows <- draws(rowsGen, 4)
+      n <- Seq(1, 2, 5, 11)
+    } {
+      val s = Sources.const(spark, 4, rows)
+      def multiset(x: Slice) =
+        x.df.collect().map(r => (r.getString(0), r.getInt(1)))
+          .groupBy(identity).view.mapValues(_.length).toMap
+      assert(multiset(s.reshard(n)) == multiset(s), s"reshard($n)")
+      assert(multiset(s.reshuffle()) == multiset(s), "reshuffle")
+    }
+  }
+
+  test("cogroup group sizes == per-input key counts (incl. absent keys)") {
+    import spark.implicits._
+    val ls = draws(rowsGen, 6)
+    val rs = draws(rowsGen.map(_.reverse), 6)
+    for ((l, r) <- ls.zip(rs)) {
+      val cg = Sources.const(spark, 3, l).cogroup(Sources.const(spark, 2, r))
+      val got = cg.df.collect()
+        .map(x => x.getString(0) -> (x.getSeq[Int](1).size, x.getSeq[Int](2).size))
+        .toMap
+      val lc = l.groupBy(_._1).view.mapValues(_.size).toMap
+      val rc = r.groupBy(_._1).view.mapValues(_.size).toMap
+      val expect = (lc.keySet ++ rc.keySet).map(k =>
+        k -> (lc.getOrElse(k, 0), rc.getOrElse(k, 0))).toMap
+      assert(got == expect)
+    }
+  }
+
+  test("fold zero-value init: empty-safe, order-independent accumulations") {
+    import spark.implicits._
+    for (rows <- draws(rowsGen, 6)) {
+      val got = Sources.const(spark, 3, rows.map { case (k, v) => (k, v.toLong) })
+        .fold[String, Long, Long](0L)((acc, v) => acc + v * v)
+        .df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expect = rows.groupBy(_._1).view
+        .mapValues(_.map(x => x._2.toLong * x._2).sum).toMap
+      assert(got == expect)
+    }
+  }
+}
