@@ -105,6 +105,94 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
   }
 
+  // ---------------------------------------------------------------------
+  // IVF (inverted-file) ANN — the centroid-partitioned scale path.
+  // ---------------------------------------------------------------------
+
+  /**
+   * Deterministic Lloyd k-means over the corpus, cosine assignment.
+   * Centroids are driver-side metadata (nList × dim doubles — the same
+   * stance MLlib's KMeans takes); every data-sized step is a single
+   * broadcast-join + partial/final aggregate over the corpus, so the
+   * training sweep is O(iters) scans with no driver materialization of
+   * data rows. Seeds = the nList lowest-id vectors (deterministic; at
+   * 100 TB seed from a `TABLESAMPLE` instead).
+   */
+  def trainCentroids(corpus: DataFrame, id: String, vec: String, dim: Int,
+                     nList: Int, iters: Int = 2): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    var cents: Array[Array[Double]] =
+      corpus.orderBy(col(id)).limit(nList).select(col(vec)).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 1 to iters) {
+      val assigned = assignLists(corpus, id, vec, dim, cents)
+      val avgs = (1 to dim).map(i =>
+        avg(element_at(col(vec), i).cast("double")).as(s"c$i"))
+      val updated = assigned.groupBy(col("list_id"))
+        .agg(avgs.head, avgs.tail: _*)
+        .collect()
+        .map(r => r.getInt(0) -> (1 to dim).map(i => r.getDouble(i)).toArray)
+        .toMap
+      // empty lists keep their previous centroid
+      cents = cents.indices.map(i => updated.getOrElse(i, cents(i))).toArray
+    }
+    cents
+  }
+
+  /** Nearest-centroid (max cosine) list assignment via broadcast join —
+    * the corpus streams through one stage. */
+  private def assignLists(df: DataFrame, id: String, vec: String, dim: Int,
+                          cents: Array[Array[Double]]): DataFrame = {
+    val best = bestLists(col(vec), dim, cents, 1)(0)
+    df.withColumn("list_id", best)
+  }
+
+  /** Expressions selecting the nProbe highest-cosine centroid ids for a
+    * vector column. Centroids enter the plan as literals (broadcast by
+    * construction); scoring unrolls into codegen like [[dotUnrolled]]. */
+  private def bestLists(v: Column, dim: Int, cents: Array[Array[Double]],
+                        nProbe: Int): IndexedSeq[Column] = {
+    val scored = cents.indices.map { ci =>
+      val c = cents(ci)
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      val dotC = (1 to dim).map(i =>
+        element_at(v, i).cast("double") * lit(c(i - 1))).reduce(_ + _)
+      struct((dotC / lit(cn)).as("s"), lit(ci).as("i"))
+    }
+    val sorted = array_sort(array(scored: _*),
+      (a, b) => when(a("s") > b("s"), -1).when(a("s") < b("s"), 1)
+        .otherwise(a("i") - b("i")))
+    (0 until nProbe).map(p => element_at(sorted, p + 1)("i"))
+  }
+
+  /**
+   * IVF approximate top-k: corpus vectors are bucketed by nearest
+   * centroid; each query probes its nProbe nearest lists and re-ranks
+   * candidates exactly. Shuffle profile at scale: one Exchange on
+   * list_id for the corpus (reusable across query batches — persist
+   * the assigned corpus as the "index"), queries broadcast-joined to
+   * their probe lists. Candidate count ~ corpus × nProbe / nList.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String,
+              vec: String, dim: Int, k: Int,
+              nList: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val cents = trainCentroids(corpus, id, vec, dim, nList, iters)
+    val c = assignLists(corpus, id, vec, dim, cents)
+      .select(col(id).as("neighbor_id"), col(vec).as("cv"), col("list_id"))
+    val probes = bestLists(col(vec), dim, cents, nProbe)
+    val q = queries
+      .select(col(id).as("query_id"), col(vec).as("qv"),
+        explode(array(probes: _*)).as("list_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv"), dim))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
+  }
+
   /** Embedding near-duplicate pairs: all (a,b) with cosine >= minCos.
     * Exact (block-nested via broadcast when one side is small; at 100 TB
     * swap the exact join for [[lshTopK]]-style bucketing). */

@@ -118,6 +118,16 @@ object PipelineOps {
         .orderBy("query_id", "rnk")
     },
 
+    // IVF ANN (centroid-partitioned scale path) — k-means lists not
+    // SQL-replicable → rows-only; recall vs brute force asserted in
+    // PipelineSpec.
+    "sim_topk_ivf" -> { (spark, dir) =>
+      val emb = Tables.load(spark, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", EmbDim, k = 5)
+        .orderBy("query_id", "rnk")
+    },
+
     // --- multimodal plumbing ---------------------------------------------
     "mm_features" -> { (spark, dir) =>
       val assets = Multimodal.synthesizeAssets(

@@ -76,6 +76,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"LSH recall $recall too low")
   }
 
+  test("IVF top-k recall vs brute force >= 0.6; exactly k per query") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 64, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 64, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(ivf.length == ivf.distinct.length, "duplicate (query, neighbor)")
+    val perQuery = ivf.groupBy(_._1).values.map(_.size)
+    assert(perQuery.forall(_ <= 5))
+    val recall = (bf & ivf.toSet).size.toDouble / bf.size
+    assert(recall >= 0.6, s"IVF recall $recall too low")
+  }
+
   test("dot/cosine: unrolled == lambda variant") {
     val both = emb.limit(50).select(
       Similarity.dotUnrolled(col("embedding"), col("embedding"), 64).as("u"),
