@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.VectorExpressions.{dotF, normF}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -43,10 +44,14 @@ object Similarity {
    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, id: String,
                      vec: String, dim: Int, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(id).as("query_id"), col(vec).as("qv")))
-    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"))
+    // Norms precomputed once per row (not per pair); the per-pair work
+    // is a single codegen'd FloatVecDot — keeps the BNLJ stage compiled.
+    val q = broadcast(queries.select(col(id).as("query_id"), col(vec).as("qv"),
+      normF(col(vec)).as("qn")))
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"),
+      normF(col(vec)).as("cn"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv"), dim))
+      .withColumn("cos", dotF(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -65,8 +70,16 @@ object Similarity {
   }
 
   /** Random-hyperplane (sign) LSH signature: nPlanes sign bits packed
-    * into a long. Deterministic across runs. */
+    * into a long. Deterministic across runs. Native codegen'd loop
+    * ([[graft.functions.FloatVecHyperplaneSig]]); bit-identical to
+    * [[hyperplaneSigUnrolled]] (asserted in PipelineSpec). */
   def hyperplaneSig(vec: Column, dim: Int, nPlanes: Int): Column =
+    graft.functions.VectorExpressions.hyperplaneSigF(vec, nPlanes)
+
+  /** Unrolled Column formulation of [[hyperplaneSig]] — reference
+    * semantics for the native expression; O(nPlanes × dim) Catalyst
+    * nodes, so not used on the hot path. */
+  def hyperplaneSigUnrolled(vec: Column, dim: Int, nPlanes: Int): Column =
     (0 until nPlanes).map { p =>
       val proj = (1 to dim).map(i =>
         element_at(vec, i).cast("double") * planeSign(p, i)).reduce(_ + _)
@@ -85,21 +98,25 @@ object Similarity {
     val rows = nPlanes / nBands
     def banded(df: DataFrame, side: String) =
       df.select(col(id).as(s"${side}_id"), col(vec).as(s"${side}_v"),
+        normF(col(vec)).as(s"${side}_n"),
         hyperplaneSig(col(vec), dim, nPlanes).as("sig"))
-        .select(col(s"${side}_id"), col(s"${side}_v"), posexplode(array(
-          (0 until nBands).map(b =>
-            shiftright(col("sig"), b * rows)
-              .bitwiseAND(lit((1L << rows) - 1))): _*)))
-        .toDF(s"${side}_id", s"${side}_v", "band", "bucket")
+        .select(col(s"${side}_id"), col(s"${side}_v"), col(s"${side}_n"),
+          posexplode(array(
+            (0 until nBands).map(b =>
+              shiftright(col("sig"), b * rows)
+                .bitwiseAND(lit((1L << rows) - 1))): _*)))
+        .toDF(s"${side}_id", s"${side}_v", s"${side}_n", "band", "bucket")
     val c = banded(corpus, "neighbor")
     val q = banded(queries, "query")
     val cand = c.join(q, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "query_v", "neighbor_id", "neighbor_v")
+      .select("query_id", "query_v", "query_n",
+        "neighbor_id", "neighbor_v", "neighbor_n")
       .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    cand.withColumn("cos", cosine(col("query_v"), col("neighbor_v"), dim))
+    cand.withColumn("cos", dotF(col("query_v"), col("neighbor_v"))
+        / (col("query_n") * col("neighbor_n")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
@@ -187,7 +204,8 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id"))
     c.join(broadcast(q), Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv"), dim))
+      .withColumn("cos",
+        dotF(col("qv"), col("cv")) / (normF(col("qv")) * normF(col("cv"))))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
@@ -198,10 +216,12 @@ object Similarity {
     * swap the exact join for [[lshTopK]]-style bucketing). */
   def cosineDupPairs(df: DataFrame, id: String, vec: String, dim: Int,
                      minCos: Double): DataFrame = {
-    val a = df.select(col(id).as("a"), col(vec).as("va"))
-    val b = df.select(col(id).as("b"), col(vec).as("vb"))
+    val a = df.select(col(id).as("a"), col(vec).as("va"),
+      normF(col(vec)).as("na"))
+    val b = df.select(col(id).as("b"), col(vec).as("vb"),
+      normF(col(vec)).as("nb"))
     a.join(b, col("a") < col("b"))
-      .withColumn("cos", cosine(col("va"), col("vb"), dim))
+      .withColumn("cos", dotF(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= minCos)
       .select(col("a"), col("b"), col("cos"))
   }

@@ -89,6 +89,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF recall $recall too low")
   }
 
+  test("native FloatVecDot/HyperplaneSig == unrolled Column formulations") {
+    import graft.functions.VectorExpressions.{dotF, hyperplaneSigF}
+    val pairs = emb.limit(40).select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(emb.limit(3).select(col("embedding").as("b")))
+    val dots = pairs.select(
+      dotF(col("a"), col("b")).as("native"),
+      Similarity.dotUnrolled(col("a"), col("b"), 64).as("unrolled")).collect()
+    assert(dots.nonEmpty)
+    dots.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // bit-equal
+    val sigs = emb.limit(60).select(
+      hyperplaneSigF(col("embedding"), 24).as("native"),
+      Similarity.hyperplaneSigUnrolled(col("embedding"), 64, 24).as("unrolled"))
+      .collect()
+    sigs.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("dot/cosine: unrolled == lambda variant") {
     val both = emb.limit(50).select(
       Similarity.dotUnrolled(col("embedding"), col("embedding"), 64).as("u"),
