@@ -26,5 +26,6 @@ object SparkEntry {
   def benchQueries: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q6_revenue", "q_window_top_customers", "q_events_daily",
-    "op_flatmap", "op_cogroup", "op_reduce")
+    "op_flatmap", "op_cogroup", "op_reduce",
+    "q18_large_volume", "dedup_minhash")
 }

@@ -68,6 +68,55 @@ object ExtOps {
         .orderBy("l_returnflag")
     },
 
+    // Scalar-function surface (string/date/math — the reference has
+    // none built in, SURVEY §2.2; Spark's functions library is the
+    // upgrade). Every computed column oracle-checked.
+    "q_scalar_funcs" -> { (spark, dir) =>
+      Tables.load(spark, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          upper(substring(col("o_orderpriority"), 1, 3)).as("pri3"),
+          concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("status_pri"),
+          length(col("o_orderpriority")).cast("long").as("pri_len"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("d"),
+          floor(abs(col("o_totalprice") - lit(100000.0))).cast("long").as("dist_bucket"),
+          greatest(col("o_custkey") % 7, lit(3L)).as("g7"))
+        .orderBy("o_orderkey")
+    },
+
+    // JSON extraction (events.props is a JSON string column).
+    "q_json_props" -> { (spark, dir) =>
+      val ev = Tables.load(spark, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+      ev.groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"),
+          count(when(col("k") > 50, 1)).as("n_big"))
+        .orderBy("event_type")
+    },
+
+    // Global top-k: orderBy+limit plans as TakeOrderedAndProject —
+    // per-partition heaps + driver merge of k rows, never a full global
+    // sort (asserted in PlanSpec). The reference has no global sort at
+    // all (SURVEY §2.2); this is the scalable form.
+    "op_topk_global" -> { (spark, dir) =>
+      Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(50)
+    },
+
+    // HLL approximate distinct — sketch differs per engine → rows-only
+    // driver check; relative-error bound vs exact asserted in SliceSpec.
+    "q_approx_distinct" -> { (spark, dir) =>
+      Tables.load(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy("l_returnflag")
+    },
+
     // Skew-salted two-phase aggregation — same result as a direct
     // groupBy, robust to hot keys at scale.
     "op_salted_agg" -> { (spark, dir) =>
@@ -118,6 +167,26 @@ object ExtOps {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "op_salted_agg" ->
       """SELECT l_returnflag, COUNT(*) AS n, SUM(CAST(l_quantity AS BIGINT)) AS sum_q
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "op_topk_global" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 50""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  upper(substr(o_orderpriority, 1, 3)) AS pri3,
+        |  o_orderstatus || '-' || o_orderpriority AS status_pri,
+        |  CAST(len(o_orderpriority) AS BIGINT) AS pri_len,
+        |  year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  day(o_orderdate) AS d,
+        |  CAST(floor(abs(o_totalprice - 100000.0)) AS BIGINT) AS dist_bucket,
+        |  greatest(o_custkey % 7, 3) AS g7
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_json_props" ->
+      """SELECT event_type,
+        |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |  COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+        |        THEN 1 END) AS n_big
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

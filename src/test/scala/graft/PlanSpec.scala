@@ -94,4 +94,36 @@ class PlanSpec extends AnyFunSuite {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(shuffles == 1, s"expected exactly 1 exchange, got $shuffles:\n$p")
   }
+
+  test("global top-k plans as TakeOrderedAndProject, never a full sort") {
+    val df = SparkEntry.queries("op_topk_global")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("q7 broadcasts all four dims; only the fact-fact join shuffles") {
+    val df = SparkEntry.queries("q7_volume_shipping")(spark, sf)
+    val p = plan(df)
+    // At sf0.001 AQE may broadcast the fact-fact join too; the contract
+    // is: all 4 dims broadcast, and at most the one fact-fact join ever
+    // shuffles.
+    val bcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    val shuffledJoins = "SortMergeJoin".r.findAllIn(p).size +
+      "ShuffledHashJoin".r.findAllIn(p).size
+    assert(bcasts >= 4, s"expected >=4 broadcast joins, got $bcasts:\n$p")
+    assert(shuffledJoins <= 1, s"expected <=1 shuffled join, got $shuffledJoins:\n$p")
+  }
+
+  test("approx_count_distinct stays within 5% of exact (HLL default rsd)") {
+    val exact = SparkEntry.queries("q_count_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = SparkEntry.queries("q_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n < 0.05, s"$k: approx $a vs exact $n")
+    }
+  }
 }
