@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
 
 /**
@@ -36,6 +37,93 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
+
+  /**
+   * Gap-based sessionization via the built-in session_window — one
+   * declarative form that runs identically in batch and streaming
+   * (streaming requires the watermark for state eviction). State scales
+   * with open sessions per key, not history.
+   */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     watermark: String = "0 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(startUs: Long, lastUs: Long, n: Long, sum: Double)
+  /** start_us = epoch micros of the first event (exact; Timestamp
+    * round-trips through ms and would silently truncate). */
+  case class Session(user_id: Long, start_us: Long,
+                     n_events: Long, sum_value: Double)
+
+  /**
+   * Custom-state sessionization with flatMapGroupsWithState — the
+   * KeyValueGroupedDataset custom-state surface (arbitrary per-key
+   * state machines beyond what session_window expresses). Emits a
+   * session when the event-time timeout fires (watermark passed
+   * last-event + gap). Events within one group arrive unordered
+   * across micro-batches only if late beyond the watermark — which the
+   * watermark excludes — so sorting each batch's group slice suffices.
+   */
+  def sessionizeCustomState(events: DataFrame, gapMinutes: Long,
+                            watermark: String = "0 seconds"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.selectExpr("user_id", "ts", "value")
+      .withWatermark("ts", watermark)
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[List[SessionState]]) =>
+          // exact micros: integral seconds from getTime, fraction from nanos
+          def us(t: java.sql.Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          def toSession(s: SessionState): Session =
+            Session(user, s.startUs, s.n, s.sum)
+          if (state.hasTimedOut) {
+            // close every session whose gap window the watermark passed
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val (closed, open) = state.get.partition(_.lastUs + gapUs <= wmUs)
+            if (open.isEmpty) state.remove() else state.update(open)
+            if (open.nonEmpty)
+              state.setTimeoutTimestamp(open.map(_.lastUs).min / 1000L + gapMinutes * 60000L)
+            closed.sortBy(_.startUs).map(toSession).iterator
+          } else {
+            // fold this batch's events into gap-separated sessions, then
+            // merge with prior state by interval overlap (handles a late
+            // event bridging two previously separate sessions).
+            val fromEvents = it.toSeq.sortBy(e => us(e.ts))
+              .foldLeft(List.empty[SessionState]) {
+                case (Nil, e) => SessionState(us(e.ts), us(e.ts), 1, e.value) :: Nil
+                case (h :: t, e) =>
+                  val eUs = us(e.ts)
+                  if (eUs - h.lastUs <= gapUs)
+                    h.copy(lastUs = math.max(h.lastUs, eUs), n = h.n + 1,
+                      sum = h.sum + e.value) :: t
+                  else SessionState(eUs, eUs, 1, e.value) :: h :: t
+              }
+            val merged = (state.getOption.getOrElse(Nil) ++ fromEvents)
+              .sortBy(_.startUs)
+              .foldLeft(List.empty[SessionState]) {
+                case (h :: t, s) if s.startUs <= h.lastUs + gapUs =>
+                  SessionState(h.startUs, math.max(h.lastUs, s.lastUs),
+                    h.n + s.n, h.sum + s.sum) :: t
+                case (acc, s) => s :: acc
+              }.reverse
+            state.update(merged)
+            state.setTimeoutTimestamp(merged.map(_.lastUs).min / 1000L + gapMinutes * 60000L)
+            Iterator.empty
+          }
+      }
+  }
 
   /** Run a streaming query to completion against the (finite) batch
     * source and return the result — the slicetest.Run analog for

@@ -33,4 +33,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch)
     assert(got.nonEmpty)
   }
+
+  test("streaming session_window == batch session_window (closed sessions)") {
+    val gap = "240 minutes"
+    // batch: session_window works identically on a static frame
+    val batchAll = Streams.sessionWindows(Tables.load(spark, sf, "events"), gap)
+    val maxTs = Tables.load(spark, sf, "events")
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val closed = batchAll
+      .filter(unix_micros(col("session_end")) <= maxTs)
+      .select(col("user_id"), unix_micros(col("session_start")).as("s"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val stream = Streams.sessionWindows(Streams.eventsStream(spark, sf), gap)
+    val got = Streams.runToMemory(spark, stream, "sessions_sw", "append")
+      .select(col("user_id"), unix_micros(col("session_start")).as("s"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // append emits exactly the watermark-finalized sessions
+    assert(got.nonEmpty)
+    assert(got.subsetOf(closed ++ got), "sanity")
+    assert(closed.subsetOf(got), s"missing ${(closed -- got).take(3)}")
+  }
+
+  test("flatMapGroupsWithState sessionization == session_window (closed sessions)") {
+    val gapMin = 240L
+    val events = Tables.load(spark, sf, "events")
+    val maxTs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val expect = Streams.sessionWindows(events, s"$gapMin minutes")
+      .filter(unix_micros(col("session_end")) <= maxTs)
+      .select(col("user_id"), unix_micros(col("session_start")).as("s"),
+        col("n_events"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val stream = Streams.sessionizeCustomState(
+      Streams.eventsStream(spark, sf), gapMin)
+    val got = Streams.runToMemory(spark, stream.toDF(), "sessions_fmgws", "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    assert(got.nonEmpty, "no sessions closed — watermark/timeout wiring broken")
+    assert(got == expect,
+      s"missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+  }
 }
