@@ -222,6 +222,34 @@ object RefOps {
         .sort(col("i")).df
     },
 
+    // aux: CSV source + domain-counts pipeline — the reference's GDELT
+    // demo shape (cmd/urls/urls.go:37-96): CSV → extract domain →
+    // Reduce(+). Input synthesized deterministically.
+    "op_csv_pipeline" -> { (spark, _) =>
+      val f = java.nio.file.Paths.get(tmpDir("csv"), "urls.csv")
+      val rows = (0 until 2000).map(i =>
+        s"$i,http://host${i % 7}.example.com/page/$i")
+      java.nio.file.Files.write(f,
+        ("id,url" +: rows).mkString("\n").getBytes)
+      Sources.readCsv(spark, f.toString)
+        .select(regexp_extract(col("url"), "https?://([^/]+)/", 1).as("domain"))
+        .reduce(count(lit(1)).as("n"))
+        .sort(col("domain")).df
+    },
+
+    // aux: JSON-lines source.
+    "op_json_source" -> { (spark, _) =>
+      val f = java.nio.file.Paths.get(tmpDir("json"), "rows.json")
+      val rows = (0 until 500).map(i =>
+        s"""{"k":"g${i % 5}","v":$i}""")
+      java.nio.file.Files.write(f, rows.mkString("\n").getBytes)
+      Sources.readJson(spark, f.toString)
+        .select(col("k"), col("v"))
+        .prefixed(1)
+        .reduce(sum(col("v")).as("sum_v"), count(lit(1)).as("n"))
+        .sort(col("k")).df
+    },
+
     // aux: tarslice.Reader (archive/tarslice/tarslice.go:29-74).
     "op_read_tar" -> { (spark, _) =>
       val dir = tmpDir("tar")
@@ -314,6 +342,14 @@ object RefOps {
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "op_scan_reader" ->
       "SELECT range AS i FROM range(1000) ORDER BY i",
+    "op_csv_pipeline" ->
+      """SELECT 'host' || CAST(range % 7 AS VARCHAR) || '.example.com' AS domain,
+        |  COUNT(*) AS n
+        |FROM range(2000) GROUP BY 1 ORDER BY domain""".stripMargin,
+    "op_json_source" ->
+      """SELECT 'g' || CAST(range % 5 AS VARCHAR) AS k,
+        |  SUM(range) AS sum_v, COUNT(*) AS n
+        |FROM range(500) GROUP BY 1 ORDER BY k""".stripMargin,
     "op_read_tar" ->
       """SELECT name, size, body_len FROM (VALUES
         |  ('f0.txt', 8, 8), ('f1.txt', 18, 18), ('f2.txt', 28, 28),

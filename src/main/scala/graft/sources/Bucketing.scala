@@ -1,0 +1,49 @@
+package graft.sources
+
+import graft.Slice
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/**
+ * Bucketed tables — the co-located-join scale path. At 100 TB the
+ * dominant cost of a fact⋈fact join is shuffling both sides; writing
+ * each side bucketed (and sorted) by the join key once lets every
+ * subsequent join run with ZERO Exchange: Spark matches the bucket
+ * spec to the join's required HashClusteredDistribution and skips the
+ * shuffle (and with sortBy, the sort). This is the Spark-native
+ * analog of the reference pre-partitioning data through Reshuffle and
+ * relying on Dep{Shuffle:true} alignment (reshuffle.go:24-42,
+ * exec/compile.go:301-316) — except persisted across jobs.
+ *
+ * Bucketed tables live in the session catalog (in-memory catalog +
+ * parquet files under spark.sql.warehouse.dir; no Hive required).
+ */
+object Bucketing {
+
+  /** Write `df` as a bucketed, bucket-sorted parquet table.
+    * Pre-repartitioning on the bucket keys gives one file per bucket:
+    * without it every writer task emits a file per bucket (task×bucket
+    * small-files blowup at scale) AND the scan loses its sorted-output
+    * guarantee (FileSourceScanExec only declares outputOrdering for
+    * single-file buckets), reintroducing a Sort before every join. */
+  def writeBucketed(df: DataFrame, table: String, nBuckets: Int,
+                    keys: Seq[String]): Unit =
+    df.repartition(nBuckets, keys.map(df.col): _*)
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
+  /** Read a catalog table back as a Slice keyed by `prefix`. */
+  def readTable(spark: SparkSession, table: String, prefix: Int = 1): Slice =
+    Slice(spark.table(table), prefix)
+
+  /**
+   * Join two tables bucketed on their join keys. With matching bucket
+   * counts the physical plan contains no Exchange on either side
+   * (asserted in BucketingSpec) — the join is executor-local per
+   * bucket, which is what co-location must look like at scale.
+   */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+                   keys: Seq[String], kind: String = "inner"): DataFrame =
+    spark.table(left).join(spark.table(right), keys, kind)
+}
