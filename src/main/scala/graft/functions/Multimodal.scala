@@ -65,6 +65,59 @@ object Multimodal {
       .toDF()
   }
 
+  /**
+   * STUB resize — a payload→payload kernel with target dimensions
+   * (real impl: decode, scale, re-encode). The stub keeps determinism:
+   * truncate/cycle bytes to a size proportional to the target area so
+   * downstream size accounting behaves like a real resize.
+   */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val target = math.max(1, math.min(payload.length, w * h))
+    Array.tabulate(target)(i => payload(i % math.max(1, payload.length)))
+  }
+
+  /** Resize over a binary column; emits the resized payload plus its
+    * (stub-)decoded metadata. Same executor-side batch shape as
+    * [[extractFeatures]]. */
+  def resize(df: DataFrame, id: String, payload: String,
+             w: Int, h: Int): DataFrame = {
+    implicit val enc =
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY, Encoders.scalaInt)
+    df.select(col(id).cast("long"), col(payload))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (i, bytes) =>
+          val out = resizeStub(bytes, w, h)
+          (i, out, out.length)
+        }
+      }
+      .toDF(id, "payload", "n_bytes")
+  }
+
+  /**
+   * STUB frame sampler — video payload → every k-th "frame". A real
+   * impl demuxes; the stub slices the payload into fixed-size chunks
+   * so the output shape (one row per sampled frame, frame index +
+   * bytes) and the explode-style row expansion are real.
+   */
+  def frameSample(df: DataFrame, id: String, payload: String,
+                  frameBytes: Int = 256, everyK: Int = 4): DataFrame = {
+    implicit val enc =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, Encoders.BINARY)
+    df.select(col(id).cast("long"), col(payload))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.flatMap { case (i, bytes) =>
+          val nFrames = math.max(1, bytes.length / frameBytes)
+          (0 until nFrames by everyK).iterator.map { f =>
+            (i, f, bytes.slice(f * frameBytes,
+              math.min(bytes.length, (f + 1) * frameBytes)))
+          }
+        }
+      }
+      .toDF(id, "frame", "frame_bytes")
+  }
+
   /** Synthesize a multimodal table from text docs (payload = utf-8
     * bytes) — the corpus has no binary column, so tests fabricate one
     * with the exact schema a real pipeline would carry. */

@@ -136,6 +136,18 @@ object PipelineOps {
         .select(col("id").as("doc_id"), col("nBytes").as("n_bytes"),
           col("checksum"), col("meta.width").as("width"))
         .orderBy("doc_id")
+    },
+
+    // frame sampling: stub demux slices fixed-size chunks, so counts
+    // and byte totals are exactly derivable from len(text) → oracled.
+    "mm_frame_sample" -> { (spark, dir) =>
+      val assets = Multimodal.synthesizeAssets(
+        Tables.load(spark, dir, "documents"), "doc_id", "text")
+      Multimodal.frameSample(assets, "doc_id", "payload", 256, 4)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame_bytes")).cast("long")).as("total_bytes"))
+        .orderBy("doc_id")
     }
   )
 
@@ -209,7 +221,13 @@ object PipelineOps {
       """SELECT doc_id, len(text) AS n_bytes,
         |  list_sum(list_transform(string_split(text,''), c -> ascii(c))) AS checksum,
         |  ascii(substr(text,1,1)) % 64 + 1 AS width
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH c AS (SELECT doc_id, len(text) AS L,
+        |  greatest(len(text) // 256, 1) AS nf FROM documents)
+        |SELECT doc_id, (nf - 1) // 4 + 1 AS n_frames,
+        |  CASE WHEN L < 256 THEN L ELSE ((nf - 1) // 4 + 1) * 256 END AS total_bytes
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 
   /** Exact 3-gram-shingle Jaccard pair SQL (inverted index form). */

@@ -112,6 +112,20 @@ class PipelineSpec extends AnyFunSuite {
     both.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
   }
 
+  test("multimodal: resize + frameSample stubs keep shape contracts") {
+    import graft.functions.Multimodal
+    val assets = Multimodal.synthesizeAssets(docs, "doc_id", "text")
+    val resized = Multimodal.resize(assets, "doc_id", "payload", 8, 8).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      val n = r.getInt(2)
+      assert(n <= 64 && n >= 1 && r.getAs[Array[Byte]](1).length == n)
+    }
+    val frames = Multimodal.frameSample(assets, "doc_id", "payload", 256, 4)
+    val perDoc = frames.groupBy("doc_id").count().collect()
+    assert(perDoc.nonEmpty && perDoc.forall(_.getLong(1) >= 1))
+  }
+
   test("multimodal: feature extraction plumbing (schema, values)") {
     val assets = Multimodal.synthesizeAssets(docs, "doc_id", "text")
     assert(assets.schema("payload").dataType ==
