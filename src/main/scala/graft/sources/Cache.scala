@@ -36,6 +36,20 @@ object Cache {
     Slice(spark.read.parquet(dir), prefix)
 
   /**
+   * Hive-style partitioned parquet layout (`dir/col=value/…`) — the
+   * 100 TB table organization: queries filtering on the partition
+   * column prune whole directories at planning time (PartitionFilters
+   * in the scan; asserted in PlanSpec). The reference has no
+   * partitioned storage at all — its cache shards are opaque
+   * `prefix-NNNN-of-MMMM` files (slicecache.go:36-50).
+   */
+  def writePartitioned(s: Slice, dir: String, partCols: Seq[String]): Unit =
+    s.df.write.mode("overwrite").partitionBy(partCols: _*).parquet(dir)
+
+  def readPartitioned(spark: SparkSession, dir: String, prefix: Int = 1): Slice =
+    Slice(spark.read.parquet(dir), prefix)
+
+  /**
    * Per-shard cache with partial reuse (≅ CachePartial, cache.go:51-66).
    * Shard i ↔ file `part-IIII-of-MMMM.bin` (Java-serialized Row batches —
    * an internal format, like the reference's gob shards). Each task

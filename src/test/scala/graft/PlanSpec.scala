@@ -95,6 +95,26 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles == 1, s"expected exactly 1 exchange, got $shuffles:\n$p")
   }
 
+  test("partitioned layout: partition filter prunes directories at plan time") {
+    import graft.sources.Cache
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val ev = Tables.slice(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        to_date(col("ts")).cast("string").as("day"))
+    Cache.writePartitioned(ev, dir, Seq("day"))
+    val nDays = ev.df.select("day").distinct().count()
+    assert(nDays > 3, s"corpus spans $nDays days")
+    val pruned = Cache.readPartitioned(spark, dir)
+      .filter(col("day") === "2024-01-05").df
+    val f = formatted(pruned)
+    assert(f.contains("PartitionFilters") &&
+      f.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("day")), f)
+    // the partition predicate must NOT appear as a post-scan Filter
+    assert(!f.contains("PushedFilters: [IsNotNull(day)"), f)
+    assert(pruned.count() ==
+      ev.filter(col("day") === "2024-01-05").count())
+  }
+
   test("global top-k plans as TakeOrderedAndProject, never a full sort") {
     val df = SparkEntry.queries("op_topk_global")(spark, sf)
     val p = plan(df)
