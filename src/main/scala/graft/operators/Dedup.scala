@@ -129,6 +129,49 @@ object Dedup {
   }
 
   /**
+   * Connected components over an undirected duplicate-pair edge list —
+   * the step that turns pairwise dups into dedup CLUSTERS (keep
+   * min-id doc per component, drop the rest). Min-label propagation:
+   * each iteration every vertex takes the min label among itself and
+   * its neighbors; converges to the component-minimum id in
+   * O(component diameter) iterations (dup clusters are shallow).
+   *
+   * Scale notes: each iteration is one join + one partial/final min
+   * aggregate — all distributed; the driver loop touches only a
+   * convergence flag. localCheckpoint truncates lineage so plans don't
+   * grow with iterations. For adversarial graphs (long chains) swap in
+   * alternating large-star/small-star; dup clusters don't need it.
+   *
+   * Output: (doc_id, component) for every vertex in the edge list,
+   * component = min doc id of its component.
+   */
+  def connectedComponents(pairs: DataFrame, a: String = "a", b: String = "b",
+                          maxIter: Int = 30): DataFrame = {
+    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborLabels = edges.join(labels, edges("dst") === labels("v"))
+        .select(col("src").as("v"), col("label"))
+      val next = labels.union(neighborLabels)
+        .groupBy("v").agg(min("label").as("label"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("label", "prev"), "v")
+        .filter(col("label") =!= col("prev")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("v").as("doc_id"), col("label").as("component"))
+  }
+
+  /**
    * 64-bit SimHash over whitespace tokens: per-token xxhash64; each bit
    * votes ±1; sign of the vote sum is the sketch bit. Pure column
    * algebra (explode + groupBy + bit ops) — scales like a wordcount.

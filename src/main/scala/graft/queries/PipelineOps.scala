@@ -95,6 +95,14 @@ object PipelineOps {
         .orderBy("a", "b")
     },
 
+    // Dup clusters: connected components over the (exact-verified)
+    // minhash pair set — the canonical-doc-per-cluster step.
+    "dedup_components" -> { (spark, dir) =>
+      val pairs = Dedup.minhashDupPairs(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", k = 3, numPerms = 64, bandRows = 2, minJ = 0.5)
+      Dedup.connectedComponents(pairs).orderBy("doc_id")
+    },
+
     "dedup_embedding" -> { (spark, dir) =>
       Similarity.cosineDupPairs(Tables.load(spark, dir, "embeddings"),
         "vec_id", "embedding", EmbDim, minCos = 0.4)
@@ -199,6 +207,17 @@ object PipelineOps {
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardOracle(0.5),
     "dedup_minhash" -> jaccardOracle(0.5),
+    // transitive closure over the exact-Jaccard pair set (= the
+    // verified minhash pairs); component = min reachable id.
+    "dedup_components" ->
+      s"""WITH RECURSIVE pairs AS (${jaccardOracle(0.5)}),
+         |e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT a AS src, b AS dst FROM e
+         |  UNION
+         |  SELECT r.src, e.b AS dst FROM reach r JOIN e ON r.dst = e.a)
+         |SELECT src AS doc_id, least(src, min(dst)) AS component
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       s"""SELECT a.vec_id AS a, b.vec_id AS b, ${cosSql("a", "b")} AS cos
          |FROM embeddings a, embeddings b

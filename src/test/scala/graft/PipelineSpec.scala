@@ -29,6 +29,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(exact.nonEmpty) // the corpus has planted near-dups
   }
 
+  test("connectedComponents: chains, cliques, singleton-pair components") {
+    import spark.implicits._
+    // chain 1-2-3-4, clique 10-11-12, pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    assert(got == expect)
+  }
+
   test("minhash signature similarity estimates jaccard") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 64)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
