@@ -195,6 +195,13 @@ final case class Slice(df: DataFrame, prefix: Int = 1) {
   /** Narrow shard-count reduction (no shuffle). */
   def coalesceShards(n: Int): Slice = Slice(df.coalesce(n), prefix)
 
+  /** Range partitioning on the key prefix (the reference declares
+    * RangeShard but never constructs it, slice.go:51-62 — real here).
+    * Sampled range boundaries → contiguous key ranges per shard; the
+    * layout global sorts and range joins want. */
+  def rangePartition(n: Int): Slice =
+    Slice(df.repartitionByRange(n, keyCols: _*), prefix)
+
   /**
    * User-defined partition assignment (≅ bigslice Repartition,
    * reshuffle.go:44-76: the user function *is* the shard id). Exact

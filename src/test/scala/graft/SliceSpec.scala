@@ -113,6 +113,24 @@ class SliceSpec extends AnyFunSuite {
     assert(rows(p) == rows(s))
   }
 
+  test("rangePartition: shards hold contiguous, ordered key ranges") {
+    import spark.implicits._
+    val s = Sources.const(spark, 4, (1 to 1000).map(i => (i % 97, i)))
+      .rangePartition(5)
+    val ranges = s.df.rdd.mapPartitionsWithIndex { (p, it) =>
+      val keys = it.map(_.getInt(0)).toSeq
+      if (keys.isEmpty) Iterator.empty
+      else Iterator((p, keys.min, keys.max))
+    }.collect().sortBy(_._1)
+    assert(ranges.nonEmpty)
+    // ranges are disjoint and ordered across shards
+    ranges.sliding(2).foreach {
+      case Array((_, _, max1), (_, min2, _)) => assert(max1 <= min2)
+      case _ =>
+    }
+    assert(s.count() == 1000)
+  }
+
   test("head is a PER-SHARD limit, not global (slice.go:957-994)") {
     import spark.implicits._
     val s = Sources.const(spark, 4, (1 to 100).map(i => (i, i)))
