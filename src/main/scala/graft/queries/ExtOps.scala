@@ -97,6 +97,19 @@ object ExtOps {
         .orderBy("event_type")
     },
 
+    // Exact percentiles (interpolated) — Spark `percentile` and DuckDB
+    // `quantile_cont` share the linear-interpolation definition, so the
+    // doubles match bit-for-bit. (percentile_approx would need a
+    // rows-only check; the exact form is oracle-enforceable.)
+    "q_percentiles" -> { (spark, dir) =>
+      Tables.load(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+          percentile(col("l_extendedprice"), lit(0.9)).as("p90"),
+          percentile(col("l_quantity"), lit(0.25)).as("q25"))
+        .orderBy("l_returnflag")
+    },
+
     // Global top-k: orderBy+limit plans as TakeOrderedAndProject —
     // per-partition heaps + driver merge of k rows, never a full global
     // sort (asserted in PlanSpec). The reference has no global sort at
@@ -172,6 +185,12 @@ object ExtOps {
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
         |LIMIT 50""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90,
+        |  quantile_cont(l_quantity, 0.25) AS q25
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_scalar_funcs" ->
       """SELECT o_orderkey,
         |  upper(substr(o_orderpriority, 1, 3)) AS pri3,
