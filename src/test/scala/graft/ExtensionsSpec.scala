@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SparkSessionExtensions registration: native kernels reachable
+  * from SQL text, values identical to the Column API. */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions)
+    .getOrCreate()
+
+  test("graft_dot / graft_hyperplane_sig callable from spark.sql") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.limit(20).createOrReplaceTempView("e")
+    val sql = spark.sql(
+      """SELECT vec_id, graft_dot(embedding, embedding) AS selfdot,
+        |       graft_hyperplane_sig(embedding, 24) AS sig
+        |FROM e ORDER BY vec_id""".stripMargin).collect()
+    assert(sql.length == 20)
+    import org.apache.spark.sql.functions.col
+    val api = emb.limit(20).select(col("vec_id"),
+      graft.functions.VectorExpressions.dotF(col("embedding"), col("embedding")).as("selfdot"),
+      graft.functions.VectorExpressions.hyperplaneSigF(col("embedding"), 24).as("sig"))
+      .orderBy("vec_id").collect()
+    sql.zip(api).foreach { case (a, b) =>
+      assert(a.getDouble(1) == b.getDouble(1) && a.getLong(2) == b.getLong(2))
+    }
+  }
+}
