@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan audit over every SparkEntry query: per query, count exchanges
+  * and join kinds, flag cartesian/BNLJ stages. Run via Test/runMain.
+  * BNLJ is expected ONLY for the deliberate pair-generation queries
+  * (dedup_embedding, sim_topk_*: inequality self-joins). */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val p = fn(spark, dir).queryExecution.executedPlan.toString
+        def n(pat: String) = pat.r.findAllIn(p).size
+        val flags = Seq(
+          if (n("CartesianProduct") > 0) "CARTESIAN!" else "",
+          if (n("BroadcastNestedLoopJoin") > 0) "BNLJ" else "").filter(_.nonEmpty)
+        println(f"$name%-28s exch=${n("Exchange")}%2d bhj=${n("BroadcastHashJoin")}%2d " +
+          f"smj=${n("SortMergeJoin")}%2d shj=${n("ShuffledHashJoin")}%2d ${flags.mkString(" ")}")
+      } catch { case e: Throwable => println(f"$name%-28s PLAN-ERROR ${e.getMessage.take(80)}") }
+    }
+    spark.stop()
+  }
+}
