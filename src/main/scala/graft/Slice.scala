@@ -274,6 +274,17 @@ final case class Slice(df: DataFrame, prefix: Int = 1) {
   def union(other: Slice): Slice = Slice(df.unionByName(other.df), prefix)
   def distinct(): Slice = Slice(df.distinct(), prefix)
   def sort(cols: Column*): Slice = Slice(df.orderBy(cols: _*), prefix)
+
+  /** Key-sort rows within each shard, no shuffle — restores the
+    * reference cogroup's sorted-per-shard output (cogroup.go:123-265,
+    * a merge-sort artifact we deliberately don't pay for by default). */
+  def sortWithinShards(cols: Column*): Slice =
+    Slice(df.sortWithinPartitions(
+      (if (cols.isEmpty) keyCols else cols.toSeq): _*), prefix)
+
+  /** Bernoulli sample (deterministic under a fixed seed). */
+  def sample(fraction: Double, seed: Long = 42L): Slice =
+    Slice(df.sample(withReplacement = false, fraction, seed), prefix)
   def persist(): Slice = { df.persist(); this }
   def unpersist(): Slice = { df.unpersist(); this }
   def count(): Long = df.count()

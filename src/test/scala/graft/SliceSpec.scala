@@ -113,6 +113,24 @@ class SliceSpec extends AnyFunSuite {
     assert(rows(p) == rows(s))
   }
 
+  test("sortWithinShards orders keys per shard without a shuffle; sample is deterministic") {
+    import spark.implicits._
+    val s = Sources.const(spark, 3, (1 to 300).map(i => (i * 37 % 100, i)))
+      .sortWithinShards()
+    // exactly the const()'s own repartition — the sort adds no Exchange
+    assert("Exchange".r.findAllIn(
+      s.df.queryExecution.executedPlan.toString).size == 1)
+    val ordered = s.df.rdd.mapPartitions { it =>
+      val keys = it.map(_.getInt(0)).toSeq
+      Iterator(keys == keys.sorted)
+    }.collect()
+    assert(ordered.forall(identity))
+    val s2 = Sources.const(spark, 3, (1 to 1000).toSeq)
+    val a = s2.sample(0.2).df.collect().map(_.getInt(0)).toSet
+    val b = s2.sample(0.2).df.collect().map(_.getInt(0)).toSet
+    assert(a == b && a.nonEmpty && a.size < 500)
+  }
+
   test("rangePartition: shards hold contiguous, ordered key ranges") {
     import spark.implicits._
     val s = Sources.const(spark, 4, (1 to 1000).map(i => (i % 97, i)))
