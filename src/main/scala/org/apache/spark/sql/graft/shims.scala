@@ -14,4 +14,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object shims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a SQL function on an ALREADY-RUNNING session (builder
+    * extensions only apply at session construction). */
+  def registerTempFunction(spark: org.apache.spark.sql.SparkSession,
+                           name: String,
+                           builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "scala_udf")
 }

@@ -6,12 +6,20 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The SparkSessionExtensions registration: native kernels reachable
   * from SQL text, values identical to the Column API. */
 class ExtensionsSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new GraftExtensions)
-    .getOrCreate()
+  // getOrCreate may hand back another suite's session in a shared test
+  // JVM (builder extensions only apply at construction) — register on
+  // whatever session we get, which is also the documented path for
+  // sessions whose builder isn't ours.
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    GraftExtensions.register(s)
+    s
+  }
 
   test("graft_dot / graft_hyperplane_sig callable from spark.sql") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
