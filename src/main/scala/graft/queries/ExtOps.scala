@@ -4,6 +4,7 @@ import graft.Tables
 import graft.operators.{AsOfJoin, Skew}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /**
  * Extended operators beyond reference parity: as-of join, rollup
@@ -97,6 +98,24 @@ object ExtOps {
         .orderBy("event_type")
     },
 
+    // Rolling window functions: per-user event sequence with lag and a
+    // trailing 3-row moving aggregate (frame-bounded window).
+    "q_window_rolling" -> { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("event_id"))
+      val w3 = w.rowsBetween(-2, Window.currentRow)
+      Tables.load(spark, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          col("value").cast(DecimalType(18, 6)).as("v"))
+        .select(col("user_id"), col("event_id"),
+          lag(col("v"), 1).over(w).cast("double").as("prev_v"),
+          sum(col("v")).over(w3).cast("double").as("sum3"),
+          count(lit(1)).over(w3).as("n3"))
+        .orderBy("user_id", "event_id")
+    },
+
     // Exact percentiles (interpolated) — Spark `percentile` and DuckDB
     // `quantile_cont` share the linear-interpolation definition, so the
     // doubles match bit-for-bit. (percentile_approx would need a
@@ -185,6 +204,16 @@ object ExtOps {
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
         |LIMIT 50""".stripMargin,
+    "q_window_rolling" ->
+      """SELECT user_id, event_id,
+        |  CAST(lag(CAST(value AS DECIMAL(18,6)), 1) OVER w AS DOUBLE) AS prev_v,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w3 AS DOUBLE) AS sum3,
+        |  count(*) OVER w3 AS n3
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id),
+        |  w3 AS (PARTITION BY user_id ORDER BY event_id
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_extendedprice, 0.5) AS p50,
