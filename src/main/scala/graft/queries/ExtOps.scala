@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Skew}
+import graft.operators.{AsOfJoin, RangeJoin, Skew}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -29,6 +29,25 @@ object ExtOps {
         keys = Seq("user_id"), leftTs = "us", rightTs = "signup_us",
         rightVals = Seq("signup_us", "signup_event"))
         .orderBy("event_id")
+    },
+
+    // Range (interval) join via bucketing: purchases inside each
+    // user's 7-day post-signup window. Equi-join on (key, bucket) +
+    // residual filter — no BNLJ (asserted in PlanSpec).
+    "q_range_join" -> { (spark, dir) =>
+      val dayUs = 86400000000L
+      val ev = Tables.load(spark, dir, "events")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), unix_micros(col("ts")).as("start_us"),
+          (unix_micros(col("ts")) + lit(7L * dayUs)).as("end_us"),
+          col("event_id").as("signup_event"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us"),
+          col("event_id").as("purchase_event"))
+      RangeJoin.intervalJoin(signups, purchases, Seq("user_id"),
+        "start_us", "end_us", "p_us", dayUs)
+        .select("user_id", "signup_event", "purchase_event", "p_us")
+        .orderBy("user_id", "signup_event", "purchase_event")
     },
 
     // Rollup / grouping sets (absent from the reference; free on Spark).
@@ -173,6 +192,18 @@ object ExtOps {
         |FROM p ASOF LEFT JOIN s
         |  ON p.user_id = s.user_id AND p.us >= s.signup_us
         |ORDER BY event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH s AS (SELECT user_id, epoch_us(ts) AS start_us,
+        |    epoch_us(ts) + 7 * 86400000000 AS end_us,
+        |    event_id AS signup_event
+        |  FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, epoch_us(ts) AS p_us,
+        |    event_id AS purchase_event
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT s.user_id AS user_id, signup_event, purchase_event, p_us
+        |FROM s JOIN p ON s.user_id = p.user_id
+        |  AND p_us >= start_us AND p_us < end_us
+        |ORDER BY s.user_id, signup_event, purchase_event""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |       SUM(CAST(l_quantity AS BIGINT)) AS sum_q

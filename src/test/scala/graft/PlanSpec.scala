@@ -135,6 +135,14 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffledJoins <= 1, s"expected <=1 shuffled join, got $shuffledJoins:\n$p")
   }
 
+  test("range join is an equi-join on (key, bucket) — no nested loop") {
+    val df = SparkEntry.queries("q_range_join")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
   test("approx_count_distinct stays within 5% of exact (HLL default rsd)") {
     val exact = SparkEntry.queries("q_count_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
