@@ -73,6 +73,56 @@ object Tpch2 {
         .orderBy("supp_nation", "cust_nation", "l_year")
     },
 
+    // Q8 shape: market share of one supplier nation within one region's
+    // customer volume, by order year (conditional agg over a 7-table join).
+    "q8_market_share" -> { (spark, dir) =>
+      val region = Tables.load(spark, dir, "region").filter(col("r_name") === "ASIA")
+      val n1 = Tables.load(spark, dir, "nation")
+        .select(col("n_nationkey").as("c_nkey"), col("n_regionkey"))
+      val n2 = Tables.load(spark, dir, "nation")
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.load(spark, dir, "customer").select("c_custkey", "c_nationkey")
+      val sup = Tables.load(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val orders = Tables.load(spark, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1996-01-01") &&
+                col("o_orderdate") < ts("1998-01-01"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = Tables.load(spark, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+        .join(broadcast(n1), cust("c_nationkey") === n1("c_nkey"))
+        .join(broadcast(region), n1("n_regionkey") === region("r_regionkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n2), sup("s_nationkey") === n2("s_nkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg((dsum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0.0))) /
+          dsum(vol)).as("mkt_share"))
+        .orderBy("o_year")
+    },
+
+    // Q9 shape: supplier-nation revenue by year over a part-name
+    // subset (profit query minus the absent partsupp cost column).
+    "q9_product_profit" -> { (spark, dir) =>
+      val part = Tables.load(spark, dir, "part")
+        .filter(col("p_name").contains("widget")).select("p_partkey")
+      val sup = Tables.load(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val nation = Tables.load(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val orders = Tables.load(spark, dir, "orders").select("o_orderkey", "o_orderdate")
+      val li = Tables.load(spark, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(nation), sup("s_nationkey") === nation("n_nationkey"))
+        .join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
     // Q10 shape: top-20 customers by returned-item revenue in a quarter.
     "q10_returned_items" -> { (spark, dir) =>
       val cust = Tables.load(spark, dir, "customer")
@@ -217,6 +267,26 @@ object Tpch2 {
          |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
          |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') t
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      s"""SELECT year(o_orderdate) AS o_year,
+         |  ${dsumSql("CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+         |  / ${dsumSql("l_extendedprice * (1 - l_discount)")} AS mkt_share
+         |FROM lineitem, orders, customer, supplier, nation n1, nation n2, region
+         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "q9_product_profit" ->
+      s"""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS sum_profit
+         |FROM lineitem, part, supplier, nation, orders
+         |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+         |  AND s_nationkey = n_nationkey AND l_orderkey = o_orderkey
+         |  AND p_name LIKE '%widget%'
+         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
     "q10_returned_items" ->
       s"""SELECT c_custkey, c_name, c_acctbal, n_name,
          |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
