@@ -99,6 +99,65 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("asOfJoin backward == in-memory reference on random event sets") {
+    import spark.implicits._
+    val evGen: Gen[List[(Long, Long, Long)]] = // (key, ts, id)
+      Gen.choose(5, 120).flatMap(n => Gen.listOfN(n, for {
+        k <- Gen.choose(0L, 4L)
+        t <- Gen.choose(0L, 50L)
+        id <- Gen.choose(0L, 1000000L)
+      } yield (k, t, id)))
+    for (seed <- 1 to 5) {
+      val rows = draws(evGen, seed).last
+      // unique (key, ts) on the right — as-of semantics pick the row,
+      // among equal ts, nondeterministically otherwise
+      val right = rows.groupBy(r => (r._1, r._2)).map(_._2.head).toList
+      val left = draws(evGen, seed + 100).last
+      val lDf = left.toDF("k", "ts", "lid")
+      val rDf = right.toDF("k", "rts", "rid")
+      val got = graft.operators.AsOfJoin.backward(lDf, rDf,
+        keys = Seq("k"), leftTs = "ts", rightTs = "rts", rightVals = Seq("rts", "rid"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some((r.getLong(3), r.getLong(4)))))
+        .toSet
+      val expect = left.map { case (k, ts, lid) =>
+        val m = right.filter(r => r._1 == k && r._2 <= ts)
+          .sortBy(_._2).lastOption.map(r => (r._2, r._3))
+        (k, ts, lid, m)
+      }.toSet
+      assert(got == expect, s"seed=$seed")
+    }
+  }
+
+  test("range intervalJoin == in-memory reference for any bucket width") {
+    import spark.implicits._
+    val gen: Gen[List[(Long, Long, Long)]] =
+      Gen.choose(5, 80).flatMap(n => Gen.listOfN(n, for {
+        k <- Gen.choose(0L, 3L)
+        s <- Gen.choose(0L, 90L)
+        span <- Gen.choose(1L, 25L)
+      } yield (k, s, s + span)))
+    for ((seed, width) <- Seq((1, 1L), (2, 7L), (3, 13L), (4, 100L))) {
+      val ivs = draws(gen, seed).last.zipWithIndex
+        .map { case ((k, s, e), i) => (k, s, e, i.toLong) }
+      val pts = draws(gen, seed + 50).last.zipWithIndex
+        .map { case ((k, s, _), i) => (k, s, 10000L + i) }
+      val lDf = ivs.toDF("k", "s", "e", "iid")
+      val rDf = pts.toDF("k", "ts", "pid")
+      val got = graft.operators.RangeJoin.intervalJoin(
+        lDf, rDf, Seq("k"), "s", "e", "ts", width)
+        .select("iid", "pid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = (for {
+        (k1, s, e, iid) <- ivs
+        (k2, ts, pid) <- pts
+        if k1 == k2 && ts >= s && ts < e
+      } yield (iid, pid)).toSet
+      assert(got == expect, s"seed=$seed width=$width")
+    }
+  }
+
   test("fold zero-value init: empty-safe, order-independent accumulations") {
     import spark.implicits._
     for (rows <- draws(rowsGen, 6)) {
