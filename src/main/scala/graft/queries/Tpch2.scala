@@ -222,6 +222,39 @@ object Tpch2 {
         .limit(100)
     },
 
+    // Q16 shape: distinct supplier breadth per part type/size bucket
+    // (partsupp replaced by observed lineitem part-supplier pairs).
+    "q16_supplier_breadth" -> { (spark, dir) =>
+      val part = Tables.load(spark, dir, "part")
+        .filter(col("p_size") <= 20)
+        .select("p_partkey", "p_type", "p_size")
+      val li = Tables.load(spark, dir, "lineitem").select("l_partkey", "l_suppkey")
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .groupBy(col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_type"), col("p_size"))
+    },
+
+    // Q22 shape: high-balance customers with no orders (scalar
+    // aggregate subquery in the filter + anti join).
+    "q22_idle_customers" -> { (spark, dir) =>
+      val cust = Tables.load(spark, dir, "customer")
+      // threshold must be bit-identical to the oracle's: exact decimal
+      // sum (→ double, exactly representable) / integer count — a plain
+      // double avg is accumulation-order-dependent across engines and
+      // could flip a boundary row
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg((dsum(col("c_acctbal")) / count(lit(1))).as("ab"))
+      val orders = Tables.load(spark, dir, "orders").select("o_custkey")
+      cust.join(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("ab"))
+        .join(orders, cust("c_custkey") === orders("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("nationkey")
+    },
+
     // Q19 shape: disjunctive brand × size × quantity range predicates.
     "q19_discounted_revenue" -> { (spark, dir) =>
       val part = Tables.load(spark, dir, "part")
@@ -341,6 +374,20 @@ object Tpch2 {
         |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q16_supplier_breadth" ->
+      """SELECT p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey AND p_size <= 20
+        |GROUP BY p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_type, p_size""".stripMargin,
+    "q22_idle_customers" ->
+      s"""SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+         |  COUNT(*) AS numcust, ${dsumSql("c_acctbal")} AS totacctbal
+         |FROM customer
+         |WHERE c_acctbal > (SELECT ${dsumSql("c_acctbal")} / COUNT(*)
+         |                   FROM customer WHERE c_acctbal > 0.0)
+         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         |GROUP BY c_nationkey ORDER BY nationkey""".stripMargin,
     "q19_discounted_revenue" ->
       s"""SELECT ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
          |  COUNT(*) AS n
