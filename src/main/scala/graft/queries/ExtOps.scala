@@ -206,7 +206,7 @@ object ExtOps {
         |ORDER BY s.user_id, signup_event, purchase_event""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        |       SUM(CAST(l_quantity AS BIGINT)) AS sum_q
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_intersect" ->
@@ -229,7 +229,7 @@ object ExtOps {
         |       COUNT(DISTINCT l_suppkey) AS n_supps
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "op_salted_agg" ->
-      """SELECT l_returnflag, COUNT(*) AS n, SUM(CAST(l_quantity AS BIGINT)) AS sum_q
+      """SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "op_topk_global" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
@@ -263,7 +263,7 @@ object ExtOps {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_json_props" ->
       """SELECT event_type,
-        |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
         |        THEN 1 END) AS n_big
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin

@@ -142,7 +142,7 @@ object PipelineOps {
         Tables.load(spark, dir, "documents"), "doc_id", "text")
       Multimodal.extractFeatures(assets, "doc_id", "payload")
         .select(col("id").as("doc_id"), col("nBytes").as("n_bytes"),
-          col("checksum"), col("meta.width").as("width"))
+          col("checksum"), col("meta.width").cast("long").as("width"))
         .orderBy("doc_id")
     },
 
@@ -238,8 +238,8 @@ object PipelineOps {
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "mm_features" ->
       """SELECT doc_id, len(text) AS n_bytes,
-        |  list_sum(list_transform(string_split(text,''), c -> ascii(c))) AS checksum,
-        |  ascii(substr(text,1,1)) % 64 + 1 AS width
+        |  CAST(list_sum(list_transform(string_split(text,''), c -> ascii(c))) AS BIGINT) AS checksum,
+        |  CAST(ascii(substr(text,1,1)) % 64 + 1 AS BIGINT) AS width
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """WITH c AS (SELECT doc_id, len(text) AS L,

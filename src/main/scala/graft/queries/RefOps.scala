@@ -274,7 +274,7 @@ object RefOps {
 
   val oracleSql: Map[String, String] = Map(
     "op_const" ->
-      """SELECT k, SUM(v) AS sum_v, COUNT(*) AS n
+      """SELECT k, CAST(SUM(v) AS BIGINT) AS sum_v, COUNT(*) AS n
         |FROM (VALUES ('a', 1), ('b', 2), ('a', 3), ('c', 4), ('b', 5), ('a', 6)) AS t(k, v)
         |GROUP BY k ORDER BY k""".stripMargin,
     "op_reader_func" ->
@@ -296,10 +296,10 @@ object RefOps {
         |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents)
         |WHERE len(w) > 0 GROUP BY w ORDER BY word""".stripMargin,
     "op_fold" ->
-      """SELECT l_suppkey, SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS acc
+      """SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS acc
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
     "op_reduce" ->
-      """SELECT l_returnflag, SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+      """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "op_cogroup" ->
       """WITH og AS (SELECT o_orderkey AS k, COUNT(*) AS n_orders FROM orders GROUP BY 1),
@@ -309,11 +309,11 @@ object RefOps {
         |SELECT COALESCE(og.k, lg.k) AS o_orderkey,
         |       COALESCE(n_orders, 0) AS n_orders,
         |       COALESCE(n_items, 0) AS n_items,
-        |       COALESCE(sum_qty, 0) AS sum_qty
+        |       CAST(COALESCE(sum_qty, 0) AS BIGINT) AS sum_qty
         |FROM og FULL OUTER JOIN lg ON og.k = lg.k
         |ORDER BY o_orderkey""".stripMargin,
     "op_reshuffle" ->
-      """SELECT l_suppkey, COUNT(*) AS n, SUM(CAST(l_quantity AS BIGINT)) AS sum_q
+      """SELECT l_suppkey, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
     "op_repartition" ->
       """SELECT user_id, event_type, COUNT(*) AS n
@@ -328,11 +328,11 @@ object RefOps {
     "op_scan" -> "SELECT COUNT(*) AS n_rows FROM lineitem",
     "op_prefixed" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        |       SUM(CAST(l_quantity AS BIGINT)) AS sum_q
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "op_cache" ->
-      """SELECT l_orderkey, COUNT(*) AS n, SUM(CAST(l_quantity AS BIGINT)) AS sum_q
+      """SELECT l_orderkey, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q
         |FROM lineitem WHERE l_returnflag = 'A'
         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "op_cache_partial" ->
@@ -348,7 +348,7 @@ object RefOps {
         |FROM range(2000) GROUP BY 1 ORDER BY domain""".stripMargin,
     "op_json_source" ->
       """SELECT 'g' || CAST(range % 5 AS VARCHAR) AS k,
-        |  SUM(range) AS sum_v, COUNT(*) AS n
+        |  CAST(SUM(range) AS BIGINT) AS sum_v, COUNT(*) AS n
         |FROM range(500) GROUP BY 1 ORDER BY k""".stripMargin,
     "op_read_tar" ->
       """SELECT name, size, body_len FROM (VALUES

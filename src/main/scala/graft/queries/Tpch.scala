@@ -131,7 +131,7 @@ object Tpch {
   val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
          |  ${dsumSql("l_extendedprice")} AS sum_base_price,
          |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
          |  ${dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,

@@ -366,7 +366,7 @@ object Tpch2 {
          |                    WHERE l2.l_partkey = p_partkey)""".stripMargin,
     "q18_large_volume" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-        |  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM customer, orders, lineitem
         |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
         |                     GROUP BY l_orderkey

@@ -1,12 +1,16 @@
 #!/usr/bin/env python3
 """Driver-replica correctness check: compare each Verify output parquet
 against its DuckDB oracle SQL (sorts columns by name, row-order
-insensitive, exact value compare). Usage:
-  python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+insensitive, exact value compare). STRICT by default: pandas dtypes must
+match per column (the driver's hash is typed — int64 vs float64 fails
+even when values are numerically equal, e.g. DuckDB HUGEINT from an
+integer SUM vs Spark BIGINT). Usage:
+  python3 tools/oracle_check.py <sfDir> <verifyOutDir> [--no-strict]
 """
 import duckdb, glob, json, sys, math
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+strict = "--no-strict" not in sys.argv[3:]
 con = duckdb.connect()
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = p.split("/")[-1].removesuffix(".parquet")
@@ -26,6 +30,24 @@ for q, sql in sorted(oracle.items()):
         if len(exp) != len(got):
             bad.append((q, f"rows: oracle={len(exp)} got={len(got)}"))
             continue
+        if strict:
+            # Mirror the driver's typed hash: int-vs-float is a FAIL even
+            # when every value compares equal numerically (DuckDB HUGEINT
+            # from integer SUM → float64 vs Spark int64 — round-1 root
+            # cause). The driver canonicalizes integer WIDTHS (int32 ==
+            # int64 passed round 1), so compare at that granularity.
+            def canon(dt):
+                if dt.kind in "iu":
+                    return "int"
+                return str(dt)
+            dt_bad = [(c, str(exp[c].dtype), str(got[c].dtype))
+                      for c in exp.columns
+                      if canon(exp[c].dtype) != canon(got[c].dtype)]
+            if dt_bad:
+                c, ed, gd = dt_bad[0]
+                bad.append((q, f"dtype: col {c} oracle={ed} got={gd}"
+                               + (f" (+{len(dt_bad)-1} more)" if len(dt_bad) > 1 else "")))
+                continue
         exp_s = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
         got_s = got.sort_values(by=list(got.columns)).reset_index(drop=True)
         mismatch = None
