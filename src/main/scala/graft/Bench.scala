@@ -3,8 +3,24 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times SparkEntry.benchQueries on SPARK_GRAFT_SF_DIR,
-  * prints ONE JSON line for the driver (BENCH_r{N}.json). */
+  * prints ONE JSON line for the driver (BENCH_r{N}.json).
+  *
+  * Failure honesty: a query that throws is reported as `-1` with its
+  * error in an `"errors"` object, and is excluded from the total — a
+  * regression can never masquerade as a fast time. */
 object Bench {
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -17,26 +33,41 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Steady-state throughput: two timed runs per query at the target
-    // SF, report the min. Run 1 pays one-time plan-specific costs (AQE
-    // re-plans at the target data sizes → fresh codegen + JIT, ~4s on
-    // the heavier queries) that are irrelevant to sustained throughput
-    // at scale; run 2 measures the actual execution. A prior sf0.001
-    // warmup does NOT cover this because adaptive plans are
-    // data-size-dependent.
-    val results = SparkEntry.benchQueries.map { name =>
-      val fn = SparkEntry.queries(name)
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).collect() } catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
+    // Steady-state throughput: three timed runs per query at the target
+    // SF, report the min (min-of-3 — resolves run-to-run shuffle/GC
+    // jitter that min-of-2 left visible, e.g. op_cogroup r1→r2 ±26%).
+    // Run 1 pays one-time plan-specific costs (AQE re-plans at the
+    // target data sizes → fresh codegen + JIT, ~4s on the heavier
+    // queries) that are irrelevant to sustained throughput at scale; a
+    // prior sf0.001 warmup does NOT cover this because adaptive plans
+    // are data-size-dependent.
+    val results: Seq[(String, Double, Option[String])] =
+      SparkEntry.benchQueries.map { name =>
+        val fn = SparkEntry.queries(name)
+        var err: Option[String] = None
+        val times = Seq.newBuilder[Double]
+        var run = 0
+        while (run < 3 && err.isEmpty) {
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).collect()
+          catch {
+            case t: Throwable =>
+              err = Some(t.getClass.getName + ": " +
+                Option(t.getMessage).getOrElse("").take(300))
+          }
+          times += (System.nanoTime() - t0) / 1e9
+          run += 1
+        }
+        (name, if (err.isDefined) -1.0 else times.result().min, err)
       }
-      name -> times.min
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":\"" + jsonEscape(e) + "\"" }
+    val errField =
+      if (errs.isEmpty) "" else errs.mkString(",\"errors\":{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -242,12 +242,29 @@ final case class Slice(df: DataFrame, prefix: Int = 1) {
 
   /** Pass-through sink with per-batch side effects (≅ WriterFunc,
     * slice.go:404-548). Side effects may re-run on task retry — same
-    * caveat as the reference. */
-  def writerFunc(f: (Int, Iterator[Row]) => Iterator[Row]): Slice = {
+    * caveat as the reference.
+    *
+    * Error channel (≅ the reference's final `err` call,
+    * slice.go:434-440): `onDone(shard, None)` fires when the shard's
+    * task completes cleanly, `onDone(shard, Some(t))` when it fails —
+    * so a sink can commit on success and abort/clean up on failure,
+    * not just rely on Spark retries. Wired through TaskContext
+    * failure/completion listeners; exactly one onDone per task attempt. */
+  def writerFunc(f: (Int, Iterator[Row]) => Iterator[Row],
+                 onDone: (Int, Option[Throwable]) => Unit = (_, _) => ()): Slice = {
     implicit val enc: Encoder[Row] =
       org.apache.spark.sql.Encoders.row(df.schema)
     Slice(df.mapPartitions { it =>
       val shard = org.apache.spark.TaskContext.getPartitionId()
+      Option(org.apache.spark.TaskContext.get()).foreach { tc =>
+        @volatile var failed = false
+        tc.addTaskFailureListener((_, t: Throwable) => {
+          failed = true; onDone(shard, Some(t))
+        })
+        tc.addTaskCompletionListener[Unit] { _ =>
+          if (!failed) onDone(shard, None)
+        }
+      }
       f(shard, it)
     }, prefix)
   }
@@ -264,6 +281,31 @@ final case class Slice(df: DataFrame, prefix: Int = 1) {
   // ---------------------------------------------------------------------
   // Misc
   // ---------------------------------------------------------------------
+
+  /**
+   * Pragma: this slice's tasks each need `n` CPU slots (≅ bigslice
+   * Procs(n), slice.go:107-200). Maps onto Spark's task resource
+   * profiles — the cluster-native form of the reference's pragma: the
+   * scheduler packs fewer concurrent tasks per executor, exactly what
+   * Procs buys on a bigmachine. Implemented as a task-level
+   * ResourceProfile attached at the RDD boundary (profiles are an
+   * RDD-level API; the round-trip exits codegen for one stage, which is
+   * the same cost the reference pays for any pragma'd operator).
+   */
+  def procs(n: Int): Slice = {
+    val sch = df.schema
+    val rp = new org.apache.spark.resource.ResourceProfileBuilder()
+      .require(new org.apache.spark.resource.TaskResourceRequests().cpus(n))
+      .build()
+    Slice(spark.createDataFrame(df.rdd.withResources(rp), sch), prefix)
+  }
+
+  /** Pragma: one task per executor (≅ bigslice Exclusive,
+    * slice.go:107-141) — [[procs]] with the executor's full core count
+    * (`spark.executor.cores`; local[n]'s is the machine's n). */
+  def exclusive(): Slice =
+    procs(spark.sparkContext.getConf.getInt("spark.executor.cores",
+      spark.sparkContext.defaultParallelism))
 
   /** User metrics on a pass-through slice (≅ metrics.Counter/Scope,
     * metrics/metrics.go:57-93): named observed aggregates, collected via

@@ -86,10 +86,17 @@ object TextFunctions {
    * (order-sensitive, whitespace-normalizing — unlike md5):
    * h = (h*31 + x) mod 2^57-13, overflow-free under ANSI arithmetic
    * (h < 2^57, 31h + x32 < 2^62+2^32 < 2^63).
+   *
+   * The per-token 32-bit value is the first 8 hex digits of the
+   * token's md5 — md5 (not xxhash64) so the whole fingerprint is
+   * engine-replicable and DuckDB-oracled; the bits are equally uniform.
    */
-  private val FpP = (1L << 57) - 13
+  val FpSeed: Long = 1125899906842597L
+  val FpP: Long = (1L << 57) - 13
   def fingerprintRolling(text: Column): Column =
-    aggregate(transform(tokens(text), t => xxhash64(t).bitwiseAND(lit(0xFFFFFFFFL))),
-      lit(1125899906842597L % FpP),
+    aggregate(
+      transform(tokens(text),
+        t => conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long")),
+      lit(FpSeed % FpP),
       (h, x) => pmod(h * lit(31L) + x, lit(FpP)))
 }

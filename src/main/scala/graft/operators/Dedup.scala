@@ -38,17 +38,42 @@ object Dedup {
       .agg(min(col(id)).as(id), count(lit(1)).as("n_copies"))
 
   /**
+   * Document-frequency cap: drop "stop-shingles" appearing in more than
+   * maxDf documents. THE quadratic-bound for inverted-index joins: a
+   * shingle with document frequency d contributes d(d-1)/2 co-occurrence
+   * rows, so one hot shingle ("in the of") makes the self-join quadratic
+   * in its df; capping bounds every shingle's contribution to
+   * maxDf²/2. The hot set is tiny by construction (few shingles exceed
+   * any sane cap) → broadcast anti-join, no extra shuffle of the big
+   * side. Jaccard is then DEFINED over the capped shingle sets (sizes
+   * and intersections both exclude dropped shingles — the standard
+   * stop-word-removal semantics), and the DuckDB oracles mirror the cap.
+   */
+  def dfCapped(sh: DataFrame, maxDf: Int): DataFrame = {
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("shingle")
+    sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+  }
+
+  /**
    * Exact n-gram Jaccard similarity join via inverted index:
-   * explode shingles → self-join on shingle (co-occurrence count c) →
-   * j = c / (|A|+|B|-c). Never materializes the n² pair space — only
-   * pairs sharing ≥1 shingle, grouped with partial aggregation.
-   * At extreme scale add a document-frequency cap on shingles
-   * (drop stop-shingles) before the join; not needed for this corpus.
+   * explode shingles → df cap → self-join on shingle (co-occurrence
+   * count c) → j = c / (|A|+|B|-c). Never materializes the n² pair
+   * space — only pairs sharing ≥1 surviving shingle, grouped with
+   * partial aggregation; [[dfCapped]] bounds the hot-shingle quadratic.
    * Output: (a, b, jaccard) with a < b, jaccard >= minJ.
+   *
+   * Cache lifetime: the raw shingle frame is persisted (it feeds the
+   * df-cap, sizes, and the join); Spark's cache manager dedupes by
+   * canonicalized plan, so repeated invocations over the same input
+   * reuse one entry. Callers cycling many DIFFERENT corpora own
+   * eviction (`spark.catalog.clearCache()`).
    */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String,
-                        k: Int = 3, minJ: Double = 0.5): DataFrame = {
-    val sh = shingles(df, id, text, k).persist()
+                        k: Int = 3, minJ: Double = 0.5,
+                        maxShingleDf: Int = 100): DataFrame = {
+    val raw = shingles(df, id, text, k).persist()
+    val sh = dfCapped(raw, maxShingleDf)
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(id).as("a"), col("shingle"))
     val b = sh.select(col(id).as("b"), col("shingle"))
@@ -98,12 +123,15 @@ object Dedup {
    */
   def minhashDupPairs(df: DataFrame, id: String, text: String,
                       k: Int = 3, numPerms: Int = 64, bandRows: Int = 2,
-                      minJ: Double = 0.5): DataFrame = {
+                      minJ: Double = 0.5, maxShingleDf: Int = 100): DataFrame = {
     val nBands = numPerms / bandRows
     // One tokenize+shingle scan feeds both the signatures and the
     // verification sets (they are different aggregations of the same
-    // child; without persist Spark recomputes the scan).
-    val sh = shingles(df, id, text, k).persist()
+    // child; without persist Spark recomputes the scan). The df cap
+    // applies to BOTH (signatures approximate capped-set Jaccard;
+    // verification computes it exactly) — see [[dfCapped]].
+    val raw = shingles(df, id, text, k).persist()
+    val sh = dfCapped(raw, maxShingleDf)
     val sigs = minhashSignaturesFrom(sh, id, numPerms)
     val banded = sigs.select(col(id), posexplode(
       transform(sequence(lit(0), lit(nBands - 1)),
@@ -172,17 +200,28 @@ object Dedup {
   }
 
   /**
-   * 64-bit SimHash over whitespace tokens: per-token xxhash64; each bit
-   * votes ±1; sign of the vote sum is the sketch bit. Pure column
+   * 64-bit SimHash over whitespace tokens: per-token 64 hash bits; each
+   * bit votes ±1; sign of the vote sum is the sketch bit. Pure column
    * algebra (explode + groupBy + bit ops) — scales like a wordcount.
+   *
+   * Hash bits come from the token's md5 (bit b = bit (b mod 4) of hex
+   * nibble b/4) rather than xxhash64: equally uniform, but replicable
+   * in any engine — which is what lets dedup_simhash carry a real
+   * DuckDB oracle instead of a rows-only check. The md5 is computed
+   * once per token; nibbles are projected columns so the 64 bit
+   * extractions are cheap integer ops inside one codegen stage.
    */
   def simhash(df: DataFrame, id: String, text: String): DataFrame = {
     val tok = df.select(col(id), explode(tokens(col(text))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("m", md5(col("tok").cast("binary")))
+    val nibs = (0 until 16).map(p =>
+      conv(substring(col("m"), p + 1, 1), 16, 10).cast("int").as(s"nib$p"))
+    val withNibs = tok.select(col(id) +: nibs: _*)
     val votes = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$b")
+      val bit = shiftright(col(s"nib${b / 4}"), b % 4).bitwiseAND(lit(1))
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"v$b")
     }
-    val voted = tok.groupBy(col(id)).agg(votes.head, votes.tail: _*)
+    val voted = withNibs.groupBy(col(id)).agg(votes.head, votes.tail: _*)
     val sig = (0 until 64).map { b =>
       when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))

@@ -30,7 +30,12 @@ object RangeJoin {
                    startCol: String, endCol: String, tsCol: String,
                    bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val l = left.withColumn("__bucket",
+    // Degenerate/inverted intervals (end <= start) match no point, but
+    // an unguarded sequence(lo, hi) with hi < lo auto-steps -1 and
+    // silently explodes |start-end|/width spurious bucket rows (the
+    // residual filter keeps results correct while the plan does wasted
+    // quadratic-ish work). Drop them before exploding.
+    val l = left.filter(col(endCol) > col(startCol)).withColumn("__bucket",
       explode(sequence(
         floor(col(startCol) / bucketWidth).cast("long"),
         floor((col(endCol) - 1) / bucketWidth).cast("long"))))

@@ -59,7 +59,8 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
-    // rolling-hash fingerprint: not SQL-replicable (xxhash64) → rows-only
+    // rolling polynomial fingerprint over md5-derived token values —
+    // engine-replicable, oracled below via DuckDB list_reduce.
     "text_fingerprint_rolling" -> { (spark, dir) =>
       Tables.load(spark, dir, "documents")
         .select(col("doc_id"), TF.fingerprintRolling(col("text")).as("fp"))
@@ -72,9 +73,12 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // maxShingleDf bounds the hot-shingle quadratic (see Dedup.dfCapped);
+    // the oracle mirrors the cap, so it is load-bearing semantics, not a
+    // hint (on this corpus max df is 25, so the 100 cap drops nothing).
     "dedup_ngram_jaccard" -> { (spark, dir) =>
       Dedup.ngramJaccardPairs(Tables.load(spark, dir, "documents"),
-        "doc_id", "text", k = 3, minJ = 0.5)
+        "doc_id", "text", k = 3, minJ = 0.5, maxShingleDf = 100)
         .orderBy("a", "b")
     },
 
@@ -84,14 +88,20 @@ object PipelineOps {
     // in the hash compare).
     "dedup_minhash" -> { (spark, dir) =>
       Dedup.minhashDupPairs(Tables.load(spark, dir, "documents"),
-        "doc_id", "text", k = 3, numPerms = 64, bandRows = 2, minJ = 0.5)
+        "doc_id", "text", k = 3, numPerms = 64, bandRows = 2, minJ = 0.5,
+        maxShingleDf = 100)
         .orderBy("a", "b")
     },
 
-    // SimHash sketch pairs — sketch not SQL-replicable → rows-only.
+    // SimHash near-dup pairs. md5-derived sketch bits are
+    // engine-replicable, so this carries a full DuckDB oracle that
+    // mirrors BOTH the sketch and the 4×16-bit pigeonhole candidate
+    // rule (complete for dist<=3; block-sharing is part of the
+    // operator's contract at maxDist=8).
     "dedup_simhash" -> { (spark, dir) =>
       Dedup.simhashDupPairs(Tables.load(spark, dir, "documents"),
         "doc_id", "text", maxDist = 8)
+        .withColumn("dist", col("dist").cast("long"))
         .orderBy("a", "b")
     },
 
@@ -99,10 +109,16 @@ object PipelineOps {
     // minhash pair set — the canonical-doc-per-cluster step.
     "dedup_components" -> { (spark, dir) =>
       val pairs = Dedup.minhashDupPairs(Tables.load(spark, dir, "documents"),
-        "doc_id", "text", k = 3, numPerms = 64, bandRows = 2, minJ = 0.5)
+        "doc_id", "text", k = 3, numPerms = 64, bandRows = 2, minJ = 0.5,
+        maxShingleDf = 100)
       Dedup.connectedComponents(pairs).orderBy("doc_id")
     },
 
+    // Exact threshold pair join via balanced block-pair partitioning —
+    // equi-join plan, no BNLJ (asserted in PlanSpec). At this corpus's
+    // threshold (0.4, with dense background just below) exact output is
+    // provably all-pairs work; cosineDupPairsLSH is the sub-quadratic
+    // path for separated thresholds (recall-tested in PipelineSpec).
     "dedup_embedding" -> { (spark, dir) =>
       Similarity.cosineDupPairs(Tables.load(spark, dir, "embeddings"),
         "vec_id", "embedding", EmbDim, minCos = 0.4)
@@ -202,6 +218,18 @@ object PipelineOps {
     },
     "text_fingerprint" ->
       "SELECT doc_id, md5(text) AS digest FROM documents ORDER BY doc_id",
+    // rolling fingerprint: same md5-derived 32-bit token values + the
+    // same mod-(2^57-13) fold, via list_reduce with the seed prepended.
+    "text_fingerprint_rolling" ->
+      s"""SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(${TF.FpSeed} AS BIGINT),
+         |      list_transform(
+         |        list_filter(string_split_regex(text,'\\s+'), t -> len(t)>0),
+         |        t -> ('0x' || substr(md5(t),1,8))::BIGINT)),
+         |    (h, x) -> (h*31 + x) % ${TF.FpP}) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_simhash" -> simhashOracle(8),
     "dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
@@ -249,17 +277,60 @@ object PipelineOps {
         |FROM c ORDER BY doc_id""".stripMargin
   )
 
-  /** Exact 3-gram-shingle Jaccard pair SQL (inverted index form). */
-  private def jaccardOracle(minJ: Double): String =
+  /**
+   * DuckDB replica of Dedup.simhash + simhashDupPairs: md5-nibble bit
+   * votes → sign bits → all-pairs distance, restricted to pairs
+   * sharing at least one of the 4 16-bit blocks (the pigeonhole
+   * candidate rule — part of the operator's contract for maxDist > 3)
+   * with total hamming distance <= maxDist. All-pairs is fine for the
+   * ORACLE (DuckDB at sf0.01); the Spark operator never does all-pairs.
+   */
+  private def simhashOracle(maxDist: Int): String = {
+    val nibExprs = (0 until 16).map(p =>
+      s"(strpos('0123456789abcdef', substr(m, ${p + 1}, 1)) - 1) AS n$p")
+      .mkString(", ")
+    val voteExprs = (0 until 64).map { b =>
+      val p = b / 4; val pow = 1 << (b % 4)
+      s"SUM(CASE WHEN (n$p // $pow) % 2 = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(", ")
+    val signExprs = (0 until 64).map(b =>
+      s"CASE WHEN v$b > 0 THEN 1 ELSE 0 END AS s$b").mkString(", ")
+    val blockDiffs = (0 until 4).map { i =>
+      val terms = (16 * i until 16 * (i + 1)).map(b =>
+        s"CASE WHEN x.s$b != y.s$b THEN 1 ELSE 0 END").mkString(" + ")
+      s"($terms) AS d$i"
+    }.mkString(", ")
+    s"""WITH toks AS (SELECT doc_id,
+       |  list_filter(string_split_regex(text,'\\s+'), t -> len(t)>0) AS t
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+       |h AS (SELECT doc_id, md5(tok) AS m FROM tok),
+       |n AS (SELECT doc_id, $nibExprs FROM h),
+       |v AS (SELECT doc_id, $voteExprs FROM n GROUP BY doc_id),
+       |s AS (SELECT doc_id, $signExprs FROM v),
+       |p AS (SELECT x.doc_id AS a, y.doc_id AS b, $blockDiffs
+       |  FROM s x JOIN s y ON x.doc_id < y.doc_id)
+       |SELECT a, b, CAST(d0 + d1 + d2 + d3 AS BIGINT) AS dist FROM p
+       |WHERE (d0 = 0 OR d1 = 0 OR d2 = 0 OR d3 = 0)
+       |  AND d0 + d1 + d2 + d3 <= $maxDist
+       |ORDER BY a, b""".stripMargin
+  }
+
+  /** Exact 3-gram-shingle Jaccard pair SQL (inverted index form),
+    * mirroring Dedup.dfCapped: shingles in more than `maxDf` documents
+    * are dropped before sizes and co-occurrence. */
+  private def jaccardOracle(minJ: Double, maxDf: Int = 100): String =
     s"""WITH toks AS (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(text,'\\s+'), x -> len(x)>0) AS t
        |  FROM documents),
-       |sh AS (
+       |shd AS (
        |  SELECT DISTINCT doc_id, s FROM toks,
        |  LATERAL (SELECT unnest(list_transform(range(1, len(t)-1),
        |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s)
        |  WHERE len(t) >= 3),
+       |sh AS (SELECT * FROM shd WHERE s IN (
+       |  SELECT s FROM shd GROUP BY s HAVING count(*) <= $maxDf)),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        |pairs AS (
        |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c

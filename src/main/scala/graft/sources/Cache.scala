@@ -36,6 +36,25 @@ object Cache {
     Slice(spark.read.parquet(dir), prefix)
 
   /**
+   * Invalidate a cache directory (≅ Session.Discard,
+   * exec/session.go:436-442): deletes the success marker FIRST (so a
+   * concurrent [[cache]] can no longer short-circuit to a stale read),
+   * then the data files. After discard, the next [[cache]] recomputes.
+   * Works on both [[cache]] and [[cachePartial]] layouts.
+   */
+  def discard(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (Files.exists(p)) {
+      Files.deleteIfExists(successMarker(dir))
+      val files = Files.walk(p)
+      try {
+        files.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { Files.deleteIfExists(f); () })
+      } finally files.close()
+    }
+  }
+
+  /**
    * Hive-style partitioned parquet layout (`dir/col=value/…`) — the
    * 100 TB table organization: queries filtering on the partition
    * column prune whole directories at planning time (PartitionFilters
@@ -51,11 +70,23 @@ object Cache {
 
   /**
    * Per-shard cache with partial reuse (≅ CachePartial, cache.go:51-66).
-   * Shard i ↔ file `part-IIII-of-MMMM.bin` (Java-serialized Row batches —
-   * an internal format, like the reference's gob shards). Each task
-   * either replays its file or computes+writes it. Exact per-shard
+   * Shard i ↔ file `part-IIII-of-MMMM.bin` (Java-serialized value
+   * arrays — an internal format, like the reference's gob shards). Each
+   * task either replays its file or computes+writes it. Exact per-shard
    * semantics require a stable partition count: pin with reshard()
    * upstream if the lineage isn't deterministic.
+   *
+   * Memory: STREAMING on both paths — rows are written to the temp file
+   * as they flow to the consumer and replayed one at a time, so a
+   * multi-GB shard never sits in task heap (the reference streams too,
+   * cache.go:51-66). The file format is a sequence of
+   * (true, values)* false records; the trailing `false` doubles as the
+   * completeness marker — a truncated write never commits because the
+   * atomic move only happens after the terminator. ObjectOutputStream's
+   * handle table is reset every 1024 rows so it can't grow with shard
+   * size. If the consumer abandons the iterator early (e.g. a limit),
+   * the temp file is dropped by the task-completion listener and the
+   * shard is simply not cached — never a partial commit.
    */
   def cachePartial(s: Slice, dir: String): Slice = {
     Files.createDirectories(Paths.get(dir))
@@ -68,19 +99,57 @@ object Cache {
       val f = Paths.get(dirB, f"part-$shard%04d-of-$m%04d.bin")
       if (Files.exists(f)) {
         // replay cached shard; upstream iterator never consumed (lazy)
-        val in = new java.io.ObjectInputStream(Files.newInputStream(f))
-        val n = in.readInt()
-        val rows = Array.fill(n)(in.readObject().asInstanceOf[Row])
-        in.close()
-        rows.iterator
+        val in = new java.io.ObjectInputStream(
+          new java.io.BufferedInputStream(Files.newInputStream(f)))
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            try in.close() catch { case _: java.io.IOException => } })
+        new Iterator[Row] {
+          private var more = in.readBoolean()
+          override def hasNext: Boolean = more
+          override def next(): Row = {
+            val vals = in.readObject().asInstanceOf[Array[Any]]
+            more = in.readBoolean()
+            if (!more) in.close()
+            new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+              vals, schema)
+          }
+        }
       } else {
-        val rows = it.toArray
         val tmp = Files.createTempFile(Paths.get(dirB), s"part-$shard", ".tmp")
-        val os = new java.io.ObjectOutputStream(Files.newOutputStream(tmp))
-        os.writeInt(rows.length); rows.foreach(os.writeObject); os.close()
-        try Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileAlreadyExistsException => Files.delete(tmp) }
-        rows.iterator
+        val os = new java.io.ObjectOutputStream(
+          new java.io.BufferedOutputStream(Files.newOutputStream(tmp)))
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            try os.close() catch { case _: java.io.IOException => }
+            Files.deleteIfExists(tmp); () })
+        new Iterator[Row] {
+          private var n = 0L
+          private var committed = false
+          private def finish(): Unit = if (!committed) {
+            committed = true
+            os.writeBoolean(false)
+            os.close()
+            try Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              case _: java.nio.file.FileAlreadyExistsException =>
+                Files.deleteIfExists(tmp); ()
+            }
+          }
+          override def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h) finish()
+            h
+          }
+          override def next(): Row = {
+            val r = it.next()
+            os.writeBoolean(true)
+            os.writeUnshared(r.toSeq.toArray)
+            n += 1
+            if (n % 1024 == 0) os.reset()
+            r
+          }
+        }
       }
     }
     Slice(out, s.prefix)

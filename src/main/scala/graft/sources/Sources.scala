@@ -55,27 +55,47 @@ object Sources {
 
   /**
    * Tar-archive source (≅ tarslice.Reader,
-   * archive/tarslice/tarslice.go:29-74): binaryFile scan + executor-side
-   * tar expansion. Output: (file STRING, name STRING, size LONG,
-   * body BINARY). Uses commons-compress (ships with Spark).
+   * archive/tarslice/tarslice.go:29-74): one task per archive, entries
+   * STREAMED off an executor-side Hadoop input stream — the archive is
+   * never materialized in memory and there is no size cap (the old
+   * binaryFile formulation buffered the whole archive and inherited its
+   * 2 GiB limit; the reference streams too, tarslice.go:58-66). Only
+   * one ENTRY body is held at a time (inherent to row-shaped output).
+   * Output: (file STRING, name STRING, size LONG, body BINARY). Uses
+   * commons-compress (ships with Spark). The driver touches file NAMES
+   * only (glob listing — the same metadata walk every file source does).
    */
   def readTar(spark: SparkSession, glob: String): Slice = {
     import spark.implicits._
-    val files = spark.read.format("binaryFile").load(glob)
-      .select(col("path"), col("content"))
-    val out = files.as[(String, Array[Byte])].flatMap { case (path, bytes) =>
-      val in = new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      Iterator.continually(in.getNextEntry).takeWhile(_ != null)
-        .filter(_.isFile)
-        .map { e =>
-          val buf = new java.io.ByteArrayOutputStream()
-          val tmp = new Array[Byte](64 * 1024)
-          var n = in.read(tmp)
-          while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-          (path, e.getName, e.getSize, buf.toByteArray)
-        }.toSeq // drain while the stream is open
-    }.toDF("file", "name", "size", "body")
+    val sc = spark.sparkContext
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      sc.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(glob)
+    val paths = Option(p.getFileSystem(sc.hadoopConfiguration).globStatus(p))
+      .getOrElse(Array.empty).filter(_.isFile).map(_.getPath.toString).toSeq
+    val out = spark
+      .createDataset(sc.parallelize(paths, math.max(paths.length, 1)))
+      .flatMap { pathStr =>
+        val fp = new org.apache.hadoop.fs.Path(pathStr)
+        val in = new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(
+          new java.io.BufferedInputStream(
+            fp.getFileSystem(hconf.value).open(fp), 256 * 1024))
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            try in.close() catch { case _: java.io.IOException => } })
+        Iterator.continually(in.getNextEntry).takeWhile(_ != null)
+          .filter(_.isFile)
+          .map { e =>
+            // body read fully BEFORE the iterator advances to the next
+            // entry (lazy flatMap: the consumer pulls one row at a time)
+            val buf = new java.io.ByteArrayOutputStream(
+              math.max(e.getSize.toInt, 64))
+            val tmp = new Array[Byte](64 * 1024)
+            var n = in.read(tmp)
+            while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+            (pathStr, e.getName, e.getSize, buf.toByteArray)
+          }
+      }.toDF("file", "name", "size", "body")
     Slice(out)
   }
 }

@@ -143,6 +143,25 @@ class PlanSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), p)
   }
 
+  test("dedup_embedding is a block-pair EQUI-join — no BNLJ, no cartesian") {
+    val df = SparkEntry.queries("dedup_embedding")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("sim_topk_lsh is bucket equi-joins; candidate distinct carries ids only") {
+    val df = SparkEntry.queries("sim_topk_lsh")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // the dedup aggregate must group on the two id columns alone —
+    // float vectors must not ride through the distinct's exchange
+    val distinctAgg = p.linesIterator.filter(l =>
+      l.contains("HashAggregate") && l.contains("query_id") && l.contains("neighbor_id"))
+    assert(distinctAgg.forall(l => !l.contains("_v")), p)
+  }
+
   test("approx_count_distinct stays within 5% of exact (HLL default rsd)") {
     val exact = SparkEntry.queries("q_count_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
