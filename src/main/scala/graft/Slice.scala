@@ -294,10 +294,16 @@ final case class Slice(df: DataFrame, prefix: Int = 1) {
    */
   def procs(n: Int): Slice = {
     val sch = df.schema
-    val rp = new org.apache.spark.resource.ResourceProfileBuilder()
-      .require(new org.apache.spark.resource.TaskResourceRequests().cpus(n))
-      .build()
-    Slice(spark.createDataFrame(df.rdd.withResources(rp), sch), prefix)
+    try Slice(spark.createDataFrame(
+      df.rdd.withResources(Slice.procsProfile(n)), sch), prefix)
+    catch {
+      // Cluster managers without task-profile support (local mode,
+      // Mesos) reject the profile at attach time. A pragma is a
+      // scheduling HINT, not semantics (the reference likewise ignores
+      // pragmas on executors that can't honor them) — degrade to a
+      // passthrough; locally there is no executor packing to influence.
+      case _: org.apache.spark.SparkException => this
+    }
   }
 
   /** Pragma: one task per executor (≅ bigslice Exclusive,
@@ -335,4 +341,13 @@ final case class Slice(df: DataFrame, prefix: Int = 1) {
 
 object Slice {
   def apply(df: DataFrame): Slice = Slice(df, 1)
+
+  /** The task resource profile [[Slice.procs]] attaches: n CPU slots
+    * per task — Spark's per-stage form of `spark.task.cpus`, honored by
+    * Standalone/YARN/K8s schedulers (fewer concurrent tasks per
+    * executor, the reference's Procs effect on a bigmachine). */
+  def procsProfile(n: Int): org.apache.spark.resource.ResourceProfile =
+    new org.apache.spark.resource.ResourceProfileBuilder()
+      .require(new org.apache.spark.resource.TaskResourceRequests().cpus(n))
+      .build()
 }

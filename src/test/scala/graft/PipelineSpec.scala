@@ -101,6 +101,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF recall $recall too low")
   }
 
+  test("cosineDupPairsLSH == exact block-pair pairs at separated thresholds") {
+    import spark.implicits._
+    // 30 random 32-dim vectors + 10 noisy copies: dup pairs at cos≈0.999,
+    // background pairs concentrate near 0 (sd ≈ 1/√32) — the separated
+    // regime where banded LSH prunes without losing recall.
+    val rnd = new scala.util.Random(42)
+    val base = Array.fill(30)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val dups = base.take(10).map(_.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    val vecs = base.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) } ++
+      dups.zipWithIndex.map { case (v, i) => (100L + i, v.toSeq) }
+    val df = vecs.toSeq.toDF("id", "vec")
+    def asPairs(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = asPairs(Similarity.cosineDupPairs(df, "id", "vec", 32, 0.8, blocks = 4))
+    val lsh = asPairs(Similarity.cosineDupPairsLSH(df, "id", "vec", 32, 0.8))
+    assert(exact.size >= 10, s"expected the 10 planted dup pairs, got ${exact.size}")
+    assert(lsh == exact) // exact verify → no false positives; bands → full recall here
+  }
+
   test("native FloatVecDot/HyperplaneSig == unrolled Column formulations") {
     import graft.functions.VectorExpressions.{dotF, hyperplaneSigF}
     val pairs = emb.limit(40).select(col("vec_id"), col("embedding").as("a"))

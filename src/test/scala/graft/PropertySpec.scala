@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.Dedup
 import graft.sources.Sources
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -156,6 +157,51 @@ class PropertySpec extends AnyFunSuite {
       } yield (iid, pid)).toSet
       assert(got == expect, s"seed=$seed width=$width")
     }
+  }
+
+  test("shingle df cap == in-memory stop-shingle removal; cap is load-bearing") {
+    import spark.implicits._
+    // Every doc shares one hot header shingle (df = 42 >> cap); two docs
+    // are true dups. The cap must bound the hot-shingle join AND define
+    // Jaccard over the capped sets — checked against an in-memory
+    // reference implementing exactly "drop shingles with df > cap".
+    val hot = "common header line"
+    // near-dup docs 100/101 share the hot shingle + most of the body, so
+    // their jaccard VALUE depends on whether the hot shingle counts —
+    // capped and uncapped outputs must differ (the cap is load-bearing)
+    val docs: Seq[(Long, String)] =
+      (0 until 40).map(i => (i.toLong, s"$hot unique$i alpha$i beta$i")) ++
+        Seq((100L, s"$hot body text zed"),
+          (101L, s"$hot body text qux"))
+    val df = docs.toDF("doc_id", "text")
+
+    def shingleSet(t: String): Set[String] =
+      t.split("\\s+").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    def reference(maxDf: Int, minJ: Double): Set[(Long, Long, Double)] = {
+      val sets = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+      val dfOf = sets.values.flatten.toSeq.groupBy(identity).view.mapValues(_.size)
+      val capped = sets.view.mapValues(_.filter(s => dfOf(s) <= maxDf)).toMap
+      (for {
+        a <- docs.map(_._1); b <- docs.map(_._1); if a < b
+        inter = capped(a).intersect(capped(b)).size
+        if inter > 0
+        j = inter.toDouble / (capped(a).size + capped(b).size - inter)
+        if j >= minJ
+      } yield (a, b, j)).toSet
+    }
+    def run(maxDf: Int): Set[(Long, Long, Double)] =
+      Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.3, maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val capped = run(5)
+    assert(capped == reference(5, 0.3))
+    assert(capped.exists { case (a, b, _) => a == 100L && b == 101L })
+    // uncapped differs (hot shingle changes the dup pair's jaccard) —
+    // proves the cap binds on this corpus rather than being a no-op
+    val uncapped = run(1000)
+    assert(uncapped == reference(1000, 0.3))
+    assert(capped != uncapped)
   }
 
   test("fold zero-value init: empty-safe, order-independent accumulations") {

@@ -209,4 +209,80 @@ class SliceSpec extends AnyFunSuite {
       assert(rows(got) == expect)
     }
   }
+
+  test("writerFunc onDone: sink sees success per shard, and the error on failure") {
+    import spark.implicits._
+    WriterProbe.reset()
+    val s = Sources.const(spark, 2, Seq(1, 2, 3, 4))
+    s.writerFunc((_, it) => it,
+      (shard, err) => { if (err.isEmpty) { WriterProbe.ok.add(shard); () } else WriterProbe.fail(shard) }
+    ).count()
+    assert(WriterProbe.ok.size() == 2 && WriterProbe.failures.get() == 0)
+
+    WriterProbe.reset()
+    val boom = s.writerFunc(
+      (shard, it) => it.map(r => if (shard == 0) throw new RuntimeException("sink blew up") else r),
+      (shard, err) => { if (err.isEmpty) { WriterProbe.ok.add(shard); () } else WriterProbe.fail(shard) })
+    intercept[org.apache.spark.SparkException](boom.count())
+    // the failing shard's sink saw Some(error) — the reference's final
+    // err call (slice.go:434-440); the healthy shard may or may not
+    // finish depending on cancellation timing.
+    assert(WriterProbe.failures.get() >= 1)
+    assert(!WriterProbe.ok.contains(0))
+  }
+
+  test("Cache.discard invalidates: next cache() recomputes (Session.Discard analog)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftdiscard").toString + "/c"
+    def src = Sources.readerFunc(spark, 2) { sh =>
+      CacheProbe.computes.incrementAndGet(); Iterator.tabulate(3)(i => (sh, i))
+    }
+    Cache.cache(src, dir).count()
+    val afterFirst = CacheProbe.computes.get()
+    assert(afterFirst >= 2) // one generator call per shard
+    Cache.cache(src, dir).count()
+    assert(CacheProbe.computes.get() == afterFirst) // cache hit: no recompute
+    Cache.discard(dir)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+    assert(rows(Cache.cache(src, dir)) ==
+      (for (sh <- 0 until 2; i <- 0 until 3) yield Seq[Any](sh, i)).toSet)
+    assert(CacheProbe.computes.get() > afterFirst) // discarded → recomputed
+  }
+
+  test("procs pragma: profile requests n task cpus; degrades to passthrough locally") {
+    import spark.implicits._
+    // the profile procs() attaches is the per-stage spark.task.cpus form
+    val rp = Slice.procsProfile(2)
+    assert(rp.taskResources.get("cpus").exists(_.amount == 2.0), rp.taskResources)
+    // local mode can't honor task profiles → pragma is a no-op hint,
+    // results unchanged (on Standalone/YARN/K8s the profile attaches)
+    val s = Sources.const(spark, 2, Seq(1, 2, 3)).procs(2)
+    assert(s.count() == 3)
+    assert(Sources.const(spark, 2, Seq(1, 2)).exclusive().count() == 2)
+  }
+
+  test("bench reports a failing query as -1 + errors entry, excluded from total") {
+    val line = Bench.benchLine(spark, "/root/testdata/sf0.001", Seq(
+      "good" -> ((s: SparkSession, d: String) => Tables.load(s, d, "region")),
+      "bad" -> ((s: SparkSession, _: String) =>
+        s.sql("SELECT * FROM graft_nonexistent_table"))))
+    assert(line.contains("\"bad\":-1.0"), line)
+    assert(line.contains("\"errors\":{\"bad\":"), line)
+    val total = "\"value\":([-0-9.Ee]+)".r.findFirstMatchIn(line).get.group(1).toDouble
+    assert(total >= 0, s"failing query polluted the total: $line")
+  }
+}
+
+/** Cross-task probes for writerFunc/cache tests (local mode shares one
+  * JVM, so executor-side closures and the driver see the same statics). */
+object WriterProbe {
+  val ok: java.util.Set[Int] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+  def fail(shard: Int): Unit = { failures.incrementAndGet(); () }
+  def reset(): Unit = { ok.clear(); failures.set(0) }
+}
+
+object CacheProbe {
+  val computes = new java.util.concurrent.atomic.AtomicInteger(0)
 }
