@@ -9,9 +9,13 @@ import org.apache.spark.sql.functions._
 /**
  * LLM-training-data pipeline queries (dedup / similarity / text /
  * multimodal) over the documents and embeddings tables, with DuckDB
- * oracles wherever the algorithm is SQL-expressible. Non-replicable
- * sketches (simhash, hyperplane LSH) ship rows-only checked here and
- * are property-tested in PipelineSpec against their exact baselines.
+ * oracles wherever the algorithm is SQL-expressible — including the
+ * simhash sketch and rolling fingerprint (md5-derived bits, replicated
+ * in SQL below). Only the hyperplane/k-means ANN queries
+ * (sim_topk_lsh, sim_topk_ivf) stay rows-only: their pruning depends
+ * on signature internals a SQL oracle would have to re-implement
+ * wholesale; instead their RECALL against the oracled brute-force
+ * baseline is asserted in PipelineSpec.
  */
 object PipelineOps {
 

@@ -210,6 +210,31 @@ class SliceSpec extends AnyFunSuite {
     }
   }
 
+  test("readTar streams a multi-entry archive (128 MiB, no whole-archive buffer)") {
+    val dir = java.nio.file.Files.createTempDirectory("grafttar")
+    val tarPath = dir.resolve("big.tar")
+    val out = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(
+      new java.io.BufferedOutputStream(java.nio.file.Files.newOutputStream(tarPath)))
+    val entryBytes = 2 * 1024 * 1024
+    val payload = Array.tabulate[Byte](entryBytes)(i => (i % 251).toByte)
+    for (i <- 0 until 64) {
+      val e = new org.apache.commons.compress.archivers.tar.TarArchiveEntry(f"doc$i%03d.bin")
+      e.setSize(entryBytes.toLong)
+      out.putArchiveEntry(e); out.write(payload); out.closeArchiveEntry()
+    }
+    out.close()
+    // the executor holds ONE entry at a time; the archive itself is
+    // never materialized (streamed off the Hadoop input stream), so
+    // this works identically for archives far beyond task heap
+    val s = Sources.readTar(spark, tarPath.toString)
+    val agg = s.df.agg(count(lit(1)), sum(length(col("body")))).collect()(0)
+    assert(agg.getLong(0) == 64)
+    assert(agg.getLong(1) == 64L * entryBytes)
+    val first = s.df.filter(col("name") === "doc000.bin").select("size", "body").collect()(0)
+    assert(first.getLong(0) == entryBytes.toLong)
+    assert(java.util.Arrays.equals(first.getAs[Array[Byte]](1), payload))
+  }
+
   test("writerFunc onDone: sink sees success per shard, and the error on failure") {
     import spark.implicits._
     WriterProbe.reset()
