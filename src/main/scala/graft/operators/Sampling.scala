@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling & split assignment for training pipelines.
+ *
+ * Random-seed sampling (`df.sample`) is reproducible only within one
+ * engine+partitioning; corpus SPLITS must be stable across reruns,
+ * engines, and repartitions, so membership is a pure function of the
+ * key: an md5 bucket. Scan-speed column algebra — no shuffle, no
+ * state, and any engine (including the DuckDB oracle) computes the
+ * same assignment.
+ */
+object Sampling {
+
+  /** Uniform bucket in [0, 2^32) from the key's md5 — the split
+    * coordinate. Collision-free w.r.t. intent: equal keys (however the
+    * corpus is partitioned) always land in the same bucket. */
+  def hashBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Exact integer thresholds for cumulative fractions of 2^32. */
+  private[graft] def cuts(fracs: Seq[Double]): Seq[Long] =
+    fracs.scanLeft(0.0)(_ + _).map(f => (f * (1L << 32)).toLong)
+
+  /**
+   * Assign each row a named split ("train"/"val"/"test"…) by hash
+   * bucket: fractions become exact integer cut points of the bucket
+   * space, so e.g. 0.8/0.1/0.1 is an eternal, engine-independent
+   * partition of keys. The last split absorbs rounding remainder —
+   * fractions should sum to 1.
+   */
+  def assignSplit(df: DataFrame, key: String,
+                  splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    val cs = cuts(splits.map(_._2))
+    val b = hashBucket(col(key))
+    val expr = splits.init.zipWithIndex.foldRight(lit(splits.last._1): Column) {
+      case (((name, _), i), acc) => when(b < cs(i + 1), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Deterministic Bernoulli-style subsample: keep keys whose bucket
+    * falls below `fraction` of the space (stable across reruns and
+    * engines, unlike seeded `sample`). */
+  def hashSample(df: DataFrame, key: String, fraction: Double): DataFrame =
+    df.filter(hashBucket(col(key)) < (fraction * (1L << 32)).toLong)
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{Multimodal, TextFunctions => TF}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Packing, Sampling, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -156,6 +156,42 @@ object PipelineOps {
         .orderBy("query_id", "rnk")
     },
 
+    // --- corpus organization ---------------------------------------------
+    // Deterministic hash split: membership is a pure function of the
+    // key's md5 bucket — stable across reruns, engines, repartitions.
+    "q_hash_split" -> { (spark, dir) =>
+      Sampling.assignSplit(Tables.load(spark, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    },
+
+    // Sequence packing: token-budget bin per doc via the two-pass
+    // distributed prefix sum (never a single-partition global window).
+    "text_pack_bins" -> { (spark, dir) =>
+      val withN = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          TF.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      Packing.packBins(withN, "doc_id", "n_tokens", capacity = 2048, parts = 8)
+        .orderBy("doc_id")
+    },
+
+    // Per-language top-10 vocabulary: two-phase top-k — the (lang,
+    // token) count aggregate is uniform; the per-lang window then ranks
+    // |vocab| rows, not |corpus| rows.
+    "text_top_tokens" -> { (spark, dir) =>
+      val tok = Tables.load(spark, dir, "documents")
+        .select(TF.langId(col("text")).as("lang"),
+          explode(TF.tokens(col("text"))).as("tok"))
+      val counts = tok.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("cnt").desc, col("tok"))
+      counts.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .select("lang", "rnk", "tok", "cnt")
+        .orderBy("lang", "rnk")
+    },
+
     // --- multimodal plumbing ---------------------------------------------
     "mm_features" -> { (spark, dir) =>
       val assets = Multimodal.synthesizeAssets(
@@ -204,22 +240,12 @@ object PipelineOps {
          |           / greatest(CAST(len(toks) AS DOUBLE), 1.0)) AS quality
          |FROM t ORDER BY doc_id""".stripMargin
     },
-    "text_langid" -> {
-      // argmax with fixed tie-break order (de,en,es,fr,zh), 0 hits → und
-      val hitExprs = TF.langs.map { l =>
-        val set = TF.stopwords(l).map(s => s"'$s'").mkString(", ")
-        l -> s"len(list_filter(toks, x -> x IN ($set)))"
-      }
-      val best = s"greatest(${hitExprs.map(_._2).mkString(", ")})"
-      val pick = hitExprs.reverse.foldLeft("'und'") { case (acc, (l, h)) =>
-        s"CASE WHEN $h = best AND $h > 0 THEN '$l' ELSE $acc END"
-      }
+    "text_langid" ->
       s"""WITH t AS (SELECT doc_id,
          |  list_filter(string_split_regex(text,'\\s+'), x -> len(x)>0) AS toks
          |  FROM documents),
-         |s AS (SELECT doc_id, toks, $best AS best FROM t)
-         |SELECT doc_id, $pick AS lang_pred FROM s ORDER BY doc_id""".stripMargin
-    },
+         |s AS (SELECT doc_id, toks, $langBestSql AS best FROM t)
+         |SELECT doc_id, $langPickSql AS lang_pred FROM s ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       "SELECT doc_id, md5(text) AS digest FROM documents ORDER BY doc_id",
     // rolling fingerprint: same md5-derived 32-bit token values + the
@@ -234,6 +260,41 @@ object PipelineOps {
          |    (h, x) -> (h*31 + x) % ${TF.FpP}) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_simhash" -> simhashOracle(8),
+    "q_hash_split" -> {
+      val cs = Sampling.cuts(Seq(0.8, 0.1, 0.1))
+      s"""SELECT doc_id,
+         |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+         |            < ${cs(1)} THEN 'train'
+         |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+         |            < ${cs(2)} THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "text_pack_bins" ->
+      """WITH c AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text,'\s+'), t -> len(t)>0))
+        |       AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |    0) // 2048 AS bin
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "text_top_tokens" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split_regex(text,'\\s+'), x -> len(x)>0) AS toks
+         |  FROM documents),
+         |s AS (SELECT doc_id, toks, $langBestSql AS best FROM t),
+         |l AS (SELECT doc_id, toks, $langPickSql AS lang FROM s),
+         |tok AS (SELECT lang, unnest(toks) AS tok FROM l),
+         |c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM tok GROUP BY 1, 2),
+         |r AS (SELECT lang, tok, cnt,
+         |        ROW_NUMBER() OVER (PARTITION BY lang
+         |                           ORDER BY cnt DESC, tok) AS rnk
+         |      FROM c)
+         |SELECT lang, rnk, tok, cnt FROM r WHERE rnk <= 10
+         |ORDER BY lang, rnk""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
@@ -280,6 +341,20 @@ object PipelineOps {
         |  CASE WHEN L < 256 THEN L ELSE ((nf - 1) // 4 + 1) * 256 END AS total_bytes
         |FROM c ORDER BY doc_id""".stripMargin
   )
+
+  // Language-ID SQL pieces (argmax of per-language stopword hits with
+  // fixed tie-break order de,en,es,fr,zh; 0 hits → und) — shared by the
+  // text_langid and text_top_tokens oracles.
+  private lazy val langHitExprs: Seq[(String, String)] = TF.langs.map { l =>
+    val set = TF.stopwords(l).map(s => s"'$s'").mkString(", ")
+    l -> s"len(list_filter(toks, x -> x IN ($set)))"
+  }
+  private lazy val langBestSql: String =
+    s"greatest(${langHitExprs.map(_._2).mkString(", ")})"
+  private lazy val langPickSql: String =
+    langHitExprs.reverse.foldLeft("'und'") { case (acc, (l, h)) =>
+      s"CASE WHEN $h = best AND $h > 0 THEN '$l' ELSE $acc END"
+    }
 
   /**
    * DuckDB replica of Dedup.simhash + simhashDupPairs: md5-nibble bit

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Multimodal, TextFunctions => TF}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Packing, Sampling, Similarity}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -118,6 +118,51 @@ class PipelineSpec extends AnyFunSuite {
     val lsh = asPairs(Similarity.cosineDupPairsLSH(df, "id", "vec", 32, 0.8))
     assert(exact.size >= 10, s"expected the 10 planted dup pairs, got ${exact.size}")
     assert(lsh == exact) // exact verify → no false positives; bands → full recall here
+  }
+
+  test("assignSplit: deterministic, near-declared fractions, stable under repartition") {
+    val split = Sampling.assignSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split")
+    val m = split.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val n = m.size
+    val train = m.values.count(_ == "train").toDouble / n
+    assert(train > 0.7 && train < 0.9, s"train fraction $train")
+    assert(m.values.toSet == Set("train", "val", "test"))
+    // membership is a function of the KEY: any partitioning agrees
+    val re = Sampling.assignSplit(docs.repartition(7), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(re == m)
+    // hashSample keeps exactly the keys below the fraction cut
+    val kept = Sampling.hashSample(docs, "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(m.keySet) && kept.nonEmpty && kept.size < n)
+  }
+
+  test("packBins: greedy token packing — exclusive prefix sum, parts-independent") {
+    import spark.implicits._
+    val withN = docs.select(col("doc_id"),
+      TF.wsTokenCount(col("text")).cast("long").as("n"))
+    def run(parts: Int): Seq[(Long, Long, Long)] =
+      Packing.packBins(withN, "doc_id", "n", capacity = 512, parts = parts)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = run(8)
+    // reference: in-memory exclusive prefix sum over id order
+    val inMem = withN.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var cum = 0L
+    val expect = inMem.map { case (id, t) =>
+      val bin = cum / 512; cum += t; (id, t, bin)
+    }.toSeq
+    assert(got == expect)
+    // deterministic in `parts` (cluster shape must not change packing)
+    assert(run(1) == got && run(3) == got)
+    // bins are filled: every bin except the last starts before capacity
+    val binStarts = expect.groupBy(_._3).view.mapValues(_.map(_._2).sum)
+    assert(binStarts.values.forall(_ > 0))
   }
 
   test("native FloatVecDot/HyperplaneSig == unrolled Column formulations") {
