@@ -81,6 +81,26 @@ object TextFunctions {
   /** Content fingerprint: md5 hex of the exact text. */
   def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))
 
+  // PII redaction patterns — restricted to character classes and
+  // counted quantifiers so Java regex (Spark) and RE2 (DuckDB) agree.
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val longDigitPattern = "[0-9]{7,}"
+
+  /** PII scrubbing: emails → <EMAIL>, 7+-digit runs (phone/account
+    * numbers) → <NUM>. Pure regexp_replace — scan-speed, no shuffle.
+    * A real deployment adds NER-based passes; the pipeline shape
+    * (columnar rewrite before tokenization) is identical. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      longDigitPattern, "<NUM>")
+
+  /** Distinct-token ratio — the cheap repetition/quality signal (low
+    * ratio = boilerplate or degenerate repetition). */
+  def distinctTokenRatio(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("double") /
+      greatest(wsTokenCount(text).cast("double"), lit(1.0))
+
   /**
    * Rolling polynomial fingerprint over whitespace tokens
    * (order-sensitive, whitespace-normalizing — unlike md5):

@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
  * carry the last right row forward with a window `last(ignoreNulls)`.
  * Cost: ONE shuffle + sort — the same shape as a sort-merge join,
  * independent of time-range density, so it survives 100 TB.
+ *
+ * Skew: one window partition per key means a pathologically hot key
+ * serializes into one task — the same skew profile as a sort-merge
+ * join on that key. AQE's skew handling cannot split a window
+ * partition (unlike a join), so for corpora with a dominating key,
+ * pre-split it by a coarse time bucket ((key, epoch-day) as the window
+ * key, carrying the previous bucket's last right row in) or route the
+ * hot key through [[RangeJoin.intervalJoin]] with per-bucket keys.
  */
 object AsOfJoin {
 

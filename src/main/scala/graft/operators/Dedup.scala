@@ -200,6 +200,21 @@ object Dedup {
   }
 
   /**
+   * The keep-set after clustering: drop every document that belongs to
+   * a duplicate cluster but is not its canonical (min-id) member — the
+   * step that turns pair detection into an actual deduplicated corpus.
+   * One anti-join against the (small) non-canonical member set; the
+   * corpus side streams through unshuffled when the drop side
+   * broadcasts.
+   */
+  def keepCanonical(df: DataFrame, id: String, pairs: DataFrame): DataFrame = {
+    val drop = connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as(id))
+    df.join(drop, Seq(id), "left_anti")
+  }
+
+  /**
    * 64-bit SimHash over whitespace tokens: per-token 64 hash bits; each
    * bit votes ±1; sign of the vote sum is the sketch bit. Pure column
    * algebra (explode + groupBy + bit ops) — scales like a wordcount.

@@ -156,6 +156,41 @@ object PipelineOps {
         .orderBy("query_id", "rnk")
     },
 
+    // PII scrubbing: emails + long digit runs redacted. The synthetic
+    // corpus contains no PII, so the query PLANTS deterministic PII
+    // (derived from doc_id) into each document and verifies redaction
+    // end-to-end — the oracle builds the identical augmented text.
+    "text_redact" -> { (spark, dir) =>
+      val dirty = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com or 5551234567"))
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          length(dirty).cast("long").as("n_before"),
+          length(TF.redactPii(dirty)).cast("long").as("n_after"),
+          TF.redactPii(dirty).as("clean"))
+        .orderBy("doc_id")
+    },
+
+    // Repetition/quality signal: distinct-token ratio per doc.
+    "text_repetition" -> { (spark, dir) =>
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          TF.wsTokenCount(col("text")).cast("long").as("n_tokens"),
+          size(array_distinct(TF.tokens(col("text")))).cast("long").as("n_distinct"),
+          TF.distinctTokenRatio(col("text")).as("distinct_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // The deduplicated corpus itself: keep the canonical (min-id) doc
+    // per duplicate cluster, drop the rest.
+    "dedup_canonical" -> { (spark, dir) =>
+      val d = Tables.load(spark, dir, "documents")
+      val pairs = Dedup.minhashDupPairs(d, "doc_id", "text",
+        k = 3, numPerms = 64, bandRows = 2, minJ = 0.5, maxShingleDf = 100)
+      Dedup.keepCanonical(d, "doc_id", pairs)
+        .select("doc_id").orderBy("doc_id")
+    },
+
     // --- corpus organization ---------------------------------------------
     // Deterministic hash split: membership is a pure function of the
     // key's md5 bucket — stable across reruns, engines, repartitions.
@@ -260,6 +295,38 @@ object PipelineOps {
          |    (h, x) -> (h*31 + x) % ${TF.FpP}) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_simhash" -> simhashOracle(8),
+    "text_redact" -> {
+      val dirty = "(text || ' contact user' || CAST(doc_id AS VARCHAR) " +
+        "|| '@example.com or 5551234567')"
+      val redact = s"regexp_replace(regexp_replace($dirty, " +
+        s"'${TF.emailPattern}', '<EMAIL>', 'g'), " +
+        s"'${TF.longDigitPattern}', '<NUM>', 'g')"
+      s"""SELECT doc_id, CAST(len($dirty) AS BIGINT) AS n_before,
+         |  CAST(len($redact) AS BIGINT) AS n_after,
+         |  $redact AS clean
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text,'\s+'), x -> len(x)>0) AS toks
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE)
+        |    / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS distinct_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE pairs AS (${jaccardOracle(0.5)}),
+         |e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT a AS src, b AS dst FROM e
+         |  UNION
+         |  SELECT r.src, e.b AS dst FROM reach r JOIN e ON r.dst = e.a),
+         |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+         |         FROM reach GROUP BY src)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE component <> doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q_hash_split" -> {
       val cs = Sampling.cuts(Seq(0.8, 0.1, 0.1))
       s"""SELECT doc_id,

@@ -120,6 +120,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh == exact) // exact verify → no false positives; bands → full recall here
   }
 
+  test("redactPii scrubs planted PII; keepCanonical keeps min-id per cluster") {
+    import spark.implicits._
+    val d = Seq((1L, "write to alice.smith@example.org or call 5551234567 now"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val clean = d.orderBy("doc_id")
+      .select(TF.redactPii(col("text"))).collect().map(_.getString(0))
+    assert(clean(0) == "write to <EMAIL> or call <NUM> now")
+    assert(clean(1) == "no pii here at all")
+
+    val corpus = Seq(1L, 2L, 3L, 4L, 10L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 20L)).toDF("a", "b")
+    val kept = Dedup.keepCanonical(corpus, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    // clusters {1,2,3} and {10,20} keep their min; 4 was never a dup
+    assert(kept == Set(1L, 4L, 10L))
+  }
+
   test("assignSplit: deterministic, near-declared fractions, stable under repartition") {
     val split = Sampling.assignSplit(docs, "doc_id",
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
