@@ -201,6 +201,23 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // Leakage-safe split: hash-split by duplicate-CLUSTER id, so near-
+    // duplicate documents can never straddle train/test — membership is
+    // a pure function of the cluster's canonical id.
+    "q_split_by_cluster" -> { (spark, dir) =>
+      val d = Tables.load(spark, dir, "documents")
+      val pairs = Dedup.minhashDupPairs(d, "doc_id", "text",
+        k = 3, numPerms = 64, bandRows = 2, minJ = 0.5, maxShingleDf = 100)
+      val comp = Dedup.connectedComponents(pairs)
+      val withComp = d.select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("component"), col("doc_id")))
+      Sampling.assignSplit(withComp, "component",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("component"), col("split"))
+        .orderBy("doc_id")
+    },
+
     // Sequence packing: token-budget bin per doc via the two-pass
     // distributed prefix sum (never a single-partition global window).
     "text_pack_bins" -> { (spark, dir) =>
@@ -327,6 +344,25 @@ object PipelineOps {
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE component <> doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "q_split_by_cluster" -> {
+      val cs = Sampling.cuts(Seq(0.8, 0.1, 0.1))
+      val b = "('0x' || substr(md5(CAST(component AS VARCHAR)),1,8))::BIGINT"
+      s"""WITH RECURSIVE pairs AS (${jaccardOracle(0.5)}),
+         |e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT a AS src, b AS dst FROM e
+         |  UNION
+         |  SELECT r.src, e.b AS dst FROM reach r JOIN e ON r.dst = e.a),
+         |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+         |         FROM reach GROUP BY src),
+         |m AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+         |      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+         |SELECT doc_id, component,
+         |  CASE WHEN $b < ${cs(1)} THEN 'train'
+         |       WHEN $b < ${cs(2)} THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
     "q_hash_split" -> {
       val cs = Sampling.cuts(Seq(0.8, 0.1, 0.1))
       s"""SELECT doc_id,

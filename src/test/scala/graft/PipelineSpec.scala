@@ -158,6 +158,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept.subsetOf(m.keySet) && kept.nonEmpty && kept.size < n)
   }
 
+  test("cluster-keyed split: every member of a dup cluster gets the same split") {
+    val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text", 3, 64, 2, 0.5, 100)
+    val comp = Dedup.connectedComponents(pairs)
+    val withComp = docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    val split = Sampling.assignSplit(withComp, "component",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val perCluster = split.groupBy("component")
+      .agg(countDistinct(col("split")).as("n"))
+      .agg(max(col("n"))).collect()(0).getLong(0)
+    assert(perCluster == 1L) // no cluster straddles splits — no leakage
+    assert(split.select("split").distinct().count() >= 2)
+  }
+
   test("packBins: greedy token packing — exclusive prefix sum, parts-independent") {
     import spark.implicits._
     val withN = docs.select(col("doc_id"),
