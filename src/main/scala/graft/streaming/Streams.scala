@@ -125,6 +125,20 @@ object Streams {
       }
   }
 
+  /**
+   * Streaming exact dedup — the incremental analog of `Dedup.exact`:
+   * the first arrival per key (e.g. a content digest) passes,
+   * subsequent duplicates are dropped. `dropDuplicatesWithinWatermark`
+   * keeps state ONLY for the watermark horizon, so state is bounded by
+   * the horizon × key arrival rate, not by stream history — the only
+   * formulation that survives an unbounded stream (plain
+   * `dropDuplicates` on a stream retains every key forever).
+   */
+  def dedupStream(df: DataFrame, keys: Seq[String], tsCol: String,
+                  watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Run a streaming query to completion against the (finite) batch
     * source and return the result — the slicetest.Run analog for
     * streaming (memory sink + processAllAvailable). */

@@ -34,6 +34,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming dedup keeps exactly the batch-distinct key set") {
+    val stream = Streams.dedupStream(
+      Streams.eventsStream(spark, sf), Seq("event_type"), "ts", "10 minutes")
+    val got = Streams.runToMemory(spark, stream, "dedup_stream", "append")
+      .select("event_type").collect().map(_.getString(0)).toSeq
+    val expect = Tables.load(spark, sf, "events")
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    // exactly one survivor per key (which arrival survives is
+    // micro-batch-order-dependent; the KEY SET is the contract)
+    assert(got.size == got.toSet.size, "duplicate keys survived")
+    assert(got.toSet == expect)
+  }
+
   test("streaming session_window == batch session_window (closed sessions)") {
     val gap = "240 minutes"
     // batch: session_window works identically on a static frame
