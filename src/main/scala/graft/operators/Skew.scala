@@ -25,4 +25,25 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(merge.head, merge.tail: _*)
   }
+
+  /**
+   * Skew-safe equi-join: hot LEFT keys are spread across `nSalts`
+   * sub-keys while the right side replicates once per salt, so a key
+   * holding more rows than one executor's share fans across nSalts
+   * reducers instead of serializing into one. Exact inner-join
+   * semantics (each left row carries ONE salt; the right row for its
+   * key exists at every salt). Use when AQE's skew-join splitting
+   * can't apply — extreme single-key skew, or a disabled-AQE context;
+   * cost = nSalts× replication of the RIGHT side only, so salt the
+   * side with the smaller per-key payload.
+   */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 nSalts: Int): DataFrame = {
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(nSalts.toLong))
+        .cast("int"))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    l.join(r, keys :+ "__salt").drop("__salt")
+  }
 }

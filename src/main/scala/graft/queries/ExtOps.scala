@@ -178,6 +178,20 @@ object ExtOps {
         partial = Seq(count(lit(1)).as("n"), sum(col("q")).as("sum_q")),
         merge = Seq(sum(col("n")).cast("long").as("n"), sum(col("sum_q")).as("sum_q")))
         .orderBy("l_returnflag")
+    },
+
+    // Skew-safe join on the (skewed) l_returnflag key: salted fan-out,
+    // exact inner-join semantics — oracle is the plain join aggregate.
+    "op_salted_join" -> { (spark, dir) =>
+      val l = Tables.load(spark, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+      val r = Tables.load(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("long").as("flag_rows"))
+      Skew.saltedJoin(l, r, Seq("l_returnflag"), nSalts = 8)
+        .groupBy(col("l_returnflag"), col("flag_rows"))
+        .agg(sum(col("q")).as("sum_q"), count(lit(1)).cast("long").as("n"))
+        .orderBy("l_returnflag")
     }
   )
 
@@ -231,6 +245,15 @@ object ExtOps {
     "op_salted_agg" ->
       """SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "op_salted_join" ->
+      """WITH r AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS flag_rows
+        |           FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, r.flag_rows,
+        |  CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem l JOIN r USING (l_returnflag)
+        |GROUP BY l.l_returnflag, r.flag_rows
+        |ORDER BY l.l_returnflag""".stripMargin,
     "op_topk_global" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber

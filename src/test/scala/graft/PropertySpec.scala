@@ -159,6 +159,20 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("saltedJoin == plain equi-join on skewed keys, for any draw") {
+    import spark.implicits._
+    for (rows <- draws(rowsGen, 4)) {
+      val l = rows.toDF("k", "v")
+      val r = rows.map(_._1).distinct.map(k => (k, s"dim_$k")).toDF("k", "label")
+      val plain = l.join(r, "k").collect().map(_.toSeq).toSeq
+        .sortBy(_.mkString("|"))
+      val salted = graft.operators.Skew.saltedJoin(l, r, Seq("k"), 4)
+        .select("k", "v", "label")
+        .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+      assert(salted == plain)
+    }
+  }
+
   test("shingle df cap == in-memory stop-shingle removal; cap is load-bearing") {
     import spark.implicits._
     // Every doc shares one hot header shingle (df = 42 >> cap); two docs
