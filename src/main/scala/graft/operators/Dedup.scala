@@ -196,7 +196,78 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // An unconverged cutoff would silently return WRONG labels (a
+    // chain longer than maxIter keeps stale minima) — fail loudly and
+    // point at the O(log n)-round variant instead.
+    require(converged,
+      s"connectedComponents did not converge in $maxIter iterations " +
+        "(graph diameter too large) — use connectedComponentsStar")
     labels.select(col("v").as("doc_id"), col("label").as("component"))
+  }
+
+  /**
+   * Alternating large-star / small-star connected components — the
+   * deep-graph variant: O(log n) ROUNDS on any shape (a million-node
+   * chain converges in ~20 rounds where min-label propagation needs a
+   * million), per Kiveris et al., "Connected Components in MapReduce
+   * and Beyond" (SoCC'14). Each round is two window-min passes over
+   * the edge list; fixpoint when the edge multiset stops changing
+   * (count + order-independent hash). Per-round skew: a high-degree
+   * vertex's neighborhood is one window partition — the algorithm's
+   * own contraction shrinks those stars within a few rounds, which is
+   * exactly its advantage over propagation. Same output contract as
+   * [[connectedComponents]].
+   */
+  def connectedComponentsStar(pairs: DataFrame, a: String = "a",
+                              b: String = "b", maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one star operation: per symmetrized neighborhood N(u),
+    // m = min(N(u) ∪ {u}); large emits (v, m) for v ∈ N(u), v > u;
+    // small emits (v, m) for v ∈ N≤(u) ∪ {u}
+    def star(edges: DataFrame, large: Boolean): DataFrame = {
+      val sym = edges
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val w = Window.partitionBy("u")
+      val withM = sym.withColumn("m", least(min(col("v")).over(w), col("u")))
+      val out =
+        if (large)
+          withM.filter(col("v") > col("u"))
+            .select(col("v").as("u"), col("m").as("v"))
+        else
+          withM.filter(col("v") <= col("u"))
+            .select(col("v").as("u"), col("m").as("v"))
+            .union(withM.select(col("u"), col("m").as("v")))
+      out.filter(col("u") =!= col("v")).distinct()
+    }
+    // order-independent modular hash sum (mod keeps ANSI long addition
+    // overflow-free up to ~9e9 edges); checksum equality is confirmed
+    // with an exact set compare, so a collision can never end the loop
+    // early — it only costs one extra except()
+    def checksum(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)),
+        sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L)))).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var e = pairs.select(col(a).as("u"), col(b).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var cs = checksum(e)
+    var done = e.isEmpty
+    var i = 0
+    while (!done && i < maxIter) {
+      val next = star(star(e, large = true), large = false).localCheckpoint()
+      val ncs = checksum(next)
+      // sets of equal size with one empty difference are equal
+      done = ncs == cs && next.exceptAll(e).isEmpty
+      e = next; cs = ncs
+      i += 1
+    }
+    require(done, s"connectedComponentsStar did not converge in $maxIter rounds")
+    val verts = pairs.select(col(a).as("doc_id"))
+      .union(pairs.select(col(b).as("doc_id"))).distinct()
+    val parents = e.groupBy(col("u").as("doc_id"))
+      .agg(min(col("v")).as("component"))
+    verts.join(parents, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
   }
 
   /**

@@ -41,6 +41,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("connectedComponentsStar: long chain in O(log n) rounds; agrees with propagation") {
+    import spark.implicits._
+    // 120-node chain — diameter FAR beyond propagation's default
+    // iteration budget (which now fails loudly instead of mislabeling)
+    val chain = (1L until 120L).map(i => (i, i + 1)).toDF("a", "b")
+    val star = Dedup.connectedComponentsStar(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.keySet == (1L to 120L).toSet)
+    assert(star.values.forall(_ == 1L))
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxIter = 10).collect()
+    }
+    // shallow random graph: both algorithms agree
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (x, y) => x != y }.toDF("a", "b")
+    val prop = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star2 = Dedup.connectedComponentsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star2 == prop)
+  }
+
   test("minhash signature similarity estimates jaccard") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 64)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
