@@ -269,6 +269,29 @@ object Similarity {
   }
 
   /**
+   * Symmetric int8 quantization of an embedding column — the 100 TB
+   * storage play: 4× smaller than float32, dot products stay within
+   * ~1% cosine error at 64 dims (property-tested). Per-vector scale =
+   * maxAbs/127; q_i = floor(x_i/scale + 0.5) ∈ [-127, 127].
+   * `floor(+0.5)` rather than `round` deliberately: IEEE floor is
+   * bit-identical across engines while round's half-way rule is not —
+   * which is what lets emb_quantize carry an exact DuckDB oracle.
+   * Returns struct(q ARRAY<INT>, scale DOUBLE).
+   */
+  def int8Quantize(vec: Column): Column = {
+    val maxAbs = array_max(transform(vec, x => abs(x.cast("double"))))
+    val scale = when(maxAbs > 0, maxAbs / 127.0).otherwise(lit(1.0))
+    struct(
+      transform(vec, x =>
+        floor(x.cast("double") / scale + 0.5).cast("int")).as("q"),
+      scale.as("scale"))
+  }
+
+  /** Inverse of [[int8Quantize]]: approximate float reconstruction. */
+  def int8Dequantize(q: Column, scale: Column): Column =
+    transform(q, x => (x.cast("double") * scale).cast("float"))
+
+  /**
    * Banded-LSH near-duplicate pairs — the sub-quadratic scale path for
    * SEPARATED thresholds (near-dups at cos ≥ ~0.7 over a random
    * background): hyperplane band buckets generate candidates, exact

@@ -244,6 +244,20 @@ object PipelineOps {
         .orderBy("lang", "rnk")
     },
 
+    // int8 quantization audit: per-vector scale + integer summary of
+    // the quantized values (sum/min/max — array columns stay out of the
+    // driver's hash compare; the integer summary pins every element).
+    "emb_quantize" -> { (spark, dir) =>
+      val q = Similarity.int8Quantize(col("embedding"))
+      Tables.load(spark, dir, "embeddings")
+        .withColumn("__q", q)
+        .select(col("vec_id"), col("__q.scale").as("scale"),
+          aggregate(col("__q.q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          array_min(col("__q.q")).cast("long").as("q_min"),
+          array_max(col("__q.q")).cast("long").as("q_max"))
+        .orderBy("vec_id")
+    },
+
     // --- multimodal plumbing ---------------------------------------------
     "mm_features" -> { (spark, dir) =>
       val assets = Multimodal.synthesizeAssets(
@@ -363,6 +377,21 @@ object PipelineOps {
          |       ELSE 'test' END AS split
          |FROM m ORDER BY doc_id""".stripMargin
     },
+    "emb_quantize" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings),
+        |q AS (SELECT vec_id,
+        |    CASE WHEN mx > 0 THEN mx/127.0 ELSE 1.0 END AS scale,
+        |    embedding FROM m),
+        |t AS (SELECT vec_id, scale,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE)/scale + 0.5) AS BIGINT)) AS qv
+        |  FROM q)
+        |SELECT vec_id, scale, CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_min(qv) AS BIGINT) AS q_min,
+        |  CAST(list_max(qv) AS BIGINT) AS q_max
+        |FROM t ORDER BY vec_id""".stripMargin,
     "q_hash_split" -> {
       val cs = Sampling.cuts(Seq(0.8, 0.1, 0.1))
       s"""SELECT doc_id,

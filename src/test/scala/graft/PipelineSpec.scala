@@ -124,6 +124,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF recall $recall too low")
   }
 
+  test("int8 quantize/dequantize: bounded range, small cosine error") {
+    val q = Similarity.int8Quantize(col("embedding"))
+    val frame = emb.withColumn("__q", q)
+      .withColumn("deq", Similarity.int8Dequantize(col("__q.q"), col("__q.scale")))
+    // quantized values within [-127, 127]
+    val bounds = frame.select(
+      array_min(col("__q.q")).as("lo"), array_max(col("__q.q")).as("hi"))
+      .agg(min(col("lo")), max(col("hi"))).collect()(0)
+    assert(bounds.getInt(0) >= -127 && bounds.getInt(1) <= 127, bounds)
+    // reconstruction: cosine(original, dequantized) ≈ 1 per vector
+    val minCos = frame.select(
+      (Similarity.dot(col("embedding"), col("deq")) /
+        (sqrt(Similarity.dot(col("embedding"), col("embedding"))) *
+          sqrt(Similarity.dot(col("deq"), col("deq"))))).as("c"))
+      .agg(min(col("c"))).collect()(0).getDouble(0)
+    assert(minCos > 0.999, s"worst reconstruction cosine $minCos")
+  }
+
   test("cosineDupPairsLSH == exact block-pair pairs at separated thresholds") {
     import spark.implicits._
     // 30 random 32-dim vectors + 10 noisy copies: dup pairs at cos≈0.999,
