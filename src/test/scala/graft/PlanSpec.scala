@@ -162,6 +162,27 @@ class PlanSpec extends AnyFunSuite {
     assert(distinctAgg.forall(l => !l.contains("_v")), p)
   }
 
+  test("IVF index: probe prunes list_id partitions; results match in-memory IVF") {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", 64, nList = 16, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val fromIdx = Similarity.ivfTopKFromIndex(spark, dir, queries,
+      "vec_id", "embedding", 64, k = 5)
+    // scan reads only the probed lists' directories — partition pruning
+    val f = formatted(fromIdx)
+    assert(f.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("list_id")), f)
+    // same training → same centroids → identical results to inline IVF
+    val inline = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      64, k = 5, nList = 16, nProbe = 4, iters = 2)
+    def s(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(s(fromIdx) == s(inline))
+    assert(s(fromIdx).nonEmpty)
+  }
+
   test("approx_count_distinct stays within 5% of exact (HLL default rsd)") {
     val exact = SparkEntry.queries("q_count_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
