@@ -8,6 +8,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * the executor, so "starting a session" is all that remains).
  */
 object GraftSession {
+
+  /**
+   * Conf block for a REAL cluster at the 100 TB design point (e.g.
+   * 1000 executors × 8 cores) — every knob with its sizing rationale.
+   * Local runs use [[local]]'s subset; a deployment applies this to its
+   * builder (`scaleConf.foldLeft(builder){case (b,(k,v)) => b.config(k,v)}`).
+   */
+  def scaleConf(totalCores: Int = 8000): Map[String, String] = Map(
+    // AQE owns runtime re-planning: partition coalescing, skew-join
+    // splitting, join-strategy switches at actual sizes.
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    // Initial shuffle partitions ≈ 2× total cores: enough granularity
+    // for AQE to coalesce DOWN (it cannot split a too-coarse map side);
+    // at 100 TB this also keeps ~6 GB per reduce partition out of the
+    // picture (100 TB / 16k ≈ 6 GB would spill — the advisory size
+    // below is what AQE actually targets after coalescing).
+    "spark.sql.shuffle.partitions" -> (totalCores * 2).toString,
+    // Post-shuffle partition target: well under executor task memory
+    // (a few GB) so hash aggregates and joins stay in memory.
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "128m",
+    // Scan split size: bigger splits amortize task startup on columnar
+    // scans; 256m × 8 concurrent tasks ≈ 2 GB of scan buffers per
+    // executor — sized to fit alongside shuffle memory.
+    "spark.sql.files.maxPartitionBytes" -> "256m",
+    // Dimension tables broadcast up to 64 MB — covers every TPC-H dim
+    // at any SF while bounding driver/executor broadcast memory.
+    "spark.sql.autoBroadcastJoinThreshold" -> "64m",
+    "spark.sql.parquet.filterPushdown" -> "true",
+    "spark.sql.session.timeZone" -> "UTC")
+
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")

@@ -286,6 +286,15 @@ class SliceSpec extends AnyFunSuite {
     assert(Sources.const(spark, 2, Seq(1, 2)).exclusive().count() == 2)
   }
 
+  test("scaleConf sizes shuffle breadth to cluster cores with AQE enabled") {
+    val c = GraftSession.scaleConf(totalCores = 8000)
+    assert(c("spark.sql.shuffle.partitions").toInt == 16000)
+    assert(c("spark.sql.adaptive.enabled") == "true")
+    assert(c("spark.sql.adaptive.skewJoin.enabled") == "true")
+    assert(c.contains("spark.sql.files.maxPartitionBytes"))
+    assert(c.contains("spark.sql.adaptive.advisoryPartitionSizeInBytes"))
+  }
+
   test("bench reports a failing query as -1 + errors entry, excluded from total") {
     val line = Bench.benchLine(spark, "/root/testdata/sf0.001", Seq(
       "good" -> ((s: SparkSession, d: String) => Tables.load(s, d, "region")),
