@@ -191,6 +191,23 @@ object PipelineOps {
         .select("doc_id").orderBy("doc_id")
     },
 
+    // The whole training-data story composed end-to-end, oracle-exact:
+    // quality filter → minhash dedup to canonical docs → deterministic
+    // split → per-split corpus stats.
+    "pipeline_end_to_end" -> { (spark, dir) =>
+      val d = Tables.load(spark, dir, "documents")
+      val filtered = d.filter(TF.qualityScore(col("text")) >= 0.45)
+      val pairs = Dedup.minhashDupPairs(filtered, "doc_id", "text",
+        k = 3, numPerms = 64, bandRows = 2, minJ = 0.5, maxShingleDf = 100)
+      val kept = Dedup.keepCanonical(filtered, "doc_id", pairs)
+      Sampling.assignSplit(kept, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TF.wsTokenCount(col("text")).cast("long")).as("n_tokens"))
+        .orderBy("split")
+    },
+
     // --- corpus organization ---------------------------------------------
     // Deterministic hash split: membership is a pure function of the
     // key's md5 bucket — stable across reruns, engines, repartitions.
@@ -358,6 +375,44 @@ object PipelineOps {
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE component <> doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "pipeline_end_to_end" -> {
+      val cs = Sampling.cuts(Seq(0.8, 0.1, 0.1))
+      val allStops = TF.stopwords.values.flatten.toSeq.distinct
+        .map(s => s"'$s'").mkString(", ")
+      val b = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT"
+      // quality formula verbatim from the text_quality oracle (same
+      // float evaluation order → bit-identical threshold decision)
+      s"""WITH RECURSIVE filtered AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      list_filter(string_split_regex(text,'\\s+'), x -> len(x)>0) AS toks
+         |    FROM documents)
+         |  WHERE 0.4 * (CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         |         / CAST(len(text) AS DOUBLE))
+         |  + 0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+         |  + 0.3 * (CAST(len(list_filter(toks, x -> x IN ($allStops))) AS DOUBLE)
+         |           / greatest(CAST(len(toks) AS DOUBLE), 1.0)) >= 0.45),
+         |pairs AS (${jaccardOracle(0.5, 100, "filtered")}),
+         |e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT a AS src, b AS dst FROM e
+         |  UNION
+         |  SELECT r.src, e.b AS dst FROM reach r JOIN e ON r.dst = e.a),
+         |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+         |         FROM reach GROUP BY src),
+         |kept AS (SELECT doc_id, text FROM filtered
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE component <> doc_id)),
+         |s AS (SELECT
+         |  CASE WHEN $b < ${cs(1)} THEN 'train'
+         |       WHEN $b < ${cs(2)} THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  CAST(len(list_filter(string_split_regex(text,'\\s+'), x -> len(x)>0))
+         |       AS BIGINT) AS n_tokens
+         |  FROM kept)
+         |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+         |FROM s GROUP BY split ORDER BY split""".stripMargin
+    },
     "q_split_by_cluster" -> {
       val cs = Sampling.cuts(Seq(0.8, 0.1, 0.1))
       val b = "('0x' || substr(md5(CAST(component AS VARCHAR)),1,8))::BIGINT"
@@ -529,12 +584,14 @@ object PipelineOps {
 
   /** Exact 3-gram-shingle Jaccard pair SQL (inverted index form),
     * mirroring Dedup.dfCapped: shingles in more than `maxDf` documents
-    * are dropped before sizes and co-occurrence. */
-  private def jaccardOracle(minJ: Double, maxDf: Int = 100): String =
+    * are dropped before sizes and co-occurrence. `src` is the corpus
+    * relation (a table or an earlier CTE with doc_id, text). */
+  private def jaccardOracle(minJ: Double, maxDf: Int = 100,
+                            src: String = "documents"): String =
     s"""WITH toks AS (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(text,'\\s+'), x -> len(x)>0) AS t
-       |  FROM documents),
+       |  FROM $src),
        |shd AS (
        |  SELECT DISTINCT doc_id, s FROM toks,
        |  LATERAL (SELECT unnest(list_transform(range(1, len(t)-1),
