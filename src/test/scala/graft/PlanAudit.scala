@@ -4,10 +4,13 @@ import org.apache.spark.sql.SparkSession
 
 /** Plan audit over every SparkEntry query: per query, count exchanges
   * and join kinds, flag cartesian/BNLJ stages. Run via Test/runMain.
-  * BNLJ is expected ONLY for sim_topk_bruteforce — the deliberate exact
-  * baseline (broadcast queries × streamed corpus; candidates are by
-  * definition all pairs). dedup_embedding is a block-pair equi-join and
-  * sim_topk_lsh/ivf are bucket equi-joins — no BNLJ (PlanSpec asserts). */
+  * Expected BNLJ flags (all benign):
+  *  - sim_topk_bruteforce: the deliberate exact baseline (broadcast
+  *    queries × streamed corpus; candidates are by definition all pairs)
+  *  - q22_idle_customers, q11_important_parts: Spark's scalar-subquery
+  *    plan — a ONE-ROW broadcast side crossed with the fact table
+  * dedup_embedding is a block-pair equi-join and sim_topk_lsh/ivf are
+  * bucket equi-joins — no BNLJ (PlanSpec asserts). */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
