@@ -162,6 +162,20 @@ class PlanSpec extends AnyFunSuite {
     assert(distinctAgg.forall(l => !l.contains("_v")), p)
   }
 
+  test("tpch3 shapes: no nested loops; q2/q20/q21 broadcast their dims") {
+    // q11 excluded: its 1-row scalar threshold crossJoin is the benign
+    // scalar-subquery BNLJ (same class as q22)
+    for (q <- Seq("q2_min_cost_supplier", "q12_late_priority",
+      "q20_promotion_suppliers", "q21_waiting_suppliers")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    for (q <- Seq("q2_min_cost_supplier", "q20_promotion_suppliers",
+      "q21_waiting_suppliers"))
+      assert(plan(SparkEntry.queries(q)(spark, sf)).contains("BroadcastHashJoin"), q)
+  }
+
   test("IVF index: probe prunes list_id partitions; results match in-memory IVF") {
     import graft.operators.Similarity
     val emb = Tables.load(spark, sf, "embeddings")
