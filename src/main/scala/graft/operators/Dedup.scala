@@ -124,7 +124,6 @@ object Dedup {
   def minhashDupPairs(df: DataFrame, id: String, text: String,
                       k: Int = 3, numPerms: Int = 64, bandRows: Int = 2,
                       minJ: Double = 0.5, maxShingleDf: Int = 100): DataFrame = {
-    val nBands = numPerms / bandRows
     // One tokenize+shingle scan feeds both the signatures and the
     // verification sets (they are different aggregations of the same
     // child; without persist Spark recomputes the scan). The df cap
@@ -132,18 +131,29 @@ object Dedup {
     // verification computes it exactly) — see [[dfCapped]].
     val raw = shingles(df, id, text, k).persist()
     val sh = dfCapped(raw, maxShingleDf)
-    val sigs = minhashSignaturesFrom(sh, id, numPerms)
-    val banded = sigs.select(col(id), posexplode(
-      transform(sequence(lit(0), lit(nBands - 1)),
-        b => hash(slice(col("sig"), b * bandRows + lit(1), lit(bandRows)), b))))
-      .toDF(id, "band", "bucket")
+    val banded = lshBands(minhashSignaturesFrom(sh, id, numPerms),
+      id, numPerms / bandRows, bandRows)
     val l = banded.select(col(id).as("a"), col("band"), col("bucket"))
     val r = banded.select(col(id).as("b"), col("band"), col("bucket"))
     val candidates = l.join(r, Seq("band", "bucket"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    // Verify candidates ONLY, with exact Jaccard over per-doc shingle
-    // sets (arrays are per-document sized — bounded, no n² blowup).
+    verifyJaccard(sh, id, candidates, minJ)
+  }
+
+  /** Signature → (id, band, bucket) LSH keys. */
+  private def lshBands(sigs: DataFrame, id: String,
+                       nBands: Int, bandRows: Int): DataFrame =
+    sigs.select(col(id), posexplode(
+      transform(sequence(lit(0), lit(nBands - 1)),
+        b => hash(slice(col("sig"), b * bandRows + lit(1), lit(bandRows)), b))))
+      .toDF(id, "band", "bucket")
+
+  /** Exact-Jaccard verification of a candidate (a, b) pair frame over
+    * the capped shingle sets — arrays are per-document sized (bounded,
+    * no n² blowup). Output: (a, b, jaccard) with jaccard >= minJ. */
+  private def verifyJaccard(sh: DataFrame, id: String,
+                            candidates: DataFrame, minJ: Double): DataFrame = {
     val sets = sh.groupBy(col(id))
       .agg(collect_list(col("shingle")).as("shset"), count(lit(1)).as("sz"))
     val setsA = sets.select(col(id).as("a"), col("shset").as("sha"), col("sz").as("sa"))
@@ -154,6 +164,47 @@ object Dedup {
         col("c").cast("double") / (col("sa") + col("sb") - col("c")).cast("double"))
       .filter(col("jaccard") >= minJ)
       .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /**
+   * INCREMENTAL minhash dedup — the continuous-ingest shape: dedup a
+   * new batch against the existing corpus (and within itself) without
+   * re-pairing the corpus against itself. The LSH index is probed
+   * one-sided: candidate pairs must touch at least one batch document,
+   * so per-ingest work scales with |batch| × bucket occupancy, not
+   * |corpus|². Old-old pairs are by construction already handled by
+   * previous ingests.
+   *
+   * At 100 TB the corpus-side shingles/signatures would be read from a
+   * persisted signature table (see [[graft.sources.Cache]]) rather
+   * than recomputed — the probe-side algebra here is identical; this
+   * form recomputes them so the operator is self-contained and
+   * oracle-checkable. The df cap is computed over existing ∪ batch
+   * (matching what a maintained signature table would converge to).
+   *
+   * Output: (a, b, jaccard), a < b, j >= minJ, where a or b is a batch
+   * document — exactly the full pair set minus old-old pairs.
+   */
+  def minhashIncremental(existing: DataFrame, batch: DataFrame,
+                         id: String, text: String,
+                         k: Int = 3, numPerms: Int = 64, bandRows: Int = 2,
+                         minJ: Double = 0.5, maxShingleDf: Int = 100): DataFrame = {
+    val corpus = existing.select(col(id), col(text))
+      .unionByName(batch.select(col(id), col(text)))
+    val raw = shingles(corpus, id, text, k).persist()
+    val sh = dfCapped(raw, maxShingleDf)
+    val banded = lshBands(minhashSignaturesFrom(sh, id, numPerms),
+      id, numPerms / bandRows, bandRows)
+    // probe side: ONLY batch documents — the incremental restriction
+    val bandedNew = banded.join(batch.select(col(id)), Seq(id), "left_semi")
+    val l = banded.select(col(id).as("a"), col("band"), col("bucket"))
+    val r = bandedNew.select(col(id).as("b"), col("band"), col("bucket"))
+    val candidates = l.join(r, Seq("band", "bucket"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    verifyJaccard(sh, id, candidates, minJ)
   }
 
   /**

@@ -49,4 +49,24 @@ object Sampling {
     * engines, unlike seeded `sample`). */
   def hashSample(df: DataFrame, key: String, fraction: Double): DataFrame =
     df.filter(hashBucket(col(key)) < (fraction * (1L << 32)).toLong)
+
+  /**
+   * Deterministic STRATIFIED subsample: a per-stratum keep fraction
+   * (e.g. downsample an over-represented language while keeping rare
+   * ones whole — the standard corpus-rebalancing move). Same membership
+   * rule as [[hashSample]] — bucket(key) under the stratum's cut — so
+   * it stays a pure scan-speed column predicate: no shuffle, no
+   * sampling state, reproducible across engines and repartitionings,
+   * and strata not listed fall back to `defaultFraction`.
+   */
+  def stratifiedSample(df: DataFrame, key: String, stratum: Column,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 1.0): DataFrame = {
+    def cut(f: Double): Long = (f * (1L << 32)).toLong
+    val cutCol = fractions.toSeq.sortBy(_._1)
+      .foldRight(lit(cut(defaultFraction)): Column) {
+        case ((s, f), acc) => when(stratum === s, lit(cut(f))).otherwise(acc)
+      }
+    df.filter(hashBucket(col(key)) < cutCol)
+  }
 }

@@ -275,6 +275,32 @@ object PipelineOps {
         .orderBy("vec_id")
     },
 
+    // Incremental dedup: the newest ~10% of documents (by hash bucket —
+    // the "today's crawl" batch) deduped against the existing corpus
+    // and within itself; old-old pairs are previous ingests' work and
+    // are never re-paired. Output = full pair set minus old-old pairs.
+    "dedup_incremental" -> { (spark, dir) =>
+      val d = Tables.load(spark, dir, "documents")
+      val isNew =
+        Sampling.hashBucket(col("doc_id")) >= lit(Sampling.cuts(Seq(0.9))(1))
+      Dedup.minhashIncremental(d.filter(!isNew), d.filter(isNew),
+        "doc_id", "text", k = 3, numPerms = 64, bandRows = 2, minJ = 0.5,
+        maxShingleDf = 100)
+        .orderBy("a", "b")
+    },
+
+    // Stratified corpus rebalancing: deterministic per-language keep
+    // fractions (downsample dominant languages, keep rare ones whole).
+    // Membership = pure function of (doc_id, lang) → fully oracled.
+    "q_stratified_sample" -> { (spark, dir) =>
+      val d = Tables.load(spark, dir, "documents")
+        .withColumn("lang", TF.langId(col("text")))
+      Sampling.stratifiedSample(d, "doc_id", col("lang"),
+        Map("en" -> 0.25, "fr" -> 0.5), defaultFraction = 1.0)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+
     // --- multimodal plumbing ---------------------------------------------
     "mm_features" -> { (spark, dir) =>
       val assets = Multimodal.synthesizeAssets(
@@ -521,6 +547,28 @@ object PipelineOps {
         |  CAST(list_sum(list_transform(string_split(text,''), c -> ascii(c))) AS BIGINT) AS checksum,
         |  CAST(ascii(substr(text,1,1)) % 64 + 1 AS BIGINT) AS width
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_incremental" -> {
+      val cut = Sampling.cuts(Seq(0.9))(1)
+      s"""WITH pairs AS (${jaccardOracle(0.5)}),
+         |nd AS (SELECT doc_id FROM documents
+         |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+         |        >= $cut)
+         |SELECT a, b, jaccard FROM pairs
+         |WHERE a IN (SELECT doc_id FROM nd) OR b IN (SELECT doc_id FROM nd)
+         |ORDER BY a, b""".stripMargin
+    },
+    "q_stratified_sample" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split_regex(text,'\\s+'), x -> len(x)>0) AS toks
+         |  FROM documents),
+         |s AS (SELECT doc_id, toks, $langBestSql AS best FROM t),
+         |l AS (SELECT doc_id, $langPickSql AS lang FROM s)
+         |SELECT doc_id, lang FROM l
+         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT <
+         |  CASE WHEN lang = 'en' THEN ${(0.25 * (1L << 32)).toLong}
+         |       WHEN lang = 'fr' THEN ${(0.5 * (1L << 32)).toLong}
+         |       ELSE ${1L << 32} END
+         |ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """WITH c AS (SELECT doc_id, len(text) AS L,
         |  greatest(len(text) // 256, 1) AS nf FROM documents)

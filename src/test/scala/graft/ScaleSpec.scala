@@ -1,0 +1,139 @@
+package graft
+
+import graft.operators.{BloomJoin, Dedup, FrequentItems, Sampling}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Round-4 scale operators: heavy hitters (Misra-Gries candidates +
+ * exact verify), Bloom semi-join reduction, incremental minhash
+ * dedup, stratified sampling, batch sessionization. Each test pins
+ * the EXACTNESS contract (sketch/pruning passes are candidate
+ * generation only) and, where the plan shape is the point, the plan.
+ */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("heavyHitters returns EXACTLY the tokens above threshold (vs direct groupBy)") {
+    import graft.functions.TextFunctions
+    val tok = Tables.load(spark, sf, "documents")
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val got = FrequentItems.heavyHitters(tok, "tok", minFreq = 0.01)
+      .orderBy("tok").collect().map(r => (r.getString(0), r.getLong(1)))
+    val total = tok.count()
+    val want = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt").cast("double") > lit(0.01) * lit(total.toDouble))
+      .orderBy("tok").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(want.nonEmpty, "fixture should have heavy hitters")
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("Misra-Gries candidates are complete on an adversarially skewed stream") {
+    import spark.implicits._
+    // 3 heavy items buried in a long tail; threshold 2% → cap 100
+    val heavy = Seq.fill(500)("h1") ++ Seq.fill(300)("h2") ++ Seq.fill(250)("h3")
+    val tail = (0 until 9000).map(i => s"t${i % 4500}")
+    val data = new scala.util.Random(42).shuffle(heavy ++ tail)
+    val df = data.toDF("x").repartition(7)
+    val out = FrequentItems.heavyHitters(df, "x", minFreq = 0.02)
+      .collect().map(_.getString(0)).toSet
+    val n = data.size.toDouble
+    val exact = data.groupBy(identity).view.mapValues(_.size)
+      .filter { case (_, c) => c > 0.02 * n }.keys.toSet
+    assert(out == exact, s"got $out want $exact")
+  }
+
+  test("bloom semiJoinReduced == plain semi join; probe filter is native might_contain") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"))
+    val build = Tables.load(spark, sf, "part")
+      .filter(col("p_size") <= 5).select(col("p_partkey"))
+    val reduced = BloomJoin.semiJoinReduced(li, "l_partkey", build, "p_partkey",
+      expectedItems = 10000L, fpp = 0.01)
+    val plain = li.join(build, li("l_partkey") === build("p_partkey"), "left_semi")
+    assert(reduced.count() == plain.count())
+    assert(reduced.exceptAll(plain).isEmpty && plain.exceptAll(reduced).isEmpty)
+    val planStr = reduced.queryExecution.executedPlan.toString
+    assert(planStr.contains("might_contain"), planStr)
+  }
+
+  test("bloom pre-filter keeps all matches and prunes most non-matches") {
+    val li = Tables.load(spark, sf, "lineitem").select(col("l_partkey"))
+    val build = Tables.load(spark, sf, "part")
+      .filter(col("p_size") <= 2).select(col("p_partkey"))
+    val pre = BloomJoin.bloomFiltered(li, "l_partkey", build, "p_partkey",
+      expectedItems = 10000L, fpp = 0.01)
+    val matches = li.join(build, li("l_partkey") === build("p_partkey"), "left_semi")
+    // completeness: every true match survives the bloom pass
+    assert(matches.exceptAll(pre).isEmpty)
+    // effectiveness: the pass prunes the clear majority of the fact side
+    val (nLi, nPre) = (li.count(), pre.count())
+    assert(nPre < nLi / 2, s"bloom kept $nPre of $nLi")
+  }
+
+  test("sessionize splits on >30min gaps (hand-checked case)") {
+    import spark.implicits._
+    val m = 60L * 1000000
+    val rows = Seq( // (user, event, us)
+      (1L, 1L, 0L), (1L, 2L, 10 * m), (1L, 3L, 50 * m), // gap 40min → split
+      (2L, 4L, 0L), (2L, 5L, 29 * m), (2L, 6L, 58 * m)) // gaps 29min → one session
+    val df = rows.toDF("user_id", "event_id", "us")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = df.withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("us") - col("prev") > 30 * m, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("brk")).over(run))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("user_id", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sess.toSeq == Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 3L)))
+  }
+
+  test("minhashIncremental == full pair set restricted to batch-touching pairs") {
+    val d = Tables.load(spark, sf, "documents")
+    val cut = Sampling.cuts(Seq(0.9))(1)
+    val isNew = Sampling.hashBucket(col("doc_id")) >= lit(cut)
+    val inc = Dedup.minhashIncremental(d.filter(!isNew), d.filter(isNew),
+      "doc_id", "text").orderBy("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val newIds = d.filter(isNew).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(newIds.nonEmpty && newIds.size < d.count(), "batch split sane")
+    val full = Dedup.minhashDupPairs(d, "doc_id", "text")
+      .orderBy("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = full.filter { case (a, b) => newIds(a) || newIds(b) }
+    assert(inc.toSeq == want.toSeq)
+  }
+
+  test("stratifiedSample: per-stratum hash rule, stable under repartition") {
+    import graft.functions.TextFunctions
+    val d = Tables.load(spark, sf, "documents")
+      .withColumn("lang", TextFunctions.langId(col("text")))
+    val s1 = Sampling.stratifiedSample(d, "doc_id", col("lang"),
+      Map("en" -> 0.25, "fr" -> 0.5))
+    val s2 = Sampling.stratifiedSample(d.repartition(13), "doc_id", col("lang"),
+      Map("en" -> 0.25, "fr" -> 0.5))
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = s2.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2, "membership must be partitioning-independent")
+    // non-listed strata keep everything; en is strictly downsampled
+    val enAll = d.filter(col("lang") === "en").count()
+    val enKept = s1.filter(col("lang") === "en").count()
+    assert(enKept < enAll)
+    val otherAll = d.filter(!col("lang").isin("en", "fr")).count()
+    val otherKept = s1.filter(!col("lang").isin("en", "fr")).count()
+    assert(otherKept == otherAll)
+  }
+}
