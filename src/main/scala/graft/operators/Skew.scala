@@ -46,4 +46,33 @@ object Skew {
       explode(sequence(lit(0), lit(nSalts - 1))))
     l.join(r, keys :+ "__salt").drop("__salt")
   }
+
+  /**
+   * Skew-safe GROUP TOP-K: first-n rows per group under `order`,
+   * exact, without ever sorting a whole hot group in one task. The
+   * naive `row_number().over(partitionBy(group))` serializes each
+   * group into a single partition — a 60%-of-corpus group at 100 TB
+   * is a single 60 TB sort. Here phase 1 takes the per-(group, salt)
+   * top-n (hot groups fan across nSalts tasks), phase 2 re-ranks the
+   * ≤ nSalts·n survivors per group — exact because the global top-n
+   * of a group is contained in the union of its per-salt top-n.
+   *
+   * `order` must be a total order (break ties — e.g. append a unique
+   * id) for deterministic output. Output = input columns + `rankCol`.
+   */
+  def groupTopK(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
+                n: Int, nSalts: Int = 16,
+                rankCol: String = "rk"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(nSalts.toLong)))
+    val w1 = Window.partitionBy((groupCols :+ "__salt").map(col): _*)
+      .orderBy(order: _*)
+    val w2 = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    salted.withColumn("__rk1", row_number().over(w1))
+      .filter(col("__rk1") <= n)
+      .withColumn(rankCol, row_number().over(w2))
+      .filter(col(rankCol) <= n)
+      .drop("__salt", "__rk1")
+  }
 }

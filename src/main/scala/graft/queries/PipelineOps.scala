@@ -584,9 +584,9 @@ object PipelineOps {
     val set = TF.stopwords(l).map(s => s"'$s'").mkString(", ")
     l -> s"len(list_filter(toks, x -> x IN ($set)))"
   }
-  private lazy val langBestSql: String =
+  private[queries] lazy val langBestSql: String =
     s"greatest(${langHitExprs.map(_._2).mkString(", ")})"
-  private lazy val langPickSql: String =
+  private[queries] lazy val langPickSql: String =
     langHitExprs.reverse.foldLeft("'und'") { case (acc, (l, h)) =>
       s"CASE WHEN $h = best AND $h > 0 THEN '$l' ELSE $acc END"
     }

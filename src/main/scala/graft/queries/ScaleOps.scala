@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{TextFunctions => TF}
-import graft.operators.{BloomJoin, FrequentItems}
+import graft.operators.{BloomJoin, FrequentItems, Sampling, Skew}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -66,6 +66,45 @@ object ScaleOps {
           min(col("us")).as("start_us"), max(col("us")).as("end_us"))
         .withColumn("dur_us", col("end_us") - col("start_us"))
         .orderBy("user_id", "session_id")
+    },
+
+    // Deterministic per-group sample: up to 20 docs per language in
+    // md5-bucket order — the reservoir-sample shape made reproducible.
+    // Skew-safe: Skew.groupTopK never sorts a whole hot group (the
+    // dominant language) in one task.
+    "q_group_sample" -> { (spark, dir) =>
+      val d = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), TF.langId(col("text")).as("lang"))
+      Skew.groupTopK(d, Seq("lang"),
+        Seq(Sampling.hashBucket(col("doc_id")), col("doc_id")),
+        n = 20, nSalts = 8)
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy("lang", "rk")
+    },
+
+    // Distributed vocabulary tokenization: top-100 corpus vocabulary
+    // (two-phase: TakeOrderedAndProject global top-V, then ranks over
+    // V rows only — never a corpus-sized single-partition window),
+    // broadcast-joined onto exploded tokens; docs summarized by exact
+    // token/OOV counts and position-weighted id checksums that pin
+    // every id and its position.
+    "text_vocab_ids" -> { (spark, dir) =>
+      val tok = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), posexplode(TF.tokens(col("text"))))
+        .toDF("doc_id", "pos", "tok")
+      val topV = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(100)
+      val vocab = topV.withColumn("id",
+        row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+        .select("tok", "id")
+      tok.join(broadcast(vocab), Seq("tok"), "left")
+        .withColumn("id0", coalesce(col("id"), lit(0)).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("id").isNull, 1L).otherwise(0L)).as("n_oov"),
+          sum(col("id0")).as("ids_sum"),
+          sum(col("id0") * (col("pos") + 1)).as("ids_posw"))
+        .orderBy("doc_id")
     }
   )
 
@@ -101,6 +140,34 @@ object ScaleOps {
         |  MIN(us) AS start_us, MAX(us) AS end_us,
         |  MAX(us) - MIN(us) AS dur_us
         |FROM t GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q_group_sample" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(string_split_regex(text,'\\s+'), x -> len(x)>0) AS toks
+         |  FROM documents),
+         |s AS (SELECT doc_id, toks, ${PipelineOps.langBestSql} AS best FROM t),
+         |l AS (SELECT doc_id, ${PipelineOps.langPickSql} AS lang FROM s),
+         |r AS (SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang
+         |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT,
+         |             doc_id) AS rk
+         |  FROM l)
+         |SELECT lang, rk, doc_id FROM r WHERE rk <= 20
+         |ORDER BY lang, rk""".stripMargin,
+    "text_vocab_ids" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text,'\s+'), x -> len(x)>0) AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok,
+        |    unnest(range(1, len(toks)+1)) AS pos FROM t),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY tok),
+        |v AS (SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS id
+        |      FROM c ORDER BY cnt DESC, tok LIMIT 100),
+        |j AS (SELECT doc_id, pos, v.id AS id, COALESCE(v.id, 0) AS id0
+        |      FROM tok LEFT JOIN v USING (tok))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(SUM(id0) AS BIGINT) AS ids_sum,
+        |  CAST(SUM(id0 * pos) AS BIGINT) AS ids_posw
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

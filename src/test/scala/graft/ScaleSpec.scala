@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{BloomJoin, Dedup, FrequentItems, Sampling}
+import graft.operators.{BloomJoin, Dedup, FrequentItems, Sampling, Skew}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -115,6 +115,21 @@ class ScaleSpec extends AnyFunSuite {
       .orderBy("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
     val want = full.filter { case (a, b) => newIds(a) || newIds(b) }
     assert(inc.toSeq == want.toSeq)
+  }
+
+  test("groupTopK == naive per-group window (exact under salting)") {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang"))
+    val order = Seq(Sampling.hashBucket(col("doc_id")), col("doc_id"))
+    val got = Skew.groupTopK(d, Seq("lang"), order, n = 5, nSalts = 4)
+      .select("lang", "rk", "doc_id").orderBy("lang", "rk").collect().toSeq
+    val w = Window.partitionBy("lang").orderBy(order: _*)
+    val want = d.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("lang", "rk", "doc_id").orderBy("lang", "rk").collect().toSeq
+    assert(got == want)
   }
 
   test("stratifiedSample: per-stratum hash rule, stable under repartition") {
