@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.{TextFunctions => TF}
 import graft.operators.{BloomJoin, FrequentItems, Sampling, Skew}
+import graft.sources.Bucketing
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -105,6 +106,20 @@ object ScaleOps {
           sum(col("id0")).as("ids_sum"),
           sum(col("id0") * (col("pos") + 1)).as("ids_posw"))
         .orderBy("doc_id")
+    },
+
+    // Z-order clustering key (Bucketing.zValue / writeZOrdered): the
+    // multi-dimension layout key — bit-interleave two join/filter
+    // columns so files hold narrow ranges of BOTH. The key itself is
+    // deterministic integer algebra → oracled; the layout benefit
+    // (disjoint per-file z-ranges, narrowed per-file column stats) is
+    // asserted in ScaleSpec.
+    "q_zorder_key" -> { (spark, dir) =>
+      Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"),
+          Bucketing.zValue(col("o_custkey").bitwiseAND(lit(65535L)),
+            col("o_orderkey").bitwiseAND(lit(65535L)), 16).as("z"))
+        .orderBy("o_orderkey")
     }
   )
 
@@ -168,6 +183,14 @@ object ScaleOps {
         |  CAST(SUM(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
         |  CAST(SUM(id0) AS BIGINT) AS ids_sum,
         |  CAST(SUM(id0 * pos) AS BIGINT) AS ids_posw
-        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_zorder_key" -> {
+      val terms = (0 until 16).flatMap { i =>
+        Seq(s"((((o_custkey & 65535) >> $i) & 1) << ${2 * i})",
+          s"((((o_orderkey & 65535) >> $i) & 1) << ${2 * i + 1})")
+      }.mkString(" | ")
+      s"""SELECT o_orderkey, CAST($terms AS BIGINT) AS z
+         |FROM orders ORDER BY o_orderkey""".stripMargin
+    }
   )
 }

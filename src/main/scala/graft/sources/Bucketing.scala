@@ -1,7 +1,8 @@
 package graft.sources
 
 import graft.Slice
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /**
  * Bucketed tables — the co-located-join scale path. At 100 TB the
@@ -46,4 +47,33 @@ object Bucketing {
   def bucketedJoin(spark: SparkSession, left: String, right: String,
                    keys: Seq[String], kind: String = "inner"): DataFrame =
     spark.table(left).join(spark.table(right), keys, kind)
+
+  /**
+   * 2-D Z-value: bit-interleave the low `bits` bits of two
+   * non-negative integer columns (a's bit i → z bit 2i, b's bit i →
+   * z bit 2i+1). Sorting by z clusters rows that are close in BOTH
+   * dimensions — the multi-column data-clustering key for layouts
+   * where queries range-filter on either column. Pure integer column
+   * algebra (codegen'd, engine-replicable → oracle-checkable).
+   */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).flatMap { i =>
+      Seq(shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+
+  /**
+   * Z-ordered parquet layout: range-partition by z-value into nFiles
+   * disjoint z-ranges, sort within each, write. Each file then holds a
+   * contiguous z-region, so its parquet column stats (min/max of BOTH
+   * interleaved dimensions) are narrow — range predicates on either
+   * column skip most files/row groups at scan time, without
+   * Hive-partitioning on either. The write is one range Exchange; at
+   * 100 TB, nFiles tracks total size / target file size.
+   */
+  def writeZOrdered(df: DataFrame, dir: String, z: Column,
+                    nFiles: Int): Unit =
+    df.repartitionByRange(nFiles, z)
+      .sortWithinPartitions(z)
+      .write.mode(SaveMode.Overwrite).parquet(dir)
 }

@@ -55,6 +55,36 @@ object Cache {
   }
 
   /**
+   * Small-files compaction: rewrite a parquet cache dir into
+   * ~targetBytes files. Long-running ingest (streaming sinks,
+   * per-batch appends, over-parallel writes) accretes thousands of
+   * tiny files; at 100 TB that is scan-task explosion and NameNode/
+   * listing pressure. Reads once, coalesces (narrow — no shuffle) to
+   * ceil(total/target) files, writes to a temp dir, then swaps. The
+   * swap is not atomic for concurrent readers (same single-writer
+   * assumption as the reference's cache, slicecache.go:36-50);
+   * the completeness marker is removed first and restored last so a
+   * concurrent [[cache]] call never short-circuits onto a half-swapped
+   * dir. Returns the new file count.
+   */
+  def compact(spark: SparkSession, dir: String,
+              targetBytes: Long = 128L << 20): Int = {
+    val p = Paths.get(dir)
+    val parts = Files.list(p).filter(f =>
+      f.getFileName.toString.endsWith(".parquet")).toArray.map(_.toString)
+    val total = parts.map(f => Files.size(Paths.get(f))).sum
+    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    val tmp = dir.stripSuffix("/") + "__compact_tmp"
+    spark.read.parquet(dir).coalesce(n)
+      .write.mode("overwrite").parquet(tmp)
+    val hadMarker = Files.exists(successMarker(dir))
+    discard(dir)
+    Files.move(Paths.get(tmp), p)
+    if (hadMarker) { Files.createFile(successMarker(dir)); () }
+    n
+  }
+
+  /**
    * Hive-style partitioned parquet layout (`dir/col=value/…`) — the
    * 100 TB table organization: queries filtering on the partition
    * column prune whole directories at planning time (PartitionFilters

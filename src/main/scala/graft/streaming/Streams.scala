@@ -139,6 +139,50 @@ object Streams {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /**
+   * Streaming NEAR-dup detection — the incremental analog of
+   * `Dedup.minhashDupPairs` for continuous ingest: every micro-batch
+   * is deduped against the accumulated corpus (and within itself) via
+   * `Dedup.minhashIncremental` (one-sided LSH probe — per-batch work
+   * scales with the batch, never corpus²), then appended to the
+   * corpus store. `foreachBatch` is the right surface: the LSH
+   * bucket join + exact-Jaccard verify are batch joins the streaming
+   * engine cannot express natively, and foreachBatch gives each
+   * micro-batch transactional access to the corpus-so-far.
+   *
+   * Invariant (asserted in StreamingSpec): the union of per-batch
+   * pair sets over any batch split equals the batch
+   * `minhashDupPairs` of the full corpus — every pair is emitted in
+   * the batch where its later endpoint arrives, exactly once.
+   *
+   * Caveat: the shingle df cap is computed against the corpus-so-far,
+   * so a shingle crossing the cap mid-stream affects only later
+   * batches; a production deployment maintains the stop-shingle list
+   * from periodic full-corpus snapshots (same drift class as the
+   * reference's CachePartial nondeterminism caveat, cache.go:56-61).
+   */
+  def nearDupStream(docs: DataFrame, id: String, text: String,
+                    corpusDir: String,
+                    k: Int = 3, numPerms: Int = 64, bandRows: Int = 2,
+                    minJ: Double = 0.5, maxShingleDf: Int = 100)
+                   (onPairs: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val slim = batch.select(col(id), col(text))
+        val existing =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(corpusDir)))
+            spark.read.parquet(corpusDir)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], slim.schema)
+        val p = graft.operators.Dedup.minhashIncremental(
+          existing, slim, id, text, k, numPerms, bandRows, minJ, maxShingleDf)
+        onPairs(p, batchId)
+        slim.write.mode("append").parquet(corpusDir)
+      }
+      .start()
+
   /** Run a streaming query to completion against the (finite) batch
     * source and return the result — the slicetest.Run analog for
     * streaming (memory sink + processAllAvailable). */

@@ -9,6 +9,8 @@ import org.apache.spark.sql.SparkSession
   *    queries × streamed corpus; candidates are by definition all pairs)
   *  - q22_idle_customers, q11_important_parts: Spark's scalar-subquery
   *    plan — a ONE-ROW broadcast side crossed with the fact table
+  *  - q_heavy_hitters: the explicit ONE-ROW total-count broadcast
+  *    crossed with the (≤ cap rows) candidate counts — same class
   * dedup_embedding is a block-pair equi-join and sim_topk_lsh/ivf are
   * bucket equi-joins — no BNLJ (PlanSpec asserts). */
 object PlanAudit {

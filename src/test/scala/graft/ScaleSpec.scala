@@ -132,6 +132,56 @@ class ScaleSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("zValue interleaves bits; z-ordered layout narrows per-file ranges") {
+    import graft.sources.Bucketing
+    // hand-checked interleave: a=0b101, b=0b011 → z=0b011011 = 27
+    val z0 = spark.range(1)
+      .select(Bucketing.zValue(lit(5L), lit(3L), 3).as("z"))
+      .head().getLong(0)
+    assert(z0 == 27L)
+    // synthetic 64×64 grid: 4 z-range files must cover ~half the range
+    // of EACH dimension; naive round-robin files cover all of both
+    import spark.implicits._
+    val grid = spark.range(4096)
+      .select((col("id") % 64).as("a"),
+        floor(col("id") / 64).cast("long").as("b"))
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    Bucketing.writeZOrdered(grid, s"$base/z",
+      Bucketing.zValue(col("a"), col("b"), 6), nFiles = 4)
+    grid.repartition(4).write.parquet(s"$base/naive")
+    def meanRange(d: String, c: String): Double = {
+      val fs = new java.io.File(d).listFiles
+        .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      val rs = fs.map { f =>
+        val mm = spark.read.parquet(f).agg(min(col(c)), max(col(c))).head()
+        (mm.getLong(1) - mm.getLong(0)).toDouble
+      }
+      rs.sum / rs.length
+    }
+    assert(spark.read.parquet(s"$base/z").count() == 4096)
+    val (za, na) = (meanRange(s"$base/z", "a"), meanRange(s"$base/naive", "a"))
+    val (zb, nb) = (meanRange(s"$base/z", "b"), meanRange(s"$base/naive", "b"))
+    assert(za < 0.8 * na, s"a: z=$za naive=$na")
+    assert(zb < 0.8 * nb, s"b: z=$zb naive=$nb")
+  }
+
+  test("compact merges small cache files; data and marker preserved") {
+    import graft.sources.Cache
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/c"
+    val s = Slice(Tables.load(spark, sf, "orders").repartition(16), 1)
+    Cache.cache(s, dir)
+    def files(d: String) = new java.io.File(d).listFiles
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files(dir).length == 16)
+    val rows = spark.read.parquet(dir).count()
+    val n = Cache.compact(spark, dir, targetBytes = Long.MaxValue)
+    assert(n == 1 && files(dir).length == 1)
+    assert(spark.read.parquet(dir).count() == rows)
+    // marker survived the swap → cache() still short-circuits
+    val again = Cache.cache(s, dir)
+    assert(again.df.count() == rows && files(dir).length == 1)
+  }
+
   test("stratifiedSample: per-stratum hash rule, stable under repartition") {
     import graft.functions.TextFunctions
     val d = Tables.load(spark, sf, "documents")
