@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{Multimodal, TextFunctions => TF}
-import graft.operators.{Dedup, Packing, Sampling, Similarity}
+import graft.operators.{Dedup, Packing, Quality, Sampling, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -301,6 +301,23 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // Data-quality gates: every document tagged with the named rules
+    // it violates (quality "expectations" — quarantine with reasons,
+    // never a silent drop). Scan-speed column algebra, fails closed on
+    // NULL predicates.
+    "q_quarantine" -> { (spark, dir) =>
+      val rules = Seq(
+        "too_short" -> (length(col("text")) >= 100),
+        "low_alpha" -> (TF.alphaRatio(col("text")) >= 0.5),
+        "few_tokens" -> (TF.wsTokenCount(col("text")) >= 20),
+        "unknown_lang" -> (TF.langId(col("text")) =!= "und"))
+      Quality.withViolations(Tables.load(spark, dir, "documents"), rules)
+        .select(col("doc_id"),
+          size(col("violations")).cast("long").as("n_violations"),
+          array_join(col("violations"), ",").as("viol"))
+        .orderBy("doc_id")
+    },
+
     // --- multimodal plumbing ---------------------------------------------
     "mm_features" -> { (spark, dir) =>
       val assets = Multimodal.synthesizeAssets(
@@ -569,6 +586,22 @@ object PipelineOps {
          |       WHEN lang = 'fr' THEN ${(0.5 * (1L << 32)).toLong}
          |       ELSE ${1L << 32} END
          |ORDER BY doc_id""".stripMargin,
+    "q_quarantine" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |  list_filter(string_split_regex(text,'\\s+'), x -> len(x)>0) AS toks
+         |  FROM documents),
+         |s AS (SELECT doc_id, text, toks, $langBestSql AS best FROM t),
+         |l AS (SELECT doc_id, text, toks, $langPickSql AS lang FROM s),
+         |v AS (SELECT doc_id, list_filter([
+         |  CASE WHEN NOT (len(text) >= 100) THEN 'too_short' END,
+         |  CASE WHEN NOT (CAST(len(regexp_replace(text,'[^a-zA-Z]','','g')) AS DOUBLE)
+         |                 / CAST(len(text) AS DOUBLE) >= 0.5) THEN 'low_alpha' END,
+         |  CASE WHEN NOT (len(toks) >= 20) THEN 'few_tokens' END,
+         |  CASE WHEN NOT (lang != 'und') THEN 'unknown_lang' END],
+         |  x -> x IS NOT NULL) AS viols FROM l)
+         |SELECT doc_id, CAST(len(viols) AS BIGINT) AS n_violations,
+         |  COALESCE(array_to_string(viols, ','), '') AS viol
+         |FROM v ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """WITH c AS (SELECT doc_id, len(text) AS L,
         |  greatest(len(text) // 256, 1) AS nf FROM documents)

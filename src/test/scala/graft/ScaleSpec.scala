@@ -182,6 +182,19 @@ class ScaleSpec extends AnyFunSuite {
     assert(again.df.count() == rows && files(dir).length == 1)
   }
 
+  test("quarantine fails closed on null predicates and splits exactly") {
+    import graft.operators.Quality
+    import spark.implicits._
+    val df = Seq((1L, Some(5)), (2L, None), (3L, Some(50))).toDF("id", "v")
+    val rules = Seq("v_big" -> (col("v") >= 10))
+    val (good, bad) = Quality.quarantine(df, rules)
+    assert(good.select("id").collect().map(_.getLong(0)).toSet == Set(3L))
+    // row 2's predicate is NULL → must land in quarantine (fail closed)
+    assert(bad.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(bad.filter(col("id") === 2L)
+      .select(array_join(col("violations"), ",")).head().getString(0) == "v_big")
+  }
+
   test("stratifiedSample: per-stratum hash rule, stable under repartition") {
     import graft.functions.TextFunctions
     val d = Tables.load(spark, sf, "documents")
