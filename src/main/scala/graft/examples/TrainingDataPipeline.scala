@@ -2,16 +2,18 @@ package graft.examples
 
 import graft.{GraftSession, Tables}
 import graft.functions.{TextFunctions => TF}
-import graft.operators.Dedup
+import graft.operators.{Dedup, Quality, Sampling}
 import org.apache.spark.sql.functions._
 
 /**
  * End-to-end LLM training-data pipeline over the documents corpus —
  * the composition the individual operators exist for:
  *
- *   load → language filter → quality filter → exact dedup →
- *   near-dup clusters (MinHash+LSH → verified pairs → connected
- *   components) → keep one canonical doc per cluster → token stats.
+ *   load → quality gates (named expectations, quarantine with
+ *   reasons) → exact dedup → near-dup clusters (MinHash+LSH →
+ *   verified pairs → connected components) → keep one canonical doc
+ *   per cluster → stratified language rebalancing → deterministic
+ *   train/val/test split → token stats.
  *
  * Every stage is declarative or a bucket-joined sketch; nothing
  * materializes on the driver, so the same code runs at corpus scale
@@ -28,13 +30,17 @@ object TrainingDataPipeline {
     val docs = Tables.load(spark, sfDir, "documents")
     val total = docs.count()
 
-    // 1. language + quality gates (cheap, run first to shrink everything)
-    val gated = docs
+    // 1. quality gates (cheap, run first to shrink everything):
+    //    named expectations, violators quarantined WITH reasons
+    val tagged = docs
       .withColumn("lang", TF.langId(col("text")))
       .withColumn("quality", TF.qualityScore(col("text")))
-      .filter(col("lang") =!= "und" && col("quality") > 0.3)
-      .persist()
+    val (gatedRaw, quarantined) = Quality.quarantine(tagged, Seq(
+      "unknown_lang" -> (col("lang") =!= "und"),
+      "low_quality" -> (col("quality") > 0.3)))
+    val gated = gatedRaw.persist()
     val kept1 = gated.count()
+    val nQuar = quarantined.count()
 
     // 2. exact dedup: canonical = min doc_id per content digest
     val exactCanon = gated
@@ -53,17 +59,33 @@ object TrainingDataPipeline {
     val deduped = exact.join(dropDocs, Seq("doc_id"), "left_anti").persist()
     val kept3 = deduped.count()
 
-    // 4. token accounting on the surviving corpus
-    val stats = deduped.agg(
+    // 4. stratified rebalancing (downsample the dominant language) and
+    //    deterministic split — both pure hash membership, scan-speed
+    // distinct salt: the rebalancing decision must be INDEPENDENT of
+    // the split decision below (same key, same hash → correlated
+    // membership; see Sampling.hashBucket's pitfall note)
+    val balanced = Sampling.stratifiedSample(deduped, "doc_id", col("lang"),
+      Map("en" -> 0.5), salt = "balance")
+    val split = Sampling.assignSplit(balanced, "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)).persist()
+    val kept4 = split.count()
+
+    // 5. token accounting on the final corpus, per split
+    val stats = split.agg(
       sum(TF.wsTokenCount(col("text")).cast("long")).as("ws_tokens"),
       sum(TF.bpeTokenCount(col("text")).cast("long")).as("bpe_tokens"),
       avg(col("quality")).as("mean_quality")).head()
+    val perSplit = split.groupBy("split").count().orderBy("split")
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
 
-    println(s"docs: $total -> lang/quality: $kept1 -> exact-dedup: $kept2 " +
-      s"-> near-dedup: $kept3")
+    println(s"docs: $total -> gates: $kept1 (quarantined $nQuar) " +
+      s"-> exact-dedup: $kept2 -> near-dedup: $kept3 -> balanced: $kept4")
+    println(s"splits: $perSplit")
     println(s"tokens(ws)=${stats.getLong(0)} tokens(bpe)=${stats.getLong(1)} " +
       f"mean_quality=${stats.getDouble(2)}%.3f")
+    require(kept1 + nQuar == total, "gates must partition the corpus")
     require(kept3 > 0 && kept3 <= kept2 && kept2 <= kept1 && kept1 <= total)
+    require(kept4 > 0 && kept4 <= kept3)
     spark.stop()
   }
 }

@@ -118,6 +118,37 @@ object Multimodal {
       .toDF(id, "frame", "frame_bytes")
   }
 
+  /**
+   * STUB embedding kernel — payload → dim-dimensional float vector
+   * (real impl: an ONNX/JNI model call over the decoded asset; this
+   * signature is the integration contract). dim j = (sum of bytes at
+   * positions ≡ j mod dim) % 997, scaled by 1/1024 — both the residue
+   * (< 2^10) and the power-of-two division are EXACT in Float and
+   * Double, so downstream double-precision cosines are bit-identical
+   * across engines and mm_embed_topk carries a full oracle.
+   */
+  def embedStub(payload: Array[Byte], dim: Int): Array[Float] = {
+    val s = new Array[Long](dim)
+    var i = 0
+    while (i < payload.length) { s(i % dim) += payload(i) & 0xFF; i += 1 }
+    Array.tabulate(dim)(j => (s(j) % 997).toFloat / 1024.0f)
+  }
+
+  /** Embedding extraction over a binary column — executor-side batch
+    * kernel (same shape as [[extractFeatures]]); output plugs directly
+    * into the Similarity ANN operators. */
+  def embed(df: DataFrame, id: String, payload: String,
+            dim: Int = 16): DataFrame = {
+    implicit val enc = Encoders.tuple(Encoders.scalaLong,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+    df.select(col(id).cast("long"), col(payload))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (i, bytes) => (i, embedStub(bytes, dim)) }
+      }
+      .toDF(id, "embedding")
+  }
+
   /** Synthesize a multimodal table from text docs (payload = utf-8
     * bytes) — the corpus has no binary column, so tests fabricate one
     * with the exact schema a real pipeline would carry. */

@@ -17,10 +17,17 @@ object Sampling {
 
   /** Uniform bucket in [0, 2^32) from the key's md5 — the split
     * coordinate. Collision-free w.r.t. intent: equal keys (however the
-    * corpus is partitioned) always land in the same bucket. */
-  def hashBucket(key: Column): Column =
-    conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("long")
+    * corpus is partitioned) always land in the same bucket.
+    *
+    * INDEPENDENCE PITFALL: two hash-membership decisions over the SAME
+    * key are perfectly correlated — e.g. a 50% `hashSample` followed by
+    * a 0.9/0.05/0.05 `assignSplit` puts every survivor in "train",
+    * because survivors all have bucket < 0.5·2^32. Compose decisions
+    * with distinct `salt`s (each salt is an independent coordinate);
+    * the default empty salt preserves the raw-md5 bucket. */
+  def hashBucket(key: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(salt)).cast("binary")),
+      1, 8), 16, 10).cast("long")
 
   /** Exact integer thresholds for cumulative fractions of 2^32. */
   private[graft] def cuts(fracs: Seq[Double]): Seq[Long] =
@@ -34,10 +41,11 @@ object Sampling {
    * fractions should sum to 1.
    */
   def assignSplit(df: DataFrame, key: String,
-                  splits: Seq[(String, Double)]): DataFrame = {
+                  splits: Seq[(String, Double)],
+                  salt: String = ""): DataFrame = {
     require(splits.nonEmpty, "need at least one split")
     val cs = cuts(splits.map(_._2))
-    val b = hashBucket(col(key))
+    val b = hashBucket(col(key), salt)
     val expr = splits.init.zipWithIndex.foldRight(lit(splits.last._1): Column) {
       case (((name, _), i), acc) => when(b < cs(i + 1), lit(name)).otherwise(acc)
     }
@@ -47,8 +55,9 @@ object Sampling {
   /** Deterministic Bernoulli-style subsample: keep keys whose bucket
     * falls below `fraction` of the space (stable across reruns and
     * engines, unlike seeded `sample`). */
-  def hashSample(df: DataFrame, key: String, fraction: Double): DataFrame =
-    df.filter(hashBucket(col(key)) < (fraction * (1L << 32)).toLong)
+  def hashSample(df: DataFrame, key: String, fraction: Double,
+                 salt: String = ""): DataFrame =
+    df.filter(hashBucket(col(key), salt) < (fraction * (1L << 32)).toLong)
 
   /**
    * Deterministic STRATIFIED subsample: a per-stratum keep fraction
@@ -61,12 +70,13 @@ object Sampling {
    */
   def stratifiedSample(df: DataFrame, key: String, stratum: Column,
                        fractions: Map[String, Double],
-                       defaultFraction: Double = 1.0): DataFrame = {
+                       defaultFraction: Double = 1.0,
+                       salt: String = ""): DataFrame = {
     def cut(f: Double): Long = (f * (1L << 32)).toLong
     val cutCol = fractions.toSeq.sortBy(_._1)
       .foldRight(lit(cut(defaultFraction)): Column) {
         case ((s, f), acc) => when(stratum === s, lit(cut(f))).otherwise(acc)
       }
-    df.filter(hashBucket(col(key)) < cutCol)
+    df.filter(hashBucket(col(key), salt) < cutCol)
   }
 }

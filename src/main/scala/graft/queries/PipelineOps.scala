@@ -328,6 +328,20 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // The multimodal loop CLOSED: payload → (stub) embedding kernel →
+    // ANN search. The stub's arithmetic is exact in float and double
+    // (residue < 2^10, power-of-two scale) so the cosine ranking
+    // carries a full oracle — the real-model swap changes one kernel
+    // body, not the pipeline.
+    "mm_embed_topk" -> { (spark, dir) =>
+      val assets = Multimodal.synthesizeAssets(
+        Tables.load(spark, dir, "documents"), "doc_id", "text")
+      val emb = Multimodal.embed(assets, "doc_id", "payload", dim = 16)
+      Similarity.bruteForceTopK(emb, emb.filter(col("doc_id") < 10),
+        "doc_id", "embedding", 16, k = 5)
+        .orderBy("query_id", "rnk")
+    },
+
     // frame sampling: stub demux slices fixed-size chunks, so counts
     // and byte totals are exactly derivable from len(text) → oracled.
     "mm_frame_sample" -> { (spark, dir) =>
@@ -602,6 +616,29 @@ object PipelineOps {
          |SELECT doc_id, CAST(len(viols) AS BIGINT) AS n_violations,
          |  COALESCE(array_to_string(viols, ','), '') AS viol
          |FROM v ORDER BY doc_id""".stripMargin,
+    "mm_embed_topk" -> {
+      val dims = (0 until 16).map(j =>
+        s"CAST(COALESCE(list_sum(list_transform(" +
+          s"list_filter(range(0, L), p -> p % 16 = $j), p -> cs[p+1])), 0) " +
+          s"% 997 AS DOUBLE) / 1024.0").mkString(", ")
+      def dot(a: String, b: String) =
+        (1 to 16).map(i => s"$a.e[$i]*$b.e[$i]").mkString(" + ")
+      val cos = s"(${dot("a", "b")}) / (sqrt(${dot("a", "a")}) * sqrt(${dot("b", "b")}))"
+      s"""WITH codes AS (SELECT doc_id,
+         |    list_transform(string_split(text,''), c -> ascii(c)) AS cs,
+         |    len(text) AS L FROM documents),
+         |emb AS (SELECT doc_id, [$dims] AS e FROM codes),
+         |scored AS (
+         |  SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id, $cos AS cos
+         |  FROM emb a, emb b WHERE a.doc_id < 10 AND a.doc_id != b.doc_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, rnk, neighbor_id, cos FROM ranked
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+    },
     "mm_frame_sample" ->
       """WITH c AS (SELECT doc_id, len(text) AS L,
         |  greatest(len(text) // 256, 1) AS nf FROM documents)

@@ -182,6 +182,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(again.df.count() == rows && files(dir).length == 1)
   }
 
+  test("salted hash decisions are independent; unsalted ones correlate") {
+    import spark.implicits._
+    val keys = spark.range(2000).toDF("k")
+    // unsalted 50% sample then 0.9-train split: survivors all train
+    val unsalted = Sampling.assignSplit(
+      Sampling.hashSample(keys, "k", 0.5), "k",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    assert(unsalted.select("split").distinct().count() == 1,
+      "unsalted composition must expose the correlation")
+    // distinct salt → all three splits appear among survivors
+    val salted = Sampling.assignSplit(
+      Sampling.hashSample(keys, "k", 0.5, salt = "sample"), "k",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    assert(salted.select("split").distinct().count() == 3,
+      "salted decisions must be independent")
+  }
+
   test("quarantine fails closed on null predicates and splits exactly") {
     import graft.operators.Quality
     import spark.implicits._
