@@ -229,4 +229,40 @@ class PropertySpec extends AnyFunSuite {
       assert(got == expect)
     }
   }
+
+  test("zValue bit-interleave is invertible for any 16-bit pair") {
+    import spark.implicits._
+    val pairGen: Gen[(Long, Long)] = for {
+      a <- Gen.choose(0L, 65535L)
+      b <- Gen.choose(0L, 65535L)
+    } yield (a, b)
+    val pairs = draws(pairGen, 200)
+    val zs = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.sources.Bucketing.zValue(col("a"), col("b"), 16).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for ((a, b, z) <- zs) {
+      var (ra, rb) = (0L, 0L)
+      for (i <- 0 until 16) {
+        ra |= ((z >> (2 * i)) & 1L) << i
+        rb |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert(ra == a && rb == b, s"z=$z a=$a b=$b got ($ra,$rb)")
+    }
+  }
+
+  test("Misra-Gries candidates contain every true heavy hitter, any stream & partitioning") {
+    import graft.operators.FrequentItems
+    import spark.implicits._
+    for ((rows, nPart) <- draws(rowsGen, 4).zip(Seq(1, 3, 8, 13))) {
+      val minFreq = 0.05
+      val df = rows.map(_._1).toDF("x").repartition(nPart)
+      val out = FrequentItems.heavyHitters(df, "x", minFreq)
+        .collect().map(_.getString(0)).toSet
+      val n = rows.size.toDouble
+      val exact = rows.groupBy(_._1).view.mapValues(_.size)
+        .filter { case (_, c) => c > minFreq * n }.keys.toSet
+      assert(out == exact, s"nPart=$nPart got=$out want=$exact")
+    }
+  }
 }
