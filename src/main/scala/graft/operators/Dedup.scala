@@ -208,6 +208,24 @@ object Dedup {
   }
 
   /**
+   * Benchmark DECONTAMINATION — the asymmetric sibling of near-dup
+   * detection: find corpus documents sharing at least one k-token
+   * shingle with a probe (benchmark / eval) set, so evaluation data
+   * can be scrubbed from training corpora. Probe sets are tiny
+   * relative to the corpus → their distinct shingle set BROADCASTS;
+   * the corpus side is one narrow explode + broadcast join + one
+   * partial/final count — no corpus-side shuffle of text, no pair
+   * space at all. Output: (id, n_shared) per contaminated corpus doc.
+   */
+  def contaminated(corpus: DataFrame, probes: DataFrame,
+                   id: String, text: String, k: Int = 8): DataFrame = {
+    val c = shingles(corpus, id, text, k)
+    val p = shingles(probes, id, text, k).select(col("shingle")).distinct()
+    c.join(broadcast(p), Seq("shingle"))
+      .groupBy(col(id)).agg(count(lit(1)).as("n_shared"))
+  }
+
+  /**
    * Connected components over an undirected duplicate-pair edge list —
    * the step that turns pairwise dups into dedup CLUSTERS (keep
    * min-id doc per component, drop the rest). Min-label propagation:

@@ -301,6 +301,20 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // Benchmark decontamination: corpus docs sharing any 5-token
+    // shingle with the probe (eval) set — a deterministic ~20% hash
+    // bucket standing in for a benchmark. The probe shingle set
+    // broadcasts; the corpus never shuffles its text.
+    "q_decontaminate" -> { (spark, dir) =>
+      val d = Tables.load(spark, dir, "documents")
+      val isProbe =
+        Sampling.hashBucket(col("doc_id")) < lit(Sampling.cuts(Seq(0.2))(1))
+      Dedup.contaminated(d.filter(!isProbe), d.filter(isProbe),
+        "doc_id", "text", k = 5)
+        .withColumn("n_shared", col("n_shared").cast("long"))
+        .orderBy("doc_id")
+    },
+
     // Data-quality gates: every document tagged with the named rules
     // it violates (quality "expectations" — quarantine with reasons,
     // never a silent drop). Scan-speed column algebra, fails closed on
@@ -600,6 +614,29 @@ object PipelineOps {
          |       WHEN lang = 'fr' THEN ${(0.5 * (1L << 32)).toLong}
          |       ELSE ${1L << 32} END
          |ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" -> {
+      val cut = Sampling.cuts(Seq(0.2))(1)
+      val sh5 = (0 until 5).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text,'\\s+'), x -> len(x)>0) AS t
+         |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, s FROM toks,
+         |  LATERAL (SELECT unnest(list_transform(range(1, len(t)-3),
+         |                  i -> $sh5)) AS s)
+         |  WHERE len(t) >= 5),
+         |probe AS (SELECT doc_id FROM documents
+         |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+         |        < $cut),
+         |psh AS (SELECT DISTINCT s FROM sh
+         |        WHERE doc_id IN (SELECT doc_id FROM probe))
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM sh
+         |WHERE doc_id NOT IN (SELECT doc_id FROM probe)
+         |  AND s IN (SELECT s FROM psh)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "q_quarantine" ->
       s"""WITH t AS (SELECT doc_id, text,
          |  list_filter(string_split_regex(text,'\\s+'), x -> len(x)>0) AS toks
