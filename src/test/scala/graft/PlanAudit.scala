@@ -5,8 +5,9 @@ import org.apache.spark.sql.SparkSession
 /** Plan audit over every SparkEntry query: per query, count exchanges
   * and join kinds, flag cartesian/BNLJ stages. Run via Test/runMain.
   * Expected BNLJ flags (all benign):
-  *  - sim_topk_bruteforce: the deliberate exact baseline (broadcast
-  *    queries × streamed corpus; candidates are by definition all pairs)
+  *  - sim_topk_bruteforce, mm_embed_topk: the deliberate exact
+  *    baselines (broadcast queries × streamed corpus; candidates are
+  *    by definition all pairs)
   *  - q22_idle_customers, q11_important_parts: Spark's scalar-subquery
   *    plan — a ONE-ROW broadcast side crossed with the fact table
   *  - q_heavy_hitters: the explicit ONE-ROW total-count broadcast
