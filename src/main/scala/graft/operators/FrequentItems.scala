@@ -44,6 +44,12 @@ object FrequentItems {
   class MisraGries(cap: Int)
       extends Aggregator[String, MGBuf, Array[String]] with Serializable {
 
+    // Per-element update scans the key array (O(cap), cap is small by
+    // construction). ObjectHashAggregate keeps the buffer deserialized
+    // between updates, so there is no per-row encoder cost; a
+    // throughput-tuned variant would pre-aggregate per partition with
+    // a hash map in mapPartitions and feed ONLY the per-partition
+    // summaries to this Aggregator — same bound, same merge.
     override def zero: MGBuf = MGBuf(Array.empty, Array.empty)
 
     override def reduce(b: MGBuf, x: String): MGBuf = {

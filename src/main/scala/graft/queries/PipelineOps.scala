@@ -301,6 +301,24 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // Length-bucketed batching: token-count DECILE per doc (exact
+    // interpolated percentiles — Spark `percentile` and DuckDB
+    // `quantile_cont` share the definition bit-for-bit), the standard
+    // padding-efficiency move before batch assembly. One tiny scalar
+    // aggregate broadcast back over the corpus; ties bucket downward.
+    "q_quantile_bins" -> { (spark, dir) =>
+      val withN = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          TF.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      val thr = withN.agg(percentile(col("n_tokens"),
+        array((1 to 9).map(i => lit(i / 10.0)): _*)).as("thr"))
+      withN.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("n_tokens"),
+          (size(filter(col("thr"),
+            t => col("n_tokens").cast("double") > t)) + 1).cast("long").as("bin"))
+        .orderBy("doc_id")
+    },
+
     // Benchmark decontamination: corpus docs sharing any 5-token
     // shingle with the probe (eval) set — a deterministic ~20% hash
     // bucket standing in for a benchmark. The probe shingle set
@@ -614,6 +632,16 @@ object PipelineOps {
          |       WHEN lang = 'fr' THEN ${(0.5 * (1L << 32)).toLong}
          |       ELSE ${1L << 32} END
          |ORDER BY doc_id""".stripMargin,
+    "q_quantile_bins" ->
+      """WITH c AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text,'\s+'), x -> len(x)>0))
+        |       AS BIGINT) AS n_tokens FROM documents),
+        |t AS (SELECT quantile_cont(n_tokens,
+        |        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS thr FROM c)
+        |SELECT doc_id, n_tokens,
+        |  CAST(len(list_filter(thr, x -> CAST(n_tokens AS DOUBLE) > x)) + 1
+        |       AS BIGINT) AS bin
+        |FROM c, t ORDER BY doc_id""".stripMargin,
     "q_decontaminate" -> {
       val cut = Sampling.cuts(Seq(0.2))(1)
       val sh5 = (0 until 5).map(j => s"t[i+$j]").mkString(" || ' ' || ")
