@@ -59,6 +59,15 @@ object Sampling {
                  salt: String = ""): DataFrame =
     df.filter(hashBucket(col(key), salt) < (fraction * (1L << 32)).toLong)
 
+  /** Deterministic k-fold assignment (cross-validation folds): fold =
+    * bucket mod k — equal-probability folds, same engine-independent
+    * membership guarantees as [[assignSplit]]. */
+  def kFold(df: DataFrame, key: String, k: Int,
+            salt: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    df.withColumn("fold", pmod(hashBucket(col(key), salt), lit(k.toLong)))
+  }
+
   /**
    * Deterministic STRATIFIED subsample: a per-stratum keep fraction
    * (e.g. downsample an over-represented language while keeping rare

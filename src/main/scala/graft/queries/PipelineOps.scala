@@ -289,6 +289,15 @@ object PipelineOps {
         .orderBy("a", "b")
     },
 
+    // k-fold cross-validation assignment: fold = md5-bucket mod 5 —
+    // the split family completed (train/val/test, cluster-keyed,
+    // stratified, folds), all pure hash membership.
+    "q_kfold" -> { (spark, dir) =>
+      Sampling.kFold(Tables.load(spark, dir, "documents"), "doc_id", k = 5)
+        .select(col("doc_id"), col("fold"))
+        .orderBy("doc_id")
+    },
+
     // Stratified corpus rebalancing: deterministic per-language keep
     // fractions (downsample dominant languages, keep rare ones whole).
     // Membership = pure function of (doc_id, lang) → fully oracled.
@@ -632,6 +641,10 @@ object PipelineOps {
          |       WHEN lang = 'fr' THEN ${(0.5 * (1L << 32)).toLong}
          |       ELSE ${1L << 32} END
          |ORDER BY doc_id""".stripMargin,
+    "q_kfold" ->
+      """SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 5 AS fold
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_quantile_bins" ->
       """WITH c AS (SELECT doc_id,
         |  CAST(len(list_filter(string_split_regex(text,'\s+'), x -> len(x)>0))
