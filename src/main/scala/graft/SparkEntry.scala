@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{ExtOps, PipelineOps, RefOps, ScaleOps, Tpch, Tpch2, Tpch3}
+import graft.queries.{CorpusOps, ExtOps, PipelineOps, RefOps, ScaleOps, Tpch, Tpch2, Tpch3}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -14,13 +14,15 @@ object SparkEntry {
     * headline analytical queries (q*) and the LLM-pipeline operators. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RefOps.queries ++ Tpch.queries ++ Tpch2.queries ++ Tpch3.queries ++
-      PipelineOps.queries ++ ExtOps.queries ++ ScaleOps.queries
+      PipelineOps.queries ++ ExtOps.queries ++ ScaleOps.queries ++
+      CorpusOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RefOps.oracleSql ++ Tpch.oracleSql ++ Tpch2.oracleSql ++ Tpch3.oracleSql ++
-      PipelineOps.oracleSql ++ ExtOps.oracleSql ++ ScaleOps.oracleSql
+      PipelineOps.oracleSql ++ ExtOps.oracleSql ++ ScaleOps.oracleSql ++
+      CorpusOps.oracleSql
 
   /** Headline subset timed by Bench (BENCH_r{N}.json). */
   def benchQueries: Seq[String] = Seq(

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus chunking and segment-level dedup — the text-preparation steps
+ * between document-level dedup and batch assembly in a training-data
+ * pipeline.
+ *
+ * Both are built from codegen'd column functions (split / sequence /
+ * slice / explode) with no UDFs: chunking is a pure narrow explode
+ * (scan-speed at any corpus size); segment dedup adds exactly one
+ * aggregation Exchange on a uniform content digest plus one digest
+ * equi-join — never a pair space.
+ */
+object Chunking {
+
+  /**
+   * Sliding token-window chunking (context-window preparation /
+   * retrieval chunking): document text → overlapping chunks of
+   * `chunkSize` whitespace tokens starting every `stride` tokens.
+   * Chunk i covers tokens [i*stride, i*stride+chunkSize); the last
+   * chunk may be short; empty documents yield no chunks.
+   *
+   * Output: (id, chunk_id, n_tok, chunk) — one row per chunk.
+   *
+   * Scale: narrow (explode only, no shuffle); each input row expands
+   * to ceil(nTokens/stride) rows, so output size is predictable and
+   * the stage stays inside whole-stage codegen.
+   */
+  def chunk(df: DataFrame, id: String, text: String,
+            chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be > 0")
+    df.select(col(id), TF.tokens(col(text)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(id),
+        explode(sequence(lit(0L),
+          floor((size(col("__toks")) - 1) / stride).cast("long"))).as("chunk_id"),
+        col("__toks"))
+      .select(col(id), col("chunk_id"),
+        slice(col("__toks"),
+          (col("chunk_id") * stride + 1).cast("int"),
+          lit(chunkSize)).as("__ctoks"))
+      .select(col(id), col("chunk_id"),
+        size(col("__ctoks")).cast("long").as("n_tok"),
+        array_join(col("__ctoks"), " ").as("chunk"))
+  }
+
+  /**
+   * Cross-document segment-level dedup (the C4-style "line dedup"
+   * pass, with fixed `segLen`-token segments standing in for lines in
+   * a corpus without line structure): every distinct segment is kept
+   * exactly once corpus-wide — at its FIRST occurrence in (id,
+   * seg_idx) order — and removed everywhere else; documents are then
+   * reassembled from their surviving segments in order. Documents
+   * left with no segments disappear.
+   *
+   * Output: (id, clean_text, n_seg_kept, n_seg_total).
+   *
+   * Scale: segments explode narrowly; the first-occurrence winner per
+   * segment is ONE aggregation Exchange keyed by the segment's md5
+   * digest (uniform — content hashing admits no hot key), the
+   * keeper check is one digest equi-join (segment text travels only
+   * on the occurrence side), and reassembly is one per-document
+   * aggregation whose state is bounded by the document's own segment
+   * count. No step is quadratic in corpus size.
+   */
+  def segmentDedup(df: DataFrame, id: String, text: String,
+                   segLen: Int): DataFrame = {
+    require(segLen > 0, "segLen must be > 0")
+    val segs = chunk(df, id, text, segLen, segLen)
+      .withColumnRenamed("chunk_id", "seg_idx")
+      .withColumnRenamed("chunk", "seg")
+      .withColumn("__digest", md5(col("seg").cast("binary")))
+    // first occurrence of each distinct segment: lexicographic min of
+    // (id, seg_idx) — matches ORDER BY id, seg_idx in the oracle.
+    val keeper = segs.groupBy(col("__digest"))
+      .agg(min(struct(col(id), col("seg_idx"))).as("__keep"))
+    val kept = segs.join(keeper, "__digest")
+      .filter(col(id) === col("__keep")(id) &&
+        col("seg_idx") === col("__keep")("seg_idx"))
+    val totals = segs.groupBy(col(id))
+      .agg(count(lit(1)).as("n_seg_total"))
+    kept.groupBy(col(id))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          s => s("seg")), " ").as("clean_text"),
+        count(lit(1)).as("n_seg_kept"))
+      .join(totals, id)
+      .select(col(id), col("clean_text"), col("n_seg_kept"), col("n_seg_total"))
+  }
+}

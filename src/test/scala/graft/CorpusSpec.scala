@@ -1,0 +1,132 @@
+package graft
+
+import graft.operators.{Chunking, Funnel, Terms}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics tests for the round-4 corpus-preparation and
+  * event-analytics operators (chunking, segment dedup, distinctive
+  * terms, bigrams, funnel, retention) on hand-computable inputs. */
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("chunk: stride == size partitions the token stream exactly") {
+    val df = docsDf(Seq((1L, "a b c d e f g"), (2L, "x y"), (3L, "")))
+    val got = Chunking.chunk(df, "doc_id", "text", 3, 3)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 3L, "a b c"), (1L, 1L, 3L, "d e f"), (1L, 2L, 1L, "g"),
+      (2L, 0L, 2L, "x y"))) // empty doc 3 yields no chunks
+  }
+
+  test("chunk: overlapping windows cover every token, stride apart") {
+    val df = docsDf(Seq((1L, (1 to 50).map(i => s"t$i").mkString(" "))))
+    val got = Chunking.chunk(df, "doc_id", "text", 30, 20)
+      .orderBy("chunk_id").collect()
+    assert(got.length == 3) // starts at 0, 20, 40
+    assert(got.map(_.getLong(2)).toSeq == Seq(30L, 30L, 10L))
+    assert(got(1).getString(3).startsWith("t21 "))
+    // union of chunks covers all 50 tokens
+    val covered = got.flatMap(_.getString(3).split(" ")).toSet
+    assert(covered == (1 to 50).map(i => s"t$i").toSet)
+  }
+
+  test("segmentDedup: first (doc_id, seg_idx) occurrence wins corpus-wide") {
+    // seg length 2. doc1 = [ab][cd]; doc2 = [cd][ef] (cd removed, first
+    // occurrence is doc1); doc3 = [pq][pq] (within-doc repeat: first
+    // kept, second removed); doc4 = [cd] (duplicate of doc1's → gone).
+    val df = docsDf(Seq(
+      (1L, "a b c d"), (2L, "c d e f"), (3L, "p q p q"), (4L, "c d")))
+    val got = Chunking.segmentDedup(df, "doc_id", "text", 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "a b c d", 2L, 2L),
+      (2L, "e f", 1L, 2L),
+      (3L, "p q", 1L, 2L))) // doc 4 disappears entirely
+  }
+
+  test("distinctiveTerms: (tf desc, df asc, token asc) ranking") {
+    // doc1: z×3 (df 1), a×2 (df 2); doc2: a×1, b×1 (df 1)
+    val df = docsDf(Seq((1L, "z z z a a"), (2L, "a b")))
+    val got = Terms.distinctiveTerms(df, "doc_id", "text", 2)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, "z", 3L, 1L), (1L, 2L, "a", 2L, 2L),
+      (2L, 1L, "b", 1L, 1L), (2L, 2L, "a", 1L, 2L))) // b before a: df tie-break
+  }
+
+  test("topBigrams: adjacent pairs only, count-then-text order") {
+    val df = docsDf(Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x")))
+    val got = Terms.topBigrams(df, "text", 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
+  test("funnel: deadlines and stage order enforced per user") {
+    import spark.implicits._
+    val H = 3600000000L // 1h in us
+    // u1 completes view→click→purchase inside deadlines.
+    // u2's click misses the 12h deadline after first view.
+    // u3 purchases BEFORE any click — ordering must reject it.
+    val ev = Seq(
+      (1L, 10L, "view", 0L), (1L, 11L, "click", 2 * H), (1L, 12L, "purchase", 3 * H),
+      (2L, 20L, "view", 0L), (2L, 21L, "click", 20 * H), (2L, 22L, "purchase", 21 * H),
+      (3L, 30L, "view", 0L), (3L, 31L, "purchase", H), (3L, 32L, "click", 2 * H)
+    ).toDF("user_id", "event_id", "event_type", "us")
+    val got = Funnel.funnel(ev, "user_id", "us", "event_id", "event_type",
+      Seq("view", "click", "purchase"), 12L * H)
+      .orderBy("stage").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("1_view", 3L), ("2_click", 2L), ("3_purchase", 1L)))
+  }
+
+  test("funnel: later qualifying event still converts after an early miss") {
+    import spark.implicits._
+    val H = 3600000000L
+    // u1's first click is late, second click qualifies; purchase then
+    // must be within the deadline of the QUALIFYING click.
+    val ev = Seq(
+      (1L, 1L, "view", 0L), (1L, 2L, "click", 20 * H),
+      (1L, 3L, "view", 15 * H), // second view re-opens the window
+      (1L, 4L, "click", 22 * H), (1L, 5L, "purchase", 30 * H)
+    ).toDF("user_id", "event_id", "event_type", "us")
+    // first_view = 0; click@20h misses (>12h). view@15h doesn't change
+    // the RUNNING MIN view (still 0), so click@22h also misses.
+    val got = Funnel.funnel(ev, "user_id", "us", "event_id", "event_type",
+      Seq("view", "click", "purchase"), 12L * H)
+      .orderBy("stage").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("1_view", 1L), ("2_click", 0L), ("3_purchase", 0L)))
+  }
+
+  test("retention: cohort by first signup day, distinct user-day activity") {
+    import spark.implicits._
+    val D = 86400000000L
+    val ev = Seq(
+      // u1 signs up day 0, active days 0,1,3 (two events on day 1 count once)
+      (1L, "signup", 0L), (1L, "click", D + 1), (1L, "view", D + 2),
+      (1L, "view", 3 * D),
+      // u2 signs up day 1, active day 1 only
+      (2L, "signup", D + 5),
+      // u3 never signs up — excluded
+      (3L, "view", 0L)
+    ).toDF("user_id", "event_type", "us")
+    val got = Funnel.retention(ev, "user_id", "us", "event_type", "signup",
+      D, 7).orderBy("cohort", "offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 1L), (0L, 1L, 1L), (0L, 3L, 1L), (1L, 0L, 1L)))
+  }
+}
