@@ -21,6 +21,14 @@ object Bench {
       case c => c.toString
     }
 
+  /** 1/5/15-minute load averages — a contended box shows up here, so a
+    * slow artifact is self-diagnosing (round 4 burned a day on a
+    * phantom 5× "regression" that was machine load). */
+  private def loadAvg(): Seq[Double] =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+").take(3).toSeq.map(_.toDouble)
+    catch { case _: Throwable => Seq.empty }
+
   /**
    * Time each query and render the driver's one-line JSON.
    * Steady-state throughput: up to three timed runs per query at the
@@ -32,16 +40,26 @@ object Bench {
    * at scale; a prior sf0.001 warmup does NOT cover this because
    * adaptive plans are data-size-dependent. A failing query reports
    * -1 + an errors entry and stops retrying.
+   *
+   * Contamination visibility: ALL per-run times are emitted in "runs"
+   * (min stays the headline) plus /proc/loadavg before/after — so a
+   * contended machine is visible IN the artifact instead of reading as
+   * a code regression. Steady state: the CacheManager dedupes persisted
+   * plans (dedup family), so without clearing, runs 2-3 would time a
+   * partially cached pipeline; clearCache before each run keeps every
+   * timed run the full cold pipeline (mirrors Verify.scala).
    */
   def benchLine(spark: SparkSession, sfDir: String,
                 queries: Seq[(String, (SparkSession, String) =>
                   org.apache.spark.sql.DataFrame)]): String = {
-    val results: Seq[(String, Double, Option[String])] =
+    val loadBefore = loadAvg()
+    val results: Seq[(String, Seq[Double], Option[String])] =
       queries.map { case (name, fn) =>
         var err: Option[String] = None
         val times = Seq.newBuilder[Double]
         var run = 0
         while (run < 3 && err.isEmpty) {
+          spark.catalog.clearCache()
           val t0 = System.nanoTime()
           try fn(spark, sfDir).collect()
           catch {
@@ -52,16 +70,24 @@ object Bench {
           times += (System.nanoTime() - t0) / 1e9
           run += 1
         }
-        (name, if (err.isDefined) -1.0 else times.result().min, err)
+        (name, times.result(), err)
       }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // Locale.ROOT: a comma decimal separator would corrupt the JSON
+    def sec(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, ts, e) =>
+      "\"" + k + "\":" + (if (e.isDefined) "-1.0" else sec(ts.min)) }
+      .mkString("{", ",", "}")
+    val runs = results.map { case (k, ts, _) =>
+      "\"" + k + "\":" + ts.map(sec).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
       "\"" + k + "\":\"" + jsonEscape(e) + "\"" }
     val errField =
       if (errs.isEmpty) "" else errs.mkString(",\"errors\":{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}"""
+    val total = results.collect { case (_, ts, None) => ts.min }.sum
+    val load = (loadBefore ++ loadAvg()).map(sec).mkString("[", ",", "]")
+    s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"runs":$runs,"loadavg":$load$errField,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {

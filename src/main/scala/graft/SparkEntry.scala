@@ -24,10 +24,15 @@ object SparkEntry {
       PipelineOps.oracleSql ++ ExtOps.oracleSql ++ ScaleOps.oracleSql ++
       CorpusOps.oracleSql
 
-  /** Headline subset timed by Bench (BENCH_r{N}.json). */
+  /** Headline subset timed by Bench (BENCH_r{N}.json) — the round-1
+    * analytical core plus the round-4 scale operators, so regressions
+    * in the new machinery (sketches, bloom join, sessionization,
+    * incremental dedup, vocab/segment pipelines) are driver-visible. */
   def benchQueries: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q6_revenue", "q_window_top_customers", "q_events_daily",
     "op_flatmap", "op_cogroup", "op_reduce",
-    "q18_large_volume", "dedup_minhash")
+    "q18_large_volume", "dedup_minhash",
+    "q_heavy_hitters", "op_bloom_join", "q_sessionize",
+    "dedup_incremental", "text_vocab_ids", "text_seg_dedup")
 }

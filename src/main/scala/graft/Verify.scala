@@ -49,7 +49,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A filtered oracle file must not shadow the full one: a later
+    // full-set compare against the same outDir would silently skip the
+    // omitted queries. Subset runs write oracle_sql.partial.json.
+    val oracleName =
+      if (only.isDefined) "oracle_sql.partial.json" else "oracle_sql.json"
+    Files.writeString(Paths.get(s"$outDir/$oracleName"), json)
     spark.stop()
   }
 }
