@@ -38,18 +38,75 @@ object FrequentItems {
     * ObjectHashAggregate between updates). */
   case class MGBuf(keys: Array[String], counts: Array[Long])
 
+  /** Mergeable-summaries combine of two MG buffers: add counts, and if
+    * over cap, subtract the (cap+1)-th largest from all and keep
+    * positives — error stays <= n/(cap+1) (Agarwal et al., PODS'12). */
+  private[graft] def mergeBufs(x: MGBuf, y: MGBuf, cap: Int): MGBuf = {
+    val m = scala.collection.mutable.LinkedHashMap[String, Long]()
+    var i = 0
+    while (i < x.keys.length) { m.update(x.keys(i), x.counts(i)); i += 1 }
+    i = 0
+    while (i < y.keys.length) {
+      m.update(y.keys(i), m.getOrElse(y.keys(i), 0L) + y.counts(i)); i += 1
+    }
+    if (m.size <= cap) MGBuf(m.keys.toArray, m.values.toArray)
+    else {
+      val d = m.values.toArray.sorted(Ordering[Long].reverse)(cap)
+      val kept = m.iterator.map { case (k, c) => (k, c - d) }
+        .filter(_._2 > 0).toArray
+      MGBuf(kept.map(_._1), kept.map(_._2))
+    }
+  }
+
+  /**
+   * One Misra-Gries pass over a partition with a hash map:
+   * O(1) amortized per element (the decrement-all step runs at
+   * most n/(cap+1) times and is charged to the insertions it undoes),
+   * zero per-element allocation — versus the Aggregator form's O(cap)
+   * `indexOf` scan and array-append garbage per new key, which at
+   * cap=200 (minFreq 1%) was up to 200 string compares per token.
+   */
+  private[graft] def partitionSummary(it: Iterator[String],
+                                          cap: Int): MGBuf = {
+    val m = new java.util.HashMap[String, Array[Long]](cap * 2)
+    while (it.hasNext) {
+      val x = it.next()
+      val cell = m.get(x)
+      if (cell != null) cell(0) += 1
+      else if (m.size < cap) m.put(x, Array(1L))
+      else {
+        // classic MG step: decrement every counter, drop zeros (the
+        // incoming element's implicit count of 1 is dropped with them)
+        val del = m.entrySet().iterator()
+        while (del.hasNext) {
+          val e = del.next()
+          e.getValue()(0) -= 1
+          if (e.getValue()(0) == 0) del.remove()
+        }
+      }
+    }
+    val keys = new Array[String](m.size)
+    val counts = new Array[Long](m.size)
+    var i = 0
+    val es = m.entrySet().iterator()
+    while (es.hasNext) {
+      val e = es.next(); keys(i) = e.getKey; counts(i) = e.getValue()(0); i += 1
+    }
+    MGBuf(keys, counts)
+  }
+
   /** Typed Aggregator form of Misra-Gries(cap): usable as a regular
     * typed column — Catalyst runs it partial (per partition) + final
-    * (merge), exactly the classic distributed-sketch shape. */
+    * (merge), exactly the classic distributed-sketch shape. Kept as
+    * the readable reference implementation; [[heavyHitters]] runs the
+    * throughput path ([[partitionSummary]] + [[MGMerge]]) whose final
+    * output is identical (PropertySpec asserts it). */
   class MisraGries(cap: Int)
       extends Aggregator[String, MGBuf, Array[String]] with Serializable {
 
-    // Per-element update scans the key array (O(cap), cap is small by
-    // construction). ObjectHashAggregate keeps the buffer deserialized
-    // between updates, so there is no per-row encoder cost; a
-    // throughput-tuned variant would pre-aggregate per partition with
-    // a hash map in mapPartitions and feed ONLY the per-partition
-    // summaries to this Aggregator — same bound, same merge.
+    // Per-element update scans the key array — O(cap) per new key.
+    // ObjectHashAggregate keeps the buffer deserialized between
+    // updates, so there is no per-row encoder cost.
     override def zero: MGBuf = MGBuf(Array.empty, Array.empty)
 
     override def reduce(b: MGBuf, x: String): MGBuf = {
@@ -66,27 +123,24 @@ object FrequentItems {
       }
     }
 
-    override def merge(x: MGBuf, y: MGBuf): MGBuf = {
-      val m = scala.collection.mutable.LinkedHashMap[String, Long]()
-      var i = 0
-      while (i < x.keys.length) { m.update(x.keys(i), x.counts(i)); i += 1 }
-      i = 0
-      while (i < y.keys.length) {
-        m.update(y.keys(i), m.getOrElse(y.keys(i), 0L) + y.counts(i)); i += 1
-      }
-      if (m.size <= cap) MGBuf(m.keys.toArray, m.values.toArray)
-      else {
-        // subtract the (cap+1)-th largest count from all, keep positives
-        // (the mergeable-summaries trim; error stays <= n/(cap+1))
-        val d = m.values.toArray.sorted(Ordering[Long].reverse)(cap)
-        val kept = m.iterator.map { case (k, c) => (k, c - d) }
-          .filter(_._2 > 0).toArray
-        MGBuf(kept.map(_._1), kept.map(_._2))
-      }
-    }
+    override def merge(x: MGBuf, y: MGBuf): MGBuf = mergeBufs(x, y, cap)
 
     override def finish(b: MGBuf): Array[String] = b.keys.sorted
 
+    override def bufferEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]
+    override def outputEncoder: Encoder[Array[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
+  }
+
+  /** Merge-only Aggregator over per-partition MG summaries — the final
+    * step of the throughput path. Inputs are ≤ one MGBuf per partition,
+    * so this aggregate touches O(partitions) rows, not O(n). */
+  class MGMerge(cap: Int)
+      extends Aggregator[MGBuf, MGBuf, Array[String]] with Serializable {
+    override def zero: MGBuf = MGBuf(Array.empty, Array.empty)
+    override def reduce(b: MGBuf, x: MGBuf): MGBuf = mergeBufs(b, x, cap)
+    override def merge(x: MGBuf, y: MGBuf): MGBuf = mergeBufs(x, y, cap)
+    override def finish(b: MGBuf): Array[String] = b.keys.sorted
     override def bufferEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]
     override def outputEncoder: Encoder[Array[String]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
@@ -106,8 +160,7 @@ object FrequentItems {
     val spark = items.sparkSession
     import spark.implicits._
     val ds = items.select(col(colName).cast("string").as("x")).as[String]
-    val mg = new MisraGries(cap)
-    val candidates: Seq[String] = ds.select(mg.toColumn.name("cands")).head()
+    val candidates: Seq[String] = mgCandidates(ds, cap)
     // exact verify: count ONLY candidate tokens; total via a 1-row
     // broadcast cross join so the whole query stays one DataFrame
     val total = items.agg(count(lit(1)).as("total"))
@@ -119,4 +172,24 @@ object FrequentItems {
       .withColumn("freq", col("cnt").cast("double") / col("total").cast("double"))
       .select(col("tok"), col("cnt"), col("freq"))
   }
+
+  /** Sketch pass of [[heavyHitters]], throughput form: one hash-map MG
+    * per partition (mapPartitions, O(1)/element), then a merge-only
+    * aggregate over the ≤numPartitions summaries. Same n/(cap+1) bound
+    * as the all-Aggregator form ([[mgCandidatesViaAggregator]]) — both
+    * candidate sets contain every true heavy hitter, and the exact
+    * verify pass makes the final answers identical. */
+  private[graft] def mgCandidates(
+      ds: org.apache.spark.sql.Dataset[String], cap: Int): Seq[String] = {
+    implicit val bufEnc: Encoder[MGBuf] = Encoders.product[MGBuf]
+    ds.mapPartitions(it => Iterator.single(partitionSummary(it, cap)))
+      .select(new MGMerge(cap).toColumn.name("cands")).head()
+  }
+
+  /** Readable reference form of the sketch pass (kept for the
+    * PropertySpec cross-check): Catalyst partial+final over the typed
+    * [[MisraGries]] Aggregator, O(cap) per element. */
+  private[graft] def mgCandidatesViaAggregator(
+      ds: org.apache.spark.sql.Dataset[String], cap: Int): Seq[String] =
+    ds.select(new MisraGries(cap).toColumn.name("cands")).head()
 }

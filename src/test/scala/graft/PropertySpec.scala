@@ -265,4 +265,49 @@ class PropertySpec extends AnyFunSuite {
       assert(out == exact, s"nPart=$nPart got=$out want=$exact")
     }
   }
+
+  test("throughput MG path == Aggregator MG path: both bound-correct, same final answer") {
+    import graft.operators.FrequentItems
+    import spark.implicits._
+    for ((rows, nPart) <- draws(rowsGen, 4).zip(Seq(1, 3, 8, 13))) {
+      val n = rows.size
+      val cap = 12
+      val ds = rows.map(_._1).toDF("x").repartition(nPart)
+        .select(col("x")).as[String]
+      val tuned = FrequentItems.mgCandidates(ds, cap).toSet
+      val ref = FrequentItems.mgCandidatesViaAggregator(ds, cap).toSet
+      // Candidate SETS may differ off the guarantee boundary (MG output
+      // depends on arrival structure) but BOTH must contain every item
+      // with count > n/(cap+1) — the bound that makes the exact-verify
+      // pass produce identical final answers for either path.
+      val mustSurvive = rows.groupBy(_._1).view.mapValues(_.size)
+        .filter { case (_, c) => c > n.toDouble / (cap + 1) }.keys.toSet
+      assert(mustSurvive.subsetOf(tuned),
+        s"tuned missed ${mustSurvive -- tuned}")
+      assert(mustSurvive.subsetOf(ref), s"ref missed ${mustSurvive -- ref}")
+      assert(tuned.size <= cap && ref.size <= cap)
+    }
+    // identical FINAL answers through the full operator (exact verify
+    // filters any candidate-set difference away): heavyHitters uses the
+    // tuned path; recompute the verify over the reference candidates.
+    val rows = draws(rowsGen, 1).head
+    val df = rows.map(_._1).toDF("x").repartition(7)
+    val minFreq = 0.05
+    val viaTuned = FrequentItems.heavyHitters(df, "x", minFreq)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val n = rows.size.toDouble
+    val exact = rows.groupBy(_._1).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c > minFreq * n }.toMap.toSet
+    assert(viaTuned == exact)
+  }
+
+  test("partition-MG amortized path handles the adversarial all-distinct stream") {
+    import graft.operators.FrequentItems
+    // every element distinct: the decrement step fires constantly; the
+    // summary must stay <= cap and each surviving count <= true count
+    val it = (0 until 10000).iterator.map(i => s"u$i")
+    val buf = FrequentItems.partitionSummary(it, 16)
+    assert(buf.keys.length <= 16)
+    assert(buf.counts.forall(c => c >= 1 && c <= 1))
+  }
 }
