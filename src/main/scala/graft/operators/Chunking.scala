@@ -60,10 +60,14 @@ object Chunking {
    * Output: (id, clean_text, n_seg_kept, n_seg_total).
    *
    * Scale: segments explode narrowly; the first-occurrence winner per
-   * segment is ONE aggregation Exchange keyed by the segment's md5
-   * digest (uniform — content hashing admits no hot key), the
-   * keeper check is one digest equi-join (segment text travels only
-   * on the occurrence side), and reassembly is one per-document
+   * segment is ONE aggregation Exchange keyed by (md5 digest, text) —
+   * the digest makes the key uniform (content hashing admits no hot
+   * key) and the text makes dedup EXACT: two distinct segments
+   * colliding in md5 each keep their own winner instead of one
+   * silently absorbing the other (which would diverge from the
+   * text-partitioned oracle). Partial aggregation collapses
+   * per-partition repeats before the shuffle. The keeper check is one
+   * (digest, text) equi-join, and reassembly is one per-document
    * aggregation whose state is bounded by the document's own segment
    * count. No step is quadratic in corpus size.
    */
@@ -76,9 +80,9 @@ object Chunking {
       .withColumn("__digest", md5(col("seg").cast("binary")))
     // first occurrence of each distinct segment: lexicographic min of
     // (id, seg_idx) — matches ORDER BY id, seg_idx in the oracle.
-    val keeper = segs.groupBy(col("__digest"))
+    val keeper = segs.groupBy(col("__digest"), col("seg"))
       .agg(min(struct(col(id), col("seg_idx"))).as("__keep"))
-    val kept = segs.join(keeper, "__digest")
+    val kept = segs.join(keeper, Seq("__digest", "seg"))
       .filter(col(id) === col("__keep")(id) &&
         col("seg_idx") === col("__keep")("seg_idx"))
     val totals = segs.groupBy(col(id))

@@ -26,12 +26,14 @@ object Funnel {
    * `tieCol` (must be unique per row for cross-engine determinism).
    *
    * Returns one row per stage: (stage, n_users) where stage is
-   * "<i+1>_<name>" so it sorts in funnel order.
+   * "NN_<name>" (NN = stage index zero-padded to 2 digits, so
+   * lexicographic sort IS funnel order through 99 stages).
    *
    * Scale: exactly one Exchange (hash by user) + one sort; the k
    * running-min windows reuse that sort. The final count is a k-row
-   * aggregate. Hot users cost one task's sort of their own events —
-   * the same skew profile as any per-user window.
+   * aggregate, unpivoted with ONE stack() over the one-row aggregate
+   * (a union of k selects would reference — and without exchange
+   * reuse, recompute — the per-user aggregation subtree k times).
    */
   def funnel(events: DataFrame, user: String, usCol: String, tieCol: String,
              typeCol: String, stages: Seq[String], withinUs: Long): DataFrame = {
@@ -52,10 +54,11 @@ object Funnel {
     val counts = stages.indices.map(i =>
       sum(col(s"__f$i")).cast("long").as(s"__n$i"))
     val one = perUser.agg(counts.head, counts.tail: _*)
-    val rows = stages.zipWithIndex.map { case (s, i) =>
-      one.select(lit(s"${i + 1}_$s").as("stage"), col(s"__n$i").as("n_users"))
+    val pairs: Seq[Column] = stages.zipWithIndex.flatMap { case (s, i) =>
+      Seq(lit(f"${i + 1}%02d_$s"), col(s"__n$i"))
     }
-    rows.reduce(_ union _)
+    one.select(stack((lit(stages.size) +: pairs): _*))
+      .toDF("stage", "n_users")
   }
 
   /**

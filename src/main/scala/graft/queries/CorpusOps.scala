@@ -150,11 +150,11 @@ object CorpusOps {
          |  max(CASE WHEN q2 IS NOT NULL THEN 1 ELSE 0 END) AS f2
          |  FROM w2 GROUP BY user_id)
          |SELECT stage, n_users FROM (
-         |  SELECT '1_view' AS stage, CAST(sum(f0) AS BIGINT) AS n_users FROM pu
+         |  SELECT '01_view' AS stage, CAST(sum(f0) AS BIGINT) AS n_users FROM pu
          |  UNION ALL
-         |  SELECT '2_click', CAST(sum(f1) AS BIGINT) FROM pu
+         |  SELECT '02_click', CAST(sum(f1) AS BIGINT) FROM pu
          |  UNION ALL
-         |  SELECT '3_purchase', CAST(sum(f2) AS BIGINT) FROM pu)
+         |  SELECT '03_purchase', CAST(sum(f2) AS BIGINT) FROM pu)
          |ORDER BY stage""".stripMargin,
 
     "q_events_retention" ->

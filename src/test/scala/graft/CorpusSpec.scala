@@ -90,7 +90,7 @@ class CorpusSpec extends AnyFunSuite {
     val got = Funnel.funnel(ev, "user_id", "us", "event_id", "event_type",
       Seq("view", "click", "purchase"), 12L * H)
       .orderBy("stage").collect().map(r => (r.getString(0), r.getLong(1)))
-    assert(got.toSeq == Seq(("1_view", 3L), ("2_click", 2L), ("3_purchase", 1L)))
+    assert(got.toSeq == Seq(("01_view", 3L), ("02_click", 2L), ("03_purchase", 1L)))
   }
 
   test("funnel: later qualifying event still converts after an early miss") {
@@ -108,7 +108,7 @@ class CorpusSpec extends AnyFunSuite {
     val got = Funnel.funnel(ev, "user_id", "us", "event_id", "event_type",
       Seq("view", "click", "purchase"), 12L * H)
       .orderBy("stage").collect().map(r => (r.getString(0), r.getLong(1)))
-    assert(got.toSeq == Seq(("1_view", 1L), ("2_click", 0L), ("3_purchase", 0L)))
+    assert(got.toSeq == Seq(("01_view", 1L), ("02_click", 0L), ("03_purchase", 0L)))
   }
 
   test("retention: cohort by first signup day, distinct user-day activity") {
