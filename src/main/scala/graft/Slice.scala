@@ -319,6 +319,12 @@ final case class Slice(df: DataFrame, prefix: Int = 1) {
   def observed(name: String, aggs: Column*): Slice =
     Slice(df.observe(name, aggs.head, aggs.tail: _*), prefix)
 
+  /** Imperative counter for use INSIDE user closures (map/filterF/
+    * flatMap/writerFunc) — the reference's `metrics.Counter` carried in
+    * ctx (metrics/metrics.go:57-93). See [[Metrics]] for semantics. */
+  def counter(name: String): Metrics.Counter =
+    Metrics.counter(spark.sparkContext, name)
+
   def union(other: Slice): Slice = Slice(df.unionByName(other.df), prefix)
   def distinct(): Slice = Slice(df.distinct(), prefix)
   def sort(cols: Column*): Slice = Slice(df.orderBy(cols: _*), prefix)
@@ -337,6 +343,17 @@ final case class Slice(df: DataFrame, prefix: Int = 1) {
   def unpersist(): Slice = { df.unpersist(); this }
   def count(): Long = df.count()
   def collectRows(): Array[Row] = df.collect()
+
+  /** Streaming driver-side scan (≅ Result.Scanner, reference
+    * exec/session.go:407-434): rows arrive partition-at-a-time via
+    * `toLocalIterator`, so the driver holds at most one partition —
+    * constant-memory consumption of results too large to
+    * [[collectRows]]. One Spark job runs per partition as the iterator
+    * advances (the reference's scanner similarly pages task results). */
+  def scanRows(): Iterator[Row] = {
+    import scala.jdk.CollectionConverters._
+    df.toLocalIterator().asScala
+  }
 }
 
 object Slice {

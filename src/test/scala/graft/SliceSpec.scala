@@ -295,6 +295,45 @@ class SliceSpec extends AnyFunSuite {
     assert(c.contains("spark.sql.adaptive.advisoryPartitionSizeInBytes"))
   }
 
+  test("counter: closure increments merge across shards (metrics.Counter analog)") {
+    import spark.implicits._
+    val s = Sources.const(spark, 4, (1 to 100).toList)
+    val dropped = s.counter("dropped")
+    val kept = s.filterF[Int] { v =>
+      val keep = v % 3 == 0
+      if (!keep) dropped.incr()
+      keep
+    }
+    assert(kept.count() == 33)
+    assert(dropped.value == 67)
+    // reset + reuse, the reference's per-run scope semantics
+    dropped.reset()
+    assert(dropped.value == 0)
+    assert(kept.count() == 33) // recount re-applies closure increments
+    assert(dropped.value == 67)
+  }
+
+  test("scanRows streams partition-at-a-time, never materializing the result") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val touched = sc.longAccumulator("rowsTouched")
+    // 8 shards x 1000 rows; the map bumps the accumulator per row, so
+    // the accumulator exposes how much of the dataset actually ran
+    val s = Sources.readerFunc(spark, 8)(sh =>
+      Iterator.tabulate(1000)(i => (sh, i)))
+      .map[(Int, Int), (Int, Int)] { x => touched.add(1L); x }
+    val it = s.scanRows()
+    val first = it.take(10).toVector
+    assert(first.size == 10)
+    // partition-at-a-time: consuming 10 rows must not have executed
+    // the whole 8000-row dataset (at most a couple of partitions run,
+    // including any prefetch)
+    assert(touched.value < 8000,
+      s"scanRows materialized everything: touched=${touched.value}")
+    // full drain sees every remaining row exactly once
+    assert(10 + it.size == 8000)
+  }
+
   test("bench reports a failing query as -1 + errors entry, excluded from total") {
     val line = Bench.benchLine(spark, "/root/testdata/sf0.001", Seq(
       "good" -> ((s: SparkSession, d: String) => Tables.load(s, d, "region")),
