@@ -34,5 +34,6 @@ object SparkEntry {
     "op_flatmap", "op_cogroup", "op_reduce",
     "q18_large_volume", "dedup_minhash",
     "q_heavy_hitters", "op_bloom_join", "q_sessionize",
-    "dedup_incremental", "text_vocab_ids", "text_seg_dedup")
+    "dedup_incremental", "dedup_incremental_idx",
+    "text_vocab_ids", "text_seg_dedup")
 }

@@ -104,8 +104,8 @@ object Dedup {
     minhashSignaturesFrom(shingles(df, id, text, k), id, numPerms)
 
   /** [[minhashSignatures]] over an existing (id, shingle) frame. */
-  private def minhashSignaturesFrom(sh: DataFrame, id: String,
-                                    numPerms: Int): DataFrame = {
+  private[operators] def minhashSignaturesFrom(sh: DataFrame, id: String,
+                                               numPerms: Int): DataFrame = {
     val aggs = (0 until numPerms).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
     sh.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
@@ -142,8 +142,8 @@ object Dedup {
   }
 
   /** Signature → (id, band, bucket) LSH keys. */
-  private def lshBands(sigs: DataFrame, id: String,
-                       nBands: Int, bandRows: Int): DataFrame =
+  private[operators] def lshBands(sigs: DataFrame, id: String,
+                                  nBands: Int, bandRows: Int): DataFrame =
     sigs.select(col(id), posexplode(
       transform(sequence(lit(0), lit(nBands - 1)),
         b => hash(slice(col("sig"), b * bandRows + lit(1), lit(bandRows)), b))))
@@ -152,8 +152,8 @@ object Dedup {
   /** Exact-Jaccard verification of a candidate (a, b) pair frame over
     * the capped shingle sets — arrays are per-document sized (bounded,
     * no n² blowup). Output: (a, b, jaccard) with jaccard >= minJ. */
-  private def verifyJaccard(sh: DataFrame, id: String,
-                            candidates: DataFrame, minJ: Double): DataFrame = {
+  private[operators] def verifyJaccard(sh: DataFrame, id: String,
+                                       candidates: DataFrame, minJ: Double): DataFrame = {
     val sets = sh.groupBy(col(id))
       .agg(collect_list(col("shingle")).as("shset"), count(lit(1)).as("sz"))
     val setsA = sets.select(col(id).as("a"), col("shset").as("sha"), col("sz").as("sa"))
@@ -175,12 +175,15 @@ object Dedup {
    * |corpus|². Old-old pairs are by construction already handled by
    * previous ingests.
    *
-   * At 100 TB the corpus-side shingles/signatures would be read from a
-   * persisted signature table (see [[graft.sources.Cache]]) rather
-   * than recomputed — the probe-side algebra here is identical; this
-   * form recomputes them so the operator is self-contained and
-   * oracle-checkable. The df cap is computed over existing ∪ batch
-   * (matching what a maintained signature table would converge to).
+   * At 100 TB the corpus-side shingles/signatures are read from a
+   * persisted index rather than recomputed — that form is
+   * [[minhashIncrementalFromIndex]] / [[MinhashIndex]], which probes a
+   * maintained (band,bucket)-bucketed LSH table and returns the
+   * identical pair set (equality asserted in IndexSpec). This
+   * self-contained form recomputes them so the operator needs no
+   * prior state and is directly oracle-checkable. The df cap is
+   * computed over existing ∪ batch (matching what the maintained
+   * index converges to after [[MinhashIndex.appendToIndex]]).
    *
    * Output: (a, b, jaccard), a < b, j >= minJ, where a or b is a batch
    * document — exactly the full pair set minus old-old pairs.
@@ -206,6 +209,21 @@ object Dedup {
       .distinct()
     verifyJaccard(sh, id, candidates, minJ)
   }
+
+  /**
+   * [[minhashIncremental]] against a PERSISTED index — the steady-state
+   * continuous-ingest form: per-ingest compute is proportional to the
+   * batch (plus the usually-empty set of corpus docs whose df cap
+   * changed), and the corpus TEXT is never read — only the index's
+   * shingle/df/band tables and the batch. Returns exactly the pair set
+   * [[minhashIncremental]](indexedCorpus, batch) would. See
+   * [[MinhashIndex]] for the index layout and maintenance.
+   */
+  def minhashIncrementalFromIndex(spark: org.apache.spark.sql.SparkSession,
+                                  indexDir: String, batch: DataFrame,
+                                  id: String, text: String,
+                                  cfg: MinhashIndex.Config = MinhashIndex.Config()): DataFrame =
+    MinhashIndex.incrementalDupPairs(spark, indexDir, batch, id, text, cfg)
 
   /**
    * Benchmark DECONTAMINATION — the asymmetric sibling of near-dup

@@ -34,6 +34,24 @@ object Bucketing {
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
 
+  /** [[writeBucketed]] as an EXTERNAL table at an explicit path — the
+    * form persistent indexes want: the bucket-named parquet files live
+    * under `path` (surviving the session), while the bucket spec is
+    * registered in the catalog for shuffle-free probing. A later
+    * session re-attaches the same files with
+    * `CREATE TABLE … CLUSTERED BY … LOCATION` (see
+    * [[graft.operators.MinhashIndex]]). */
+  def writeBucketedAt(df: DataFrame, table: String, nBuckets: Int,
+                      keys: Seq[String], path: String): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
+    df.repartition(nBuckets, keys.map(df.col): _*)
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .option("path", path)
+      .saveAsTable(table)
+  }
+
   /** Read a catalog table back as a Slice keyed by `prefix`. */
   def readTable(spark: SparkSession, table: String, prefix: Int = 1): Slice =
     Slice(spark.table(table), prefix)

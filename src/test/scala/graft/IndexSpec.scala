@@ -1,0 +1,180 @@
+package graft
+
+import graft.operators.{Dedup, MinhashIndex}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Index-backed incremental dedup contracts:
+ *  - probe == [[Dedup.minhashIncremental]] pair-for-pair (including
+ *    jaccard values), on real data AND on a corpus engineered so the
+ *    batch pushes a shingle over the df cap (the newly-hot recompute
+ *    path);
+ *  - appendToIndex leaves the index IDENTICAL to a fresh build over
+ *    corpus ∪ batch, table for table — appends never drift;
+ *  - the probe's plan reads ONLY the index and the batch: the corpus
+ *    text parquet appears in no file scan (the whole point of the
+ *    index — per-ingest I/O is index+batch, not corpus text);
+ *  - versions chain: two ingests == two incremental probes, and old
+ *    versions stay readable until LATEST flips.
+ */
+class IndexSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def pairSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  /** All parquet root paths the plan would scan, including scans hidden
+    * inside cached (InMemoryRelation) subtrees. */
+  private def scanPaths(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
+      case m: InMemoryRelation => m.cachedPlan.collect {
+        case f: FileSourceScanExec => f.relation.location.rootPaths.map(_.toString)
+      }.flatten
+    }.flatten
+  }
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("probe == minhashIncremental on the documents corpus") {
+    val d = Tables.load(spark, sf, "documents")
+    val cut = graft.operators.Sampling.cuts(Seq(0.9))(1)
+    val isNew = graft.operators.Sampling.hashBucket(col("doc_id")) >= lit(cut)
+    val existing = d.filter(!isNew)
+    val batch = d.filter(isNew)
+    val cfg = MinhashIndex.Config() // defaults match dedup_incremental
+    val dir = tmp("graft_mhidx")
+    MinhashIndex.build(spark, existing, "doc_id", "text", dir, cfg)
+    val fromIdx = Dedup.minhashIncrementalFromIndex(spark, dir, batch,
+      "doc_id", "text", cfg)
+    val inline = Dedup.minhashIncremental(existing, batch, "doc_id", "text")
+    val (i, n) = (pairSet(fromIdx), pairSet(inline))
+    assert(i == n, s"index=${i.toSeq.sorted} inline=${n.toSeq.sorted}")
+    assert(i.nonEmpty, "degenerate test: no incremental pairs at all")
+  }
+
+  test("newly-hot shingle: batch pushes a shingle over the cap; probe still exact") {
+    // "x y z" has df=3 in the corpus (== cap, kept at build) and df=4
+    // once the batch lands (> cap) — the three corpus docs' capped sets
+    // all change, exercising the affected-doc band recompute.
+    val existing = docs(
+      1L -> "x y z a b c d e f",
+      2L -> "x y z a b c d e g",
+      3L -> "x y z q r s t u v")
+    val batch = docs(4L -> "x y z q r s t u w")
+    val cfg = MinhashIndex.Config(k = 3, numPerms = 16, bandRows = 2,
+      minJ = 0.3, maxShingleDf = 3, nBuckets = 4)
+    val dir = tmp("graft_mhidx_hot")
+    MinhashIndex.build(spark, existing, "doc_id", "text", dir, cfg)
+    val fromIdx = MinhashIndex.incrementalDupPairs(spark, dir, batch,
+      "doc_id", "text", cfg)
+    val inline = Dedup.minhashIncremental(existing, batch, "doc_id", "text",
+      k = 3, numPerms = 16, bandRows = 2, minJ = 0.3, maxShingleDf = 3)
+    assert(pairSet(fromIdx) == pairSet(inline))
+    assert(pairSet(fromIdx).exists { case (a, b, _) => b == 4L || a == 4L })
+  }
+
+  test("appendToIndex == fresh build over corpus ∪ batch, table for table") {
+    val existing = docs(
+      1L -> "x y z a b c d e f",
+      2L -> "x y z a b c d e g",
+      3L -> "x y z q r s t u v")
+    val batch = docs(4L -> "x y z q r s t u w")
+    val cfg = MinhashIndex.Config(k = 3, numPerms = 16, bandRows = 2,
+      minJ = 0.3, maxShingleDf = 3, nBuckets = 4)
+    val appended = tmp("graft_mhidx_app")
+    val fresh = tmp("graft_mhidx_fresh")
+    MinhashIndex.build(spark, existing, "doc_id", "text", appended, cfg)
+    val v2 = MinhashIndex.appendToIndex(spark, appended, batch, "doc_id", "text", cfg)
+    assert(v2 == 2 && MinhashIndex.latestVersion(spark, appended) == 2)
+    MinhashIndex.build(spark, existing.unionByName(batch), "doc_id", "text",
+      fresh, cfg)
+    def t(dir: String, v: Int, comp: String): Set[Seq[Any]] =
+      spark.read.parquet(f"$dir/v$v%05d/$comp")
+        .collect().map(_.toSeq).toSet
+    // the stale bands of docs 1-3 (computed WITH "x y z") must have
+    // been replaced — band-table equality with the fresh build proves
+    // the newly-hot recompute rewrote exactly what it had to
+    assert(t(appended, 2, "bands") == t(fresh, 1, "bands"))
+    assert(t(appended, 2, "shingles") == t(fresh, 1, "shingles"))
+    assert(t(appended, 2, "df") == t(fresh, 1, "df"))
+  }
+
+  test("probe plan reads ONLY the index and the batch — never corpus text") {
+    val d = Tables.load(spark, sf, "documents")
+    val cut = graft.operators.Sampling.cuts(Seq(0.9))(1)
+    val isNew = graft.operators.Sampling.hashBucket(col("doc_id")) >= lit(cut)
+    // batch gets its own parquet dir so path provenance is unambiguous
+    val batchDir = tmp("graft_mhidx_batch")
+    d.filter(isNew).write.mode("overwrite").parquet(batchDir)
+    val batch = spark.read.parquet(batchDir)
+    val dir = tmp("graft_mhidx_plan")
+    MinhashIndex.build(spark, d.filter(!isNew), "doc_id", "text", dir,
+      MinhashIndex.Config())
+    val probe = MinhashIndex.incrementalDupPairs(spark, dir, batch,
+      "doc_id", "text", MinhashIndex.Config())
+    val paths = scanPaths(probe)
+    assert(paths.nonEmpty)
+    val offenders = paths.filterNot(p => p.contains(dir) || p.contains(batchDir))
+    assert(offenders.isEmpty,
+      s"probe scanned outside index+batch: $offenders")
+    assert(!paths.exists(_.contains(sf)), s"corpus parquet scanned: $paths")
+    // the index-side bands scan keeps its bucket layout — the corpus
+    // side of the candidate join is never re-shuffled per ingest
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { probe.explain("formatted") }
+    val f = out.toString
+    assert(f.contains("Bucketed: true"),
+      s"bands scan lost its bucket layout:\n$f")
+  }
+
+  test("ingest chains versions: probe against v2 == minhashIncremental on the grown corpus") {
+    val existing = docs(
+      10L -> "p q r s t u v w x",
+      11L -> "p q r s t u v w y",
+      12L -> "m n o j k l h i g")
+    val b1 = docs(13L -> "p q r s t u v w z")
+    val b2 = docs(
+      14L -> "m n o j k l h i f",
+      15L -> "p q r s t u v w x") // dup of 10
+    val cfg = MinhashIndex.Config(k = 3, numPerms = 16, bandRows = 2,
+      minJ = 0.3, maxShingleDf = 100, nBuckets = 4)
+    val dir = tmp("graft_mhidx_chain")
+    MinhashIndex.build(spark, existing, "doc_id", "text", dir, cfg)
+    val p1 = MinhashIndex.ingest(spark, dir, b1, "doc_id", "text", cfg)
+    assert(MinhashIndex.latestVersion(spark, dir) == 2)
+    val p2 = MinhashIndex.ingest(spark, dir, b2, "doc_id", "text", cfg)
+    assert(MinhashIndex.latestVersion(spark, dir) == 3)
+    val i1 = Dedup.minhashIncremental(existing, b1, "doc_id", "text",
+      k = 3, numPerms = 16, bandRows = 2, minJ = 0.3, maxShingleDf = 100)
+    val i2 = Dedup.minhashIncremental(existing.unionByName(b1), b2,
+      "doc_id", "text",
+      k = 3, numPerms = 16, bandRows = 2, minJ = 0.3, maxShingleDf = 100)
+    assert(pairSet(p1) == pairSet(i1))
+    assert(pairSet(p2) == pairSet(i2))
+    // the exact dup (10,15) must surface through the index path
+    assert(pairSet(p2).exists { case (a, b, j) => a == 10L && b == 15L && j == 1.0 })
+  }
+}
