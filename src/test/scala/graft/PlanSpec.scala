@@ -197,6 +197,46 @@ class PlanSpec extends AnyFunSuite {
     assert(s(fromIdx).nonEmpty)
   }
 
+  test("funnel is ONE user-keyed exchange — windows and per-user agg share it; no joins") {
+    val df = SparkEntry.queries("q_events_funnel")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("Join"), p)
+    // the k running-min windows and the per-user flag aggregate all
+    // reuse the single hash exchange on user_id; the one-row rollup is
+    // an Exchange SinglePartition, not a hash shuffle
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles:\n$p")
+  }
+
+  test("segment dedup is digest-keyed equi-joins — no pair space, no nested loop") {
+    val df = SparkEntry.queries("text_seg_dedup")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    // every hash exchange is keyed by the digest or the doc id — never
+    // by anything that could enumerate segment pairs
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.forall(l => l.contains("__digest") || l.contains("doc_id")),
+      exchanges.mkString("\n"))
+  }
+
+  test("index probe: batch side broadcasts against the bucketed bands scan") {
+    import graft.operators.MinhashIndex
+    val d = Tables.load(spark, sf, "documents")
+    val cut = graft.operators.Sampling.cuts(Seq(0.9))(1)
+    val isNew = graft.operators.Sampling.hashBucket(col("doc_id")) >= lit(cut)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhidx_ps").toString
+    MinhashIndex.build(spark, d.filter(!isNew), "doc_id", "text", dir,
+      MinhashIndex.Config())
+    val probe = MinhashIndex.incrementalDupPairs(spark, dir, d.filter(isNew),
+      "doc_id", "text", MinhashIndex.Config())
+    val f = formatted(probe)
+    assert(f.contains("Bucketed: true"), f)
+    assert(!plan(probe).contains("CartesianProduct") &&
+      !plan(probe).contains("BroadcastNestedLoopJoin"), plan(probe))
+  }
+
   test("approx_count_distinct stays within 5% of exact (HLL default rsd)") {
     val exact = SparkEntry.queries("q_count_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
