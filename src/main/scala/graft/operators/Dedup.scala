@@ -19,17 +19,39 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   import graft.functions.TextFunctions.tokens
+  import graft.functions.MinhashFunctions.minhashSigF
 
-  /** Distinct word k-shingles per document: (id, shingle). The unit of
-    * Jaccard similarity. Scales: one explode, no shuffle until the
-    * consumer aggregates. */
-  def shingles(df: DataFrame, id: String, text: String, k: Int = 3): DataFrame = {
+  /** Distinct word k-shingles per document as ONE array row:
+    * (id, sharr ARRAY<STRING>). Computed scan-side by the native
+    * single-pass kernel ([[graft.functions.ShingleKernel]] — equality
+    * with the tokenize→window→concat_ws→array_distinct Column
+    * formulation asserted in PipelineSpec); the narrow form that lets
+    * signatures and verification both run without exploding the corpus.
+    * Documents with fewer than k tokens are dropped (a cheap byte-scan
+    * token count — no regex — guards the projection). */
+  def shingleArrays(df: DataFrame, id: String, text: String, k: Int = 3): DataFrame = {
+    import graft.functions.ShingleFunctions.{shingleArrF, tokenCountF}
+    df.filter(tokenCountF(col(text)) >= k)
+      .select(col(id), shingleArrF(col(text), k).as("sharr"))
+  }
+
+  /** The Column-algebra formulation of [[shingleArrays]], kept as the
+    * reference semantics for the kernel-equality spec. */
+  private[graft] def shingleArraysColumns(df: DataFrame, id: String,
+                                          text: String, k: Int): DataFrame = {
     val t = tokens(col(text))
     val sh = transform(sequence(lit(0), size(t) - k),
       i => concat_ws(" ", slice(t, i + 1, lit(k))))
     df.filter(size(t) >= k)
-      .select(col(id), explode(array_distinct(sh)).as("shingle"))
+      .select(col(id), array_distinct(sh).as("sharr"))
   }
+
+  /** Distinct word k-shingles per document: (id, shingle). The unit of
+    * Jaccard similarity. Scales: one explode, no shuffle until the
+    * consumer aggregates. */
+  def shingles(df: DataFrame, id: String, text: String, k: Int = 3): DataFrame =
+    shingleArrays(df, id, text, k)
+      .select(col(id), explode(col("sharr")).as("shingle"))
 
   /** Exact dedup: keep the smallest id per identical content.
     * groupBy(md5) — partial agg, no skew (digests are uniform). */
@@ -93,19 +115,31 @@ object Dedup {
    * per permutation — unlike a restricted-domain affine family, which
    * is nearly monotonic and destroys min-wise independence).
    *
-   * The per-document element-wise min is numPerms independent
-   * `min(xxhash64(i, shingle))` aggregates in ONE groupBy — a fully
-   * codegen'd partial+final HashAggregate (map-side combine before the
-   * shuffle), which benches ~3× faster than the equivalent typed
-   * Aggregator over Array[Long] (encoder ser/deser per row, no codegen).
+   * All numPerms minima are computed by ONE codegen'd kernel over the
+   * per-document shingle array ([[graft.functions.MinHashSignature]]) —
+   * scan-side, zero shuffle, bit-identical to the round-3/4 aggregate
+   * formulation `min(xxhash64(i, shingle))` × numPerms (equality
+   * asserted in PipelineSpec).
    */
   def minhashSignatures(df: DataFrame, id: String, text: String,
                         k: Int = 3, numPerms: Int = 64): DataFrame =
-    minhashSignaturesFrom(shingles(df, id, text, k), id, numPerms)
+    shingleArrays(df, id, text, k)
+      .select(col(id), minhashSigF(col("sharr"), numPerms).as("sig"))
 
-  /** [[minhashSignatures]] over an existing (id, shingle) frame. */
+  /** [[minhashSignatures]] over an exploded (id, shingle) frame — the
+    * persisted-index path ([[MinhashIndex]] stores exploded shingles so
+    * df maintenance stays incremental): one collect_list re-groups each
+    * document (explode preserves doc locality, so partial aggregation
+    * collapses it map-side), then the same codegen'd kernel. */
   private[operators] def minhashSignaturesFrom(sh: DataFrame, id: String,
-                                               numPerms: Int): DataFrame = {
+                                               numPerms: Int): DataFrame =
+    sh.groupBy(col(id)).agg(collect_list(col("shingle")).as("sharr"))
+      .select(col(id), minhashSigF(col("sharr"), numPerms).as("sig"))
+
+  /** The round-3/4 aggregate formulation of [[minhashSignaturesFrom]],
+    * kept as the reference semantics for the kernel-equality spec. */
+  private[graft] def minhashSignaturesAgg(sh: DataFrame, id: String,
+                                          numPerms: Int): DataFrame = {
     val aggs = (0 until numPerms).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"m$i"))
     sh.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
@@ -124,25 +158,64 @@ object Dedup {
   def minhashDupPairs(df: DataFrame, id: String, text: String,
                       k: Int = 3, numPerms: Int = 64, bandRows: Int = 2,
                       minJ: Double = 0.5, maxShingleDf: Int = 100): DataFrame = {
-    // One tokenize+shingle scan feeds both the signatures and the
-    // verification sets (they are different aggregations of the same
-    // child; without persist Spark recomputes the scan). The df cap
-    // applies to BOTH (signatures approximate capped-set Jaccard;
-    // verification computes it exactly) — see [[dfCapped]].
-    val raw = shingles(df, id, text, k).persist()
-    val sh = dfCapped(raw, maxShingleDf)
-    val banded = lshBands(minhashSignaturesFrom(sh, id, numPerms),
-      id, numPerms / bandRows, bandRows)
+    // One tokenize+shingle scan (persisted as per-doc ARRAYS — far
+    // smaller than the exploded frame) feeds the df count and the
+    // capped arrays; the CAPPED frame is persisted too — it is read by
+    // the signature scan and twice by verification, and each read would
+    // otherwise recompute the hot-shingle aggregation behind it. The df
+    // cap applies to BOTH signatures and verification — see
+    // [[dfCappedArrays]].
+    val docs = shingleArrays(df, id, text, k).persist()
+    val capped = dfCappedArrays(docs, id, maxShingleDf).persist()
+    val sigs = capped.select(col(id), minhashSigF(col("sharr"), numPerms).as("sig"))
+    val banded = lshBands(sigs, id, numPerms / bandRows, bandRows)
     val l = banded.select(col(id).as("a"), col("band"), col("bucket"))
     val r = banded.select(col(id).as("b"), col("band"), col("bucket"))
     val candidates = l.join(r, Seq("band", "bucket"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    verifyJaccard(sh, id, candidates, minJ)
+    verifyJaccardArrays(capped, id, candidates, minJ)
+  }
+
+  /**
+   * [[dfCapped]] for the array pipeline: the hot-shingle set (tiny by
+   * construction, see [[dfCapped]]) is aggregated into ONE array row
+   * and broadcast onto every document with a single-row cross join —
+   * `array_except` then removes hot shingles scan-side, so the corpus
+   * arrays are never exploded again after the df count. Documents whose
+   * every shingle is hot drop out (matching the exploded formulation,
+   * where they simply have no surviving rows).
+   */
+  private[graft] def dfCappedArrays(docs: DataFrame, id: String,
+                                        maxDf: Int): DataFrame = {
+    val hot1 = docs.select(explode(col("sharr")).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .agg(collect_list(col("shingle")).as("hotarr"))
+    docs.crossJoin(broadcast(hot1))
+      .select(col(id), array_except(col("sharr"), col("hotarr")).as("sharr"))
+      .filter(size(col("sharr")) > 0)
+  }
+
+  /** [[verifyJaccard]] over per-document shingle ARRAYS — no
+    * collect_list re-aggregation (the sets are already rows). */
+  private[graft] def verifyJaccardArrays(docs: DataFrame, id: String,
+                                             candidates: DataFrame,
+                                             minJ: Double): DataFrame = {
+    val setsA = docs.select(col(id).as("a"), col("sharr").as("sha"),
+      size(col("sharr")).as("sa"))
+    val setsB = docs.select(col(id).as("b"), col("sharr").as("shb"),
+      size(col("sharr")).as("sb"))
+    candidates.join(setsA, "a").join(setsB, "b")
+      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("sa") + col("sb") - col("c")).cast("double"))
+      .filter(col("jaccard") >= minJ)
+      .select(col("a"), col("b"), col("jaccard"))
   }
 
   /** Signature → (id, band, bucket) LSH keys. */
-  private[operators] def lshBands(sigs: DataFrame, id: String,
+  private[graft] def lshBands(sigs: DataFrame, id: String,
                                   nBands: Int, bandRows: Int): DataFrame =
     sigs.select(col(id), posexplode(
       transform(sequence(lit(0), lit(nBands - 1)),
@@ -194,10 +267,10 @@ object Dedup {
                          minJ: Double = 0.5, maxShingleDf: Int = 100): DataFrame = {
     val corpus = existing.select(col(id), col(text))
       .unionByName(batch.select(col(id), col(text)))
-    val raw = shingles(corpus, id, text, k).persist()
-    val sh = dfCapped(raw, maxShingleDf)
-    val banded = lshBands(minhashSignaturesFrom(sh, id, numPerms),
-      id, numPerms / bandRows, bandRows)
+    val docs = shingleArrays(corpus, id, text, k).persist()
+    val capped = dfCappedArrays(docs, id, maxShingleDf).persist()
+    val sigs = capped.select(col(id), minhashSigF(col("sharr"), numPerms).as("sig"))
+    val banded = lshBands(sigs, id, numPerms / bandRows, bandRows)
     // probe side: ONLY batch documents — the incremental restriction
     val bandedNew = banded.join(batch.select(col(id)), Seq(id), "left_semi")
     val l = banded.select(col(id).as("a"), col("band"), col("bucket"))
@@ -207,7 +280,7 @@ object Dedup {
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .distinct()
-    verifyJaccard(sh, id, candidates, minJ)
+    verifyJaccardArrays(capped, id, candidates, minJ)
   }
 
   /**

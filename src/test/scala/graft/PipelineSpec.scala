@@ -254,6 +254,47 @@ class PipelineSpec extends AnyFunSuite {
     sigs.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("native ShingleArray/WsTokenCount kernels == Column formulations") {
+    import graft.functions.ShingleFunctions.{shingleArrF, tokenCountF}
+    import spark.implicits._
+    // corpus text plus adversarial whitespace/UTF-8 shapes
+    val edge = Seq("", "   ", "a", "a b", "a b c", "  a\tb\nc  d\r\ne ",
+      "x x x x x", "héllo wörld déjà vu déjà vu", "ab\fc d e",
+      "ab ab ab ab").toDF("text").withColumn("doc_id", lit(0L))
+    val cases = docs.select("doc_id", "text").unionByName(edge.select("doc_id", "text"))
+    val cnt = cases.select(
+      tokenCountF(col("text")).as("native"),
+      size(TF.tokens(col("text"))).as("column")).collect()
+    cnt.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    for (k <- Seq(1, 3, 8)) {
+      val kern = Dedup.shingleArrays(cases, "doc_id", "text", k)
+        .select("sharr").collect().map(_.getSeq[String](0))
+      val cols = Dedup.shingleArraysColumns(cases, "doc_id", "text", k)
+        .select("sharr").collect().map(_.getSeq[String](0))
+      assert(kern.length == cols.length, s"k=$k row count")
+      kern.zip(cols).foreach { case (a, b) => assert(a == b, s"k=$k") }
+    }
+  }
+
+  test("native MinHashSignature kernel == 64×min(xxhash64) aggregate formulation") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    val agg = Dedup.minhashSignaturesAgg(sh, "doc_id", 64).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val kernel = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 64).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(kernel.keySet == agg.keySet)
+    // element-for-element bit equality: the kernel must reproduce the
+    // exact xxhash64 seed chain, or LSH buckets (and recall) drift
+    kernel.foreach { case (id, sig) => assert(sig == agg(id), s"doc $id") }
+    assert(kernel.nonEmpty)
+    // empty-array neutral element: all-MaxValue signature
+    import spark.implicits._
+    val empty = Seq(Seq.empty[String]).toDF("sharr")
+      .select(graft.functions.MinhashFunctions.minhashSigF(col("sharr"), 8))
+      .collect()(0).getSeq[Long](0)
+    assert(empty == Seq.fill(8)(Long.MaxValue))
+  }
+
   test("dot/cosine: unrolled == lambda variant") {
     val both = emb.limit(50).select(
       Similarity.dotUnrolled(col("embedding"), col("embedding"), 64).as("u"),
