@@ -299,6 +299,30 @@ object Dedup {
     MinhashIndex.incrementalDupPairs(spark, indexDir, batch, id, text, cfg)
 
   /**
+   * Per-document DUPLICATED-SHINGLE statistics — the n-gram-level
+   * duplication signal (the RefinedWeb/Gopher "fraction of duplicated
+   * n-grams" quality feature): for each doc, how many of its distinct
+   * k-shingles occur in at least one OTHER document. Unlike the pair
+   * operators this never forms a pair space at all — one
+   * (shingle → df) wordcount aggregate re-joined onto the shingle
+   * stream, both with partial aggregation; shuffle volume is
+   * corpus-shingle-sized (like a wordcount), not pair-sized, at any
+   * corpus size. Output: (id, n_shingles, n_dup, dup_frac); docs with
+   * fewer than k tokens are absent (they have no shingles).
+   */
+  def dupShingleStats(df: DataFrame, id: String, text: String,
+                      k: Int = 5): DataFrame = {
+    val sh = shingles(df, id, text, k).persist()
+    val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    sh.join(dfTab, Seq("shingle"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        col("n_dup").cast("double") / col("n_shingles").cast("double"))
+  }
+
+  /**
    * Benchmark DECONTAMINATION — the asymmetric sibling of near-dup
    * detection: find corpus documents sharing at least one k-token
    * shingle with a probe (benchmark / eval) set, so evaluation data

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.MinhashFunctions.minhashSigF
 import graft.sources.Bucketing
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -19,7 +20,8 @@ import org.apache.spark.sql.functions._
  * Layout (`dir/` on any Hadoop filesystem):
  * {{{
  *   LATEST              current version number (atomic rename swap)
- *   v00001/shingles/    (id, shingle)   UNCAPPED distinct shingles/doc
+ *   v00001/docs/        (id, sharr ARRAY<STRING>) UNCAPPED distinct
+ *                       shingles per doc — the narrow array form
  *   v00001/df/          (shingle, df)   corpus document frequency
  *   v00001/bands/       (id, band, bucket) LSH keys over CAPPED sets,
  *                       bucket-named parquet written CLUSTERED BY
@@ -32,17 +34,26 @@ import org.apache.spark.sql.functions._
  * HDFS/local; on S3 keep LATEST in a manifest store). Old versions are
  * retained for the caller to garbage-collect.
  *
+ * Probe-side shuffle discipline (what makes an ingest batch-sized at
+ * 100 TB): the corpus df table is only ever SCANNED — hotness checks
+ * broadcast the (small) batch shingle-frequency frame onto it, so no
+ * corpus-sized Exchange exists anywhere in the probe. The one corpus
+ * table a probe must read in full is `docs/` for verification, and
+ * that read is filtered to candidate documents by a broadcast
+ * semi-join before anything else touches it.
+ *
  * THE df-cap subtlety (what makes probe results EXACTLY equal to
  * [[Dedup.minhashIncremental]] over existing ∪ batch): the stop-shingle
  * set is defined over the COMBINED document frequency, and a batch can
  * push a shingle over the cap. Document frequency only grows, so
  * shingles only ever BECOME hot — the corpus docs whose capped shingle
  * set changed are exactly those containing a newly-hot shingle. Their
- * band rows are recomputed from the persisted (uncapped) shingle table;
- * everyone else's persisted bands are reused verbatim. The newly-hot
- * set is empty almost always (caps are set so only degenerate
- * boilerplate crosses them), so the steady-state ingest recomputes
- * nothing.
+ * band rows are recomputed from the persisted doc arrays; everyone
+ * else's persisted bands are reused verbatim. The newly-hot set is
+ * empty almost always (caps are set so only degenerate boilerplate
+ * crosses them) — the probe checks this with one tiny job and, in the
+ * empty case, skips the affected-doc machinery entirely: the
+ * steady-state ingest recomputes nothing.
  */
 object MinhashIndex {
 
@@ -121,77 +132,118 @@ object MinhashIndex {
   // Build / probe / append
   // ------------------------------------------------------------------
 
+  /** One-row frame holding the given shingle set as an array — the
+    * broadcastable form `array_except` consumes (see
+    * [[Dedup.dfCappedArrays]] for why this beats an anti-join here). */
+  private def asOneRowArray(shingleSet: DataFrame, colName: String): DataFrame =
+    shingleSet.agg(collect_list(col("shingle")).as(colName))
+
+  /** Remove `hot1` (a one-row hot-shingle array frame) from each doc's
+    * array; docs left with nothing drop out. */
+  private def cappedBy(docs: DataFrame, id: String, hot1: DataFrame): DataFrame =
+    docs.crossJoin(broadcast(hot1))
+      .select(col(id), array_except(col("sharr"), col("hotarr")).as("sharr"))
+      .filter(size(col("sharr")) > 0)
+
+  private def bandsOf(docs: DataFrame, id: String, cfg: Config): DataFrame =
+    Dedup.lshBands(
+      docs.select(col(id), minhashSigF(col("sharr"), cfg.numPerms).as("sig")),
+      id, cfg.nBands, cfg.bandRows)
+
   /** Build v1 of the index over `corpus`. One shingle scan feeds all
     * three tables (persisted, like [[Dedup.minhashDupPairs]]'s). */
   def build(spark: SparkSession, corpus: DataFrame, id: String, text: String,
             dir: String, cfg: Config = Config()): Unit = {
-    val sh = Dedup.shingles(corpus, id, text, cfg.k).persist()
-    val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val hot = dfTab.filter(col("df") > cfg.maxShingleDf).select("shingle")
-    val capped = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
-    val bands = Dedup.lshBands(
-      Dedup.minhashSignaturesFrom(capped, id, cfg.numPerms),
-      id, cfg.nBands, cfg.bandRows)
+    val docs = Dedup.shingleArrays(corpus, id, text, cfg.k).persist()
+    val dfTab = docs.select(col(id), explode(col("sharr")).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df")).persist()
+    val hot1 = asOneRowArray(
+      dfTab.filter(col("df") > cfg.maxShingleDf).select("shingle"), "hotarr")
+    val bands = bandsOf(cappedBy(docs, id, hot1), id, cfg)
     val vd = versionDir(dir, 1)
-    sh.write.mode("overwrite").parquet(s"$vd/shingles")
+    docs.write.mode("overwrite").parquet(s"$vd/docs")
     dfTab.write.mode("overwrite").parquet(s"$vd/df")
     Bucketing.writeBucketedAt(bands, bandsTableName(dir, 1), cfg.nBuckets,
       Seq("band", "bucket"), s"$vd/bands")
-    sh.unpersist()
+    docs.unpersist(); dfTab.unpersist()
     writeLatest(spark, dir, 1)
   }
 
   /** Everything one ingest needs: the verified pairs plus the three
     * updated tables (lazy — materialized only if the caller appends). */
-  private final case class Probe(pairs: DataFrame, newShingles: DataFrame,
+  private final case class Probe(pairs: DataFrame, newDocs: DataFrame,
                                  newDf: DataFrame, newBands: DataFrame)
 
   /**
    * The one-sided probe against index version `v`, mirroring
    * [[Dedup.minhashIncremental]] step for step — every hash, cap and
-   * verification runs through the same private helpers, which is what
-   * makes the pair sets (including jaccard doubles) identical.
+   * verification runs through the same kernels, which is what makes
+   * the pair sets (including jaccard doubles) identical.
    */
   private def probe(spark: SparkSession, dir: String, v: Int,
                     batch: DataFrame, id: String, text: String,
                     cfg: Config): Probe = {
     val vd = versionDir(dir, v)
-    val corpusSh = spark.read.parquet(s"$vd/shingles")
+    val corpusDocs = spark.read.parquet(s"$vd/docs")
     val corpusDf = spark.read.parquet(s"$vd/df")
     val corpusBands = readBands(spark, dir, v, cfg)
 
-    val batchSh = Dedup.shingles(batch, id, text, cfg.k).persist()
-    val batchDf = batchSh.groupBy(col("shingle")).agg(count(lit(1)).as("bdf"))
+    val batchDocs = Dedup.shingleArrays(batch, id, text, cfg.k).persist()
+    val batchDf = batchDocs.select(explode(col("sharr")).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("bdf")).persist()
 
-    // combined df decides hotness; cdf detects the newly-hot subset
-    val combined = corpusDf.withColumnRenamed("df", "cdf")
-      .join(batchDf, Seq("shingle"), "full_outer")
-      .select(col("shingle"),
-        (coalesce(col("cdf"), lit(0L)) + coalesce(col("bdf"), lit(0L))).as("df"),
-        coalesce(col("cdf"), lit(0L)).as("cdf"))
-    val hot = combined.filter(col("df") > cfg.maxShingleDf)
-      .select(col("shingle"), col("cdf")).persist()
-    val hotShingles = hot.select("shingle")
-    val newlyHot = hot.filter(col("cdf") <= cfg.maxShingleDf).select("shingle")
+    // Combined df decides hotness. The corpus df table is never
+    // shuffled for this: shingles already hot in the corpus fall out
+    // of a pushed-down filter scan; shingles the batch could push over
+    // the cap are found by broadcasting the (batch-sized) batch
+    // frequencies onto the corpus scan; batch-ONLY shingles can make
+    // the cap entirely on their own df. All three frames are
+    // batch-or-hot-set sized — tiny, and they fold into ONE persisted
+    // one-row aggregate carrying both the full hot array (hotarr, fed
+    // to every cappedBy) and its newly-hot subset (nharr, driving the
+    // affected-doc recompute) — one job, not one per consumer.
+    val joint = corpusDf.join(broadcast(batchDf), Seq("shingle"))
+      .select(col("shingle"), col("df"), col("bdf")).persist()
+    val batchOnly = batchDf
+      .join(broadcast(joint.select("shingle")), Seq("shingle"), "left_anti")
+    val corpusHotF = corpusDf.filter(col("df") > cfg.maxShingleDf)
+      .select(col("shingle"), lit(false).as("newly"))
+    val jointHotF = joint.filter(col("df") + col("bdf") > cfg.maxShingleDf)
+      .select(col("shingle"), (col("df") <= cfg.maxShingleDf).as("newly"))
+    val batchHotF = batchOnly.filter(col("bdf") > cfg.maxShingleDf)
+      .select(col("shingle"), lit(true).as("newly"))
+    // flags are consistent per shingle (the three branches overlap only
+    // with equal flags), so distinct dedupes cleanly
+    val hotRow = corpusHotF.unionByName(jointHotF).unionByName(batchHotF)
+      .distinct()
+      .agg(collect_list(col("shingle")).as("hotarr"),
+        collect_list(when(col("newly"), col("shingle"))).as("nharr"))
+      .persist()
+    val hot1 = hotRow.select(col("hotarr"))
 
-    // corpus docs whose capped set changed — bands recomputed from the
-    // persisted shingle table (still no corpus-text read). `affected`
-    // is bounded by the newly-hot shingles' (≤cap) memberships — tiny,
-    // usually empty — so it BROADCASTS: the corpus-sized band and
-    // shingle tables are filtered in place, never shuffled by doc id.
-    val affected = corpusSh.join(broadcast(newlyHot), Seq("shingle"))
-      .select(col(id)).distinct().persist()
-    val keptBands = corpusBands.join(broadcast(affected), Seq(id), "left_anti")
-    val affectedSh = corpusSh.join(broadcast(affected), Seq(id), "left_semi")
-      .join(broadcast(hotShingles), Seq("shingle"), "left_anti")
-    val recomputedBands = Dedup.lshBands(
-      Dedup.minhashSignaturesFrom(affectedSh, id, cfg.numPerms),
-      id, cfg.nBands, cfg.bandRows)
+    // Corpus docs whose capped set changed = docs containing a
+    // newly-hot shingle. Almost always there are none — one tiny job
+    // checks, and the whole recompute path (including its corpus-docs
+    // scan) is skipped. When non-empty, the affected set is bounded by
+    // the newly-hot shingles' (≤cap) memberships — it BROADCASTS, and
+    // the corpus-sized band table is filtered in place, never
+    // re-shuffled.
+    val anyNewlyHot =
+      hotRow.select(size(col("nharr")) > 0).first().getBoolean(0)
+    val (keptBands, recomputedBands) =
+      if (!anyNewlyHot) (corpusBands, None)
+      else {
+        val nh1 = hotRow.select(col("nharr"))
+        val affectedDocs = corpusDocs.crossJoin(broadcast(nh1))
+          .filter(arrays_overlap(col("sharr"), col("nharr")))
+          .select(col(id), col("sharr")).persist()
+        val affectedIds = affectedDocs.select(col(id))
+        val kept = corpusBands.join(broadcast(affectedIds), Seq(id), "left_anti")
+        val recomputed = bandsOf(cappedBy(affectedDocs, id, hot1), id, cfg)
+        (kept, Some(recomputed))
+      }
 
-    val batchCapped = batchSh.join(broadcast(hotShingles), Seq("shingle"), "left_anti")
-    val batchBands = Dedup.lshBands(
-      Dedup.minhashSignaturesFrom(batchCapped, id, cfg.numPerms),
-      id, cfg.nBands, cfg.bandRows).persist()
+    val batchBands = bandsOf(cappedBy(batchDocs, id, hot1), id, cfg).persist()
 
     // one-sided LSH probe: every candidate pair touches the batch. The
     // join is split so the corpus-sized side is the BUCKETED bands
@@ -199,7 +251,8 @@ object MinhashIndex {
     // index side is never re-shuffled per ingest (the batch side
     // broadcasts or shuffles to the bucket count); only the
     // batch-scale fresh bands take the second, tiny join.
-    val freshBands = recomputedBands.unionByName(batchBands)
+    val freshBands = recomputedBands
+      .map(_.unionByName(batchBands)).getOrElse(batchBands)
     val r = batchBands.select(col(id).as("b"), col("band"), col("bucket"))
     val candidates =
       keptBands.select(col(id).as("a"), col("band"), col("bucket"))
@@ -212,20 +265,29 @@ object MinhashIndex {
           greatest(col("a"), col("b")).as("b"))
         .distinct().persist()
 
-    // exact-Jaccard verification over capped sets, restricted to
-    // candidate docs BEFORE the per-doc set aggregation — candidate
-    // ids are batch-scale, so the restriction broadcasts and verify
-    // work is candidate-sized, never corpus-sized
+    // exact-Jaccard verification over capped ARRAYS, restricted to
+    // candidate docs BEFORE anything touches the corpus doc table —
+    // candidate ids are batch-scale, so the restriction broadcasts and
+    // verify work is candidate-sized, never corpus-sized
     val candIds = candidates.select(col("a").as(id))
       .unionByName(candidates.select(col("b").as(id))).distinct()
-    val shCand = corpusSh.unionByName(batchSh)
+    val candDocs = corpusDocs.unionByName(batchDocs)
       .join(broadcast(candIds), Seq(id), "left_semi")
-      .join(broadcast(hotShingles), Seq("shingle"), "left_anti")
-    val pairs = Dedup.verifyJaccard(shCand, id, candidates, cfg.minJ)
+    // persisted: verification reads the capped candidate docs once per
+    // pair SIDE — uncached, the scan + cap chain would run twice
+    val candCapped = cappedBy(candDocs, id, hot1).persist()
+    val pairs = Dedup.verifyJaccardArrays(candCapped, id, candidates, cfg.minJ)
 
+    // Updated tables for append (lazy). newDf is the only place the
+    // corpus df table is joined at corpus scale — a probe-only caller
+    // never executes it.
+    val newDf = corpusDf.withColumnRenamed("df", "cdf")
+      .join(batchDf, Seq("shingle"), "full_outer")
+      .select(col("shingle"),
+        (coalesce(col("cdf"), lit(0L)) + coalesce(col("bdf"), lit(0L))).as("df"))
     Probe(pairs,
-      newShingles = corpusSh.unionByName(batchSh),
-      newDf = combined.select(col("shingle"), col("df")),
+      newDocs = corpusDocs.unionByName(batchDocs),
+      newDf = newDf,
       newBands = keptBands.unionByName(freshBands))
   }
 
@@ -238,7 +300,7 @@ object MinhashIndex {
                           cfg: Config = Config()): DataFrame =
     probe(spark, dir, latestVersion(spark, dir), batch, id, text, cfg).pairs
 
-  /** Fold `batch` into the index: writes version n+1 (shingles ∪ batch,
+  /** Fold `batch` into the index: writes version n+1 (docs ∪ batch,
     * combined df, bands with the newly-hot recompute applied) and flips
     * LATEST. Returns the new version. After this, the index state is
     * IDENTICAL to [[build]] over corpus ∪ batch (asserted table-for-
@@ -249,7 +311,7 @@ object MinhashIndex {
     val v = latestVersion(spark, dir)
     val p = probe(spark, dir, v, batch, id, text, cfg)
     val vd = versionDir(dir, v + 1)
-    p.newShingles.write.mode("overwrite").parquet(s"$vd/shingles")
+    p.newDocs.write.mode("overwrite").parquet(s"$vd/docs")
     p.newDf.write.mode("overwrite").parquet(s"$vd/df")
     Bucketing.writeBucketedAt(p.newBands, bandsTableName(dir, v + 1),
       cfg.nBuckets, Seq("band", "bucket"), s"$vd/bands")
@@ -268,7 +330,7 @@ object MinhashIndex {
     val pairs = p.pairs.persist()
     pairs.count() // materialize against v before v+1 commits
     val vd = versionDir(dir, v + 1)
-    p.newShingles.write.mode("overwrite").parquet(s"$vd/shingles")
+    p.newDocs.write.mode("overwrite").parquet(s"$vd/docs")
     p.newDf.write.mode("overwrite").parquet(s"$vd/df")
     Bucketing.writeBucketedAt(p.newBands, bandsTableName(dir, v + 1),
       cfg.nBuckets, Seq("band", "bucket"), s"$vd/bands")

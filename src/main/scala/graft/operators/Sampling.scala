@@ -88,4 +88,46 @@ object Sampling {
       }
     df.filter(hashBucket(col(key), salt) < cutCol)
   }
+
+  /**
+   * TARGET-MIXTURE sampling: downsample domains so the surviving corpus
+   * matches declared mixture `weights` (e.g. 25% per language) while
+   * keeping the MAXIMUM amount of data — the standard pre-training
+   * recipe step ("train on X% web, Y% code, Z% books"). Unlike
+   * [[stratifiedSample]] (per-stratum fractions given directly), the
+   * fractions here are DERIVED: the binding domain is the one most
+   * under-represented relative to its target (max achievable total
+   * C = min_d n_d / w_d), every domain keeps w_d·C/n_d of its rows, and
+   * the binding domain keeps everything. Domains with no (or zero)
+   * weight are dropped.
+   *
+   * Scale shape: one tiny groupBy(domain) count, one broadcast scalar
+   * (the capacity aggregate — the [[hashBucket]] membership predicate
+   * then runs scan-speed under a broadcast join of the per-domain cut
+   * table). No corpus-sized shuffle; membership is a pure function of
+   * (key, domain table), reproducible across engines and
+   * repartitionings like every sampler here.
+   */
+  def mixtureSample(df: DataFrame, key: String, domain: Column,
+                    weights: Map[String, Double],
+                    salt: String = ""): DataFrame = {
+    require(weights.nonEmpty, "need at least one domain weight")
+    require(weights.values.forall(_ >= 0), s"negative weight in $weights")
+    val wCol = weights.toSeq.sortBy(_._1)
+      .foldRight(lit(0.0): Column) {
+        case ((d, w), acc) => when(col("__dom") === d, lit(w)).otherwise(acc)
+      }
+    val counts = df.groupBy(domain.as("__dom"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__w", wCol)
+      .filter(col("__w") > 0)
+    val capacity = counts.agg(min(col("__n") / col("__w")).as("__cap"))
+    val cuts = counts.crossJoin(broadcast(capacity))
+      .select(col("__dom"),
+        floor(col("__w") * col("__cap") / col("__n") * lit(4294967296.0))
+          .cast("long").as("__cut"))
+    df.join(broadcast(cuts), domain === col("__dom"))
+      .filter(hashBucket(col(key), salt) < col("__cut"))
+      .drop("__dom", "__cut")
+  }
 }

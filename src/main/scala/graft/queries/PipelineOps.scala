@@ -344,6 +344,30 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // Target-MIXTURE sampling: keep fractions DERIVED from declared
+    // mixture weights (25% per listed language; zh excluded) so the
+    // surviving corpus matches the recipe with maximum data — the
+    // binding (most under-represented) language keeps every row. One
+    // tiny count aggregate + one broadcast scalar; membership stays a
+    // pure hash function.
+    "q_mixture_sample" -> { (spark, dir) =>
+      val d = Tables.load(spark, dir, "documents")
+      Sampling.mixtureSample(d, "doc_id", col("lang"),
+        Map("en" -> 0.25, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.25))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+
+    // Duplicated n-gram fraction (RefinedWeb/Gopher quality feature):
+    // per doc, how many of its distinct 5-shingles occur in any other
+    // document. Wordcount-shaped — shingle df aggregate re-joined onto
+    // the shingle stream; no pair space at any corpus size.
+    "text_dup_ngram_frac" -> { (spark, dir) =>
+      Dedup.dupShingleStats(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", k = 5)
+        .orderBy("doc_id")
+    },
+
     // Length-bucketed batching: token-count DECILE per doc (exact
     // interpolated percentiles — Spark `percentile` and DuckDB
     // `quantile_cont` share the definition bit-for-bit), the standard
@@ -670,6 +694,36 @@ object PipelineOps {
          |       WHEN lang = 'fr' THEN ${(0.5 * (1L << 32)).toLong}
          |       ELSE ${1L << 32} END
          |ORDER BY doc_id""".stripMargin,
+    "q_mixture_sample" ->
+      """WITH c AS (SELECT lang AS dom, CAST(count(*) AS DOUBLE) AS n,
+        |    CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.25
+        |              WHEN 'es' THEN 0.25 WHEN 'fr' THEN 0.25
+        |              ELSE 0.0 END AS w
+        |  FROM documents GROUP BY lang),
+        |cw AS (SELECT * FROM c WHERE w > 0),
+        |cap AS (SELECT min(n / w) AS cap FROM cw),
+        |cuts AS (SELECT dom,
+        |    CAST(floor(w * cap / n * 4294967296.0) AS BIGINT) AS cut
+        |  FROM cw, cap)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN cuts ON d.lang = cuts.dom
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT < cut
+        |ORDER BY d.doc_id""".stripMargin,
+    "text_dup_ngram_frac" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text,'\s+'), x -> len(x)>0) AS t
+        |  FROM documents),
+        |shd AS (SELECT DISTINCT doc_id, s FROM toks,
+        |  LATERAL (SELECT unnest(list_transform(range(1, len(t)-3),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |         || ' ' || t[i+4])) AS s)
+        |  WHERE len(t) >= 5),
+        |dfs AS (SELECT s, count(*) AS df FROM shd GROUP BY s)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS dup_frac
+        |FROM shd JOIN dfs USING (s) GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_kfold" ->
       """SELECT doc_id,
         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 5 AS fold

@@ -37,9 +37,20 @@ class IndexSpec extends AnyFunSuite {
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
 
   /** All parquet root paths the plan would scan, including scans hidden
-    * inside cached (InMemoryRelation) subtrees. */
-  private def scanPaths(df: DataFrame): Seq[String] = {
+    * inside cached (InMemoryRelation) subtrees and behind AQE nodes. */
+  private def physicalScanPaths(
+      p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
     import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    p.collect {
+      case f: FileSourceScanExec => f.relation.location.rootPaths.map(_.toString)
+      case a: AdaptiveSparkPlanExec => physicalScanPaths(a.executedPlan)
+      case m: InMemoryTableScanExec => physicalScanPaths(m.relation.cachedPlan)
+    }.flatten
+  }
+
+  private def scanPaths(df: DataFrame): Seq[String] = {
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     df.queryExecution.optimizedPlan.collect {
@@ -47,9 +58,7 @@ class IndexSpec extends AnyFunSuite {
         case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
         case _ => Seq.empty[String]
       }
-      case m: InMemoryRelation => m.cachedPlan.collect {
-        case f: FileSourceScanExec => f.relation.location.rootPaths.map(_.toString)
-      }.flatten
+      case m: InMemoryRelation => physicalScanPaths(m.cachedPlan)
     }.flatten
   }
 
@@ -118,7 +127,7 @@ class IndexSpec extends AnyFunSuite {
     // been replaced — band-table equality with the fresh build proves
     // the newly-hot recompute rewrote exactly what it had to
     assert(t(appended, 2, "bands") == t(fresh, 1, "bands"))
-    assert(t(appended, 2, "shingles") == t(fresh, 1, "shingles"))
+    assert(t(appended, 2, "docs") == t(fresh, 1, "docs"))
     assert(t(appended, 2, "df") == t(fresh, 1, "df"))
   }
 

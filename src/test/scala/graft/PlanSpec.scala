@@ -233,8 +233,14 @@ class PlanSpec extends AnyFunSuite {
       "doc_id", "text", MinhashIndex.Config())
     val f = formatted(probe)
     assert(f.contains("Bucketed: true"), f)
-    assert(!plan(probe).contains("CartesianProduct") &&
-      !plan(probe).contains("BroadcastNestedLoopJoin"), plan(probe))
+    assert(!plan(probe).contains("CartesianProduct"), plan(probe))
+    // the only nested-loop joins allowed are the documented benign
+    // ONE-ROW broadcasts of the hot-shingle array (df-cap application);
+    // any other BNLJ would be a pair-space scale-killer
+    val rogue = plan(probe).linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin"))
+      .filterNot(_.contains("hotarr")).toSeq
+    assert(rogue.isEmpty, rogue.mkString("\n"))
   }
 
   test("approx_count_distinct stays within 5% of exact (HLL default rsd)") {

@@ -231,4 +231,48 @@ class ScaleSpec extends AnyFunSuite {
     val otherKept = s1.filter(!col("lang").isin("en", "fr")).count()
     assert(otherKept == otherAll)
   }
+
+  test("mixtureSample: binding domain kept whole, mixture near targets, unlisted dropped") {
+    val d = Tables.load(spark, sf, "documents") // has a real lang column
+    val weights = Map("en" -> 0.25, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.25)
+    val s = Sampling.mixtureSample(d, "doc_id", col("lang"), weights).persist()
+    val all = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = s.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // unlisted domains dropped entirely
+    assert(kept.keySet == weights.keySet.intersect(all.keySet))
+    // the binding domain (max n/w is the binding CONSTRAINT — the one
+    // with the SMALLEST n/w) survives whole: max-data property
+    val binding = weights.keys.minBy(l => all(l) / weights(l))
+    assert(kept(binding) == all(binding), s"binding=$binding kept=$kept all=$all")
+    // achieved mixture ≈ targets (hash sampling is Bernoulli, so loose)
+    val total = kept.values.sum.toDouble
+    weights.foreach { case (l, w) =>
+      assert(math.abs(kept(l) / total - w) < 0.1, s"$l: ${kept(l) / total} vs $w")
+    }
+    // membership stable under repartition
+    val ids1 = s.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.mixtureSample(d.repartition(13), "doc_id",
+      col("lang"), weights).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    s.unpersist()
+  }
+
+  test("dupShingleStats: exact counts on a hand-checked corpus") {
+    import spark.implicits._
+    // k=2 shingles: doc1 {a b, b c}, doc2 {a b, b d}, doc3 {x y}
+    val d = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dupShingleStats(d, "doc_id", "text", k = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, 0.5),  // "a b" shared with doc2
+      (2L, 2L, 1L, 0.5),
+      (3L, 1L, 0L, 0.0))) // "x y" unique
+    // a doc with < k tokens is absent
+    val short = Seq((9L, "solo")).toDF("doc_id", "text")
+    assert(Dedup.dupShingleStats(short, "doc_id", "text", k = 2).count() == 0)
+  }
 }
