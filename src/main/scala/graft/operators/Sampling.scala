@@ -108,6 +108,34 @@ object Sampling {
    * (key, domain table), reproducible across engines and
    * repartitionings like every sampler here.
    */
+  /**
+   * Deterministic EPOCH SHUFFLE: a reproducible pseudo-random total
+   * order over the corpus (the training-data ordering step — each salt
+   * is one epoch's permutation). Order = (hashBucket(key, salt), key);
+   * the key tiebreak makes it total, so the assigned positions are a
+   * pure function of the corpus contents — independent of partitioning,
+   * cluster shape, or reruns, unlike `orderBy(rand(seed))`.
+   *
+   * Scale shape: one range-partitioned sort (Spark's Exchange
+   * rangepartitioning — sampled boundaries affect only the partition
+   * CUTS, never the order) plus zipWithIndex's small count job for
+   * contiguous global positions; no single-partition window, no driver
+   * data. Output: input columns + `pos` (0-based).
+   */
+  def shuffleEpoch(df: DataFrame, key: String, salt: String = ""): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val spark = df.sparkSession
+    val sorted = df
+      .withColumn("__b", hashBucket(col(key), salt))
+      .orderBy(col("__b"), col(key))
+      .drop("__b")
+    val outSchema = sorted.schema.add(StructField("pos", LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex()
+      .map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   def mixtureSample(df: DataFrame, key: String, domain: Column,
                     weights: Map[String, Double],
                     salt: String = ""): DataFrame = {

@@ -358,6 +358,16 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // Deterministic epoch shuffle: reproducible pseudo-random training
+    // order (hash of doc_id = the permutation; the salt would select
+    // the epoch). One range-partitioned sort + zipWithIndex — never a
+    // single-partition window.
+    "q_shuffle_epoch" -> { (spark, dir) =>
+      Sampling.shuffleEpoch(
+        Tables.load(spark, dir, "documents").select(col("doc_id")), "doc_id")
+        .orderBy("pos")
+    },
+
     // Duplicated n-gram fraction (RefinedWeb/Gopher quality feature):
     // per doc, how many of its distinct 5-shingles occur in any other
     // document. Wordcount-shaped — shingle df aggregate re-joined onto
@@ -708,6 +718,12 @@ object PipelineOps {
         |SELECT d.doc_id, d.lang FROM documents d JOIN cuts ON d.lang = cuts.dom
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT < cut
         |ORDER BY d.doc_id""".stripMargin,
+    "q_shuffle_epoch" ->
+      """SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT,
+        |    doc_id) - 1 AS BIGINT) AS pos
+        |FROM documents ORDER BY pos""".stripMargin,
     "text_dup_ngram_frac" ->
       """WITH toks AS (SELECT doc_id,
         |    list_filter(string_split_regex(text,'\s+'), x -> len(x)>0) AS t

@@ -243,6 +243,24 @@ class PlanSpec extends AnyFunSuite {
     assert(rogue.isEmpty, rogue.mkString("\n"))
   }
 
+  test("dedup_minhash plan: native kernels, no exploded-signature aggregation") {
+    import graft.operators.Dedup
+    val d = Tables.load(spark, sf, "documents")
+    val q = Dedup.minhashDupPairs(d, "doc_id", "text", 3, 64, 2, 0.5)
+    val s = plan(q)
+    // signatures come from the one-loop kernel over per-doc arrays...
+    assert(s.contains("minhash_signature"), s.take(3000))
+    assert(s.contains("shingle_array"), s.take(3000))
+    // ...never from 64 min(xxhash64) aggregates over exploded shingles
+    assert(!s.contains("min(xxhash64"), "old aggregate signature path resurfaced")
+    // the only nested-loop join is the documented one-row hot-array
+    // broadcast (df-cap application)
+    assert(!s.contains("CartesianProduct"), s)
+    val rogue = s.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .filterNot(_.contains("hotarr")).toSeq
+    assert(rogue.isEmpty, rogue.mkString("\n"))
+  }
+
   test("approx_count_distinct stays within 5% of exact (HLL default rsd)") {
     val exact = SparkEntry.queries("q_count_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -259,6 +259,30 @@ class ScaleSpec extends AnyFunSuite {
     s.unpersist()
   }
 
+  test("shuffleEpoch: contiguous deterministic positions; salts give distinct epochs") {
+    val d = Tables.load(spark, sf, "documents").select("doc_id")
+    val p1 = Sampling.shuffleEpoch(d, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = d.count()
+    // a permutation: every doc once, positions exactly 0..n-1
+    assert(p1.size == n && p1.values.toSet == (0L until n).toSet)
+    // independent of input partitioning (the whole point vs rand(seed))
+    val p2 = Sampling.shuffleEpoch(d.repartition(13), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p1 == p2)
+    // matches the in-memory sort by (bucket, id)
+    val buckets = d.select(col("doc_id"),
+      Sampling.hashBucket(col("doc_id")).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = p1.keys.toSeq.sortBy(id => (buckets(id), id))
+      .zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    assert(p1 == expect)
+    // a different salt is a different epoch permutation
+    val p3 = Sampling.shuffleEpoch(d, "doc_id", salt = "epoch1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p3 != p1 && p3.values.toSet == (0L until n).toSet)
+  }
+
   test("dupShingleStats: exact counts on a hand-checked corpus") {
     import spark.implicits._
     // k=2 shingles: doc1 {a b, b c}, doc2 {a b, b d}, doc3 {x y}
