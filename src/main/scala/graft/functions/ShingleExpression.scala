@@ -19,6 +19,11 @@ import org.apache.spark.unsafe.types.UTF8String
  * all >= 0x80, so a byte-level scan splits at precisely the same
  * boundaries as the regex on any UTF-8 input (asserted against the
  * Column formulation in PipelineSpec, including multi-byte text).
+ * Known engine-parity caveat shared by EVERY shingle oracle in this
+ * repo: DuckDB's RE2 `\s` omits \x0B (vertical tab), so a corpus
+ * containing \x0B would tokenize differently there — the oracle
+ * corpora contain none, and the Spark side is self-consistent either
+ * way.
  *
  * Why a kernel: the Column formulation of k-shingling costs a regex
  * engine pass + a higher-order filter + per-window `slice`/`concat_ws`

@@ -126,17 +126,7 @@ object Dedup {
     shingleArrays(df, id, text, k)
       .select(col(id), minhashSigF(col("sharr"), numPerms).as("sig"))
 
-  /** [[minhashSignatures]] over an exploded (id, shingle) frame — the
-    * persisted-index path ([[MinhashIndex]] stores exploded shingles so
-    * df maintenance stays incremental): one collect_list re-groups each
-    * document (explode preserves doc locality, so partial aggregation
-    * collapses it map-side), then the same codegen'd kernel. */
-  private[operators] def minhashSignaturesFrom(sh: DataFrame, id: String,
-                                               numPerms: Int): DataFrame =
-    sh.groupBy(col(id)).agg(collect_list(col("shingle")).as("sharr"))
-      .select(col(id), minhashSigF(col("sharr"), numPerms).as("sig"))
-
-  /** The round-3/4 aggregate formulation of [[minhashSignaturesFrom]],
+  /** The round-3/4 aggregate formulation of [[minhashSignatures]],
     * kept as the reference semantics for the kernel-equality spec. */
   private[graft] def minhashSignaturesAgg(sh: DataFrame, id: String,
                                           numPerms: Int): DataFrame = {
@@ -197,8 +187,10 @@ object Dedup {
       .filter(size(col("sharr")) > 0)
   }
 
-  /** [[verifyJaccard]] over per-document shingle ARRAYS — no
-    * collect_list re-aggregation (the sets are already rows). */
+  /** Exact-Jaccard verification of a candidate (a, b) pair frame over
+    * per-document CAPPED shingle arrays (no re-aggregation — the sets
+    * are already rows; per-document sized, no n² blowup). Output:
+    * (a, b, jaccard) with jaccard >= minJ. */
   private[graft] def verifyJaccardArrays(docs: DataFrame, id: String,
                                              candidates: DataFrame,
                                              minJ: Double): DataFrame = {
@@ -221,23 +213,6 @@ object Dedup {
       transform(sequence(lit(0), lit(nBands - 1)),
         b => hash(slice(col("sig"), b * bandRows + lit(1), lit(bandRows)), b))))
       .toDF(id, "band", "bucket")
-
-  /** Exact-Jaccard verification of a candidate (a, b) pair frame over
-    * the capped shingle sets — arrays are per-document sized (bounded,
-    * no n² blowup). Output: (a, b, jaccard) with jaccard >= minJ. */
-  private[operators] def verifyJaccard(sh: DataFrame, id: String,
-                                       candidates: DataFrame, minJ: Double): DataFrame = {
-    val sets = sh.groupBy(col(id))
-      .agg(collect_list(col("shingle")).as("shset"), count(lit(1)).as("sz"))
-    val setsA = sets.select(col(id).as("a"), col("shset").as("sha"), col("sz").as("sa"))
-    val setsB = sets.select(col(id).as("b"), col("shset").as("shb"), col("sz").as("sb"))
-    candidates.join(setsA, "a").join(setsB, "b")
-      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("jaccard",
-        col("c").cast("double") / (col("sa") + col("sb") - col("c")).cast("double"))
-      .filter(col("jaccard") >= minJ)
-      .select(col("a"), col("b"), col("jaccard"))
-  }
 
   /**
    * INCREMENTAL minhash dedup — the continuous-ingest shape: dedup a

@@ -76,11 +76,28 @@ object MinhashIndex {
   private def versionDir(dir: String, v: Int): String =
     f"${dir.stripSuffix("/")}/v$v%05d"
 
+  /** On-disk layout revision. 2 = per-doc array docs/ table (round 5);
+    * 1 was the exploded shingles/ layout. Checked on every probe so a
+    * stale index fails with "rebuild", not a parquet path error. */
+  private val FormatVersion = 2
+
   /** Current committed version, from the LATEST pointer. */
   def latestVersion(spark: SparkSession, dir: String): Int = {
     val p = new Path(dir, "LATEST")
     val f = fs(spark, dir)
     require(f.exists(p), s"no MinhashIndex at $dir (missing LATEST)")
+    val fmt = new Path(dir, "FORMAT")
+    val fmtV =
+      if (!f.exists(fmt)) 1 // pre-FORMAT layouts are format 1
+      else {
+        val in = f.open(fmt)
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+        finally in.close()
+      }
+    require(fmtV == FormatVersion,
+      s"MinhashIndex at $dir has layout format $fmtV; this build reads " +
+        s"format $FormatVersion — rebuild the index from the corpus")
     val in = f.open(p)
     try new String(org.apache.commons.io.IOUtils.toByteArray(in),
       java.nio.charset.StandardCharsets.UTF_8).trim.toInt
@@ -93,6 +110,13 @@ object MinhashIndex {
 
   private def writeLatest(spark: SparkSession, dir: String, v: Int): Unit = {
     val f = fs(spark, dir)
+    val fmt = new Path(dir, "FORMAT")
+    if (!f.exists(fmt)) {
+      val fo = f.create(fmt, true)
+      try fo.write(FormatVersion.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally fo.close()
+    }
     val tmp = new Path(dir, s"LATEST.tmp.$v")
     val out = f.create(tmp, true)
     try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -170,9 +194,18 @@ object MinhashIndex {
   }
 
   /** Everything one ingest needs: the verified pairs plus the three
-    * updated tables (lazy — materialized only if the caller appends). */
+    * updated tables (lazy — materialized only if the caller appends)
+    * and the frames the probe pinned into the cache — `pairs` reads
+    * through them, so they are released (`done()`) only after the
+    * caller has materialized what it needs. The ingest/append loop
+    * bodies do this; a probe-only caller's caches live until
+    * `spark.catalog.clearCache()` (the same discipline as the Dedup
+    * operators' persisted frames). */
   private final case class Probe(pairs: DataFrame, newDocs: DataFrame,
-                                 newDf: DataFrame, newBands: DataFrame)
+                                 newDf: DataFrame, newBands: DataFrame,
+                                 cached: Seq[DataFrame]) {
+    def done(): Unit = cached.foreach(_.unpersist())
+  }
 
   /**
    * The one-sided probe against index version `v`, mirroring
@@ -230,6 +263,8 @@ object MinhashIndex {
     // re-shuffled.
     val anyNewlyHot =
       hotRow.select(size(col("nharr")) > 0).first().getBoolean(0)
+    val cachedB = Seq.newBuilder[DataFrame]
+    cachedB ++= Seq(batchDocs, batchDf, joint, hotRow)
     val (keptBands, recomputedBands) =
       if (!anyNewlyHot) (corpusBands, None)
       else {
@@ -237,6 +272,7 @@ object MinhashIndex {
         val affectedDocs = corpusDocs.crossJoin(broadcast(nh1))
           .filter(arrays_overlap(col("sharr"), col("nharr")))
           .select(col(id), col("sharr")).persist()
+        cachedB += affectedDocs
         val affectedIds = affectedDocs.select(col(id))
         val kept = corpusBands.join(broadcast(affectedIds), Seq(id), "left_anti")
         val recomputed = bandsOf(cappedBy(affectedDocs, id, hot1), id, cfg)
@@ -285,10 +321,12 @@ object MinhashIndex {
       .join(batchDf, Seq("shingle"), "full_outer")
       .select(col("shingle"),
         (coalesce(col("cdf"), lit(0L)) + coalesce(col("bdf"), lit(0L))).as("df"))
+    cachedB ++= Seq(batchBands, candidates, candCapped)
     Probe(pairs,
       newDocs = corpusDocs.unionByName(batchDocs),
       newDf = newDf,
-      newBands = keptBands.unionByName(freshBands))
+      newBands = keptBands.unionByName(freshBands),
+      cached = cachedB.result())
   }
 
   /** Near-dup pairs of `batch` against the indexed corpus (and within
@@ -316,6 +354,7 @@ object MinhashIndex {
     Bucketing.writeBucketedAt(p.newBands, bandsTableName(dir, v + 1),
       cfg.nBuckets, Seq("band", "bucket"), s"$vd/bands")
     writeLatest(spark, dir, v + 1)
+    p.done() // append materialized everything — release the probe caches
     v + 1
   }
 
@@ -335,6 +374,9 @@ object MinhashIndex {
     Bucketing.writeBucketedAt(p.newBands, bandsTableName(dir, v + 1),
       cfg.nBuckets, Seq("band", "bucket"), s"$vd/bands")
     writeLatest(spark, dir, v + 1)
+    // pairs are materialized; release the probe caches so a continuous
+    // ingest loop doesn't accumulate one cache generation per batch
+    p.done()
     pairs
   }
 }

@@ -90,31 +90,16 @@ object Sampling {
   }
 
   /**
-   * TARGET-MIXTURE sampling: downsample domains so the surviving corpus
-   * matches declared mixture `weights` (e.g. 25% per language) while
-   * keeping the MAXIMUM amount of data — the standard pre-training
-   * recipe step ("train on X% web, Y% code, Z% books"). Unlike
-   * [[stratifiedSample]] (per-stratum fractions given directly), the
-   * fractions here are DERIVED: the binding domain is the one most
-   * under-represented relative to its target (max achievable total
-   * C = min_d n_d / w_d), every domain keeps w_d·C/n_d of its rows, and
-   * the binding domain keeps everything. Domains with no (or zero)
-   * weight are dropped.
-   *
-   * Scale shape: one tiny groupBy(domain) count, one broadcast scalar
-   * (the capacity aggregate — the [[hashBucket]] membership predicate
-   * then runs scan-speed under a broadcast join of the per-domain cut
-   * table). No corpus-sized shuffle; membership is a pure function of
-   * (key, domain table), reproducible across engines and
-   * repartitionings like every sampler here.
-   */
-  /**
    * Deterministic EPOCH SHUFFLE: a reproducible pseudo-random total
    * order over the corpus (the training-data ordering step — each salt
    * is one epoch's permutation). Order = (hashBucket(key, salt), key);
-   * the key tiebreak makes it total, so the assigned positions are a
-   * pure function of the corpus contents — independent of partitioning,
-   * cluster shape, or reruns, unlike `orderBy(rand(seed))`.
+   * with a UNIQUE key that order is total, so the assigned positions
+   * are a pure function of the corpus contents — independent of
+   * partitioning, cluster shape, or reruns, unlike `orderBy(rand(seed))`.
+   * `key` must be unique and non-null (like [[Packing.packBins]]'s id):
+   * duplicate keys tie, and rows tied in the sort get
+   * partition-dependent positions — exactly the nondeterminism this
+   * operator exists to remove.
    *
    * Scale shape: one range-partitioned sort (Spark's Exchange
    * rangepartitioning — sampled boundaries affect only the partition
@@ -136,6 +121,27 @@ object Sampling {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /**
+   * TARGET-MIXTURE sampling: downsample domains so the surviving corpus
+   * matches declared mixture `weights` (e.g. 25% per language) while
+   * keeping the MAXIMUM amount of data — the standard pre-training
+   * recipe step ("train on X% web, Y% code, Z% books"). Unlike
+   * [[stratifiedSample]] (per-stratum fractions given directly), the
+   * fractions here are DERIVED: the binding domain is the one most
+   * under-represented relative to its target (max achievable total
+   * C = min_d n_d / w_d), every domain keeps w_d·C/n_d of its rows, and
+   * the binding domain keeps everything (pinned by the n/w == C
+   * equality case below — the derived fraction w·C/n rounds through
+   * doubles and can land at 1 − 2⁻⁵³, which floor would turn into a
+   * one-in-2³² row drop). Domains with no (or zero) weight are dropped.
+   *
+   * Scale shape: one tiny groupBy(domain) count, one broadcast scalar
+   * (the capacity aggregate — the [[hashBucket]] membership predicate
+   * then runs scan-speed under a broadcast join of the per-domain cut
+   * table). No corpus-sized shuffle; membership is a pure function of
+   * (key, domain table), reproducible across engines and
+   * repartitionings like every sampler here.
+   */
   def mixtureSample(df: DataFrame, key: String, domain: Column,
                     weights: Map[String, Double],
                     salt: String = ""): DataFrame = {
@@ -152,8 +158,10 @@ object Sampling {
     val capacity = counts.agg(min(col("__n") / col("__w")).as("__cap"))
     val cuts = counts.crossJoin(broadcast(capacity))
       .select(col("__dom"),
-        floor(col("__w") * col("__cap") / col("__n") * lit(4294967296.0))
-          .cast("long").as("__cut"))
+        when(col("__n") / col("__w") === col("__cap"), lit(1L << 32))
+          .otherwise(floor(
+            col("__w") * col("__cap") / col("__n") * lit(4294967296.0))
+            .cast("long")).as("__cut"))
     df.join(broadcast(cuts), domain === col("__dom"))
       .filter(hashBucket(col(key), salt) < col("__cut"))
       .drop("__dom", "__cut")

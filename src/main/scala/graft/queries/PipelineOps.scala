@@ -722,7 +722,9 @@ object PipelineOps {
         |cw AS (SELECT * FROM c WHERE w > 0),
         |cap AS (SELECT min(n / w) AS cap FROM cw),
         |cuts AS (SELECT dom,
-        |    CAST(floor(w * cap / n * 4294967296.0) AS BIGINT) AS cut
+        |    CASE WHEN n / w = cap THEN 4294967296
+        |         ELSE CAST(floor(w * cap / n * 4294967296.0) AS BIGINT)
+        |    END AS cut
         |  FROM cw, cap)
         |SELECT d.doc_id, d.lang FROM documents d JOIN cuts ON d.lang = cuts.dom
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT < cut

@@ -46,8 +46,12 @@ object ProfileIdxProbe {
       val newlyHot = joint.filter(col("df") <= cfg.maxShingleDf &&
         col("df") + col("bdf") > cfg.maxShingleDf).select("shingle").persist()
       time("  newlyHot.isEmpty")(if (newlyHot.isEmpty) 1 else 0)
-      val hot1 = joint.sparkSession.emptyDataFrame // placeholder
-      val hot1r = corpusHot.agg(collect_list(col("shingle")).as("hotarr")).persist()
+      // full hot set (corpus-hot ∪ pushed-over-cap), as probe computes it
+      val hot1r = corpusHot
+        .unionByName(joint.filter(col("df") + col("bdf") > cfg.maxShingleDf)
+          .select("shingle"))
+        .distinct()
+        .agg(collect_list(col("shingle")).as("hotarr")).persist()
       time("  hot1")(hot1r.count())
       val candDocs = corpusDocs.unionByName(batchDocs)
         .join(broadcast(batchDocs.select("doc_id")), Seq("doc_id"), "left_semi")

@@ -257,6 +257,13 @@ class ScaleSpec extends AnyFunSuite {
       col("lang"), weights).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids1 == ids2)
     s.unpersist()
+    // non-dyadic weights: w·C/n rounds through doubles (can land at
+    // 1-2^-53); the n/w == C equality branch must still keep the
+    // binding domain whole
+    val w2 = Map("en" -> 0.7, "de" -> 0.3)
+    val s2 = Sampling.mixtureSample(d, "doc_id", col("lang"), w2)
+    val binding2 = w2.keys.minBy(l => all(l) / w2(l))
+    assert(s2.filter(col("lang") === binding2).count() == all(binding2))
   }
 
   test("shuffleEpoch: contiguous deterministic positions; salts give distinct epochs") {
