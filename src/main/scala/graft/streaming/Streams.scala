@@ -183,6 +183,40 @@ object Streams {
       }
       .start()
 
+  /**
+   * [[nearDupStream]] against a persisted [[graft.operators.MinhashIndex]]
+   * — the steady-state streaming form: where [[nearDupStream]] re-reads
+   * the accumulated corpus TEXT and recomputes every signature each
+   * micro-batch (correct, but per-batch work grows with the corpus),
+   * this variant bootstraps an empty index on the first batch and then
+   * `ingest`s each micro-batch: per-batch compute stays batch-sized,
+   * corpus state lives in the index's versioned tables, and pairs are
+   * materialized against version v BEFORE v+1 commits (ingest's
+   * crash-consistency contract). Emits the identical per-batch pair
+   * sets (StreamingSpec).
+   */
+  def nearDupStreamIndexed(docs: DataFrame, id: String, text: String,
+                           indexDir: String,
+                           cfg: graft.operators.MinhashIndex.Config =
+                             graft.operators.MinhashIndex.Config())
+                          (onPairs: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val slim = batch.select(col(id), col(text))
+        // bootstrap: an index over the EMPTY corpus, so the first
+        // ingest's one-sided probe yields exactly the batch-internal
+        // pairs (every pair touches the batch vacuously)
+        if (!graft.operators.MinhashIndex.exists(spark, indexDir))
+          graft.operators.MinhashIndex.build(
+            spark, slim.limit(0), id, text, indexDir, cfg)
+        val p = graft.operators.MinhashIndex.ingest(
+          spark, indexDir, slim, id, text, cfg)
+        onPairs(p, batchId)
+      }
+      .start()
+
   /** Run a streaming query to completion against the (finite) batch
     * source and return the result — the slicetest.Run analog for
     * streaming (memory sink + processAllAvailable). */

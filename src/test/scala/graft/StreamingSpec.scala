@@ -120,4 +120,37 @@ class StreamingSpec extends AnyFunSuite {
       s"missing=${(want -- got.toSet).take(3)} extra=${(got.toSet -- want).take(3)}")
     assert(got.size == want.size, "a pair must be emitted exactly once")
   }
+
+  test("nearDupStreamIndexed: index-backed stream emits the same pairs, batch-sized per ingest") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = docs.partition(_._1 % 2 == 0)
+    val source =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val idxDir = java.nio.file.Files.createTempDirectory("neardup_idx").toString + "/idx"
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = Streams.nearDupStreamIndexed(
+      source.toDF().toDF("doc_id", "text"), "doc_id", "text", idxDir) { (pairs, _) =>
+      got ++= pairs.select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }
+    source.addData(b1.toSeq)
+    q.processAllAvailable()
+    source.addData(b2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val want = graft.operators.Dedup
+      .minhashDupPairs(Tables.load(spark, sf, "documents"), "doc_id", "text")
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.toSet == want,
+      s"missing=${(want -- got.toSet).take(3)} extra=${(got.toSet -- want).take(3)}")
+    assert(got.size == want.size, "a pair must be emitted exactly once")
+    // the index chained one version per micro-batch (bootstrap v1 +
+    // two ingests)
+    assert(graft.operators.MinhashIndex.latestVersion(spark, idxDir) == 3)
+  }
 }
