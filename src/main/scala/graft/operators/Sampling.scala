@@ -166,4 +166,54 @@ object Sampling {
       .filter(hashBucket(col(key), salt) < col("__cut"))
       .drop("__dom", "__cut")
   }
+
+  /**
+   * Mixture UP-sampling — the other half of the recipe problem: when a
+   * domain is under its target and the corpus can't shrink (data-
+   * constrained pre-training), the standard move is REPEATING
+   * under-represented domains for multiple epochs. Every domain gets
+   * epochs_d = maxEpochs · w_d·C/n_d (C = min_d n_d/w_d as in
+   * [[mixtureSample]]): the most under-represented domain repeats
+   * exactly `maxEpochs` times (pinned by the n/w == C equality branch,
+   * like mixtureSample's binding domain), others get proportionally
+   * fewer — including FRACTIONAL epochs below 1, so `maxEpochs = 1`
+   * degenerates to exactly [[mixtureSample]]. Fractional parts become
+   * a deterministic hash-membership extra copy; output rows carry a
+   * `copy` index (0-based), so downstream shuffling/packing can treat
+   * copies as distinct examples.
+   *
+   * Scale shape: identical to [[mixtureSample]] (tiny count agg +
+   * broadcast scalar + broadcast cut table) plus one narrow explode of
+   * `sequence(0, copies-1)` — no extra shuffle; expansion is bounded
+   * by maxEpochs.
+   */
+  def mixtureUpsample(df: DataFrame, key: String, domain: Column,
+                      weights: Map[String, Double],
+                      maxEpochs: Double = 2.0,
+                      salt: String = "copy"): DataFrame = {
+    require(weights.nonEmpty, "need at least one domain weight")
+    require(weights.values.forall(_ >= 0), s"negative weight in $weights")
+    require(maxEpochs > 0, s"maxEpochs must be positive: $maxEpochs")
+    val wCol = weights.toSeq.sortBy(_._1)
+      .foldRight(lit(0.0): Column) {
+        case ((d, w), acc) => when(col("__dom") === d, lit(w)).otherwise(acc)
+      }
+    val counts = df.groupBy(domain.as("__dom"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__w", wCol)
+      .filter(col("__w") > 0)
+    val capacity = counts.agg(min(col("__n") / col("__w")).as("__cap"))
+    val ep = when(col("__n") / col("__w") === col("__cap"), lit(maxEpochs))
+      .otherwise(lit(maxEpochs) * (col("__w") * col("__cap") / col("__n")))
+    val cuts = counts.crossJoin(broadcast(capacity))
+      .select(col("__dom"),
+        floor(ep).cast("long").as("__base"),
+        floor((ep - floor(ep)) * lit(4294967296.0)).cast("long").as("__fcut"))
+    df.join(broadcast(cuts), domain === col("__dom"))
+      .withColumn("__copies", col("__base") +
+        when(hashBucket(col(key), salt) < col("__fcut"), 1L).otherwise(0L))
+      .filter(col("__copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__dom", "__base", "__fcut", "__copies")
+  }
 }

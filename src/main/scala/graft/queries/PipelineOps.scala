@@ -367,6 +367,19 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // Mixture UP-sampling: repeat under-represented domains (epochs)
+    // to hit target weights in a data-constrained corpus — the binding
+    // domain repeats exactly maxEpochs times, others proportionally
+    // fewer (fractional epochs = deterministic hash-membership extra
+    // copy). Output carries a copy index per repeated example.
+    "q_mixture_upsample" -> { (spark, dir) =>
+      val d = Tables.load(spark, dir, "documents")
+      Sampling.mixtureUpsample(d, "doc_id", col("lang"),
+        Map("en" -> 0.4, "de" -> 0.3, "zh" -> 0.3), maxEpochs = 2.0)
+        .select(col("doc_id"), col("lang"), col("copy"))
+        .orderBy("doc_id", "copy")
+    },
+
     // Deterministic epoch shuffle: reproducible pseudo-random training
     // order (hash of doc_id = the permutation; the salt would select
     // the epoch). One range-partitioned sort + zipWithIndex — never a
@@ -729,6 +742,28 @@ object PipelineOps {
         |SELECT d.doc_id, d.lang FROM documents d JOIN cuts ON d.lang = cuts.dom
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT < cut
         |ORDER BY d.doc_id""".stripMargin,
+    "q_mixture_upsample" ->
+      """WITH c AS (SELECT lang AS dom, CAST(count(*) AS DOUBLE) AS n,
+        |    CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.3
+        |              WHEN 'zh' THEN 0.3 ELSE 0.0 END AS w
+        |  FROM documents GROUP BY lang),
+        |cw AS (SELECT * FROM c WHERE w > 0),
+        |cap AS (SELECT min(n / w) AS cap FROM cw),
+        |e AS (SELECT dom,
+        |    CASE WHEN n / w = cap THEN 2.0 ELSE 2.0 * (w * cap / n) END AS ep
+        |  FROM cw, cap),
+        |cuts AS (SELECT dom, CAST(floor(ep) AS BIGINT) AS base,
+        |    CAST(floor((ep - floor(ep)) * 4294967296.0) AS BIGINT) AS fcut
+        |  FROM e),
+        |j AS (SELECT d.doc_id, d.lang,
+        |    base + (CASE WHEN
+        |      ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'copy'),1,8))::BIGINT
+        |      < fcut THEN 1 ELSE 0 END) AS copies
+        |  FROM documents d JOIN cuts ON d.lang = cuts.dom)
+        |SELECT doc_id, lang, CAST(u AS BIGINT) AS copy
+        |FROM j, LATERAL unnest(range(copies)) AS t(u)
+        |WHERE copies > 0
+        |ORDER BY doc_id, copy""".stripMargin,
     "q_shuffle_epoch" ->
       """SELECT doc_id,
         |  CAST(ROW_NUMBER() OVER (ORDER BY

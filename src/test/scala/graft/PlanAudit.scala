@@ -12,6 +12,10 @@ import org.apache.spark.sql.SparkSession
   *    plan — a ONE-ROW broadcast side crossed with the fact table
   *  - q_heavy_hitters: the explicit ONE-ROW total-count broadcast
   *    crossed with the (≤ cap rows) candidate counts — same class
+  *  - dedup_minhash/dedup_incremental(_idx)/q_quantile_bins/
+  *    q_mixture_sample/q_mixture_upsample: ONE-ROW broadcast of the
+  *    hot-shingle array / quantile thresholds / capacity scalar —
+  *    same class (PlanSpec whitelists BNLJ by its hotarr condition)
   * dedup_embedding is a block-pair equi-join and sim_topk_lsh/ivf are
   * bucket equi-joins — no BNLJ (PlanSpec asserts). */
 object PlanAudit {

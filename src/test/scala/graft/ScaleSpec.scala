@@ -266,6 +266,41 @@ class ScaleSpec extends AnyFunSuite {
     assert(s2.filter(col("lang") === binding2).count() == all(binding2))
   }
 
+  test("mixtureUpsample: binding domain repeats exactly maxEpochs; copies contiguous; maxEpochs=1 == mixtureSample") {
+    val d = Tables.load(spark, sf, "documents")
+    val weights = Map("en" -> 0.4, "de" -> 0.3, "zh" -> 0.3)
+    val all = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val up = Sampling.mixtureUpsample(d, "doc_id", col("lang"), weights,
+      maxEpochs = 2.0).persist()
+    // binding domain: every doc exactly 2 copies (0 and 1)
+    val binding = weights.keys.minBy(l => all(l) / weights(l))
+    val bindingCopies = up.filter(col("lang") === binding)
+      .groupBy("doc_id").count().collect().map(_.getLong(1))
+    assert(bindingCopies.nonEmpty && bindingCopies.forall(_ == 2L))
+    // copies contiguous per doc: max copy == count-1
+    val bad = up.groupBy("doc_id")
+      .agg(count(lit(1)).as("c"), max(col("copy")).as("m"))
+      .filter(col("m") =!= col("c") - 1).count()
+    assert(bad == 0)
+    // achieved mixture ≈ targets
+    val kept = up.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = kept.values.sum.toDouble
+    weights.foreach { case (l, w) =>
+      assert(math.abs(kept(l) / total - w) < 0.1, s"$l: ${kept(l) / total} vs $w")
+    }
+    up.unpersist()
+    // degenerate case: maxEpochs = 1 is exactly mixtureSample (with the
+    // same salt), copy always 0
+    val one = Sampling.mixtureUpsample(d, "doc_id", col("lang"), weights,
+      maxEpochs = 1.0, salt = "")
+    val ms = Sampling.mixtureSample(d, "doc_id", col("lang"), weights)
+    assert(one.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      ms.select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert(one.agg(max(col("copy"))).first().getLong(0) == 0L)
+  }
+
   test("shuffleEpoch: contiguous deterministic positions; salts give distinct epochs") {
     val d = Tables.load(spark, sf, "documents").select("doc_id")
     val p1 = Sampling.shuffleEpoch(d, "doc_id")
