@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatVecDot, FloatVecHyperplaneSig}
+import graft.functions.{FloatVecDot, FloatVecHyperplaneSig, MinHashSignature, ShingleArray, WsTokenCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -16,6 +16,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
  *
  *   SELECT graft_dot(a.embedding, b.embedding) FROM ...
  *   SELECT graft_hyperplane_sig(embedding, 24) FROM ...
+ *   SELECT graft_minhash(graft_shingles(text, 3), 64) FROM ...
+ *   SELECT graft_token_count(text) FROM ...
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -29,6 +31,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Constant-integer argument (e.g. a shingle size or permutation
+    * count baked into the generated code). */
+  private def constInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => other.eval() match {
+      case i: Int => i
+      case l: java.lang.Long => l.toInt
+      case x => throw new IllegalArgumentException(
+        s"$what must be a constant integer, got $x")
+    }
+  }
+
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> { args =>
       require(args.length == 2, "graft_dot(arrayFloat, arrayFloat)")
@@ -36,16 +50,19 @@ object GraftExtensions {
     },
     "graft_hyperplane_sig" -> { args =>
       require(args.length == 2, "graft_hyperplane_sig(arrayFloat, nPlanes)")
-      val n = args(1) match {
-        case Literal(v: Int, _) => v
-        case other => other.eval() match {
-          case i: Int => i
-          case l: java.lang.Long => l.toInt
-          case x => throw new IllegalArgumentException(
-            s"nPlanes must be a constant integer, got $x")
-        }
-      }
-      FloatVecHyperplaneSig(args(0), n)
+      FloatVecHyperplaneSig(args(0), constInt(args(1), "nPlanes"))
+    },
+    "graft_shingles" -> { args =>
+      require(args.length == 2, "graft_shingles(text, k)")
+      ShingleArray(args(0), constInt(args(1), "k"))
+    },
+    "graft_minhash" -> { args =>
+      require(args.length == 2, "graft_minhash(arrayString, numPerms)")
+      MinHashSignature(args(0), constInt(args(1), "numPerms"))
+    },
+    "graft_token_count" -> { args =>
+      require(args.length == 1, "graft_token_count(text)")
+      WsTokenCount(args(0))
     })
 
   /** Register the functions on an already-running session — for when

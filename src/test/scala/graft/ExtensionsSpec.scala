@@ -38,4 +38,28 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(a.getDouble(1) == b.getDouble(1) && a.getLong(2) == b.getLong(2))
     }
   }
+
+  test("graft_shingles / graft_minhash / graft_token_count callable from spark.sql") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.limit(20).createOrReplaceTempView("d")
+    val sql = spark.sql(
+      """SELECT doc_id, graft_token_count(text) AS n,
+        |       graft_shingles(text, 3) AS sh,
+        |       graft_minhash(graft_shingles(text, 3), 16) AS sig
+        |FROM d ORDER BY doc_id""".stripMargin).collect()
+    assert(sql.length == 20)
+    import org.apache.spark.sql.functions.col
+    import graft.functions.MinhashFunctions.minhashSigF
+    import graft.functions.ShingleFunctions.{shingleArrF, tokenCountF}
+    val api = docs.limit(20).select(col("doc_id"),
+      tokenCountF(col("text")).as("n"),
+      shingleArrF(col("text"), 3).as("sh"),
+      minhashSigF(shingleArrF(col("text"), 3), 16).as("sig"))
+      .orderBy("doc_id").collect()
+    sql.zip(api).foreach { case (a, b) =>
+      assert(a.getInt(1) == b.getInt(1))
+      assert(a.getSeq[String](2) == b.getSeq[String](2))
+      assert(a.getSeq[Long](3) == b.getSeq[Long](3))
+    }
+  }
 }

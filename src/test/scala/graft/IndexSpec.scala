@@ -159,6 +159,40 @@ class IndexSpec extends AnyFunSuite {
       s"bands scan lost its bucket layout:\n$f")
   }
 
+  test("crashed append leaves the index untouched; the retry lands cleanly") {
+    val existing = docs(
+      1L -> "x y z a b c d e f",
+      2L -> "x y z a b c d e g")
+    val batch = docs(3L -> "x y z a b c d e h")
+    val cfg = MinhashIndex.Config(k = 3, numPerms = 16, bandRows = 2,
+      minJ = 0.3, maxShingleDf = 100, nBuckets = 4)
+    val dir = tmp("graft_mhidx_crash")
+    MinhashIndex.build(spark, existing, "doc_id", "text", dir, cfg)
+    // simulate an append that died after writing some of v2 but BEFORE
+    // flipping LATEST: garbage v2 data must be invisible to probes
+    val v2dir = new java.io.File(s"$dir/v00002/docs")
+    v2dir.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/v00002/docs/part-garbage.parquet"),
+      "not parquet".getBytes)
+    assert(MinhashIndex.latestVersion(spark, dir) == 1, "LATEST must still be v1")
+    val pairs1 = MinhashIndex.incrementalDupPairs(spark, dir, batch,
+      "doc_id", "text", cfg)
+    val inline = Dedup.minhashIncremental(existing, batch, "doc_id", "text",
+      k = 3, numPerms = 16, bandRows = 2, minJ = 0.3, maxShingleDf = 100)
+    assert(pairSet(pairs1) == pairSet(inline), "probe must read v1 only")
+    // the retried append overwrites the partial v2 and commits
+    val v2 = MinhashIndex.appendToIndex(spark, dir, batch, "doc_id", "text", cfg)
+    assert(v2 == 2 && MinhashIndex.latestVersion(spark, dir) == 2)
+    val fresh = tmp("graft_mhidx_crash_fresh")
+    MinhashIndex.build(spark, existing.unionByName(batch), "doc_id", "text",
+      fresh, cfg)
+    def t(d: String, v: Int, comp: String): Set[Seq[Any]] =
+      spark.read.parquet(f"$d/v$v%05d/$comp").collect().map(_.toSeq).toSet
+    assert(t(dir, 2, "docs") == t(fresh, 1, "docs"),
+      "retry must fully replace the crashed partial write")
+  }
+
   test("ingest chains versions: probe against v2 == minhashIncremental on the grown corpus") {
     val existing = docs(
       10L -> "p q r s t u v w x",
