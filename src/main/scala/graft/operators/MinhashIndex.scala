@@ -195,12 +195,14 @@ object MinhashIndex {
 
   /** Everything one ingest needs: the verified pairs plus the three
     * updated tables (lazy — materialized only if the caller appends)
-    * and the frames the probe pinned into the cache — `pairs` reads
-    * through them, so they are released (`done()`) only after the
-    * caller has materialized what it needs. The ingest/append loop
-    * bodies do this; a probe-only caller's caches live until
-    * `spark.catalog.clearCache()` (the same discipline as the Dedup
-    * operators' persisted frames). */
+    * and the frames the probe pinned into the cache (the candidate
+    * pair set and the capped candidate docs; the batch-scale upstream
+    * frames are localCheckpoint'ed instead and GC-clean themselves) —
+    * `pairs` reads through the cached pair, so they are released
+    * (`done()`) only after the caller has materialized what it needs.
+    * The ingest/append loop bodies do this; a probe-only caller's
+    * caches live until `spark.catalog.clearCache()` (the same
+    * discipline as the Dedup operators' persisted frames). */
   private final case class Probe(pairs: DataFrame, newDocs: DataFrame,
                                  newDf: DataFrame, newBands: DataFrame,
                                  cached: Seq[DataFrame]) {
@@ -221,9 +223,20 @@ object MinhashIndex {
     val corpusDf = spark.read.parquet(s"$vd/df")
     val corpusBands = readBands(spark, dir, v, cfg)
 
-    val batchDocs = Dedup.shingleArrays(batch, id, text, cfg.k).persist()
+    // Batch-scale frames are localCheckpoint'ed rather than persisted:
+    // each is re-referenced by several downstream plans, and a persist
+    // re-EMBEDS its whole logical subtree at every reference — the
+    // probe's printed plan reached ~1000 Exchange nodes and Catalyst
+    // re-optimized that blown-up tree on every ingest. Checkpointing
+    // truncates lineage to an RDD leaf (plans stay probe-sized) and the
+    // blocks are GC-cleaned when the probe is dropped. Tradeoff: a lost
+    // executor fails the ingest job instead of recomputing lineage —
+    // the caller retries the (batch-sized) ingest, which is the
+    // documented recovery path anyway (versions are immutable).
+    val batchDocs = Dedup.shingleArrays(batch, id, text, cfg.k)
+      .localCheckpoint()
     val batchDf = batchDocs.select(explode(col("sharr")).as("shingle"))
-      .groupBy(col("shingle")).agg(count(lit(1)).as("bdf")).persist()
+      .groupBy(col("shingle")).agg(count(lit(1)).as("bdf")).localCheckpoint()
 
     // Combined df decides hotness. The corpus df table is never
     // shuffled for this: shingles already hot in the corpus fall out
@@ -236,7 +249,7 @@ object MinhashIndex {
     // to every cappedBy) and its newly-hot subset (nharr, driving the
     // affected-doc recompute) — one job, not one per consumer.
     val joint = corpusDf.join(broadcast(batchDf), Seq("shingle"))
-      .select(col("shingle"), col("df"), col("bdf")).persist()
+      .select(col("shingle"), col("df"), col("bdf")).localCheckpoint()
     val batchOnly = batchDf
       .join(broadcast(joint.select("shingle")), Seq("shingle"), "left_anti")
     val corpusHotF = corpusDf.filter(col("df") > cfg.maxShingleDf)
@@ -251,7 +264,7 @@ object MinhashIndex {
       .distinct()
       .agg(collect_list(col("shingle")).as("hotarr"),
         collect_list(when(col("newly"), col("shingle"))).as("nharr"))
-      .persist()
+      .localCheckpoint()
     val hot1 = hotRow.select(col("hotarr"))
 
     // Corpus docs whose capped set changed = docs containing a
@@ -264,22 +277,21 @@ object MinhashIndex {
     val anyNewlyHot =
       hotRow.select(size(col("nharr")) > 0).first().getBoolean(0)
     val cachedB = Seq.newBuilder[DataFrame]
-    cachedB ++= Seq(batchDocs, batchDf, joint, hotRow)
     val (keptBands, recomputedBands) =
       if (!anyNewlyHot) (corpusBands, None)
       else {
         val nh1 = hotRow.select(col("nharr"))
         val affectedDocs = corpusDocs.crossJoin(broadcast(nh1))
           .filter(arrays_overlap(col("sharr"), col("nharr")))
-          .select(col(id), col("sharr")).persist()
-        cachedB += affectedDocs
+          .select(col(id), col("sharr")).localCheckpoint()
         val affectedIds = affectedDocs.select(col(id))
         val kept = corpusBands.join(broadcast(affectedIds), Seq(id), "left_anti")
         val recomputed = bandsOf(cappedBy(affectedDocs, id, hot1), id, cfg)
         (kept, Some(recomputed))
       }
 
-    val batchBands = bandsOf(cappedBy(batchDocs, id, hot1), id, cfg).persist()
+    val batchBands = bandsOf(cappedBy(batchDocs, id, hot1), id, cfg)
+      .localCheckpoint()
 
     // one-sided LSH probe: every candidate pair touches the batch. The
     // join is split so the corpus-sized side is the BUCKETED bands
