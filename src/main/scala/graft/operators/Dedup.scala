@@ -156,7 +156,7 @@ object Dedup {
     // cap applies to BOTH signatures and verification — see
     // [[dfCappedArrays]].
     val docs = shingleArrays(df, id, text, k).persist()
-    val capped = dfCappedArrays(docs, id, maxShingleDf).persist()
+    val capped = dfCappedArrays(docs, id, maxShingleDf).localCheckpoint()
     val sigs = capped.select(col(id), minhashSigF(col("sharr"), numPerms).as("sig"))
     val banded = lshBands(sigs, id, numPerms / bandRows, bandRows)
     val l = banded.select(col(id).as("a"), col("band"), col("bucket"))
@@ -243,7 +243,7 @@ object Dedup {
     val corpus = existing.select(col(id), col(text))
       .unionByName(batch.select(col(id), col(text)))
     val docs = shingleArrays(corpus, id, text, k).persist()
-    val capped = dfCappedArrays(docs, id, maxShingleDf).persist()
+    val capped = dfCappedArrays(docs, id, maxShingleDf).localCheckpoint()
     val sigs = capped.select(col(id), minhashSigF(col("sharr"), numPerms).as("sig"))
     val banded = lshBands(sigs, id, numPerms / bandRows, bandRows)
     // probe side: ONLY batch documents — the incremental restriction

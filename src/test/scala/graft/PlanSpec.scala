@@ -250,7 +250,10 @@ class PlanSpec extends AnyFunSuite {
     val s = plan(q)
     // signatures come from the one-loop kernel over per-doc arrays...
     assert(s.contains("minhash_signature"), s.take(3000))
-    assert(s.contains("shingle_array"), s.take(3000))
+    // ...over arrays built by the shingle kernel (the capped frame is a
+    // checkpointed leaf in the pair plan, so assert at its own surface)
+    assert(plan(Dedup.shingleArrays(d, "doc_id", "text", 3))
+      .contains("shingle_array"))
     // ...never from 64 min(xxhash64) aggregates over exploded shingles
     assert(!s.contains("min(xxhash64"), "old aggregate signature path resurfaced")
     // the only nested-loop join is the documented one-row hot-array
