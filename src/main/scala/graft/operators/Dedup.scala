@@ -274,6 +274,26 @@ object Dedup {
     MinhashIndex.incrementalDupPairs(spark, indexDir, batch, id, text, cfg)
 
   /**
+   * Contamination REPORT: [[contaminated]] rolled up per corpus
+   * segment (source / domain / shard) — the view a dataset owner
+   * actually acts on ("which source leaked the benchmark"). The
+   * contaminated-doc set is tiny relative to the corpus (that is the
+   * premise of decontamination), so it broadcasts back onto the corpus
+   * for the group label; the corpus is scanned once more, never
+   * shuffled. Output: (group, n_docs_contaminated, n_shared_total).
+   */
+  def contaminationReport(corpus: DataFrame, probes: DataFrame,
+                          id: String, text: String, groupCol: String,
+                          k: Int = 8): DataFrame = {
+    val hits = contaminated(corpus, probes, id, text, k)
+    corpus.select(col(id), col(groupCol))
+      .join(broadcast(hits), Seq(id))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs_contaminated"),
+        sum(col("n_shared")).as("n_shared_total"))
+  }
+
+  /**
    * Per-document DUPLICATED-SHINGLE statistics — the n-gram-level
    * duplication signal (the RefinedWeb/Gopher "fraction of duplicated
    * n-grams" quality feature): for each doc, how many of its distinct

@@ -432,6 +432,18 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // Contamination rolled up per source — the actionable view ("which
+    // source leaked the benchmark"); contaminated ids broadcast back
+    // for the label, corpus never shuffles.
+    "q_contamination_report" -> { (spark, dir) =>
+      val d = Tables.load(spark, dir, "documents")
+      val isProbe =
+        Sampling.hashBucket(col("doc_id")) < lit(Sampling.cuts(Seq(0.2))(1))
+      Dedup.contaminationReport(d.filter(!isProbe), d.filter(isProbe),
+        "doc_id", "text", "source", k = 5)
+        .orderBy("source")
+    },
+
     // Data-quality gates: every document tagged with the named rules
     // it violates (quality "expectations" — quarantine with reasons,
     // never a silent drop). Scan-speed column algebra, fails closed on
@@ -822,6 +834,33 @@ object PipelineOps {
          |WHERE doc_id NOT IN (SELECT doc_id FROM probe)
          |  AND s IN (SELECT s FROM psh)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "q_contamination_report" -> {
+      val cut = Sampling.cuts(Seq(0.2))(1)
+      val sh5 = (0 until 5).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text,'\\s+'), x -> len(x)>0) AS t
+         |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, s FROM toks,
+         |  LATERAL (SELECT unnest(list_transform(range(1, len(t)-3),
+         |                  i -> $sh5)) AS s)
+         |  WHERE len(t) >= 5),
+         |probe AS (SELECT doc_id FROM documents
+         |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+         |        < $cut),
+         |psh AS (SELECT DISTINCT s FROM sh
+         |        WHERE doc_id IN (SELECT doc_id FROM probe)),
+         |hits AS (SELECT doc_id, COUNT(*) AS n_shared
+         |  FROM sh
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM probe)
+         |    AND s IN (SELECT s FROM psh)
+         |  GROUP BY doc_id)
+         |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs_contaminated,
+         |  CAST(SUM(n_shared) AS BIGINT) AS n_shared_total
+         |FROM hits JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin
     },
     "q_quarantine" ->
       s"""WITH t AS (SELECT doc_id, text,

@@ -310,4 +310,44 @@ class PropertySpec extends AnyFunSuite {
     assert(buf.keys.length <= 16)
     assert(buf.counts.forall(c => c >= 1 && c <= 1))
   }
+
+  test("shingle/token/minhash kernels == Column formulations on random unicode text") {
+    import spark.implicits._
+    import graft.functions.ShingleFunctions.{shingleArrF, tokenCountF}
+    import graft.functions.TextFunctions
+    // tokens drawn from ascii words, multi-byte scripts, punctuation;
+    // separators from ALL Java-\s whitespace (incl. \x0B) with runs
+    val token: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr.suchThat(_.nonEmpty),
+      Gen.nonEmptyListOf(Gen.oneOf("é", "ü", "中", "文", "λ", "ж",
+        "\ud83d\ude42", ".", ",")).map(_.mkString))
+    val sep: Gen[String] = Gen.nonEmptyListOf(
+      Gen.oneOf(' ', '\t', '\n', '\u000B', '\f', '\r')).map(_.mkString)
+    val textGen: Gen[String] = for {
+      n <- Gen.choose(0, 12)
+      toks <- Gen.listOfN(n, token)
+      seps <- Gen.listOfN(n + 1, sep)
+      lead <- Gen.oneOf("", " ")
+    } yield lead + toks.zip(seps).map { case (t, s) => t + s }.mkString
+    val texts = draws(textGen, 120)
+    for (k <- Seq(1, 2, 4)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val kern = Dedup.shingleArrays(df, "doc_id", "text", k)
+        .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+      val cols = Dedup.shingleArraysColumns(df, "doc_id", "text", k)
+        .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+      assert(kern.toSeq == cols.toSeq, s"k=$k")
+      val cnt = df.select(tokenCountF(col("text")),
+        size(TextFunctions.tokens(col("text")))).collect()
+      cnt.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+      // minhash kernel vs aggregate formulation over the same arrays
+      val sigK = Dedup.minhashSignatures(df, "doc_id", "text", k, 16)
+        .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+      val sigA = Dedup.minhashSignaturesAgg(
+        Dedup.shingles(df, "doc_id", "text", k), "doc_id", 16)
+        .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+      assert(sigK.toSeq == sigA.toSeq, s"k=$k")
+    }
+  }
 }
