@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
  *   load → quality gates (named expectations, quarantine with
  *   reasons) → exact dedup → near-dup clusters (MinHash+LSH →
  *   verified pairs → connected components) → keep one canonical doc
- *   per cluster → stratified language rebalancing → deterministic
- *   train/val/test split → token stats.
+ *   per cluster → benchmark decontamination → target-mixture
+ *   rebalancing (derived per-language fractions) → deterministic
+ *   train/val/test split → reproducible epoch ordering → token stats.
  *
  * Every stage is declarative or a bucket-joined sketch; nothing
  * materializes on the driver, so the same code runs at corpus scale
@@ -32,11 +33,13 @@ object TrainingDataPipeline {
 
     // 1. quality gates (cheap, run first to shrink everything):
     //    named expectations, violators quarantined WITH reasons
+    // lang_pred = the stopword-heuristic language ID (gates on it);
+    // the corpus's own `lang` column stays intact for the mixture step
     val tagged = docs
-      .withColumn("lang", TF.langId(col("text")))
+      .withColumn("lang_pred", TF.langId(col("text")))
       .withColumn("quality", TF.qualityScore(col("text")))
     val (gatedRaw, quarantined) = Quality.quarantine(tagged, Seq(
-      "unknown_lang" -> (col("lang") =!= "und"),
+      "unknown_lang" -> (col("lang_pred") =!= "und"),
       "low_quality" -> (col("quality") > 0.3)))
     val gated = gatedRaw.persist()
     val kept1 = gated.count()
@@ -59,18 +62,41 @@ object TrainingDataPipeline {
     val deduped = exact.join(dropDocs, Seq("doc_id"), "left_anti").persist()
     val kept3 = deduped.count()
 
-    // 4. stratified rebalancing (downsample the dominant language) and
+    // 3b. benchmark decontamination: scrub docs sharing any 8-token
+    //     shingle with the eval/probe set (here a held-out hash slice
+    //     stands in for a benchmark); probe shingles broadcast, the
+    //     corpus text never shuffles
+    val isProbe =
+      Sampling.hashBucket(col("doc_id"), "probe") <
+        lit(Sampling.cuts(Seq(0.05))(1))
+    val contaminatedIds = Dedup.contaminated(
+      deduped.filter(!isProbe), deduped.filter(isProbe),
+      "doc_id", "text", k = 8).select("doc_id")
+    val clean = deduped.filter(!isProbe)
+      .join(broadcast(contaminatedIds), Seq("doc_id"), "left_anti").persist()
+    val kept3b = clean.count()
+
+    // 4. target-mixture rebalancing (fractions DERIVED from declared
+    //    language weights — the binding language keeps every row) and
     //    deterministic split — both pure hash membership, scan-speed
     // distinct salt: the rebalancing decision must be INDEPENDENT of
     // the split decision below (same key, same hash → correlated
     // membership; see Sampling.hashBucket's pitfall note)
-    val balanced = Sampling.stratifiedSample(deduped, "doc_id", col("lang"),
-      Map("en" -> 0.5), salt = "balance")
+    val balanced = Sampling.mixtureSample(clean, "doc_id", col("lang"),
+      Map("en" -> 0.4, "fr" -> 0.2, "es" -> 0.2, "de" -> 0.2),
+      salt = "balance")
     val split = Sampling.assignSplit(balanced, "doc_id",
       Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)).persist()
     val kept4 = split.count()
 
-    // 5. token accounting on the final corpus, per split
+    // 5. reproducible epoch ordering for the train split: positions are
+    //    a pure function of corpus contents; salt selects the epoch
+    val epoch0 = Sampling.shuffleEpoch(
+      split.filter(col("split") === "train").select("doc_id", "text"),
+      "doc_id", salt = "epoch0")
+    val nTrain = epoch0.count()
+
+    // 6. token accounting on the final corpus, per split
     val stats = split.agg(
       sum(TF.wsTokenCount(col("text")).cast("long")).as("ws_tokens"),
       sum(TF.bpeTokenCount(col("text")).cast("long")).as("bpe_tokens"),
@@ -79,13 +105,15 @@ object TrainingDataPipeline {
       .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
 
     println(s"docs: $total -> gates: $kept1 (quarantined $nQuar) " +
-      s"-> exact-dedup: $kept2 -> near-dedup: $kept3 -> balanced: $kept4")
-    println(s"splits: $perSplit")
+      s"-> exact-dedup: $kept2 -> near-dedup: $kept3 " +
+      s"-> decontaminated: $kept3b -> balanced: $kept4")
+    println(s"splits: $perSplit  (train epoch-0 ordered rows: $nTrain)")
     println(s"tokens(ws)=${stats.getLong(0)} tokens(bpe)=${stats.getLong(1)} " +
       f"mean_quality=${stats.getDouble(2)}%.3f")
     require(kept1 + nQuar == total, "gates must partition the corpus")
     require(kept3 > 0 && kept3 <= kept2 && kept2 <= kept1 && kept1 <= total)
-    require(kept4 > 0 && kept4 <= kept3)
+    require(kept3b > 0 && kept3b <= kept3 && kept4 > 0 && kept4 <= kept3b)
+    require(nTrain > 0 && nTrain <= kept4)
     spark.stop()
   }
 }
