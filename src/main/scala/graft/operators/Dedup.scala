@@ -157,6 +157,9 @@ object Dedup {
     // [[dfCappedArrays]].
     val docs = shingleArrays(df, id, text, k).persist()
     val capped = dfCappedArrays(docs, id, maxShingleDf).localCheckpoint()
+    // the eager checkpoint above is the last reader of the raw arrays —
+    // release the corpus-scale cache instead of pinning it all session
+    docs.unpersist()
     val sigs = capped.select(col(id), minhashSigF(col("sharr"), numPerms).as("sig"))
     val banded = lshBands(sigs, id, numPerms / bandRows, bandRows)
     val l = banded.select(col(id).as("a"), col("band"), col("bucket"))
@@ -244,6 +247,7 @@ object Dedup {
       .unionByName(batch.select(col(id), col(text)))
     val docs = shingleArrays(corpus, id, text, k).persist()
     val capped = dfCappedArrays(docs, id, maxShingleDf).localCheckpoint()
+    docs.unpersist() // checkpoint materialized — last reader of the raw arrays
     val sigs = capped.select(col(id), minhashSigF(col("sharr"), numPerms).as("sig"))
     val banded = lshBands(sigs, id, numPerms / bandRows, bandRows)
     // probe side: ONLY batch documents — the incremental restriction

@@ -108,22 +108,22 @@ object MinhashIndex {
   def exists(spark: SparkSession, dir: String): Boolean =
     fs(spark, dir).exists(new Path(dir, "LATEST"))
 
+  /** tmp + rename so a crash mid-write never leaves a partial marker
+    * visible (a 0-length FORMAT would poison every later read). */
+  private def atomicWrite(f: FileSystem, dst: Path, content: String): Unit = {
+    val tmp = new Path(dst.getParent, s"${dst.getName}.tmp.${content.hashCode}")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    f.delete(dst, false)
+    require(f.rename(tmp, dst), s"failed to commit $dst")
+  }
+
   private def writeLatest(spark: SparkSession, dir: String, v: Int): Unit = {
     val f = fs(spark, dir)
     val fmt = new Path(dir, "FORMAT")
-    if (!f.exists(fmt)) {
-      val fo = f.create(fmt, true)
-      try fo.write(FormatVersion.toString
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally fo.close()
-    }
-    val tmp = new Path(dir, s"LATEST.tmp.$v")
-    val out = f.create(tmp, true)
-    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val dst = new Path(dir, "LATEST")
-    f.delete(dst, false)
-    require(f.rename(tmp, dst), s"failed to commit LATEST at $dir")
+    if (!f.exists(fmt)) atomicWrite(f, fmt, FormatVersion.toString)
+    atomicWrite(f, new Path(dir, "LATEST"), v.toString)
   }
 
   /** Catalog name for a version's bands table: derived from the index
@@ -333,7 +333,7 @@ object MinhashIndex {
       .join(batchDf, Seq("shingle"), "full_outer")
       .select(col("shingle"),
         (coalesce(col("cdf"), lit(0L)) + coalesce(col("bdf"), lit(0L))).as("df"))
-    cachedB ++= Seq(batchBands, candidates, candCapped)
+    cachedB ++= Seq(candidates, candCapped)
     Probe(pairs,
       newDocs = corpusDocs.unionByName(batchDocs),
       newDf = newDf,
@@ -349,6 +349,37 @@ object MinhashIndex {
                           id: String, text: String,
                           cfg: Config = Config()): DataFrame =
     probe(spark, dir, latestVersion(spark, dir), batch, id, text, cfg).pairs
+
+  /** [[incrementalDupPairs]] pinned to a specific committed version —
+    * the REPLAY primitive: re-probing version v with the same batch
+    * reproduces exactly the pairs the original ingest against v
+    * emitted (probes are deterministic), without touching the index.
+    * Streaming wrappers use this for at-least-once batch redelivery. */
+  def incrementalDupPairsAt(spark: SparkSession, dir: String, version: Int,
+                            batch: DataFrame, id: String, text: String,
+                            cfg: Config = Config()): DataFrame = {
+    val latest = latestVersion(spark, dir)
+    require(version >= 1 && version <= latest,
+      s"version $version out of [1, $latest] at $dir")
+    probe(spark, dir, version, batch, id, text, cfg).pairs
+  }
+
+  /** Drop committed versions older than the last `retainLast` (their
+    * directories and catalog table registrations). Callers own the
+    * retention policy — replay of in-flight streaming batches needs the
+    * previous version, so retainLast >= 2 there. Doc/df/band tables of
+    * retained versions are self-contained; GC never touches them. */
+  def gc(spark: SparkSession, dir: String, retainLast: Int): Unit = {
+    require(retainLast >= 1, s"retainLast must be >= 1: $retainLast")
+    val latest = latestVersion(spark, dir)
+    val f = fs(spark, dir)
+    (1 to latest - retainLast).foreach { v =>
+      f.delete(new Path(versionDir(dir, v)), true)
+      val t = bandsTableName(dir, v)
+      try if (spark.catalog.tableExists(t)) spark.sql(s"DROP TABLE `$t`")
+      catch { case scala.util.control.NonFatal(_) => }
+    }
+  }
 
   /** Fold `batch` into the index: writes version n+1 (docs ∪ batch,
     * combined df, bands with the newly-hot recompute applied) and flips

@@ -194,14 +194,36 @@ object Streams {
    * materialized against version v BEFORE v+1 commits (ingest's
    * crash-consistency contract). Emits the identical per-batch pair
    * sets (StreamingSpec).
+   *
+   * At-least-once redelivery (foreachBatch's contract): index versions
+   * map 1:1 to batch ids (bootstrap = v1, batch b ingests v{b+2}), so
+   * a REPLAYED batch — one whose ingest already committed before a
+   * crash — is detected by `latestVersion >= batchId + 2` and handled
+   * by a read-only re-probe of the version the original ingest ran
+   * against ([[graft.operators.MinhashIndex.incrementalDupPairsAt]]):
+   * identical pairs re-emitted, the index never double-ingested. This
+   * pairing only holds while the stream keeps its checkpoint — pass
+   * `checkpointLocation`, and treat checkpoint and index as one unit
+   * of state (delete both or neither).
+   *
+   * Retention: each commit calls [[graft.operators.MinhashIndex.gc]]
+   * keeping `retainVersions` (>= 2 — replay of the in-flight batch
+   * needs the previous version), so disk holds a bounded number of
+   * corpus snapshots instead of one per batch.
    */
   def nearDupStreamIndexed(docs: DataFrame, id: String, text: String,
                            indexDir: String,
                            cfg: graft.operators.MinhashIndex.Config =
-                             graft.operators.MinhashIndex.Config())
+                             graft.operators.MinhashIndex.Config(),
+                           checkpointLocation: Option[String] = None,
+                           retainVersions: Int = 2)
                           (onPairs: (DataFrame, Long) => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream.outputMode("append")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(retainVersions >= 2,
+      s"retainVersions must be >= 2 (replay needs the prior version): $retainVersions")
+    val writer = docs.writeStream.outputMode("append")
+    checkpointLocation.foreach(writer.option("checkpointLocation", _))
+    writer
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val slim = batch.select(col(id), col(text))
@@ -211,11 +233,22 @@ object Streams {
         if (!graft.operators.MinhashIndex.exists(spark, indexDir))
           graft.operators.MinhashIndex.build(
             spark, slim.limit(0), id, text, indexDir, cfg)
-        val p = graft.operators.MinhashIndex.ingest(
-          spark, indexDir, slim, id, text, cfg)
-        onPairs(p, batchId)
+        val latest = graft.operators.MinhashIndex.latestVersion(spark, indexDir)
+        if (latest >= batchId + 2) {
+          // replayed batch: its ingest already committed — re-emit the
+          // identical pairs read-only, never double-ingest
+          onPairs(graft.operators.MinhashIndex.incrementalDupPairsAt(
+            spark, indexDir, (batchId + 1).toInt, slim, id, text, cfg), batchId)
+        } else {
+          val p = graft.operators.MinhashIndex.ingest(
+            spark, indexDir, slim, id, text, cfg)
+          try onPairs(p, batchId)
+          finally p.unpersist() // one cache generation per batch otherwise
+          graft.operators.MinhashIndex.gc(spark, indexDir, retainVersions)
+        }
       }
       .start()
+  }
 
   /** Run a streaming query to completion against the (finite) batch
     * source and return the result — the slicetest.Run analog for

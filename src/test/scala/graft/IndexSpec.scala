@@ -193,6 +193,34 @@ class IndexSpec extends AnyFunSuite {
       "retry must fully replace the crashed partial write")
   }
 
+  test("replay probe at a pinned version == the original ingest's pairs; gc retains the replay window") {
+    val existing = docs(
+      10L -> "p q r s t u v w x",
+      11L -> "p q r s t u v w y")
+    val b1 = docs(12L -> "p q r s t u v w z")
+    val b2 = docs(13L -> "p q r s t u v w x") // dup of 10
+    val cfg = MinhashIndex.Config(k = 3, numPerms = 16, bandRows = 2,
+      minJ = 0.3, maxShingleDf = 100, nBuckets = 4)
+    val dir = tmp("graft_mhidx_replay")
+    MinhashIndex.build(spark, existing, "doc_id", "text", dir, cfg)
+    val p1 = pairSet(MinhashIndex.ingest(spark, dir, b1, "doc_id", "text", cfg))
+    val p2 = pairSet(MinhashIndex.ingest(spark, dir, b2, "doc_id", "text", cfg))
+    assert(MinhashIndex.latestVersion(spark, dir) == 3)
+    // at-least-once redelivery: re-probing the version each ingest ran
+    // against reproduces its pairs exactly, read-only
+    assert(pairSet(MinhashIndex.incrementalDupPairsAt(
+      spark, dir, 2, b2, "doc_id", "text", cfg)) == p2)
+    assert(pairSet(MinhashIndex.incrementalDupPairsAt(
+      spark, dir, 1, b1, "doc_id", "text", cfg)) == p1)
+    assert(MinhashIndex.latestVersion(spark, dir) == 3, "replay is read-only")
+    // gc keeps the last 2 versions (the replay window) and drops v1
+    MinhashIndex.gc(spark, dir, retainLast = 2)
+    assert(!new java.io.File(f"$dir/v00001").exists())
+    assert(new java.io.File(f"$dir/v00002").exists())
+    assert(pairSet(MinhashIndex.incrementalDupPairsAt(
+      spark, dir, 2, b2, "doc_id", "text", cfg)) == p2, "retained version probes")
+  }
+
   test("ingest chains versions: probe against v2 == minhashIncremental on the grown corpus") {
     val existing = docs(
       10L -> "p q r s t u v w x",
