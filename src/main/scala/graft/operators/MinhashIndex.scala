@@ -404,7 +404,11 @@ object MinhashIndex {
   /** Probe + append in one pass (the continuous-ingest loop body): the
     * returned pairs are materialized BEFORE the new version commits, so
     * a crash mid-ingest never leaves pairs emitted against an index
-    * that doesn't contain them. */
+    * that doesn't contain them. The returned frame is PERSISTED (that
+    * is what pins the pre-commit materialization); loop callers must
+    * `unpersist()` it once consumed — [[graft.streaming.Streams
+    * .nearDupStreamIndexed]] does — or each iteration pins a cache
+    * generation. */
   def ingest(spark: SparkSession, dir: String, batch: DataFrame,
              id: String, text: String, cfg: Config = Config()): DataFrame = {
     val v = latestVersion(spark, dir)
