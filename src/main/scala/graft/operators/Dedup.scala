@@ -311,7 +311,12 @@ object Dedup {
    */
   def dupShingleStats(df: DataFrame, id: String, text: String,
                       k: Int = 5): DataFrame = {
-    val sh = shingles(df, id, text, k).persist()
+    // localCheckpoint, not persist: the frame is read twice (df
+    // aggregate + join probe side) but a persist here would pin a
+    // cache generation per call with no release point (the result is
+    // returned lazily); checkpoint blocks are GC-cleaned when the
+    // result is dropped.
+    val sh = shingles(df, id, text, k).localCheckpoint()
     val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     sh.join(dfTab, Seq("shingle"))
       .groupBy(col(id))

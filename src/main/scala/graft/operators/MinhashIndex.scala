@@ -65,6 +65,12 @@ object MinhashIndex {
     def nBands: Int = numPerms / bandRows
   }
 
+  /** Largest batch shingle-frequency frame the probe will broadcast
+    * (rows). ~2M (shingle, count) rows ≈ low hundreds of MB on the
+    * driver; beyond that the probe degrades to a shuffle join — slower,
+    * never OOM. Execution tuning, not index identity (not in Config). */
+  private val MaxBroadcastShingles = 2L * 1000 * 1000
+
   // ------------------------------------------------------------------
   // Versioned layout plumbing (Hadoop FS — works on local/HDFS/object
   // stores with a Hadoop connector).
@@ -107,6 +113,26 @@ object MinhashIndex {
   /** True if `dir` holds a committed index. */
   def exists(spark: SparkSession, dir: String): Boolean =
     fs(spark, dir).exists(new Path(dir, "LATEST"))
+
+  /** Read a small named marker file stored alongside the index (e.g. a
+    * streaming wrapper's batch-id↔version pairing), if present. */
+  def readMarker(spark: SparkSession, dir: String, name: String): Option[String] = {
+    val f = fs(spark, dir)
+    val p = new Path(dir, name)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+  }
+
+  /** Atomically write a small named marker file alongside the index
+    * (tmp + rename — a crash never leaves a partial marker visible). */
+  def writeMarker(spark: SparkSession, dir: String, name: String,
+                  content: String): Unit =
+    atomicWrite(fs(spark, dir), new Path(dir, name), content)
 
   /** tmp + rename so a crash mid-write never leaves a partial marker
     * visible (a 0-length FORMAT would poison every later read). */
@@ -248,10 +274,21 @@ object MinhashIndex {
     // one-row aggregate carrying both the full hot array (hotarr, fed
     // to every cappedBy) and its newly-hot subset (nharr, driving the
     // affected-doc recompute) — one job, not one per consumer.
-    val joint = corpusDf.join(broadcast(batchDf), Seq("shingle"))
+    // Broadcasting the batch shingle frequencies onto the corpus df
+    // scan is what keeps the corpus side unshuffled — but ONLY safe
+    // while the batch side fits the driver. A corpus-sized batch (the
+    // bootstrap pattern: ingesting half the corpus as one batch) must
+    // fall back to a shuffle join rather than OOM the driver; the
+    // count is free (batchDf is already materialized by the
+    // localCheckpoint above). `joint` is a subset of batchDf, so one
+    // guard covers both broadcast sites.
+    val batchFitsDriver = batchDf.count() <= MaxBroadcastShingles
+    def bcastBatch(d: DataFrame): DataFrame =
+      if (batchFitsDriver) broadcast(d) else d
+    val joint = corpusDf.join(bcastBatch(batchDf), Seq("shingle"))
       .select(col("shingle"), col("df"), col("bdf")).localCheckpoint()
     val batchOnly = batchDf
-      .join(broadcast(joint.select("shingle")), Seq("shingle"), "left_anti")
+      .join(bcastBatch(joint.select("shingle")), Seq("shingle"), "left_anti")
     val corpusHotF = corpusDf.filter(col("df") > cfg.maxShingleDf)
       .select(col("shingle"), lit(false).as("newly"))
     val jointHotF = joint.filter(col("df") + col("bdf") > cfg.maxShingleDf)
@@ -358,10 +395,38 @@ object MinhashIndex {
   def incrementalDupPairsAt(spark: SparkSession, dir: String, version: Int,
                             batch: DataFrame, id: String, text: String,
                             cfg: Config = Config()): DataFrame = {
+    requireLiveVersion(spark, dir, version)
+    probe(spark, dir, version, batch, id, text, cfg).pairs
+  }
+
+  /** A version must be committed AND still on disk — a gc'd version
+    * would otherwise pass the range check and fail later with a raw
+    * parquet path error deep inside the probe. */
+  private def requireLiveVersion(spark: SparkSession, dir: String,
+                                 version: Int): Unit = {
     val latest = latestVersion(spark, dir)
     require(version >= 1 && version <= latest,
       s"version $version out of [1, $latest] at $dir")
-    probe(spark, dir, version, batch, id, text, cfg).pairs
+    require(fs(spark, dir).exists(new Path(versionDir(dir, version))),
+      s"version $version at $dir was dropped by gc (retainLast) — only " +
+        "versions still on disk can be probed; raise retainLast if replay " +
+        "needs deeper history")
+  }
+
+  /** [[incrementalDupPairsAt]] with the ingest-style cache contract:
+    * pairs are MATERIALIZED (persisted + counted) and the probe's
+    * internal caches released before returning, so loop/streaming
+    * replay callers don't pin one cache generation per replayed batch.
+    * Callers must `unpersist()` the returned frame once consumed. */
+  def replayDupPairsAt(spark: SparkSession, dir: String, version: Int,
+                       batch: DataFrame, id: String, text: String,
+                       cfg: Config = Config()): DataFrame = {
+    requireLiveVersion(spark, dir, version)
+    val p = probe(spark, dir, version, batch, id, text, cfg)
+    val pairs = p.pairs.persist()
+    pairs.count()
+    p.done()
+    pairs
   }
 
   /** Drop committed versions older than the last `retainLast` (their

@@ -195,16 +195,22 @@ object Streams {
    * crash-consistency contract). Emits the identical per-batch pair
    * sets (StreamingSpec).
    *
-   * At-least-once redelivery (foreachBatch's contract): index versions
-   * map 1:1 to batch ids (bootstrap = v1, batch b ingests v{b+2}), so
-   * a REPLAYED batch — one whose ingest already committed before a
-   * crash — is detected by `latestVersion >= batchId + 2` and handled
-   * by a read-only re-probe of the version the original ingest ran
-   * against ([[graft.operators.MinhashIndex.incrementalDupPairsAt]]):
-   * identical pairs re-emitted, the index never double-ingested. This
-   * pairing only holds while the stream keeps its checkpoint — pass
-   * `checkpointLocation`, and treat checkpoint and index as one unit
-   * of state (delete both or neither).
+   * At-least-once redelivery (foreachBatch's contract): at first
+   * contact the stream pins its batch-id↔version pairing INTO the
+   * index as an atomic `STREAM` marker `(firstBatchId, baseVersion)`,
+   * so batch b is expected to commit version `base + (b - firstB) + 1`
+   * regardless of whether this stream bootstrapped the index or
+   * attached to a pre-existing one. A REPLAYED batch — one whose
+   * ingest already committed before a crash — is exactly the case
+   * `latest == expected`, handled by a read-only re-probe of the
+   * version the original ingest ran against
+   * ([[graft.operators.MinhashIndex.replayDupPairsAt]], which also
+   * releases the probe's caches): identical pairs re-emitted, the
+   * index never double-ingested. ANY other mismatch between latest and
+   * expected fails fast instead of silently misclassifying — the
+   * checkpoint (mandatory, it is what keeps batch ids monotone across
+   * restarts) and the index are ONE unit of state: delete both or
+   * neither.
    *
    * Retention: each commit calls [[graft.operators.MinhashIndex.gc]]
    * keeping `retainVersions` (>= 2 — replay of the in-flight batch
@@ -213,41 +219,79 @@ object Streams {
    */
   def nearDupStreamIndexed(docs: DataFrame, id: String, text: String,
                            indexDir: String,
+                           checkpointLocation: String,
                            cfg: graft.operators.MinhashIndex.Config =
                              graft.operators.MinhashIndex.Config(),
-                           checkpointLocation: Option[String] = None,
                            retainVersions: Int = 2)
                           (onPairs: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(retainVersions >= 2,
       s"retainVersions must be >= 2 (replay needs the prior version): $retainVersions")
-    val writer = docs.writeStream.outputMode("append")
-    checkpointLocation.foreach(writer.option("checkpointLocation", _))
-    writer
+    docs.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        val slim = batch.select(col(id), col(text))
-        // bootstrap: an index over the EMPTY corpus, so the first
-        // ingest's one-sided probe yields exactly the batch-internal
-        // pairs (every pair touches the batch vacuously)
-        if (!graft.operators.MinhashIndex.exists(spark, indexDir))
-          graft.operators.MinhashIndex.build(
-            spark, slim.limit(0), id, text, indexDir, cfg)
-        val latest = graft.operators.MinhashIndex.latestVersion(spark, indexDir)
-        if (latest >= batchId + 2) {
-          // replayed batch: its ingest already committed — re-emit the
-          // identical pairs read-only, never double-ingest
-          onPairs(graft.operators.MinhashIndex.incrementalDupPairsAt(
-            spark, indexDir, (batchId + 1).toInt, slim, id, text, cfg), batchId)
-        } else {
-          val p = graft.operators.MinhashIndex.ingest(
-            spark, indexDir, slim, id, text, cfg)
-          try onPairs(p, batchId)
-          finally p.unpersist() // one cache generation per batch otherwise
-          graft.operators.MinhashIndex.gc(spark, indexDir, retainVersions)
-        }
+        nearDupIndexedBatch(batch, batchId, id, text, indexDir, cfg,
+          retainVersions)(onPairs)
       }
       .start()
+  }
+
+  /** One micro-batch of [[nearDupStreamIndexed]] — factored out so
+    * fault-injection tests can drive the exact production code path
+    * (crash inside it, then replay it) without a streaming harness. */
+  private[graft] def nearDupIndexedBatch(
+      batch: Dataset[org.apache.spark.sql.Row], batchId: Long,
+      id: String, text: String, indexDir: String,
+      cfg: graft.operators.MinhashIndex.Config,
+      retainVersions: Int)(onPairs: (DataFrame, Long) => Unit): Unit = {
+    import graft.operators.MinhashIndex
+    val spark = batch.sparkSession
+    val slim = batch.select(col(id), col(text))
+    // bootstrap: an index over the EMPTY corpus, so the first
+    // ingest's one-sided probe yields exactly the batch-internal
+    // pairs (every pair touches the batch vacuously)
+    if (!MinhashIndex.exists(spark, indexDir))
+      MinhashIndex.build(spark, slim.limit(0), id, text, indexDir, cfg)
+    val (firstB, base) =
+      MinhashIndex.readMarker(spark, indexDir, "STREAM") match {
+        case Some(s) =>
+          val parts = s.split(" ")
+          (parts(0).toLong, parts(1).toInt)
+        case None =>
+          // first contact (bootstrap or attach-to-existing): pin the
+          // pairing before any ingest. Idempotent under redelivery —
+          // a crash after the marker but before the ingest recomputes
+          // the same (batchId, latest) pair.
+          val bv = MinhashIndex.latestVersion(spark, indexDir)
+          MinhashIndex.writeMarker(spark, indexDir, "STREAM", s"$batchId $bv")
+          (batchId, bv)
+      }
+    require(batchId >= firstB,
+      s"batch id $batchId precedes this index's first stream batch " +
+        s"$firstB — the stream checkpoint was reset against an existing " +
+        "index; checkpoint and index are one unit of state (delete both " +
+        "or neither)")
+    val expected = base + (batchId - firstB).toInt + 1
+    val latest = MinhashIndex.latestVersion(spark, indexDir)
+    if (latest == expected) {
+      // replayed batch: its ingest already committed — re-emit the
+      // identical pairs read-only, never double-ingest
+      val p = MinhashIndex.replayDupPairsAt(
+        spark, indexDir, expected - 1, slim, id, text, cfg)
+      try onPairs(p, batchId)
+      finally p.unpersist()
+    } else if (latest == expected - 1) {
+      val p = MinhashIndex.ingest(spark, indexDir, slim, id, text, cfg)
+      try onPairs(p, batchId)
+      finally p.unpersist() // one cache generation per batch otherwise
+      MinhashIndex.gc(spark, indexDir, retainVersions)
+    } else {
+      throw new IllegalStateException(
+        s"index at $indexDir is at version $latest but batch $batchId " +
+          s"expects $expected (committed) or ${expected - 1} (fresh): " +
+          "stream checkpoint and index state disagree — one was deleted " +
+          "or rolled back without the other")
+    }
   }
 
   /** Run a streaming query to completion against the (finite) batch

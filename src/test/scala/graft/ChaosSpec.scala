@@ -132,4 +132,66 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c.value == 500L,
       s"counter must be exact despite retries, got ${c.value}")
   }
+
+  test("indexed streaming ingest: redelivery re-emits identical pairs, torn ingest recovers, divergence fails fast") {
+    import graft.operators.{Dedup, MinhashIndex}
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val b0 = docs.filter(col("doc_id") % 2 === 0)
+    val b1 = docs.filter(col("doc_id") % 2 === 1)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_chaos_idx").toString + "/idx"
+    val cfg = MinhashIndex.Config()
+    // drive the EXACT foreachBatch body nearDupStreamIndexed runs, so
+    // crash points between the index commit and the stream checkpoint
+    // commit can be exercised deterministically
+    def run(batch: org.apache.spark.sql.DataFrame, bid: Long): Set[(Long, Long)] = {
+      val buf = scala.collection.mutable.Set[(Long, Long)]()
+      graft.streaming.Streams.nearDupIndexedBatch(
+        batch, bid, "doc_id", "text", idxDir, cfg, retainVersions = 2) {
+        (pairs, _) =>
+          buf ++= pairs.select("a", "b").collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+      }
+      buf.toSet
+    }
+    val p0 = run(b0, 0L)
+    assert(MinhashIndex.latestVersion(spark, idxDir) == 2)
+    // crash AFTER the index committed v2 but BEFORE the checkpoint
+    // commit: the stream redelivers batch 0. The replay branch must
+    // re-emit the identical pairs read-only — version unchanged.
+    val p0replay = run(b0, 0L)
+    assert(p0replay == p0, "replay must re-emit the original pairs")
+    assert(MinhashIndex.latestVersion(spark, idxDir) == 2,
+      "replay must never double-ingest")
+    // torn ingest: batch 1 dies between the version-dir data writes
+    // and the LATEST flip. Simulate the state such a crash leaves
+    // (partial v3 data, LATEST still 2), then redeliver batch 1: the
+    // fresh-ingest branch must overwrite the partial version cleanly.
+    val torn = java.nio.file.Paths.get(s"$idxDir/v00003/docs")
+    java.nio.file.Files.createDirectories(torn)
+    java.nio.file.Files.write(torn.resolve("part-junk.parquet"),
+      "not parquet".getBytes)
+    val p1 = run(b1, 1L)
+    assert(MinhashIndex.latestVersion(spark, idxDir) == 3)
+    // the union of per-batch emissions equals the batch-mode pairs of
+    // the full corpus — the stream lost nothing across the faults
+    val want = Dedup.minhashDupPairs(docs, "doc_id", "text")
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "fixture should contain near-dup pairs")
+    assert((p0 ++ p1) == want)
+    // divergent state (batch id far ahead of the index — e.g. the
+    // index was rolled back under a live checkpoint) fails fast
+    // instead of silently misclassifying as fresh or replayed
+    intercept[IllegalStateException] { run(b1, 5L) }
+    // gc (retainVersions=2 dropped v1 at batch 1's commit): probing a
+    // gc'd version fails with the retention message, not a raw
+    // parquet path error
+    val e = intercept[IllegalArgumentException] {
+      MinhashIndex.incrementalDupPairsAt(
+        spark, idxDir, 1, b1, "doc_id", "text", cfg)
+    }
+    assert(e.getMessage.contains("gc"), e.getMessage)
+  }
 }

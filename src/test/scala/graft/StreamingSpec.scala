@@ -130,10 +130,12 @@ class StreamingSpec extends AnyFunSuite {
     val (b1, b2) = docs.partition(_._1 % 2 == 0)
     val source =
       org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-    val idxDir = java.nio.file.Files.createTempDirectory("neardup_idx").toString + "/idx"
+    val idxBase = java.nio.file.Files.createTempDirectory("neardup_idx").toString
+    val idxDir = s"$idxBase/idx"
     val got = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
     val q = Streams.nearDupStreamIndexed(
-      source.toDF().toDF("doc_id", "text"), "doc_id", "text", idxDir) { (pairs, _) =>
+      source.toDF().toDF("doc_id", "text"), "doc_id", "text", idxDir,
+      s"$idxBase/ckpt") { (pairs, _) =>
       got ++= pairs.select("a", "b").collect()
         .map(r => (r.getLong(0), r.getLong(1)))
     }
