@@ -95,9 +95,14 @@ object ScaleOps {
         .toDF("doc_id", "pos", "tok")
       val topV = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("tok")).limit(100)
-      val vocab = topV.withColumn("id",
-        row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
-        .select("tok", "id")
+      // rank the <= V retained rows on the driver (bounded metadata,
+      // like the IVF centroid collect) — an unpartitioned WindowExec
+      // here would be correct but floods the logs with a
+      // single-partition warning per run
+      val vocabRows = topV.collect().toSeq.zipWithIndex
+        .map { case (r, i) => (r.getString(0), (i + 1).toLong) }
+      import spark.implicits._
+      val vocab = vocabRows.toDF("tok", "id")
       tok.join(broadcast(vocab), Seq("tok"), "left")
         .withColumn("id0", coalesce(col("id"), lit(0)).cast("long"))
         .groupBy(col("doc_id"))

@@ -235,8 +235,12 @@ object Tpch2 {
         .orderBy(col("supplier_cnt").desc, col("p_type"), col("p_size"))
     },
 
-    // Q22 shape: high-balance customers with no orders (scalar
-    // aggregate subquery in the filter + anti join).
+    // Q22 shape: high-balance customers gone idle (scalar aggregate
+    // subquery in the filter + anti join). "Idle" = no order since the
+    // cutoff, not "never ordered" — this corpus gives every customer
+    // at least one lifetime order, which would make the anti-join
+    // vacuously empty at small SFs (0 rows at sf0.01); the dated form
+    // exercises the same plan with a non-empty cohort at every SF.
     "q22_idle_customers" -> { (spark, dir) =>
       val cust = Tables.load(spark, dir, "customer")
       // threshold must be bit-identical to the oracle's: exact decimal
@@ -245,7 +249,9 @@ object Tpch2 {
       // could flip a boundary row
       val avgBal = cust.filter(col("c_acctbal") > 0.0)
         .agg((dsum(col("c_acctbal")) / count(lit(1))).as("ab"))
-      val orders = Tables.load(spark, dir, "orders").select("o_custkey")
+      val orders = Tables.load(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1998-06-01").cast("timestamp"))
+        .select("o_custkey")
       cust.join(broadcast(avgBal))
         .filter(col("c_acctbal") > col("ab"))
         .join(orders, cust("c_custkey") === orders("o_custkey"), "left_anti")
@@ -386,7 +392,8 @@ object Tpch2 {
          |FROM customer
          |WHERE c_acctbal > (SELECT ${dsumSql("c_acctbal")} / COUNT(*)
          |                   FROM customer WHERE c_acctbal > 0.0)
-         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+         |                  AND o_orderdate >= TIMESTAMP '1998-06-01')
          |GROUP BY c_nationkey ORDER BY nationkey""".stripMargin,
     "q19_discounted_revenue" ->
       s"""SELECT ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
