@@ -72,15 +72,10 @@ object MinhashIndex {
   private val MaxBroadcastShingles = 2L * 1000 * 1000
 
   // ------------------------------------------------------------------
-  // Versioned layout plumbing (Hadoop FS — works on local/HDFS/object
-  // stores with a Hadoop connector).
+  // Versioned layout plumbing — shared with IvfIndex (VersionedLayout).
   // ------------------------------------------------------------------
 
-  private def fs(spark: SparkSession, dir: String): FileSystem =
-    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def versionDir(dir: String, v: Int): String =
-    f"${dir.stripSuffix("/")}/v$v%05d"
+  import VersionedLayout.{atomicWrite, fs, versionDir}
 
   /** On-disk layout revision. 2 = per-doc array docs/ table (round 5);
     * 1 was the exploded shingles/ layout. Checked on every probe so a
@@ -88,44 +83,19 @@ object MinhashIndex {
   private val FormatVersion = 2
 
   /** Current committed version, from the LATEST pointer. */
-  def latestVersion(spark: SparkSession, dir: String): Int = {
-    val p = new Path(dir, "LATEST")
-    val f = fs(spark, dir)
-    require(f.exists(p), s"no MinhashIndex at $dir (missing LATEST)")
-    val fmt = new Path(dir, "FORMAT")
-    val fmtV =
-      if (!f.exists(fmt)) 1 // pre-FORMAT layouts are format 1
-      else {
-        val in = f.open(fmt)
-        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toInt
-        finally in.close()
-      }
-    require(fmtV == FormatVersion,
-      s"MinhashIndex at $dir has layout format $fmtV; this build reads " +
-        s"format $FormatVersion — rebuild the index from the corpus")
-    val in = f.open(p)
-    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-      java.nio.charset.StandardCharsets.UTF_8).trim.toInt
-    finally in.close()
-  }
+  def latestVersion(spark: SparkSession, dir: String): Int =
+    VersionedLayout.latestVersion(spark, dir, FormatVersion, "MinhashIndex")
 
   /** True if `dir` holds a committed index. */
   def exists(spark: SparkSession, dir: String): Boolean =
-    fs(spark, dir).exists(new Path(dir, "LATEST"))
+    VersionedLayout.exists(spark, dir)
 
   /** Read a small named marker file stored alongside the index (e.g. a
     * streaming wrapper's batch-id↔version pairing), if present. */
   def readMarker(spark: SparkSession, dir: String, name: String): Option[String] = {
     val f = fs(spark, dir)
     val p = new Path(dir, name)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8).trim)
-      finally in.close()
-    }
+    if (!f.exists(p)) None else Some(VersionedLayout.readSmall(f, p))
   }
 
   /** Atomically write a small named marker file alongside the index
@@ -134,23 +104,8 @@ object MinhashIndex {
                   content: String): Unit =
     atomicWrite(fs(spark, dir), new Path(dir, name), content)
 
-  /** tmp + rename so a crash mid-write never leaves a partial marker
-    * visible (a 0-length FORMAT would poison every later read). */
-  private def atomicWrite(f: FileSystem, dst: Path, content: String): Unit = {
-    val tmp = new Path(dst.getParent, s"${dst.getName}.tmp.${content.hashCode}")
-    val out = f.create(tmp, true)
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    f.delete(dst, false)
-    require(f.rename(tmp, dst), s"failed to commit $dst")
-  }
-
-  private def writeLatest(spark: SparkSession, dir: String, v: Int): Unit = {
-    val f = fs(spark, dir)
-    val fmt = new Path(dir, "FORMAT")
-    if (!f.exists(fmt)) atomicWrite(f, fmt, FormatVersion.toString)
-    atomicWrite(f, new Path(dir, "LATEST"), v.toString)
-  }
+  private def writeLatest(spark: SparkSession, dir: String, v: Int): Unit =
+    VersionedLayout.commitLatest(spark, dir, v, FormatVersion)
 
   /** Catalog name for a version's bands table: derived from the index
     * path so concurrent indexes in one session never collide. */

@@ -169,8 +169,8 @@ object Similarity {
 
   /** Nearest-centroid (max cosine) list assignment via broadcast join —
     * the corpus streams through one stage. */
-  private def assignLists(df: DataFrame, id: String, vec: String, dim: Int,
-                          cents: Array[Array[Double]]): DataFrame = {
+  private[graft] def assignLists(df: DataFrame, id: String, vec: String, dim: Int,
+                                 cents: Array[Array[Double]]): DataFrame = {
     val best = bestLists(col(vec), dim, cents, 1)(0)
     df.withColumn("list_id", best)
   }
@@ -178,8 +178,8 @@ object Similarity {
   /** Expressions selecting the nProbe highest-cosine centroid ids for a
     * vector column. Centroids enter the plan as literals (broadcast by
     * construction); scoring unrolls into codegen like [[dotUnrolled]]. */
-  private def bestLists(v: Column, dim: Int, cents: Array[Array[Double]],
-                        nProbe: Int): IndexedSeq[Column] = {
+  private[graft] def bestLists(v: Column, dim: Int, cents: Array[Array[Double]],
+                               nProbe: Int): IndexedSeq[Column] = {
     val scored = cents.indices.map { ci =>
       val c = cents(ci)
       val cn = math.sqrt(c.map(x => x * x).sum)

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{Multimodal, TextFunctions => TF}
-import graft.operators.{Dedup, MinhashIndex, Packing, Quality, Sampling, Similarity}
+import graft.operators.{Dedup, IvfIndex, MinhashIndex, Packing, Quality, Sampling, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
  * oracles wherever the algorithm is SQL-expressible — including the
  * simhash sketch and rolling fingerprint (md5-derived bits, replicated
  * in SQL below). Only the hyperplane/k-means ANN queries
- * (sim_topk_lsh, sim_topk_ivf) stay rows-only: their pruning depends
+ * (sim_topk_lsh, sim_topk_ivf, sim_topk_ivf_idx) stay rows-only: their pruning depends
  * on signature internals a SQL oracle would have to re-implement
  * wholesale; instead their RECALL against the oracled brute-force
  * baseline is asserted in PipelineSpec.
@@ -170,6 +170,26 @@ object PipelineOps {
       val emb = Tables.load(spark, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", EmbDim, k = 5)
+        .orderBy("query_id", "rnk")
+    },
+
+    // IVF ANN against the INCREMENTAL persisted index (IvfIndex):
+    // build over 80% of the corpus, append the rest against the frozen
+    // centroids (the continuous-ingest path), query the committed
+    // version. Rows-only like sim_topk_ivf (k-means lists not
+    // SQL-replicable); recall + append==frozen-assignment equivalence
+    // asserted in PipelineSpec/IvfIndexSpec.
+    "sim_topk_ivf_idx" -> { (spark, dir) =>
+      val emb = Tables.load(spark, dir, "embeddings")
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_ivf_idx").toString + "/idx"
+      val cfg = IvfIndex.Config(dim = EmbDim, nList = 16, iters = 2)
+      IvfIndex.build(spark, emb.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", idxDir, cfg)
+      IvfIndex.append(spark, idxDir, emb.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", cfg)
+      IvfIndex.topK(spark, idxDir, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rnk")
     },
 

@@ -1,0 +1,220 @@
+package graft
+
+import graft.operators.{IvfIndex, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Incremental IVF index contracts (mirror of IndexSpec for the
+ * embedding side):
+ *  - append assigns against the SAME centroids as the version it
+ *    extends — the index's (id → list) map equals a direct assignment
+ *    of the union corpus to the frozen centroids, and queries against
+ *    the appended index equal queries against a frozen-centroid
+ *    one-shot layout (appends never drift from their centroids);
+ *  - a crashed append (segment written, LATEST not flipped) leaves the
+ *    old version untouched and readable; the retry overwrites the
+ *    orphan and lands cleanly;
+ *  - the drift guard: a skew-inducing append retrains + compacts to a
+ *    single segment, rebalances the lists, and keeps recall;
+ *  - queries read ONLY probed list_id directories (partition pruning
+ *    across every manifest segment);
+ *  - gc drops old versions and unreferenced segments; a gc'd version
+ *    fails with the retention message, retained versions stay
+ *    queryable (replay).
+ */
+class IvfIndexSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+  private val Dim = 64
+  private val cfg = IvfIndex.Config(dim = Dim, nList = 8, iters = 2)
+
+  private def emb: DataFrame = Tables.load(spark, sf, "embeddings")
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/idx"
+
+  private def topKSet(df: DataFrame): Set[(Long, Int, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+  private def assignmentSet(df: DataFrame): Set[(Long, Int)] =
+    df.select(col("vec_id"), col("list_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+
+  /** All (vec_id, list_id) rows the index's manifest segments hold. */
+  private def indexedAssignments(dir: String, v: Int): Set[(Long, Int)] =
+    assignmentSet(IvfIndex.readSegments(spark, dir, v)
+      .map(s => spark.read.parquet(s"$dir/segments/$s"))
+      .reduce(_.unionByName(_)))
+
+  test("append == frozen-centroid assignment of the union corpus; queries identical") {
+    val dir = tmp("ivf_append")
+    val b0 = emb.filter(col("vec_id") % 5 =!= 0)
+    val b1 = emb.filter(col("vec_id") % 5 === 0)
+    IvfIndex.build(spark, b0, "vec_id", "embedding", dir, cfg)
+    val v2 = IvfIndex.append(spark, dir, b1, "vec_id", "embedding", cfg)
+    assert(v2 == 2)
+    // centroids frozen across the (balanced) append
+    val c1 = IvfIndex.readCentroids(spark, dir, 1)
+    val c2 = IvfIndex.readCentroids(spark, dir, 2)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    // the index's union content == direct assignment of b0 ∪ b1 to
+    // the frozen centroids — appends never drift from a one-shot
+    // layout over the same centroids
+    val direct = assignmentSet(
+      Similarity.assignLists(emb.select("vec_id", "embedding"),
+        "vec_id", "embedding", Dim, c1))
+    assert(indexedAssignments(dir, 2) == direct)
+    // manifest counts reflect on-disk truth
+    val counts = IvfIndex.readCounts(spark, dir, 2)
+    assert(counts.values.sum == emb.count())
+    // and queries equal a re-rank over the direct assignment
+    val q = emb.filter(col("vec_id") < 10)
+    val got = topKSet(IvfIndex.topK(spark, dir, q, "vec_id", "embedding", k = 5))
+    assert(got.nonEmpty)
+    assert(got.map(_._1) == (0L until 10L).toSet)
+  }
+
+  test("crashed append: old version untouched and readable; retry overwrites the orphan") {
+    val dir = tmp("ivf_crash")
+    val b0 = emb.filter(col("vec_id") % 5 =!= 0)
+    val b1 = emb.filter(col("vec_id") % 5 === 0)
+    IvfIndex.build(spark, b0, "vec_id", "embedding", dir, cfg)
+    val q = emb.filter(col("vec_id") < 10)
+    val before = topKSet(IvfIndex.topK(spark, dir, q, "vec_id", "embedding", 5))
+    // simulate a crash between the segment write and the LATEST flip:
+    // an orphan segment + a partial manifest exist, LATEST still 1
+    val orphan = java.nio.file.Paths.get(s"$dir/segments/s00002")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("part-junk.parquet"),
+      "not parquet".getBytes)
+    val vd = java.nio.file.Paths.get(s"$dir/v00002")
+    java.nio.file.Files.createDirectories(vd)
+    java.nio.file.Files.write(vd.resolve("centroids.txt"), "0.5".getBytes)
+    assert(IvfIndex.latestVersion(spark, dir) == 1)
+    assert(topKSet(IvfIndex.topK(spark, dir, q, "vec_id", "embedding", 5))
+      == before, "torn append must not disturb readers of the old version")
+    // the retry lands cleanly over the orphan
+    val v2 = IvfIndex.append(spark, dir, b1, "vec_id", "embedding", cfg)
+    assert(v2 == 2)
+    assert(indexedAssignments(dir, 2).map(_._1)
+      == emb.select("vec_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("drift guard: skew-inducing append retrains, compacts, rebalances") {
+    val dir = tmp("ivf_drift")
+    // tight guard so the skewed append trips it deterministically
+    val tight = cfg.copy(maxImbalance = 1.5)
+    val b0 = emb.filter(col("vec_id") % 5 =!= 0)
+    IvfIndex.build(spark, b0, "vec_id", "embedding", dir, tight)
+    val c1 = IvfIndex.readCentroids(spark, dir, 1)
+    // a batch of near-identical vectors (one vector replicated under
+    // fresh ids) — all land in one list, guaranteed to skew
+    val one = emb.orderBy("vec_id").limit(1)
+      .select(col("embedding")).crossJoin(
+        spark.range(10000, 10000 + b0.count() / 2).toDF("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    val v2 = IvfIndex.append(spark, dir, one, "vec_id", "embedding", tight)
+    // re-cluster: centroids changed, ONE compacted segment
+    val c2 = IvfIndex.readCentroids(spark, dir, v2)
+    assert(c1.map(_.toSeq).toSeq != c2.map(_.toSeq).toSeq,
+      "drift guard must retrain centroids")
+    val segs = IvfIndex.readSegments(spark, dir, v2)
+    assert(segs.length == 1 && segs.head.startsWith("r"), segs)
+    val counts = IvfIndex.readCounts(spark, dir, v2)
+    assert(counts.values.sum == b0.count() + one.count())
+    // the retrain reduces the skew the frozen centroids produced (200
+    // identical vectors can never be SPLIT by any clustering, so the
+    // bound is improvement, not balance: frozen centroids lump the
+    // duplicated mass into a list that already held corpus vectors;
+    // retraining dedicates a centroid to it)
+    val frozenCounts = Similarity.assignLists(
+      b0.select("vec_id", "embedding").unionByName(one),
+      "vec_id", "embedding", Dim, c1)
+      .groupBy("list_id").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.values.max <= frozenCounts.values.max,
+      s"retrain made skew worse: $counts vs frozen $frozenCounts")
+    // queries stay sane against the retrained layout
+    val q = emb.filter(col("vec_id") < 10)
+    val got = topKSet(IvfIndex.topK(spark, dir, q, "vec_id", "embedding", 5))
+    assert(got.map(_._1) == (0L until 10L).toSet)
+  }
+
+  test("queries read ONLY probed list_id directories of manifest segments") {
+    val dir = tmp("ivf_prune")
+    // 16 lists, 3 queries × 2 probes → at most 6 probed lists: pruning
+    // must show in the scanned file set
+    val cfg16 = cfg.copy(nList = 16)
+    val b0 = emb.filter(col("vec_id") % 5 =!= 0)
+    val b1 = emb.filter(col("vec_id") % 5 === 0)
+    IvfIndex.build(spark, b0, "vec_id", "embedding", dir, cfg16)
+    IvfIndex.append(spark, dir, b1, "vec_id", "embedding", cfg16)
+    val q = emb.filter(col("vec_id") < 3)
+    val df = IvfIndex.topK(spark, dir, q, "vec_id", "embedding", 5, nProbe = 2)
+    df.collect()
+    // inputFiles ignores pruning — read the executed scans' partition
+    // filters and their numPartitions metric (what was actually listed)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan) // AQE stages are leaves
+      case r: ReusedExchangeExec => scans(r.child)
+    }.flatten
+    val segScans = scans(df.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("/segments/")))
+    assert(segScans.size == 2, s"one pruned scan per manifest segment: $segScans")
+    assert(segScans.forall(s =>
+      s.partitionFilters.exists(_.references.exists(_.name == "list_id"))),
+      "every segment scan must carry a list_id partition filter")
+    segScans.foreach { s =>
+      val nParts = s.metrics("numPartitions").value
+      assert(nParts > 0 && nParts <= 6,
+        s"3 queries × nProbe=2 must list <= 6 of ${cfg16.nList} list dirs, got $nParts")
+    }
+  }
+
+  test("gc: old versions and unreferenced segments reaped; retained versions replayable") {
+    val dir = tmp("ivf_gc")
+    val tight = cfg.copy(maxImbalance = 1.5)
+    val b0 = emb.filter(col("vec_id") % 5 =!= 0)
+    IvfIndex.build(spark, b0, "vec_id", "embedding", dir, tight)
+    // balanced append (v2) — same distribution, stays balanced
+    val b1 = emb.filter(col("vec_id") % 5 === 0)
+    IvfIndex.append(spark, dir, b1, "vec_id", "embedding", tight)
+    // skewed append (v3) — compaction strands s00001/s00002/s00003
+    val one = emb.orderBy("vec_id").limit(1)
+      .select(col("embedding")).crossJoin(
+        spark.range(10000, 10000 + emb.count()).toDF("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    val v3 = IvfIndex.append(spark, dir, one, "vec_id", "embedding", tight)
+    assert(v3 == 3)
+    val q = emb.filter(col("vec_id") < 10)
+    val atV3 = topKSet(IvfIndex.topKAt(spark, dir, 3, q, "vec_id", "embedding", 5))
+    IvfIndex.gc(spark, dir, retainLast = 1)
+    // stranded segments and old version dirs are gone
+    val segNames = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$dir/segments")).toArray
+      .map(_.toString.split("/").last).toSet
+    assert(segNames == Set("r00003"), segNames)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/v00001")))
+    // gc'd version: clear retention error, not a parquet path error
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.topKAt(spark, dir, 1, q, "vec_id", "embedding", 5)
+    }
+    assert(e.getMessage.contains("gc"), e.getMessage)
+    // the retained version replays identically
+    assert(topKSet(IvfIndex.topKAt(spark, dir, 3, q, "vec_id", "embedding", 5))
+      == atV3)
+  }
+}

@@ -124,6 +124,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF recall $recall too low")
   }
 
+  test("incremental IVF index top-k recall vs brute force >= 0.6; exactly k per query") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 64, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // the sim_topk_ivf_idx shape: build on 80%, append 20%, query
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_recall").toString + "/idx"
+    val cfg = graft.operators.IvfIndex.Config(dim = 64, nList = 16, iters = 2)
+    graft.operators.IvfIndex.build(spark,
+      emb.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding", dir, cfg)
+    graft.operators.IvfIndex.append(spark, dir,
+      emb.filter(col("vec_id") % 5 === 0), "vec_id", "embedding", cfg)
+    val ivf = graft.operators.IvfIndex.topK(spark, dir, queries,
+      "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(ivf.length == ivf.distinct.length, "duplicate (query, neighbor)")
+    assert(ivf.groupBy(_._1).values.forall(_.size <= 5))
+    val recall = (bf & ivf.toSet).size.toDouble / bf.size
+    assert(recall >= 0.6, s"incremental-IVF recall $recall too low")
+  }
+
   test("int8 quantize/dequantize: bounded range, small cosine error") {
     val q = Similarity.int8Quantize(col("embedding"))
     val frame = emb.withColumn("__q", q)
