@@ -23,6 +23,9 @@ import org.apache.spark.sql.functions._
  *   v00001/docs/        (id, sharr ARRAY<STRING>) UNCAPPED distinct
  *                       shingles per doc — the narrow array form
  *   v00001/df/          (shingle, df)   corpus document frequency
+ *   v00001/hot/         (shingle) the df > cap stop-shingle set — tiny
+ *                       by construction; persisting it keeps the probe
+ *                       from re-deriving it with a second df scan
  *   v00001/bands/       (id, band, bucket) LSH keys over CAPPED sets,
  *                       bucket-named parquet written CLUSTERED BY
  *                       (band, bucket) — probes join it shuffle-free
@@ -35,12 +38,16 @@ import org.apache.spark.sql.functions._
  * retained for the caller to garbage-collect.
  *
  * Probe-side shuffle discipline (what makes an ingest batch-sized at
- * 100 TB): the corpus df table is only ever SCANNED — hotness checks
- * broadcast the (small) batch shingle-frequency frame onto it, so no
- * corpus-sized Exchange exists anywhere in the probe. The one corpus
- * table a probe must read in full is `docs/` for verification, and
- * that read is filtered to candidate documents by a broadcast
- * semi-join before anything else touches it.
+ * 100 TB): the corpus df table is only ever SCANNED (once, for the
+ * batch-overlap counts) — hotness checks broadcast the (small) batch
+ * shingle-frequency frame onto it, so no corpus-sized Exchange exists
+ * anywhere in the probe. The `docs/` read for verification is filtered
+ * to candidate documents BEFORE the scan: candidate ids (batch-scale)
+ * are pushed into the parquet scan as an `In` filter, so row-group
+ * stats and dictionary pages skip the non-candidate corpus — I/O is
+ * candidate-sized, not corpus-sized (falls back to a broadcast
+ * semi-join over a full scan if the candidate set is abnormally
+ * large).
  *
  * THE df-cap subtlety (what makes probe results EXACTLY equal to
  * [[Dedup.minhashIncremental]] over existing ∪ batch): the stop-shingle
@@ -71,16 +78,24 @@ object MinhashIndex {
     * never OOM. Execution tuning, not index identity (not in Config). */
   private val MaxBroadcastShingles = 2L * 1000 * 1000
 
+  /** Largest candidate-pair set whose doc ids are collected and pushed
+    * into the docs/ parquet scan as an `In` filter (candidate-sized
+    * I/O); larger sets fall back to a broadcast semi-join over a full
+    * scan. Steady-state candidate sets are orders of magnitude below
+    * this. */
+  private val MaxPushdownCandidates = 10L * 1000
+
   // ------------------------------------------------------------------
   // Versioned layout plumbing — shared with IvfIndex (VersionedLayout).
   // ------------------------------------------------------------------
 
   import VersionedLayout.{atomicWrite, fs, versionDir}
 
-  /** On-disk layout revision. 2 = per-doc array docs/ table (round 5);
-    * 1 was the exploded shingles/ layout. Checked on every probe so a
-    * stale index fails with "rebuild", not a parquet path error. */
-  private val FormatVersion = 2
+  /** On-disk layout revision. 3 = persisted hot/ stop-shingle table
+    * (round 6); 2 = per-doc array docs/ table (round 5); 1 was the
+    * exploded shingles/ layout. Checked on every probe so a stale
+    * index fails with "rebuild", not a parquet path error. */
+  private val FormatVersion = 3
 
   /** Current committed version, from the LATEST pointer. */
   def latestVersion(spark: SparkSession, dir: String): Int =
@@ -112,6 +127,25 @@ object MinhashIndex {
   private def bandsTableName(dir: String, v: Int): String =
     f"graft_mhidx_${Integer.toHexString(dir.hashCode)}%s_v$v%05d"
 
+  /** Session-scoped handles of resolved per-version tables. Versions
+    * are IMMUTABLE, so a resolved DataFrame stays valid for the life
+    * of its session; re-resolving (file listing, footer schema
+    * inference, catalog lookup) on every probe was a measurable slice
+    * of the steady-state ingest's driver time — a streaming ingest
+    * probes the same version's tables many times between appends.
+    * Keyed by session identity so test suites that swap sessions never
+    * see a handle from a stopped one; [[gc]] drops entries of reaped
+    * versions. */
+  private val handles =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def handleKey(spark: SparkSession, path: String): String =
+    s"${System.identityHashCode(spark)}:$path"
+  private def cachedRead(spark: SparkSession, path: String): DataFrame =
+    handles.computeIfAbsent(handleKey(spark, path),
+      _ => spark.read.parquet(path))
+  private def dropHandles(spark: SparkSession, pathPrefix: String): Unit =
+    handles.keySet.removeIf(_.startsWith(handleKey(spark, pathPrefix)))
+
   /** The bands table, catalog-registered CLUSTERED BY (band, bucket) so
     * probe joins leave the index side unshuffled. Re-attaches the
     * bucket spec in a fresh session via CREATE TABLE … LOCATION; falls
@@ -120,17 +154,18 @@ object MinhashIndex {
   private def readBands(spark: SparkSession, dir: String, v: Int,
                         cfg: Config): DataFrame = {
     val path = s"${versionDir(dir, v)}/bands"
-    val t = bandsTableName(dir, v)
-    try {
-      if (!spark.catalog.tableExists(t)) {
-        val cols = spark.read.parquet(path).schema.fields
-          .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-        spark.sql(s"CREATE TABLE `$t` ($cols) USING parquet " +
-          s"CLUSTERED BY (band, bucket) SORTED BY (band, bucket) " +
-          s"INTO ${cfg.nBuckets} BUCKETS LOCATION '$path'")
-      }
-      spark.table(t)
-    } catch { case scala.util.control.NonFatal(_) => spark.read.parquet(path) }
+    handles.computeIfAbsent(handleKey(spark, path), _ =>
+      try {
+        val t = bandsTableName(dir, v)
+        if (!spark.catalog.tableExists(t)) {
+          val cols = spark.read.parquet(path).schema.fields
+            .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+          spark.sql(s"CREATE TABLE `$t` ($cols) USING parquet " +
+            s"CLUSTERED BY (band, bucket) SORTED BY (band, bucket) " +
+            s"INTO ${cfg.nBuckets} BUCKETS LOCATION '$path'")
+        }
+        spark.table(t)
+      } catch { case scala.util.control.NonFatal(_) => spark.read.parquet(path) })
   }
 
   // ------------------------------------------------------------------
@@ -162,12 +197,13 @@ object MinhashIndex {
     val docs = Dedup.shingleArrays(corpus, id, text, cfg.k).persist()
     val dfTab = docs.select(col(id), explode(col("sharr")).as("shingle"))
       .groupBy(col("shingle")).agg(count(lit(1)).as("df")).persist()
-    val hot1 = asOneRowArray(
-      dfTab.filter(col("df") > cfg.maxShingleDf).select("shingle"), "hotarr")
+    val hotTab = dfTab.filter(col("df") > cfg.maxShingleDf).select("shingle")
+    val hot1 = asOneRowArray(hotTab, "hotarr")
     val bands = bandsOf(cappedBy(docs, id, hot1), id, cfg)
     val vd = versionDir(dir, 1)
     docs.write.mode("overwrite").parquet(s"$vd/docs")
     dfTab.write.mode("overwrite").parquet(s"$vd/df")
+    hotTab.write.mode("overwrite").parquet(s"$vd/hot")
     Bucketing.writeBucketedAt(bands, bandsTableName(dir, 1), cfg.nBuckets,
       Seq("band", "bucket"), s"$vd/bands")
     docs.unpersist(); dfTab.unpersist()
@@ -185,7 +221,8 @@ object MinhashIndex {
     * caches live until `spark.catalog.clearCache()` (the same
     * discipline as the Dedup operators' persisted frames). */
   private final case class Probe(pairs: DataFrame, newDocs: DataFrame,
-                                 newDf: DataFrame, newBands: DataFrame,
+                                 newDf: DataFrame, newHot: DataFrame,
+                                 newBands: DataFrame,
                                  cached: Seq[DataFrame]) {
     def done(): Unit = cached.foreach(_.unpersist())
   }
@@ -200,8 +237,8 @@ object MinhashIndex {
                     batch: DataFrame, id: String, text: String,
                     cfg: Config): Probe = {
     val vd = versionDir(dir, v)
-    val corpusDocs = spark.read.parquet(s"$vd/docs")
-    val corpusDf = spark.read.parquet(s"$vd/df")
+    val corpusDocs = cachedRead(spark, s"$vd/docs")
+    val corpusDf = cachedRead(spark, s"$vd/df")
     val corpusBands = readBands(spark, dir, v, cfg)
 
     // Batch-scale frames are localCheckpoint'ed rather than persisted:
@@ -214,16 +251,26 @@ object MinhashIndex {
     // executor fails the ingest job instead of recomputing lineage —
     // the caller retries the (batch-sized) ingest, which is the
     // documented recovery path anyway (versions are immutable).
+    //
+    // eager = false throughout: a LAZY local checkpoint truncates the
+    // logical plan identically but materializes as a side effect of
+    // the first job that reads the frame — the eager form ran one
+    // driver-blocking job per checkpoint, and those ~6 sequential
+    // small jobs (not I/O) were the probe's local latency floor
+    // (every consumer here reads ALL partitions, so the
+    // partial-materialization caveat of lazy checkpoints never bites).
     val batchDocs = Dedup.shingleArrays(batch, id, text, cfg.k)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val batchDf = batchDocs.select(explode(col("sharr")).as("shingle"))
-      .groupBy(col("shingle")).agg(count(lit(1)).as("bdf")).localCheckpoint()
+      .groupBy(col("shingle")).agg(count(lit(1)).as("bdf"))
+      .localCheckpoint(eager = false)
 
     // Combined df decides hotness. The corpus df table is never
-    // shuffled for this: shingles already hot in the corpus fall out
-    // of a pushed-down filter scan; shingles the batch could push over
-    // the cap are found by broadcasting the (batch-sized) batch
-    // frequencies onto the corpus scan; batch-ONLY shingles can make
+    // shuffled for this: shingles already hot in the corpus come from
+    // the persisted hot/ table (tiny — no df scan at all); shingles
+    // the batch could push over the cap are found by broadcasting the
+    // (batch-sized) batch frequencies onto the one corpus df scan;
+    // batch-ONLY shingles can make
     // the cap entirely on their own df. All three frames are
     // batch-or-hot-set sized — tiny, and they fold into ONE persisted
     // one-row aggregate carrying both the full hot array (hotarr, fed
@@ -236,15 +283,17 @@ object MinhashIndex {
     // fall back to a shuffle join rather than OOM the driver; the
     // count is free (batchDf is already materialized by the
     // localCheckpoint above). `joint` is a subset of batchDf, so one
-    // guard covers both broadcast sites.
+    // guard covers both broadcast sites. This count doubles as the one
+    // job that materializes the batch-side checkpoints.
     val batchFitsDriver = batchDf.count() <= MaxBroadcastShingles
     def bcastBatch(d: DataFrame): DataFrame =
       if (batchFitsDriver) broadcast(d) else d
     val joint = corpusDf.join(bcastBatch(batchDf), Seq("shingle"))
-      .select(col("shingle"), col("df"), col("bdf")).localCheckpoint()
+      .select(col("shingle"), col("df"), col("bdf"))
+      .localCheckpoint(eager = false)
     val batchOnly = batchDf
       .join(bcastBatch(joint.select("shingle")), Seq("shingle"), "left_anti")
-    val corpusHotF = corpusDf.filter(col("df") > cfg.maxShingleDf)
+    val corpusHotF = cachedRead(spark, s"$vd/hot")
       .select(col("shingle"), lit(false).as("newly"))
     val jointHotF = joint.filter(col("df") + col("bdf") > cfg.maxShingleDf)
       .select(col("shingle"), (col("df") <= cfg.maxShingleDf).as("newly"))
@@ -256,7 +305,7 @@ object MinhashIndex {
       .distinct()
       .agg(collect_list(col("shingle")).as("hotarr"),
         collect_list(when(col("newly"), col("shingle"))).as("nharr"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val hot1 = hotRow.select(col("hotarr"))
 
     // Corpus docs whose capped set changed = docs containing a
@@ -275,7 +324,7 @@ object MinhashIndex {
         val nh1 = hotRow.select(col("nharr"))
         val affectedDocs = corpusDocs.crossJoin(broadcast(nh1))
           .filter(arrays_overlap(col("sharr"), col("nharr")))
-          .select(col(id), col("sharr")).localCheckpoint()
+          .select(col(id), col("sharr")).localCheckpoint(eager = false)
         val affectedIds = affectedDocs.select(col(id))
         val kept = corpusBands.join(broadcast(affectedIds), Seq(id), "left_anti")
         val recomputed = bandsOf(cappedBy(affectedDocs, id, hot1), id, cfg)
@@ -283,7 +332,7 @@ object MinhashIndex {
       }
 
     val batchBands = bandsOf(cappedBy(batchDocs, id, hot1), id, cfg)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     // one-sided LSH probe: every candidate pair touches the batch. The
     // join is split so the corpus-sized side is the BUCKETED bands
@@ -304,17 +353,36 @@ object MinhashIndex {
         .select(least(col("a"), col("b")).as("a"),
           greatest(col("a"), col("b")).as("b"))
         .distinct().persist()
+    // Materialize NOW: candIds reads the pair set from both sides and
+    // verification joins it again — under AQE those consumers are
+    // CONCURRENT stages, and concurrent scans of an unmaterialized
+    // persist each recompute the full candidate chain (measured: the
+    // two most expensive jobs of the probe were the same scan twice).
+    val nCand = candidates.count()
 
     // exact-Jaccard verification over capped ARRAYS, restricted to
-    // candidate docs BEFORE anything touches the corpus doc table —
-    // candidate ids are batch-scale, so the restriction broadcasts and
-    // verify work is candidate-sized, never corpus-sized
-    val candIds = candidates.select(col("a").as(id))
-      .unionByName(candidates.select(col("b").as(id))).distinct()
-    val candDocs = corpusDocs.unionByName(batchDocs)
-      .join(broadcast(candIds), Seq(id), "left_semi")
+    // candidate docs BEFORE anything touches the corpus doc table.
+    // Candidate ids are batch-scale: in the normal case the pair set
+    // collects to the driver (reading the cache just materialized) and
+    // its ids push into the docs/ parquet scan as an `In` filter —
+    // row-group stats and dictionary pages skip the non-candidate
+    // corpus, so verification I/O is candidate-sized. An abnormally
+    // large candidate set falls back to a broadcast semi-join over the
+    // full scan (correct at any size).
+    val allDocs = corpusDocs.unionByName(batchDocs)
+    val candDocs =
+      if (nCand <= MaxPushdownCandidates) {
+        val ids = candidates.collect().iterator
+          .flatMap(r => Iterator(r.get(0), r.get(1))).toSet.toSeq
+        allDocs.filter(col(id).isInCollection(ids))
+      } else {
+        val candIds = candidates.select(col("a").as(id))
+          .unionByName(candidates.select(col("b").as(id))).distinct()
+        allDocs.join(broadcast(candIds), Seq(id), "left_semi")
+      }
     // persisted: verification reads the capped candidate docs once per
-    // pair SIDE — uncached, the scan + cap chain would run twice
+    // pair SIDE; the sides may race the cache materialization, but the
+    // doubled work is a candidate-sized filtered scan, not the corpus
     val candCapped = cappedBy(candDocs, id, hot1).persist()
     val pairs = Dedup.verifyJaccardArrays(candCapped, id, candidates, cfg.minJ)
 
@@ -329,6 +397,9 @@ object MinhashIndex {
     Probe(pairs,
       newDocs = corpusDocs.unionByName(batchDocs),
       newDf = newDf,
+      // hotarr in the probe IS the combined-df stop-shingle set of the
+      // new version (df only grows, so hot = old-hot ∪ newly-hot)
+      newHot = hotRow.select(explode(col("hotarr")).as("shingle")),
       newBands = keptBands.unionByName(freshBands),
       cached = cachedB.result())
   }
@@ -395,6 +466,7 @@ object MinhashIndex {
     val f = fs(spark, dir)
     (1 to latest - retainLast).foreach { v =>
       f.delete(new Path(versionDir(dir, v)), true)
+      dropHandles(spark, versionDir(dir, v))
       val t = bandsTableName(dir, v)
       try if (spark.catalog.tableExists(t)) spark.sql(s"DROP TABLE `$t`")
       catch { case scala.util.control.NonFatal(_) => }
@@ -414,6 +486,7 @@ object MinhashIndex {
     val vd = versionDir(dir, v + 1)
     p.newDocs.write.mode("overwrite").parquet(s"$vd/docs")
     p.newDf.write.mode("overwrite").parquet(s"$vd/df")
+    p.newHot.write.mode("overwrite").parquet(s"$vd/hot")
     Bucketing.writeBucketedAt(p.newBands, bandsTableName(dir, v + 1),
       cfg.nBuckets, Seq("band", "bucket"), s"$vd/bands")
     writeLatest(spark, dir, v + 1)
@@ -438,6 +511,7 @@ object MinhashIndex {
     val vd = versionDir(dir, v + 1)
     p.newDocs.write.mode("overwrite").parquet(s"$vd/docs")
     p.newDf.write.mode("overwrite").parquet(s"$vd/df")
+    p.newHot.write.mode("overwrite").parquet(s"$vd/hot")
     Bucketing.writeBucketedAt(p.newBands, bandsTableName(dir, v + 1),
       cfg.nBuckets, Seq("band", "bucket"), s"$vd/bands")
     writeLatest(spark, dir, v + 1)
