@@ -38,6 +38,16 @@ object PipelineOps {
     * versions). */
   private val mhIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Per-JVM memo of corpus-trained BPE vocabs keyed by corpus dir —
+    * training is deterministic (one wordcount aggregate + driver-side
+    * merge learning), so later bench runs time ENCODING, not
+    * re-training. */
+  private val bpeVocabs =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.functions.Bpe.Vocab]()
+  private def bpeVocabFor(spark: SparkSession, dir: String): graft.functions.Bpe.Vocab =
+    bpeVocabs.computeIfAbsent(dir, _ =>
+      graft.functions.Bpe.train(Tables.load(spark, dir, "documents"), "text"))
   private def minhashIndexFor(spark: SparkSession, dir: String,
                               existing: DataFrame): String =
     mhIndexes.computeIfAbsent(dir, _ => {
@@ -278,6 +288,38 @@ object PipelineOps {
       val withN = Tables.load(spark, dir, "documents")
         .select(col("doc_id"),
           TF.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      Packing.packBins(withN, "doc_id", "n_tokens", capacity = 2048, parts = 8)
+        .orderBy("doc_id")
+    },
+
+    // Real-BPE token counts (merges learned from this corpus — see
+    // functions.Bpe): ws count + regex approximation alongside, so the
+    // drift the approximation introduces is itself measurable. Learned
+    // merges aren't SQL-expressible → rows-only; the encoder is
+    // property-tested against an independent replay-the-merges
+    // implementation in BpeSpec.
+    "text_bpe_tokens" -> { (spark, dir) =>
+      val v = bpeVocabFor(spark, dir)
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          TF.wsTokenCount(col("text")).cast("long").as("n_ws"),
+          TF.bpeTokenCount(col("text")).cast("long").as("n_bpe_regex"),
+          graft.functions.Bpe.bpeTokenCountF(col("text"), v)
+            .cast("long").as("n_bpe"))
+        .orderBy("doc_id")
+    },
+
+    // Sequence packing driven by the REAL tokenizer — the form a
+    // training pipeline actually runs (bin shapes move materially when
+    // counts come from learned merges instead of the regex
+    // approximation). Rows-only; packing invariants (capacity, no doc
+    // lost, deterministic bins) asserted in BpeSpec.
+    "text_pack_bins_bpe" -> { (spark, dir) =>
+      val v = bpeVocabFor(spark, dir)
+      val withN = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.Bpe.bpeTokenCountF(col("text"), v)
+            .cast("long").as("n_tokens"))
       Packing.packBins(withN, "doc_id", "n_tokens", capacity = 2048, parts = 8)
         .orderBy("doc_id")
     },
