@@ -66,6 +66,60 @@ class SliceSpec extends AnyFunSuite {
     assert(rows(folded) == Set(Seq("k1", 13), Seq("k2", 16)))
   }
 
+  test("struct keys flow through fold/reduce/reduceF/cogroup (frame.RegisterOps parity, ops.go:60-84)") {
+    import spark.implicits._
+    // the reference makes users register hash/compare per custom key
+    // type (frame/ops.go:60-84); here a case-class key needs nothing:
+    // the product Encoder gives Catalyst a struct with field-wise
+    // grouping equality, and every keyed op takes it as-is
+    val s = Sources.const(spark, 2,
+      Seq((GeoKey("eu", 1), 2), (GeoKey("eu", 1), 3), (GeoKey("us", 2), 4)))
+    val folded = s.fold[GeoKey, Int, Int](0)((acc, v) => acc + v * v)
+    assert(folded.df.as[(GeoKey, Int)].collect().toSet ==
+      Set((GeoKey("eu", 1), 13), (GeoKey("us", 2), 16)))
+    val typed = s.reduceF[GeoKey, Int](_ + _)
+    assert(typed.df.as[(GeoKey, Int)].collect().toSet ==
+      Set((GeoKey("eu", 1), 5), (GeoKey("us", 2), 4)))
+    // declarative reduce groups on the struct column directly
+    val dec = s.reduce(sum(col(s.valueNames.head)).cast("int").as("n"))
+    assert(dec.df.as[(GeoKey, Int)].collect().toSet ==
+      typed.df.as[(GeoKey, Int)].collect().toSet)
+    // cogroup: struct keys align across inputs, absent keys → empty
+    val t = Sources.const(spark, 2,
+      Seq((GeoKey("eu", 1), "x"), (GeoKey("ap", 9), "y")))
+    val cg = s.cogroup(t).df.as[(GeoKey, Seq[Int], Seq[String])]
+      .collect().map { case (k, a, b) => (k, a.sorted, b.sorted) }.toSet
+    assert(cg == Set(
+      (GeoKey("eu", 1), Seq(2, 3), Seq("x")),
+      (GeoKey("us", 2), Seq(4), Seq.empty[String]),
+      (GeoKey("ap", 9), Seq.empty[Int], Seq("y"))))
+  }
+
+  test("opaque keys with a user-registered Encoder (the RegisterOps analog proper)") {
+    // a key class with NO product structure: reflection can't encode
+    // it, so the user registers an Encoder — the direct analog of
+    // frame.RegisterOps registering hash/compare. Kryo keys group by
+    // their serialized bytes; like the reference's user-supplied hash,
+    // correctness is the registrant's contract (deterministic
+    // serialization — true for plain field classes, NOT for hash maps).
+    implicit val keyEnc: org.apache.spark.sql.Encoder[OpaqueKey] =
+      org.apache.spark.sql.Encoders.kryo[OpaqueKey]
+    implicit val intEnc: org.apache.spark.sql.Encoder[Int] =
+      org.apache.spark.sql.Encoders.scalaInt
+    implicit val kvEnc: org.apache.spark.sql.Encoder[(OpaqueKey, Int)] =
+      org.apache.spark.sql.Encoders.tuple(keyEnc, intEnc)
+    val data = Seq((new OpaqueKey(7, "alpha"), 2), (new OpaqueKey(7, "alpha"), 3),
+      (new OpaqueKey(9, "beta"), 4))
+    val s = Sources.const(spark, 2, data)
+    val folded = s.fold[OpaqueKey, Int, Int](0)((acc, v) => acc + v)
+    val got = folded.df.as[(OpaqueKey, Int)].collect()
+      .map { case (k, n) => (k.id, k.tag, n) }.toSet
+    assert(got == Set((7L, "alpha", 5), (9L, "beta", 4)))
+    val typed = s.reduceF[OpaqueKey, Int](_ + _)
+    assert(typed.df.as[(OpaqueKey, Int)].collect()
+      .map { case (k, n) => (k.id, k.tag, n) }.toSet == got)
+  }
+
   test("cogroup 2-ary full-outer with empty groups (cogroup_test.go:146-166)") {
     import spark.implicits._
     val left = Sources.const(spark, 2, Seq((0, "zero"), (0, "cero"), (1, "one"), (2, "two")))
@@ -358,4 +412,18 @@ object WriterProbe {
 
 object CacheProbe {
   val computes = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+/** Struct key for the frame.RegisterOps-parity tests (top-level so the
+  * product Encoder needs no outer instance). */
+case class GeoKey(region: String, bucket: Int)
+
+/** A deliberately non-product key: private constructor fields, no
+  * companion — only a registered Encoder (kryo) can carry it. */
+class OpaqueKey(val id: Long, val tag: String) extends Serializable {
+  override def equals(o: Any): Boolean = o match {
+    case k: OpaqueKey => k.id == id && k.tag == tag
+    case _ => false
+  }
+  override def hashCode: Int = (id, tag).hashCode
 }
