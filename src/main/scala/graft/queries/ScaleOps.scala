@@ -125,8 +125,38 @@ object ScaleOps {
           Bucketing.zValue(col("o_custkey").bitwiseAND(lit(65535L)),
             col("o_orderkey").bitwiseAND(lit(65535L)), 16).as("z"))
         .orderBy("o_orderkey")
+    },
+
+    // d>=3 Z-order key with UNEVEN bit budgets (zValueN): customer and
+    // order keys spend 16 bits, the price bucket 10 — the general
+    // layout key for fact tables range-filtered on several columns at
+    // once. Same engine-replicable integer algebra → exact oracle.
+    "q_zorder_key3" -> { (spark, dir) =>
+      Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"),
+          Bucketing.zValueN(Seq(
+            col("o_custkey").bitwiseAND(lit(65535L)) -> 16,
+            col("o_orderkey").bitwiseAND(lit(65535L)) -> 16,
+            floor(col("o_totalprice")).cast("long")
+              .bitwiseAND(lit(1023L)) -> 10)).as("z3"))
+        .orderBy("o_orderkey")
     }
   )
+
+  /** The oracle-side mirror of [[Bucketing.zValueN]]'s round-robin bit
+    * placement, emitted as SQL — one generator for both engines keeps
+    * the positions provably identical. */
+  private def zValueNSql(dims: Seq[(String, Int)]): String = {
+    val terms = Seq.newBuilder[String]
+    var out = 0
+    for (level <- 0 until dims.map(_._2).max; (e, b) <- dims) {
+      if (level < b) {
+        terms += s"((($e >> $level) & 1) << $out)"
+        out += 1
+      }
+    }
+    terms.result().mkString(" | ")
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_heavy_hitters" ->
@@ -195,6 +225,14 @@ object ScaleOps {
           s"((((o_orderkey & 65535) >> $i) & 1) << ${2 * i + 1})")
       }.mkString(" | ")
       s"""SELECT o_orderkey, CAST($terms AS BIGINT) AS z
+         |FROM orders ORDER BY o_orderkey""".stripMargin
+    },
+    "q_zorder_key3" -> {
+      val terms = zValueNSql(Seq(
+        "(o_custkey & 65535)" -> 16,
+        "(o_orderkey & 65535)" -> 16,
+        "(CAST(FLOOR(o_totalprice) AS BIGINT) & 1023)" -> 10))
+      s"""SELECT o_orderkey, CAST($terms AS BIGINT) AS z3
          |FROM orders ORDER BY o_orderkey""".stripMargin
     }
   )

@@ -75,10 +75,38 @@ object Bucketing {
    * algebra (codegen'd, engine-replicable → oracle-checkable).
    */
   def zValue(a: Column, b: Column, bits: Int = 16): Column =
-    (0 until bits).flatMap { i =>
-      Seq(shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i),
-        shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_.bitwiseOR(_))
+    zValueN(Seq(a -> bits, b -> bits))
+
+  /**
+   * d-dimensional Z-value with PER-DIMENSION bit budgets — the general
+   * clustering key: each `(column, bits)` contributes its low `bits`
+   * bits, interleaved round-robin from the low end (bit level 0 of
+   * every dimension first, in argument order, then level 1, …);
+   * dimensions whose budget is exhausted drop out of later rounds, so
+   * a high-cardinality column can spend 20 bits while a coarse one
+   * spends 8 and the interleave stays balanced where budgets overlap.
+   * `zValue(a, b, k)` ≡ `zValueN(Seq(a -> k, b -> k))` bit for bit.
+   * Budgets must sum to ≤ 63 (the z stays a non-negative long). Same
+   * pure integer algebra as the 2-D form — codegen'd and
+   * oracle-checkable.
+   */
+  def zValueN(dims: Seq[(Column, Int)]): Column = {
+    require(dims.nonEmpty, "zValueN needs at least one dimension")
+    require(dims.forall(_._2 >= 1), "every bit budget must be >= 1")
+    require(dims.map(_._2).sum <= 63,
+      s"bit budgets sum to ${dims.map(_._2).sum}, max 63")
+    val maxBits = dims.map(_._2).max
+    val parts = Seq.newBuilder[Column]
+    var out = 0
+    for (level <- 0 until maxBits; (c, b) <- dims) {
+      if (level < b) {
+        parts += shiftleft(
+          shiftright(c.cast("long"), level).bitwiseAND(lit(1L)), out)
+        out += 1
+      }
+    }
+    parts.result().reduce(_.bitwiseOR(_))
+  }
 
   /**
    * Z-ordered parquet layout: range-partition by z-value into nFiles

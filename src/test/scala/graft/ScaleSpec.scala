@@ -165,6 +165,48 @@ class ScaleSpec extends AnyFunSuite {
     assert(zb < 0.8 * nb, s"b: z=$zb naive=$nb")
   }
 
+  test("zValueN: budget-aware interleave; 3-D layout narrows per-file ranges on ALL dims") {
+    import graft.sources.Bucketing
+    import spark.implicits._
+    // the 2-D form is the n-D form bit for bit
+    val eq = spark.range(100).select(
+      (col("id") * 37 % 64).as("a"), (col("id") * 11 % 64).as("b"))
+    assert(eq.filter(Bucketing.zValue(col("a"), col("b"), 6) =!=
+      Bucketing.zValueN(Seq(col("a") -> 6, col("b") -> 6))).count() == 0)
+    // hand-checked UNEVEN budgets (a=2 bits, b=1, c=3), a=3 b=1 c=5:
+    // round-robin places a0,b0,c0,a1,c1,c2 → z = 1|2|4|8|0|32 = 47
+    val z0 = spark.range(1).select(Bucketing.zValueN(
+      Seq(lit(3L) -> 2, lit(1L) -> 1, lit(5L) -> 3)).as("z"))
+      .head().getLong(0)
+    assert(z0 == 47L)
+    // 16×16×16 grid, 8 z-range files: each must hold a narrow range of
+    // ALL THREE dimensions (a z-contiguous 512-point block is an 8³
+    // subcube); naive round-robin files span every dimension fully
+    val grid = spark.range(4096).select(
+      (col("id") % 16).as("a"),
+      (floor(col("id") / 16) % 16).cast("long").as("b"),
+      floor(col("id") / 256).cast("long").as("c"))
+    val base = java.nio.file.Files.createTempDirectory("zorder3").toString
+    Bucketing.writeZOrdered(grid, s"$base/z",
+      Bucketing.zValueN(Seq(col("a") -> 4, col("b") -> 4, col("c") -> 4)),
+      nFiles = 8)
+    grid.repartition(8).write.parquet(s"$base/naive")
+    def meanRange(d: String, c: String): Double = {
+      val fs = new java.io.File(d).listFiles
+        .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      val rs = fs.map { f =>
+        val mm = spark.read.parquet(f).agg(min(col(c)), max(col(c))).head()
+        (mm.getLong(1) - mm.getLong(0)).toDouble
+      }
+      rs.sum / rs.length
+    }
+    assert(spark.read.parquet(s"$base/z").count() == 4096)
+    for (dim <- Seq("a", "b", "c")) {
+      val (zr, nr) = (meanRange(s"$base/z", dim), meanRange(s"$base/naive", dim))
+      assert(zr < 0.8 * nr, s"$dim: z=$zr naive=$nr")
+    }
+  }
+
   test("compact merges small cache files; data and marker preserved") {
     import graft.sources.Cache
     val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/c"
