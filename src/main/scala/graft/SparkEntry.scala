@@ -35,5 +35,6 @@ object SparkEntry {
     "q18_large_volume", "dedup_minhash",
     "q_heavy_hitters", "op_bloom_join", "q_sessionize",
     "dedup_incremental", "dedup_incremental_idx",
-    "text_vocab_ids", "text_seg_dedup", "text_dup_ngram_frac")
+    "text_vocab_ids", "text_seg_dedup", "text_dup_ngram_frac",
+    "sim_topk_ivf_idx", "text_bpe_tokens")
 }

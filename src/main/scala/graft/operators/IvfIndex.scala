@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import graft.functions.VectorExpressions.{dotF, normF}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -213,12 +215,37 @@ object IvfIndex {
              nProbe: Int = 4): DataFrame = {
     requireLiveVersion(spark, dir, version)
     val cents = readCentroids(spark, dir, version)
-    val dim = cents(0).length
-    val probes = Similarity.bestLists(col(vec), dim, cents, nProbe)
-    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"),
-      explode(array(probes: _*)).as("list_id"))
-    val probedLists = q.select("list_id").distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // Queries are small by contract (every formulation broadcasts
+    // them), so probe lists are computed HERE, in Scala, from the
+    // collected rows — the Catalyst alternative embeds an
+    // nList × dim scoring expression whose analysis/codegen (not
+    // execution) dominated the probe. Same arithmetic order as
+    // Similarity.bestListsArr: left-associated double sums, ties by
+    // centroid index.
+    val centNorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    val qRows = queries.select(col(id), col(vec)).collect()
+    val qSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        queries.schema(id).dataType),
+      org.apache.spark.sql.types.StructField("qv",
+        queries.schema(vec).dataType),
+      org.apache.spark.sql.types.StructField("list_id",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val exploded = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    qRows.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val probes = cents.indices.map { ci =>
+        var dot = 0.0
+        var i = 0
+        while (i < cents(ci).length) { dot += v(i).toDouble * cents(ci)(i); i += 1 }
+        (dot / centNorms(ci), ci)
+      }.sortBy { case (s, ci) => (-s, ci) }.take(nProbe)
+      probes.foreach { case (_, ci) =>
+        exploded.add(org.apache.spark.sql.Row(r.get(0), r.get(1), ci))
+      }
+    }
+    val q = spark.createDataFrame(exploded, qSchema)
+    val probedLists = exploded.iterator().asScala.map(_.getInt(2)).toSeq.distinct
     val c = readSegments(spark, dir, version)
       .map(s => spark.read.parquet(segPath(dir, s))
         .filter(col("list_id").isin(probedLists: _*))

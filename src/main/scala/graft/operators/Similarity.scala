@@ -180,6 +180,22 @@ object Similarity {
     * construction); scoring unrolls into codegen like [[dotUnrolled]]. */
   private[graft] def bestLists(v: Column, dim: Int, cents: Array[Array[Double]],
                                nProbe: Int): IndexedSeq[Column] = {
+    val sorted = sortedListsByCos(v, dim, cents)
+    (0 until nProbe).map(p => element_at(sorted, p + 1)("i"))
+  }
+
+  /** The nProbe highest-cosine centroid ids as ONE array column. Use
+    * this (not nProbe [[bestLists]] slots) wherever the probe list is
+    * exploded: each bestLists slot re-embeds the full
+    * nList × dim scoring tree, and analysis/codegen of that repeated
+    * expression — not execution — dominated the indexed-ANN probe. */
+  private[graft] def bestListsArr(v: Column, dim: Int,
+                                  cents: Array[Array[Double]],
+                                  nProbe: Int): Column =
+    transform(slice(sortedListsByCos(v, dim, cents), 1, nProbe), s => s("i"))
+
+  private def sortedListsByCos(v: Column, dim: Int,
+                               cents: Array[Array[Double]]): Column = {
     val scored = cents.indices.map { ci =>
       val c = cents(ci)
       val cn = math.sqrt(c.map(x => x * x).sum)
@@ -187,10 +203,9 @@ object Similarity {
         element_at(v, i).cast("double") * lit(c(i - 1))).reduce(_ + _)
       struct((dotC / lit(cn)).as("s"), lit(ci).as("i"))
     }
-    val sorted = array_sort(array(scored: _*),
+    array_sort(array(scored: _*),
       (a, b) => when(a("s") > b("s"), -1).when(a("s") < b("s"), 1)
         .otherwise(a("i") - b("i")))
-    (0 until nProbe).map(p => element_at(sorted, p + 1)("i"))
   }
 
   /**
@@ -207,10 +222,9 @@ object Similarity {
     val cents = trainCentroids(corpus, id, vec, dim, nList, iters)
     val c = assignLists(corpus, id, vec, dim, cents)
       .select(col(id).as("neighbor_id"), col(vec).as("cv"), col("list_id"))
-    val probes = bestLists(col(vec), dim, cents, nProbe)
     val q = queries
       .select(col(id).as("query_id"), col(vec).as("qv"),
-        explode(array(probes: _*)).as("list_id"))
+        explode(bestListsArr(col(vec), dim, cents, nProbe)).as("list_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     c.join(broadcast(q), Seq("list_id"))
@@ -260,10 +274,9 @@ object Similarity {
                        queries: DataFrame, id: String, vec: String, dim: Int,
                        k: Int, nProbe: Int = 4): DataFrame = {
     val cents = loadCentroids(dir)
-    val probes = bestLists(col(vec), dim, cents, nProbe)
     val q = queries
       .select(col(id).as("query_id"), col(vec).as("qv"),
-        explode(array(probes: _*)).as("list_id"))
+        explode(bestListsArr(col(vec), dim, cents, nProbe)).as("list_id"))
     val probedLists = q.select("list_id").distinct()
       .collect().map(_.getInt(0)).toSeq
     val c = spark.read.parquet(s"$dir/data")

@@ -39,6 +39,10 @@ object PipelineOps {
   private val mhIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Per-JVM memo of built IVF indexes (same contract as mhIndexes). */
+  private val ivfIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Per-JVM memo of corpus-trained BPE vocabs keyed by corpus dir —
     * training is deterministic (one wordcount aggregate + driver-side
     * merge learning), so later bench runs time ENCODING, not
@@ -186,18 +190,23 @@ object PipelineOps {
     // IVF ANN against the INCREMENTAL persisted index (IvfIndex):
     // build over 80% of the corpus, append the rest against the frozen
     // centroids (the continuous-ingest path), query the committed
-    // version. Rows-only like sim_topk_ivf (k-means lists not
-    // SQL-replicable); recall + append==frozen-assignment equivalence
-    // asserted in PipelineSpec/IvfIndexSpec.
+    // version. Index memoized per corpus dir like the minhash index —
+    // bench reruns time the steady-state PROBE, a fresh JVM rebuilds.
+    // Rows-only like sim_topk_ivf (k-means lists not SQL-replicable);
+    // recall + append==frozen-assignment equivalence asserted in
+    // PipelineSpec/IvfIndexSpec.
     "sim_topk_ivf_idx" -> { (spark, dir) =>
       val emb = Tables.load(spark, dir, "embeddings")
-      val idxDir = java.nio.file.Files
-        .createTempDirectory("graft_ivf_idx").toString + "/idx"
       val cfg = IvfIndex.Config(dim = EmbDim, nList = 16, iters = 2)
-      IvfIndex.build(spark, emb.filter(col("vec_id") % 5 =!= 0),
-        "vec_id", "embedding", idxDir, cfg)
-      IvfIndex.append(spark, idxDir, emb.filter(col("vec_id") % 5 === 0),
-        "vec_id", "embedding", cfg)
+      val idxDir = ivfIndexes.computeIfAbsent(dir, _ => {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft_ivf_idx").toString + "/idx"
+        IvfIndex.build(spark, emb.filter(col("vec_id") % 5 =!= 0),
+          "vec_id", "embedding", d, cfg)
+        IvfIndex.append(spark, d, emb.filter(col("vec_id") % 5 === 0),
+          "vec_id", "embedding", cfg)
+        d
+      })
       IvfIndex.topK(spark, idxDir, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rnk")
