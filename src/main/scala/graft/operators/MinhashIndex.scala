@@ -353,29 +353,33 @@ object MinhashIndex {
         .select(least(col("a"), col("b")).as("a"),
           greatest(col("a"), col("b")).as("b"))
         .distinct().persist()
-    // Materialize NOW: candIds reads the pair set from both sides and
-    // verification joins it again — under AQE those consumers are
-    // CONCURRENT stages, and concurrent scans of an unmaterialized
-    // persist each recompute the full candidate chain (measured: the
-    // two most expensive jobs of the probe were the same scan twice).
-    val nCand = candidates.count()
+    // Materialize NOW, with ONE action: collect up to the pushdown
+    // limit + 1. Exhausting the limit means the pair set is abnormally
+    // large (fallback path); otherwise the collected rows ARE the full
+    // candidate set. The materialization matters beyond the ids:
+    // candIds/verification are CONCURRENT AQE stage consumers, and
+    // concurrent scans of an unmaterialized persist each recompute the
+    // full candidate chain (measured: the two most expensive jobs of
+    // the probe were the same scan twice).
+    val firstN = candidates.limit(MaxPushdownCandidates.toInt + 1).collect()
 
     // exact-Jaccard verification over capped ARRAYS, restricted to
     // candidate docs BEFORE anything touches the corpus doc table.
-    // Candidate ids are batch-scale: in the normal case the pair set
-    // collects to the driver (reading the cache just materialized) and
-    // its ids push into the docs/ parquet scan as an `In` filter —
-    // row-group stats and dictionary pages skip the non-candidate
-    // corpus, so verification I/O is candidate-sized. An abnormally
-    // large candidate set falls back to a broadcast semi-join over the
-    // full scan (correct at any size).
+    // Candidate ids are batch-scale: in the normal case they push into
+    // the docs/ parquet scan as an `In` filter — row-group stats and
+    // dictionary pages skip the non-candidate corpus, so verification
+    // I/O is candidate-sized. An abnormally large candidate set falls
+    // back to a broadcast semi-join over the full scan (correct at any
+    // size; candidates.count() re-materializes whatever the truncated
+    // limit scan skipped before the concurrent consumers fan out).
     val allDocs = corpusDocs.unionByName(batchDocs)
     val candDocs =
-      if (nCand <= MaxPushdownCandidates) {
-        val ids = candidates.collect().iterator
+      if (firstN.length <= MaxPushdownCandidates) {
+        val ids = firstN.iterator
           .flatMap(r => Iterator(r.get(0), r.get(1))).toSet.toSeq
         allDocs.filter(col(id).isInCollection(ids))
       } else {
+        candidates.count()
         val candIds = candidates.select(col("a").as(id))
           .unionByName(candidates.select(col("b").as(id))).distinct()
         allDocs.join(broadcast(candIds), Seq(id), "left_semi")
