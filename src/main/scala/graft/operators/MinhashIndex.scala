@@ -26,6 +26,10 @@ import org.apache.spark.sql.functions._
  *   v00001/hot/         (shingle) the df > cap stop-shingle set — tiny
  *                       by construction; persisting it keeps the probe
  *                       from re-deriving it with a second df scan
+ *   v00001/warm/        (shingle, df) the df > cap/2 slice — the only
+ *                       df rows a small-batch probe can need (see the
+ *                       crossability bound below), so the steady-state
+ *                       probe never scans the corpus-sized df table
  *   v00001/bands/       (id, band, bucket) LSH keys over CAPPED sets,
  *                       bucket-named parquet written CLUSTERED BY
  *                       (band, bucket) — probes join it shuffle-free
@@ -91,11 +95,11 @@ object MinhashIndex {
 
   import VersionedLayout.{atomicWrite, fs, versionDir}
 
-  /** On-disk layout revision. 3 = persisted hot/ stop-shingle table
-    * (round 6); 2 = per-doc array docs/ table (round 5); 1 was the
-    * exploded shingles/ layout. Checked on every probe so a stale
+  /** On-disk layout revision. 4 = persisted hot/ + warm/ df-slice
+    * tables (round 6); 2 = per-doc array docs/ table (round 5); 1 was
+    * the exploded shingles/ layout. Checked on every probe so a stale
     * index fails with "rebuild", not a parquet path error. */
-  private val FormatVersion = 3
+  private val FormatVersion = 4
 
   /** Current committed version, from the LATEST pointer. */
   def latestVersion(spark: SparkSession, dir: String): Int =
@@ -204,11 +208,20 @@ object MinhashIndex {
     docs.write.mode("overwrite").parquet(s"$vd/docs")
     dfTab.write.mode("overwrite").parquet(s"$vd/df")
     hotTab.write.mode("overwrite").parquet(s"$vd/hot")
+    dfTab.filter(col("df") > warmThreshold(cfg))
+      .write.mode("overwrite").parquet(s"$vd/warm")
     Bucketing.writeBucketedAt(bands, bandsTableName(dir, 1), cfg.nBuckets,
       Seq("band", "bucket"), s"$vd/bands")
     docs.unpersist(); dfTab.unpersist()
     writeLatest(spark, dir, 1)
   }
+
+  /** The warm slice holds every df row a probe with
+    * max(bdf) ≤ cap − warmThreshold can need: a shingle crosses the
+    * cap only if df + bdf > cap, so with df ≤ warmThreshold it would
+    * need bdf > cap − warmThreshold — excluded by the guard. cap/2
+    * balances slice size against the batch sizes that qualify. */
+  private def warmThreshold(cfg: Config): Int = cfg.maxShingleDf / 2
 
   /** Everything one ingest needs: the verified pairs plus the three
     * updated tables (lazy — materialized only if the caller appends)
@@ -269,26 +282,36 @@ object MinhashIndex {
     // shuffled for this: shingles already hot in the corpus come from
     // the persisted hot/ table (tiny — no df scan at all); shingles
     // the batch could push over the cap are found by broadcasting the
-    // (batch-sized) batch frequencies onto the one corpus df scan;
-    // batch-ONLY shingles can make
-    // the cap entirely on their own df. All three frames are
-    // batch-or-hot-set sized — tiny, and they fold into ONE persisted
-    // one-row aggregate carrying both the full hot array (hotarr, fed
-    // to every cappedBy) and its newly-hot subset (nharr, driving the
-    // affected-doc recompute) — one job, not one per consumer.
-    // Broadcasting the batch shingle frequencies onto the corpus df
-    // scan is what keeps the corpus side unshuffled — but ONLY safe
-    // while the batch side fits the driver. A corpus-sized batch (the
-    // bootstrap pattern: ingesting half the corpus as one batch) must
-    // fall back to a shuffle join rather than OOM the driver; the
-    // count is free (batchDf is already materialized by the
-    // localCheckpoint above). `joint` is a subset of batchDf, so one
-    // guard covers both broadcast sites. This count doubles as the one
-    // job that materializes the batch-side checkpoints.
-    val batchFitsDriver = batchDf.count() <= MaxBroadcastShingles
+    // (batch-sized) batch frequencies onto a df-side scan; batch-ONLY
+    // shingles can make the cap entirely on their own df. All three
+    // frames are batch-or-hot-set sized — tiny, and they fold into ONE
+    // persisted one-row aggregate carrying both the full hot array
+    // (hotarr, fed to every cappedBy) and its newly-hot subset (nharr,
+    // driving the affected-doc recompute) — one job, not one per
+    // consumer.
+    //
+    // TWO guards, from one aggregate over the already-checkpointed
+    // batch frequencies:
+    //  - batchFitsDriver: broadcasting the batch side is what keeps
+    //    the df side unshuffled, but only while it fits the driver —
+    //    a corpus-sized bootstrap batch falls back to a shuffle join.
+    //  - warm path: when max(bdf) ≤ cap − warmThreshold, NO shingle
+    //    with df ≤ warmThreshold can cross the cap (df + bdf ≤ cap),
+    //    so the tiny warm/ slice answers the join exactly and the
+    //    corpus-sized df table is not scanned at all — the
+    //    steady-state probe touches nothing corpus-sized. (On this
+    //    path batchHotF below is provably empty: bdf ≤ cap − T < cap.)
+    val bAgg = batchDf
+      .agg(count(lit(1)), coalesce(max(col("bdf")), lit(0L))).first()
+    val (bShingles, maxBdf) = (bAgg.getLong(0), bAgg.getLong(1))
+    val batchFitsDriver = bShingles <= MaxBroadcastShingles
     def bcastBatch(d: DataFrame): DataFrame =
       if (batchFitsDriver) broadcast(d) else d
-    val joint = corpusDf.join(bcastBatch(batchDf), Seq("shingle"))
+    val dfSide =
+      if (maxBdf <= cfg.maxShingleDf - warmThreshold(cfg))
+        cachedRead(spark, s"$vd/warm")
+      else corpusDf
+    val joint = dfSide.join(bcastBatch(batchDf), Seq("shingle"))
       .select(col("shingle"), col("df"), col("bdf"))
       .localCheckpoint(eager = false)
     val batchOnly = batchDf
@@ -487,15 +510,25 @@ object MinhashIndex {
                     cfg: Config = Config()): Int = {
     val v = latestVersion(spark, dir)
     val p = probe(spark, dir, v, batch, id, text, cfg)
-    val vd = versionDir(dir, v + 1)
-    p.newDocs.write.mode("overwrite").parquet(s"$vd/docs")
-    p.newDf.write.mode("overwrite").parquet(s"$vd/df")
-    p.newHot.write.mode("overwrite").parquet(s"$vd/hot")
-    Bucketing.writeBucketedAt(p.newBands, bandsTableName(dir, v + 1),
-      cfg.nBuckets, Seq("band", "bucket"), s"$vd/bands")
+    writeVersionTables(spark, dir, v + 1, p, cfg)
     writeLatest(spark, dir, v + 1)
     p.done() // append materialized everything — release the probe caches
     v + 1
+  }
+
+  /** Write version `v1`'s four tables + bucketed bands (warm derives
+    * from the just-written df parquet — one cheap filtered re-scan
+    * instead of re-executing the corpus-scale df merge). */
+  private def writeVersionTables(spark: SparkSession, dir: String, v1: Int,
+                                 p: Probe, cfg: Config): Unit = {
+    val vd = versionDir(dir, v1)
+    p.newDocs.write.mode("overwrite").parquet(s"$vd/docs")
+    p.newDf.write.mode("overwrite").parquet(s"$vd/df")
+    p.newHot.write.mode("overwrite").parquet(s"$vd/hot")
+    spark.read.parquet(s"$vd/df").filter(col("df") > warmThreshold(cfg))
+      .write.mode("overwrite").parquet(s"$vd/warm")
+    Bucketing.writeBucketedAt(p.newBands, bandsTableName(dir, v1),
+      cfg.nBuckets, Seq("band", "bucket"), s"$vd/bands")
   }
 
   /** Probe + append in one pass (the continuous-ingest loop body): the
@@ -512,12 +545,7 @@ object MinhashIndex {
     val p = probe(spark, dir, v, batch, id, text, cfg)
     val pairs = p.pairs.persist()
     pairs.count() // materialize against v before v+1 commits
-    val vd = versionDir(dir, v + 1)
-    p.newDocs.write.mode("overwrite").parquet(s"$vd/docs")
-    p.newDf.write.mode("overwrite").parquet(s"$vd/df")
-    p.newHot.write.mode("overwrite").parquet(s"$vd/hot")
-    Bucketing.writeBucketedAt(p.newBands, bandsTableName(dir, v + 1),
-      cfg.nBuckets, Seq("band", "bucket"), s"$vd/bands")
+    writeVersionTables(spark, dir, v + 1, p, cfg)
     writeLatest(spark, dir, v + 1)
     // pairs are materialized; release the probe caches so a continuous
     // ingest loop doesn't accumulate one cache generation per batch

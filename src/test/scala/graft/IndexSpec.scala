@@ -129,6 +129,32 @@ class IndexSpec extends AnyFunSuite {
     assert(t(appended, 2, "bands") == t(fresh, 1, "bands"))
     assert(t(appended, 2, "docs") == t(fresh, 1, "docs"))
     assert(t(appended, 2, "df") == t(fresh, 1, "df"))
+    assert(t(appended, 2, "hot") == t(fresh, 1, "hot"))
+    assert(t(appended, 2, "warm") == t(fresh, 1, "warm"))
+  }
+
+  test("warm-slice fallback: a low-df shingle crossing the cap via a shingle-heavy batch") {
+    // cap=3 → warm holds df > 1 and the warm path requires
+    // max(bdf) <= 2. "p q r" has corpus df=1 (NOT in warm) and bdf=3:
+    // only the full-df fallback can see it cross (1+3 > 3). The guard
+    // must pick the fallback and stay pair-for-pair exact.
+    val existing = docs(
+      1L -> "p q r a b c d e f",
+      2L -> "m n o a b c d e g")
+    val batch = docs(
+      4L -> "p q r s t u v w x",
+      5L -> "p q r s t u v w y",
+      6L -> "p q r s t u v w z")
+    val cfg = MinhashIndex.Config(k = 3, numPerms = 16, bandRows = 2,
+      minJ = 0.3, maxShingleDf = 3, nBuckets = 4)
+    val dir = tmp("graft_mhidx_warmfb")
+    MinhashIndex.build(spark, existing, "doc_id", "text", dir, cfg)
+    val fromIdx = MinhashIndex.incrementalDupPairs(spark, dir, batch,
+      "doc_id", "text", cfg)
+    val inline = Dedup.minhashIncremental(existing, batch, "doc_id", "text",
+      k = 3, numPerms = 16, bandRows = 2, minJ = 0.3, maxShingleDf = 3)
+    assert(pairSet(fromIdx) == pairSet(inline))
+    assert(pairSet(fromIdx).nonEmpty, "fixture should produce batch pairs")
   }
 
   test("probe plan reads ONLY the index and the batch — never corpus text") {
