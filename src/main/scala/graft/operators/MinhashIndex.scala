@@ -295,22 +295,26 @@ object MinhashIndex {
     //  - batchFitsDriver: broadcasting the batch side is what keeps
     //    the df side unshuffled, but only while it fits the driver —
     //    a corpus-sized bootstrap batch falls back to a shuffle join.
-    //  - warm path: when max(bdf) ≤ cap − warmThreshold, NO shingle
-    //    with df ≤ warmThreshold can cross the cap (df + bdf ≤ cap),
-    //    so the tiny warm/ slice answers the join exactly and the
-    //    corpus-sized df table is not scanned at all — the
-    //    steady-state probe touches nothing corpus-sized. (On this
-    //    path batchHotF below is provably empty: bdf ≤ cap − T < cap.)
-    val bAgg = batchDf
-      .agg(count(lit(1)), coalesce(max(col("bdf")), lit(0L))).first()
-    val (bShingles, maxBdf) = (bAgg.getLong(0), bAgg.getLong(1))
-    val batchFitsDriver = bShingles <= MaxBroadcastShingles
+    //  - warm path: a shingle OUTSIDE the warm slice has df ≤ T, so it
+    //    can cross the cap only with bdf > cap − T; and if bdf > cap
+    //    it is batch-hot outright (correctly flagged by batchHotF with
+    //    the right `newly`, whatever its df). The slice is therefore
+    //    exact unless some non-warm batch shingle has bdf in
+    //    (cap − T, cap] — checked with one batch-sized job against the
+    //    (tiny, broadcast) warm slice. Shingles ALREADY in warm may
+    //    have any bdf (hot boilerplate always does); their exact df is
+    //    in the slice. Result: the steady-state probe touches nothing
+    //    corpus-sized; only a shingle-heavy batch hitting the blocked
+    //    window pays one full df scan.
+    val batchFitsDriver = batchDf.count() <= MaxBroadcastShingles
     def bcastBatch(d: DataFrame): DataFrame =
       if (batchFitsDriver) broadcast(d) else d
-    val dfSide =
-      if (maxBdf <= cfg.maxShingleDf - warmThreshold(cfg))
-        cachedRead(spark, s"$vd/warm")
-      else corpusDf
+    val warmSlice = cachedRead(spark, s"$vd/warm")
+    val cap = cfg.maxShingleDf
+    val blocked = batchDf
+      .join(broadcast(warmSlice.select("shingle")), Seq("shingle"), "left_anti")
+      .filter(col("bdf") > cap - warmThreshold(cfg) && col("bdf") <= cap)
+    val dfSide = if (blocked.isEmpty) warmSlice else corpusDf
     val joint = dfSide.join(bcastBatch(batchDf), Seq("shingle"))
       .select(col("shingle"), col("df"), col("bdf"))
       .localCheckpoint(eager = false)
