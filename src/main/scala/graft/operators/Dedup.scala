@@ -311,12 +311,15 @@ object Dedup {
    */
   def dupShingleStats(df: DataFrame, id: String, text: String,
                       k: Int = 5): DataFrame = {
-    // localCheckpoint, not persist: the frame is read twice (df
+    // Lazy localCheckpoint, not persist: the frame is read twice (df
     // aggregate + join probe side) but a persist here would pin a
     // cache generation per call with no release point (the result is
     // returned lazily); checkpoint blocks are GC-cleaned when the
-    // result is dropped.
-    val sh = shingles(df, id, text, k).localCheckpoint()
+    // result is dropped, and laziness keeps construction free of
+    // blocking jobs. If the two consumers race the first
+    // materialization the explode scan runs at most twice — cheaper
+    // than a leaked cache generation per call.
+    val sh = shingles(df, id, text, k).localCheckpoint(eager = false)
     val dfTab = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     sh.join(dfTab, Seq("shingle"))
       .groupBy(col(id))

@@ -119,9 +119,13 @@ object IvfIndex {
   private def writeSegment(df: DataFrame, id: String, vec: String,
                            cents: Array[Array[Double]], cfg: Config,
                            path: String): Map[Int, Long] = {
-    Similarity.assignLists(df.select(col(id), col(vec)), id, vec, cfg.dim, cents)
-      .write.mode("overwrite").partitionBy("list_id").parquet(path)
-    df.sparkSession.read.parquet(path)
+    val assigned = Similarity.assignLists(
+      df.select(col(id), col(vec)), id, vec, cfg.dim, cents)
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    // read back with the EXPLICIT schema: an empty batch writes no data
+    // files and schema inference would throw, but an ingest loop must
+    // tolerate quiet-period batches
+    df.sparkSession.read.schema(assigned.schema).parquet(path)
       .groupBy(col("list_id")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
   }
@@ -157,19 +161,22 @@ object IvfIndex {
     // segment
     val segName = f"s${v + 1}%05d"
     val bCounts = writeSegment(batch, id, vec, cents, cfg, segPath(dir, segName))
+    // an empty batch leaves no segment behind: the manifest must not
+    // reference a data-less directory (readers infer schemas from it)
+    val newSegs = if (bCounts.isEmpty) segs else segs :+ segName
     val merged = (prev.keySet ++ bCounts.keySet).iterator
       .map(k => k -> (prev.getOrElse(k, 0L) + bCounts.getOrElse(k, 0L))).toMap
     val total = merged.values.sum
     val skewed = merged.nonEmpty &&
       merged.values.max > cfg.maxImbalance * total.toDouble / cents.length
     if (!skewed) {
-      writeManifest(spark, dir, v + 1, cents, segs :+ segName, merged)
+      writeManifest(spark, dir, v + 1, cents, newSegs, merged)
     } else {
       // drift guard tripped: retrain over the FULL corpus (old
       // segments ∪ the batch segment just written) and compact into
       // one fresh segment — the amortized corpus-sized job that keeps
       // list occupancy, probe cost and recall stable under drift
-      val all = (segs :+ segName)
+      val all = newSegs
         .map(s => spark.read.parquet(segPath(dir, s)))
         .reduce(_.unionByName(_))
         .select(col(id), col(vec))
@@ -274,7 +281,11 @@ object IvfIndex {
     val f = fs(spark, dir)
     val keepFrom = math.max(1, latest - retainLast + 1)
     (1 until keepFrom).foreach(v => f.delete(new Path(versionDir(dir, v)), true))
+    // a prior gc with a smaller retainLast may already have dropped
+    // versions inside today's retention window — only read manifests
+    // that still exist
     val referenced = (keepFrom to latest)
+      .filter(v => f.exists(new Path(versionDir(dir, v))))
       .flatMap(readSegments(spark, dir, _)).toSet
     val segRoot = new Path(s"${dir.stripSuffix("/")}/segments")
     if (f.exists(segRoot))

@@ -137,18 +137,32 @@ object MinhashIndex {
     * inference, catalog lookup) on every probe was a measurable slice
     * of the steady-state ingest's driver time — a streaming ingest
     * probes the same version's tables many times between appends.
-    * Keyed by session identity so test suites that swap sessions never
-    * see a handle from a stopped one; [[gc]] drops entries of reaped
-    * versions. */
-  private val handles =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def handleKey(spark: SparkSession, path: String): String =
-    s"${System.identityHashCode(spark)}:$path"
+    * WEAKLY keyed by the owning session, so stopped sessions' handle
+    * maps (and the sessions themselves) are GC-evicted and a recycled
+    * identity can never be served another session's frames; [[gc]]
+    * drops entries of reaped versions. */
+  private val handles = new java.util.WeakHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+  private def sessionHandles(spark: SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[String, DataFrame] =
+    handles.synchronized {
+      handles.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    }
   private def cachedRead(spark: SparkSession, path: String): DataFrame =
-    handles.computeIfAbsent(handleKey(spark, path),
-      _ => spark.read.parquet(path))
+    sessionHandles(spark).computeIfAbsent(path, spark.read.parquet(_))
   private def dropHandles(spark: SparkSession, pathPrefix: String): Unit =
-    handles.keySet.removeIf(_.startsWith(handleKey(spark, pathPrefix)))
+    sessionHandles(spark).keySet.removeIf(_.startsWith(pathPrefix))
+
+  /** Row counts of immutable per-version tables (same lifecycle as
+    * [[handles]]): lets per-probe broadcast guards avoid re-counting. */
+  private val handleCounts = new java.util.WeakHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]]()
+  private def cachedCount(spark: SparkSession, path: String): Long =
+    handleCounts.synchronized {
+      handleCounts.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]())
+    }.computeIfAbsent(path, _ => cachedRead(spark, path).count())
 
   /** The bands table, catalog-registered CLUSTERED BY (band, bucket) so
     * probe joins leave the index side unshuffled. Re-attaches the
@@ -158,18 +172,26 @@ object MinhashIndex {
   private def readBands(spark: SparkSession, dir: String, v: Int,
                         cfg: Config): DataFrame = {
     val path = s"${versionDir(dir, v)}/bands"
-    handles.computeIfAbsent(handleKey(spark, path), _ =>
-      try {
-        val t = bandsTableName(dir, v)
-        if (!spark.catalog.tableExists(t)) {
-          val cols = spark.read.parquet(path).schema.fields
-            .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-          spark.sql(s"CREATE TABLE `$t` ($cols) USING parquet " +
-            s"CLUSTERED BY (band, bucket) SORTED BY (band, bucket) " +
-            s"INTO ${cfg.nBuckets} BUCKETS LOCATION '$path'")
-        }
-        spark.table(t)
-      } catch { case scala.util.control.NonFatal(_) => spark.read.parquet(path) })
+    val cached = sessionHandles(spark).get(path)
+    if (cached != null) cached
+    else try {
+      val t = bandsTableName(dir, v)
+      if (!spark.catalog.tableExists(t)) {
+        val cols = spark.read.parquet(path).schema.fields
+          .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+        spark.sql(s"CREATE TABLE `$t` ($cols) USING parquet " +
+          s"CLUSTERED BY (band, bucket) SORTED BY (band, bucket) " +
+          s"INTO ${cfg.nBuckets} BUCKETS LOCATION '$path'")
+      }
+      val df = spark.table(t)
+      sessionHandles(spark).put(path, df) // only the bucketed form is cached
+      df
+    } catch {
+      // transient catalog failure: fall back for THIS probe only — a
+      // cached fallback would silently demote every later probe of the
+      // version to an unbucketed (re-shuffled) band join
+      case scala.util.control.NonFatal(_) => spark.read.parquet(path)
+    }
   }
 
   // ------------------------------------------------------------------
@@ -311,8 +333,17 @@ object MinhashIndex {
       if (batchFitsDriver) broadcast(d) else d
     val warmSlice = cachedRead(spark, s"$vd/warm")
     val cap = cfg.maxShingleDf
+    // the warm slice grows monotonically with the corpus (df only ever
+    // grows), so its broadcast into the guard is itself guarded — a
+    // slice too big for the driver joins unhinted (batch-sized shuffle;
+    // the count is computed once per version and memoized)
+    val warmKeys = warmSlice.select("shingle")
+    val warmBcast =
+      if (cachedCount(spark, s"$vd/warm") <= MaxBroadcastShingles)
+        broadcast(warmKeys)
+      else warmKeys
     val blocked = batchDf
-      .join(broadcast(warmSlice.select("shingle")), Seq("shingle"), "left_anti")
+      .join(warmBcast, Seq("shingle"), "left_anti")
       .filter(col("bdf") > cap - warmThreshold(cfg) && col("bdf") <= cap)
     val dfSide = if (blocked.isEmpty) warmSlice else corpusDf
     val joint = dfSide.join(bcastBatch(batchDf), Seq("shingle"))

@@ -82,6 +82,23 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(got.map(_._1) == (0L until 10L).toSet)
   }
 
+  test("empty-batch append: version advances, no data-less segment in the manifest") {
+    val dir = tmp("ivf_empty")
+    val b0 = emb.filter(col("vec_id") % 5 =!= 0)
+    IvfIndex.build(spark, b0, "vec_id", "embedding", dir, cfg)
+    val q = emb.filter(col("vec_id") < 10)
+    val before = topKSet(IvfIndex.topK(spark, dir, q, "vec_id", "embedding", 5))
+    // a quiet-period micro-batch must not wedge the ingest loop
+    val v2 = IvfIndex.append(spark, dir, emb.filter(col("vec_id") < 0),
+      "vec_id", "embedding", cfg)
+    assert(v2 == 2)
+    assert(IvfIndex.readSegments(spark, dir, 2) == Seq("s00001"),
+      "an empty segment must not enter the manifest")
+    assert(IvfIndex.readCounts(spark, dir, 2) == IvfIndex.readCounts(spark, dir, 1))
+    assert(topKSet(IvfIndex.topK(spark, dir, q, "vec_id", "embedding", 5))
+      == before)
+  }
+
   test("crashed append: old version untouched and readable; retry overwrites the orphan") {
     val dir = tmp("ivf_crash")
     val b0 = emb.filter(col("vec_id") % 5 =!= 0)
