@@ -240,12 +240,24 @@ object IvfIndex {
         org.apache.spark.sql.types.IntegerType, nullable = false)))
     val exploded = new java.util.ArrayList[org.apache.spark.sql.Row]()
     qRows.foreach { r =>
-      val v = r.getSeq[Float](1)
+      // accept any numeric element type (the Catalyst path casts to
+      // double); null elements contribute 0 like a skipped term
+      val v = r.getSeq[Number](1)
       val probes = cents.indices.map { ci =>
-        var dot = 0.0
-        var i = 0
-        while (i < cents(ci).length) { dot += v(i).toDouble * cents(ci)(i); i += 1 }
-        (dot / centNorms(ci), ci)
+        // zero-norm centroids score -inf (they rank last), matching
+        // Similarity.sortedListsByCos exactly — NaN ordering otherwise
+        // diverges between the driver sort and Catalyst
+        if (centNorms(ci) == 0.0) (Double.NegativeInfinity, ci)
+        else {
+          var dot = 0.0
+          var i = 0
+          while (i < cents(ci).length) {
+            val x = v(i)
+            if (x != null) dot += x.doubleValue * cents(ci)(i)
+            i += 1
+          }
+          (dot / centNorms(ci), ci)
+        }
       }.sortBy { case (s, ci) => (-s, ci) }.take(nProbe)
       probes.foreach { case (_, ci) =>
         exploded.add(org.apache.spark.sql.Row(r.get(0), r.get(1), ci))

@@ -137,54 +137,87 @@ object MinhashIndex {
     * inference, catalog lookup) on every probe was a measurable slice
     * of the steady-state ingest's driver time — a streaming ingest
     * probes the same version's tables many times between appends.
-    * WEAKLY keyed by the owning session, so stopped sessions' handle
-    * maps (and the sessions themselves) are GC-evicted and a recycled
-    * identity can never be served another session's frames; [[gc]]
-    * drops entries of reaped versions. */
-  private val handles = new java.util.WeakHashMap[
-    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
-  private def sessionHandles(spark: SparkSession)
-      : java.util.concurrent.ConcurrentHashMap[String, DataFrame] =
-    handles.synchronized {
-      handles.computeIfAbsent(spark,
-        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    *
+    * Lifecycle: keys are `applicationId:sessionIdentity:path` and
+    * values are WEAK references, so the cache pins neither the
+    * DataFrames nor (through them) a stopped SparkSession — a
+    * weakly-KEYED map would, since the Dataset values strongly
+    * reference their session. An identity hash recycled after its
+    * session was GC'd is harmless: that session's weak refs were
+    * cleared with it, so the new session recomputes. Dead entries are
+    * purged opportunistically on access; [[gc]] drops entries of
+    * reaped versions eagerly. */
+  private val handles = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.ref.WeakReference[DataFrame]]()
+  private def handleKey(spark: SparkSession, path: String): String =
+    s"${spark.sparkContext.applicationId}:" +
+      s"${System.identityHashCode(spark)}:$path"
+  private def cachedRead(spark: SparkSession, path: String): DataFrame = {
+    val k = handleKey(spark, path)
+    val hit = handles.get(k)
+    val df = if (hit == null) null else hit.get()
+    if (df != null) df
+    else {
+      if (handles.size > 4096) // purge dead refs before growing further
+        handles.entrySet.removeIf(_.getValue.get() == null)
+      val fresh = spark.read.parquet(path)
+      handles.put(k, new java.lang.ref.WeakReference(fresh))
+      fresh
     }
-  private def cachedRead(spark: SparkSession, path: String): DataFrame =
-    sessionHandles(spark).computeIfAbsent(path, spark.read.parquet(_))
-  private def dropHandles(spark: SparkSession, pathPrefix: String): Unit =
-    sessionHandles(spark).keySet.removeIf(_.startsWith(pathPrefix))
+  }
+  private def putHandle(spark: SparkSession, path: String, df: DataFrame): Unit =
+    handles.put(handleKey(spark, path), new java.lang.ref.WeakReference(df))
+  private def getHandle(spark: SparkSession, path: String): DataFrame = {
+    val h = handles.get(handleKey(spark, path))
+    if (h == null) null else h.get()
+  }
+  private def dropHandles(spark: SparkSession, pathPrefix: String): Unit = {
+    val p = handleKey(spark, pathPrefix)
+    handles.keySet.removeIf(_.startsWith(p))
+    handleCounts.keySet.removeIf(_.startsWith(p))
+  }
 
-  /** Row counts of immutable per-version tables (same lifecycle as
-    * [[handles]]): lets per-probe broadcast guards avoid re-counting. */
-  private val handleCounts = new java.util.WeakHashMap[
-    SparkSession, java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]]()
-  private def cachedCount(spark: SparkSession, path: String): Long =
-    handleCounts.synchronized {
-      handleCounts.computeIfAbsent(spark,
-        _ => new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]())
-    }.computeIfAbsent(path, _ => cachedRead(spark, path).count())
+  /** Row counts of immutable per-version tables: lets per-probe
+    * broadcast guards avoid re-counting. Cleaned by [[gc]] alongside
+    * [[handles]]; bounded by a wholesale clear (counts recompute
+    * cheaply) so a long ingest loop over many versions can't grow it
+    * without limit. */
+  private val handleCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def cachedCount(spark: SparkSession, path: String): Long = {
+    if (handleCounts.size > 4096) handleCounts.clear()
+    handleCounts.computeIfAbsent(handleKey(spark, path),
+      _ => cachedRead(spark, path).count())
+  }
 
   /** The bands table, catalog-registered CLUSTERED BY (band, bucket) so
     * probe joins leave the index side unshuffled. Re-attaches the
     * bucket spec in a fresh session via CREATE TABLE … LOCATION; falls
     * back to a plain parquet read (correct, one extra Exchange) if the
     * catalog refuses. */
+  private val bandsCreateLock = new Object
   private def readBands(spark: SparkSession, dir: String, v: Int,
                         cfg: Config): DataFrame = {
     val path = s"${versionDir(dir, v)}/bands"
-    val cached = sessionHandles(spark).get(path)
+    val cached = getHandle(spark, path)
     if (cached != null) cached
     else try {
       val t = bandsTableName(dir, v)
-      if (!spark.catalog.tableExists(t)) {
-        val cols = spark.read.parquet(path).schema.fields
-          .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-        spark.sql(s"CREATE TABLE `$t` ($cols) USING parquet " +
-          s"CLUSTERED BY (band, bucket) SORTED BY (band, bucket) " +
-          s"INTO ${cfg.nBuckets} BUCKETS LOCATION '$path'")
+      // serialized check-then-create: two concurrent first probes must
+      // not race CREATE TABLE — the loser's TableAlreadyExists would
+      // land in the fallback and silently re-shuffle the corpus-sized
+      // band table for that probe
+      bandsCreateLock.synchronized {
+        if (!spark.catalog.tableExists(t)) {
+          val cols = spark.read.parquet(path).schema.fields
+            .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+          spark.sql(s"CREATE TABLE `$t` ($cols) USING parquet " +
+            s"CLUSTERED BY (band, bucket) SORTED BY (band, bucket) " +
+            s"INTO ${cfg.nBuckets} BUCKETS LOCATION '$path'")
+        }
       }
       val df = spark.table(t)
-      sessionHandles(spark).put(path, df) // only the bucketed form is cached
+      putHandle(spark, path, df) // only the bucketed form is cached
       df
     } catch {
       // transient catalog failure: fall back for THIS probe only — a

@@ -199,9 +199,14 @@ object Similarity {
     val scored = cents.indices.map { ci =>
       val c = cents(ci)
       val cn = math.sqrt(c.map(x => x * x).sum)
-      val dotC = (1 to dim).map(i =>
-        element_at(v, i).cast("double") * lit(c(i - 1))).reduce(_ + _)
-      struct((dotC / lit(cn)).as("s"), lit(ci).as("i"))
+      // a zero-norm centroid (degenerate seed / empty-list average)
+      // would score NaN for every vector and NaN ordering diverges
+      // between engines and the driver-side probe (IvfIndex.topKAt) —
+      // pin it to -inf so it deterministically ranks last everywhere
+      val s = if (cn == 0.0) lit(Double.NegativeInfinity)
+      else (1 to dim).map(i =>
+        element_at(v, i).cast("double") * lit(c(i - 1))).reduce(_ + _) / lit(cn)
+      struct(s.as("s"), lit(ci).as("i"))
     }
     array_sort(array(scored: _*),
       (a, b) => when(a("s") > b("s"), -1).when(a("s") < b("s"), 1)
