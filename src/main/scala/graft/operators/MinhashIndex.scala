@@ -361,24 +361,31 @@ object MinhashIndex {
     //    in the slice. Result: the steady-state probe touches nothing
     //    corpus-sized; only a shingle-heavy batch hitting the blocked
     //    window pays one full df scan.
-    val batchFitsDriver = batchDf.count() <= MaxBroadcastShingles
-    def bcastBatch(d: DataFrame): DataFrame =
-      if (batchFitsDriver) broadcast(d) else d
     val warmSlice = cachedRead(spark, s"$vd/warm")
     val cap = cfg.maxShingleDf
     // the warm slice grows monotonically with the corpus (df only ever
     // grows), so its broadcast into the guard is itself guarded — a
     // slice too big for the driver joins unhinted (batch-sized shuffle;
     // the count is computed once per version and memoized)
-    val warmKeys = warmSlice.select("shingle")
+    val warmKeys = warmSlice.select(col("shingle"), lit(true).as("__warm"))
     val warmBcast =
       if (cachedCount(spark, s"$vd/warm") <= MaxBroadcastShingles)
         broadcast(warmKeys)
       else warmKeys
-    val blocked = batchDf
-      .join(warmBcast, Seq("shingle"), "left_anti")
-      .filter(col("bdf") > cap - warmThreshold(cfg) && col("bdf") <= cap)
-    val dfSide = if (blocked.isEmpty) warmSlice else corpusDf
+    // ONE batch-sized job computes both guards: the total shingle
+    // count (broadcast safety) and the count of non-warm shingles in
+    // the blocked window (warm-path exactness) — a left-outer join
+    // preserves every batch row, so both aggregates share the pass
+    val guards = batchDf.join(warmBcast, Seq("shingle"), "left_outer")
+      .agg(count(lit(1)),
+        count(when(col("__warm").isNull &&
+          col("bdf") > cap - warmThreshold(cfg) && col("bdf") <= cap, 1)))
+      .first()
+    val (bShingles, nBlocked) = (guards.getLong(0), guards.getLong(1))
+    val batchFitsDriver = bShingles <= MaxBroadcastShingles
+    def bcastBatch(d: DataFrame): DataFrame =
+      if (batchFitsDriver) broadcast(d) else d
+    val dfSide = if (nBlocked == 0) warmSlice else corpusDf
     val joint = dfSide.join(bcastBatch(batchDf), Seq("shingle"))
       .select(col("shingle"), col("df"), col("bdf"))
       .localCheckpoint(eager = false)
