@@ -149,26 +149,65 @@ object Dedup {
                       k: Int = 3, numPerms: Int = 64, bandRows: Int = 2,
                       minJ: Double = 0.5, maxShingleDf: Int = 100): DataFrame = {
     // One tokenize+shingle scan (persisted as per-doc ARRAYS — far
-    // smaller than the exploded frame) feeds the df count and the
-    // capped arrays; the CAPPED frame is persisted too — it is read by
-    // the signature scan and twice by verification, and each read would
-    // otherwise recompute the hot-shingle aggregation behind it. The df
-    // cap applies to BOTH signatures and verification — see
-    // [[dfCappedArrays]].
+    // smaller than the exploded frame) feeds the df count, the
+    // streaming capped→signature pass, and the candidate-doc lookup.
+    // The corpus-wide CAPPED frame is never materialized: signatures
+    // consume it in one streaming pass, and verification re-derives
+    // capped arrays for CANDIDATE docs only (candidate ids pushed into
+    // the scan — the same shape as the MinhashIndex probe; the old
+    // eager corpus-wide checkpoint of 10⁶+ string arrays was the
+    // single most expensive step of the pipeline at 10× bench scale).
+    // The df cap applies to BOTH signatures and verification.
     val docs = shingleArrays(df, id, text, k).persist()
-    val capped = dfCappedArrays(docs, id, maxShingleDf).localCheckpoint()
-    // the eager checkpoint above is the last reader of the raw arrays —
-    // release the corpus-scale cache instead of pinning it all session
-    docs.unpersist()
-    val sigs = capped.select(col(id), minhashSigF(col("sharr"), numPerms).as("sig"))
+    // the hot set is tiny by construction; the lazy checkpoint
+    // materializes inside the candidates job below and is reused by
+    // the verification chain without re-running the df aggregate
+    val hot1 = docs.select(explode(col("sharr")).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
+      .agg(collect_list(col("shingle")).as("hotarr"))
+      .localCheckpoint()
+    def cappedOf(d: DataFrame): DataFrame = d.crossJoin(broadcast(hot1))
+      .select(col(id), array_except(col("sharr"), col("hotarr")).as("sharr"))
+      .filter(size(col("sharr")) > 0)
+    val sigs = cappedOf(docs)
+      .select(col(id), minhashSigF(col("sharr"), numPerms).as("sig"))
     val banded = lshBands(sigs, id, numPerms / bandRows, bandRows)
     val l = banded.select(col(id).as("a"), col("band"), col("bucket"))
     val r = banded.select(col(id).as("b"), col("band"), col("bucket"))
     val candidates = l.join(r, Seq("band", "bucket"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    verifyJaccardArrays(capped, id, candidates, minJ)
+      .localCheckpoint(eager = false)
+    // materialize the (batch-scale) pair set; its ids push into the
+    // candidate-doc scan as an `In` filter, with a broadcast semi-join
+    // fallback for abnormally large candidate sets
+    val firstN = candidates.limit(MaxPushdownCandidates + 1).collect()
+    val candDocs =
+      if (firstN.length <= MaxPushdownCandidates) {
+        val ids = firstN.iterator
+          .flatMap(r2 => Iterator(r2.get(0), r2.get(1))).toSet.toSeq
+        docs.filter(col(id).isInCollection(ids))
+      } else {
+        val candIds = candidates.select(col("a").as(id))
+          .unionByName(candidates.select(col("b").as(id))).distinct()
+        docs.join(broadcast(candIds), Seq(id), "left_semi")
+      }
+    // EAGER candidate-sized checkpoint, taken while the docs cache is
+    // still warm: verification reads it once per pair side (two
+    // concurrent stages — a lazy checkpoint would race and rebuild),
+    // and blocks are GC-cleaned when the result is dropped
+    val candCapped = cappedOf(candDocs).localCheckpoint()
+    // candidates and candCapped are materialized — release the
+    // corpus-scale array cache instead of pinning it all session
+    docs.unpersist()
+    verifyJaccardArrays(candCapped, id, candidates, minJ)
   }
+
+  /** Largest candidate-pair set whose doc ids are collected and pushed
+    * into the shingle scan as an `In` filter (see the identical
+    * constant in [[MinhashIndex]]). */
+  private val MaxPushdownCandidates = 10000
 
   /**
    * [[dfCapped]] for the array pipeline: the hot-shingle set (tiny by

