@@ -142,6 +142,94 @@ case class FloatVecHyperplaneSig(child: Expression, nPlanes: Int)
     copy(child = newChild)
 }
 
+/** Centroid matrix + precomputed norms, shipped ONCE per executor as
+  * a broadcast (an nList × dim unrolled literal tree serialized into
+  * every task binary at >1 MiB for dim 64 — and its analysis/codegen
+  * time grew with nList × dim, which is exactly the cost the
+  * driver-side probe work removed elsewhere). */
+final class CentroidMatrix(val cents: Array[Array[Double]]) extends Serializable {
+  val norms: Array[Double] = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+}
+
+object FloatVecBestLists {
+  /** Top-`nProbe` centroid ids by cosine for one ARRAY<FLOAT> vector.
+    * Arithmetic contract shared with [[FloatVecDot]] and the
+    * driver-side probe (IvfIndex.topKAt): left-associated double sums
+    * of (double)v[i] * c[i], score = dot / norm, ties by centroid
+    * index. Zero-norm and NaN-scored centroids pin to -inf so they
+    * deterministically rank last on every engine. Referenced
+    * statically from generated code. */
+  def evalStatic(v: ArrayData,
+                 bc: org.apache.spark.broadcast.Broadcast[CentroidMatrix],
+                 nProbe: Int): ArrayData = {
+    val m = bc.value
+    val cents = m.cents
+    val nList = cents.length
+    val n = v.numElements()
+    val scores = new Array[Double](nList)
+    var ci = 0
+    while (ci < nList) {
+      if (m.norms(ci) == 0.0) scores(ci) = Double.NegativeInfinity
+      else {
+        val c = cents(ci)
+        val d = math.min(n, c.length)
+        var dot = 0.0
+        var i = 0
+        while (i < d) { dot += v.getFloat(i).toDouble * c(i); i += 1 }
+        val s = dot / m.norms(ci)
+        scores(ci) = if (java.lang.Double.isNaN(s)) Double.NegativeInfinity else s
+      }
+      ci += 1
+    }
+    val k = math.min(nProbe, nList)
+    val out = new Array[Int](k)
+    val used = new Array[Boolean](nList)
+    var p = 0
+    while (p < k) {
+      var best = -1
+      var bs = 0.0
+      var j = 0
+      while (j < nList) {
+        if (!used(j) && (best < 0 || scores(j) > bs)) { best = j; bs = scores(j) }
+        j += 1
+      }
+      used(best) = true
+      out(p) = best
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Top-`nProbe` centroid ids (ARRAY<INT>) for an ARRAY<FLOAT> vector
+  * column. Only the broadcast HANDLE rides in the plan and the task
+  * binary; the generated code is one static call, so the stage stays
+  * inside whole-stage codegen with O(1) expression-tree size. */
+case class FloatVecBestLists(
+    child: Expression,
+    centsBc: org.apache.spark.broadcast.Broadcast[CentroidMatrix],
+    nProbe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "float_vec_best_lists"
+
+  override def nullSafeEval(v: Any): Any =
+    FloatVecBestLists.evalStatic(v.asInstanceOf[ArrayData], centsBc, nProbe)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centsBc", centsBc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.FloatVecBestLists.evalStatic($v, $ref, $nProbe);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FloatVecBestLists =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the native vector kernels. */
 object VectorExpressions {
   /** Codegen'd dot product of two ARRAY<FLOAT> columns. */

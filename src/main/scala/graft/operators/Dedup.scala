@@ -159,14 +159,17 @@ object Dedup {
     // single most expensive step of the pipeline at 10× bench scale).
     // The df cap applies to BOTH signatures and verification.
     val docs = shingleArrays(df, id, text, k).persist()
-    // the hot set is tiny by construction; the lazy checkpoint
+    // the hot set is tiny by construction; the LAZY checkpoint
     // materializes inside the candidates job below and is reused by
-    // the verification chain without re-running the df aggregate
+    // the verification chain without re-running the df aggregate.
+    // Lazy is race-free here: the two consumers (the candidates
+    // collect, then candCapped's eager checkpoint) are sequential
+    // driver-side actions, so the first one materializes the blocks.
     val hot1 = docs.select(explode(col("sharr")).as("shingle"))
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf)
       .agg(collect_list(col("shingle")).as("hotarr"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     def cappedOf(d: DataFrame): DataFrame = d.crossJoin(broadcast(hot1))
       .select(col(id), array_except(col("sharr"), col("hotarr")).as("sharr"))
       .filter(size(col("sharr")) > 0)

@@ -52,10 +52,11 @@ import org.apache.spark.sql.functions._
 object IvfIndex {
 
   /** Index parameters — part of the index's identity (like a schema);
-    * must match between build and append. `maxImbalance` tunes only
-    * WHEN re-clustering happens, not what queries return. */
+    * must match between build and append. `maxImbalance` and
+    * `maxSegments` tune only WHEN re-clustering/compaction happen,
+    * not what queries return. */
   final case class Config(dim: Int, nList: Int = 16, iters: Int = 2,
-                          maxImbalance: Double = 4.0)
+                          maxImbalance: Double = 4.0, maxSegments: Int = 8)
 
   private val FormatVersion = 1
 
@@ -169,9 +170,7 @@ object IvfIndex {
     val total = merged.values.sum
     val skewed = merged.nonEmpty &&
       merged.values.max > cfg.maxImbalance * total.toDouble / cents.length
-    if (!skewed) {
-      writeManifest(spark, dir, v + 1, cents, newSegs, merged)
-    } else {
+    if (skewed) {
       // drift guard tripped: retrain over the FULL corpus (old
       // segments ∪ the batch segment just written) and compact into
       // one fresh segment — the amortized corpus-sized job that keeps
@@ -185,6 +184,26 @@ object IvfIndex {
       val comp = f"r${v + 1}%05d"
       val counts2 = writeSegment(all, id, vec, cents2, cfg, segPath(dir, comp))
       writeManifest(spark, dir, v + 1, cents2, Seq(comp), counts2)
+    } else if (newSegs.length > cfg.maxSegments) {
+      // SIZE-triggered compaction: a balanced workload never trips the
+      // drift guard, so without this cap N appends = N segments = N
+      // parquet datasets listed and unioned per probe — planner cost
+      // and file listing growing forever. LSM stores compact on
+      // segment count, not only on skew. Centroids are UNCHANGED, so
+      // no retrain and no re-assignment: rows already carry their
+      // list_id, the rewrite is one union → partitioned write, and
+      // `merged` (derived from per-segment read-backs) already equals
+      // on-disk truth. A crash before LATEST flips strands only the
+      // r-segment, which the retry overwrites.
+      val comp = f"r${v + 1}%05d"
+      newSegs
+        .map(s => spark.read.parquet(segPath(dir, s)))
+        .reduce(_.unionByName(_))
+        .write.mode("overwrite").partitionBy("list_id")
+        .parquet(segPath(dir, comp))
+      writeManifest(spark, dir, v + 1, cents, Seq(comp), merged)
+    } else {
+      writeManifest(spark, dir, v + 1, cents, newSegs, merged)
     }
     commitLatest(spark, dir, v + 1, FormatVersion)
     v + 1
@@ -241,8 +260,15 @@ object IvfIndex {
     val exploded = new java.util.ArrayList[org.apache.spark.sql.Row]()
     qRows.foreach { r =>
       // accept any numeric element type (the Catalyst path casts to
-      // double); null elements contribute 0 like a skipped term
+      // double). Null/NaN queries are REJECTED up front: a cosine
+      // against them is null/NaN, so "nearest lists" is undefined —
+      // and driver fold vs Catalyst would otherwise silently diverge
+      // (driver would skip the term / sort NaN last; Catalyst
+      // null-propagates the dot / sorts NaN greatest).
       val v = r.getSeq[Number](1)
+      require(v != null, s"null $vec for query ${r.get(0)}")
+      require(v.forall(x => x != null && !x.doubleValue.isNaN),
+        s"null/NaN element in $vec for query ${r.get(0)}")
       val probes = cents.indices.map { ci =>
         // zero-norm centroids score -inf (they rank last), matching
         // Similarity.sortedListsByCos exactly — NaN ordering otherwise
@@ -252,8 +278,7 @@ object IvfIndex {
           var dot = 0.0
           var i = 0
           while (i < cents(ci).length) {
-            val x = v(i)
-            if (x != null) dot += x.doubleValue * cents(ci)(i)
+            dot += v(i).doubleValue * cents(ci)(i)
             i += 1
           }
           (dot / centNorms(ci), ci)

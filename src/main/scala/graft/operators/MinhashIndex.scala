@@ -138,20 +138,26 @@ object MinhashIndex {
     * of the steady-state ingest's driver time — a streaming ingest
     * probes the same version's tables many times between appends.
     *
-    * Lifecycle: keys are `applicationId:sessionIdentity:path` and
+    * Lifecycle: keys are `applicationId:sessionId:path` and
     * values are WEAK references, so the cache pins neither the
     * DataFrames nor (through them) a stopped SparkSession — a
     * weakly-KEYED map would, since the Dataset values strongly
-    * reference their session. An identity hash recycled after its
-    * session was GC'd is harmless: that session's weak refs were
-    * cleared with it, so the new session recomputes. Dead entries are
-    * purged opportunistically on access; [[gc]] drops entries of
-    * reaped versions eagerly. */
+    * reference their session. The session id is a UUID minted per
+    * live session in a weak side-map (an identity hash is not unique:
+    * two LIVE sessions in one JVM can collide, serving a DataFrame
+    * bound to the wrong session; the UUID map entry dies with its
+    * session, and the String value holds no reference back to the
+    * key). Dead entries are purged opportunistically on access;
+    * [[gc]] drops entries of reaped versions eagerly. */
   private val handles = new java.util.concurrent.ConcurrentHashMap[
     String, java.lang.ref.WeakReference[DataFrame]]()
-  private def handleKey(spark: SparkSession, path: String): String =
-    s"${spark.sparkContext.applicationId}:" +
-      s"${System.identityHashCode(spark)}:$path"
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+  private def handleKey(spark: SparkSession, path: String): String = {
+    val sid = sessionIds.computeIfAbsent(spark,
+      _ => java.util.UUID.randomUUID().toString)
+    s"${spark.sparkContext.applicationId}:$sid:$path"
+  }
   private def cachedRead(spark: SparkSession, path: String): DataFrame = {
     val k = handleKey(spark, path)
     val hit = handles.get(k)

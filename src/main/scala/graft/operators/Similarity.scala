@@ -4,6 +4,7 @@ import graft.functions.VectorExpressions.{dotF, normF}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.shims
 
 /**
  * Similarity search over embedding columns (ARRAY<FLOAT>).
@@ -167,50 +168,28 @@ object Similarity {
     cents
   }
 
-  /** Nearest-centroid (max cosine) list assignment via broadcast join —
+  /** Nearest-centroid (max cosine) list assignment via broadcast —
     * the corpus streams through one stage. */
   private[graft] def assignLists(df: DataFrame, id: String, vec: String, dim: Int,
-                                 cents: Array[Array[Double]]): DataFrame = {
-    val best = bestLists(col(vec), dim, cents, 1)(0)
-    df.withColumn("list_id", best)
-  }
+                                 cents: Array[Array[Double]]): DataFrame =
+    df.withColumn("list_id",
+      element_at(bestListsArr(col(vec), dim, cents, 1), 1))
 
-  /** Expressions selecting the nProbe highest-cosine centroid ids for a
-    * vector column. Centroids enter the plan as literals (broadcast by
-    * construction); scoring unrolls into codegen like [[dotUnrolled]]. */
-  private[graft] def bestLists(v: Column, dim: Int, cents: Array[Array[Double]],
-                               nProbe: Int): IndexedSeq[Column] = {
-    val sorted = sortedListsByCos(v, dim, cents)
-    (0 until nProbe).map(p => element_at(sorted, p + 1)("i"))
-  }
-
-  /** The nProbe highest-cosine centroid ids as ONE array column. Use
-    * this (not nProbe [[bestLists]] slots) wherever the probe list is
-    * exploded: each bestLists slot re-embeds the full
-    * nList × dim scoring tree, and analysis/codegen of that repeated
-    * expression — not execution — dominated the indexed-ANN probe. */
+  /** The nProbe highest-cosine centroid ids as ONE ARRAY<INT> column —
+    * a single codegen'd kernel (functions.FloatVecBestLists) with the
+    * centroid matrix as a BROADCAST, not an nList × dim literal tree:
+    * the unrolled formulation's analysis/codegen time (not execution)
+    * dominated the indexed-ANN probe, and its serialized tree put
+    * >1 MiB into every task binary. Scoring contract (left-associated
+    * double sums, dot/norm, ties by centroid index, zero-norm/NaN →
+    * rank last) matches the driver-side probe in IvfIndex.topKAt. */
   private[graft] def bestListsArr(v: Column, dim: Int,
                                   cents: Array[Array[Double]],
-                                  nProbe: Int): Column =
-    transform(slice(sortedListsByCos(v, dim, cents), 1, nProbe), s => s("i"))
-
-  private def sortedListsByCos(v: Column, dim: Int,
-                               cents: Array[Array[Double]]): Column = {
-    val scored = cents.indices.map { ci =>
-      val c = cents(ci)
-      val cn = math.sqrt(c.map(x => x * x).sum)
-      // a zero-norm centroid (degenerate seed / empty-list average)
-      // would score NaN for every vector and NaN ordering diverges
-      // between engines and the driver-side probe (IvfIndex.topKAt) —
-      // pin it to -inf so it deterministically ranks last everywhere
-      val s = if (cn == 0.0) lit(Double.NegativeInfinity)
-      else (1 to dim).map(i =>
-        element_at(v, i).cast("double") * lit(c(i - 1))).reduce(_ + _) / lit(cn)
-      struct(s.as("s"), lit(ci).as("i"))
-    }
-    array_sort(array(scored: _*),
-      (a, b) => when(a("s") > b("s"), -1).when(a("s") < b("s"), 1)
-        .otherwise(a("i") - b("i")))
+                                  nProbe: Int): Column = {
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    shims.column(graft.functions.FloatVecBestLists(
+      shims.expression(v),
+      sc.broadcast(new graft.functions.CentroidMatrix(cents)), nProbe))
   }
 
   /**
