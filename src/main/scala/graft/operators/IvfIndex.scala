@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
  *   LATEST, FORMAT        atomic version pointer + layout revision
  *   segments/s00002/      one parquet dataset per append, PARTITIONED
  *                         BY list_id (immutable; shared by versions)
- *   segments/r00005/      a re-clustered COMPACTION segment (replaces
- *                         all prior segments in its version)
+ *   segments/r00005/      a COMPACTION segment: drift-triggered
+ *                         (re-clustered; replaces ALL prior segments)
+ *                         or size-triggered (tiered; folds the small
+ *                         `s` segments, prior `r` segments are kept)
  *   v00001/centroids.txt  this version's centroids (driver metadata)
  *   v00001/segments.txt   the segment names this version reads
  *   v00001/counts.txt     per-list vector counts (drives the drift
@@ -195,13 +197,27 @@ object IvfIndex {
       // `merged` (derived from per-segment read-backs) already equals
       // on-disk truth. A crash before LATEST flips strands only the
       // r-segment, which the retry overwrites.
+      //
+      // TIERED, like an LSM store: only the batch-sized `s` segments
+      // fold into the new `r` segment; prior `r` segments are KEPT —
+      // merging them too would rewrite the whole corpus every
+      // maxSegments appends (O(N²/maxSegments) total write volume for
+      // N appends, a scale-killer for continuous ingest). Each size
+      // compaction adds one `r`, so `r`-segments themselves merge
+      // r-with-r only when their count would exceed the cap — every
+      // ~maxSegments² appends, each merge amortized over the appends
+      // that built it up.
+      val (rSegs, sSegs) = newSegs.partition(_.startsWith("r"))
+      val mergeAll = rSegs.length >= cfg.maxSegments
+      val toMerge = if (mergeAll) newSegs else sSegs
+      val kept = if (mergeAll) Seq.empty else rSegs
       val comp = f"r${v + 1}%05d"
-      newSegs
+      toMerge
         .map(s => spark.read.parquet(segPath(dir, s)))
         .reduce(_.unionByName(_))
         .write.mode("overwrite").partitionBy("list_id")
         .parquet(segPath(dir, comp))
-      writeManifest(spark, dir, v + 1, cents, Seq(comp), merged)
+      writeManifest(spark, dir, v + 1, cents, kept :+ comp, merged)
     } else {
       writeManifest(spark, dir, v + 1, cents, newSegs, merged)
     }
@@ -259,14 +275,17 @@ object IvfIndex {
         org.apache.spark.sql.types.IntegerType, nullable = false)))
     val exploded = new java.util.ArrayList[org.apache.spark.sql.Row]()
     qRows.foreach { r =>
-      // accept any numeric element type (the Catalyst path casts to
-      // double). Null/NaN queries are REJECTED up front: a cosine
-      // against them is null/NaN, so "nearest lists" is undefined —
-      // and driver fold vs Catalyst would otherwise silently diverge
-      // (driver would skip the term / sort NaN last; Catalyst
-      // null-propagates the dot / sorts NaN greatest).
+      // this driver probe accepts any boxed numeric element; the
+      // Catalyst scoring kernel (FloatVecBestLists) is ARRAY<FLOAT>
+      // only. Both demand full-dim, null/NaN-free vectors — enforced
+      // HERE so malformed input fails loudly on one path instead of
+      // silently diverging between the two (a cosine against null/NaN
+      // is null/NaN, so "nearest lists" is undefined; a short vector
+      // would truncate in Catalyst but throw in the driver fold).
       val v = r.getSeq[Number](1)
       require(v != null, s"null $vec for query ${r.get(0)}")
+      require(v.length == cents.head.length,
+        s"query ${r.get(0)} has dim ${v.length}, index has ${cents.head.length}")
       require(v.forall(x => x != null && !x.doubleValue.isNaN),
         s"null/NaN element in $vec for query ${r.get(0)}")
       val probes = cents.indices.map { ci =>

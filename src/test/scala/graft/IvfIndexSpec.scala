@@ -165,6 +165,121 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(got.map(_._1) == (0L until 10L).toSet)
   }
 
+  test("size-triggered compaction: tiered, segment count bounded, content and probes exact") {
+    val dir = tmp("ivf_compact")
+    val cap = cfg.copy(maxSegments = 3)
+    // 10 balanced batches (same distribution → drift guard never trips)
+    val batches = (0 until 10).map(i => emb.filter(col("vec_id") % 10 === i))
+    IvfIndex.build(spark, batches.head, "vec_id", "embedding", dir, cap)
+    val c1 = IvfIndex.readCentroids(spark, dir, 1)
+    val q = emb.filter(col("vec_id") < 10)
+
+    /** (name, size, mtime) of every data file in a segment — the
+      * fingerprint a rewrite cannot preserve. */
+    def segFiles(seg: String): Set[(String, Long, Long)] = {
+      val p = java.nio.file.Paths.get(s"$dir/segments/$seg")
+      java.nio.file.Files.walk(p).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(f => java.nio.file.Files.isRegularFile(f))
+        .map(f => (p.relativize(f).toString, java.nio.file.Files.size(f),
+          java.nio.file.Files.getLastModifiedTime(f).toMillis)).toSet
+    }
+
+    var firstR: Option[(String, Set[(String, Long, Long)])] = None
+    var sawTieredKeep = false
+    (1 until 10).foreach { i =>
+      val v = IvfIndex.append(spark, dir, batches(i), "vec_id", "embedding", cap)
+      assert(v == i + 1)
+      val segs = IvfIndex.readSegments(spark, dir, v)
+      assert(segs.length <= cap.maxSegments,
+        s"v$v manifest exceeds maxSegments: $segs")
+      // size compaction never retrains: centroids frozen throughout
+      assert(IvfIndex.readCentroids(spark, dir, v).map(_.toSeq).toSeq
+        == c1.map(_.toSeq).toSeq, s"centroids changed at v$v")
+      // manifest counts == on-disk truth, every version
+      val counts = IvfIndex.readCounts(spark, dir, v)
+      val union = (0 to i).map(batches).reduce(_.unionByName(_))
+      assert(counts.values.sum == union.count(), s"v$v counts drifted")
+      // index content == frozen-centroid assignment of the union corpus
+      assert(indexedAssignments(dir, v)
+        == assignmentSet(Similarity.assignLists(
+          union.select("vec_id", "embedding"), "vec_id", "embedding", Dim, c1)),
+        s"v$v content drifted from the frozen-centroid layout")
+      firstR match {
+        case None =>
+          segs.find(_.startsWith("r")).foreach { r =>
+            firstR = Some((r, segFiles(r)))
+          }
+        case Some((r, files)) if segs.contains(r) =>
+          // TIERING: later size compactions must not rewrite the big
+          // r-segment — only the small s-segments fold
+          assert(segFiles(r) == files,
+            s"tiered compaction rewrote $r at v$v")
+          if (segs.count(_.startsWith("r")) > 1) sawTieredKeep = true
+        case _ => // r-with-r merge dropped it (cap on r-count tripped)
+      }
+    }
+    assert(firstR.nonEmpty, "10 appends with maxSegments=3 never compacted")
+    assert(sawTieredKeep,
+      "no version ever held the first r-segment alongside a newer one — tiering unexercised")
+    // the r-with-r merge must also have happened by v10 (3 r's + 1 s
+    // trips the r-cap): final manifest is a single fresh r-segment
+    val fin = IvfIndex.readSegments(spark, dir, 10)
+    assert(fin == Seq("r00010"), s"expected the r-cap merge by v10: $fin")
+    // probe results pair-identical to an UNCOMPACTED twin: same build
+    // batch → same centroids (training is deterministic), same appends,
+    // cap high enough that it never compacts — any row the compaction
+    // dropped, duplicated or re-assigned would show here
+    val twin = tmp("ivf_compact_twin")
+    IvfIndex.build(spark, batches.head, "vec_id", "embedding", twin,
+      cap.copy(maxSegments = 100))
+    (1 until 10).foreach { i =>
+      IvfIndex.append(spark, twin, batches(i), "vec_id", "embedding",
+        cap.copy(maxSegments = 100))
+    }
+    assert(IvfIndex.readSegments(spark, twin, 10).length == 10,
+      "twin must stay uncompacted")
+    val got = IvfIndex.topK(spark, dir, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val twinGot = IvfIndex.topK(spark, twin, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == twinGot, "compacted and uncompacted probes diverged")
+    assert(got.map(_._1) == (0L until 10L).toSet)
+  }
+
+  test("torn size compaction: old version readable; retry recovers and compacts") {
+    val dir = tmp("ivf_torn")
+    val cap = cfg.copy(maxSegments = 3)
+    val batches = (0 until 4).map(i => emb.filter(col("vec_id") % 4 === i))
+    IvfIndex.build(spark, batches.head, "vec_id", "embedding", dir, cap)
+    IvfIndex.append(spark, dir, batches(1), "vec_id", "embedding", cap)
+    IvfIndex.append(spark, dir, batches(2), "vec_id", "embedding", cap)
+    assert(IvfIndex.readSegments(spark, dir, 3).length == 3)
+    val q = emb.filter(col("vec_id") < 10)
+    val before = topKSet(IvfIndex.topK(spark, dir, q, "vec_id", "embedding", 5))
+    // simulate a crash DURING the size compaction of append #4: the
+    // batch segment and a torn r-segment exist, LATEST still 3
+    val junkS = java.nio.file.Paths.get(s"$dir/segments/s00004")
+    java.nio.file.Files.createDirectories(junkS)
+    java.nio.file.Files.write(junkS.resolve("part-junk.parquet"), "x".getBytes)
+    val junkR = java.nio.file.Paths.get(s"$dir/segments/r00004")
+    java.nio.file.Files.createDirectories(junkR)
+    java.nio.file.Files.write(junkR.resolve("part-junk.parquet"), "x".getBytes)
+    assert(IvfIndex.latestVersion(spark, dir) == 3)
+    assert(topKSet(IvfIndex.topK(spark, dir, q, "vec_id", "embedding", 5))
+      == before, "torn compaction must not disturb readers of v3")
+    // retry: overwrites BOTH orphans, lands v4 with the compaction done
+    val v4 = IvfIndex.append(spark, dir, batches(3), "vec_id", "embedding", cap)
+    assert(v4 == 4)
+    val segs = IvfIndex.readSegments(spark, dir, 4)
+    assert(segs == Seq("r00004"), segs)
+    val c1 = IvfIndex.readCentroids(spark, dir, 1)
+    assert(indexedAssignments(dir, 4)
+      == assignmentSet(Similarity.assignLists(
+        emb.select("vec_id", "embedding"), "vec_id", "embedding", Dim, c1)))
+    val after = topKSet(IvfIndex.topK(spark, dir, q, "vec_id", "embedding", 5))
+    assert(after.map(_._1) == (0L until 10L).toSet)
+  }
+
   test("queries read ONLY probed list_id directories of manifest segments") {
     val dir = tmp("ivf_prune")
     // 16 lists, 3 queries × 2 probes → at most 6 probed lists: pruning
