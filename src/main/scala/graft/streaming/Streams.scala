@@ -294,6 +294,128 @@ object Streams {
     }
   }
 
+  /**
+   * Streaming ANN ingest against a persisted [[graft.operators.IvfIndex]]
+   * — the embedding-side sibling of [[nearDupStreamIndexed]], closing
+   * the continuous-embedding-pipeline gap (the obvious consumer of an
+   * incremental ANN index had no replay-safe entry point). Each
+   * micro-batch of vectors is appended to the index and every batch
+   * vector gets its top-k neighbors AS OF ARRIVAL — over the corpus so
+   * far INCLUDING the batch itself (batch-internal neighbors count;
+   * self is excluded by [[graft.operators.IvfIndex.topKAt]]).
+   *
+   * Same at-least-once redelivery contract as [[nearDupStreamIndexed]]:
+   * first contact pins the batch-id↔version pairing as an atomic
+   * `STREAM` marker `(firstBatchId, baseVersion)` BEFORE the first
+   * commit, so batch b is expected to commit `base + (b - firstB) + 1`.
+   * A replayed batch (`latest == expected`) re-emits read-only via
+   * `topKAt(expected)` — pair-identical results, never double-appended
+   * (append is version-per-batch even for EMPTY batches, which keeps
+   * the arithmetic aligned through quiet periods). Any other mismatch
+   * fails fast: checkpoint and index are one unit of state.
+   *
+   * Bootstrap differs from minhash in one way forced by IVF itself:
+   * centroids need data, so there is no empty-index build — the first
+   * NON-EMPTY batch builds v1 (marker pinned with base 0 first; a
+   * crash between marker and build re-runs the build, which overwrites
+   * only its own uncommitted segment). Pre-bootstrap empty batches are
+   * emitted-empty no-ops; they complete their checkpoint before the
+   * bootstrap batch starts, so they are never replayed across it.
+   *
+   * Retention: each commit calls [[graft.operators.IvfIndex.gc]]
+   * keeping `retainVersions` (>= 2 — replay of the in-flight batch
+   * needs its own committed version alive), which also reaps segments
+   * stranded by size/drift compactions as their referencing versions
+   * age out.
+   */
+  def annStreamIndexed(vectors: DataFrame, id: String, vec: String,
+                       indexDir: String,
+                       checkpointLocation: String,
+                       cfg: graft.operators.IvfIndex.Config,
+                       k: Int = 10, nProbe: Int = 4,
+                       retainVersions: Int = 2)
+                      (onTopK: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(retainVersions >= 2,
+      s"retainVersions must be >= 2 (replay needs the batch's own version): $retainVersions")
+    vectors.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        annIndexedBatch(batch, batchId, id, vec, indexDir, cfg, k, nProbe,
+          retainVersions)(onTopK)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[annStreamIndexed]] — factored out so
+    * fault-injection tests can drive the exact production code path
+    * (crash inside it, then replay it) without a streaming harness. */
+  private[graft] def annIndexedBatch(
+      batch: Dataset[org.apache.spark.sql.Row], batchId: Long,
+      id: String, vec: String, indexDir: String,
+      cfg: graft.operators.IvfIndex.Config, k: Int, nProbe: Int,
+      retainVersions: Int)(onTopK: (DataFrame, Long) => Unit): Unit = {
+    import graft.operators.IvfIndex
+    val spark = batch.sparkSession
+    val slim = batch.select(col(id), col(vec))
+    if (!IvfIndex.exists(spark, indexDir) &&
+        IvfIndex.readMarker(spark, indexDir, "STREAM").isEmpty &&
+        slim.isEmpty) {
+      // quiet pre-bootstrap batch: nothing to train on, nothing to emit
+      onTopK(slim.limit(0)
+        .select(col(id).as("query_id"), lit(1).as("rnk"),
+          col(id).as("neighbor_id"), lit(0.0).as("cos")), batchId)
+      return
+    }
+    val (firstB, base) = IvfIndex.readMarker(spark, indexDir, "STREAM") match {
+      case Some(s) =>
+        val parts = s.split(" ")
+        (parts(0).toLong, parts(1).toInt)
+      case None =>
+        // pin the pairing BEFORE the first commit (bootstrap: base 0;
+        // attach-to-existing: base = current latest). Idempotent under
+        // redelivery — a crash after the marker but before the commit
+        // recomputes the same pair.
+        val bv = if (IvfIndex.exists(spark, indexDir))
+          IvfIndex.latestVersion(spark, indexDir) else 0
+        IvfIndex.writeMarker(spark, indexDir, "STREAM", s"$batchId $bv")
+        (batchId, bv)
+    }
+    require(batchId >= firstB,
+      s"batch id $batchId precedes this index's first stream batch " +
+        s"$firstB — the stream checkpoint was reset against an existing " +
+        "index; checkpoint and index are one unit of state (delete both " +
+        "or neither)")
+    val expected = base + (batchId - firstB).toInt + 1
+    val latest = if (IvfIndex.exists(spark, indexDir))
+      IvfIndex.latestVersion(spark, indexDir) else 0
+    def emitAt(version: Int): Unit = {
+      // materialize against the pinned version before anything else
+      // can mutate the index (same discipline as replayDupPairsAt)
+      val out = IvfIndex.topKAt(spark, indexDir, version, slim, id, vec,
+        k, nProbe).persist()
+      out.count()
+      try onTopK(out, batchId)
+      finally out.unpersist()
+    }
+    if (latest == expected) {
+      // replayed batch: its append already committed — re-emit the
+      // identical results read-only, never double-append
+      emitAt(expected)
+    } else if (latest == expected - 1) {
+      if (latest == 0) IvfIndex.build(spark, slim, id, vec, indexDir, cfg)
+      else IvfIndex.append(spark, indexDir, slim, id, vec, cfg)
+      emitAt(expected)
+      IvfIndex.gc(spark, indexDir, retainVersions)
+    } else {
+      throw new IllegalStateException(
+        s"index at $indexDir is at version $latest but batch $batchId " +
+          s"expects $expected (committed) or ${expected - 1} (fresh): " +
+          "stream checkpoint and index state disagree — one was deleted " +
+          "or rolled back without the other")
+    }
+  }
+
   /** Run a streaming query to completion against the (finite) batch
     * source and return the result — the slicetest.Run analog for
     * streaming (memory sink + processAllAvailable). */

@@ -155,4 +155,51 @@ class StreamingSpec extends AnyFunSuite {
     // two ingests)
     assert(graft.operators.MinhashIndex.latestVersion(spark, idxDir) == 3)
   }
+
+  test("annStreamIndexed: emissions pinned per version, one version per batch, compaction in-stream") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.IvfIndex
+    val emb = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    val nB = 4
+    val rows = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val batches = (0 until nB).map(i => rows.filter(_._1 % nB == i))
+    // tight maxSegments so size compaction fires DURING the stream
+    val cfg = IvfIndex.Config(dim = 64, nList = 8, iters = 2, maxSegments = 2)
+    val base = java.nio.file.Files.createTempDirectory("ann_stream").toString
+    val idxDir = s"$base/idx"
+    val source =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.Map[Long, Set[(Long, Int, Long, Double)]]()
+    // retain every version so the pinned-emission contract can be
+    // audited after the fact (gc-interplay is ChaosSpec's job)
+    val q = Streams.annStreamIndexed(
+      source.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      idxDir, s"$base/ckpt", cfg, k = 5, nProbe = 4,
+      retainVersions = nB + 1) { (topk, bid) =>
+      got(bid) = topk.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    }
+    batches.foreach { b => source.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+    // one version per micro-batch, pairing pinned at first contact
+    assert(IvfIndex.latestVersion(spark, idxDir) == nB)
+    assert(IvfIndex.readMarker(spark, idxDir, "STREAM").contains("0 0"))
+    // THE streaming contract: batch i's emission == a read-only probe
+    // of the version it committed — what a replay would re-emit
+    (0 until nB).foreach { i =>
+      val qdf = spark.createDataFrame(batches(i).toSeq)
+        .toDF("vec_id", "embedding")
+      val want = IvfIndex.topKAt(spark, idxDir, i + 1, qdf,
+        "vec_id", "embedding", 5, 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got(i.toLong) == want, s"batch $i emission is not version-pinned")
+      assert(want.nonEmpty)
+    }
+    // every batch vector got neighbors as of arrival (corpus ∪ batch)
+    assert(got.values.flatMap(_.map(_._1)).toSet == rows.map(_._1).toSet)
+    // size compaction ran in-stream and bounded the manifest
+    assert(IvfIndex.readSegments(spark, idxDir, nB).length <= cfg.maxSegments)
+  }
 }
