@@ -356,6 +356,56 @@ object Similarity {
    * Candidate dedup is over id pairs only; vectors re-attach after.
    * Same output contract as [[cosineDupPairs]].
    */
+  /**
+   * Semantic deduplication — the SemDeDup shape (Abbas et al. 2023,
+   * arXiv:2303.09540): cluster the embedding space, then within each
+   * cluster drop every vector that has a LOWER-id neighbor at cosine
+   * >= `tau`, keeping the min-id representative of each
+   * within-cluster near-duplicate neighborhood. (Witness rule — `x`
+   * is dropped iff SOME `y < x` in its cluster has cos(x,y) >= tau;
+   * the transitive-closure variant over an explicit pair set is
+   * [[Dedup.connectedComponents]]'s job.) Returns every corpus row as
+   * `(id, list_id, keep)`.
+   *
+   * Scale shape: clustering is what makes semantic dedup tractable at
+   * 100 TB — k clusters cut the n² pair space to ~n²/k of
+   * within-cluster work — and inside each cluster the pair join is
+   * the same balanced block-pair equi-join as [[cosineDupPairs]],
+   * keyed on (list_id, bi, bj): no BNLJ, no corpus broadcast, fat
+   * clusters split over G(G+1)/2 evenly-sized tasks.
+   *
+   * `iters = 0` keeps the centroids at their deterministic lowest-id
+   * seeds (assignment = argmax dot/|c|, ties by centroid index) —
+   * the exactly-SQL-replayable configuration `q_semdedup` is oracled
+   * with; Lloyd iterations sharpen the clusters when exact replay
+   * isn't required.
+   */
+  def semDedup(df: DataFrame, id: String, vec: String, dim: Int,
+               nClusters: Int, iters: Int, tau: Double,
+               blocks: Int = 8): DataFrame = {
+    val cents = trainCentroids(df, id, vec, dim, nClusters, iters)
+    val assigned = assignLists(df.select(col(id), col(vec)), id, vec, dim, cents)
+    val G = blocks
+    val base = assigned.select(col(id), col(vec), col("list_id"),
+      normF(col(vec)).as("nrm"),
+      pmod(xxhash64(col(id)), lit(G.toLong)).cast("int").as("g"))
+    val a = base.select(col("list_id"), col("g").as("bi"),
+      explode(sequence(col("g"), lit(G - 1))).as("bj"),
+      col(id).as("ia"), col(vec).as("va"), col("nrm").as("na"))
+    val b = base.select(col("list_id"),
+      explode(sequence(lit(0), col("g"))).as("bi"), col("g").as("bj"),
+      col(id).as("ib"), col(vec).as("vb"), col("nrm").as("nb"))
+    val dropped = a.join(b, Seq("list_id", "bi", "bj"))
+      .filter(col("bi") =!= col("bj") || col("ia") < col("ib"))
+      .withColumn("cos", dotF(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= tau)
+      .select(greatest(col("ia"), col("ib")).as(id))
+      .distinct()
+    assigned.select(col(id), col("list_id"))
+      .join(dropped.withColumn("hit", lit(true)), Seq(id), "left")
+      .select(col(id), col("list_id"), col("hit").isNull.as("keep"))
+  }
+
   def cosineDupPairsLSH(df: DataFrame, id: String, vec: String, dim: Int,
                         minCos: Double, nPlanes: Int = 64,
                         nBands: Int = 32): DataFrame = {

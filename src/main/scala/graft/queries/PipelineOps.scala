@@ -160,6 +160,16 @@ object PipelineOps {
         .orderBy("a", "b")
     },
 
+    // Semantic dedup (SemDeDup): seed-clustered embedding space
+    // (iters=0 → the clustering itself is exactly SQL-replayable),
+    // min-id representative kept per within-cluster cos>=tau
+    // neighborhood. The one dedup family the engine lacked.
+    "q_semdedup" -> { (spark, dir) =>
+      Similarity.semDedup(Tables.load(spark, dir, "embeddings"),
+        "vec_id", "embedding", EmbDim, nClusters = 8, iters = 0, tau = 0.45)
+        .orderBy("vec_id")
+    },
+
     // --- similarity search ----------------------------------------------
     "sim_topk_bruteforce" -> { (spark, dir) =>
       val emb = Tables.load(spark, dir, "embeddings")
@@ -774,6 +784,29 @@ object PipelineOps {
          |FROM embeddings a, embeddings b
          |WHERE a.vec_id < b.vec_id AND ${cosSql("a", "b")} >= 0.4
          |ORDER BY a, b""".stripMargin,
+    // the oracle replays the whole pipeline: seed centroids (8
+    // lowest-id vectors), argmax dot/|c| assignment (ties by centroid
+    // index — same contract as FloatVecBestLists), within-cluster
+    // lower-id witness at cos >= tau, min-id representative kept
+    "q_semdedup" ->
+      s"""WITH seeds AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS list_id,
+         |         embedding
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+         |assign AS (
+         |  SELECT e.vec_id, e.embedding,
+         |    (SELECT s.list_id FROM seeds s
+         |     ORDER BY (${dotSql("e", "s")}) / sqrt(${dotSql("s", "s")}) DESC,
+         |              s.list_id LIMIT 1) AS list_id
+         |  FROM embeddings e),
+         |drops AS (
+         |  SELECT DISTINCT greatest(x.vec_id, y.vec_id) AS vec_id
+         |  FROM assign x JOIN assign y
+         |    ON x.list_id = y.list_id AND x.vec_id < y.vec_id
+         |  WHERE ${cosSql("x", "y")} >= 0.45)
+         |SELECT a.vec_id, a.list_id, (d.vec_id IS NULL) AS keep
+         |FROM assign a LEFT JOIN drops d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
     "sim_topk_bruteforce" ->
       s"""WITH scored AS (
          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
