@@ -378,54 +378,85 @@ object MinhashIndex {
       if (cachedCount(spark, s"$vd/warm") <= MaxBroadcastShingles)
         broadcast(warmKeys)
       else warmKeys
-    // ONE batch-sized job computes both guards: the total shingle
-    // count (broadcast safety) and the count of non-warm shingles in
-    // the blocked window (warm-path exactness) — a left-outer join
-    // preserves every batch row, so both aggregates share the pass
-    val guards = batchDf.join(warmBcast, Seq("shingle"), "left_outer")
+    // ONE driver round computes EVERY scalar the probe branches on:
+    // the two guards (broadcast safety, warm-path exactness) AND the
+    // hot/newly-hot shingle sets. The warm-side hot aggregate can ride
+    // the same job as the guards because it is built WITHOUT a manual
+    // broadcast hint — AQE converts the batch-sized build side to a
+    // broadcast join at runtime, so it needs no driver-side size
+    // decision first. Both subplans are one-row aggregates; the
+    // crossJoin collapses them into one collected row. (This fused the
+    // probe's former guards job and hot-set job — two sequential
+    // driver rounds whose analysis+scheduling constant, not data work,
+    // dominated the steady-state probe.)
+    val corpusHotF = cachedRead(spark, s"$vd/hot")
+      .select(col("shingle"), lit(false).as("newly"))
+    def hotAgg(joint: DataFrame, batchOnly: DataFrame): DataFrame = {
+      val jointHotF = joint.filter(col("df") + col("bdf") > cfg.maxShingleDf)
+        .select(col("shingle"), (col("df") <= cfg.maxShingleDf).as("newly"))
+      val batchHotF = batchOnly.filter(col("bdf") > cfg.maxShingleDf)
+        .select(col("shingle"), lit(true).as("newly"))
+      // flags are consistent per shingle (the three branches overlap
+      // only with equal flags), so distinct dedupes cleanly
+      corpusHotF.unionByName(jointHotF).unionByName(batchHotF)
+        .distinct()
+        .agg(collect_list(col("shingle")).as("hotarr"),
+          collect_list(when(col("newly"), col("shingle"))).as("nharr"))
+    }
+    val jointW = warmSlice.join(batchDf, Seq("shingle"))
+      .select(col("shingle"), col("df"), col("bdf"))
+    val batchOnlyW = batchDf
+      .join(jointW.select("shingle"), Seq("shingle"), "left_anti")
+    val combined = batchDf.join(warmBcast, Seq("shingle"), "left_outer")
       .agg(count(lit(1)),
         count(when(col("__warm").isNull &&
           col("bdf") > cap - warmThreshold(cfg) && col("bdf") <= cap, 1)))
+      .crossJoin(hotAgg(jointW, batchOnlyW))
       .first()
-    val (bShingles, nBlocked) = (guards.getLong(0), guards.getLong(1))
+    val (bShingles, nBlocked) = (combined.getLong(0), combined.getLong(1))
     val batchFitsDriver = bShingles <= MaxBroadcastShingles
     def bcastBatch(d: DataFrame): DataFrame =
       if (batchFitsDriver) broadcast(d) else d
-    val dfSide = if (nBlocked == 0) warmSlice else corpusDf
-    val joint = dfSide.join(bcastBatch(batchDf), Seq("shingle"))
-      .select(col("shingle"), col("df"), col("bdf"))
-      .localCheckpoint(eager = false)
-    val batchOnly = batchDf
-      .join(bcastBatch(joint.select("shingle")), Seq("shingle"), "left_anti")
-    val corpusHotF = cachedRead(spark, s"$vd/hot")
-      .select(col("shingle"), lit(false).as("newly"))
-    val jointHotF = joint.filter(col("df") + col("bdf") > cfg.maxShingleDf)
-      .select(col("shingle"), (col("df") <= cfg.maxShingleDf).as("newly"))
-    val batchHotF = batchOnly.filter(col("bdf") > cfg.maxShingleDf)
-      .select(col("shingle"), lit(true).as("newly"))
-    // flags are consistent per shingle (the three branches overlap only
-    // with equal flags), so distinct dedupes cleanly
-    val hotRow = corpusHotF.unionByName(jointHotF).unionByName(batchHotF)
-      .distinct()
-      .agg(collect_list(col("shingle")).as("hotarr"),
-        collect_list(when(col("newly"), col("shingle"))).as("nharr"))
-      .localCheckpoint(eager = false)
-    val hot1 = hotRow.select(col("hotarr"))
+    // the warm-side hot sets are exact unless a non-warm batch shingle
+    // landed in the blocked window (see the guard derivation above) —
+    // only then pay a second round against the full corpus df
+    val (hotArr, nhArr) =
+      if (nBlocked == 0) (combined.getSeq[Any](2), combined.getSeq[Any](3))
+      else {
+        val joint = corpusDf.join(bcastBatch(batchDf), Seq("shingle"))
+          .select(col("shingle"), col("df"), col("bdf"))
+          .localCheckpoint(eager = false)
+        val batchOnly = batchDf
+          .join(bcastBatch(joint.select("shingle")), Seq("shingle"), "left_anti")
+        val r = hotAgg(joint, batchOnly).first()
+        (r.getSeq[Any](0), r.getSeq[Any](1))
+      }
+    // the hot sets are DRIVER VALUES now (they were going to be
+    // broadcast anyway — same memory class); rebuilding them as
+    // literal one-row frames frees every downstream consumer from
+    // racing a shared lazy checkpoint inside one job
+    val shingleType = batchDf.schema("shingle").dataType
+    def arrRow(name: String, v: Seq[Any]): DataFrame =
+      spark.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row(v)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(name,
+            org.apache.spark.sql.types.ArrayType(shingleType)))))
+    val hot1 = arrRow("hotarr", hotArr)
 
     // Corpus docs whose capped set changed = docs containing a
-    // newly-hot shingle. Almost always there are none — one tiny job
-    // checks, and the whole recompute path (including its corpus-docs
-    // scan) is skipped. When non-empty, the affected set is bounded by
-    // the newly-hot shingles' (≤cap) memberships — it BROADCASTS, and
-    // the corpus-sized band table is filtered in place, never
-    // re-shuffled.
-    val anyNewlyHot =
-      hotRow.select(size(col("nharr")) > 0).first().getBoolean(0)
+    // newly-hot shingle. Almost always there are none (nhArr came back
+    // empty with the fused round above), and the whole recompute path
+    // (including its corpus-docs scan) is skipped. When non-empty, the
+    // affected set is bounded by the newly-hot shingles' (≤cap)
+    // memberships — it BROADCASTS, and the corpus-sized band table is
+    // filtered in place, never re-shuffled.
     val cachedB = Seq.newBuilder[DataFrame]
     val (keptBands, recomputedBands) =
-      if (!anyNewlyHot) (corpusBands, None)
+      if (nhArr.isEmpty) (corpusBands, None)
       else {
-        val nh1 = hotRow.select(col("nharr"))
+        val nh1 = arrRow("nharr", nhArr)
         val affectedDocs = corpusDocs.crossJoin(broadcast(nh1))
           .filter(arrays_overlap(col("sharr"), col("nharr")))
           .select(col(id), col("sharr")).localCheckpoint(eager = false)
@@ -507,7 +538,7 @@ object MinhashIndex {
       newDf = newDf,
       // hotarr in the probe IS the combined-df stop-shingle set of the
       // new version (df only grows, so hot = old-hot ∪ newly-hot)
-      newHot = hotRow.select(explode(col("hotarr")).as("shingle")),
+      newHot = hot1.select(explode(col("hotarr")).as("shingle")),
       newBands = keptBands.unionByName(freshBands),
       cached = cachedB.result())
   }
