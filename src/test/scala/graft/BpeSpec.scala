@@ -131,6 +131,72 @@ class BpeSpec extends AnyFunSuite {
       s"256 merges should compress the corpus >2x over raw symbols: $totalBpe vs $totalCp")
   }
 
+  test("query-level cross-check: text_bpe_tokens at sf0.01 == from-scratch encoder over the emitted merges file") {
+    val dir = "/root/testdata/sf0.01"
+    // the QUERY output (the artifact the driver's correctness gate
+    // records rows-only) — n_bpe per doc over the FULL sf0.01 corpus
+    val got = SparkEntry.queries("text_bpe_tokens")(spark, dir)
+      .select("doc_id", "n_bpe").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the same vocab the query trains (training is deterministic and
+    // memoized per dir with Bpe.train's defaults)
+    val v = Bpe.train(Tables.load(spark, dir, "documents"), "text")
+    // EMIT the merges file the way a deployment ships a tokenizer
+    // (symbols never contain whitespace — words are \s+-split — so
+    // the classic "a b" line format is unambiguous) …
+    val f = java.nio.file.Files.createTempFile("graft_merges", ".txt")
+    java.nio.file.Files.write(f,
+      v.merges.map { case (a, b) => s"$a $b" }.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // … and decode it with a FROM-SCRATCH encoder that shares no code
+    // with graft.functions.Bpe: its own file parse, its own
+    // codepoint split, the replay-merges-in-learned-order algorithm
+    // (not the greedy lowest-rank loop), tuple keys (not string keys).
+    val merges: Array[(String, String)] = new String(
+      java.nio.file.Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty).map { l =>
+        val sp = l.indexOf(' ')
+        (l.substring(0, sp), l.substring(sp + 1))
+      }
+    assert(merges.length == v.merges.length && merges.length > 100)
+    def fileEncodeLen(word: String): Int = {
+      var syms: Vector[String] = {
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < word.length) {
+          val cp = word.codePointAt(i)
+          b += new String(Character.toChars(cp))
+          i += Character.charCount(cp)
+        }
+        b += "</w>"
+        b.result()
+      }
+      for ((a, bs) <- merges) {
+        if (syms.length > 1) {
+          val out = Vector.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == bs) {
+              out += a + bs; j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          syms = out.result()
+        }
+      }
+      syms.length
+    }
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+    assert(docs.length == got.size)
+    docs.foreach { r =>
+      val want = r.getString(1).split("\\s+").iterator.filter(_.nonEmpty)
+        .map(fileEncodeLen).sum
+      assert(got(r.getLong(0)) == want.toLong,
+        s"doc ${r.getLong(0)}: query ${got(r.getLong(0))} != file-replay $want")
+    }
+  }
+
   test("BPE-driven packing keeps the packing invariants") {
     val d = Tables.load(spark, sf, "documents")
     val v = Bpe.train(d, "text", numMerges = 256, maxWords = 5000)
