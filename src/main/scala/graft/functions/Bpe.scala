@@ -202,6 +202,16 @@ object Bpe {
                     bc: org.apache.spark.broadcast.Broadcast[Vocab]): Int =
     countTokens(text, bc.value)
 
+  /** One broadcast per DISTINCT vocab (Vocab equality = merge list),
+    * not per call — repeated count columns over the same tokenizer
+    * reuse the executor-resident copy, and equal vocabs yield the
+    * SAME handle so two BpeTokenCount expressions over them are
+    * case-class-equal (plan/exchange reuse). Keyed by application id
+    * so a stopped context's broadcasts are never served to a
+    * successor; bounded by wholesale clear. */
+  private val vocabBcs = new java.util.concurrent.ConcurrentHashMap[
+    (String, Vocab), org.apache.spark.broadcast.Broadcast[Vocab]]()
+
   /** Codegen'd token-count column over a learned vocab. The vocab is
     * shipped ONCE per executor as a broadcast variable — a merges
     * table is O(100 KB) and would otherwise ride inside every task
@@ -210,7 +220,10 @@ object Bpe {
     * memo cache per executor instead of one per task. */
   def bpeTokenCountF(text: Column, v: Vocab): Column = {
     val sc = org.apache.spark.sql.SparkSession.active.sparkContext
-    shims.column(BpeTokenCount(shims.expression(text), sc.broadcast(v)))
+    if (vocabBcs.size > 64) vocabBcs.clear()
+    val bc = vocabBcs.computeIfAbsent((sc.applicationId, v),
+      _ => sc.broadcast(v))
+    shims.column(BpeTokenCount(shims.expression(text), bc))
   }
 }
 

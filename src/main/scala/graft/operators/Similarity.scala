@@ -185,11 +185,43 @@ object Similarity {
     * rank last) matches the driver-side probe in IvfIndex.topKAt. */
   private[graft] def bestListsArr(v: Column, dim: Int,
                                   cents: Array[Array[Double]],
-                                  nProbe: Int): Column = {
-    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+                                  nProbe: Int): Column =
     shims.column(graft.functions.FloatVecBestLists(
-      shims.expression(v),
-      sc.broadcast(new graft.functions.CentroidMatrix(cents)), nProbe))
+      shims.expression(v), centroidBroadcast(cents), nProbe))
+
+  /** Content-keyed key for the broadcast memo below (arrays have
+    * reference equality, so the key hashes/compares the VALUES, plus
+    * the application id so a stopped context's broadcasts are never
+    * served to a successor in the same JVM). */
+  private final class CentKey(val app: String, val cents: Array[Array[Double]]) {
+    override val hashCode: Int = app.hashCode * 31 +
+      java.util.Arrays.deepHashCode(cents.asInstanceOf[Array[AnyRef]])
+    override def equals(o: Any): Boolean = o match {
+      case k: CentKey => k.app == app && java.util.Arrays.deepEquals(
+        k.cents.asInstanceOf[Array[AnyRef]], cents.asInstanceOf[Array[AnyRef]])
+      case _ => false
+    }
+  }
+  private val centBcs = new java.util.concurrent.ConcurrentHashMap[CentKey,
+    org.apache.spark.broadcast.Broadcast[graft.functions.CentroidMatrix]]()
+
+  /** One broadcast per DISTINCT centroid matrix, not per call: every
+    * trainCentroids iteration and every probe/append against a
+    * version's frozen centroids reuses the same executor-resident
+    * copy instead of shipping a fresh one per plan (a continuous
+    * ingest loop otherwise accumulates driver/executor broadcast
+    * blocks between GCs) — and equal centroids now yield the SAME
+    * broadcast handle, so two FloatVecBestLists over them are
+    * case-class-equal and Catalyst's subexpression elimination and
+    * exchange reuse can fire again. Bounded by wholesale clear:
+    * re-broadcasting is cheap and the ContextCleaner reaps
+    * unreferenced blocks. */
+  private def centroidBroadcast(cents: Array[Array[Double]])
+      : org.apache.spark.broadcast.Broadcast[graft.functions.CentroidMatrix] = {
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    if (centBcs.size > 64) centBcs.clear()
+    centBcs.computeIfAbsent(new CentKey(sc.applicationId, cents),
+      _ => sc.broadcast(new graft.functions.CentroidMatrix(cents)))
   }
 
   /**
