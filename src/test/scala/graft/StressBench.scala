@@ -56,28 +56,27 @@ object StressBench {
     }
     pairs.unpersist()
 
-    // index lifecycle at stress scale: build over 90%, ingest 2×5%
-    // batches, then steady-state probe — the continuous-ingest shape
+    // index lifecycle at stress scale: build over 85%, then a
+    // CONTINUOUS-INGEST LOOP — ingest + per-commit gc, the shape the
+    // streaming wrappers run — then a steady-state probe of an
+    // un-ingested batch (probing an indexed batch would double its
+    // docs in the verification set and time a workload production
+    // never runs)
     val idx = java.nio.file.Files.createTempDirectory("graft_stress_idx")
       .toString + "/idx"
-    val b1 = docs.filter(col("doc_id") % 20 === 0)
-    val b2 = docs.filter(col("doc_id") % 20 === 1)
-    val b3 = docs.filter(col("doc_id") % 20 === 2)
+    val ingestBatches = (0 until 2).map(i => docs.filter(col("doc_id") % 20 === i))
+    val probeBatch = docs.filter(col("doc_id") % 20 === 2)
     val base = docs.filter(col("doc_id") % 20 >= 3)
     time("idx_build")(MinhashIndex.build(spark, base, "doc_id", "text", idx))
-    time("idx_ingest_1") {
-      val p = MinhashIndex.ingest(spark, idx, b1, "doc_id", "text")
-      health("idx_ingest1_pairs") = p.count(); p.unpersist()
+    ingestBatches.zipWithIndex.foreach { case (b, i) =>
+      time(s"idx_ingest_${i + 1}") {
+        val p = MinhashIndex.ingest(spark, idx, b, "doc_id", "text")
+        health(s"idx_ingest${i + 1}_pairs") = p.count(); p.unpersist()
+        MinhashIndex.gc(spark, idx, retainLast = 2)
+      }
     }
-    time("idx_ingest_2") {
-      val p = MinhashIndex.ingest(spark, idx, b2, "doc_id", "text")
-      health("idx_ingest2_pairs") = p.count(); p.unpersist()
-    }
-    // probe a batch the index has NOT ingested — probing an indexed
-    // batch would double its docs in the verification set and time a
-    // workload production never runs
     time("idx_probe_steady") {
-      MinhashIndex.incrementalDupPairs(spark, idx, b3, "doc_id", "text").count()
+      MinhashIndex.incrementalDupPairs(spark, idx, probeBatch, "doc_id", "text").count()
     }
 
     // the metrics that would grow superlinearly if the shape is wrong
@@ -86,10 +85,57 @@ object StressBench {
       val d = new java.io.File(p)
       if (!d.exists) -1 else d.listFiles.count(_.getName.endsWith(".parquet")).toLong
     }
+    def countDirs(p: String): Long = {
+      val d = new java.io.File(p)
+      if (!d.exists) -1 else d.listFiles.count(_.isDirectory).toLong
+    }
     health("band_files_latest") = countFiles(f"$idx/v$latest%05d/bands")
     health("hot_shingles") =
       spark.read.parquet(f"$idx/v$latest%05d/hot").count()
     health("df_rows") = spark.read.parquet(f"$idx/v$latest%05d/df").count()
+    health("mh_versions_on_disk") = countDirs(idx) // version dirs only (markers are files)
+
+    // --- IVF/ANN family at the same scale: deterministic 64-dim
+    // feature-hash embeddings derived from the text (near-dup docs →
+    // near-dup vectors, so the index sees the same duplicate
+    // structure), then build + an append LOOP with a tight segment cap
+    // and per-commit gc — size compactions fire DURING the loop, and
+    // the health metrics pin what would grow without bound if tiering
+    // or gc were shape-wrong.
+    import graft.operators.IvfIndex
+    val dim = 64
+    val toks = split(col("text"), "\\s+")
+    val fvec = array((0 until dim).map(b =>
+      size(filter(toks, t => pmod(xxhash64(t), lit(dim.toLong)) === b))
+        .cast("float")): _*)
+    val emb = docs.select(col("doc_id").as("vec_id"), fvec.as("embedding"))
+      .persist()
+    emb.count()
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft_stress_ivf")
+      .toString + "/idx"
+    val ivfCfg = IvfIndex.Config(dim = dim, nList = 16, iters = 2,
+      maxSegments = 3)
+    val ivfBase = emb.filter(col("vec_id") % 20 >= 8)
+    time("ivf_build")(
+      IvfIndex.build(spark, ivfBase, "vec_id", "embedding", ivfDir, ivfCfg))
+    (0 until 8).foreach { i =>
+      time(s"ivf_append_${i + 1}") {
+        IvfIndex.append(spark, ivfDir,
+          emb.filter(col("vec_id") % 20 === i), "vec_id", "embedding", ivfCfg)
+        IvfIndex.gc(spark, ivfDir, retainLast = 2)
+      }
+    }
+    val queries = emb.filter(col("vec_id") < 50)
+    time("ivf_probe") {
+      health("ivf_topk_rows") = IvfIndex.topK(spark, ivfDir, queries,
+        "vec_id", "embedding", k = 10).count()
+    }
+    val ivfLatest = IvfIndex.latestVersion(spark, ivfDir)
+    health("ivf_segments_in_manifest") =
+      IvfIndex.readSegments(spark, ivfDir, ivfLatest).length.toLong
+    health("ivf_segment_dirs_on_disk") = countDirs(s"$ivfDir/segments")
+    health("ivf_versions_on_disk") = countDirs(ivfDir) - 1
+    emb.unpersist()
 
     val q = times.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(",")
     val h = health.map { case (k, v) => s""""$k":$v""" }.mkString(",")
