@@ -36,5 +36,8 @@ object SparkEntry {
     "q_heavy_hitters", "op_bloom_join", "q_sessionize",
     "dedup_incremental", "dedup_incremental_idx",
     "text_vocab_ids", "text_seg_dedup", "text_dup_ngram_frac",
-    "sim_topk_ivf_idx", "text_bpe_tokens")
+    "sim_topk_ivf_idx", "text_bpe_tokens",
+    // round 8: semantic dedup joins the headline set (totals are not
+    // comparable to BENCH_r07 and earlier — 22 queries vs 21)
+    "q_semdedup")
 }

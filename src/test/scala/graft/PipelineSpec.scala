@@ -145,6 +145,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"incremental-IVF recall $recall too low")
   }
 
+  test("semDedup (Lloyd path, iters=2): witness rule exact against a driver recompute") {
+    import graft.operators.Similarity
+    val tau = 0.45
+    val out = Similarity.semDedup(emb, "vec_id", "embedding", 64,
+      nClusters = 8, iters = 2, tau = tau)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    // partitions the corpus: every row present exactly once
+    val ids = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out.map(_._1).toSet == ids && out.length == ids.size)
+    // recompute the witness rule from the EMITTED assignment with
+    // plain driver arithmetic: drop x iff some y < x in x's cluster
+    // has cos(x, y) >= tau
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCluster = out.groupBy(_._2)
+    assert(byCluster.size > 1, "Lloyd clustering degenerated to one cluster")
+    byCluster.values.foreach { members =>
+      val sorted = members.sortBy(_._1)
+      sorted.foreach { case (id, _, keep) =>
+        val hasWitness = sorted.iterator.takeWhile(_._1 < id)
+          .exists(w => cos(vecs(id), vecs(w._1)) >= tau)
+        assert(keep == !hasWitness,
+          s"vec $id: keep=$keep but lower-id witness=$hasWitness")
+      }
+    }
+    // kept set is never empty and drops only happen when a near-dup
+    // pair actually exists in the corpus (sf fixture plants them)
+    assert(out.count(_._3) > 0)
+  }
+
   test("int8 quantize/dequantize: bounded range, small cosine error") {
     val q = Similarity.int8Quantize(col("embedding"))
     val frame = emb.withColumn("__q", q)
