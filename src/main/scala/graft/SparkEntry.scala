@@ -37,7 +37,8 @@ object SparkEntry {
     "dedup_incremental", "dedup_incremental_idx",
     "text_vocab_ids", "text_seg_dedup", "text_dup_ngram_frac",
     "sim_topk_ivf_idx", "text_bpe_tokens",
-    // round 8: semantic dedup joins the headline set (totals are not
-    // comparable to BENCH_r07 and earlier — 22 queries vs 21)
-    "q_semdedup")
+    // round 8: semantic dedup, BM25 retrieval and LM surprisal join
+    // the headline set (totals are not comparable to BENCH_r07 and
+    // earlier — 24 queries vs 21)
+    "q_semdedup", "q_bm25_topk", "q_lm_surprisal")
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Chunking, Funnel, Terms}
+import graft.operators.{Chunking, Funnel, Sampling, Terms}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -48,6 +48,29 @@ object CorpusOps {
     // Corpus top-20 adjacent-token bigrams (collocations).
     "q_top_bigrams" -> { (spark, dir) =>
       Terms.topBigrams(Tables.load(spark, dir, "documents"), "text", 20)
+    },
+
+    // BM25 retrieval: a 5% hash-bucket of documents acts as the query
+    // workload; top-5 corpus docs per probe, integer-quantized scoring
+    // (bit-exact cross-engine — see Terms.bm25TopK). Bigram phrase
+    // terms: the synthetic corpus' 31-word unigram vocabulary is
+    // near-uniform (df ≈ 0.8N ⇒ quantized idf 0 everywhere), while
+    // its ~900 bigrams spread df 1..46 — real rankings to verify.
+    "q_bm25_topk" -> { (spark, dir) =>
+      val d = Tables.load(spark, dir, "documents")
+      val isProbe =
+        Sampling.hashBucket(col("doc_id")) < lit(Sampling.cuts(Seq(0.05))(1))
+      Terms.bm25TopK(d.filter(!isProbe), d.filter(isProbe),
+        "doc_id", "text", k = 5, terms = Terms.bigramTerms)
+        .orderBy("probe_id", "rank")
+    },
+
+    // Unigram-LM surprisal (CCNet perplexity-filter shape, integer
+    // quantized): per-doc token count + quantized-surprisal sum/max.
+    "q_lm_surprisal" -> { (spark, dir) =>
+      Terms.unigramSurprisal(Tables.load(spark, dir, "documents"),
+        "doc_id", "text")
+        .orderBy("doc_id")
     },
 
     // Ordered funnel view → click → purchase, 12 h per-step deadline.
@@ -129,6 +152,59 @@ object CorpusOps {
          |       FROM t WHERE len(toks) >= 2)
          |SELECT bigram, CAST(count(*) AS BIGINT) AS n
          |FROM bg GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    "q_bm25_topk" -> {
+      val cut = Sampling.cuts(Seq(0.05))(1)
+      s"""WITH t0 AS (SELECT doc_id, $toks AS toks FROM documents),
+         |t AS (SELECT doc_id, CASE WHEN len(toks) >= 2
+         |        THEN list_transform(range(1, len(toks)),
+         |             i -> toks[i] || ' ' || toks[i+1])
+         |        ELSE [] END AS toks FROM t0),
+         |pid AS (SELECT doc_id FROM documents
+         |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+         |        < $cut),
+         |corp AS (SELECT doc_id, unnest(toks) AS tok FROM t
+         |         WHERE doc_id NOT IN (SELECT doc_id FROM pid)),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |       FROM corp GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+         |       FROM tf GROUP BY 1),
+         |k AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(dl) AS BIGINT) AS tt FROM dl),
+         |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+         |        FROM tf GROUP BY 1),
+         |idf AS (SELECT tok,
+         |  CAST(len(bin((2*n - 2*df + 1)//(2*df + 1) + 1)) - 1 AS BIGINT)
+         |    AS idf_q FROM dfq, k),
+         |pt AS (SELECT t.doc_id AS probe_id, unnest(list_distinct(toks)) AS tok
+         |       FROM t JOIN pid USING (doc_id)),
+         |s AS (SELECT probe_id, tf.doc_id AS doc_id,
+         |  CAST(sum((idf_q * tf * 220000)
+         |           //(1000*tf + 300 + 9*((100*dl*n)//tt))) AS BIGINT) AS score
+         |  FROM pt JOIN tf USING (tok) JOIN idf USING (tok)
+         |       JOIN dl ON tf.doc_id = dl.doc_id, k
+         |  GROUP BY 1, 2),
+         |r AS (SELECT probe_id, doc_id, score,
+         |  row_number() OVER (PARTITION BY probe_id
+         |                     ORDER BY score DESC, doc_id) AS rank FROM s)
+         |SELECT probe_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+         |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+    },
+
+    "q_lm_surprisal" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tok GROUP BY 1, 2),
+         |c AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+         |k AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM c),
+         |u AS (SELECT doc_id, tf,
+         |      CAST(len(bin(tt // c.c)) - 1 AS BIGINT) AS u
+         |      FROM tf JOIN c USING (tok), k)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |  CAST(sum(tf * u) AS BIGINT) AS surprisal_sum,
+         |  CAST(max(u) AS BIGINT) AS surprisal_max
+         |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_events_funnel" ->
       s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us

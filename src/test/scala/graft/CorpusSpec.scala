@@ -76,6 +76,87 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
   }
 
+  test("bigramTerms: adjacent pairs; <2-token docs yield empty arrays") {
+    import org.apache.spark.sql.functions.col
+    val df = docsDf(Seq((1L, "a b c"), (2L, "x"), (3L, "")))
+    val got = df.select(col("doc_id"), Terms.bigramTerms(col("text")).as("t"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList))
+    assert(got.toSeq == Seq((1L, List("a b", "b c")), (2L, Nil), (3L, Nil)))
+  }
+
+  test("bin() floor-log2 contract: length(bin(x))-1 == floor(log2(x))") {
+    // the cross-engine exactness of the quantized idf/surprisal rests
+    // on bin() rendering without leading zeros in BOTH engines — pin
+    // the Spark half here (the DuckDB half is the oracle itself)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val xs = (1L to 1000L) ++ Seq(1L << 20, (1L << 31) - 1, 1L << 40)
+    val got = xs.toDF("x")
+      .select(expr("cast(length(bin(x)) - 1 as bigint)")).as[Long].collect()
+    val want = xs.map(x => (63 - java.lang.Long.numberOfLeadingZeros(x)).toLong)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("bm25TopK: ranking matches an independent driver recompute") {
+    // small corpus with repeated phrases; probe 100 shares bigrams
+    // with docs 1..3 at different tf/dl — ranks must discriminate
+    val corpus = Seq(
+      (1L, "red fox red fox red fox jumps high"),
+      (2L, "red fox jumps"),
+      (3L, "lazy dog sleeps all day long in the warm sun by the door"),
+      (4L, "blue bird sings")).map { case (i, t) => (i, t) }
+    val probes = Seq((100L, "red fox jumps over the lazy dog"))
+    val got = Terms.bm25TopK(docsDf(corpus), docsDf(probes),
+      "doc_id", "text", k = 4, terms = Terms.bigramTerms)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // driver recompute of the exact integer formula
+    def bgs(t: String) = t.split("\\s+").filter(_.nonEmpty)
+      .sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+    val tf = corpus.flatMap { case (d, t) => bgs(t).map((d, _)) }
+      .groupBy(identity).map { case ((d, w), v) => (d, w, v.size.toLong) }.toSeq
+    val dl = tf.groupBy(_._1).map { case (d, v) => d -> v.map(_._3).sum }
+    val n = dl.size.toLong; val tt = dl.values.sum
+    val dfq = tf.groupBy(_._2).map { case (w, v) => w -> v.size.toLong }
+    def fl2(x: Long) = (63 - java.lang.Long.numberOfLeadingZeros(x)).toLong
+    val idf = dfq.map { case (w, d) => w -> fl2((2 * n - 2 * d + 1) / (2 * d + 1) + 1) }
+    val qTerms = bgs(probes.head._2).distinct.toSet
+    val want = tf.filter(t => qTerms(t._2))
+      .map { case (d, w, f) =>
+        val rel = 100 * dl(d) * n / tt
+        (d, idf(w) * f * 220000 / (1000 * f + 300 + 9 * rel))
+      }
+      .groupBy(_._1).map { case (d, v) => (d, v.map(_._2).sum) }.toSeq
+      .sortBy { case (d, s) => (-s, d) }.zipWithIndex
+      .map { case ((d, s), i) => (100L, (i + 1).toLong, d, s) }
+    assert(got.toSeq == want)
+    // sanity: only docs sharing a probe bigram appear (doc 4 absent),
+    // the matching docs 1/2 fill the top ranks (doc 2 first — BM25's
+    // length normalization favors the short doc), scores distinct
+    assert(got.map(_._3).toSet == Set(1L, 2L, 3L))
+    assert(got.take(2).map(_._3).toSet == Set(1L, 2L))
+    assert(got.map(_._4).distinct.length == 3)
+  }
+
+  test("unigramSurprisal: matches an independent driver recompute") {
+    val corpus = Seq((1L, "a a a a b"), (2L, "a b c"), (3L, "c d"))
+    val got = Terms.unigramSurprisal(docsDf(corpus), "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val toks = corpus.map { case (d, t) => d -> t.split("\\s+").toSeq }
+    val c = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong)
+    val tt = toks.map(_._2.size.toLong).sum // 10
+    def fl2(x: Long) = (63 - java.lang.Long.numberOfLeadingZeros(x)).toLong
+    val want = toks.map { case (d, ts) =>
+      val us = ts.map(w => fl2(tt / c(w)))
+      (d, ts.size.toLong, us.sum, us.max)
+    }
+    assert(got.toSeq == want)
+    // hand-check one value: c(a)=5, tt=10 → u=1; c(d)=1 → u=floor(log2 10)=3
+    assert(got(2) == ((3L, 2L, fl2(10 / 2) + 3L, 3L)))
+  }
+
   test("funnel: deadlines and stage order enforced per user") {
     import spark.implicits._
     val H = 3600000000L // 1h in us

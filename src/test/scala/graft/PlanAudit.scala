@@ -16,6 +16,9 @@ import org.apache.spark.sql.SparkSession
   *    q_mixture_sample/q_mixture_upsample: ONE-ROW broadcast of the
   *    hot-shingle array / quantile thresholds / capacity scalar —
   *    same class (PlanSpec whitelists BNLJ by its hotarr condition)
+  *  - q_bm25_topk/q_lm_surprisal: the ONE-ROW corpus-constants
+  *    broadcast ((N, T) / (T)) crossed with the term frames — same
+  *    class
   * dedup_embedding is a block-pair equi-join and sim_topk_lsh/ivf are
   * bucket equi-joins — no BNLJ (PlanSpec asserts). */
 object PlanAudit {
