@@ -203,4 +203,45 @@ object Terms {
         max("u").as("surprisal_max"))
       .withColumnRenamed("__id", id)
   }
+
+  /**
+   * Conditional bigram-LM surprisal — the Markov sibling of
+   * [[unigramSurprisal]] and the closest integer-exact analogue of a
+   * perplexity filter: each position's surprisal is
+   * floor(log2(ctx(w1) / c(w1 w2))) where c is the corpus bigram
+   * count and ctx(w1) = Σ_z c(w1 z) is w1's left-context mass, i.e.
+   * the quantized -log2 of the ML estimate P(w2|w1). Documents whose
+   * transitions are corpus-typical score low; improbable transitions
+   * (shuffled text, gibberish) score high.
+   *
+   * Output: (id, n_bigrams, surprisal_sum, surprisal_max); docs with
+   * under two tokens carry no transitions and emit no row.
+   *
+   * Scale: identical profile to unigramSurprisal — the persisted
+   * (doc, bigram, tf) frame feeds the bigram-count fold, the
+   * context fold (a second small aggregate OVER the counts, not the
+   * corpus), and the score join; everything downstream of the one
+   * wordcount Exchange is count-sized.
+   */
+  def bigramSurprisal(df: DataFrame, id: String, text: String): DataFrame = {
+    val tf = df
+      .select(col(id).as("__id"), explode(bigramTerms(col(text))).as("bg"))
+      .groupBy("__id", "bg").agg(count(lit(1)).as("tf"))
+      .persist()
+    tf.count()
+    val bgc = tf.groupBy("bg").agg(sum("tf").as("c"))
+    // left-context mass: fold of the (already tiny) bigram-count
+    // frame, keyed on the first token (tokens never contain spaces)
+    val ctx = bgc.withColumn("w1", expr("split_part(bg, ' ', 1)"))
+      .groupBy("w1").agg(sum("c").as("cc"))
+    tf.join(bgc, "bg")
+      .withColumn("w1", expr("split_part(bg, ' ', 1)"))
+      .join(ctx, "w1")
+      .withColumn("u", expr("cast(length(bin(cc div c)) - 1 as bigint)"))
+      .groupBy("__id")
+      .agg(sum("tf").as("n_bigrams"),
+        sum(expr("tf * u")).as("surprisal_sum"),
+        max("u").as("surprisal_max"))
+      .withColumnRenamed("__id", id)
+  }
 }

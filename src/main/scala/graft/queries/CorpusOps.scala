@@ -73,6 +73,14 @@ object CorpusOps {
         .orderBy("doc_id")
     },
 
+    // Conditional bigram-LM surprisal: quantized -log2 P(w2|w1) summed
+    // per doc — the Markov/perplexity form of the filter above.
+    "q_lm_bigram_surprisal" -> { (spark, dir) =>
+      Terms.bigramSurprisal(Tables.load(spark, dir, "documents"),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Ordered funnel view → click → purchase, 12 h per-step deadline.
     "q_events_funnel" -> { (spark, dir) =>
       val ev = Tables.load(spark, dir, "events")
@@ -202,6 +210,25 @@ object CorpusOps {
          |      CAST(len(bin(tt // c.c)) - 1 AS BIGINT) AS u
          |      FROM tf JOIN c USING (tok), k)
          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |  CAST(sum(tf * u) AS BIGINT) AS surprisal_sum,
+         |  CAST(max(u) AS BIGINT) AS surprisal_max
+         |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_lm_bigram_surprisal" ->
+      s"""WITH t0 AS (SELECT doc_id, $toks AS toks FROM documents),
+         |bg0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |          i -> toks[i] || ' ' || toks[i+1])) AS bg
+         |        FROM t0 WHERE len(toks) >= 2),
+         |tf AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS tf
+         |       FROM bg0 GROUP BY 1, 2),
+         |bgc AS (SELECT bg, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+         |ctx AS (SELECT split_part(bg, ' ', 1) AS w1,
+         |        CAST(sum(c) AS BIGINT) AS cc FROM bgc GROUP BY 1),
+         |u AS (SELECT doc_id, tf,
+         |      CAST(len(bin(cc // c)) - 1 AS BIGINT) AS u
+         |      FROM tf JOIN bgc USING (bg)
+         |      JOIN ctx ON split_part(bg, ' ', 1) = ctx.w1)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
          |  CAST(sum(tf * u) AS BIGINT) AS surprisal_sum,
          |  CAST(max(u) AS BIGINT) AS surprisal_max
          |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin,

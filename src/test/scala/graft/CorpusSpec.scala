@@ -157,6 +157,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(2) == ((3L, 2L, fl2(10 / 2) + 3L, 3L)))
   }
 
+  test("bigramSurprisal: matches an independent driver recompute") {
+    // "a b" occurs 3x, "a c" 1x → ctx(a)=4: u("a b")=fl2(4/3)=0,
+    // u("a c")=fl2(4/1)=2. Doc 3 (one token) emits no row.
+    val corpus = Seq((1L, "a b a b"), (2L, "a c a b"), (3L, "z"))
+    val got = Terms.bigramSurprisal(docsDf(corpus), "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def bgs(t: String) = t.split("\\s+").filter(_.nonEmpty)
+      .sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+    val all = corpus.flatMap { case (_, t) => bgs(t) }
+    val c = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cc = all.map(_.split(" ")(0)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    def fl2(x: Long) = (63 - java.lang.Long.numberOfLeadingZeros(x)).toLong
+    val want = corpus.flatMap { case (d, t) =>
+      val us = bgs(t).map(b => fl2(cc(b.split(" ")(0)) / c(b)))
+      if (us.isEmpty) None else Some((d, us.size.toLong, us.sum, us.max))
+    }
+    assert(got.toSeq == want)
+    assert(got.length == 2) // doc 3 absent
+    // hand-check doc 2: bigrams (a c)(c a)(a b) → u = 2, fl2(1/1)=0, 0
+    assert(got(1) == ((2L, 3L, 2L, 2L)))
+  }
+
   test("funnel: deadlines and stage order enforced per user") {
     import spark.implicits._
     val H = 3600000000L // 1h in us
