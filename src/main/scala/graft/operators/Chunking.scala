@@ -71,6 +71,81 @@ object Chunking {
    * aggregation whose state is bounded by the document's own segment
    * count. No step is quadratic in corpus size.
    */
+  /**
+   * Exact duplicate-span removal (the ExactSubstr dedup shape of Lee
+   * et al., "Deduplicating Training Data Makes Language Models
+   * Better", at token-window granularity): every `w`-token sliding
+   * window whose text occurs more than once corpus-wide — across
+   * documents OR repeated inside one — is a duplicated span. The
+   * gram's FIRST occurrence in (id, position) order is kept; every
+   * token position covered by any OTHER occurrence of a duplicated
+   * gram is cut, and documents are reassembled from their surviving
+   * tokens in order. Unlike [[segmentDedup]] (stride-partitioned
+   * segments) the windows here overlap, so a duplicated span of any
+   * length ≥ w is cut in full, not just at segment boundaries.
+   *
+   * Output: (id, n_tokens, n_windows, dup_windows, cut_tokens,
+   * clean_text) — one row per input document (zero counts and
+   * token-rejoined text when nothing is cut; empty text when
+   * everything is).
+   *
+   * Scale: windows explode narrowly (one row per token position); the
+   * per-gram occurrence count + first-occurrence winner is ONE
+   * aggregation Exchange keyed by (md5 digest, gram) — digest for key
+   * uniformity, gram text so md5 collisions stay exact (the
+   * segmentDedup discipline); cut positions are an interval-union via
+   * explode+distinct bounded by w × removed windows; reassembly is one
+   * per-document aggregation whose state is the document's own token
+   * count. Boilerplate grams with huge occurrence counts are handled
+   * in the aggregate (count + min — no per-gram sort or window
+   * function anywhere), so hot grams cost partial-agg merges, never a
+   * skewed sort.
+   */
+  def dupSpanRemove(df: DataFrame, id: String, text: String,
+                    w: Int): DataFrame = {
+    require(w > 0, "w must be > 0")
+    val toks = df.select(col(id), TF.tokens(col(text)).as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+    // one row per window start i (1-based), gram = tokens [i, i+w)
+    val wins = toks.filter(col("n_tokens") >= w)
+      .select(col(id),
+        explode(sequence(lit(1L), col("n_tokens") - (w - 1))).as("i"),
+        col("__toks"))
+      .select(col(id), col("i"),
+        array_join(slice(col("__toks"), col("i").cast("int"), lit(w)), " ")
+          .as("gram"))
+      .withColumn("__digest", md5(col("gram").cast("binary")))
+    val winners = wins.groupBy(col("__digest"), col("gram"))
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col(id), col("i"))).as("__first"))
+    val removed = wins.join(winners, Seq("__digest", "gram"))
+      .filter(col("__c") > 1 &&
+        !(col(id) === col("__first")(id) && col("i") === col("__first")("i")))
+    val cut = removed
+      .select(col(id), explode(sequence(col("i"), col("i") + (w - 1))).as("p"))
+      .distinct()
+    val dupStats = removed.groupBy(col(id))
+      .agg(count(lit(1)).as("dup_windows"))
+    val cutStats = cut.groupBy(col(id)).agg(count(lit(1)).as("cut_tokens"))
+    val kept = toks
+      .select(col(id), posexplode(col("__toks")).as(Seq("__p0", "__tok")))
+      .withColumn("p", col("__p0").cast("long") + 1)
+      .join(cut, Seq(id, "p"), "left_anti")
+      .groupBy(col(id))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("p"), col("__tok")))),
+        s => s("__tok")), " ").as("clean_text"))
+    toks.select(col(id), col("n_tokens"),
+        greatest(col("n_tokens") - (w - 1), lit(0L)).as("n_windows"))
+      .join(dupStats, Seq(id), "left")
+      .join(cutStats, Seq(id), "left")
+      .join(kept, Seq(id), "left")
+      .select(col(id), col("n_tokens"), col("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("cut_tokens"), lit(0L)).as("cut_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   def segmentDedup(df: DataFrame, id: String, text: String,
                    segLen: Int): DataFrame = {
     require(segLen > 0, "segLen must be > 0")

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Chunking, Funnel, Sampling, Terms}
+import graft.operators.{Chunking, Funnel, Retrieval, Sampling, Terms}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -18,6 +18,8 @@ object CorpusOps {
   private val ChunkSize = 30
   private val ChunkStride = 20
   private val SegLen = 10
+  private val DupSpanW = 8
+  private val DsirBuckets = 256
   private val FunnelWithinUs = 12L * 3600 * 1000000 // 12 h per step
   private val DayUs = 86400000000L
 
@@ -78,6 +80,26 @@ object CorpusOps {
     "q_lm_bigram_surprisal" -> { (spark, dir) =>
       Terms.bigramSurprisal(Tables.load(spark, dir, "documents"),
         "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Exact duplicate-span removal (ExactSubstr / Lee et al. shape):
+    // 8-token sliding windows duplicated corpus-wide are cut at every
+    // occurrence but the first; docs reassembled from surviving tokens.
+    "text_dup_spans" -> { (spark, dir) =>
+      Chunking.dupSpanRemove(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", DupSpanW)
+        .orderBy("doc_id")
+    },
+
+    // DSIR importance weights: hashed-bigram features (the corpus'
+    // unigram vocabulary is shared across langs — only bigrams
+    // discriminate), target = the English slice; quantized log
+    // importance ratio.
+    "q_dsir_weights" -> { (spark, dir) =>
+      Retrieval.dsirWeights(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", col("lang") === "en", DsirBuckets,
+        terms = Terms.bigramTerms)
         .orderBy("doc_id")
     },
 
@@ -232,6 +254,68 @@ object CorpusOps {
          |  CAST(sum(tf * u) AS BIGINT) AS surprisal_sum,
          |  CAST(max(u) AS BIGINT) AS surprisal_max
          |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |base AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+         |         FROM t),
+         |wins AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+         |  array_to_string(list_slice(toks, i, i+$DupSpanW-1), ' ') AS gram
+         |  FROM (SELECT doc_id, toks,
+         |          unnest(range(1, len(toks)-$DupSpanW+2)) AS i
+         |        FROM base WHERE n_tokens >= $DupSpanW)),
+         |f AS (SELECT doc_id, i,
+         |  count(*) OVER (PARTITION BY gram) AS c,
+         |  row_number() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rn
+         |  FROM wins),
+         |rem AS (SELECT doc_id, i FROM f WHERE c > 1 AND rn > 1),
+         |cut AS (SELECT DISTINCT doc_id, p FROM
+         |  (SELECT doc_id, unnest(range(i, i+$DupSpanW)) AS p FROM rem)),
+         |dw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_windows
+         |       FROM rem GROUP BY 1),
+         |ct AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS cut_tokens
+         |       FROM cut GROUP BY 1),
+         |tokpos AS (SELECT doc_id, p, toks[p] AS tok
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS p
+         |        FROM base)),
+         |keep AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text
+         |  FROM tokpos k
+         |  WHERE NOT EXISTS (SELECT 1 FROM cut
+         |                    WHERE cut.doc_id = k.doc_id AND cut.p = k.p)
+         |  GROUP BY doc_id)
+         |SELECT b.doc_id, b.n_tokens,
+         |  CAST(greatest(b.n_tokens - $DupSpanW + 1, 0) AS BIGINT) AS n_windows,
+         |  CAST(COALESCE(dw.dup_windows, 0) AS BIGINT) AS dup_windows,
+         |  CAST(COALESCE(ct.cut_tokens, 0) AS BIGINT) AS cut_tokens,
+         |  COALESCE(keep.clean_text, '') AS clean_text
+         |FROM base b LEFT JOIN dw USING (doc_id) LEFT JOIN ct USING (doc_id)
+         |  LEFT JOIN keep USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_dsir_weights" ->
+      s"""WITH t0 AS (SELECT doc_id, lang = 'en' AS tgt, $toks AS toks
+         |            FROM documents),
+         |t AS (SELECT doc_id, tgt, CASE WHEN len(toks) >= 2
+         |        THEN list_transform(range(1, len(toks)),
+         |             i -> toks[i] || ' ' || toks[i+1])
+         |        ELSE [] END AS toks FROM t0),
+         |tok AS (SELECT doc_id, tgt, unnest(toks) AS tok FROM t),
+         |db AS (SELECT doc_id, tgt,
+         |  ('0x' || substr(md5(tok),1,8))::BIGINT % $DsirBuckets AS b,
+         |  CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2, 3),
+         |raw AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM db GROUP BY 1),
+         |tg AS (SELECT b, CAST(sum(c) AS BIGINT) AS ct FROM db
+         |       WHERE tgt GROUP BY 1),
+         |tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS tr,
+         |               (SELECT CAST(sum(ct) AS BIGINT) FROM tg) AS tt),
+         |tab AS (SELECT raw.b,
+         |  CAST(len(bin((tr + $DsirBuckets)//(cr + 1))) - 1 AS BIGINT) AS ur,
+         |  CAST(len(bin((tt + $DsirBuckets)//(COALESCE(ct, 0) + 1))) - 1
+         |       AS BIGINT) AS ut
+         |  FROM raw LEFT JOIN tg USING (b), tot)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  CAST(sum(c * (ur - ut)) AS BIGINT) AS weight
+         |FROM db JOIN tab USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_events_funnel" ->
       s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us

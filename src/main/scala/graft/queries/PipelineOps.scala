@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{Multimodal, TextFunctions => TF}
-import graft.operators.{Dedup, IvfIndex, MinhashIndex, Packing, Quality, Sampling, Similarity}
+import graft.operators.{Dedup, IvfIndex, MinhashIndex, Packing, Quality, Retrieval, Sampling, Similarity, Terms}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -176,6 +176,23 @@ object PipelineOps {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", EmbDim, k = 5)
         .orderBy("query_id", "rnk")
+    },
+
+    // Hybrid retrieval: BM25 (bigram terms) + dense cosine fused by
+    // integer-scaled reciprocal-rank fusion. Probes = docs 0..9 (the
+    // sim_topk probe set), corpus = the rest; inner lists of 20 fuse
+    // to a final top-5. Ranks are the only ranker output used, so the
+    // fusion is bit-exact cross-engine.
+    "q_hybrid_rrf" -> { (spark, dir) =>
+      val d = Tables.load(spark, dir, "documents")
+      val e = Tables.load(spark, dir, "embeddings")
+        .withColumnRenamed("vec_id", "doc_id")
+      Retrieval.hybridRrf(
+        d.filter(col("doc_id") >= 10), d.filter(col("doc_id") < 10),
+        e.filter(col("doc_id") >= 10), e.filter(col("doc_id") < 10),
+        "doc_id", "text", "embedding", EmbDim,
+        kInner = 20, k = 5, terms = Terms.bigramTerms)
+        .orderBy("probe_id", "rank")
     },
 
     // hyperplane-LSH ANN — planes not SQL-replicable → rows-only;
@@ -807,6 +824,58 @@ object PipelineOps {
          |SELECT a.vec_id, a.list_id, (d.vec_id IS NULL) AS keep
          |FROM assign a LEFT JOIN drops d ON a.vec_id = d.vec_id
          |ORDER BY a.vec_id""".stripMargin,
+    "q_hybrid_rrf" ->
+      s"""WITH t0 AS (SELECT doc_id,
+         |  list_filter(string_split_regex(text,'\\s+'), x -> len(x)>0) AS toks
+         |  FROM documents),
+         |t AS (SELECT doc_id, CASE WHEN len(toks) >= 2
+         |        THEN list_transform(range(1, len(toks)),
+         |             i -> toks[i] || ' ' || toks[i+1])
+         |        ELSE [] END AS toks FROM t0),
+         |corp AS (SELECT doc_id, unnest(toks) AS tok FROM t
+         |         WHERE doc_id >= 10),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |       FROM corp GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+         |       FROM tf GROUP BY 1),
+         |k AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(dl) AS BIGINT) AS tt FROM dl),
+         |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+         |        FROM tf GROUP BY 1),
+         |idf AS (SELECT tok,
+         |  CAST(len(bin((2*n - 2*df + 1)//(2*df + 1) + 1)) - 1 AS BIGINT)
+         |    AS idf_q FROM dfq, k),
+         |pt AS (SELECT doc_id AS probe_id, unnest(list_distinct(toks)) AS tok
+         |       FROM t WHERE doc_id < 10),
+         |s AS (SELECT probe_id, tf.doc_id AS doc_id,
+         |  CAST(sum((idf_q * tf * 220000)
+         |           //(1000*tf + 300 + 9*((100*dl*n)//tt))) AS BIGINT) AS score
+         |  FROM pt JOIN tf USING (tok) JOIN idf USING (tok)
+         |       JOIN dl ON tf.doc_id = dl.doc_id, k
+         |  GROUP BY 1, 2),
+         |rt AS (SELECT probe_id, doc_id,
+         |  row_number() OVER (PARTITION BY probe_id
+         |                     ORDER BY score DESC, doc_id) AS r FROM s),
+         |rt20 AS (SELECT * FROM rt WHERE r <= 20),
+         |dns AS (SELECT a.vec_id AS probe_id, b.vec_id AS doc_id,
+         |         ${cosSql("a", "b")} AS cos
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id < 10 AND b.vec_id >= 10),
+         |rd AS (SELECT probe_id, doc_id,
+         |  row_number() OVER (PARTITION BY probe_id
+         |                     ORDER BY cos DESC, doc_id) AS r FROM dns),
+         |rd20 AS (SELECT * FROM rd WHERE r <= 20),
+         |fuse AS (SELECT COALESCE(rt20.probe_id, rd20.probe_id) AS probe_id,
+         |  COALESCE(rt20.doc_id, rd20.doc_id) AS doc_id,
+         |  CAST(COALESCE(1000000//(60 + rt20.r), 0)
+         |     + COALESCE(1000000//(60 + rd20.r), 0) AS BIGINT) AS rrf
+         |  FROM rt20 FULL OUTER JOIN rd20
+         |    ON rt20.probe_id = rd20.probe_id AND rt20.doc_id = rd20.doc_id),
+         |rk AS (SELECT probe_id, doc_id, rrf,
+         |  row_number() OVER (PARTITION BY probe_id
+         |                     ORDER BY rrf DESC, doc_id) AS rank FROM fuse)
+         |SELECT probe_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf
+         |FROM rk WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
     "sim_topk_bruteforce" ->
       s"""WITH scored AS (
          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
