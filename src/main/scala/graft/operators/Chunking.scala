@@ -93,13 +93,16 @@ object Chunking {
    * per-gram occurrence count + first-occurrence winner is ONE
    * aggregation Exchange keyed by (md5 digest, gram) — digest for key
    * uniformity, gram text so md5 collisions stay exact (the
-   * segmentDedup discipline); cut positions are an interval-union via
-   * explode+distinct bounded by w × removed windows; reassembly is one
-   * per-document aggregation whose state is the document's own token
-   * count. Boilerplate grams with huge occurrence counts are handled
-   * in the aggregate (count + min — no per-gram sort or window
-   * function anywhere), so hot grams cost partial-agg merges, never a
-   * skewed sort.
+   * segmentDedup discipline). Boilerplate grams with huge occurrence
+   * counts are handled in the aggregate (count + min — no per-gram
+   * sort or window function anywhere), so hot grams cost partial-agg
+   * merges, never a skewed sort. Everything position-level then folds
+   * to ONE doc-keyed aggregation of removed-window starts (per-doc
+   * state bounded by the doc's own window count); the cut-position
+   * interval union, the cut itself, and reassembly are pure array
+   * algebra on the token array the final doc-keyed join already
+   * holds — the corpus token stream is never re-shuffled and never
+   * regrouped.
    */
   def dupSpanRemove(df: DataFrame, id: String, text: String,
                     w: Int): DataFrame = {
@@ -121,29 +124,23 @@ object Chunking {
     val removed = wins.join(winners, Seq("__digest", "gram"))
       .filter(col("__c") > 1 &&
         !(col(id) === col("__first")(id) && col("i") === col("__first")("i")))
-    val cut = removed
-      .select(col(id), explode(sequence(col("i"), col("i") + (w - 1))).as("p"))
-      .distinct()
-    val dupStats = removed.groupBy(col(id))
-      .agg(count(lit(1)).as("dup_windows"))
-    val cutStats = cut.groupBy(col(id)).agg(count(lit(1)).as("cut_tokens"))
-    val kept = toks
-      .select(col(id), posexplode(col("__toks")).as(Seq("__p0", "__tok")))
-      .withColumn("p", col("__p0").cast("long") + 1)
-      .join(cut, Seq(id, "p"), "left_anti")
-      .groupBy(col(id))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("p"), col("__tok")))),
-        s => s("__tok")), " ").as("clean_text"))
-    toks.select(col(id), col("n_tokens"),
-        greatest(col("n_tokens") - (w - 1), lit(0L)).as("n_windows"))
-      .join(dupStats, Seq(id), "left")
-      .join(cutStats, Seq(id), "left")
-      .join(kept, Seq(id), "left")
-      .select(col(id), col("n_tokens"), col("n_windows"),
+    // one doc-keyed fold: removed-window starts + their position-
+    // interval union, both bounded by the document's own size
+    val cutPerDoc = removed.groupBy(col(id))
+      .agg(count(lit(1)).as("dup_windows"),
+        array_distinct(flatten(collect_list(
+          sequence(col("i"), col("i") + (w - 1))))).as("__cut"))
+    toks.join(cutPerDoc, Seq(id), "left")
+      .select(col(id), col("n_tokens"),
+        greatest(col("n_tokens") - (w - 1), lit(0L)).as("n_windows"),
         coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
-        coalesce(col("cut_tokens"), lit(0L)).as("cut_tokens"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+        coalesce(size(col("__cut")), lit(0)).cast("long").as("cut_tokens"),
+        array_join(
+          when(col("__cut").isNull, col("__toks")).otherwise(
+            zip_with(col("__toks"),
+              sequence(lit(1L), greatest(col("n_tokens"), lit(1L))),
+              (t, p) => when(array_contains(col("__cut"), p), lit(null))
+                .otherwise(t))), " ").as("clean_text"))
   }
 
   def segmentDedup(df: DataFrame, id: String, text: String,
