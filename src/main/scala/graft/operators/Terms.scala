@@ -244,4 +244,44 @@ object Terms {
         max("u").as("surprisal_max"))
       .withColumnRenamed("__id", id)
   }
+
+  /**
+   * CCNet-style perplexity bucketing: label every document `head` /
+   * `middle` / `tail` by where its mean bigram surprisal falls within
+   * its LANGUAGE's distribution (CCNet buckets each language shard by
+   * Kneser–Ney perplexity terciles; here the LM is [[bigramSurprisal]]'s
+   * quantized corpus bigram model, so the whole pipeline stays
+   * cross-engine exact). `head` = most corpus-typical third.
+   *
+   * The per-doc score is the integer `ppl_q = surprisal_sum * scale
+   * div n_bigrams` (quantized mean surprisal — the log form of
+   * perplexity). Cutoffs are the exact 1/3 and 2/3 percentiles of
+   * `ppl_q` per language; ties bucket downward (toward `head`),
+   * matching q_quantile_bins' convention. Docs with fewer than two
+   * tokens carry no transitions and emit no row.
+   *
+   * Output: (id, langOut, ppl_q, bucket).
+   *
+   * Scale: the corpus-sized work is exactly [[bigramSurprisal]]'s one
+   * wordcount Exchange; everything after is doc-sized and narrow. The
+   * cutoff aggregate folds the doc-level frame down to ONE ROW PER
+   * LANGUAGE (partial+final, no sort), broadcast back over the docs —
+   * there is NO per-language global sort, which is what an ntile
+   * formulation would need and what dies first at 100 TB.
+   */
+  def surprisalBuckets(df: DataFrame, id: String, text: String,
+                       lang: String, scale: Long = 1000L): DataFrame = {
+    val s = bigramSurprisal(df, id, text)
+    val scored = s
+      .join(df.select(col(id), col(lang)), Seq(id))
+      .withColumn("ppl_q", expr(s"surprisal_sum * $scale div n_bigrams"))
+    val cuts = scored.groupBy(col(lang))
+      .agg(percentile(col("ppl_q"),
+        array(lit(1.0 / 3), lit(2.0 / 3))).as("thr"))
+    scored.join(broadcast(cuts), Seq(lang))
+      .select(col(id), col(lang), col("ppl_q"),
+        element_at(array(lit("head"), lit("middle"), lit("tail")),
+          (size(filter(col("thr"),
+            t => col("ppl_q").cast("double") > t)) + 1)).as("bucket"))
+  }
 }

@@ -83,6 +83,15 @@ object CorpusOps {
         .orderBy("doc_id")
     },
 
+    // CCNet-style perplexity bucketing: head/middle/tail by per-LANGUAGE
+    // terciles of the quantized mean bigram surprisal. Cutoffs are a
+    // one-row-per-lang aggregate broadcast back — no per-lang sort.
+    "q_ppl_buckets" -> { (spark, dir) =>
+      Terms.surprisalBuckets(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", "lang")
+        .orderBy("doc_id")
+    },
+
     // Exact duplicate-span removal (ExactSubstr / Lee et al. shape):
     // 8-token sliding windows duplicated corpus-wide are cut at every
     // occurrence but the first; docs reassembled from surviving tokens.

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, MinhashIndex}
+import graft.operators.{Chunking, Dedup, MinhashIndex}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -55,6 +55,18 @@ object StressBench {
         Dedup.connectedComponents(pairs).select("component").distinct().count()
     }
     pairs.unpersist()
+
+    // exact duplicate-span removal (round 8): the boilerplate sentence
+    // shared by ~30% of docs is exactly the degenerate hot-gram class —
+    // its every-occurrence-but-first cut volume is the metric that
+    // would go superlinear if the gram aggregation or the doc-keyed
+    // cut fold were shape-wrong
+    time("dup_spans") {
+      val agg = Chunking.dupSpanRemove(docs, "doc_id", "text", 8)
+        .agg(sum("dup_windows"), sum("cut_tokens")).collect()(0)
+      health("dupspan_windows") = agg.getLong(0)
+      health("dupspan_cut_tokens") = agg.getLong(1)
+    }
 
     // index lifecycle at stress scale: build over 85%, then a
     // CONTINUOUS-INGEST LOOP — ingest + per-commit gc, the shape the
