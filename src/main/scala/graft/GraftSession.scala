@@ -66,14 +66,22 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$table.parquet")
-    // events.ts is TIMESTAMP(NANOS) in parquet; with
-    // spark.sql.legacy.parquet.nanosAsLong it arrives as a long. Convert
-    // with exact integer division (a double division would lose µs —
-    // epoch-ns exceeds double's 2^53 exact range).
+    // events.ts normalizes to TimestampType whatever the generator
+    // wrote: TIMESTAMP(NANOS) parquet arrives as a long under
+    // spark.sql.legacy.parquet.nanosAsLong (convert with exact integer
+    // division — epoch-ns exceeds double's 2^53 exact range);
+    // TIMESTAMP(MICROS) arrives as TIMESTAMP_NTZ (cast; the session
+    // timezone is UTC, so wall values are the same instants either way).
     if (table == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts DIV 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", df("ts").cast("timestamp"))
+        case _ => df
+      }
     else df
   }
 

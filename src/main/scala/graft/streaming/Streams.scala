@@ -22,8 +22,14 @@ object Streams {
     // not a bare file path (basePath must be a directory).
     val raw = spark.readStream.schema(schema)
       .parquet(s"$sfDir/events.parque[t]")
-    // events.ts arrives as long nanos (see Tables.load); same conversion.
-    raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    // same type-driven ts normalization as Tables.load
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Windowed per-type counts/sums with late-data handling: the
