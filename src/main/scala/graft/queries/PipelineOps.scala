@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{Multimodal, TextFunctions => TF}
-import graft.operators.{Dedup, IvfIndex, MinhashIndex, Packing, Quality, Retrieval, Sampling, Similarity, Terms}
+import graft.operators.{Dedup, IvfIndex, MinhashIndex, Packing, Pq, Quality, Retrieval, Sampling, Similarity, Terms}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -11,11 +11,12 @@ import org.apache.spark.sql.functions._
  * multimodal) over the documents and embeddings tables, with DuckDB
  * oracles wherever the algorithm is SQL-expressible — including the
  * simhash sketch and rolling fingerprint (md5-derived bits, replicated
- * in SQL below). Only the hyperplane/k-means ANN queries
- * (sim_topk_lsh, sim_topk_ivf, sim_topk_ivf_idx) stay rows-only: their pruning depends
- * on signature internals a SQL oracle would have to re-implement
- * wholesale; instead their RECALL against the oracled brute-force
- * baseline is asserted in PipelineSpec.
+ * in SQL below). Only the hyperplane/k-means/PQ ANN queries
+ * (sim_topk_lsh, sim_topk_ivf, sim_topk_ivf_idx, sim_topk_pq) stay
+ * rows-only: their pruning depends on signature/codebook internals a
+ * SQL oracle would have to re-implement wholesale; instead their
+ * RECALL against the oracled brute-force baseline is asserted in
+ * PipelineSpec (and for PQ, exactness of the re-ranked cosines).
  */
 object PipelineOps {
 
@@ -200,6 +201,18 @@ object PipelineOps {
     "sim_topk_lsh" -> { (spark, dir) =>
       val emb = Tables.load(spark, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", EmbDim, k = 5)
+        .orderBy("query_id", "rnk")
+    },
+
+    // Product-quantized ANN (the memory/IO scale path: m one-byte
+    // codes per vector instead of 4·dim bytes, ADC lookup-table
+    // scoring, exact re-rank of the top k·refine) — codebooks not
+    // SQL-replicable → rows-only; recall vs brute force AND exactness
+    // of the emitted cosines asserted in PipelineSpec.
+    "sim_topk_pq" -> { (spark, dir) =>
+      val emb = Tables.load(spark, dir, "embeddings")
+      Pq.adcTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", EmbDim, k = 5)
         .orderBy("query_id", "rnk")
     },

@@ -145,6 +145,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"incremental-IVF recall $recall too low")
   }
 
+  test("PQ encode: deterministic, m bytes per row, codes < ksub") {
+    import graft.operators.Pq
+    val books = Pq.trainBooks(emb, "vec_id", "embedding", 64, m = 8, ksub = 16)
+    val a = Pq.encode(emb, "vec_id", "embedding", books)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val b = Pq.encode(emb, "vec_id", "embedding", books)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(a.keySet == b.keySet && a.forall { case (k, v) =>
+      java.util.Arrays.equals(v, b(k)) }, "encode not deterministic")
+    assert(a.values.forall(_.length == 8), "codes must be m bytes")
+    assert(a.values.forall(_.forall(c => (c & 0xFF) < 16)), "code out of ksub range")
+  }
+
+  test("PQ ADC top-k: recall vs brute force >= 0.6; emitted cosines EXACT; <= k per query") {
+    import graft.operators.Pq
+    val queries = emb.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 64, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = Pq.adcTopK(emb, queries, "vec_id", "embedding", 64, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(pq.map(t => (t._1, t._3)).distinct.length == pq.length,
+      "duplicate (query, neighbor)")
+    assert(pq.groupBy(_._1).values.forall(_.size <= 5))
+    val recall = (bf & pq.map(t => (t._1, t._3)).toSet).size.toDouble / bf.size
+    assert(recall >= 0.6, s"PQ recall $recall too low")
+    // Re-ranked cosines must be EXACT — same arithmetic as FloatVecDot:
+    // left-associated double sums of (double)a[i]*(double)b[i].
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        s += a(i).toDouble * b(i).toDouble; i += 1
+      }
+      s
+    }
+    pq.foreach { case (q, _, n, cos) =>
+      val (qv, nv) = (vecs(q), vecs(n))
+      val expect = dot(qv, nv) /
+        (math.sqrt(dot(qv, qv)) * math.sqrt(dot(nv, nv)))
+      assert(cos == expect, s"cos not exact for ($q,$n): $cos vs $expect")
+    }
+  }
+
   test("semDedup (Lloyd path, iters=2): witness rule exact against a driver recompute") {
     import graft.operators.Similarity
     val tau = 0.45
