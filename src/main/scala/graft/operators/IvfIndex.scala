@@ -58,7 +58,19 @@ object IvfIndex {
     * `maxSegments` tune only WHEN re-clustering/compaction happen,
     * not what queries return. */
   final case class Config(dim: Int, nList: Int = 16, iters: Int = 2,
-                          maxImbalance: Double = 4.0, maxSegments: Int = 8)
+                          maxImbalance: Double = 4.0, maxSegments: Int = 8,
+                          pq: Option[PqConfig] = None)
+
+  /** Optional product-quantization refinement layer (IVF-PQ): segments
+    * additionally carry an m-byte `codes` column + stored exact norm,
+    * and probes ADC-score that narrow stream instead of reading full
+    * vectors — at 100 TB the probe's pruned-partition read drops from
+    * 4·dim B/row to m+8 B/row (columnar pruning; the vector column is
+    * only read for the ≤ queries·k·refine re-rank candidates, with
+    * their ids pushed into the scan). Fixed at build time, part of the
+    * index identity like `dim` (the re-rank pool `refine` is a
+    * query-time knob on [[topKAt]], like `nProbe`). */
+  final case class PqConfig(m: Int = 8, ksub: Int = 32)
 
   private val FormatVersion = 1
 
@@ -116,6 +128,31 @@ object IvfIndex {
     if (s.isEmpty) Seq.empty else s.split("\n").toSeq
   }
 
+  /** PQ codebooks for a version, if this is an IVF-PQ index. Format:
+    * header "m ksub dsub", then m·ksub comma-separated rows in
+    * (subspace-major, entry) order. Frozen like the centroids; the
+    * drift-guard re-cluster — the one path that rewrites EVERY row —
+    * retrains them alongside. */
+  private def writeBooks(spark: SparkSession, dir: String, v: Int,
+                         books: graft.functions.PqBooks): Unit =
+    atomicWrite(fs(spark, dir), new Path(versionDir(dir, v), "pqbooks.txt"),
+      s"${books.m} ${books.ksub} ${books.dsub}\n" +
+        books.books.flatMap(_.map(_.mkString(","))).mkString("\n"))
+
+  private[graft] def readBooks(spark: SparkSession, dir: String,
+                               v: Int): Option[graft.functions.PqBooks] = {
+    val p = new Path(versionDir(dir, v), "pqbooks.txt")
+    val f = fs(spark, dir)
+    if (!f.exists(p)) None
+    else {
+      val lines = readSmall(f, p).split("\n")
+      val Array(m, ksub, _) = lines.head.split(" ").map(_.toInt)
+      val flat = lines.tail.map(_.split(",").map(_.toDouble))
+      Some(new graft.functions.PqBooks(
+        Array.tabulate(m, ksub)((s, j) => flat(s * ksub + j))))
+    }
+  }
+
   private[graft] def readCounts(spark: SparkSession, dir: String,
                                 v: Int): Map[Int, Long] = {
     val s = readSmall(fs(spark, dir), new Path(versionDir(dir, v), "counts.txt"))
@@ -136,9 +173,20 @@ object IvfIndex {
     * driver metadata, same class as the centroids. */
   private def writeSegment(df: DataFrame, id: String, vec: String,
                            cents: Array[Array[Double]], cfg: Config,
-                           path: String): Map[Int, Long] = {
-    val assigned = Similarity.assignLists(
+                           path: String,
+                           books: Option[graft.functions.PqBooks]): Map[Int, Long] = {
+    val base = Similarity.assignLists(
       df.select(col(id), col(vec)), id, vec, cfg.dim, cents)
+    // IVF-PQ: codes + stored exact norm ride IN the segment parquet —
+    // columnar pruning means vector-reading consumers pay nothing for
+    // them, and the ADC probe pass reads ONLY these narrow columns
+    val assigned = books match {
+      case Some(b) =>
+        val bc = Pq.booksBroadcast(b)
+        base.withColumn("codes", Pq.encodeF(col(vec), bc))
+          .withColumn("pnorm", normF(col(vec)))
+      case None => base
+    }
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
     // read back with the EXPLICIT schema: an empty batch writes no data
     // files and schema inference would throw, but an ingest loop must
@@ -148,15 +196,20 @@ object IvfIndex {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
   }
 
-  /** Train centroids over `corpus` and commit v1 (one segment). */
+  /** Train centroids (and PQ codebooks, if configured) over `corpus`
+    * and commit v1 (one segment). */
   def build(spark: SparkSession, corpus: DataFrame, id: String, vec: String,
             dir: String, cfg: Config): Unit = {
     val cents = Similarity.trainCentroids(corpus, id, vec, cfg.dim,
       cfg.nList, cfg.iters)
     require(cents.nonEmpty, "IvfIndex.build needs a non-empty corpus")
+    val books = cfg.pq.map(p =>
+      Pq.trainBooks(corpus, id, vec, cfg.dim, p.m, p.ksub, cfg.iters))
     val seg = "s00001"
-    val counts = writeSegment(corpus, id, vec, cents, cfg, segPath(dir, seg))
+    val counts = writeSegment(corpus, id, vec, cents, cfg, segPath(dir, seg),
+      books)
     writeManifest(spark, dir, 1, cents, Seq(seg), counts)
+    books.foreach(writeBooks(spark, dir, 1, _))
     commitLatest(spark, dir, 1, FormatVersion)
   }
 
@@ -172,13 +225,21 @@ object IvfIndex {
     val cents = readCentroids(spark, dir, v)
     require(cents.headOption.exists(_.length == cfg.dim),
       s"index at $dir has dim ${cents.headOption.map(_.length)}, cfg has ${cfg.dim}")
+    // the PQ layer is part of the index identity, fixed at build time:
+    // appending with a mismatched cfg would write segments the probe
+    // path can't read uniformly
+    val books = readBooks(spark, dir, v)
+    require(books.isDefined == cfg.pq.isDefined,
+      s"index at $dir ${if (books.isDefined) "has" else "lacks"} a PQ " +
+        s"layer but cfg.pq is ${cfg.pq}")
     val segs = readSegments(spark, dir, v)
     val prev = readCounts(spark, dir, v)
     // segment name derived from the version it belongs to: a retry of
     // a crashed append overwrites its own orphan, never a committed
     // segment
     val segName = f"s${v + 1}%05d"
-    val bCounts = writeSegment(batch, id, vec, cents, cfg, segPath(dir, segName))
+    val bCounts = writeSegment(batch, id, vec, cents, cfg, segPath(dir, segName),
+      books)
     // an empty batch leaves no segment behind: the manifest must not
     // reference a data-less directory (readers infer schemas from it)
     val newSegs = if (bCounts.isEmpty) segs else segs :+ segName
@@ -198,9 +259,17 @@ object IvfIndex {
         .select(col(id), col(vec))
       val cents2 = Similarity.trainCentroids(all, id, vec, cfg.dim,
         cfg.nList, cfg.iters)
+      // the one path that rewrites EVERY row also retrains the PQ
+      // codebooks — quantization error tracks the drifted distribution
+      // at no extra write cost (frozen everywhere else: kept segments
+      // must stay decodable with the manifest's books)
+      val books2 = cfg.pq.map(p =>
+        Pq.trainBooks(all, id, vec, cfg.dim, p.m, p.ksub, cfg.iters))
       val comp = f"r${v + 1}%05d"
-      val counts2 = writeSegment(all, id, vec, cents2, cfg, segPath(dir, comp))
+      val counts2 = writeSegment(all, id, vec, cents2, cfg, segPath(dir, comp),
+        books2)
       writeManifest(spark, dir, v + 1, cents2, Seq(comp), counts2)
+      books2.foreach(writeBooks(spark, dir, v + 1, _))
     } else if (newSegs.length > cfg.maxSegments) {
       // SIZE-triggered compaction: a balanced workload never trips the
       // drift guard, so without this cap N appends = N segments = N
@@ -232,9 +301,13 @@ object IvfIndex {
         .reduce(_.unionByName(_))
         .write.mode("overwrite").partitionBy("list_id")
         .parquet(segPath(dir, comp))
+      // rows carry their codes through the union untouched — frozen
+      // books stay valid, so the merge never re-encodes
       writeManifest(spark, dir, v + 1, cents, kept :+ comp, merged)
+      books.foreach(writeBooks(spark, dir, v + 1, _))
     } else {
       writeManifest(spark, dir, v + 1, cents, newSegs, merged)
+      books.foreach(writeBooks(spark, dir, v + 1, _))
     }
     commitLatest(spark, dir, v + 1, FormatVersion)
     v + 1
@@ -255,8 +328,10 @@ object IvfIndex {
 
   /** ANN top-k against the latest committed version. */
   def topK(spark: SparkSession, dir: String, queries: DataFrame,
-           id: String, vec: String, k: Int, nProbe: Int = 4): DataFrame =
-    topKAt(spark, dir, latestVersion(spark, dir), queries, id, vec, k, nProbe)
+           id: String, vec: String, k: Int, nProbe: Int = 4,
+           refine: Int = 8, usePq: Boolean = true): DataFrame =
+    topKAt(spark, dir, latestVersion(spark, dir), queries, id, vec, k, nProbe,
+      refine, usePq)
 
   /**
    * ANN top-k pinned to a committed version — the replay primitive.
@@ -269,7 +344,8 @@ object IvfIndex {
    */
   def topKAt(spark: SparkSession, dir: String, version: Int,
              queries: DataFrame, id: String, vec: String, k: Int,
-             nProbe: Int = 4): DataFrame = {
+             nProbe: Int = 4, refine: Int = 8,
+             usePq: Boolean = true): DataFrame = {
     requireLiveVersion(spark, dir, version)
     val cents = readCentroids(spark, dir, version)
     // Queries are small by contract (every formulation broadcasts
@@ -289,7 +365,10 @@ object IvfIndex {
       org.apache.spark.sql.types.StructField("list_id",
         org.apache.spark.sql.types.IntegerType, nullable = false)))
     val exploded = new java.util.ArrayList[org.apache.spark.sql.Row]()
-    qRows.foreach { r =>
+    // (query_id, qidx, list_id) twin of `exploded` for the PQ path —
+    // qidx indexes the per-query ADC lookup table
+    val explodedIdx = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    qRows.zipWithIndex.foreach { case (r, qi) =>
       // this driver probe accepts any boxed numeric element; the
       // Catalyst scoring kernel (FloatVecBestLists) is ARRAY<FLOAT>
       // only. Both demand full-dim, null/NaN-free vectors — enforced
@@ -320,24 +399,102 @@ object IvfIndex {
       }.sortBy { case (s, ci) => (-s, ci) }.take(nProbe)
       probes.foreach { case (_, ci) =>
         exploded.add(org.apache.spark.sql.Row(r.get(0), r.get(1), ci))
+        explodedIdx.add(org.apache.spark.sql.Row(r.get(0), qi, ci))
       }
     }
     val q = spark.createDataFrame(exploded, qSchema)
     val probedLists = exploded.iterator().asScala.map(_.getInt(2)).toSeq.distinct
-    val c = readSegments(spark, dir, version)
+    val segsV = readSegments(spark, dir, version)
+    def scan(cols: Seq[String]): DataFrame = segsV
       .map(s => spark.read.parquet(segPath(dir, s))
         .filter(col("list_id").isin(probedLists: _*))
-        .select(col(id).as("neighbor_id"), col(vec).as("cv"), col("list_id")))
+        .select(cols.map(col): _*))
       .reduce(_.unionByName(_))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    c.join(broadcast(q), Seq("list_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos",
-        dotF(col("qv"), col("cv")) / (normF(col("qv")) * normF(col("cv"))))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
+
+    val booksOpt = if (usePq) readBooks(spark, dir, version) else None
+    booksOpt match {
+      case Some(books) =>
+        // IVF-PQ probe. Stage 1 (ADC): the pruned-partition read is
+        // ONLY (id, codes, pnorm) — columnar pruning keeps the vector
+        // column on disk — and scoring is m table adds per pair
+        // against per-query LUTs (driver metadata, one content-keyed
+        // broadcast). Stage 2 (re-rank): the ADC top k·refine per
+        // query — ≤ queries·k·refine rows, bounded by the same
+        // small-query contract as `exploded` — re-read with their ids
+        // pushed into the parquet scan and re-score with EXACT cosine,
+        // so emitted values are identical in kind to the exact path.
+        val luts = qRows.map { r =>
+          Pq.lutFor(r.getSeq[Number](1).map(_.doubleValue).toArray, books)
+        }
+        val lutsBc = Pq.lutsBroadcast(spark,
+          new graft.functions.PqLuts(luts, books.ksub))
+        val qiSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id",
+            queries.schema(id).dataType),
+          org.apache.spark.sql.types.StructField("qidx",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("list_id",
+            org.apache.spark.sql.types.IntegerType, nullable = false)))
+        val q2 = spark.createDataFrame(explodedIdx, qiSchema)
+        val wAdc = Window.partitionBy(col("query_id"))
+          .orderBy(col("adc").desc, col("neighbor_id"))
+        val cand = scan(Seq(id, "codes", "pnorm", "list_id"))
+          .toDF("neighbor_id", "codes", "pnorm", "list_id")
+          .join(broadcast(q2), Seq("list_id"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("adc",
+            when(col("pnorm") === 0.0, lit(Double.NegativeInfinity))
+              .otherwise(Pq.adcDotF(col("codes"), col("qidx"), lutsBc)
+                / col("pnorm")))
+          .withColumn("r", row_number().over(wAdc))
+          .filter(col("r") <= k * refine)
+          .select(col("query_id"), col("neighbor_id"))
+        val candRows = cand.collect() // ≤ queries·k·refine — bounded
+        val candIds = candRows.map(_.get(1)).distinct.toSeq
+        val candDf = broadcast(spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            candRows.toSeq.asJava),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("query_id",
+              queries.schema(id).dataType),
+            org.apache.spark.sql.types.StructField("neighbor_id",
+              queries.schema(id).dataType)))))
+        val qv = broadcast(spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            qRows.map(r => org.apache.spark.sql.Row(r.get(0), r.get(1)))
+              .toSeq.asJava),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("query_id",
+              queries.schema(id).dataType),
+            org.apache.spark.sql.types.StructField("qv",
+              queries.schema(vec).dataType)))))
+        // candidate ids pushed into the vector read (dict/row-group
+        // skipping); above the pushdown-friendly size, fall back to
+        // the broadcast-hash join alone (same result, no isin tree)
+        val cvBase = scan(Seq(id, vec, "list_id"))
+          .toDF("neighbor_id", "cv", "list_id")
+        val cv = if (candIds.size <= 10000)
+          cvBase.filter(col("neighbor_id").isin(candIds: _*)) else cvBase
+        cv.join(candDf, Seq("neighbor_id"))
+          .join(qv, Seq("query_id"))
+          .withColumn("cos",
+            dotF(col("qv"), col("cv")) / (normF(col("qv")) * normF(col("cv"))))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= k)
+          .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
+      case None =>
+        scan(Seq(id, vec, "list_id"))
+          .toDF("neighbor_id", "cv", "list_id")
+          .join(broadcast(q), Seq("list_id"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("cos",
+            dotF(col("qv"), col("cv")) / (normF(col("qv")) * normF(col("cv"))))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= k)
+          .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
+    }
   }
 
   /** Drop versions older than the last `retainLast` and every segment

@@ -252,6 +252,31 @@ object PipelineOps {
         .orderBy("query_id", "rnk")
     },
 
+    // IVF-PQ persisted index: same incremental build/append shape,
+    // but the PQ layer makes steady-state probes read m-byte codes +
+    // stored norm from the pruned partitions instead of full vectors
+    // (32x narrower at dim 64), with an exact re-rank of the ADC top
+    // k·refine whose candidate ids are pushed into the vector scan.
+    // Rows-only like the other ANN queries; recall, exact-cosine and
+    // frozen-books assertions in IvfIndexSpec.
+    "sim_topk_ivfpq_idx" -> { (spark, dir) =>
+      val emb = Tables.load(spark, dir, "embeddings")
+      val cfg = IvfIndex.Config(dim = EmbDim, nList = 16, iters = 2,
+        pq = Some(IvfIndex.PqConfig()))
+      val idxDir = ivfIndexes.computeIfAbsent(dir + "#pq", _ => {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft_ivfpq_idx").toString + "/idx"
+        IvfIndex.build(spark, emb.filter(col("vec_id") % 5 =!= 0),
+          "vec_id", "embedding", d, cfg)
+        IvfIndex.append(spark, d, emb.filter(col("vec_id") % 5 === 0),
+          "vec_id", "embedding", cfg)
+        d
+      })
+      IvfIndex.topK(spark, idxDir, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rnk")
+    },
+
     // PII scrubbing: emails + long digit runs redacted. The synthetic
     // corpus contains no PII, so the query PLANTS deterministic PII
     // (derived from doc_id) into each document and verifies redaction

@@ -316,6 +316,96 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ: codes ride segments; probes recall >= 0.6 with EXACT cosines; books frozen across append; exact path intact") {
+    val dir = tmp("ivf_pq")
+    val cfgPq = cfg.copy(pq = Some(IvfIndex.PqConfig()))
+    val b0 = emb.filter(col("vec_id") % 5 =!= 0)
+    val b1 = emb.filter(col("vec_id") % 5 === 0)
+    IvfIndex.build(spark, b0, "vec_id", "embedding", dir, cfgPq)
+    IvfIndex.append(spark, dir, b1, "vec_id", "embedding", cfgPq)
+
+    // segments carry the PQ columns; codes are m bytes; pnorm is the
+    // EXACT vector norm (same arithmetic as FloatVecDot)
+    val m = cfgPq.pq.get.m
+    Seq("s00001", "s00002").foreach { s =>
+      val seg = spark.read.parquet(s"$dir/segments/$s")
+      assert(seg.columns.toSet == Set("vec_id", "embedding", "codes", "pnorm", "list_id"))
+      val rows = seg.limit(20).collect()
+      assert(rows.forall(_.getAs[Array[Byte]]("codes").length == m))
+      rows.foreach { r =>
+        val v = r.getSeq[Float](r.fieldIndex("embedding"))
+        var d = 0.0; var i = 0
+        while (i < v.length) { d += v(i).toDouble * v(i).toDouble; i += 1 }
+        assert(r.getAs[Double]("pnorm") == math.sqrt(d), "pnorm not exact")
+      }
+    }
+
+    // books frozen across a balanced append (copied forward per version)
+    val bk1 = IvfIndex.readBooks(spark, dir, 1).get
+    val bk2 = IvfIndex.readBooks(spark, dir, 2).get
+    assert(bk1.books.map(_.map(_.toSeq).toSeq).toSeq ==
+      bk2.books.map(_.map(_.toSeq).toSeq).toSeq)
+
+    // the exact path (usePq=false) on the SAME index equals a plain
+    // index built from the same data — the PQ columns cost vector
+    // readers nothing
+    val q = emb.filter(col("vec_id") < 10)
+    val exactOnPq = IvfIndex.topK(spark, dir, q, "vec_id", "embedding", 5,
+      usePq = false)
+    val plainDir = tmp("ivf_pq_plain")
+    IvfIndex.build(spark, b0, "vec_id", "embedding", plainDir, cfg)
+    IvfIndex.append(spark, plainDir, b1, "vec_id", "embedding", cfg)
+    val plain = IvfIndex.topK(spark, plainDir, q, "vec_id", "embedding", 5)
+    assert(topKSet(exactOnPq) == topKSet(plain))
+
+    // ADC probe: <= k per query, recall >= 0.6 vs the exact index
+    // probe (same probed lists — ADC only narrows WITHIN them), and
+    // emitted cosines bit-exact vs a driver recompute
+    val pq = IvfIndex.topK(spark, dir, q, "vec_id", "embedding", 5)
+    val pqRows = pq.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(pqRows.map(t => (t._1, t._2)).distinct.length == pqRows.length)
+    assert(pqRows.groupBy(_._1).values.forall(_.size <= 5))
+    val exactSet = topKSet(exactOnPq).map(t => (t._1, t._3))
+    val recall = (exactSet & pqRows.map(t => (t._1, t._2)).toSet).size.toDouble /
+      exactSet.size
+    assert(recall >= 0.6, s"IVF-PQ recall $recall vs exact index probe too low")
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        s += a(i).toDouble * b(i).toDouble; i += 1
+      }
+      s
+    }
+    pqRows.foreach { case (qid, nid, cos) =>
+      val expect = dot(vecs(qid), vecs(nid)) /
+        (math.sqrt(dot(vecs(qid), vecs(qid))) * math.sqrt(dot(vecs(nid), vecs(nid))))
+      assert(cos == expect, s"cos not exact for ($qid,$nid)")
+    }
+
+    // the re-rank reads vectors with the candidate ids PUSHED into the
+    // scan (dict/row-group skipping at scale)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case r: ReusedExchangeExec => scans(r.child)
+    }.flatten
+    val rerank = IvfIndex.topK(spark, dir, q, "vec_id", "embedding", 5)
+    rerank.collect()
+    val segScans = scans(rerank.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("/segments/")))
+    assert(segScans.nonEmpty)
+    assert(segScans.forall(_.dataFilters.exists(
+      _.references.exists(_.name == "vec_id"))),
+      s"re-rank scans must push candidate vec_ids: $segScans")
+  }
+
   test("gc: old versions and unreferenced segments reaped; retained versions replayable") {
     val dir = tmp("ivf_gc")
     val tight = cfg.copy(maxImbalance = 1.5)

@@ -8,6 +8,10 @@ import org.apache.spark.sql.SparkSession
   *  - sim_topk_bruteforce, mm_embed_topk: the deliberate exact
   *    baselines (broadcast queries × streamed corpus; candidates are
   *    by definition all pairs)
+  *  - sim_topk_pq: the ADC pass scores broadcast queries × the
+  *    streamed CODE stream (m bytes/row, not vectors) — the all-pairs
+  *    shape is the point, 32× narrower than brute force; the re-rank
+  *    is a broadcast-hash candidate join
   *  - q22_idle_customers, q11_important_parts: Spark's scalar-subquery
   *    plan — a ONE-ROW broadcast side crossed with the fact table
   *  - q_heavy_hitters: the explicit ONE-ROW total-count broadcast

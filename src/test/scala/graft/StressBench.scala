@@ -147,6 +147,40 @@ object StressBench {
       IvfIndex.readSegments(spark, ivfDir, ivfLatest).length.toLong
     health("ivf_segment_dirs_on_disk") = countDirs(s"$ivfDir/segments")
     health("ivf_versions_on_disk") = countDirs(ivfDir) - 1
+
+    // --- IVF-PQ twin: same data, same append/gc/compaction loop, but
+    // segments carry PQ codes and steady-state probes ADC-score the
+    // (id, codes, pnorm) stream instead of reading vectors — the
+    // persisted-index IO shape that matters at 100 TB. Health pins
+    // probe recall vs the exact probe over the SAME index, so the
+    // speed/recall trade is measured, not assumed.
+    val pqDir = java.nio.file.Files.createTempDirectory("graft_stress_ivfpq")
+      .toString + "/idx"
+    val pqCfg = ivfCfg.copy(pq = Some(IvfIndex.PqConfig()))
+    time("ivfpq_build")(
+      IvfIndex.build(spark, ivfBase, "vec_id", "embedding", pqDir, pqCfg))
+    (0 until 8).foreach { i =>
+      time(s"ivfpq_append_${i + 1}") {
+        IvfIndex.append(spark, pqDir,
+          emb.filter(col("vec_id") % 20 === i), "vec_id", "embedding", pqCfg)
+        IvfIndex.gc(spark, pqDir, retainLast = 2)
+      }
+    }
+    time("ivfpq_probe") {
+      health("ivfpq_topk_rows") = IvfIndex.topK(spark, pqDir, queries,
+        "vec_id", "embedding", k = 10).count()
+    }
+    val exactPairs = IvfIndex.topK(spark, pqDir, queries,
+      "vec_id", "embedding", k = 10, usePq = false)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pqPairs = IvfIndex.topK(spark, pqDir, queries,
+      "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    health("ivfpq_recall_pct") =
+      if (exactPairs.isEmpty) 100L
+      else 100L * (exactPairs & pqPairs).size / exactPairs.size
+    health("ivfpq_segments_in_manifest") = IvfIndex.readSegments(spark, pqDir,
+      IvfIndex.latestVersion(spark, pqDir)).length.toLong
     emb.unpersist()
 
     val q = times.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(",")
