@@ -49,6 +49,58 @@ object Chunking {
   }
 
   /**
+   * Content-defined chunking + chunk-level dedup stats — the
+   * LBFS/rsync storage-dedup shape at token granularity: a chunk
+   * boundary falls AFTER every token whose md5 bucket ≡ 0 (mod
+   * avgLen), so boundaries depend only on local content — insert a
+   * paragraph and every following chunk of a fixed-size scheme shifts,
+   * but CDC chunks realign immediately (only the edited chunk
+   * changes). That is what makes chunk-hash dedup catch shared
+   * content ACROSS revisions/mirrors where fixed chunking misses it.
+   *
+   * Per doc: chunks = token spans between boundary tokens (average
+   * length avgLen); each distinct chunk's FIRST corpus occurrence (by
+   * (id, chunk_idx) lexicographic min) is the one kept by a
+   * storage-dedup layer. Output: (id, n_chunks, n_first, dup_chars) —
+   * dup_chars = bytes this doc re-states (its non-first chunks).
+   *
+   * Scale shape: chunking is pure array algebra (filter/zip_with/
+   * slice — no window, no per-doc sort, narrow explode); the dedup
+   * pass groups by md5(chunk) digest — uniform keys, one
+   * partial/final Exchange, wordcount-shaped (never the chunk TEXT as
+   * the shuffle key).
+   */
+  def cdcChunks(df: DataFrame, id: String, text: String,
+                avgLen: Int = 8): DataFrame = {
+    val toks = df.select(col(id), TF.tokens(col(text)).as("t"))
+      .filter(size(col("t")) > 0)
+    val bp = filter(sequence(lit(1), size(col("t"))),
+      i => Sampling.hashBucket(element_at(col("t"), i)) % avgLen === 0)
+    val withBp = toks.withColumn("bp", bp)
+    val starts = concat(array(lit(1)), transform(col("bp"), x => x + 1))
+    val ends = concat(col("bp"), array(size(col("t"))))
+    val chunks = filter(
+      zip_with(starts, ends, (s, e) =>
+        when(e >= s,
+          array_join(slice(col("t"), s, e - s + 1), " "))),
+      c => c.isNotNull)
+    val ch = withBp.withColumn("chunks", chunks)
+      .select(col(id), posexplode(col("chunks")).as(Seq("p", "chunk")))
+      .select(col(id), (col("p") + 1).cast("long").as("cid"),
+        md5(col("chunk").cast("binary")).as("digest"),
+        length(col("chunk")).cast("long").as("clen"))
+    val firsts = ch.groupBy(col("digest"))
+      .agg(min(struct(col(id), col("cid"))).as("f"))
+    ch.join(firsts, Seq("digest"))
+      .withColumn("is_first",
+        col("f").getField(id) === col(id) && col("f").getField("cid") === col("cid"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("is_first"), 1L).otherwise(0L)).as("n_first"),
+        sum(when(!col("is_first"), col("clen")).otherwise(0L)).as("dup_chars"))
+  }
+
+  /**
    * Cross-document segment-level dedup (the C4-style "line dedup"
    * pass, with fixed `segLen`-token segments standing in for lines in
    * a corpus without line structure): every distinct segment is kept

@@ -110,6 +110,44 @@ object Dedup {
   }
 
   /**
+   * Exact shingle CONTAINMENT join — the asymmetric sibling of
+   * [[ngramJaccardPairs]]: C(A→B) = |A∩B| / |A|. Jaccard misses the
+   * quote/excerpt/doc-in-doc shape (a 50-shingle doc embedded verbatim
+   * in a 5000-shingle doc has j ≈ 0.01 but containment 1.0); corpus
+   * curation wants exactly these pairs — boilerplate wrappers around a
+   * shared core, chunks re-posted inside aggregator pages.
+   *
+   * Same inverted-index plan as Jaccard (explode → df cap → shingle
+   * self-join → co-occurrence count), so the same scale discipline
+   * holds: never the n² pair space, [[dfCapped]] bounds the
+   * hot-shingle quadratic, partial aggregation on the pair counts. The
+   * only deltas: pairs keep BOTH orientations (a≠b instead of a<b —
+   * containment of a in b and of b in a are different facts), and the
+   * denominator is |A| alone. The threshold compares c/|A| — both
+   * engines divide the same exact integers, one correctly-rounded
+   * double op (the [[ngramJaccardPairs]] precedent).
+   *
+   * Output: (a, b, containment) where containment = |A∩B|/|A| >= minC,
+   * a ≠ b — "a is (at least minC) contained in b".
+   */
+  def containmentPairs(df: DataFrame, id: String, text: String,
+                       k: Int = 3, minC: Double = 0.6,
+                       maxShingleDf: Int = 100): DataFrame = {
+    val raw = shingles(df, id, text, k).persist()
+    val sh = dfCapped(raw, maxShingleDf)
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(id).as("a"), col("shingle"))
+    val b = sh.select(col(id).as("b"), col("shingle"))
+    val co = a.join(b, Seq("shingle")).filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    co.join(sizes.withColumnRenamed(id, "a").withColumnRenamed("sz", "sa"), "a")
+      .withColumn("containment",
+        col("c").cast("double") / col("sa").cast("double"))
+      .filter(col("containment") >= minC)
+      .select(col("a"), col("b"), col("containment"))
+  }
+
+  /**
    * MinHash signatures: (id, sig ARRAY<LONG>[numPerms]).
    * "Permutation" i = xxhash64 seeded with i (a well-mixed 64-bit hash
    * per permutation — unlike a restricted-domain affine family, which
@@ -387,6 +425,36 @@ object Dedup {
     val p = shingles(probes, id, text, k).select(col("shingle")).distinct()
     c.join(broadcast(p), Seq("shingle"))
       .groupBy(col(id)).agg(count(lit(1)).as("n_shared"))
+  }
+
+  /**
+   * [[contaminated]] with a Bloom pre-filter in front of the verify
+   * join — the form that holds up when the probe/eval suite is too big
+   * to broadcast as raw shingle STRINGS (a modern eval stack is
+   * hundreds of benchmarks; k-token shingle text can run to GBs where
+   * the Bloom over the same set is a few MB at fpp=0.01). The sketch
+   * is built over `xxhash64(shingle)` (a treeAggregate — never a
+   * driver-side collect of the shingle set), planted as a codegen'd
+   * `might_contain` ON THE SCAN SIDE of the corpus explode, so
+   * non-matching shingles — the overwhelming majority — die before
+   * any join machinery. Exactness contract (the [[BloomJoin]]
+   * discipline): Bloom + hash collisions only OVER-keep; the exact
+   * string-equality verify join removes every over-kept row, so output
+   * == [[contaminated]] row for row (same oracle).
+   */
+  def contaminatedBloom(corpus: DataFrame, probes: DataFrame,
+                        id: String, text: String, k: Int = 8,
+                        fpp: Double = 0.01): DataFrame = {
+    val c = shingles(corpus, id, text, k)
+    val p = shingles(probes, id, text, k).select(col("shingle")).distinct()
+      .persist()
+    val expected = math.max(p.count(), 1L)
+    val filt = BloomJoin.buildFilter(
+      p.select(xxhash64(col("shingle")).as("h")), "h", expected, fpp)
+    val pre = c.filter(BloomJoin.mightContain(filt, xxhash64(col("shingle"))))
+    val out = pre.join(broadcast(p), Seq("shingle"))
+      .groupBy(col(id)).agg(count(lit(1)).as("n_shared"))
+    out
   }
 
   /**

@@ -379,6 +379,119 @@ object Similarity {
     transform(q, x => (x.cast("double") * scale).cast("float"))
 
   /**
+   * kNN classification over the embedding space — majority label among
+   * the k exact-cosine nearest neighbors (tie → smaller label id): the
+   * pseudo-labeling / weak-supervision step (label new docs from a
+   * labeled seed set before training a real classifier). Deterministic
+   * end to end — the neighbor sets are the oracled [[bruteForceTopK]]
+   * ranking, votes are integers — so the PREDICTIONS carry a full
+   * oracle. Swap the first stage for [[ivfTopK]]/PQ for the
+   * approximate scale path; the vote logic is stage-agnostic.
+   *
+   * Scale shape: top-k emits queries×k rows (tiny); the label join
+   * broadcasts that against the corpus, votes aggregate ≤ k rows per
+   * query. Cost is entirely the neighbor stage.
+   */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, id: String,
+                  vec: String, label: String, dim: Int,
+                  k: Int = 10): DataFrame = {
+    val topk = bruteForceTopK(corpus, queries, id, vec, dim, k)
+    val votes = topk
+      .join(corpus.select(col(id).as("neighbor_id"), col(label)),
+        Seq("neighbor_id"))
+      .groupBy(col("query_id"), col(label))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col(label))
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id"), col(label).as("pred_label"), col("votes"))
+  }
+
+  /**
+   * Cosine of every vector to its group's centroid — embedding-space
+   * OUTLIER SCORING (prune far-from-centroid docs per source/label,
+   * the curation step behind CLIP-score-style filtering). Exact and
+   * fully oracle-able because every input to the final float ops is an
+   * integer: vectors are int8-quantized, the centroid is the per-dim
+   * INTEGER mean (floor of an IEEE double division — a definition both
+   * engines execute bit-identically), and dot/norms are then small
+   * exact integers. Bounds hold at ANY corpus size: centroid codes
+   * stay in [-128, 127] after the mean, so dot ≤ 64·127·128 — no
+   * overflow for the 100 TB case where raw per-dim SUMS would blow
+   * past int64 squared.
+   *
+   * Plan shape: ONE partial/final aggregate (dim sum columns + count
+   * per label — no explode, no per-dim shuffle rows), broadcast of the
+   * tiny centroid table back, then a per-row map. Scan-speed at scale.
+   *
+   * Output: (id, label, cos_centroid DOUBLE); degenerate zero-norm
+   * rows/centroids score 0.0.
+   */
+  def centroidCos(df: DataFrame, id: String, vec: String, label: String,
+                  dim: Int): DataFrame = {
+    val q = df.select(col(id), col(label),
+      int8Quantize(col(vec)).getField("q").as("qv"))
+    val sums = (1 to dim).map(i =>
+      sum(element_at(col("qv"), i).cast("long")).as(s"s$i")) :+
+      count(lit(1)).as("n")
+    val cent = q.groupBy(col(label)).agg(sums.head, sums.tail: _*)
+      .select(col(label), array((1 to dim).map(i =>
+        floor(col(s"s$i").cast("double") / col("n")).cast("long")): _*).as("cl"))
+    val dotQC = aggregate(zip_with(col("qv"), col("cl"),
+      (a, b) => a.cast("long") * b), lit(0L), (acc, v) => acc + v)
+    val qq = aggregate(transform(col("qv"),
+      x => x.cast("long") * x.cast("long")), lit(0L), (acc, v) => acc + v)
+    val cc = aggregate(transform(col("cl"), x => x * x), lit(0L),
+      (acc, v) => acc + v)
+    q.join(broadcast(cent), Seq(label))
+      .select(col(id), col(label),
+        when(qq > 0 && cc > 0,
+          dotQC.cast("double") /
+            (sqrt(qq.cast("double")) * sqrt(cc.cast("double"))))
+          .otherwise(lit(0.0)).as("cos_centroid"))
+  }
+
+  /** ±1 projection-matrix entry, derived from the cross-engine md5
+    * bucket (same contract as `Sampling.hashBucket`: first 8 hex chars
+    * of md5("i_j"), parsed, low bit). Pure function of (i, j) — both
+    * engines regenerate the matrix from nothing. */
+  private[graft] def projSign(i: Int, j: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${i}_$j".getBytes("UTF-8"))
+    val hex = d.take(4).map(b => f"$b%02x").mkString // first 8 hex chars
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
+  }
+
+  /**
+   * Sparse random projection (Achlioptas-style ±1 matrix) over the
+   * int8-QUANTIZED embedding — dimensionality reduction for the
+   * downstream LSH/clustering stages, in pure integer arithmetic so
+   * the projected vectors are cross-engine EXACT (a float projection
+   * could only ever be rows-only: summation order moves ulps).
+   * proj_j = Σ_i q_i · s(i,j), with q = [[int8Quantize]] codes and
+   * s the md5-derived ±1 matrix ([[projSign]]) — the JL guarantee
+   * needs only ±1 sub-Gaussian entries (Achlioptas '03), no floats.
+   *
+   * Scale shape: a pure per-row map — zero shuffle, zero state; the
+   * sign matrix enters the plan as dOut literal arrays of size dim
+   * (~1k ints total), each output dim one zip_with + aggregate HOF.
+   * At 100 TB this runs scan-speed and cuts every downstream
+   * vector-shuffle byte count by dim/dOut.
+   *
+   * Output columns: id, p00..p{dOut-1} (flat — oracle-friendly).
+   */
+  def randomProject(df: DataFrame, id: String, vec: String,
+                    dim: Int, dOut: Int = 16): DataFrame = {
+    val q = int8Quantize(col(vec)).getField("q")
+    val projCols = (0 until dOut).map { j =>
+      val signs = array((0 until dim).map(i => lit(projSign(i, j))): _*)
+      aggregate(zip_with(q, signs, (x, s) => x * s), lit(0L),
+        (acc, v) => acc + v.cast("long")).as(f"p$j%02d")
+    }
+    df.select((col(id) +: projCols): _*)
+  }
+
+  /**
    * Banded-LSH near-duplicate pairs — the sub-quadratic scale path for
    * SEPARATED thresholds (near-dups at cos ≥ ~0.7 over a random
    * background): hyperplane band buckets generate candidates, exact

@@ -92,6 +92,16 @@ object CorpusOps {
         .orderBy("doc_id")
     },
 
+    // Content-defined chunking (LBFS/rsync shape at token granularity)
+    // + chunk-hash dedup stats: boundaries after md5-bucket≡0 tokens,
+    // first corpus occurrence per distinct chunk, per-doc re-stated
+    // bytes.
+    "text_cdc_chunks" -> { (spark, dir) =>
+      Chunking.cdcChunks(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", avgLen = 8)
+        .orderBy("doc_id")
+    },
+
     // Exact duplicate-span removal (ExactSubstr / Lee et al. shape):
     // 8-token sliding windows duplicated corpus-wide are cut at every
     // occurrence but the first; docs reassembled from surviving tokens.
@@ -263,6 +273,71 @@ object CorpusOps {
          |  CAST(sum(tf * u) AS BIGINT) AS surprisal_sum,
          |  CAST(max(u) AS BIGINT) AS surprisal_max
          |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_cdc_chunks" ->
+      s"""WITH t0 AS (SELECT doc_id, $toks AS t FROM documents),
+         |t AS (SELECT doc_id, t FROM t0 WHERE len(t) > 0),
+         |b AS (SELECT doc_id, t,
+         |  list_filter(range(1, len(t)+1),
+         |    i -> ('0x' || substr(md5(t[i]),1,8))::BIGINT % 8 = 0) AS bp
+         |  FROM t),
+         |c0 AS (SELECT doc_id,
+         |  list_filter(list_transform(range(len(bp)+1), j ->
+         |    CASE WHEN (CASE WHEN j = len(bp) THEN len(t) ELSE bp[j+1] END)
+         |           >= (CASE WHEN j = 0 THEN 1 ELSE bp[j]+1 END)
+         |      THEN array_to_string(list_slice(t,
+         |        CASE WHEN j = 0 THEN 1 ELSE bp[j]+1 END,
+         |        CASE WHEN j = len(bp) THEN len(t) ELSE bp[j+1] END), ' ')
+         |      ELSE NULL END), x -> x IS NOT NULL) AS chunks
+         |  FROM b),
+         |ch AS (SELECT doc_id,
+         |  CAST(unnest(range(1, len(chunks)+1)) AS BIGINT) AS cid,
+         |  unnest(chunks) AS chunk FROM c0),
+         |ch2 AS (SELECT doc_id, cid, md5(chunk) AS digest,
+         |  CAST(len(chunk) AS BIGINT) AS clen FROM ch),
+         |f1 AS (SELECT digest, min(doc_id) AS fd FROM ch2 GROUP BY 1),
+         |f2 AS (SELECT ch2.digest AS digest, fd, min(cid) AS fc
+         |  FROM ch2 JOIN f1 ON ch2.digest = f1.digest AND ch2.doc_id = f1.fd
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN doc_id = fd AND cid = fc THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_first,
+         |  CAST(sum(CASE WHEN doc_id = fd AND cid = fc THEN 0 ELSE clen END)
+         |       AS BIGINT) AS dup_chars
+         |FROM ch2 JOIN f2 USING (digest)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Replays the full bigram-surprisal pipeline, then per-language
+    // tercile cutoffs via quantile_cont — the same continuous-quantile
+    // definition Spark's `percentile` uses (q_quantile_bins precedent:
+    // bucket membership compares an INTEGER score against the cutoff,
+    // oracle-exact at both SFs).
+    "q_ppl_buckets" ->
+      s"""WITH t0 AS (SELECT doc_id, $toks AS toks FROM documents),
+         |bg0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |          i -> toks[i] || ' ' || toks[i+1])) AS bg
+         |        FROM t0 WHERE len(toks) >= 2),
+         |tf AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS tf
+         |       FROM bg0 GROUP BY 1, 2),
+         |bgc AS (SELECT bg, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+         |ctx AS (SELECT split_part(bg, ' ', 1) AS w1,
+         |        CAST(sum(c) AS BIGINT) AS cc FROM bgc GROUP BY 1),
+         |u AS (SELECT doc_id, tf,
+         |      CAST(len(bin(cc // c)) - 1 AS BIGINT) AS u
+         |      FROM tf JOIN bgc USING (bg)
+         |      JOIN ctx ON split_part(bg, ' ', 1) = ctx.w1),
+         |s AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |      CAST(sum(tf * u) AS BIGINT) AS surprisal_sum
+         |      FROM u GROUP BY doc_id),
+         |scored AS (SELECT s.doc_id, d.lang,
+         |      CAST((surprisal_sum * 1000) // n_bigrams AS BIGINT) AS ppl_q
+         |      FROM s JOIN documents d USING (doc_id)),
+         |cuts AS (SELECT lang, quantile_cont(ppl_q, [1.0/3, 2.0/3]) AS thr
+         |         FROM scored GROUP BY lang)
+         |SELECT doc_id, lang, ppl_q,
+         |  (['head','middle','tail'])[
+         |    len(list_filter(thr, x -> CAST(ppl_q AS DOUBLE) > x)) + 1] AS bucket
+         |FROM scored JOIN cuts USING (lang) ORDER BY doc_id""".stripMargin,
 
     "text_dup_spans" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),

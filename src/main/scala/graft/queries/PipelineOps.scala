@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{Multimodal, TextFunctions => TF}
-import graft.operators.{Dedup, IvfIndex, MinhashIndex, Packing, Pq, Quality, Retrieval, Sampling, Similarity, Terms}
+import graft.operators.{Dedup, Graph, IvfIndex, MinhashIndex, Packing, Pq, Quality, Retrieval, Sampling, Similarity, Terms}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -118,6 +118,15 @@ object PipelineOps {
         .orderBy("a", "b")
     },
 
+    // Asymmetric containment pairs (doc-in-doc / excerpt detection):
+    // C(A→B) = |A∩B|/|A| over the same capped trigram shingles. Exact
+    // inverted-index join, both orientations kept.
+    "dedup_containment" -> { (spark, dir) =>
+      Dedup.containmentPairs(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", k = 3, minC = 0.6, maxShingleDf = 100)
+        .orderBy("a", "b")
+    },
+
     // MinHash+LSH with exact verification; deterministic. Oracle = the
     // exact-Jaccard pair set (LSH recall at these parameters is 1.0 on
     // this corpus — validated empirically; misses would show instantly
@@ -150,6 +159,25 @@ object PipelineOps {
       Dedup.connectedComponents(pairs).orderBy("doc_id")
     },
 
+    // Triangle enumeration over the dup graph — clique-vs-hub cluster
+    // structure. Degree-oriented wedge join; output = id-sorted
+    // triples, exactly what the id-ordered oracle recomputes.
+    "q_graph_triangles" -> { (spark, dir) =>
+      val pairs = Dedup.ngramJaccardPairs(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", k = 3, minJ = 0.3, maxShingleDf = 100)
+      Graph.triangles(pairs).orderBy("ta", "tb", "tc")
+    },
+
+    // Integer-quantized fixed-iteration PageRank over the dup graph —
+    // duplication-web centrality as a canonical-pick signal. Exact
+    // 64-bit arithmetic (floor divisions), so the ranks carry a full
+    // oracle — float PageRank never could.
+    "q_pagerank" -> { (spark, dir) =>
+      val pairs = Dedup.ngramJaccardPairs(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", k = 3, minJ = 0.3, maxShingleDf = 100)
+      Graph.pageRankInt(pairs, iters = 3).orderBy("doc_id")
+    },
+
     // Exact threshold pair join via balanced block-pair partitioning —
     // equi-join plan, no BNLJ (asserted in PlanSpec). At this corpus's
     // threshold (0.4, with dense background just below) exact output is
@@ -177,6 +205,16 @@ object PipelineOps {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", EmbDim, k = 5)
         .orderBy("query_id", "rnk")
+    },
+
+    // kNN pseudo-labeling: majority label among the 10 exact nearest
+    // neighbors (tie → smaller label). Neighbor sets = the oracled
+    // brute-force ranking, votes are integers → predictions oracled.
+    "q_knn_classify" -> { (spark, dir) =>
+      val emb = Tables.load(spark, dir, "embeddings")
+      Similarity.knnClassify(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "label", EmbDim, k = 10)
+        .orderBy("query_id")
     },
 
     // Hybrid retrieval: BM25 (bigram terms) + dense cosine fused by
@@ -428,6 +466,25 @@ object PipelineOps {
         .orderBy("vec_id")
     },
 
+    // Embedding-space outlier scoring: cosine of each vector to its
+    // label's integer-mean centroid (int8 codes → exact ints into the
+    // final float ops) — the prune-far-from-centroid curation step,
+    // fully oracled.
+    "emb_centroid_outliers" -> { (spark, dir) =>
+      Similarity.centroidCos(Tables.load(spark, dir, "embeddings"),
+        "vec_id", "embedding", "label", EmbDim)
+        .orderBy("vec_id")
+    },
+
+    // Integer random projection (±1 md5-derived matrix over the int8
+    // codes): 64 → 16 dims, cross-engine exact — the JL step that cuts
+    // every downstream vector-shuffle byte count 4×.
+    "emb_project" -> { (spark, dir) =>
+      Similarity.randomProject(Tables.load(spark, dir, "embeddings"),
+        "vec_id", "embedding", EmbDim, dOut = 16)
+        .orderBy("vec_id")
+    },
+
     // Incremental dedup: the newest ~10% of documents (by hash bucket —
     // the "today's crawl" batch) deduped against the existing corpus
     // and within itself; old-old pairs are previous ingests' work and
@@ -563,6 +620,20 @@ object PipelineOps {
       val isProbe =
         Sampling.hashBucket(col("doc_id")) < lit(Sampling.cuts(Seq(0.2))(1))
       Dedup.contaminated(d.filter(!isProbe), d.filter(isProbe),
+        "doc_id", "text", k = 5)
+        .withColumn("n_shared", col("n_shared").cast("long"))
+        .orderBy("doc_id")
+    },
+
+    // Bloom-prefiltered decontamination: identical output (and oracle)
+    // to q_decontaminate, with a codegen'd might_contain over
+    // xxhash64(shingle) killing non-candidate corpus shingles at the
+    // scan — the form for probe sets too large to broadcast as text.
+    "q_decontaminate_bloom" -> { (spark, dir) =>
+      val d = Tables.load(spark, dir, "documents")
+      val isProbe =
+        Sampling.hashBucket(col("doc_id")) < lit(Sampling.cuts(Seq(0.2))(1))
+      Dedup.contaminatedBloom(d.filter(!isProbe), d.filter(isProbe),
         "doc_id", "text", k = 5)
         .withColumn("n_shared", col("n_shared").cast("long"))
         .orderBy("doc_id")
@@ -783,6 +854,56 @@ object PipelineOps {
         |  CAST(list_min(qv) AS BIGINT) AS q_min,
         |  CAST(list_max(qv) AS BIGINT) AS q_max
         |FROM t ORDER BY vec_id""".stripMargin,
+    "emb_centroid_outliers" -> {
+      val dim = EmbDim
+      s"""WITH m AS (SELECT vec_id, label, embedding,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+         |  FROM embeddings),
+         |t AS (SELECT vec_id, label,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) /
+         |      (CASE WHEN mx > 0 THEN mx/127.0 ELSE 1.0 END) + 0.5) AS BIGINT)) AS qv
+         |  FROM m),
+         |sums AS (SELECT label, i, CAST(sum(qv[i+1]) AS BIGINT) AS s,
+         |         COUNT(*) AS n
+         |  FROM t, (SELECT unnest(range($dim)) AS i) ix GROUP BY label, i),
+         |cent AS (SELECT label,
+         |    list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS cl
+         |  FROM sums GROUP BY label),
+         |sc AS (SELECT vec_id, t.label AS label,
+         |    CAST(list_sum(list_transform(range($dim),
+         |      i -> qv[i+1] * cl[i+1])) AS BIGINT) AS dot,
+         |    CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS qq,
+         |    CAST(list_sum(list_transform(cl, x -> x*x)) AS BIGINT) AS cc
+         |  FROM t JOIN cent ON t.label = cent.label)
+         |SELECT vec_id, label,
+         |  CASE WHEN qq > 0 AND cc > 0
+         |    THEN CAST(dot AS DOUBLE) /
+         |         (sqrt(CAST(qq AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE)))
+         |    ELSE 0.0 END AS cos_centroid
+         |FROM sc ORDER BY vec_id""".stripMargin
+    },
+
+    "emb_project" -> {
+      val dim = EmbDim
+      val colSql = (0 until 16).map { j =>
+        s"""  CAST(list_sum(list_transform(range($dim), i ->
+           |    qv[i+1] * (CASE WHEN ('0x' || substr(md5(
+           |      CAST(i AS VARCHAR) || '_$j'),1,8))::BIGINT % 2 = 0
+           |      THEN 1 ELSE -1 END))) AS BIGINT) AS ${f"p$j%02d"}"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH m AS (SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+         |  FROM embeddings),
+         |t AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) /
+         |      (CASE WHEN mx > 0 THEN mx/127.0 ELSE 1.0 END) + 0.5) AS BIGINT)) AS qv
+         |  FROM m)
+         |SELECT vec_id,
+         |$colSql
+         |FROM t ORDER BY vec_id""".stripMargin
+    },
+
     "q_hash_split" -> {
       val cs = Sampling.cuts(Seq(0.8, 0.1, 0.1))
       s"""SELECT doc_id,
@@ -822,6 +943,28 @@ object PipelineOps {
       """SELECT md5(text) AS digest, min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardOracle(0.5),
+
+    "dedup_containment" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text,'\\s+'), x -> len(x)>0) AS t
+         |  FROM documents),
+         |shd AS (
+         |  SELECT DISTINCT doc_id, s FROM toks,
+         |  LATERAL (SELECT unnest(list_transform(range(1, len(t)-1),
+         |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s)
+         |  WHERE len(t) >= 3),
+         |sh AS (SELECT * FROM shd WHERE s IN (
+         |  SELECT s FROM shd GROUP BY s HAVING count(*) <= 100)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a, b, CAST(c AS DOUBLE)/CAST(sa.n AS DOUBLE) AS containment
+         |FROM pairs JOIN sizes sa ON a = sa.doc_id
+         |WHERE CAST(c AS DOUBLE)/CAST(sa.n AS DOUBLE) >= 0.6
+         |ORDER BY a, b""".stripMargin,
     "dedup_minhash" -> jaccardOracle(0.5),
     // transitive closure over the exact-Jaccard pair set (= the
     // verified minhash pairs); component = min reachable id.
@@ -834,6 +977,34 @@ object PipelineOps {
          |  SELECT r.src, e.b AS dst FROM reach r JOIN e ON r.dst = e.a)
          |SELECT src AS doc_id, least(src, min(dst)) AS component
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    // id-ordered triple join — same triangle set the degree-oriented
+    // wedge join generates, independent of orientation.
+    "q_graph_triangles" ->
+      s"""WITH pairs AS (${jaccardOracle(0.3)}),
+         |e AS (SELECT DISTINCT a AS u, b AS v FROM pairs)
+         |SELECT e1.u AS ta, e1.v AS tb, e2.v AS tc
+         |FROM e e1 JOIN e e2 ON e2.u = e1.v
+         |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+         |ORDER BY ta, tb, tc""".stripMargin,
+    "q_pagerank" -> {
+      val iters = 3
+      val steps = (1 to iters).map { i =>
+        s"""c$i AS (SELECT e.dst AS doc_id, SUM(p${i - 1}.pr // deg.d) AS s
+           |  FROM e JOIN p${i - 1} ON p${i - 1}.doc_id = e.src
+           |  JOIN deg ON deg.src = e.src GROUP BY 1),
+           |p$i AS (SELECT v.doc_id,
+           |  CAST(150000 + (85 * COALESCE(c$i.s, 0)) // 100 AS BIGINT) AS pr
+           |  FROM v LEFT JOIN c$i USING (doc_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (${jaccardOracle(0.3)}),
+         |e AS (SELECT a AS src, b AS dst FROM pairs
+         |      UNION SELECT b AS src, a AS dst FROM pairs),
+         |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+         |v AS (SELECT DISTINCT src AS doc_id FROM e),
+         |p0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS pr FROM v),
+         |$steps
+         |SELECT doc_id, pr FROM p$iters ORDER BY doc_id""".stripMargin
+    },
     "dedup_embedding" ->
       s"""SELECT a.vec_id AS a, b.vec_id AS b, ${cosSql("a", "b")} AS cos
          |FROM embeddings a, embeddings b
@@ -927,6 +1098,27 @@ object PipelineOps {
          |  FROM scored)
          |SELECT query_id, rnk, neighbor_id, cos FROM ranked
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "q_knn_classify" ->
+      s"""WITH scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |         ${cosSql("a", "b")} AS cos
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id < 10 AND a.vec_id != b.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM scored),
+         |votes AS (
+         |  SELECT query_id, b.label, CAST(COUNT(*) AS BIGINT) AS votes
+         |  FROM ranked JOIN embeddings b ON ranked.neighbor_id = b.vec_id
+         |  WHERE rnk <= 10 GROUP BY 1, 2),
+         |w AS (SELECT query_id, label, votes,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY votes DESC, label) AS rn
+         |  FROM votes)
+         |SELECT query_id, label AS pred_label, votes FROM w
+         |WHERE rn = 1 ORDER BY query_id""".stripMargin,
     "mm_features" ->
       """SELECT doc_id, len(text) AS n_bytes,
         |  CAST(list_sum(list_transform(string_split(text,''), c -> ascii(c))) AS BIGINT) AS checksum,
@@ -1023,29 +1215,10 @@ object PipelineOps {
         |  CAST(len(list_filter(thr, x -> CAST(n_tokens AS DOUBLE) > x)) + 1
         |       AS BIGINT) AS bin
         |FROM c, t ORDER BY doc_id""".stripMargin,
-    "q_decontaminate" -> {
-      val cut = Sampling.cuts(Seq(0.2))(1)
-      val sh5 = (0 until 5).map(j => s"t[i+$j]").mkString(" || ' ' || ")
-      s"""WITH toks AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split_regex(text,'\\s+'), x -> len(x)>0) AS t
-         |  FROM documents),
-         |sh AS (
-         |  SELECT DISTINCT doc_id, s FROM toks,
-         |  LATERAL (SELECT unnest(list_transform(range(1, len(t)-3),
-         |                  i -> $sh5)) AS s)
-         |  WHERE len(t) >= 5),
-         |probe AS (SELECT doc_id FROM documents
-         |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
-         |        < $cut),
-         |psh AS (SELECT DISTINCT s FROM sh
-         |        WHERE doc_id IN (SELECT doc_id FROM probe))
-         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
-         |FROM sh
-         |WHERE doc_id NOT IN (SELECT doc_id FROM probe)
-         |  AND s IN (SELECT s FROM psh)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
+    "q_decontaminate" -> decontaminateOracle,
+    // Bloom pass only over-keeps; the verify join restores exactness —
+    // same oracle by construction.
+    "q_decontaminate_bloom" -> decontaminateOracle,
     "q_contamination_report" -> {
       val cut = Sampling.cuts(Seq(0.2))(1)
       val sh5 = (0 until 5).map(j => s"t[i+$j]").mkString(" || ' ' || ")
@@ -1186,6 +1359,30 @@ object PipelineOps {
        |SELECT a, b, jaccard FROM pairs
        |WHERE a IN (SELECT doc_id FROM nd) OR b IN (SELECT doc_id FROM nd)
        |ORDER BY a, b""".stripMargin
+  }
+
+  private lazy val decontaminateOracle: String = {
+    val cut = Sampling.cuts(Seq(0.2))(1)
+    val sh5 = (0 until 5).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text,'\\s+'), x -> len(x)>0) AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM toks,
+       |  LATERAL (SELECT unnest(list_transform(range(1, len(t)-3),
+       |                  i -> $sh5)) AS s)
+       |  WHERE len(t) >= 5),
+       |probe AS (SELECT doc_id FROM documents
+       |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+       |        < $cut),
+       |psh AS (SELECT DISTINCT s FROM sh
+       |        WHERE doc_id IN (SELECT doc_id FROM probe))
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+       |FROM sh
+       |WHERE doc_id NOT IN (SELECT doc_id FROM probe)
+       |  AND s IN (SELECT s FROM psh)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   private def jaccardOracle(minJ: Double, maxDf: Int = 100,

@@ -250,6 +250,23 @@ object RefOps {
         .sort(col("k")).df
     },
 
+    // aux: ORC sink + source roundtrip — the second columnar format
+    // (Spark ships the ORC reader/writer with the same predicate
+    // pushdown / column pruning surface as parquet), so catalogs mixing
+    // formats stay one `spark.read` away. Aggregate over the roundtrip
+    // == aggregate over the parquet original (the oracle).
+    "op_orc_roundtrip" -> { (spark, dir) =>
+      val out = tmpDir("orc") + "/docs"
+      graft.Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").orc(out)
+      spark.read.orc(out)
+        .filter(col("n_chars") > 0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    },
+
     // aux: tarslice.Reader (archive/tarslice/tarslice.go:29-74).
     "op_read_tar" -> { (spark, _) =>
       val dir = tmpDir("tar")
@@ -350,6 +367,10 @@ object RefOps {
       """SELECT 'g' || CAST(range % 5 AS VARCHAR) AS k,
         |  CAST(SUM(range) AS BIGINT) AS sum_v, COUNT(*) AS n
         |FROM range(500) GROUP BY 1 ORDER BY k""".stripMargin,
+    "op_orc_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE n_chars > 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "op_read_tar" ->
       """SELECT name, size, body_len FROM (VALUES
         |  ('f0.txt', 8, 8), ('f1.txt', 18, 18), ('f2.txt', 28, 28),

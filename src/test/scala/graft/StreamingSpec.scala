@@ -156,6 +156,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.operators.MinhashIndex.latestVersion(spark, idxDir) == 3)
   }
 
+  test("annStreamIndexed with PQ layer: pinned emissions survive ADC probing + in-stream compaction") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.IvfIndex
+    val emb = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    val nB = 3
+    val rows = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val batches = (0 until nB).map(i => rows.filter(_._1 % nB == i))
+    // PQ-enabled index; tight maxSegments so compaction (which must
+    // re-encode codes against the manifest's frozen books) fires
+    val cfg = IvfIndex.Config(dim = 64, nList = 8, iters = 2, maxSegments = 2,
+      pq = Some(IvfIndex.PqConfig(m = 8, ksub = 16)))
+    val base = java.nio.file.Files.createTempDirectory("annpq_stream").toString
+    val idxDir = s"$base/idx"
+    val source =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.Map[Long, Set[(Long, Int, Long, Double)]]()
+    val q = Streams.annStreamIndexed(
+      source.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      idxDir, s"$base/ckpt", cfg, k = 5, nProbe = 4,
+      retainVersions = nB + 1) { (topk, bid) =>
+      got(bid) = topk.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    }
+    batches.foreach { b => source.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+    assert(IvfIndex.latestVersion(spark, idxDir) == nB)
+    // replay contract: each batch's emission == read-only probe of its
+    // own version — through the PQ (ADC + exact re-rank) probe path
+    (0 until nB).foreach { i =>
+      val qdf = spark.createDataFrame(batches(i).toSeq)
+        .toDF("vec_id", "embedding")
+      val want = IvfIndex.topKAt(spark, idxDir, i + 1, qdf,
+        "vec_id", "embedding", 5, 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got(i.toLong) == want, s"batch $i emission is not version-pinned")
+      assert(want.nonEmpty)
+    }
+    assert(IvfIndex.readSegments(spark, idxDir, nB).length <= cfg.maxSegments)
+    // emitted similarities are re-ranked EXACT cosines, not ADC
+    // approximations: every emitted cos is in [-1, 1] and each query's
+    // list is sorted descending by it
+    got.values.foreach(_.groupBy(_._1).foreach { case (_, hits) =>
+      val byRank = hits.toSeq.sortBy(_._2).map(_._4)
+      assert(byRank == byRank.sorted.reverse)
+      assert(byRank.forall(c => c >= -1.0001 && c <= 1.0001))
+    })
+  }
+
   test("annStreamIndexed: emissions pinned per version, one version per batch, compaction in-stream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
