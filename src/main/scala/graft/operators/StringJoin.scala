@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * String-similarity (edit-distance) self-join — fuzzy entity matching:
+ * all pairs (a, b), a < b, with levenshtein(s_a, s_b) <= k, exactly.
+ *
+ * The naive shape is the n² cross join; the scalable-exact design is
+ * q-gram PREFIX FILTERING (the AllPairs/Ed-Join family): k edits can
+ * destroy at most k·q of a string's distinct q-grams, so two strings
+ * within edit distance k share at least max(|G_a|,|G_b|) − k·q distinct
+ * grams. Order every string's gram set by one GLOBAL rarity order
+ * (ascending document frequency, gram as tie-break) and keep only each
+ * string's first k·q + 1 grams — its "prefix". The classic prefix
+ * lemma (sets ordered consistently with overlap ≥ t intersect within
+ * their first |G|−t+1 elements) then guarantees every qualifying pair
+ * shares a PREFIX gram, so the inverted-index join over prefixes alone
+ * is a complete candidate generator. Rarity order is what makes it
+ * scale: ubiquitous grams (shared boilerplate, common prefixes) sort
+ * last and never enter a prefix, so candidate volume is driven by rare
+ * grams — df²/2 blowup on hot grams never happens by construction,
+ * no df cap needed, and exactness is preserved (the cap-free analogue
+ * of [[Dedup.dfCapped]]'s bound).
+ *
+ * Completeness holds whenever max(|G_a|,|G_b|) > k·q. Pairs of SHORT
+ * strings (both with ≤ k·q distinct grams, i.e. length ≤ k·q + q − 1;
+ * includes length < q with zero grams) can lose their entire gram set
+ * to edits, so shorts pair among themselves through a length-band
+ * equi-join instead (|len_a − len_b| ≤ k is necessary for distance k;
+ * the band is realized as an explode of 2k+1 length keys — no BNLJ).
+ * Short×long pairs need no special path: the short side's "prefix" is
+ * its whole gram set, which the lemma covers.
+ *
+ * Verification is exact and candidate-bounded: fetch the two strings
+ * by candidate id (two id-equi-joins — never carried through the gram
+ * shuffle) and keep pairs with `levenshtein(s_a, s_b, k)` ≥ 0 — the
+ * thresholded form is the banded O(k·n) DP, not the full O(n²) matrix,
+ * so a far-apart candidate pair costs k·n character ops, and the
+ * emitted distance is exact for every kept pair.
+ *
+ * Scale profile: one gram-df wordcount, one gram join for rarity, one
+ * per-id window (k·q+1 rows kept per id), one prefix self-join, and
+ * candidate-sized verification — all linear shuffles plus the
+ * candidate set; the pair space is never materialized.
+ */
+object StringJoin {
+
+  /** Distinct q-grams of `s` (empty array when length(s) < q — NOT
+    * sequence(1,0), which Spark renders as the DESCENDING [1,0]). */
+  private[graft] def gramSet(s: Column, q: Int): Column =
+    when(length(s) >= q,
+      array_distinct(transform(sequence(lit(1), length(s) - q + 1),
+        i => s.substr(i, lit(q)))))
+      .otherwise(array().cast("array<string>"))
+
+  /**
+   * All pairs within edit distance `k`, exactly.
+   *
+   * @param df  input; `id` numeric unique non-null, null strings dropped
+   * @param k   max levenshtein distance (>= 0)
+   * @param q   gram width (default 3)
+   * @return (id1, id2, dist) with id1 < id2, dist = exact levenshtein
+   */
+  def editDistancePairs(df: DataFrame, id: String, str: String,
+                        k: Int, q: Int = 3): DataFrame = {
+    require(k >= 0, "k must be >= 0")
+    require(q >= 1, "q must be >= 1")
+    val base = df.select(col(id).cast("long").as("id"), col(str).as("s"))
+      .filter(col("s").isNotNull)
+    val grams = base.select(col("id"), length(col("s")).as("len"),
+        explode(gramSet(col("s"), q)).as("gram"))
+    // global rarity order: ascending df, gram as total-order tie-break
+    val gramDf = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    val prefixLen = k * q + 1
+    val w = Window.partitionBy("id").orderBy(col("df"), col("gram"))
+    val prefix = grams.join(gramDf, "gram")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= prefixLen)
+      .select("id", "len", "gram")
+    val cand = prefix.select(col("id").as("id1"), col("len").as("l1"),
+        col("gram"))
+      .join(prefix.select(col("id").as("id2"), col("len").as("l2"),
+        col("gram")), Seq("gram"))
+      .filter(col("id1") < col("id2") && abs(col("l1") - col("l2")) <= k)
+      .select("id1", "id2")
+    // short×short fallback: both gram sets can be wholly destroyed by
+    // k edits, so the prefix lemma is vacuous — length-band pair them.
+    val short = base.filter(length(col("s")) <= k * q + q - 1)
+      .select(col("id"), length(col("s")).as("len"))
+    val shortCand = short.select(col("id").as("id1"),
+        explode(sequence(col("len") - k, col("len") + k)).as("lk"))
+      .join(short.select(col("id").as("id2"), col("len").as("lk")), Seq("lk"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+    val pairs = cand.union(shortCand).distinct()
+    // candidate-bounded verify; thresholded levenshtein = banded DP
+    val s1 = base.select(col("id").as("id1"), col("s").as("s1"))
+    val s2 = base.select(col("id").as("id2"), col("s").as("s2"))
+    pairs.join(s1, "id1").join(s2, "id2")
+      .withColumn("dist", levenshtein(col("s1"), col("s2"), k))
+      .filter(col("dist") >= 0)
+      .select(col("id1"), col("id2"), col("dist"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, RangeJoin, Skew}
+import graft.operators.{AsOfJoin, RangeJoin, Skew, StringJoin}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -192,6 +192,18 @@ object ExtOps {
         .groupBy(col("l_returnflag"), col("flag_rows"))
         .agg(sum(col("q")).as("sum_q"), count(lit(1)).cast("long").as("n"))
         .orderBy("l_returnflag")
+    },
+
+    // Edit-distance similarity self-join (fuzzy entity matching):
+    // every customer-name pair within levenshtein distance 1, via
+    // q-gram prefix filtering (rarity-ordered, exactness-preserving —
+    // no cross join, no df cap) + banded-DP verify. The oracle IS the
+    // n² cross join — tractable only at oracle scale, which is the
+    // point of the operator.
+    "q_editdist_join" -> { (spark, dir) =>
+      StringJoin.editDistancePairs(
+        Tables.load(spark, dir, "customer"), "c_custkey", "c_name", k = 1)
+        .orderBy("id1", "id2")
     }
   )
 
@@ -289,6 +301,12 @@ object ExtOps {
         |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
         |        THEN 1 END) AS n_big
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_editdist_join" ->
+      """SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+        |       levenshtein(a.c_name, b.c_name) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id1, id2""".stripMargin
   )
 }
