@@ -216,4 +216,42 @@ object Sampling {
       .withColumn("copy", explode(sequence(lit(0L), col("__copies") - 1)))
       .drop("__dom", "__base", "__fcut", "__copies")
   }
+
+  /**
+   * TEMPERATURE-scaled mixture sampling — the multilingual recipe where
+   * targets are DERIVED from the data itself: w_d ∝ n_d^alpha. alpha=1
+   * is the natural distribution (keeps everything — provably: the
+   * derived fraction is n·C/n = C with C = 1), alpha=0 is uniform (every
+   * domain downsampled to the smallest), and the classic alpha=0.5
+   * flattens head domains by a square-root law: domain d keeps
+   * sqrt(n_min/n_d) of its rows, so the smallest listed domain is
+   * binding and keeps every row.
+   *
+   * The per-domain counts are a tiny driver-side aggregate (one row per
+   * domain — the MLlib-centroid stance on bounded metadata) fed back
+   * into [[mixtureSample]], whose capacity algebra is scale-invariant in
+   * the weights, so unnormalized n^alpha works directly. Cross-engine
+   * exactness holds at alpha = 0.5 (and 0, 1): IEEE sqrt, *, / are all
+   * correctly rounded, so the DuckDB oracle recomputing sqrt(count)
+   * reproduces the cut integers bit-for-bit; other alphas go through
+   * `math.pow`, which is deterministic in-engine (the weights bake into
+   * the plan as literals) but not guaranteed identical across libms.
+   *
+   * @param domains the domains to keep (others dropped), e.g. languages
+   */
+  def mixtureTemperature(df: DataFrame, key: String, domain: Column,
+                         domains: Seq[String], alpha: Double = 0.5,
+                         salt: String = ""): DataFrame = {
+    require(domains.nonEmpty, "need at least one domain")
+    require(alpha >= 0, s"alpha must be >= 0: $alpha")
+    val counts = df.filter(domain.isin(domains: _*))
+      .groupBy(domain.as("__dom")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val weights = domains.map { d =>
+      val n = counts.getOrElse(d, 0L).toDouble
+      d -> (if (alpha == 0.5) math.sqrt(n) else math.pow(n, alpha))
+    }.filter(_._2 > 0).toMap
+    require(weights.nonEmpty, s"no rows in any of $domains")
+    mixtureSample(df, key, domain, weights, salt)
+  }
 }

@@ -560,6 +560,19 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // TEMPERATURE mixture (alpha = 0.5): targets derived from the data
+    // itself, w_d ∝ sqrt(n_d) — head languages flattened by a
+    // square-root law (en keeps sqrt(n_fr/n_en) of its rows, the
+    // smallest language keeps all). IEEE sqrt is correctly rounded, so
+    // the derived cut integers are cross-engine exact.
+    "q_mixture_temperature" -> { (spark, dir) =>
+      val d = Tables.load(spark, dir, "documents")
+      Sampling.mixtureTemperature(d, "doc_id", col("lang"),
+        Seq("en", "de", "es", "fr", "zh"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+
     // Mixture UP-sampling: repeat under-represented domains (epochs)
     // to hit target weights in a data-constrained corpus — the binding
     // domain repeats exactly maxEpochs times, others proportionally
@@ -1154,6 +1167,20 @@ object PipelineOps {
         |         ELSE CAST(floor(w * cap / n * 4294967296.0) AS BIGINT)
         |    END AS cut
         |  FROM cw, cap)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN cuts ON d.lang = cuts.dom
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT < cut
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_mixture_temperature" ->
+      """WITH c AS (SELECT lang AS dom, CAST(count(*) AS DOUBLE) AS n,
+        |    sqrt(CAST(count(*) AS DOUBLE)) AS w
+        |  FROM documents WHERE lang IN ('en','de','es','fr','zh')
+        |  GROUP BY lang),
+        |cap AS (SELECT min(n / w) AS cap FROM c),
+        |cuts AS (SELECT dom,
+        |    CASE WHEN n / w = cap THEN 4294967296
+        |         ELSE CAST(floor(w * cap / n * 4294967296.0) AS BIGINT)
+        |    END AS cut
+        |  FROM c, cap)
         |SELECT d.doc_id, d.lang FROM documents d JOIN cuts ON d.lang = cuts.dom
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT < cut
         |ORDER BY d.doc_id""".stripMargin,

@@ -308,6 +308,38 @@ class ScaleSpec extends AnyFunSuite {
     assert(s2.filter(col("lang") === binding2).count() == all(binding2))
   }
 
+  test("mixtureTemperature: sqrt-law flattening, alpha=1 no-op, alpha=0 uniform") {
+    val d = Tables.load(spark, sf, "documents")
+    val langs = Seq("en", "de", "es", "fr")
+    val all = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = langs.map(all).min
+    // alpha = 0.5: smallest listed domain binding (kept whole), every
+    // domain keeps ~sqrt(n_min/n_d) → expected count sqrt(n_min·n_d)
+    val s = Sampling.mixtureTemperature(d, "doc_id", col("lang"), langs)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s.keySet == langs.toSet, "unlisted domains must be dropped")
+    val binding = langs.minBy(all)
+    assert(s(binding) == all(binding), s"binding=$binding s=$s all=$all")
+    langs.foreach { l =>
+      val exp = math.sqrt(nMin.toDouble * all(l))
+      assert(math.abs(s(l) - exp) < 4 * math.sqrt(exp) + 2,
+        s"$l: kept ${s(l)}, expected ~$exp")
+    }
+    // alpha = 1: the natural distribution — every listed row survives
+    val nat = Sampling.mixtureTemperature(d, "doc_id", col("lang"), langs, 1.0)
+    assert(nat.count() == langs.map(all).sum)
+    // alpha = 0: uniform — every domain ~n_min
+    val uni = Sampling.mixtureTemperature(d, "doc_id", col("lang"), langs, 0.0)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    langs.foreach { l =>
+      assert(math.abs(uni(l) - nMin) < 4 * math.sqrt(nMin.toDouble) + 2,
+        s"$l: kept ${uni(l)}, expected ~$nMin")
+    }
+  }
+
   test("mixtureUpsample: binding domain repeats exactly maxEpochs; copies contiguous; maxEpochs=1 == mixtureSample") {
     val d = Tables.load(spark, sf, "documents")
     val weights = Map("en" -> 0.4, "de" -> 0.3, "zh" -> 0.3)
