@@ -35,17 +35,12 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
  */
 object Packing {
 
-  /**
-   * @param capacity bin token budget
-   * @param parts    range partitions (≅ parallelism of the scan)
-   * @return (id, tokens, bin) — deterministic: depends only on the
-   *         id order and token counts, not on `parts` or cluster shape.
-   *         `id` must be numeric, unique and non-null; `tokens`
-   *         non-null.
-   */
-  def packBins(df: DataFrame, id: String, tokens: String, capacity: Long,
-               parts: Int = 32): DataFrame = {
-    require(capacity > 0, "capacity must be positive")
+  /** Shared two-pass skeleton: range-partition by id (deterministic
+    * literal boundaries), sort within partitions, and compute exclusive
+    * per-partition prefix offsets. Returns the ranged frame (id, __tok)
+    * and the partition offset table for the streaming pass. */
+  private def rangedPrefix(df: DataFrame, id: String, tokens: String,
+                           parts: Int): (DataFrame, Array[Long]) = {
     val spark = df.sparkSession
     val base = df.select(col(id), col(tokens).cast("long").as("__tok"))
     // Deterministic range boundaries: approx quantiles of id (the
@@ -77,11 +72,29 @@ object Packing {
     val sums = ranged.groupBy(spark_partition_id().as("pid"))
       .agg(sum(col("__tok")).as("t")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // length parts + 1: offsets(p) = exclusive start of partition p,
+    // offsets(parts) = the grand total
     val offsets = (0 until parts).map(p => sums.getOrElse(p, 0L))
-      .scanLeft(0L)(_ + _).take(parts).toArray
+      .scanLeft(0L)(_ + _).toArray
+    (ranged, offsets)
+  }
+
+  /**
+   * @param capacity bin token budget
+   * @param parts    range partitions (≅ parallelism of the scan)
+   * @return (id, tokens, bin) — deterministic: depends only on the
+   *         id order and token counts, not on `parts` or cluster shape.
+   *         `id` must be numeric, unique and non-null; `tokens`
+   *         non-null.
+   */
+  def packBins(df: DataFrame, id: String, tokens: String, capacity: Long,
+               parts: Int = 32): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val spark = df.sparkSession
+    val (ranged, offsets) = rangedPrefix(df, id, tokens, parts)
     val bc = spark.sparkContext.broadcast(offsets)
     // pass 2: stream each sorted partition once with a running total
-    val outSchema = StructType(Seq(sch.fields(0),
+    val outSchema = StructType(Seq(ranged.schema.fields(0),
       StructField(tokens, LongType, nullable = false),
       StructField("bin", LongType, nullable = false)))
     implicit val enc: org.apache.spark.sql.Encoder[Row] = Encoders.row(outSchema)
@@ -92,6 +105,60 @@ object Packing {
         val bin = cum / capacity
         cum += t
         Row(r.get(0), t, bin)
+      }
+    }
+  }
+
+  /**
+   * Systematic PPS (probability-proportional-to-size) sampling: pick
+   * ~`m` documents with inclusion proportional to token count — the
+   * token-budgeted corpus subsample ("give me an m-document sample
+   * whose selection chance tracks how much a doc contributes to
+   * training"). The classic survey-sampling construction: lay all W
+   * tokens on a line in id order, drop a grid of points spaced
+   * step = ⌊W/m⌋ apart at a hash-derived offset, and keep each doc once
+   * per grid point inside its token interval [c_i, c_i + w_i) — docs
+   * longer than `step` get a proportional multiplicity (`copies`),
+   * exactly like [[graft.operators.Sampling.mixtureUpsample]]'s epochs.
+   *
+   * Everything is 64-bit integer arithmetic over the same two-pass
+   * prefix sum as [[packBins]] (never a single-partition window), plus
+   * one tiny total aggregate — so the sample is deterministic,
+   * partitioning-independent, and cross-engine EXACT: the DuckDB oracle
+   * recomputes the grid with integer division and matches hash-for-hash.
+   *
+   * @param m target sample size (grid count is in [m, m + m) of it;
+   *          exact count = ⌈(W − off) / step⌉)
+   * @return (id, tokens, copies) for rows with copies ≥ 1
+   */
+  def ppsSample(df: DataFrame, id: String, tokens: String, m: Int,
+                salt: String = "pps", parts: Int = 32): DataFrame = {
+    require(m > 0, "m must be positive")
+    val spark = df.sparkSession
+    val (ranged, offsets) = rangedPrefix(df, id, tokens, parts)
+    val total = offsets.last
+    val step = math.max(1L, total / m)
+    // hash-derived grid offset in [0, step): md5 of the salt, exactly
+    // Sampling.hashBucket's recipe, so the oracle reproduces it
+    val off = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(salt.getBytes("UTF-8")).take(4)
+        .map(b => f"$b%02x").mkString, 16) % step
+    val bc = spark.sparkContext.broadcast(offsets)
+    val outSchema = StructType(Seq(ranged.schema.fields(0),
+      StructField(tokens, LongType, nullable = false),
+      StructField("copies", LongType, nullable = false)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] = Encoders.row(outSchema)
+    // f(x) = #grid points < x; copies_i = f(c_i + w_i) − f(c_i)
+    def gridBefore(x: Long): Long =
+      if (x <= off) 0L else 1L + (x - 1 - off) / step
+    ranged.mapPartitions { it =>
+      var cum = bc.value(TaskContext.getPartitionId())
+      it.flatMap { r =>
+        val t = r.getLong(1)
+        val copies = gridBefore(cum + t) - gridBefore(cum)
+        cum += t
+        if (copies > 0) Some(Row(r.get(0), t, copies)) else None
       }
     }
   }

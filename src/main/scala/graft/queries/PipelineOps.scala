@@ -404,6 +404,19 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // Systematic PPS sampling: ~100 docs picked proportional to token
+    // count (token-budgeted subsample) — a grid of step = ⌊W/100⌋
+    // points over the id-ordered token line, via the same two-pass
+    // prefix sum as text_pack_bins. Pure 64-bit integer arithmetic →
+    // cross-engine exact, long docs carry a multiplicity.
+    "q_pps_sample" -> { (spark, dir) =>
+      val withN = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          TF.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      Packing.ppsSample(withN, "doc_id", "n_tokens", m = 100, parts = 8)
+        .orderBy("doc_id")
+    },
+
     // Real-BPE token counts (merges learned from this corpus — see
     // functions.Bpe): ws count + regex approximation alongside, so the
     // drift the approximation introduces is itself measurable. Learned
@@ -937,6 +950,27 @@ object PipelineOps {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
         |    0) // 2048 AS bin
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_pps_sample" ->
+      """WITH c AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text,'\s+'), t -> len(t)>0))
+        |       AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_tokens,
+        |  COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |    0) AS cum FROM c),
+        |g AS (SELECT GREATEST(1, CAST(SUM(n_tokens) AS BIGINT) // 100) AS step
+        |      FROM c),
+        |o AS (SELECT step,
+        |      ('0x' || substr(md5('pps'),1,8))::BIGINT % step AS off FROM g),
+        |k AS (SELECT doc_id, n_tokens,
+        |   (CASE WHEN cum + n_tokens <= off THEN 0
+        |         ELSE 1 + (cum + n_tokens - 1 - off) // step END) -
+        |   (CASE WHEN cum <= off THEN 0
+        |         ELSE 1 + (cum - 1 - off) // step END) AS copies
+        | FROM p, o)
+        |SELECT doc_id, n_tokens, CAST(copies AS BIGINT) AS copies FROM k
+        |WHERE copies > 0 ORDER BY doc_id""".stripMargin,
     "text_top_tokens" ->
       s"""WITH t AS (SELECT doc_id,
          |  list_filter(string_split_regex(text,'\\s+'), x -> len(x)>0) AS toks

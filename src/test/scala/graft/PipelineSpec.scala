@@ -338,6 +338,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(binStarts.values.forall(_ > 0))
   }
 
+  test("ppsSample: grid count exact, copies == driver recompute, parts-independent") {
+    val withN = docs.select(col("doc_id"),
+      TF.wsTokenCount(col("text")).cast("long").as("n"))
+    val m = 50
+    def run(parts: Int): Seq[(Long, Long, Long)] =
+      Packing.ppsSample(withN, "doc_id", "n", m, parts = parts)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = run(8)
+    // independent driver recompute of the whole grid construction
+    val inMem = withN.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val total = inMem.map(_._2).sum
+    val step = math.max(1L, total / m)
+    val off = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("pps".getBytes("UTF-8")).take(4)
+        .map(b => f"$b%02x").mkString, 16) % step
+    def f(x: Long): Long = if (x <= off) 0L else 1L + (x - 1 - off) / step
+    var cum = 0L
+    val expect = inMem.flatMap { case (id, t) =>
+      val c = f(cum + t) - f(cum); cum += t
+      if (c > 0) Some((id, t, c)) else None
+    }.toSeq
+    assert(got == expect)
+    // total multiplicity = exact number of grid points in [0, W)
+    val gridPoints = if (total <= off) 0L else 1L + (total - 1 - off) / step
+    assert(got.map(_._3).sum == gridPoints)
+    assert(gridPoints >= m) // step = floor(W/m) ⇒ at least m points
+    // cluster shape must not change the sample
+    assert(run(1) == got && run(3) == got)
+    // PPS law: every doc with n >= step is certainly included
+    val certain = inMem.filter(_._2 >= step).map(_._1).toSet
+    assert(certain.subsetOf(got.map(_._1).toSet))
+  }
+
   test("native FloatVecDot/HyperplaneSig == unrolled Column formulations") {
     import graft.functions.VectorExpressions.{dotF, hyperplaneSigF}
     val pairs = emb.limit(40).select(col("vec_id"), col("embedding").as("a"))
