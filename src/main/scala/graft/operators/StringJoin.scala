@@ -5,25 +5,29 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
- * String-similarity (edit-distance) self-join — fuzzy entity matching:
- * all pairs (a, b), a < b, with levenshtein(s_a, s_b) <= k, exactly.
+ * String-similarity (edit-distance) joins — fuzzy entity matching:
+ * all pairs with levenshtein(s_a, s_b) <= k, exactly, as a self-join
+ * ([[editDistancePairs]]) or probe-against-corpus bipartite join
+ * ([[editDistanceJoin]] — the near-exact-match decontamination /
+ * entity-linking shape).
  *
  * The naive shape is the n² cross join; the scalable-exact design is
  * q-gram PREFIX FILTERING (the AllPairs/Ed-Join family): k edits can
  * destroy at most k·q of a string's distinct q-grams, so two strings
  * within edit distance k share at least max(|G_a|,|G_b|) − k·q distinct
  * grams. Order every string's gram set by one GLOBAL rarity order
- * (ascending document frequency, gram as tie-break) and keep only each
- * string's first k·q + 1 grams — its "prefix". The classic prefix
- * lemma (sets ordered consistently with overlap ≥ t intersect within
- * their first |G|−t+1 elements) then guarantees every qualifying pair
- * shares a PREFIX gram, so the inverted-index join over prefixes alone
- * is a complete candidate generator. Rarity order is what makes it
- * scale: ubiquitous grams (shared boilerplate, common prefixes) sort
- * last and never enter a prefix, so candidate volume is driven by rare
- * grams — df²/2 blowup on hot grams never happens by construction,
- * no df cap needed, and exactness is preserved (the cap-free analogue
- * of [[Dedup.dfCapped]]'s bound).
+ * (ascending document frequency over all participating strings, gram
+ * as tie-break) and keep only each string's first k·q + 1 grams — its
+ * "prefix". The classic prefix lemma (sets ordered consistently with
+ * overlap ≥ t intersect within their first |G|−t+1 elements) then
+ * guarantees every qualifying pair shares a PREFIX gram, so the
+ * inverted-index join over prefixes alone is a complete candidate
+ * generator. Rarity order is what makes it scale: ubiquitous grams
+ * (shared boilerplate, common prefixes) sort last and never enter a
+ * prefix, so candidate volume is driven by rare grams — df²/2 blowup
+ * on hot grams never happens by construction, no df cap needed, and
+ * exactness is preserved (the cap-free analogue of [[Dedup.dfCapped]]'s
+ * bound).
  *
  * Completeness holds whenever max(|G_a|,|G_b|) > k·q. Pairs of SHORT
  * strings (both with ≤ k·q distinct grams, i.e. length ≤ k·q + q − 1;
@@ -42,7 +46,7 @@ import org.apache.spark.sql.functions._
  * emitted distance is exact for every kept pair.
  *
  * Scale profile: one gram-df wordcount, one gram join for rarity, one
- * per-id window (k·q+1 rows kept per id), one prefix self-join, and
+ * per-string window (k·q+1 rows kept per string), one prefix join, and
  * candidate-sized verification — all linear shuffles plus the
  * candidate set; the pair space is never materialized.
  */
@@ -57,7 +61,53 @@ object StringJoin {
       .otherwise(array().cast("array<string>"))
 
   /**
-   * All pairs within edit distance `k`, exactly.
+   * Shared core over a side-tagged union of strings: emit (side1, id1,
+   * side2, id2, dist) for every pair admitted by `pairPred` (a
+   * predicate over columns side1/id1/side2/id2) within distance k.
+   * One rarity order over ALL participating strings keeps the prefix
+   * lemma valid for whichever side-pairs the predicate admits.
+   */
+  private def pairsCore(tagged: DataFrame, k: Int, q: Int,
+                        pairPred: Column): DataFrame = {
+    val base = tagged.select(col("side"), col("id"), col("s"))
+      .filter(col("s").isNotNull)
+    val grams = base.select(col("side"), col("id"),
+      length(col("s")).as("len"), explode(gramSet(col("s"), q)).as("gram"))
+    // global rarity order: ascending df, gram as total-order tie-break
+    val gramDf = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    val prefixLen = k * q + 1
+    val w = Window.partitionBy("side", "id").orderBy(col("df"), col("gram"))
+    val prefix = grams.join(gramDf, "gram")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= prefixLen)
+      .select("side", "id", "len", "gram")
+    def sided(n: Int) = prefix.select(col("side").as(s"side$n"),
+      col("id").as(s"id$n"), col("len").as(s"l$n"), col("gram"))
+    val cand = sided(1).join(sided(2), Seq("gram"))
+      .filter(pairPred && abs(col("l1") - col("l2")) <= k)
+      .select("side1", "id1", "side2", "id2")
+    // short×short fallback: both gram sets can be wholly destroyed by
+    // k edits, so the prefix lemma is vacuous — length-band pair them.
+    val short = base.filter(length(col("s")) <= k * q + q - 1)
+      .select(col("side"), col("id"), length(col("s")).as("len"))
+    val shortCand = short.select(col("side").as("side1"), col("id").as("id1"),
+        explode(sequence(col("len") - k, col("len") + k)).as("lk"))
+      .join(short.select(col("side").as("side2"), col("id").as("id2"),
+        col("len").as("lk")), Seq("lk"))
+      .filter(pairPred)
+      .select("side1", "id1", "side2", "id2")
+    val pairs = cand.union(shortCand).distinct()
+    // candidate-bounded verify; thresholded levenshtein = banded DP
+    def strs(n: Int) = base.select(col("side").as(s"side$n"),
+      col("id").as(s"id$n"), col("s").as(s"s$n"))
+    pairs.join(strs(1), Seq("side1", "id1")).join(strs(2), Seq("side2", "id2"))
+      .withColumn("dist", levenshtein(col("s1"), col("s2"), k))
+      .filter(col("dist") >= 0)
+      .select(col("side1"), col("id1"), col("side2"), col("id2"), col("dist"))
+  }
+
+  /**
+   * Self-join: all pairs within edit distance `k`, exactly.
    *
    * @param df  input; `id` numeric unique non-null, null strings dropped
    * @param k   max levenshtein distance (>= 0)
@@ -68,40 +118,31 @@ object StringJoin {
                         k: Int, q: Int = 3): DataFrame = {
     require(k >= 0, "k must be >= 0")
     require(q >= 1, "q must be >= 1")
-    val base = df.select(col(id).cast("long").as("id"), col(str).as("s"))
-      .filter(col("s").isNotNull)
-    val grams = base.select(col("id"), length(col("s")).as("len"),
-        explode(gramSet(col("s"), q)).as("gram"))
-    // global rarity order: ascending df, gram as total-order tie-break
-    val gramDf = grams.groupBy("gram").agg(count(lit(1)).as("df"))
-    val prefixLen = k * q + 1
-    val w = Window.partitionBy("id").orderBy(col("df"), col("gram"))
-    val prefix = grams.join(gramDf, "gram")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= prefixLen)
-      .select("id", "len", "gram")
-    val cand = prefix.select(col("id").as("id1"), col("len").as("l1"),
-        col("gram"))
-      .join(prefix.select(col("id").as("id2"), col("len").as("l2"),
-        col("gram")), Seq("gram"))
-      .filter(col("id1") < col("id2") && abs(col("l1") - col("l2")) <= k)
-      .select("id1", "id2")
-    // short×short fallback: both gram sets can be wholly destroyed by
-    // k edits, so the prefix lemma is vacuous — length-band pair them.
-    val short = base.filter(length(col("s")) <= k * q + q - 1)
-      .select(col("id"), length(col("s")).as("len"))
-    val shortCand = short.select(col("id").as("id1"),
-        explode(sequence(col("len") - k, col("len") + k)).as("lk"))
-      .join(short.select(col("id").as("id2"), col("len").as("lk")), Seq("lk"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2")
-    val pairs = cand.union(shortCand).distinct()
-    // candidate-bounded verify; thresholded levenshtein = banded DP
-    val s1 = base.select(col("id").as("id1"), col("s").as("s1"))
-    val s2 = base.select(col("id").as("id2"), col("s").as("s2"))
-    pairs.join(s1, "id1").join(s2, "id2")
-      .withColumn("dist", levenshtein(col("s1"), col("s2"), k))
-      .filter(col("dist") >= 0)
+    val tagged = df.select(lit(0).as("side"),
+      col(id).cast("long").as("id"), col(str).as("s"))
+    pairsCore(tagged, k, q, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("dist"))
+  }
+
+  /**
+   * Bipartite join: every (probe, corpus) pair within edit distance
+   * `k` — near-exact-match decontamination ("which corpus strings are
+   * a benchmark string up to k typos?") and entity linking. The rarity
+   * order is computed over the UNION of both sides, so one consistent
+   * global order backs the prefix lemma for cross-side pairs.
+   *
+   * @return (id1 = probes.id, id2 = corpus.id, dist)
+   */
+  def editDistanceJoin(probes: DataFrame, idP: String, strP: String,
+                       corpus: DataFrame, idC: String, strC: String,
+                       k: Int, q: Int = 3): DataFrame = {
+    require(k >= 0, "k must be >= 0")
+    require(q >= 1, "q must be >= 1")
+    val tagged = probes.select(lit(0).as("side"),
+        col(idP).cast("long").as("id"), col(strP).as("s"))
+      .unionByName(corpus.select(lit(1).as("side"),
+        col(idC).cast("long").as("id"), col(strC).as("s")))
+    pairsCore(tagged, k, q, col("side1") === 0 && col("side2") === 1)
       .select(col("id1"), col("id2"), col("dist"))
   }
 }

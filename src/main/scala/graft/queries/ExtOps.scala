@@ -204,6 +204,20 @@ object ExtOps {
       StringJoin.editDistancePairs(
         Tables.load(spark, dir, "customer"), "c_custkey", "c_name", k = 1)
         .orderBy("id1", "id2")
+    },
+
+    // Bipartite fuzzy lookup (near-exact-match decontamination shape):
+    // a 5% hash bucket of customers probes the remaining 95% for names
+    // within one edit — one rarity order over the union backs the
+    // prefix filter for cross-side pairs.
+    "q_editdist_lookup" -> { (spark, dir) =>
+      val c = Tables.load(spark, dir, "customer")
+      val isProbe = graft.operators.Sampling.hashBucket(col("c_custkey")) <
+        lit(graft.operators.Sampling.cuts(Seq(0.05))(1))
+      StringJoin.editDistanceJoin(
+        c.filter(isProbe), "c_custkey", "c_name",
+        c.filter(!isProbe), "c_custkey", "c_name", k = 1)
+        .orderBy("id1", "id2")
     }
   )
 
@@ -307,6 +321,17 @@ object ExtOps {
         |       levenshtein(a.c_name, b.c_name) AS dist
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
-        |ORDER BY id1, id2""".stripMargin
+        |ORDER BY id1, id2""".stripMargin,
+    "q_editdist_lookup" ->
+      s"""WITH p AS (SELECT c_custkey, c_name FROM customer
+         |  WHERE ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),1,8))::BIGINT
+         |        < ${(0.05 * (1L << 32)).toLong}),
+         |c AS (SELECT c_custkey, c_name FROM customer
+         |  WHERE ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),1,8))::BIGINT
+         |        >= ${(0.05 * (1L << 32)).toLong})
+         |SELECT p.c_custkey AS id1, c.c_custkey AS id2,
+         |       levenshtein(p.c_name, c.c_name) AS dist
+         |FROM p JOIN c ON levenshtein(p.c_name, c.c_name) <= 1
+         |ORDER BY id1, id2""".stripMargin
   )
 }

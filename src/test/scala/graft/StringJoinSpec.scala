@@ -91,6 +91,46 @@ class StringJoinSpec extends AnyFunSuite {
     assert(run(rows, 2) === bruteForce(rows, 2))
   }
 
+  private def bruteForceBi(probes: Seq[(Long, String)],
+                           corpus: Seq[(Long, String)], k: Int) =
+    (for {
+      (i1, s1) <- probes; (i2, s2) <- corpus
+      if lev(s1, s2) <= k
+    } yield (i1, i2, lev(s1, s2))).toSet
+
+  private def runBi(probes: Seq[(Long, String)], corpus: Seq[(Long, String)],
+                    k: Int, q: Int = 3) = {
+    import spark.implicits._
+    StringJoin.editDistanceJoin(probes.toDF("id", "s"), "id", "s",
+      corpus.toDF("id", "s"), "id", "s", k, q)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+  }
+
+  test("bipartite: probe×corpus == brute force, ids overlap freely across sides") {
+    val corpus = Seq[(Long, String)](
+      (1, "Acme Corporation"), (2, "Apex Corporation"), (3, "Acme Corp"),
+      (4, "Globex Inc"), (5, "ab"), (6, ""), (7, "Initech"))
+    val probes = Seq[(Long, String)](
+      (1, "Acme Corporatoin"), (2, "Globex Inc."), (3, "a"), (4, "Intech"),
+      (5, "Unrelated Name Entirely"))
+    for (k <- Seq(1, 2))
+      assert(runBi(probes, corpus, k) === bruteForceBi(probes, corpus, k),
+        s"k=$k")
+  }
+
+  test("bipartite fuzz: random low-entropy strings == brute force") {
+    val rnd = new Random(7)
+    def s(): String = {
+      val n = rnd.nextInt(10)
+      (0 until n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    }
+    val probes = (1L to 40L).map(i => (i, s()))
+    val corpus = (1L to 90L).map(i => (i, s()))
+    for (k <- Seq(1, 2))
+      assert(runBi(probes, corpus, k) === bruteForceBi(probes, corpus, k),
+        s"k=$k")
+  }
+
   test("no cartesian/BNLJ anywhere in the physical plan") {
     import spark.implicits._
     val rows = (1L to 50L).map(i => (i, s"Customer#${1000 + i}"))
