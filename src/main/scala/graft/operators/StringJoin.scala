@@ -38,17 +38,19 @@ import org.apache.spark.sql.functions._
  * Short×long pairs need no special path: the short side's "prefix" is
  * its whole gram set, which the lemma covers.
  *
- * Verification is exact and candidate-bounded: fetch the two strings
- * by candidate id (two id-equi-joins — never carried through the gram
- * shuffle) and keep pairs with `levenshtein(s_a, s_b, k)` ≥ 0 — the
- * thresholded form is the banded O(k·n) DP, not the full O(n²) matrix,
- * so a far-apart candidate pair costs k·n character ops, and the
- * emitted distance is exact for every kept pair.
+ * Verification is exact and runs INLINE on the candidate stream:
+ * strings ride through the prefix join (short by assumption — names /
+ * titles / keys, not documents) and `levenshtein(s_a, s_b, k)` ≥ 0
+ * filters each candidate inside the join stage — the thresholded form
+ * is the banded O(k·n) DP, not the full O(n²) matrix. The candidate
+ * expansion (Σ over prefix grams of df², super-linear on adversarially
+ * low-entropy keys like sequential IDs) is therefore pure compute and
+ * is never shuffled; only surviving pairs reach the final distinct.
  *
  * Scale profile: one gram-df wordcount, one gram join for rarity, one
- * per-string window (k·q+1 rows kept per string), one prefix join, and
- * candidate-sized verification — all linear shuffles plus the
- * candidate set; the pair space is never materialized.
+ * per-string window (k·q+1 rows kept per string), one prefix join with
+ * inline verify, and a survivor-sized distinct — all shuffles linear
+ * in input + output; the pair space is never materialized or moved.
  */
 object StringJoin {
 
@@ -71,39 +73,60 @@ object StringJoin {
                         pairPred: Column): DataFrame = {
     val base = tagged.select(col("side"), col("id"), col("s"))
       .filter(col("s").isNotNull)
-    val grams = base.select(col("side"), col("id"),
-      length(col("s")).as("len"), explode(gramSet(col("s"), q)).as("gram"))
+    val grams = base.select(col("side"), col("id"), col("s"),
+      explode(gramSet(col("s"), q)).as("gram"))
     // global rarity order: ascending df, gram as total-order tie-break
     val gramDf = grams.groupBy("gram").agg(count(lit(1)).as("df"))
     val prefixLen = k * q + 1
     val w = Window.partitionBy("side", "id").orderBy(col("df"), col("gram"))
+    // the string rides along (entity strings are short by assumption —
+    // this join is for names/titles/keys, not documents): verification
+    // can then run INLINE on the candidate stream, which is the scale
+    // decision that matters below
+    // persisted: both sides of the self-join (and the short fallback's
+    // base) reuse one computation of the df-join + window; Spark's
+    // cache manager dedupes by canonicalized plan (the
+    // ngramJaccardPairs stance — callers cycling corpora own eviction)
     val prefix = grams.join(gramDf, "gram")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= prefixLen)
-      .select("side", "id", "len", "gram")
+      .select("side", "id", "s", "gram")
+      .persist()
     def sided(n: Int) = prefix.select(col("side").as(s"side$n"),
-      col("id").as(s"id$n"), col("len").as(s"l$n"), col("gram"))
+      col("id").as(s"id$n"), col("s").as(s"s$n"), col("gram"))
+    // Verify BEFORE deduplicating: the thresholded levenshtein (banded
+    // O(k·n) DP) is pure compute inside the join stage, so the
+    // candidate expansion — Σ over prefix grams of df² pairs, the one
+    // super-linear term of the algorithm, adversarially large when keys
+    // are low-entropy (sequential IDs, shared templates) — is never
+    // shuffled anywhere. Only SURVIVING pairs (≤ prefixLen duplicates
+    // each) reach the distinct. The alternative (distinct the raw pair
+    // ids, then fetch strings by two joins) moves the full candidate
+    // volume through three exchanges; this shape moves it through zero.
     val cand = sided(1).join(sided(2), Seq("gram"))
-      .filter(pairPred && abs(col("l1") - col("l2")) <= k)
-      .select("side1", "id1", "side2", "id2")
-    // short×short fallback: both gram sets can be wholly destroyed by
-    // k edits, so the prefix lemma is vacuous — length-band pair them.
-    val short = base.filter(length(col("s")) <= k * q + q - 1)
-      .select(col("side"), col("id"), length(col("s")).as("len"))
-    val shortCand = short.select(col("side").as("side1"), col("id").as("id1"),
-        explode(sequence(col("len") - k, col("len") + k)).as("lk"))
-      .join(short.select(col("side").as("side2"), col("id").as("id2"),
-        col("len").as("lk")), Seq("lk"))
-      .filter(pairPred)
-      .select("side1", "id1", "side2", "id2")
-    val pairs = cand.union(shortCand).distinct()
-    // candidate-bounded verify; thresholded levenshtein = banded DP
-    def strs(n: Int) = base.select(col("side").as(s"side$n"),
-      col("id").as(s"id$n"), col("s").as(s"s$n"))
-    pairs.join(strs(1), Seq("side1", "id1")).join(strs(2), Seq("side2", "id2"))
+      .filter(pairPred &&
+        abs(length(col("s1")) - length(col("s2"))) <= k)
       .withColumn("dist", levenshtein(col("s1"), col("s2"), k))
       .filter(col("dist") >= 0)
-      .select(col("side1"), col("id1"), col("side2"), col("id2"), col("dist"))
+      .select("side1", "id1", "side2", "id2", "dist")
+    // short×short fallback: both gram sets can be wholly destroyed by
+    // k edits, so the prefix lemma is vacuous — length-band pair them
+    // (|len_a − len_b| ≤ k as an explode of 2k+1 length keys — no BNLJ).
+    val short = base.filter(length(col("s")) <= k * q + q - 1)
+      .select(col("side"), col("id"), col("s"), length(col("s")).as("len"))
+    val shortCand = short.select(col("side").as("side1"), col("id").as("id1"),
+        col("s").as("s1"),
+        explode(sequence(col("len") - k, col("len") + k)).as("lk"))
+      .join(short.select(col("side").as("side2"), col("id").as("id2"),
+        col("s").as("s2"), col("len").as("lk")), Seq("lk"))
+      .filter(pairPred)
+      .withColumn("dist", levenshtein(col("s1"), col("s2"), k))
+      .filter(col("dist") >= 0)
+      .select("side1", "id1", "side2", "id2", "dist")
+    // dist is a pure function of the pair, so distinct() on
+    // (ids, dist) is exactly per-pair dedup — survivor-sized, not
+    // candidate-sized
+    cand.union(shortCand).distinct()
   }
 
   /**
