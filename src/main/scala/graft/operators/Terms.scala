@@ -284,4 +284,72 @@ object Terms {
           (size(filter(col("thr"),
             t => col("ppl_q").cast("double") > t)) + 1)).as("bucket"))
   }
+
+  /**
+   * Quantized multinomial Naive Bayes — the fastText-shaped
+   * model-based labeler (language ID, quality tiers, topic routing)
+   * trained and applied entirely inside the engine: class-conditional
+   * unigram LMs with Laplace smoothing, every log quantized to the
+   * integer floor(log2(·)) via the `length(bin(x)) − 1` identity the
+   * surprisal family uses, so training AND inference are cross-engine
+   * exact — a classifier you can put behind a full oracle instead of a
+   * tolerance check.
+   *
+   * Scoring: class c's negated log-likelihood for doc d is
+   *   Σ_tok tf_d(tok) · floor(log2((T_c + V) div (n_{c,tok} + 1)))
+   *     + floor(log2(N div N_c))
+   * (T_c = class token mass, V = train vocab size, N_c/N = doc
+   * priors); the prediction is the (score, class)-lexicographic
+   * minimum, a deterministic tie-break both engines replicate.
+   *
+   * Scale: training is ONE wordcount Exchange on (class, token) over
+   * the train corpus (+ two count-sized folds for T_c and priors, one
+   * broadcast scalar for V); inference explodes test tokens once,
+   * cross-joins the CONSTANT class list (|classes| rows, broadcast),
+   * left-joins the count-sized class-token table, and partial-aggs to
+   * (doc, class) — test docs never shuffle their text, unseen tokens
+   * take the smoothed default via coalesce, zero-token docs emit no
+   * row (mirrored by the oracle's wordcount).
+   *
+   * @param cls     class label column on `train`
+   * @param classes the label set to train on (rows outside it ignored)
+   * @return (id, pred)
+   */
+  def nbClassify(train: DataFrame, test: DataFrame, id: String,
+                 text: String, cls: Column,
+                 classes: Seq[String]): DataFrame = {
+    require(classes.nonEmpty, "need at least one class")
+    val spark = train.sparkSession
+    import spark.implicits._
+    val trainTok = train.filter(cls.isin(classes: _*))
+      .select(cls.as("cl"), explode(TF.tokens(col(text))).as("tok"))
+    // class-conditional counts: the model — count-sized from here on
+    val cnt = trainTok.groupBy("cl", "tok").agg(count(lit(1)).as("n"))
+      .persist()
+    cnt.count()
+    val tot = cnt.groupBy("cl").agg(sum("n").as("t"))
+    val vocab = cnt.select("tok").distinct().agg(count(lit(1)).as("v"))
+    // quantized class priors: floor(log2(N div N_c))
+    val nc = train.filter(cls.isin(classes: _*))
+      .groupBy(cls.as("cl")).agg(count(lit(1)).as("ndocs"))
+    val prior = nc.crossJoin(broadcast(nc.agg(sum("ndocs").as("nall"))))
+      .select(col("cl"),
+        expr("cast(length(bin(nall div ndocs)) - 1 as bigint)").as("pu"))
+    val clFrame = broadcast(classes.toDF("cl"))
+    val tf = test
+      .select(col(id).as("__id"), explode(TF.tokens(col(text))).as("tok"))
+      .groupBy("__id", "tok").agg(count(lit(1)).as("tf"))
+    val scores = tf.crossJoin(clFrame)
+      .join(cnt, Seq("cl", "tok"), "left")
+      .join(tot, Seq("cl"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("u", expr(
+        "cast(length(bin((t + v) div (coalesce(n, 0L) + 1))) - 1 as bigint)"))
+      .groupBy("__id", "cl").agg(sum(expr("tf * u")).as("ll"))
+      .join(broadcast(prior), Seq("cl"))
+      .withColumn("score", col("ll") + col("pu"))
+    scores.groupBy("__id")
+      .agg(min_by(col("cl"), struct(col("score"), col("cl"))).as("pred"))
+      .withColumnRenamed("__id", id)
+  }
 }

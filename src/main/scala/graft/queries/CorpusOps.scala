@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.{TextFunctions => TF}
 import graft.operators.{Chunking, Funnel, Retrieval, Sampling, Terms}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -65,6 +66,37 @@ object CorpusOps {
       Terms.bm25TopK(d.filter(!isProbe), d.filter(isProbe),
         "doc_id", "text", k = 5, terms = Terms.bigramTerms)
         .orderBy("probe_id", "rank")
+    },
+
+    // Quantized Naive Bayes QUALITY classifier (the CCNet/fastText
+    // recipe: discriminate in-domain text from noise): class-unigram
+    // LMs with Laplace smoothing, trained on the 95% split of clean
+    // docs vs their deterministically garbled twins (every token
+    // reversed — the SQL-mirrorable stand-in for garbage), applied to
+    // the 5% holdout of both variants. Every log is quantized to
+    // integer floor(log2), so training AND prediction are cross-engine
+    // exact — the classifier itself is fully oracled, not a tolerance
+    // check. (The corpus' lang/source labels are independent of the
+    // text by construction, so a real-label task would be vacuous —
+    // at-chance everywhere; clean-vs-garbled is both separable and the
+    // actual pipeline use.)
+    "q_nb_quality" -> { (spark, dir) =>
+      val d = Tables.load(spark, dir, "documents")
+      val clean = d.select((col("doc_id") * 2).as("cid"), col("text"),
+        lit("clean").as("variant"))
+      val garbled = d.select((col("doc_id") * 2 + 1).as("cid"),
+        concat_ws(" ", transform(TF.tokens(col("text")), t => reverse(t)))
+          .as("text"),
+        lit("garbled").as("variant"))
+      val all = clean.unionByName(garbled)
+      val isProbe =
+        Sampling.hashBucket(col("cid")) < lit(Sampling.cuts(Seq(0.05))(1))
+      val test = all.filter(isProbe)
+      Terms.nbClassify(all.filter(!isProbe), test, "cid", "text",
+        col("variant"), Seq("clean", "garbled"))
+        .join(test.select(col("cid"), col("variant")), Seq("cid"))
+        .select(expr("cid div 2").as("doc_id"), col("variant"), col("pred"))
+        .orderBy("doc_id", "variant")
     },
 
     // Unigram-LM surprisal (CCNet perplexity-filter shape, integer
@@ -239,6 +271,49 @@ object CorpusOps {
          |SELECT probe_id, CAST(rank AS BIGINT) AS rank, doc_id, score
          |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
     },
+
+    "q_nb_quality" ->
+      s"""WITH cl0 AS (SELECT doc_id * 2 AS cid, text, 'clean' AS variant
+         |             FROM documents),
+         |gb0 AS (SELECT doc_id * 2 + 1 AS cid,
+         |    array_to_string(list_transform($toks, x -> reverse(x)), ' ')
+         |      AS text,
+         |    'garbled' AS variant FROM documents),
+         |all0 AS (SELECT * FROM cl0 UNION ALL SELECT * FROM gb0),
+         |probe AS (SELECT * FROM all0
+         |  WHERE ('0x' || substr(md5(CAST(cid AS VARCHAR)),1,8))::BIGINT
+         |        < ${(0.05 * (1L << 32)).toLong}),
+         |train AS (SELECT * FROM all0
+         |  WHERE ('0x' || substr(md5(CAST(cid AS VARCHAR)),1,8))::BIGINT
+         |        >= ${(0.05 * (1L << 32)).toLong}),
+         |ttok AS (SELECT variant AS cl, unnest($toks) AS tok FROM train),
+         |cnt AS (SELECT cl, tok, CAST(count(*) AS BIGINT) AS n
+         |        FROM ttok GROUP BY 1, 2),
+         |tot AS (SELECT cl, CAST(sum(n) AS BIGINT) AS t FROM cnt GROUP BY 1),
+         |voc AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM cnt),
+         |nc AS (SELECT variant AS cl, CAST(count(*) AS BIGINT) AS ndocs
+         |       FROM train GROUP BY 1),
+         |pri AS (SELECT cl, CAST(len(bin(
+         |          (SELECT CAST(sum(ndocs) AS BIGINT) FROM nc) // ndocs))
+         |          - 1 AS BIGINT) AS pu FROM nc),
+         |ptf AS (SELECT cid, tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT cid, unnest($toks) AS tok FROM probe)
+         |  GROUP BY 1, 2),
+         |cls AS (SELECT unnest(['clean','garbled']) AS cl),
+         |sc AS (SELECT p.cid, c.cl,
+         |    CAST(sum(p.tf * (len(bin((tot.t + voc.v)
+         |      // (COALESCE(cnt.n, 0) + 1))) - 1)) AS BIGINT) AS ll
+         |  FROM ptf p CROSS JOIN cls c
+         |  LEFT JOIN cnt ON cnt.cl = c.cl AND cnt.tok = p.tok
+         |  JOIN tot ON tot.cl = c.cl CROSS JOIN voc
+         |  GROUP BY 1, 2),
+         |fin AS (SELECT sc.cid, sc.cl,
+         |    ROW_NUMBER() OVER (PARTITION BY sc.cid
+         |      ORDER BY sc.ll + pri.pu, sc.cl) AS rn
+         |  FROM sc JOIN pri ON pri.cl = sc.cl)
+         |SELECT f.cid // 2 AS doc_id, p.variant, f.cl AS pred
+         |FROM fin f JOIN probe p USING (cid)
+         |WHERE f.rn = 1 ORDER BY doc_id, variant""".stripMargin,
 
     "q_lm_surprisal" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),

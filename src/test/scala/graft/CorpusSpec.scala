@@ -181,6 +181,37 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(1) == ((2L, 3L, 2L, 2L)))
   }
 
+  test("nbClassify: separable vocab learned; all-unseen doc falls to prior then name tie-break") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "apple banana apple fruit", "food"),
+      (2L, "banana fruit pear apple", "food"),
+      (3L, "gear motor piston engine", "machine"),
+      (4L, "motor gear brake engine piston", "machine"))
+      .toDF("doc_id", "text", "label")
+    val test = Seq(
+      (10L, "apple pear banana"),       // clearly food
+      (11L, "engine motor gear"),       // clearly machine
+      (12L, "zzz qqq www"))             // all unseen → prior + tie-break
+      .toDF("doc_id", "text")
+    val got = Terms.nbClassify(train, test, "doc_id", "text",
+      org.apache.spark.sql.functions.col("label"), Seq("food", "machine"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(10L) == "food" && got(11L) == "machine")
+    // unseen doc: equal priors (2 docs each) and equal smoothed default
+    // scores when token masses tie — prediction must be the
+    // lexicographically smallest class, deterministically. Here food's
+    // token mass is 8 vs machine's 9 ⇒ quantized defaults can differ;
+    // assert determinism against an independent recompute instead.
+    val v = 9 // distinct train tokens: apple banana fruit pear gear motor piston engine brake
+    def u(t: Long, n: Long) = 63 - java.lang.Long.numberOfLeadingZeros((t + v) / (n + 1))
+    val sFood = 3 * u(8, 0) + (63 - java.lang.Long.numberOfLeadingZeros(4 / 2))
+    val sMach = 3 * u(9, 0) + (63 - java.lang.Long.numberOfLeadingZeros(4 / 2))
+    val expected =
+      if (sFood < sMach) "food" else if (sMach < sFood) "machine" else "food"
+    assert(got(12L) == expected)
+  }
+
   test("funnel: deadlines and stage order enforced per user") {
     import spark.implicits._
     val H = 3600000000L // 1h in us
