@@ -148,6 +148,45 @@ object StringJoin {
   }
 
   /**
+   * Sorted-neighborhood blocking — the other classic entity-resolution
+   * candidate generator: rank the corpus by a blocking key and emit
+   * every pair within `w` positions of each other. Complements the
+   * gram-based joins (a typo in the key's FIRST characters defeats
+   * sort-order locality, a typo anywhere defeats nothing for q-grams;
+   * conversely SNM catches transpositions/concatenations q-grams
+   * dilute). Runs over (key, id) so the order — and therefore the
+   * result — is total and engine-independent.
+   *
+   * Scale: one range-partitioned sort + zipWithIndex's small count job
+   * for contiguous global positions (the [[Sampling.shuffleEpoch]]
+   * construction — never a single-partition window), then a
+   * block-band equi-join: each row probes its own ⌊pos/w⌋ block and
+   * the next, so every qualifying pair (gap < w) shares a block key
+   * and the join is linear with constant fan-out 2.
+   *
+   * @return (id1, id2, gap) with gap = position distance in (0, w)
+   */
+  def sortedNeighborhoodPairs(df: DataFrame, id: String, key: String,
+                              w: Int): DataFrame = {
+    require(w >= 1, "w must be >= 1")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val spark = df.sparkSession
+    val sorted = df.select(col(id), col(key)).orderBy(col(key), col(id))
+    val sch = sorted.schema.add(StructField("pos", LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex()
+      .map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    val pos = spark.createDataFrame(rdd, sch)
+    val a = pos.select(col(id).as("id1"), col("pos").as("p1"),
+      explode(array(expr(s"pos div $w"), expr(s"pos div $w + 1"))).as("blk"))
+    val b = pos.select(col(id).as("id2"), col("pos").as("p2"),
+      expr(s"pos div $w").as("blk"))
+    a.join(b, "blk")
+      .filter(col("p2") > col("p1") && col("p2") - col("p1") < w)
+      .select(col("id1"), col("id2"), (col("p2") - col("p1")).as("gap"))
+  }
+
+  /**
    * Bipartite join: every (probe, corpus) pair within edit distance
    * `k` — near-exact-match decontamination ("which corpus strings are
    * a benchmark string up to k typos?") and entity linking. The rarity

@@ -218,6 +218,16 @@ object ExtOps {
         c.filter(isProbe), "c_custkey", "c_name",
         c.filter(!isProbe), "c_custkey", "c_name", k = 1)
         .orderBy("id1", "id2")
+    },
+
+    // Sorted-neighborhood blocking: every supplier-name pair within 3
+    // positions of the (name, id) sort order — the windowed-scan ER
+    // candidate generator, realized as a block-band equi-join over
+    // range-sorted positions (no global window, no BNLJ).
+    "q_snm_pairs" -> { (spark, dir) =>
+      StringJoin.sortedNeighborhoodPairs(
+        Tables.load(spark, dir, "supplier"), "s_suppkey", "s_name", w = 3)
+        .orderBy("id1", "id2")
     }
   )
 
@@ -332,6 +342,13 @@ object ExtOps {
          |SELECT p.c_custkey AS id1, c.c_custkey AS id2,
          |       levenshtein(p.c_name, c.c_name) AS dist
          |FROM p JOIN c ON levenshtein(p.c_name, c.c_name) <= 1
-         |ORDER BY id1, id2""".stripMargin
+         |ORDER BY id1, id2""".stripMargin,
+    "q_snm_pairs" ->
+      """WITH p AS (SELECT s_suppkey AS sid,
+        |    ROW_NUMBER() OVER (ORDER BY s_name, s_suppkey) - 1 AS pos
+        |  FROM supplier)
+        |SELECT a.sid AS id1, b.sid AS id2, CAST(b.pos - a.pos AS BIGINT) AS gap
+        |FROM p a JOIN p b ON b.pos > a.pos AND b.pos - a.pos < 3
+        |ORDER BY id1, id2""".stripMargin
   )
 }

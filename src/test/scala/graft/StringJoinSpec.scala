@@ -131,6 +131,25 @@ class StringJoinSpec extends AnyFunSuite {
         s"k=$k")
   }
 
+  test("sortedNeighborhoodPairs == windowed driver recompute; no dups; repartition-stable") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    val rows = (1L to 200L).map(i =>
+      (i, (0 until 6).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString))
+    val df = rows.toDF("id", "s")
+    val got = StringJoin.sortedNeighborhoodPairs(df, "id", "s", w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.size == got.toSet.size, "no duplicate pairs")
+    val order = rows.sortBy { case (i, s) => (s, i) }.map(_._1)
+    val expect = (for {
+      i <- order.indices; j <- (i + 1) until math.min(i + 4, order.size)
+    } yield (order(i), order(j), (j - i).toLong)).toSet
+    assert(got.toSet === expect)
+    val again = StringJoin.sortedNeighborhoodPairs(df.repartition(7), "id", "s", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again === expect)
+  }
+
   test("no cartesian/BNLJ anywhere in the physical plan") {
     import spark.implicits._
     val rows = (1L to 50L).map(i => (i, s"Customer#${1000 + i}"))
