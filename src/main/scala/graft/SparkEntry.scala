@@ -40,5 +40,8 @@ object SparkEntry {
     // round 8: semantic dedup, BM25 retrieval and LM surprisal join
     // the headline set (totals are not comparable to BENCH_r07 and
     // earlier — 24 queries vs 21)
-    "q_semdedup", "q_bm25_topk", "q_lm_surprisal")
+    "q_semdedup", "q_bm25_topk", "q_lm_surprisal",
+    // round 8 cont.: fuzzy entity lookup, NB quality labeling, PPS
+    // sampling (27 queries)
+    "q_editdist_lookup", "q_nb_quality", "q_pps_sample")
 }
