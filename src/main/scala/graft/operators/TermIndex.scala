@@ -1,0 +1,280 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Persisted INCREMENTAL inverted text index for BM25 retrieval — the
+ * third member of the index family ([[MinhashIndex]] for near-dup,
+ * [[IvfIndex]] for ANN, this for lexical retrieval / data selection).
+ * [[Terms.bm25TopK]] rebuilds the corpus inverted index inline on
+ * every call — the right shape for one-shot retrieval, and the wrong
+ * one for a standing corpus probed by many benchmark suites: at 100 TB
+ * the index build IS the dominant cost, so it must be paid once,
+ * extended per ingest batch, and probed at candidate cost.
+ *
+ * Layout (LSM-style, same discipline as the sibling indexes —
+ * immutable version dirs + atomically-flipped LATEST + FORMAT marker,
+ * [[VersionedLayout]]):
+ *
+ *   dir/FORMAT, dir/LATEST, dir/TERMS       (termsTag sanity marker)
+ *   dir/vNNNNN/segments.txt                 ("name,nDocs,nTokens" rows)
+ *   dir/segments/sNNNNN/tf/bkt=N/…parquet   ((doc_id, tok, tf, dl))
+ *   dir/segments/sNNNNN/df/bkt=N/…parquet   ((tok, df))
+ *
+ * Design points:
+ *   - tf rows are DENORMALIZED with the doc length (dl), so probes
+ *     never join a corpus-doc-sized table — a candidate row is
+ *     self-sufficient for scoring.
+ *   - both tables are hash-bucketed on the term (`bkt` partition
+ *     column): a probe reads ONLY the `bkt=` directories its
+ *     vocabulary hashes to — static partition pruning, candidate-cost
+ *     I/O, the `list_id=` discipline of [[IvfIndex]].
+ *   - df is per-segment and count-sized; the probe-time GLOBAL df is
+ *     the sum over segments of the probe-vocabulary slice, so BM25
+ *     scores are always exact over the union corpus — appends never
+ *     rewrite old segments, yet scores track the growing corpus
+ *     (idf drifts down as terms become common, exactly as a fresh
+ *     build would compute).
+ *   - corpus scalars (N docs, T tokens) live in the manifest — driver
+ *     metadata, no job.
+ *   - appends tier-compact like [[IvfIndex]]: batch-sized `s` segments
+ *     fold into an `r` segment when the count passes `maxSegments`;
+ *     prior `r` segments merge r-with-r only when their own count
+ *     trips the cap — O(N) total write volume for N appends, never a
+ *     corpus rewrite per append cycle.
+ *
+ * Contract: [[topKAt]] == [[Terms.bm25TopK]] over the union corpus,
+ * pair-for-pair (shared scoring tail — TermIndexSpec asserts it for
+ * unigram and bigram terms, across appends and compactions).
+ *
+ * Docs are append-only with unique ids across batches (the
+ * [[MinhashIndex]] ingest assumption); re-adding a doc double-counts
+ * it, as it would in any LSM index without a tombstone layer.
+ */
+object TermIndex {
+
+  import VersionedLayout._
+
+  val FormatVersion = 1
+
+  /**
+   * @param buckets     term-hash partition count (pruning granularity)
+   * @param maxSegments size-tiered compaction threshold
+   * @param termsTag    names the term extractor ("unigram", "bigram",
+   *                    …) — persisted and re-validated so an index
+   *                    built over bigrams can't be silently probed
+   *                    with unigrams
+   */
+  case class Config(buckets: Int = 32, maxSegments: Int = 8,
+                    termsTag: String = "unigram")
+
+  def exists(spark: SparkSession, dir: String): Boolean =
+    VersionedLayout.exists(spark, dir)
+
+  def latestVersion(spark: SparkSession, dir: String): Int =
+    VersionedLayout.latestVersion(spark, dir, FormatVersion, "TermIndex")
+
+  private def segPath(dir: String, name: String): String =
+    s"${dir.stripSuffix("/")}/segments/$name"
+
+  private def writeManifest(spark: SparkSession, dir: String, v: Int,
+                            segs: Seq[(String, Long, Long)]): Unit =
+    atomicWrite(fs(spark, dir), new Path(versionDir(dir, v), "segments.txt"),
+      segs.map { case (n, d, t) => s"$n,$d,$t" }.mkString("\n"))
+
+  private[graft] def readManifest(spark: SparkSession, dir: String,
+                                  v: Int): Seq[(String, Long, Long)] = {
+    val s = readSmall(fs(spark, dir),
+      new Path(versionDir(dir, v), "segments.txt"))
+    if (s.isEmpty) Seq.empty
+    else s.split("\n").toSeq.map { l =>
+      val Array(n, d, t) = l.split(","); (n, d.toLong, t.toLong)
+    }
+  }
+
+  private def requireTerms(spark: SparkSession, dir: String,
+                           cfg: Config): Unit = {
+    val f = fs(spark, dir)
+    val tag = readSmall(f, new Path(dir, "TERMS"))
+    require(tag == cfg.termsTag,
+      s"TermIndex at $dir was built with terms '$tag'; this call uses " +
+        s"'${cfg.termsTag}' — scores would be silently wrong")
+  }
+
+  private def bkt(c: Column, buckets: Int): Column =
+    pmod(xxhash64(c), lit(buckets)).cast("int")
+
+  /** Write one segment (tf + df, both bucket-partitioned) and return
+    * (nDocs, nTokens) read back from the committed files — the
+    * manifest always reflects on-disk truth. */
+  private def writeSegment(spark: SparkSession, corpus: DataFrame,
+                           id: String, text: String, cfg: Config,
+                           terms: Column => Column,
+                           path: String): (Long, Long) = {
+    val tfRaw = corpus
+      .select(col(id).as("doc_id"), explode(terms(col(text))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    // dl rides every row (doc-partitioned window over the one-row-per-
+    // (doc,term) frame — group size bounded by a doc's vocabulary)
+    val tf = tfRaw
+      .withColumn("dl", sum("tf").over(Window.partitionBy("doc_id")))
+      .withColumn("bkt", bkt(col("tok"), cfg.buckets))
+    tf.write.mode("overwrite").partitionBy("bkt").parquet(s"$path/tf")
+    val committed = spark.read.parquet(s"$path/tf")
+    committed.groupBy("tok").agg(count(lit(1)).as("df"))
+      .withColumn("bkt", bkt(col("tok"), cfg.buckets))
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/df")
+    val r = committed.agg(countDistinct(col("doc_id")), sum("tf")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Create the index at `dir` from an initial corpus; returns the
+    * committed version (1). */
+  def build(spark: SparkSession, corpus: DataFrame, id: String,
+            text: String, dir: String, cfg: Config = Config(),
+            terms: Column => Column = TF.tokens): Int = {
+    val seg = "s00001"
+    val (nd, nt) = writeSegment(spark, corpus, id, text, cfg, terms,
+      segPath(dir, seg))
+    writeManifest(spark, dir, 1, Seq((seg, nd, nt)))
+    writeMarker(spark, dir, "TERMS", cfg.termsTag)
+    commitLatest(spark, dir, 1, FormatVersion)
+    1
+  }
+
+  private def writeMarker(spark: SparkSession, dir: String, name: String,
+                          content: String): Unit =
+    atomicWrite(fs(spark, dir), new Path(dir, name), content)
+
+  /**
+   * Append one batch as a new segment; tier-compacts when the segment
+   * count passes the cap. A crash before the LATEST flip strands only
+   * the new segment, which the retry overwrites (same name) and [[gc]]
+   * reaps. Returns the committed version.
+   */
+  def append(spark: SparkSession, dir: String, batch: DataFrame,
+             id: String, text: String, cfg: Config = Config(),
+             terms: Column => Column = TF.tokens): Int = {
+    val v = latestVersion(spark, dir)
+    requireTerms(spark, dir, cfg)
+    val seg = f"s${v + 1}%05d"
+    val (nd, nt) = writeSegment(spark, batch, id, text, cfg, terms,
+      segPath(dir, seg))
+    val newSegs = readManifest(spark, dir, v) :+ ((seg, nd, nt))
+    if (newSegs.length > cfg.maxSegments) {
+      // size-tiered: fold the batch-sized `s` segments into one new
+      // `r`; keep prior `r` segments unless their own count trips the
+      // cap (then merge r-with-r — amortized over the appends that
+      // built them). Identical policy to IvfIndex.
+      val (rSegs, sSegs) = newSegs.partition(_._1.startsWith("r"))
+      val mergeAll = rSegs.length >= cfg.maxSegments
+      val toMerge = if (mergeAll) newSegs else sSegs
+      val kept = if (mergeAll) Seq.empty else rSegs
+      val comp = f"r${v + 1}%05d"
+      toMerge.map(s => spark.read.parquet(s"${segPath(dir, s._1)}/tf"))
+        .reduce(_.unionByName(_))
+        .write.mode("overwrite").partitionBy("bkt")
+        .parquet(s"${segPath(dir, comp)}/tf")
+      // df re-derives from the count-sized per-segment df tables — the
+      // corpus-sized tf is unioned once for the write, never re-agged
+      toMerge.map(s => spark.read.parquet(s"${segPath(dir, s._1)}/df"))
+        .reduce(_.unionByName(_))
+        .groupBy("tok").agg(sum("df").as("df"))
+        .withColumn("bkt", bkt(col("tok"), cfg.buckets))
+        .write.mode("overwrite").partitionBy("bkt")
+        .parquet(s"${segPath(dir, comp)}/df")
+      val nd2 = toMerge.map(_._2).sum
+      val nt2 = toMerge.map(_._3).sum
+      writeManifest(spark, dir, v + 1, kept :+ ((comp, nd2, nt2)))
+    } else {
+      writeManifest(spark, dir, v + 1, newSegs)
+    }
+    commitLatest(spark, dir, v + 1, FormatVersion)
+    v + 1
+  }
+
+  private def requireLiveVersion(spark: SparkSession, dir: String,
+                                 version: Int): Unit = {
+    val latest = latestVersion(spark, dir)
+    require(version >= 1 && version <= latest,
+      s"version $version not committed (latest $latest)")
+    require(fs(spark, dir).exists(new Path(versionDir(dir, version))),
+      s"version $version was garbage-collected")
+  }
+
+  /** Top-k over the current committed version. */
+  def topK(spark: SparkSession, dir: String, probes: DataFrame,
+           id: String, text: String, k: Int, cfg: Config = Config(),
+           terms: Column => Column = TF.tokens): DataFrame =
+    topKAt(spark, dir, latestVersion(spark, dir), probes, id, text, k,
+      cfg, terms)
+
+  /**
+   * Top-k corpus docs per probe at a pinned version — pair-for-pair
+   * equal to [[Terms.bm25TopK]] over the same corpus. Steady-state
+   * cost: the probe-vocabulary `bkt=` partitions of each segment's df
+   * (count-sized) and tf (candidate-sized) — nothing corpus-wide is
+   * scanned, no doc-length table is joined (dl rides the tf rows).
+   */
+  def topKAt(spark: SparkSession, dir: String, version: Int,
+             probes: DataFrame, id: String, text: String, k: Int,
+             cfg: Config = Config(),
+             terms: Column => Column = TF.tokens): DataFrame = {
+    require(k > 0, "k must be > 0")
+    requireLiveVersion(spark, dir, version)
+    requireTerms(spark, dir, cfg)
+    val segs = readManifest(spark, dir, version)
+    val n = segs.map(_._2).sum
+    val tt = segs.map(_._3).sum
+    val probeTerms = probes.select(col(id).as("probe_id"),
+        explode(array_distinct(terms(col(text)))).as("tok"))
+      .persist()
+    // the probed buckets: ≤ cfg.buckets rows of driver metadata — the
+    // static partition filter that prunes every segment scan
+    val bkts = probeTerms.select(bkt(col("tok"), cfg.buckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    def pruned(sub: String): DataFrame = segs
+      .map(s => spark.read.parquet(s"${segPath(dir, s._1)}/$sub"))
+      .reduce(_.unionByName(_))
+      .filter(col("bkt").isin(bkts: _*))
+    val vocab = probeTerms.select("tok").distinct()
+    // global df = Σ over segments of the probe-vocabulary slice
+    val idfSlice = pruned("df")
+      .join(broadcast(vocab), "tok")
+      .groupBy("tok").agg(sum("df").as("df"))
+      .withColumn("n", lit(n))
+      .select(col("tok"), expr(Terms.bm25IdfSql).as("idf_q"))
+    val cand = pruned("tf")
+      .join(broadcast(probeTerms), "tok")
+      .join(broadcast(idfSlice), "tok")
+      .withColumn("n", lit(n))
+      .withColumn("tt", lit(tt))
+    Terms.bm25ScoreRank(cand, k)
+  }
+
+  /** Drop versions older than the last `retainLast` and any segment
+    * directory no retained manifest references (stranded by a torn
+    * append/compaction or superseded by compaction). */
+  def gc(spark: SparkSession, dir: String, retainLast: Int): Unit = {
+    require(retainLast >= 1, s"retainLast must be >= 1: $retainLast")
+    val latest = latestVersion(spark, dir)
+    val f = fs(spark, dir)
+    val keepFrom = math.max(1, latest - retainLast + 1)
+    (1 until keepFrom).foreach(v => f.delete(new Path(versionDir(dir, v)), true))
+    val referenced = (keepFrom to latest)
+      .filter(v => f.exists(new Path(versionDir(dir, v))))
+      .flatMap(readManifest(spark, dir, _).map(_._1)).toSet
+    val segRoot = new Path(s"${dir.stripSuffix("/")}/segments")
+    if (f.exists(segRoot))
+      f.listStatus(segRoot).foreach { st =>
+        val name = st.getPath.getName
+        val num = name.drop(1).toIntOption.getOrElse(Int.MaxValue)
+        if (!referenced.contains(name) && num <= latest)
+          f.delete(st.getPath, true)
+      }
+  }
+}

@@ -147,14 +147,26 @@ object Terms {
     val idfSlice = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       .join(broadcast(probeTerms.select("tok").distinct()), "tok")
       .crossJoin(broadcast(consts))
-      .select(col("tok"), expr(
-        "cast(length(bin((2*n - 2*df + 1) div (2*df + 1) + 1)) - 1 as bigint)"
-      ).as("idf_q"))
-    val scored = tf
+      .select(col("tok"), expr(bm25IdfSql).as("idf_q"))
+    bm25ScoreRank(tf
       .join(broadcast(probeTerms), "tok")
       .join(broadcast(idfSlice), "tok")
       .join(dl, "doc_id")
-      .crossJoin(broadcast(consts))
+      .crossJoin(broadcast(consts)), k)
+  }
+
+  /** The quantized idf: floor(log2((N−df+1/2)/(df+1/2))) with the
+    * half-offsets folded by doubling — shared verbatim by the inline
+    * [[bm25TopK]] and the persisted [[TermIndex]] so their scores are
+    * structurally identical. Expects columns n and df. */
+  private[graft] val bm25IdfSql: String =
+    "cast(length(bin((2*n - 2*df + 1) div (2*df + 1) + 1)) - 1 as bigint)"
+
+  /** Shared scoring tail: Robertson saturation cleared of fractions,
+    * partial-agg per (probe, doc), salted two-stage top-k. Expects
+    * columns (probe_id, doc_id, tf, dl, idf_q, n, tt). */
+  private[graft] def bm25ScoreRank(cand: DataFrame, k: Int): DataFrame = {
+    val scored = cand
       .withColumn("rel", expr("(100 * dl * n) div tt"))
       .withColumn("s",
         expr("(idf_q * tf * 220000) div (1000*tf + 300 + 9*rel)"))

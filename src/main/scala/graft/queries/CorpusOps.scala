@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{TextFunctions => TF}
-import graft.operators.{Chunking, Funnel, Retrieval, Sampling, Terms}
+import graft.operators.{Chunking, Funnel, Retrieval, Sampling, TermIndex, Terms}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -23,6 +23,23 @@ object CorpusOps {
   private val DsirBuckets = 256
   private val FunnelWithinUs = 12L * 3600 * 1000000 // 12 h per step
   private val DayUs = 86400000000L
+
+  private val bm25IdxCfg = TermIndex.Config(termsTag = "bigram")
+
+  private val tIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** One persisted TermIndex per corpus dir for the driver run —
+    * built on first use, reused by later probes (the minhashIndexFor
+    * stance in PipelineOps). */
+  private def termIndexFor(spark: SparkSession, dir: String,
+                           corpus: DataFrame): String =
+    tIndexes.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_tidx_q").toString
+      TermIndex.build(spark, corpus, "doc_id", "text", d, bm25IdxCfg,
+        Terms.bigramTerms)
+      d
+    })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -97,6 +114,20 @@ object CorpusOps {
         .join(test.select(col("cid"), col("variant")), Seq("cid"))
         .select(expr("cid div 2").as("doc_id"), col("variant"), col("pred"))
         .orderBy("doc_id", "variant")
+    },
+
+    // The same retrieval against the PERSISTED incremental inverted
+    // index (TermIndex) — built once per corpus dir, probed at
+    // candidate cost; pair-for-pair equal to the inline q_bm25_topk,
+    // so it shares that oracle verbatim.
+    "q_bm25_topk_idx" -> { (spark, dir) =>
+      val d = Tables.load(spark, dir, "documents")
+      val isProbe =
+        Sampling.hashBucket(col("doc_id")) < lit(Sampling.cuts(Seq(0.05))(1))
+      val idx = termIndexFor(spark, dir, d.filter(!isProbe))
+      TermIndex.topK(spark, idx, d.filter(isProbe), "doc_id", "text",
+        k = 5, bm25IdxCfg, Terms.bigramTerms)
+        .orderBy("probe_id", "rank")
     },
 
     // Unigram-LM surprisal (CCNet perplexity-filter shape, integer
@@ -179,6 +210,47 @@ object CorpusOps {
   private val toks =
     raw"list_filter(string_split_regex(text,'\s+'), x -> len(x)>0)"
 
+  /** Shared by q_bm25_topk and q_bm25_topk_idx: the persisted index is
+    * pair-for-pair equal to the inline retrieval by contract
+    * (TermIndexSpec), so both compare against one oracle. */
+  private lazy val bm25Oracle: String = {
+    val cut = Sampling.cuts(Seq(0.05))(1)
+    s"""WITH t0 AS (SELECT doc_id, $toks AS toks FROM documents),
+       |t AS (SELECT doc_id, CASE WHEN len(toks) >= 2
+       |        THEN list_transform(range(1, len(toks)),
+       |             i -> toks[i] || ' ' || toks[i+1])
+       |        ELSE [] END AS toks FROM t0),
+       |pid AS (SELECT doc_id FROM documents
+       |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+       |        < $cut),
+       |corp AS (SELECT doc_id, unnest(toks) AS tok FROM t
+       |         WHERE doc_id NOT IN (SELECT doc_id FROM pid)),
+       |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       |       FROM corp GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       |       FROM tf GROUP BY 1),
+       |k AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |             CAST(sum(dl) AS BIGINT) AS tt FROM dl),
+       |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+       |        FROM tf GROUP BY 1),
+       |idf AS (SELECT tok,
+       |  CAST(len(bin((2*n - 2*df + 1)//(2*df + 1) + 1)) - 1 AS BIGINT)
+       |    AS idf_q FROM dfq, k),
+       |pt AS (SELECT t.doc_id AS probe_id, unnest(list_distinct(toks)) AS tok
+       |       FROM t JOIN pid USING (doc_id)),
+       |s AS (SELECT probe_id, tf.doc_id AS doc_id,
+       |  CAST(sum((idf_q * tf * 220000)
+       |           //(1000*tf + 300 + 9*((100*dl*n)//tt))) AS BIGINT) AS score
+       |  FROM pt JOIN tf USING (tok) JOIN idf USING (tok)
+       |       JOIN dl ON tf.doc_id = dl.doc_id, k
+       |  GROUP BY 1, 2),
+       |r AS (SELECT probe_id, doc_id, score,
+       |  row_number() OVER (PARTITION BY probe_id
+       |                     ORDER BY score DESC, doc_id) AS rank FROM s)
+       |SELECT probe_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+       |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
 
     "text_chunk" ->
@@ -234,43 +306,11 @@ object CorpusOps {
          |SELECT bigram, CAST(count(*) AS BIGINT) AS n
          |FROM bg GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
 
-    "q_bm25_topk" -> {
-      val cut = Sampling.cuts(Seq(0.05))(1)
-      s"""WITH t0 AS (SELECT doc_id, $toks AS toks FROM documents),
-         |t AS (SELECT doc_id, CASE WHEN len(toks) >= 2
-         |        THEN list_transform(range(1, len(toks)),
-         |             i -> toks[i] || ' ' || toks[i+1])
-         |        ELSE [] END AS toks FROM t0),
-         |pid AS (SELECT doc_id FROM documents
-         |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
-         |        < $cut),
-         |corp AS (SELECT doc_id, unnest(toks) AS tok FROM t
-         |         WHERE doc_id NOT IN (SELECT doc_id FROM pid)),
-         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-         |       FROM corp GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
-         |       FROM tf GROUP BY 1),
-         |k AS (SELECT CAST(count(*) AS BIGINT) AS n,
-         |             CAST(sum(dl) AS BIGINT) AS tt FROM dl),
-         |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
-         |        FROM tf GROUP BY 1),
-         |idf AS (SELECT tok,
-         |  CAST(len(bin((2*n - 2*df + 1)//(2*df + 1) + 1)) - 1 AS BIGINT)
-         |    AS idf_q FROM dfq, k),
-         |pt AS (SELECT t.doc_id AS probe_id, unnest(list_distinct(toks)) AS tok
-         |       FROM t JOIN pid USING (doc_id)),
-         |s AS (SELECT probe_id, tf.doc_id AS doc_id,
-         |  CAST(sum((idf_q * tf * 220000)
-         |           //(1000*tf + 300 + 9*((100*dl*n)//tt))) AS BIGINT) AS score
-         |  FROM pt JOIN tf USING (tok) JOIN idf USING (tok)
-         |       JOIN dl ON tf.doc_id = dl.doc_id, k
-         |  GROUP BY 1, 2),
-         |r AS (SELECT probe_id, doc_id, score,
-         |  row_number() OVER (PARTITION BY probe_id
-         |                     ORDER BY score DESC, doc_id) AS rank FROM s)
-         |SELECT probe_id, CAST(rank AS BIGINT) AS rank, doc_id, score
-         |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
-    },
+    "q_bm25_topk" -> bm25Oracle,
+    // the persisted-index form is pair-for-pair equal to the inline
+    // query by contract (TermIndexSpec), so it shares the oracle
+    // verbatim — the same stance as dedup_incremental_idx
+    "q_bm25_topk_idx" -> bm25Oracle,
 
     "q_nb_quality" ->
       s"""WITH cl0 AS (SELECT doc_id * 2 AS cid, text, 'clean' AS variant

@@ -1,0 +1,158 @@
+package graft
+
+import graft.operators.{TermIndex, Terms}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Persisted BM25 index: the load-bearing contract is pair-for-pair
+ * equality with the inline Terms.bm25TopK over the union corpus —
+ * across appends, compactions, term extractors, and torn writes.
+ */
+class TermIndexSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = Tables.load(spark, sf, "documents")
+    .select(col("doc_id"), col("text"))
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_tidx").toString
+
+  private def rows(df: DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSet
+
+  private def probesOf(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") % 17 === 0)
+
+  test("build + topK == inline bm25TopK, unigram and bigram terms") {
+    val d = docs.persist()
+    for ((terms, tag) <- Seq(
+      (graft.functions.TextFunctions.tokens _, "unigram"),
+      (Terms.bigramTerms _, "bigram"))) {
+      val dir = tmpDir()
+      val cfg = TermIndex.Config(buckets = 8, termsTag = tag)
+      TermIndex.build(spark, d, "doc_id", "text", dir, cfg, terms)
+      val got = TermIndex.topK(spark, dir, probesOf(d), "doc_id", "text",
+        k = 5, cfg, terms)
+      val want = Terms.bm25TopK(d, probesOf(d), "doc_id", "text", k = 5, terms)
+      assert(rows(got) === rows(want), tag)
+      spark.catalog.clearCache()
+    }
+    d.unpersist()
+  }
+
+  test("appends == fresh build over the union; global df tracks growth") {
+    val d = docs
+    val (a, b, c) = (d.filter(col("doc_id") % 3 === 0),
+      d.filter(col("doc_id") % 3 === 1), d.filter(col("doc_id") % 3 === 2))
+    val dir = tmpDir()
+    val cfg = TermIndex.Config(buckets = 8)
+    TermIndex.build(spark, a, "doc_id", "text", dir, cfg)
+    TermIndex.append(spark, dir, b, "doc_id", "text", cfg)
+    val v3 = TermIndex.append(spark, dir, c, "doc_id", "text", cfg)
+    assert(v3 == 3)
+    val probes = probesOf(d)
+    val got = TermIndex.topK(spark, dir, probes, "doc_id", "text", 5, cfg)
+    val want = Terms.bm25TopK(d, probes, "doc_id", "text", 5)
+    assert(rows(got) === rows(want))
+    // a pinned earlier version scores against the SMALLER corpus
+    val got1 = TermIndex.topKAt(spark, dir, 1, probes, "doc_id", "text", 5, cfg)
+    val want1 = Terms.bm25TopK(a, probes, "doc_id", "text", 5)
+    assert(rows(got1) === rows(want1))
+    spark.catalog.clearCache()
+  }
+
+  test("tiered compaction: segment count bounded, r kept, probes unchanged") {
+    val d = docs.limit(60).persist()
+    val slices = (0 until 5).map(i => d.filter(col("doc_id") % 5 === i))
+    val cfg = TermIndex.Config(buckets = 4, maxSegments = 2)
+    val dir = tmpDir()
+    val plain = tmpDir() // uncompacted twin: huge cap
+    val cfgP = cfg.copy(maxSegments = 100)
+    TermIndex.build(spark, slices.head, "doc_id", "text", dir, cfg)
+    TermIndex.build(spark, slices.head, "doc_id", "text", plain, cfgP)
+    slices.tail.foreach { s =>
+      TermIndex.append(spark, dir, s, "doc_id", "text", cfg)
+      TermIndex.append(spark, plain, s, "doc_id", "text", cfgP)
+    }
+    val v = TermIndex.latestVersion(spark, dir)
+    val segs = TermIndex.readManifest(spark, dir, v)
+    assert(segs.size <= cfg.maxSegments,
+      s"segment count ${segs.size} exceeds cap: $segs")
+    assert(segs.exists(_._1.startsWith("r")), "compaction must have run")
+    val probes = d.limit(7)
+    val got = TermIndex.topK(spark, dir, probes, "doc_id", "text", 5, cfg)
+    val want = TermIndex.topK(spark, plain, probes, "doc_id", "text", 5, cfgP)
+    assert(rows(got) === rows(want))
+    // manifest counts == on-disk truth after compaction
+    val (nd, nt) = (segs.map(_._2).sum, segs.map(_._3).sum)
+    assert(nd == d.count())
+    d.unpersist()
+    spark.catalog.clearCache()
+    assert(nt > 0)
+  }
+
+  test("terms-tag mismatch fails loudly; torn append recovers; gc reaps strands") {
+    val d = docs.limit(40).persist()
+    val dir = tmpDir()
+    val cfg = TermIndex.Config(buckets = 4)
+    TermIndex.build(spark, d, "doc_id", "text", dir, cfg)
+    // probing a unigram index with a bigram config must throw
+    intercept[IllegalArgumentException] {
+      TermIndex.topK(spark, dir, d, "doc_id", "text", 3,
+        cfg.copy(termsTag = "bigram"), Terms.bigramTerms)
+    }
+    // torn append: segment written but LATEST never flipped — simulate
+    // by writing the stranded segment dir directly
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val stranded = new org.apache.hadoop.fs.Path(s"$dir/segments/s00002")
+    f.mkdirs(stranded)
+    // index still reads at v1
+    val before = rows(TermIndex.topK(spark, dir, probesOf(d),
+      "doc_id", "text", 3, cfg))
+    // retry the append: overwrites the strand, commits v2
+    val batch = docs.filter(col("doc_id") % 7 === 3)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+    val v2 = TermIndex.append(spark, dir, batch, "doc_id", "text", cfg)
+    assert(v2 == 2)
+    val after = TermIndex.topK(spark, dir, probesOf(d), "doc_id", "text", 3, cfg)
+    assert(after.count() >= before.size)
+    // gc: drop v1; its exclusive segments stay (s00001 is shared), but
+    // a stranded non-manifest segment is reaped
+    val strand2 = new org.apache.hadoop.fs.Path(s"$dir/segments/s00000")
+    f.mkdirs(strand2)
+    TermIndex.gc(spark, dir, retainLast = 1)
+    assert(!f.exists(strand2), "stranded segment must be reaped")
+    // the live version still probes
+    assert(TermIndex.topK(spark, dir, probesOf(d), "doc_id", "text", 3, cfg)
+      .count() > 0)
+    d.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("probe scan prunes to the probe-vocabulary bkt= partitions") {
+    val dir = tmpDir()
+    val cfg = TermIndex.Config(buckets = 16)
+    TermIndex.build(spark, docs, "doc_id", "text", dir, cfg)
+    // a single-token probe hashes to one bucket
+    import spark.implicits._
+    val probe = Seq((1L, "spark")).toDF("doc_id", "text")
+    val q = TermIndex.topK(spark, dir, probe, "doc_id", "text", 3, cfg)
+    val plan = q.queryExecution.executedPlan.toString
+    // the partition filter must appear on the scan; a full-index read
+    // would carry no bkt filter at all
+    assert(plan.contains("bkt"), plan)
+    q.collect()
+    spark.catalog.clearCache()
+  }
+}
