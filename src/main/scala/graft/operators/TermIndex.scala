@@ -108,6 +108,24 @@ object TermIndex {
   private def bkt(c: Column, buckets: Int): Column =
     pmod(xxhash64(c), lit(buckets)).cast("int")
 
+  // explicit read schemas: a segment written from an EMPTY batch (a
+  // quiet micro-batch in the streaming wrapper) has no parquet files
+  // to infer from — schema-pinned reads stay correct either way
+  import org.apache.spark.sql.types._
+  private val tfSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("tok", StringType),
+    StructField("tf", LongType), StructField("dl", LongType),
+    StructField("bkt", IntegerType)))
+  private val dfSchema = StructType(Seq(
+    StructField("tok", StringType), StructField("df", LongType),
+    StructField("bkt", IntegerType)))
+
+  private def readTf(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(tfSchema).parquet(s"$path/tf")
+
+  private def readDf(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(dfSchema).parquet(s"$path/df")
+
   /** Write one segment (tf + df, both bucket-partitioned) and return
     * (nDocs, nTokens) read back from the committed files — the
     * manifest always reflects on-disk truth. */
@@ -116,7 +134,8 @@ object TermIndex {
                            terms: Column => Column,
                            path: String): (Long, Long) = {
     val tfRaw = corpus
-      .select(col(id).as("doc_id"), explode(terms(col(text))).as("tok"))
+      .select(col(id).cast("long").as("doc_id"),
+        explode(terms(col(text))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     // dl rides every row (doc-partitioned window over the one-row-per-
     // (doc,term) frame — group size bounded by a doc's vocabulary)
@@ -124,12 +143,12 @@ object TermIndex {
       .withColumn("dl", sum("tf").over(Window.partitionBy("doc_id")))
       .withColumn("bkt", bkt(col("tok"), cfg.buckets))
     tf.write.mode("overwrite").partitionBy("bkt").parquet(s"$path/tf")
-    val committed = spark.read.parquet(s"$path/tf")
+    val committed = readTf(spark, path)
     committed.groupBy("tok").agg(count(lit(1)).as("df"))
       .withColumn("bkt", bkt(col("tok"), cfg.buckets))
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/df")
     val r = committed.agg(countDistinct(col("doc_id")), sum("tf")).head()
-    (r.getLong(0), r.getLong(1))
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
   /** Create the index at `dir` from an initial corpus; returns the
@@ -146,8 +165,20 @@ object TermIndex {
     1
   }
 
-  private def writeMarker(spark: SparkSession, dir: String, name: String,
-                          content: String): Unit =
+  /** Read a small named marker file stored alongside the index (e.g.
+    * the streaming wrapper's batch-id↔version pairing), if present —
+    * same contract as [[IvfIndex.readMarker]]. */
+  def readMarker(spark: SparkSession, dir: String,
+                 name: String): Option[String] = {
+    val f = fs(spark, dir)
+    val p = new Path(dir, name)
+    if (!f.exists(p)) None else Some(readSmall(f, p))
+  }
+
+  /** Atomically write a small named marker file alongside the index
+    * (tmp + rename — a crash never leaves a partial marker visible). */
+  def writeMarker(spark: SparkSession, dir: String, name: String,
+                  content: String): Unit =
     atomicWrite(fs(spark, dir), new Path(dir, name), content)
 
   /**
@@ -175,13 +206,13 @@ object TermIndex {
       val toMerge = if (mergeAll) newSegs else sSegs
       val kept = if (mergeAll) Seq.empty else rSegs
       val comp = f"r${v + 1}%05d"
-      toMerge.map(s => spark.read.parquet(s"${segPath(dir, s._1)}/tf"))
+      toMerge.map(s => readTf(spark, segPath(dir, s._1)))
         .reduce(_.unionByName(_))
         .write.mode("overwrite").partitionBy("bkt")
         .parquet(s"${segPath(dir, comp)}/tf")
       // df re-derives from the count-sized per-segment df tables — the
       // corpus-sized tf is unioned once for the write, never re-agged
-      toMerge.map(s => spark.read.parquet(s"${segPath(dir, s._1)}/df"))
+      toMerge.map(s => readDf(spark, segPath(dir, s._1)))
         .reduce(_.unionByName(_))
         .groupBy("tok").agg(sum("df").as("df"))
         .withColumn("bkt", bkt(col("tok"), cfg.buckets))
@@ -238,7 +269,8 @@ object TermIndex {
     val bkts = probeTerms.select(bkt(col("tok"), cfg.buckets).as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
     def pruned(sub: String): DataFrame = segs
-      .map(s => spark.read.parquet(s"${segPath(dir, s._1)}/$sub"))
+      .map(s => if (sub == "tf") readTf(spark, segPath(dir, s._1))
+                else readDf(spark, segPath(dir, s._1)))
       .reduce(_.unionByName(_))
       .filter(col("bkt").isin(bkts: _*))
     val vocab = probeTerms.select("tok").distinct()

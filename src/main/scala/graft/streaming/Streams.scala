@@ -422,6 +422,101 @@ object Streams {
     }
   }
 
+  /**
+   * Replay-safe streaming ingest for the persisted BM25 index — the
+   * retrieval sibling of [[annStreamIndexed]] (same pinned
+   * batch-id↔version pairing, same fail-fast divergence, same
+   * per-commit gc): each micro-batch of documents appends ONE index
+   * version, and `onTopK` receives the batch docs' bm25 top-k against
+   * the corpus as of arrival (corpus-so-far ∪ batch), read at the
+   * batch's own pinned version so a redelivered batch re-emits
+   * byte-identical results without double-appending.
+   */
+  def retrievalStreamIndexed(docs: DataFrame, id: String, text: String,
+                             indexDir: String,
+                             checkpointLocation: String,
+                             cfg: graft.operators.TermIndex.Config,
+                             k: Int = 5,
+                             terms: org.apache.spark.sql.Column =>
+                               org.apache.spark.sql.Column =
+                               graft.functions.TextFunctions.tokens,
+                             retainVersions: Int = 2)
+                            (onTopK: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(retainVersions >= 2,
+      s"retainVersions must be >= 2 (replay needs the batch's own version): $retainVersions")
+    docs.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        retrievalIndexedBatch(batch, batchId, id, text, indexDir, cfg, k,
+          terms, retainVersions)(onTopK)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[retrievalStreamIndexed]] — factored out so
+    * fault-injection tests can drive the exact production code path
+    * (crash inside it, then replay it) without a streaming harness. */
+  private[graft] def retrievalIndexedBatch(
+      batch: Dataset[org.apache.spark.sql.Row], batchId: Long,
+      id: String, text: String, indexDir: String,
+      cfg: graft.operators.TermIndex.Config, k: Int,
+      terms: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      retainVersions: Int)(onTopK: (DataFrame, Long) => Unit): Unit = {
+    import graft.operators.TermIndex
+    val spark = batch.sparkSession
+    val slim = batch.select(col(id), col(text))
+    def emptyOut: DataFrame = slim.limit(0)
+      .select(col(id).cast("long").as("probe_id"), lit(1L).as("rank"),
+        lit(0L).as("doc_id"), lit(0L).as("score"))
+    if (!TermIndex.exists(spark, indexDir) &&
+        TermIndex.readMarker(spark, indexDir, "STREAM").isEmpty &&
+        slim.isEmpty) {
+      onTopK(emptyOut, batchId) // quiet pre-bootstrap batch
+      return
+    }
+    val (firstB, base) = TermIndex.readMarker(spark, indexDir, "STREAM") match {
+      case Some(s) =>
+        val parts = s.split(" ")
+        (parts(0).toLong, parts(1).toInt)
+      case None =>
+        val bv = if (TermIndex.exists(spark, indexDir))
+          TermIndex.latestVersion(spark, indexDir) else 0
+        TermIndex.writeMarker(spark, indexDir, "STREAM", s"$batchId $bv")
+        (batchId, bv)
+    }
+    require(batchId >= firstB,
+      s"batch id $batchId precedes this index's first stream batch " +
+        s"$firstB — the stream checkpoint was reset against an existing " +
+        "index; checkpoint and index are one unit of state (delete both " +
+        "or neither)")
+    val expected = base + (batchId - firstB).toInt + 1
+    val latest = if (TermIndex.exists(spark, indexDir))
+      TermIndex.latestVersion(spark, indexDir) else 0
+    def emitAt(version: Int): Unit = {
+      val out = TermIndex.topKAt(spark, indexDir, version, slim, id, text,
+        k, cfg, terms).persist()
+      out.count()
+      try onTopK(out, batchId)
+      finally out.unpersist()
+    }
+    if (latest == expected) {
+      emitAt(expected) // replay: committed already — re-emit read-only
+    } else if (latest == expected - 1) {
+      if (latest == 0)
+        TermIndex.build(spark, slim, id, text, indexDir, cfg, terms)
+      else TermIndex.append(spark, indexDir, slim, id, text, cfg, terms)
+      emitAt(expected)
+      TermIndex.gc(spark, indexDir, retainVersions)
+    } else {
+      throw new IllegalStateException(
+        s"TermIndex at $indexDir is at version $latest but stream batch " +
+          s"$batchId expects $expected — " +
+          "stream checkpoint and index state disagree — one was deleted " +
+          "or rolled back without the other")
+    }
+  }
+
   /** Run a streaming query to completion against the (finite) batch
     * source and return the result — the slicetest.Run analog for
     * streaming (memory sink + processAllAvailable). */

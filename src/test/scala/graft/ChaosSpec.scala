@@ -251,4 +251,61 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
     // split) fails fast instead of misclassifying as fresh or replayed
     intercept[IllegalStateException] { run(b2, 7L) }
   }
+
+  test("retrieval indexed streaming ingest: redelivery re-emits identical top-k, torn states recover, divergence fails fast") {
+    import graft.operators.TermIndex
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val b0 = docs.filter(col("doc_id") % 3 === 0)
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+    val b2 = docs.filter(col("doc_id") % 3 === 2)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_chaos_tidx").toString + "/idx"
+    val cfg = TermIndex.Config(buckets = 4, maxSegments = 2)
+    def run(batch: org.apache.spark.sql.DataFrame, bid: Long)
+        : Set[(Long, Long, Long, Long)] = {
+      val buf = scala.collection.mutable.Set[(Long, Long, Long, Long)]()
+      graft.streaming.Streams.retrievalIndexedBatch(
+        batch, bid, "doc_id", "text", idxDir, cfg, k = 3,
+        graft.functions.TextFunctions.tokens, retainVersions = 2) { (topk, _) =>
+        buf ++= topk.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }
+      buf.toSet
+    }
+    // crash AFTER the STREAM marker was pinned but BEFORE the bootstrap
+    // build: redelivery of batch 0 must recover by building v1
+    TermIndex.writeMarker(spark, idxDir, "STREAM", "0 0")
+    val p0 = run(b0, 0L)
+    assert(p0.nonEmpty)
+    assert(TermIndex.latestVersion(spark, idxDir) == 1)
+    // crash AFTER v1 committed but BEFORE the checkpoint commit: the
+    // replay branch re-emits identical results read-only
+    assert(run(b0, 0L) == p0, "replay must re-emit the original top-k")
+    assert(TermIndex.latestVersion(spark, idxDir) == 1,
+      "replay must never double-append")
+    // a quiet-period empty batch still advances the version — that is
+    // what keeps the batch-id↔version arithmetic aligned
+    assert(run(b0.limit(0), 1L).isEmpty)
+    assert(TermIndex.latestVersion(spark, idxDir) == 2)
+    // torn append of batch 2 (segment written, LATEST not flipped):
+    // the retry overwrites the orphan and lands cleanly
+    val junk = java.nio.file.Paths.get(s"$idxDir/segments/s00003")
+    java.nio.file.Files.createDirectories(junk)
+    java.nio.file.Files.write(junk.resolve("part-junk.parquet"), "x".getBytes)
+    val p2 = run(b1, 2L)
+    assert(p2.nonEmpty)
+    assert(TermIndex.latestVersion(spark, idxDir) == 3)
+    // gc at batch 2's commit (retainVersions=2) dropped v1: replaying
+    // against it fails with the retention message, while batch 2's own
+    // version is alive and replays identically
+    val e = intercept[IllegalArgumentException] {
+      TermIndex.topKAt(spark, idxDir, 1, b0, "doc_id", "text", 3, cfg)
+    }
+    assert(e.getMessage.contains("garbage-collected"), e.getMessage)
+    assert(run(b1, 2L) == p2, "post-gc replay of the in-flight batch")
+    // divergent state (batch id far ahead — checkpoint and index were
+    // split) fails fast instead of misclassifying as fresh or replayed
+    intercept[IllegalStateException] { run(b2, 7L) }
+  }
 }

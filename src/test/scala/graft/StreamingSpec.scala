@@ -206,6 +206,51 @@ class StreamingSpec extends AnyFunSuite {
     })
   }
 
+  test("retrievalStreamIndexed: emissions pinned per version, one version per batch, compaction in-stream") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.TermIndex
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val nB = 4
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val batches = (0 until nB).map(i => rows.filter(_._1 % nB == i))
+    // tight maxSegments so size compaction fires DURING the stream
+    val cfg = TermIndex.Config(buckets = 4, maxSegments = 2)
+    val base = java.nio.file.Files.createTempDirectory("tidx_stream").toString
+    val idxDir = s"$base/idx"
+    val source =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, Set[(Long, Long, Long, Long)]]()
+    val q = Streams.retrievalStreamIndexed(
+      source.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      idxDir, s"$base/ckpt", cfg, k = 3,
+      retainVersions = nB + 1) { (topk, bid) =>
+      got(bid) = topk.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    }
+    batches.foreach { b => source.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+    // one version per micro-batch, pairing pinned at first contact
+    assert(TermIndex.latestVersion(spark, idxDir) == nB)
+    assert(TermIndex.readMarker(spark, idxDir, "STREAM").contains("0 0"))
+    // THE streaming contract: batch i's emission == a read-only probe
+    // of the version it committed — what a replay would re-emit
+    (0 until nB).foreach { i =>
+      val qdf = spark.createDataFrame(batches(i).toSeq).toDF("doc_id", "text")
+      val want = TermIndex.topKAt(spark, idxDir, i + 1, qdf,
+        "doc_id", "text", 3, cfg)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got(i.toLong) == want, s"batch $i emission is not version-pinned")
+      assert(want.nonEmpty)
+    }
+    // every batch doc got retrieval hits as of arrival (corpus ∪ batch)
+    assert(got.values.flatMap(_.map(_._1)).toSet == rows.map(_._1).toSet)
+    // size compaction ran in-stream and bounded the manifest
+    assert(TermIndex.readManifest(spark, idxDir, nB).length <= cfg.maxSegments)
+    spark.catalog.clearCache()
+  }
+
   test("annStreamIndexed: emissions pinned per version, one version per batch, compaction in-stream") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
