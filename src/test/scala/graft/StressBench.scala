@@ -183,6 +183,49 @@ object StressBench {
       IvfIndex.latestVersion(spark, pqDir)).length.toLong
     emb.unpersist()
 
+    // --- TermIndex (persisted BM25) triplet of the same discipline:
+    // build + 8 appends with per-commit gc and in-loop tiered
+    // compaction (maxSegments=3), then a steady-state probe. Health
+    // pins the segment/version counts AND pair-equality against the
+    // inline bm25TopK over the identical union corpus — the index's
+    // exactness contract at stress scale, not just at spec scale.
+    import graft.operators.{TermIndex, Terms}
+    val tidxDir = java.nio.file.Files.createTempDirectory("graft_stress_tidx")
+      .toString + "/idx"
+    val tCfg = TermIndex.Config(buckets = 32, maxSegments = 3)
+    val tBase = docs.filter(col("doc_id") % 20 >= 8)
+    time("tidx_build")(
+      TermIndex.build(spark, tBase, "doc_id", "text", tidxDir, tCfg))
+    (0 until 8).foreach { i =>
+      time(s"tidx_append_${i + 1}") {
+        TermIndex.append(spark, tidxDir,
+          docs.filter(col("doc_id") % 20 === i), "doc_id", "text", tCfg)
+        TermIndex.gc(spark, tidxDir, retainLast = 2)
+      }
+    }
+    val tProbes = docs.filter(col("doc_id") < 50)
+    time("tidx_probe_steady") {
+      health("tidx_topk_rows") = TermIndex.topK(spark, tidxDir, tProbes,
+        "doc_id", "text", k = 5, tCfg).count()
+    }
+    // base (%20 >= 8) plus the eight appended slices (%20 in 0..7)
+    // reconstruct the full corpus — the inline twin scores all of it
+    val inlinePairs = time("tidx_inline_equiv") {
+      Terms.bm25TopK(docs, tProbes, "doc_id", "text", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    }
+    val idxPairs = TermIndex.topK(spark, tidxDir, tProbes,
+      "doc_id", "text", 5, tCfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    health("tidx_equals_inline") = if (idxPairs == inlinePairs) 1L else 0L
+    val tLatest = TermIndex.latestVersion(spark, tidxDir)
+    health("tidx_segments_in_manifest") =
+      TermIndex.readManifest(spark, tidxDir, tLatest).length.toLong
+    health("tidx_segment_dirs_on_disk") = countDirs(s"$tidxDir/segments")
+    health("tidx_versions_on_disk") = countDirs(tidxDir) - 1
+
     val q = times.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(",")
     val h = health.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     val la = (loadBefore ++ loadAvg()).map(v => f"$v%.2f").mkString(",")
