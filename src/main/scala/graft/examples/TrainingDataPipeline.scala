@@ -76,6 +76,18 @@ object TrainingDataPipeline {
       .join(broadcast(contaminatedIds), Seq("doc_id"), "left_anti").persist()
     val kept3b = clean.count()
 
+    // 3c. retrieval audit over a PERSISTED index: the shingle scrub
+    //     above catches verbatim overlap; a BM25 pass over the cleaned
+    //     corpus surfaces the strongest remaining lexical matches per
+    //     benchmark doc for human review. The index is built once and
+    //     would be append-extended on later ingests — probes read only
+    //     the term buckets the benchmark vocabulary hashes to.
+    val tidxDir = java.nio.file.Files
+      .createTempDirectory("graft_pipeline_tidx").toString
+    graft.operators.TermIndex.build(spark, clean, "doc_id", "text", tidxDir)
+    val auditHits = graft.operators.TermIndex.topK(spark, tidxDir,
+      deduped.filter(isProbe), "doc_id", "text", k = 3).count()
+
     // 4. target-mixture rebalancing (fractions DERIVED from declared
     //    language weights — the binding language keeps every row) and
     //    deterministic split — both pure hash membership, scan-speed
@@ -106,7 +118,8 @@ object TrainingDataPipeline {
 
     println(s"docs: $total -> gates: $kept1 (quarantined $nQuar) " +
       s"-> exact-dedup: $kept2 -> near-dedup: $kept3 " +
-      s"-> decontaminated: $kept3b -> balanced: $kept4")
+      s"-> decontaminated: $kept3b (retrieval-audit hits: $auditHits) " +
+      s"-> balanced: $kept4")
     println(s"splits: $perSplit  (train epoch-0 ordered rows: $nTrain)")
     println(s"tokens(ws)=${stats.getLong(0)} tokens(bpe)=${stats.getLong(1)} " +
       f"mean_quality=${stats.getDouble(2)}%.3f")
