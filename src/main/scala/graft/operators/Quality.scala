@@ -34,4 +34,40 @@ object Quality {
     (tagged.filter(size(col("violations")) === 0).drop("violations"),
       tagged.filter(size(col("violations")) > 0))
   }
+
+  /**
+   * Column-level table profile — the ANALYZE/monitoring face of quality
+   * gating: per column, row count, null count, exact distinct count,
+   * and min/max rendered as strings. One row per profiled column.
+   *
+   * Shape at scale: the count/null/min/max block is ONE pass over the
+   * table (a single agg, all columns' partials fused into one
+   * map-side combine); the exact distinct counts go through Spark's
+   * expand-based multi-distinct rewrite, which shuffles (col-tag,
+   * value) pairs — one Exchange total, keyed finely enough that no
+   * reducer sees more than one column's domain. For very-high-cardinality
+   * monitoring at 100 TB, swap `countDistinct` for
+   * `approx_count_distinct` via `exact = false`.
+   */
+  def profile(df: DataFrame, cols: Seq[String],
+              exact: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        (if (exact) countDistinct(col(c))
+         else approx_count_distinct(col(c))).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val out = cols.zipWithIndex.map { case (c, i) =>
+      val b = i * 5
+      (c, row.getLong(b), row.getLong(b + 1), row.getLong(b + 2),
+        Option(row.getString(b + 3)), Option(row.getString(b + 4)))
+    }
+    spark.createDataset(out)
+      .toDF("col_name", "n", "nulls", "n_distinct", "min_v", "max_v")
+  }
 }

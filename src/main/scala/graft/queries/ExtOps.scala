@@ -228,6 +228,40 @@ object ExtOps {
       StringJoin.sortedNeighborhoodPairs(
         Tables.load(spark, dir, "supplier"), "s_suppkey", "s_name", w = 3)
         .orderBy("id1", "id2")
+    },
+
+    // Snapshot diff (incremental corpus refresh): version B is a
+    // deterministic mutation of the documents table — some ids removed,
+    // some texts revised, some new ids appended — and the operator
+    // classifies every key in one full-outer join over (key, digest)
+    // projections. The delta set (added|removed|changed) is what an
+    // incremental pipeline re-processes.
+    "q_dataset_diff" -> { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+      val a = docs.select("doc_id", "text", "lang", "source")
+      val b = docs.filter(col("doc_id") % 17 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 5, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).as("text"),
+          col("lang"), col("source"))
+        .unionByName(docs.filter(col("doc_id") % 19 === 7)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(lit("new "), col("text")).as("text"),
+            col("lang"), col("source")))
+      graft.operators.Diff.snapshot(a, b,
+        keyCols = Seq("doc_id"), compareCols = Seq("text", "lang", "source"))
+        .filter(col("status") =!= "unchanged")
+        .select("doc_id", "status", "digest_a", "digest_b")
+        .orderBy("doc_id")
+    },
+
+    // Column-level table profile (ANALYZE face): one agg pass + one
+    // multi-distinct Exchange, one output row per column.
+    "q_profile" -> { (spark, dir) =>
+      graft.operators.Quality.profile(
+        Tables.load(spark, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy("col_name")
     }
   )
 
@@ -349,6 +383,44 @@ object ExtOps {
         |  FROM supplier)
         |SELECT a.sid AS id1, b.sid AS id2, CAST(b.pos - a.pos AS BIGINT) AS gap
         |FROM p a JOIN p b ON b.pos > a.pos AND b.pos - a.pos < 3
-        |ORDER BY id1, id2""".stripMargin
+        |ORDER BY id1, id2""".stripMargin,
+    "q_dataset_diff" -> {
+      // same length-prefixed digest as Diff.rowDigest (|| propagates
+      // NULL in DuckDB, matching Spark concat semantics)
+      // single line: a leading || on a continuation line would lose a
+      // pipe to the outer stripMargin
+      def part(c: String) =
+        s"COALESCE(CAST(length($c) AS VARCHAR) || ':' || $c, '~') || '|'"
+      def dig(cs: String*) = "md5(" + cs.map(part).mkString(" || ") + ")"
+      s"""WITH a AS (SELECT doc_id, text, lang, source FROM documents),
+         |b AS (SELECT doc_id,
+         |        CASE WHEN doc_id % 13 = 5 THEN text || ' [rev2]' ELSE text END AS text,
+         |        lang, source
+         |      FROM documents WHERE doc_id % 17 <> 3
+         |      UNION ALL
+         |      SELECT doc_id + 10000000, 'new ' || text, lang, source
+         |      FROM documents WHERE doc_id % 19 = 7),
+         |da AS (SELECT doc_id, ${dig("text", "lang", "source")} AS digest_a FROM a),
+         |db AS (SELECT doc_id, ${dig("text", "lang", "source")} AS digest_b FROM b),
+         |j AS (SELECT COALESCE(da.doc_id, db.doc_id) AS doc_id, digest_a, digest_b,
+         |        CASE WHEN digest_a IS NULL THEN 'added'
+         |             WHEN digest_b IS NULL THEN 'removed'
+         |             WHEN digest_a = digest_b THEN 'unchanged'
+         |             ELSE 'changed' END AS status
+         |      FROM da FULL OUTER JOIN db ON da.doc_id = db.doc_id)
+         |SELECT doc_id, status, digest_a, digest_b FROM j
+         |WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin
+    },
+    "q_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_v,
+           |  CAST(MAX($c) AS VARCHAR) AS max_v
+           |FROM documents""".stripMargin
+      Seq("doc_id", "text", "lang", "source", "n_chars").map(one)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    }
   )
 }

@@ -286,6 +286,32 @@ object RefOps {
         .select(col("name"), col("size"),
           length(col("body").cast("string")).cast("long").as("body_len"))
         .sort(col("name")).df
+    },
+
+    // Tar shard sink (WebDataset-style export; write-side complement of
+    // tarslice — the reference has no archive writer). Round-trip: the
+    // documents corpus is packed into per-partition tar shards, read
+    // back with the streaming tar source, and digest-audited per
+    // bucket — any lost/truncated/renamed entry breaks the md5 extrema
+    // or the counts vs the oracle computed directly on the table.
+    "op_write_tar" -> { (spark, dir) =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val outDir = tmpDir("tarw")
+      val payload = docs.select(
+        concat(col("doc_id").cast("string"), lit(".txt")).as("name"),
+        col("text").cast("binary").as("body"))
+        .repartition(8, col("doc_id"))
+      Sources.writeTar(payload, outDir, "name", "body")
+      Sources.readTar(spark, s"$outDir/shard-*.tar").df
+        .select(
+          regexp_replace(col("name"), "\\.txt$", "").cast("long").as("doc_id"),
+          col("body").cast("string").as("text"))
+        .groupBy((col("doc_id") % 8).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text"))).cast("long").as("chars"),
+          min(md5(col("text").cast("binary"))).as("h_min"),
+          max(md5(col("text").cast("binary"))).as("h_max"))
+        .sort(col("bucket"))
     }
   )
 
@@ -375,6 +401,11 @@ object RefOps {
       """SELECT name, size, body_len FROM (VALUES
         |  ('f0.txt', 8, 8), ('f1.txt', 18, 18), ('f2.txt', 28, 28),
         |  ('f3.txt', 38, 38), ('f4.txt', 48, 48)) AS t(name, size, body_len)
-        |ORDER BY name""".stripMargin
+        |ORDER BY name""".stripMargin,
+    "op_write_tar" ->
+      """SELECT doc_id % 8 AS bucket, COUNT(*) AS n,
+        |       CAST(SUM(LENGTH(text)) AS BIGINT) AS chars,
+        |       MIN(md5(text)) AS h_min, MAX(md5(text)) AS h_max
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 }

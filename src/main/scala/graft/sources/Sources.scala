@@ -98,4 +98,82 @@ object Sources {
       }.toDF("file", "name", "size", "body")
     Slice(out)
   }
+
+  /**
+   * Tar-archive shard sink (WebDataset-style export; the write-side
+   * complement of [[readTar]], which the reference only has as a
+   * reader, archive/tarslice/tarslice.go:29-74). Each partition of
+   * `df` streams into ONE `shard-NNNNN.tar` under `dir` — the standard
+   * layout for packed training samples, where a loader later consumes
+   * whole shards sequentially. Entry bodies are written straight from
+   * the row iterator: one entry in memory at a time, no per-shard
+   * buffering, so shard size is bounded only by storage.
+   *
+   * Task-retry safety: every attempt writes to an attempt-unique file
+   * under `dir/_tmp/` and renames into place only after its iterator
+   * is exhausted. A destination that already exists means another
+   * attempt of the same (deterministic) partition committed first —
+   * the loser deletes its temp and defers. Rename is the same
+   * worst-case-visible unit every Hadoop file committer uses.
+   *
+   * Input columns: `nameCol` STRING (entry name, must be non-null and
+   * unique within the dataset for faithful round-trips), `bodyCol`
+   * BINARY. Eager action; returns the shard manifest
+   * (shard INT, file STRING, entries LONG, bytes LONG) — one row per
+   * non-empty partition (bounded driver data).
+   */
+  def writeTar(df: DataFrame, dir: String,
+               nameCol: String = "name", bodyCol: String = "body"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val shards = df.select(col(nameCol).cast("string"), col(bodyCol))
+      .mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val tc = org.apache.spark.TaskContext.get()
+          val shard = tc.partitionId()
+          val fs = new org.apache.hadoop.fs.Path(dir)
+            .getFileSystem(hconf.value)
+          val tmp = new org.apache.hadoop.fs.Path(
+            dir, f"_tmp/shard-$shard%05d-attempt-${tc.taskAttemptId()}.tar")
+          val dest = new org.apache.hadoop.fs.Path(dir, f"shard-$shard%05d.tar")
+          val out = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(
+            new java.io.BufferedOutputStream(fs.create(tmp, true), 256 * 1024))
+          out.setLongFileMode(org.apache.commons.compress.archivers.tar
+            .TarArchiveOutputStream.LONGFILE_POSIX)
+          var entries = 0L
+          var bytes = 0L
+          try {
+            it.foreach { row =>
+              val name = row.getString(0)
+              require(name != null, "writeTar: null entry name")
+              val body = row.getAs[Array[Byte]](1)
+              val e = new org.apache.commons.compress.archivers.tar.TarArchiveEntry(name)
+              e.setSize(body.length.toLong)
+              out.putArchiveEntry(e)
+              out.write(body)
+              out.closeArchiveEntry()
+              entries += 1; bytes += body.length
+            }
+            out.close()
+            // commit: first attempt to rename wins; content is
+            // deterministic per partition, so a loser just withdraws
+            if (!fs.rename(tmp, dest)) {
+              if (!fs.exists(dest))
+                throw new java.io.IOException(s"writeTar: commit failed for $dest")
+              fs.delete(tmp, false)
+            }
+          } catch {
+            case t: Throwable =>
+              try out.close() catch { case _: Throwable => }
+              try fs.delete(tmp, false) catch { case _: Throwable => }
+              throw t
+          }
+          Iterator.single((shard, dest.toString, entries, bytes))
+        }
+      }.collect()  // bounded: one row per partition
+    spark.createDataset(shards.toSeq).toDF("shard", "file", "entries", "bytes")
+  }
 }

@@ -289,6 +289,32 @@ class SliceSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(first.getAs[Array[Byte]](1), payload))
   }
 
+  test("writeTar round-trips shards byte-exactly; manifest matches disk; temps cleaned") {
+    import spark.implicits._
+    val rows = (0 until 200).map(i => (f"e$i%04d.bin",
+      Array.tabulate[Byte](i * 7 % 300 + 1)(j => ((i + j) % 113).toByte)))
+    val df = spark.createDataset(rows).toDF("name", "body")
+      .repartition(5, col("name"))
+    val dir = java.nio.file.Files.createTempDirectory("grafttarw").toString
+    val manifest = Sources.writeTar(df, dir, "name", "body").collect()
+    // one manifest row per non-empty partition, files exist on disk
+    assert(manifest.nonEmpty && manifest.length <= 5)
+    assert(manifest.map(_.getLong(2)).sum == 200L)
+    assert(manifest.map(_.getLong(3)).sum == rows.map(_._2.length.toLong).sum)
+    manifest.foreach { m =>
+      assert(new java.io.File(m.getString(1).stripPrefix("file:")).exists(), m)
+    }
+    // no stranded attempt temps
+    val tmps = Option(new java.io.File(dir, "_tmp").listFiles()).getOrElse(Array.empty)
+    assert(tmps.isEmpty)
+    // round-trip: exact (name -> bytes) set equality through readTar
+    val back = Sources.readTar(spark, s"$dir/shard-*.tar").df
+      .select("name", "body").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(back.size == 200)
+    rows.foreach { case (n, b) => assert(back(n) == b.toSeq, n) }
+  }
+
   test("writerFunc onDone: sink sees success per shard, and the error on failure") {
     import spark.implicits._
     WriterProbe.reset()
