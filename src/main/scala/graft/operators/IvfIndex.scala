@@ -27,10 +27,16 @@ import org.apache.spark.sql.functions._
  *                         (re-clustered; replaces ALL prior segments)
  *                         or size-triggered (tiered; folds the small
  *                         `s` segments, prior `r` segments are kept)
+ *   tombs/d00004/         id-list parquet written by delete/upsert:
+ *                         masks matching ids in STRICTLY older
+ *                         segments until a compaction folds them away
  *   v00001/centroids.txt  this version's centroids (driver metadata)
  *   v00001/segments.txt   the segment names this version reads
  *   v00001/counts.txt     per-list vector counts (drives the drift
- *                         guard)
+ *                         guard; an upper bound while tombstones are
+ *                         outstanding)
+ *   v00001/tombstones.txt the tombstone datasets this version masks
+ *                         with (absent = none)
  * }}}
  *
  * Append = assign the batch to the EXISTING centroids, write ONE
@@ -100,6 +106,15 @@ object IvfIndex {
   private def segPath(dir: String, name: String): String =
     s"${dir.stripSuffix("/")}/segments/$name"
 
+  private def tombPath(dir: String, name: String): String =
+    s"${dir.stripSuffix("/")}/tombs/$name"
+
+  /** Commit sequence encoded in a segment/tombstone name (s00007 /
+    * r00007 / d00007 → 7). A tombstone masks ids only in segments with
+    * a STRICTLY smaller sequence — a row (re-)written in the same or a
+    * later commit (upsert, re-add, compaction) survives it. */
+  private def nameSeq(name: String): Int = name.drop(1).toInt
+
   // ------------------------------------------------------------------
   // Manifest (per-version driver metadata: centroids, segment list,
   // per-list counts).
@@ -107,7 +122,8 @@ object IvfIndex {
 
   private def writeManifest(spark: SparkSession, dir: String, v: Int,
                             cents: Array[Array[Double]], segs: Seq[String],
-                            counts: Map[Int, Long]): Unit = {
+                            counts: Map[Int, Long],
+                            tombs: Seq[String] = Seq.empty): Unit = {
     val f = fs(spark, dir)
     val vd = versionDir(dir, v)
     atomicWrite(f, new Path(vd, "centroids.txt"),
@@ -115,6 +131,21 @@ object IvfIndex {
     atomicWrite(f, new Path(vd, "segments.txt"), segs.mkString("\n"))
     atomicWrite(f, new Path(vd, "counts.txt"),
       counts.toSeq.sorted.map { case (l, c) => s"$l,$c" }.mkString("\n"))
+    if (tombs.nonEmpty)
+      atomicWrite(f, new Path(vd, "tombstones.txt"), tombs.mkString("\n"))
+  }
+
+  /** Tombstone datasets a version masks with (absent file = none —
+    * pre-delete manifests stay readable unchanged). */
+  private[graft] def readTombstones(spark: SparkSession, dir: String,
+                                    v: Int): Seq[String] = {
+    val p = new Path(versionDir(dir, v), "tombstones.txt")
+    val f = fs(spark, dir)
+    if (!f.exists(p)) Seq.empty
+    else {
+      val s = readSmall(f, p)
+      if (s.isEmpty) Seq.empty else s.split("\n").toSeq
+    }
   }
 
   private[graft] def readCentroids(spark: SparkSession, dir: String,
@@ -220,7 +251,76 @@ object IvfIndex {
    * (like [[MinhashIndex]]): appends are serialized by the caller.
    */
   def append(spark: SparkSession, dir: String, batch: DataFrame,
-             id: String, vec: String, cfg: Config): Int = {
+             id: String, vec: String, cfg: Config): Int =
+    appendImpl(spark, dir, batch, id, vec, cfg, replace = false)
+
+  /**
+   * Append `batch` AND tombstone its ids in one atomic commit — the
+   * update face of continuous ingest (a changed document re-embeds;
+   * the stale vector must stop answering probes). The tombstone's
+   * commit sequence masks only STRICTLY older segments, so the new
+   * rows written in this same commit survive it, as does any future
+   * re-add. Compactions apply live tombstones physically to the
+   * segments they fold (and the drift re-cluster, which rewrites every
+   * row, retires them all); between compactions the masked rows sit in
+   * immutable old segments and `counts.txt` is an upper bound — which
+   * only makes the drift guard fire earlier, never later.
+   */
+  def upsert(spark: SparkSession, dir: String, batch: DataFrame,
+             id: String, vec: String, cfg: Config): Int =
+    appendImpl(spark, dir, batch, id, vec, cfg, replace = true)
+
+  /**
+   * Tombstone `ids` (one column dataset, any size) in a new version:
+   * probes at or after this version never return them; pinned probes
+   * at older versions still do (replay-safe). Physical removal happens
+   * at the next compaction that folds the segments holding them; until
+   * then deletes cost one id-list parquet write, never a segment
+   * rewrite. Deletes are expected ≪ corpus, so probe-side masking is a
+   * broadcast anti-join on the id column.
+   */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame,
+             idCol: String): Int = {
+    val v = latestVersion(spark, dir)
+    val dName = f"d${v + 1}%05d"
+    ids.select(col(idCol).as("id")).distinct()
+      .write.mode("overwrite").parquet(tombPath(dir, dName))
+    val n = spark.read.parquet(tombPath(dir, dName)).count()
+    val tombs = readTombstones(spark, dir, v)
+    writeManifest(spark, dir, v + 1, readCentroids(spark, dir, v),
+      readSegments(spark, dir, v), readCounts(spark, dir, v),
+      if (n == 0) tombs else tombs :+ dName)
+    readBooks(spark, dir, v).foreach(writeBooks(spark, dir, v + 1, _))
+    commitLatest(spark, dir, v + 1, FormatVersion)
+    v + 1
+  }
+
+  /** Union of tombstone datasets as (t_id, t_seq) — None when empty. */
+  private def tombFrame(spark: SparkSession, dir: String,
+                        tombs: Seq[String]): Option[DataFrame] =
+    if (tombs.isEmpty) None
+    else Some(tombs.map(d => spark.read.parquet(tombPath(dir, d))
+        .select(col("id").as("t_id"), lit(nameSeq(d)).as("t_seq")))
+      .reduce(_.unionByName(_)))
+
+  /** Union of segments with per-row commit sequence, live rows only
+    * (tombstones with a strictly greater sequence applied). */
+  private def liveUnion(spark: SparkSession, dir: String, segs: Seq[String],
+                        tombs: Seq[String], idCol: String): DataFrame = {
+    val u = segs.map(s => spark.read.parquet(segPath(dir, s))
+        .withColumn("seg_seq", lit(nameSeq(s))))
+      .reduce(_.unionByName(_))
+    tombFrame(spark, dir, tombs) match {
+      case None => u.drop("seg_seq")
+      case Some(t) => u.join(broadcast(t),
+          col(idCol) === col("t_id") && col("t_seq") > col("seg_seq"),
+          "left_anti").drop("seg_seq")
+    }
+  }
+
+  private def appendImpl(spark: SparkSession, dir: String, batch: DataFrame,
+                         id: String, vec: String, cfg: Config,
+                         replace: Boolean): Int = {
     val v = latestVersion(spark, dir)
     val cents = readCentroids(spark, dir, v)
     require(cents.headOption.exists(_.length == cfg.dim),
@@ -234,6 +334,17 @@ object IvfIndex {
         s"layer but cfg.pq is ${cfg.pq}")
     val segs = readSegments(spark, dir, v)
     val prev = readCounts(spark, dir, v)
+    // upsert: tombstone the batch ids in the SAME commit — sequence
+    // v+1 masks their copies in strictly older segments, never the
+    // rows this commit writes
+    val tombsPrev = readTombstones(spark, dir, v)
+    val dName = f"d${v + 1}%05d"
+    val nTomb = if (replace) {
+      batch.select(col(id).as("id")).distinct()
+        .write.mode("overwrite").parquet(tombPath(dir, dName))
+      spark.read.parquet(tombPath(dir, dName)).count()
+    } else 0L
+    val tombs = if (nTomb > 0) tombsPrev :+ dName else tombsPrev
     // segment name derived from the version it belongs to: a retry of
     // a crashed append overwrites its own orphan, never a committed
     // segment
@@ -253,9 +364,9 @@ object IvfIndex {
       // segments ∪ the batch segment just written) and compact into
       // one fresh segment — the amortized corpus-sized job that keeps
       // list occupancy, probe cost and recall stable under drift
-      val all = newSegs
-        .map(s => spark.read.parquet(segPath(dir, s)))
-        .reduce(_.unionByName(_))
+      // live rows only: the rewrite applies every tombstone physically
+      // and the new manifest carries none
+      val all = liveUnion(spark, dir, newSegs, tombs, id)
         .select(col(id), col(vec))
       val cents2 = Similarity.trainCentroids(all, id, vec, cfg.dim,
         cfg.nList, cfg.iters)
@@ -296,17 +407,21 @@ object IvfIndex {
       val toMerge = if (mergeAll) newSegs else sSegs
       val kept = if (mergeAll) Seq.empty else rSegs
       val comp = f"r${v + 1}%05d"
-      toMerge
-        .map(s => spark.read.parquet(segPath(dir, s)))
-        .reduce(_.unionByName(_))
+      liveUnion(spark, dir, toMerge, tombs, id)
         .write.mode("overwrite").partitionBy("list_id")
         .parquet(segPath(dir, comp))
       // rows carry their codes through the union untouched — frozen
-      // books stay valid, so the merge never re-encodes
-      writeManifest(spark, dir, v + 1, cents, kept :+ comp, merged)
+      // books stay valid, so the merge never re-encodes. Tombstones
+      // applied to the folded rows are retired unless a KEPT segment
+      // is still older than them (r-segments keep their original
+      // sequence; the new comp segment, at v+1, outranks every live
+      // tombstone by the strictly-greater rule).
+      val tombsKept = tombs.filter(t =>
+        kept.exists(s => nameSeq(s) < nameSeq(t)))
+      writeManifest(spark, dir, v + 1, cents, kept :+ comp, merged, tombsKept)
       books.foreach(writeBooks(spark, dir, v + 1, _))
     } else {
-      writeManifest(spark, dir, v + 1, cents, newSegs, merged)
+      writeManifest(spark, dir, v + 1, cents, newSegs, merged, tombs)
       books.foreach(writeBooks(spark, dir, v + 1, _))
     }
     commitLatest(spark, dir, v + 1, FormatVersion)
@@ -405,11 +520,25 @@ object IvfIndex {
     val q = spark.createDataFrame(exploded, qSchema)
     val probedLists = exploded.iterator().asScala.map(_.getInt(2)).toSeq.distinct
     val segsV = readSegments(spark, dir, version)
-    def scan(cols: Seq[String]): DataFrame = segsV
-      .map(s => spark.read.parquet(segPath(dir, s))
-        .filter(col("list_id").isin(probedLists: _*))
-        .select(cols.map(col): _*))
-      .reduce(_.unionByName(_))
+    val tombsV = readTombstones(spark, dir, version)
+    val tombDf = tombFrame(spark, dir, tombsV)
+    // scan returns cols + seg_seq; deleted/superseded ids are masked by
+    // a broadcast anti-join against the version's tombstones (strictly
+    // older segments only — an upserted or re-added row survives its
+    // own id's tombstone)
+    def scan(cols: Seq[String]): DataFrame = {
+      val u = segsV
+        .map(s => spark.read.parquet(segPath(dir, s))
+          .filter(col("list_id").isin(probedLists: _*))
+          .select(cols.map(col) :+ lit(nameSeq(s)).as("seg_seq"): _*))
+        .reduce(_.unionByName(_))
+      tombDf match {
+        case None => u.drop("seg_seq")
+        case Some(t) => u.join(broadcast(t),
+            col(cols.head) === col("t_id") && col("t_seq") > col("seg_seq"),
+            "left_anti").drop("seg_seq")
+      }
+    }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
 
@@ -523,6 +652,20 @@ object IvfIndex {
         // committed version — latest+1 may be an append in flight
         val num = name.drop(1).toIntOption.getOrElse(Int.MaxValue)
         if (!referenced.contains(name) && num <= latest)
+          f.delete(st.getPath, true)
+      }
+    // tombstone datasets follow the same rule: reap what no retained
+    // manifest references (compactions retire them; crashed
+    // deletes/upserts strand orphans) — never the in-flight d(latest+1)
+    val refTombs = (keepFrom to latest)
+      .filter(v => f.exists(new Path(versionDir(dir, v))))
+      .flatMap(readTombstones(spark, dir, _)).toSet
+    val tombRoot = new Path(s"${dir.stripSuffix("/")}/tombs")
+    if (f.exists(tombRoot))
+      f.listStatus(tombRoot).foreach { st =>
+        val name = st.getPath.getName
+        val num = name.drop(1).toIntOption.getOrElse(Int.MaxValue)
+        if (!refTombs.contains(name) && num <= latest)
           f.delete(st.getPath, true)
       }
   }

@@ -1,7 +1,9 @@
 package graft
 
+import graft.functions.VectorExpressions.{dotF, normF}
 import graft.operators.{IvfIndex, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -404,6 +406,134 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(segScans.forall(_.dataFilters.exists(
       _.references.exists(_.name == "vec_id"))),
       s"re-rank scans must push candidate vec_ids: $segScans")
+  }
+
+  test("delete: tombstoned ids vanish, pinned versions replay, re-add revives") {
+    val dir = tmp("ivf_del")
+    val b0 = emb.filter(col("vec_id") % 5 =!= 0)
+    val b1 = emb.filter(col("vec_id") % 5 === 0)
+    IvfIndex.build(spark, b0, "vec_id", "embedding", dir, cfg)
+    IvfIndex.append(spark, dir, b1, "vec_id", "embedding", cfg)
+    val delIds = emb.filter(col("vec_id") % 7 === 1).select("vec_id")
+    val delSet = delIds.collect().map(_.getLong(0)).toSet
+    val q = emb.filter(col("vec_id") < 10)
+    val v2res = topKSet(IvfIndex.topKAt(spark, dir, 2, q,
+      "vec_id", "embedding", 10, nProbe = 8))
+    assert(v2res.exists(t => delSet.contains(t._3)),
+      "test premise: some deleted id must be in the v2 top-k")
+    val v3 = IvfIndex.delete(spark, dir, delIds, "vec_id")
+    assert(v3 == 3)
+    val v3res = topKSet(IvfIndex.topKAt(spark, dir, 3, q,
+      "vec_id", "embedding", 10, nProbe = 8))
+    assert(!v3res.exists(t => delSet.contains(t._3)), "deleted id answered")
+    // exact contract: nProbe = nList makes the probe exhaustive, so the
+    // masked result must equal an independent cosine top-k (same
+    // scoring kernel, different plan) over corpus-minus-deleted
+    val live = emb.join(delIds, Seq("vec_id"), "left_anti")
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val expected = topKSet(
+      q.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        .crossJoin(live)
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos",
+          dotF(col("qv"), col("cv")) / (normF(col("qv")) * normF(col("cv"))))
+        .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+        .filter(col("rnk") <= 10)
+        .select(col("query_id"), col("rnk"), col("neighbor_id")))
+    assert(v3res == expected, "masked probe != independent top-k")
+    // pinned replay at v2 still sees the deleted ids (immutability)
+    assert(topKSet(IvfIndex.topKAt(spark, dir, 2, q,
+      "vec_id", "embedding", 10, nProbe = 8)) == v2res)
+    // re-add one deleted id: the strictly-newer segment outranks the
+    // tombstone, the rest of the delete set stays masked. Pick one
+    // that ranked in v2's top-k — with the rest of the delete set
+    // still masked its rank can only improve, so it must reappear.
+    val back = v2res.collectFirst {
+      case (_, _, n) if delSet.contains(n) => n }.get
+    IvfIndex.append(spark, dir, emb.filter(col("vec_id") === back),
+      "vec_id", "embedding", cfg)
+    val v4res = topKSet(IvfIndex.topK(spark, dir, q,
+      "vec_id", "embedding", 10, nProbe = 8))
+    assert(v4res.exists(_._3 == back), "re-added id still masked")
+    assert(!v4res.exists(t => delSet.contains(t._3) && t._3 != back))
+  }
+
+  test("upsert: stale vector stops answering, new one answers, exactly one copy visible") {
+    val dir = tmp("ivf_upsert")
+    IvfIndex.build(spark, emb, "vec_id", "embedding", dir, cfg)
+    val up = emb.filter(col("vec_id") % 11 === 2)
+      .select(col("vec_id"), transform(col("embedding"), x => -x).as("embedding"))
+    val x = up.agg(min("vec_id")).collect()(0).getLong(0)
+    assert(IvfIndex.upsert(spark, dir, up, "vec_id", "embedding", cfg) == 2)
+    // probe BY x's new (negated) vector from a foreign query id:
+    // the upserted row must be the exact match
+    val qNew = up.filter(col("vec_id") === x)
+      .select(lit(-1L).as("vec_id"), col("embedding"))
+    val r = IvfIndex.topK(spark, dir, qNew, "vec_id", "embedding", 3, nProbe = 8)
+      .collect().sortBy(_.getInt(1))
+    assert(r.head.getLong(2) == x && r.head.getDouble(3) > 0.9999,
+      s"new vector not answering: ${r.head}")
+    // probe by the OLD vector with corpus-sized k: x appears exactly
+    // once (the stale copy is masked, not duplicated) and anti-aligned
+    val qOld = emb.filter(col("vec_id") === x)
+      .select(lit(-1L).as("vec_id"), col("embedding"))
+    val all = IvfIndex.topK(spark, dir, qOld, "vec_id", "embedding",
+      emb.count().toInt, nProbe = 8).collect().filter(_.getLong(2) == x)
+    assert(all.length == 1, s"expected exactly one visible copy of $x")
+    assert(all.head.getDouble(3) < -0.9999, "stale vector still answering")
+  }
+
+  test("compaction applies tombstones physically; retired tombstones reaped by gc") {
+    val dir = tmp("ivf_tomb_compact")
+    val cap = cfg.copy(maxSegments = 2)
+    val churn = emb.filter(col("vec_id") % 5 === 0)
+    IvfIndex.build(spark, emb, "vec_id", "embedding", dir, cap)
+    // upsert the churn set twice: negated, then back to the original —
+    // v3's append makes 3 s-segments > cap, folding them WITH the two
+    // tombstones into one r-segment
+    val negated = churn.select(col("vec_id"),
+      transform(col("embedding"), x => -x).as("embedding"))
+    assert(IvfIndex.upsert(spark, dir, negated, "vec_id", "embedding", cap) == 2)
+    assert(IvfIndex.upsert(spark, dir, churn, "vec_id", "embedding", cap) == 3)
+    assert(IvfIndex.readSegments(spark, dir, 3) == Seq("r00003"))
+    assert(IvfIndex.readTombstones(spark, dir, 3).isEmpty,
+      "tombstones must retire when every masked segment folds")
+    // physical truth: the compacted segment holds each id ONCE, with
+    // the latest vector
+    val raw = spark.read.parquet(s"$dir/segments/r00003")
+      .select(col("vec_id"), col("embedding")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.toSeq).toMap
+    assert(raw.size == emb.count(), "row lost or duplicated in the fold")
+    assert(raw.values.forall(_.size == 1), "masked copy survived the fold")
+    val orig = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    churn.collect().map(_.getLong(0)).foreach { id =>
+      assert(raw(id).head.getSeq[Float](1) == orig(id),
+        s"churned id $id does not carry its latest vector")
+    }
+    // the d-datasets are still referenced by v2; after gc to the
+    // tombstone-free v3 they are orphans and must be reaped
+    val tombsDir = java.nio.file.Paths.get(s"$dir/tombs")
+    assert(java.nio.file.Files.list(tombsDir).count() == 2)
+    IvfIndex.gc(spark, dir, retainLast = 1)
+    assert(!java.nio.file.Files.exists(tombsDir)
+      || java.nio.file.Files.list(tombsDir).count() == 0)
+  }
+
+  test("IVF-PQ probes respect tombstones (ADC and re-rank stages)") {
+    val dir = tmp("ivfpq_del")
+    val pqCfg = cfg.copy(pq = Some(IvfIndex.PqConfig(m = 8, ksub = 16)))
+    IvfIndex.build(spark, emb, "vec_id", "embedding", dir, pqCfg)
+    val delIds = emb.filter(col("vec_id") % 3 === 0).select("vec_id")
+    val delSet = delIds.collect().map(_.getLong(0)).toSet
+    IvfIndex.delete(spark, dir, delIds, "vec_id")
+    val q = emb.filter(col("vec_id") < 10)
+    val res = IvfIndex.topK(spark, dir, q, "vec_id", "embedding", 20,
+      nProbe = 8).collect()
+    assert(res.nonEmpty)
+    assert(!res.exists(r => delSet.contains(r.getLong(2))),
+      "PQ probe answered a tombstoned id")
   }
 
   test("gc: old versions and unreferenced segments reaped; retained versions replayable") {
