@@ -651,6 +651,80 @@ object MinhashIndex {
     * `unpersist()` it once consumed — [[graft.streaming.Streams
     * .nearDupStreamIndexed]] does — or each iteration pins a cache
     * generation. */
+  /**
+   * Remove `ids` from the index in a new version — the retirement /
+   * right-to-erasure face of continuous ingest. EXACT: the new
+   * version's tables equal a fresh build over corpus-minus-deleted
+   * (same kernels end to end), so later probes stay pair-identical to
+   * [[Dedup.minhashIncremental]] over the reduced corpus — spec-pinned
+   * in IndexSpec.
+   *
+   * Cost model: one version rewrite, the same class as an append
+   * (which also writes the merged tables); the delete-specific work is
+   * dead-batch-sized (df deltas from the deleted docs' stored shingle
+   * arrays, broadcast onto the df scan). The subtle inverse of
+   * append's newly-hot machinery: deletion SHRINKS df, so a shingle
+   * can fall back under the cap — the live docs containing it regain
+   * it in their capped sets, and exactly their band rows are
+   * recomputed from the persisted arrays (rare by construction, and
+   * checked with one tiny driver-side set like the newly-hot guard).
+   */
+  def deleteFromIndex(spark: SparkSession, dir: String, ids: DataFrame,
+                      id: String, cfg: Config = Config()): Int = {
+    val v = latestVersion(spark, dir)
+    val vd = versionDir(dir, v)
+    val vd1 = versionDir(dir, v + 1)
+    val docs = spark.read.parquet(s"$vd/docs")
+    val dels = broadcast(
+      ids.select(col(ids.columns.head).as("del_id")).distinct())
+    // deleted docs' per-shingle df contribution (dead-batch-sized)
+    val delta = docs.join(dels, col(id) === col("del_id"), "left_semi")
+      .select(explode(col("sharr")).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("ddf"))
+    val newDf = spark.read.parquet(s"$vd/df")
+      .join(broadcast(delta), Seq("shingle"), "left")
+      .select(col("shingle"),
+        (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+    docs.join(dels, col(id) === col("del_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$vd1/docs")
+    newDf.write.mode("overwrite").parquet(s"$vd1/df")
+    // hot/warm derive from the COMMITTED df (on-disk truth), mirroring
+    // writeVersionTables
+    val cDf = spark.read.parquet(s"$vd1/df")
+    val cHot = cDf.filter(col("df") > cfg.maxShingleDf).select("shingle")
+    cHot.write.mode("overwrite").parquet(s"$vd1/hot")
+    cDf.filter(col("df") > warmThreshold(cfg))
+      .write.mode("overwrite").parquet(s"$vd1/warm")
+    // shingles that fell back UNDER the cap (tiny: subset of the old
+    // hot set): their containing docs' capped sets grow
+    val unHotArr = spark.read.parquet(s"$vd/hot")
+      .join(spark.read.parquet(s"$vd1/hot"), Seq("shingle"), "left_anti")
+      .collect().map(_.getString(0)).toSeq
+    val cLive = spark.read.parquet(s"$vd1/docs")
+    val liveBands = spark.read.parquet(s"$vd/bands")
+      .join(dels, col(id) === col("del_id"), "left_anti")
+    var affected: Option[DataFrame] = None
+    val newBands =
+      if (unHotArr.isEmpty) liveBands
+      else {
+        val aff = cLive
+          .filter(arrays_overlap(col("sharr"),
+            array(unHotArr.map(lit): _*))).persist()
+        affected = Some(aff)
+        val hot1 = asOneRowArray(
+          spark.read.parquet(s"$vd1/hot"), "hotarr")
+        liveBands
+          .join(broadcast(aff.select(col(id))), Seq(id), "left_anti")
+          .unionByName(bandsOf(cappedBy(aff, id, hot1), id, cfg))
+      }
+    Bucketing.writeBucketedAt(newBands, bandsTableName(dir, v + 1),
+      cfg.nBuckets, Seq("band", "bucket"), s"$vd1/bands")
+    affected.foreach(_.unpersist())
+    writeLatest(spark, dir, v + 1)
+    v + 1
+  }
+
   def ingest(spark: SparkSession, dir: String, batch: DataFrame,
              id: String, text: String, cfg: Config = Config()): DataFrame = {
     val v = latestVersion(spark, dir)

@@ -22,8 +22,19 @@ import org.apache.spark.sql.functions._
  *
  *   dir/FORMAT, dir/LATEST, dir/TERMS       (termsTag sanity marker)
  *   dir/vNNNNN/segments.txt                 ("name,nDocs,nTokens" rows)
+ *   dir/vNNNNN/tombstones.txt               (first line "ndMasked,ntMasked",
+ *                                           then tombstone names; absent
+ *                                           = no deletes outstanding)
  *   dir/segments/sNNNNN/tf/bkt=N/…parquet   ((doc_id, tok, tf, dl))
  *   dir/segments/sNNNNN/df/bkt=N/…parquet   ((tok, df))
+ *   dir/segments/sNNNNN/docs/dbkt=N/…       ((doc_id, dl) — the narrow
+ *                                           per-doc stats a delete's
+ *                                           scalar correction scans,
+ *                                           doc-hash partitioned)
+ *   dir/tombs/dNNNNN/…parquet               ((doc_id) delete sets; the
+ *                                           commit sequence masks
+ *                                           STRICTLY older segments,
+ *                                           so upserts/re-adds survive)
  *
  * Design points:
  *   - tf rows are DENORMALIZED with the doc length (dl), so probes
@@ -51,9 +62,17 @@ import org.apache.spark.sql.functions._
  * pair-for-pair (shared scoring tail — TermIndexSpec asserts it for
  * unigram and bigram terms, across appends and compactions).
  *
- * Docs are append-only with unique ids across batches (the
- * [[MinhashIndex]] ingest assumption); re-adding a doc double-counts
- * it, as it would in any LSM index without a tombstone layer.
+ * Docs carry unique ids across batches (the [[MinhashIndex]] ingest
+ * assumption). The tombstone layer ([[delete]]/[[upsert]]) retires or
+ * replaces docs without rewriting segments: probes mask tf rows in
+ * strictly older segments via a broadcast anti-join, the manifest's
+ * corpus scalars carry an exact masked-docs/masked-tokens correction
+ * (computed at delete time from the narrow per-segment docs stats),
+ * and the probe-time df for a version with outstanding tombstones is
+ * counted from the masked candidate slice itself — so BM25 stays
+ * EXACTLY equal to an inline build over corpus-minus-deleted.
+ * Compactions fold tombstones physically and re-base the correction
+ * over the segments they keep.
  */
 object TermIndex {
 
@@ -81,10 +100,39 @@ object TermIndex {
   private def segPath(dir: String, name: String): String =
     s"${dir.stripSuffix("/")}/segments/$name"
 
+  private def tombPath(dir: String, name: String): String =
+    s"${dir.stripSuffix("/")}/tombs/$name"
+
+  /** Commit sequence in a segment/tombstone name (s00007/r00007/d00007
+    * → 7); a tombstone masks only STRICTLY smaller sequences. */
+  private def nameSeq(name: String): Int = name.drop(1).toInt
+
   private def writeManifest(spark: SparkSession, dir: String, v: Int,
                             segs: Seq[(String, Long, Long)]): Unit =
     atomicWrite(fs(spark, dir), new Path(versionDir(dir, v), "segments.txt"),
       segs.map { case (n, d, t) => s"$n,$d,$t" }.mkString("\n"))
+
+  /** ((ndMasked, ntMasked), tombstone names) for a version; absent
+    * file (pre-delete manifests) = no masking. */
+  private[graft] def readTombstones(
+      spark: SparkSession, dir: String,
+      v: Int): ((Long, Long), Seq[String]) = {
+    val p = new Path(versionDir(dir, v), "tombstones.txt")
+    val f = fs(spark, dir)
+    if (!f.exists(p)) ((0L, 0L), Seq.empty)
+    else {
+      val lines = readSmall(f, p).split("\n").toSeq
+      val Array(nd, nt) = lines.head.split(",")
+      ((nd.toLong, nt.toLong), lines.tail.filter(_.nonEmpty))
+    }
+  }
+
+  private def writeTombstonesFile(spark: SparkSession, dir: String, v: Int,
+                                  masked: (Long, Long),
+                                  tombs: Seq[String]): Unit =
+    if (tombs.nonEmpty)
+      atomicWrite(fs(spark, dir), new Path(versionDir(dir, v), "tombstones.txt"),
+        (s"${masked._1},${masked._2}" +: tombs).mkString("\n"))
 
   private[graft] def readManifest(spark: SparkSession, dir: String,
                                   v: Int): Seq[(String, Long, Long)] = {
@@ -119,12 +167,21 @@ object TermIndex {
   private val dfSchema = StructType(Seq(
     StructField("tok", StringType), StructField("df", LongType),
     StructField("bkt", IntegerType)))
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("dl", LongType),
+    StructField("dbkt", IntegerType)))
 
   private def readTf(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(tfSchema).parquet(s"$path/tf")
 
   private def readDf(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(dfSchema).parquet(s"$path/df")
+
+  private def readDocs(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(docsSchema).parquet(s"$path/docs")
+
+  private def hasDocs(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new Path(s"$path/docs"))
 
   /** Write one segment (tf + df, both bucket-partitioned) and return
     * (nDocs, nTokens) read back from the committed files — the
@@ -147,9 +204,18 @@ object TermIndex {
     committed.groupBy("tok").agg(count(lit(1)).as("df"))
       .withColumn("bkt", bkt(col("tok"), cfg.buckets))
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/df")
+    writeDocsStats(spark, path, committed, cfg)
     val r = committed.agg(countDistinct(col("doc_id")), sum("tf")).head()
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
+
+  /** The narrow (doc_id, dl) per-segment stats, doc-hash partitioned —
+    * what a delete's scalar correction scans instead of the tf body. */
+  private def writeDocsStats(spark: SparkSession, path: String,
+                             committedTf: DataFrame, cfg: Config): Unit =
+    committedTf.select(col("doc_id"), col("dl")).distinct()
+      .withColumn("dbkt", pmod(xxhash64(col("doc_id")), lit(cfg.buckets)).cast("int"))
+      .write.mode("overwrite").partitionBy("dbkt").parquet(s"$path/docs")
 
   /** Create the index at `dir` from an initial corpus; returns the
     * committed version (1). */
@@ -181,6 +247,85 @@ object TermIndex {
                   content: String): Unit =
     atomicWrite(fs(spark, dir), new Path(dir, name), content)
 
+  /** Union of tombstone id sets as (t_id, t_seq) — None when empty. */
+  private def tombFrame(spark: SparkSession, dir: String,
+                        tombs: Seq[String]): Option[DataFrame] =
+    if (tombs.isEmpty) None
+    else Some(tombs.map { d =>
+        import org.apache.spark.sql.types._
+        spark.read.schema(StructType(Seq(StructField("doc_id", LongType))))
+          .parquet(tombPath(dir, d))
+          .select(col("doc_id").as("t_id"), lit(nameSeq(d)).as("t_seq"))
+      }.reduce(_.unionByName(_)))
+
+  /** Mask rows carrying (doc_id, seg_seq) by tombstones with a strictly
+    * greater sequence; drops seg_seq. */
+  private def maskBySeq(df: DataFrame, tombF: Option[DataFrame]): DataFrame =
+    tombF match {
+      case None => df.drop("seg_seq")
+      case Some(t) => df.join(broadcast(t),
+          col("doc_id") === col("t_id") && col("t_seq") > col("seg_seq"),
+          "left_anti").drop("seg_seq")
+    }
+
+  /** Live (count, Σdl) of the id set at `idsPath` across `segs` under
+    * `tombs` — the exact scalar correction a new tombstone adds. Scans
+    * only the ids' hash buckets of the narrow per-segment docs stats. */
+  private def liveDelta(spark: SparkSession, dir: String,
+                        segs: Seq[(String, Long, Long)],
+                        tombs: Seq[String], idsPath: String,
+                        cfg: Config): (Long, Long) = {
+    import org.apache.spark.sql.types._
+    segs.foreach { case (s, _, _) =>
+      require(hasDocs(spark, segPath(dir, s)),
+        s"segment $s predates the tombstone layer (no docs stats): " +
+          "run a size-compacting append first, then delete/upsert")
+    }
+    val delDf = spark.read
+      .schema(StructType(Seq(StructField("doc_id", LongType))))
+      .parquet(idsPath)
+    val dbkts = delDf
+      .select(pmod(xxhash64(col("doc_id")), lit(cfg.buckets)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    if (dbkts.isEmpty) return (0L, 0L)
+    val docsU = segs.map { case (s, _, _) =>
+        readDocs(spark, segPath(dir, s))
+          .filter(col("dbkt").isin(dbkts: _*))
+          .withColumn("seg_seq", lit(nameSeq(s)))
+      }.reduce(_.unionByName(_))
+    val hit = maskBySeq(docsU, tombFrame(spark, dir, tombs))
+      .join(broadcast(delDf), Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)), sum("dl")).head()
+    (hit.getLong(0), if (hit.isNullAt(1)) 0L else hit.getLong(1))
+  }
+
+  /**
+   * Tombstone `ids` in a new version: probes at or after it never see
+   * them (scores re-normalize exactly — N, total tokens and df all
+   * shed the deleted docs); pinned older versions replay unchanged.
+   * Physical removal happens at the next compaction folding their
+   * segments; until then a delete costs one id-list write plus a
+   * pruned scan of the narrow per-segment docs stats.
+   */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame,
+             cfg: Config = Config()): Int = {
+    val v = latestVersion(spark, dir)
+    requireTerms(spark, dir, cfg)
+    val segs = readManifest(spark, dir, v)
+    val (masked, tombs) = readTombstones(spark, dir, v)
+    val dName = f"d${v + 1}%05d"
+    ids.select(col(ids.columns.head).cast("long").as("doc_id")).distinct()
+      .write.mode("overwrite").parquet(tombPath(dir, dName))
+    val (nd, nt) = liveDelta(spark, dir, segs, tombs,
+      tombPath(dir, dName), cfg)
+    writeManifest(spark, dir, v + 1, segs)
+    writeTombstonesFile(spark, dir, v + 1,
+      (masked._1 + nd, masked._2 + nt),
+      if (nd == 0) tombs else tombs :+ dName)
+    commitLatest(spark, dir, v + 1, FormatVersion)
+    v + 1
+  }
+
   /**
    * Append one batch as a new segment; tier-compacts when the segment
    * count passes the cap. A crash before the LATEST flip strands only
@@ -189,40 +334,104 @@ object TermIndex {
    */
   def append(spark: SparkSession, dir: String, batch: DataFrame,
              id: String, text: String, cfg: Config = Config(),
-             terms: Column => Column = TF.tokens): Int = {
+             terms: Column => Column = TF.tokens): Int =
+    appendImpl(spark, dir, batch, id, text, cfg, terms, replace = false)
+
+  /** Append `batch` AND tombstone its ids in the same commit — the
+    * update face: old copies in strictly older segments stop scoring,
+    * the rows written here survive. One atomic LATEST flip. */
+  def upsert(spark: SparkSession, dir: String, batch: DataFrame,
+             id: String, text: String, cfg: Config = Config(),
+             terms: Column => Column = TF.tokens): Int =
+    appendImpl(spark, dir, batch, id, text, cfg, terms, replace = true)
+
+  private def appendImpl(spark: SparkSession, dir: String, batch: DataFrame,
+                         id: String, text: String, cfg: Config,
+                         terms: Column => Column, replace: Boolean): Int = {
     val v = latestVersion(spark, dir)
     requireTerms(spark, dir, cfg)
+    val segsPrev = readManifest(spark, dir, v)
+    val (maskedPrev, tombsPrev) = readTombstones(spark, dir, v)
+    var masked = maskedPrev
+    var tombs = tombsPrev
+    if (replace) {
+      val dName = f"d${v + 1}%05d"
+      batch.select(col(id).cast("long").as("doc_id")).distinct()
+        .write.mode("overwrite").parquet(tombPath(dir, dName))
+      val (dnd, dnt) = liveDelta(spark, dir, segsPrev, tombsPrev,
+        tombPath(dir, dName), cfg)
+      if (dnd > 0) {
+        masked = (maskedPrev._1 + dnd, maskedPrev._2 + dnt)
+        tombs = tombsPrev :+ dName
+      }
+    }
     val seg = f"s${v + 1}%05d"
     val (nd, nt) = writeSegment(spark, batch, id, text, cfg, terms,
       segPath(dir, seg))
-    val newSegs = readManifest(spark, dir, v) :+ ((seg, nd, nt))
+    val newSegs = segsPrev :+ ((seg, nd, nt))
     if (newSegs.length > cfg.maxSegments) {
       // size-tiered: fold the batch-sized `s` segments into one new
       // `r`; keep prior `r` segments unless their own count trips the
       // cap (then merge r-with-r — amortized over the appends that
-      // built them). Identical policy to IvfIndex.
+      // built them). Identical policy to IvfIndex. Outstanding
+      // tombstones are applied PHYSICALLY to the folded rows.
       val (rSegs, sSegs) = newSegs.partition(_._1.startsWith("r"))
       val mergeAll = rSegs.length >= cfg.maxSegments
       val toMerge = if (mergeAll) newSegs else sSegs
       val kept = if (mergeAll) Seq.empty else rSegs
       val comp = f"r${v + 1}%05d"
-      toMerge.map(s => readTf(spark, segPath(dir, s._1)))
+      val tombF = tombFrame(spark, dir, tombs)
+      val tfU = toMerge.map(s => readTf(spark, segPath(dir, s._1))
+          .withColumn("seg_seq", lit(nameSeq(s._1))))
         .reduce(_.unionByName(_))
+      maskBySeq(tfU, tombF)
         .write.mode("overwrite").partitionBy("bkt")
         .parquet(s"${segPath(dir, comp)}/tf")
-      // df re-derives from the count-sized per-segment df tables — the
-      // corpus-sized tf is unioned once for the write, never re-agged
-      toMerge.map(s => readDf(spark, segPath(dir, s._1)))
-        .reduce(_.unionByName(_))
-        .groupBy("tok").agg(sum("df").as("df"))
-        .withColumn("bkt", bkt(col("tok"), cfg.buckets))
-        .write.mode("overwrite").partitionBy("bkt")
-        .parquet(s"${segPath(dir, comp)}/df")
-      val nd2 = toMerge.map(_._2).sum
-      val nt2 = toMerge.map(_._3).sum
-      writeManifest(spark, dir, v + 1, kept :+ ((comp, nd2, nt2)))
+      val committed = readTf(spark, segPath(dir, comp))
+      if (tombs.isEmpty)
+        // df re-derives from the count-sized per-segment df tables —
+        // the corpus-sized tf is unioned once for the write, not re-agged
+        toMerge.map(s => readDf(spark, segPath(dir, s._1)))
+          .reduce(_.unionByName(_))
+          .groupBy("tok").agg(sum("df").as("df"))
+          .withColumn("bkt", bkt(col("tok"), cfg.buckets))
+          .write.mode("overwrite").partitionBy("bkt")
+          .parquet(s"${segPath(dir, comp)}/df")
+      else
+        // rows were masked: df must recount from the committed fold
+        committed.groupBy("tok").agg(count(lit(1)).as("df"))
+          .withColumn("bkt", bkt(col("tok"), cfg.buckets))
+          .write.mode("overwrite").partitionBy("bkt")
+          .parquet(s"${segPath(dir, comp)}/df")
+      writeDocsStats(spark, segPath(dir, comp), committed, cfg)
+      val rr = committed.agg(countDistinct(col("doc_id")), sum("tf")).head()
+      val (ndC, ntC) =
+        (rr.getLong(0), if (rr.isNullAt(1)) 0L else rr.getLong(1))
+      // retire tombstones no kept segment is older than; re-base the
+      // masked scalars over the KEPT segments only (the folded copies
+      // are physically gone and the comp read-back already excludes
+      // them). One semi-join counts each masked row exactly once.
+      val tombsKept = tombs.filter(t =>
+        kept.exists(s => nameSeq(s._1) < nameSeq(t)))
+      val maskedKept =
+        if (tombsKept.isEmpty) (0L, 0L)
+        else {
+          val docsU = kept.map { case (s, _, _) =>
+              readDocs(spark, segPath(dir, s))
+                .withColumn("seg_seq", lit(nameSeq(s)))
+            }.reduce(_.unionByName(_))
+          val t = tombFrame(spark, dir, tombsKept).get
+          val m = docsU.join(broadcast(t),
+              col("doc_id") === col("t_id") && col("t_seq") > col("seg_seq"),
+              "left_semi")
+            .agg(count(lit(1)), sum("dl")).head()
+          (m.getLong(0), if (m.isNullAt(1)) 0L else m.getLong(1))
+        }
+      writeManifest(spark, dir, v + 1, kept :+ ((comp, ndC, ntC)))
+      writeTombstonesFile(spark, dir, v + 1, maskedKept, tombsKept)
     } else {
       writeManifest(spark, dir, v + 1, newSegs)
+      writeTombstonesFile(spark, dir, v + 1, masked, tombs)
     }
     commitLatest(spark, dir, v + 1, FormatVersion)
     v + 1
@@ -259,8 +468,12 @@ object TermIndex {
     requireLiveVersion(spark, dir, version)
     requireTerms(spark, dir, cfg)
     val segs = readManifest(spark, dir, version)
-    val n = segs.map(_._2).sum
-    val tt = segs.map(_._3).sum
+    val (masked, tombs) = readTombstones(spark, dir, version)
+    // corpus scalars shed the tombstoned docs exactly (the manifest
+    // carries their count/Σdl correction)
+    val n = segs.map(_._2).sum - masked._1
+    val tt = segs.map(_._3).sum - masked._2
+    val tombF = tombFrame(spark, dir, tombs)
     val probeTerms = probes.select(col(id).as("probe_id"),
         explode(array_distinct(terms(col(text)))).as("tok"))
       .persist()
@@ -268,19 +481,31 @@ object TermIndex {
     // static partition filter that prunes every segment scan
     val bkts = probeTerms.select(bkt(col("tok"), cfg.buckets).as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    def pruned(sub: String): DataFrame = segs
-      .map(s => if (sub == "tf") readTf(spark, segPath(dir, s._1))
-                else readDf(spark, segPath(dir, s._1)))
-      .reduce(_.unionByName(_))
-      .filter(col("bkt").isin(bkts: _*))
+    val prunedTf = maskBySeq(
+      segs.map(s => readTf(spark, segPath(dir, s._1))
+          .filter(col("bkt").isin(bkts: _*))
+          .withColumn("seg_seq", lit(nameSeq(s._1))))
+        .reduce(_.unionByName(_)),
+      tombF)
     val vocab = probeTerms.select("tok").distinct()
-    // global df = Σ over segments of the probe-vocabulary slice
-    val idfSlice = pruned("df")
-      .join(broadcast(vocab), "tok")
-      .groupBy("tok").agg(sum("df").as("df"))
-      .withColumn("n", lit(n))
+    // global df = Σ over segments of the probe-vocabulary slice; with
+    // tombstones outstanding it is instead COUNTED from the masked
+    // candidate slice itself (complete: every live doc holding a
+    // probed term lives in that term's bucket partitions), so idf
+    // tracks the reduced corpus exactly
+    val idfSlice = (tombF match {
+      case None => segs
+        .map(s => readDf(spark, segPath(dir, s._1))
+          .filter(col("bkt").isin(bkts: _*)))
+        .reduce(_.unionByName(_))
+        .join(broadcast(vocab), "tok")
+        .groupBy("tok").agg(sum("df").as("df"))
+      case Some(_) => prunedTf
+        .join(broadcast(vocab), "tok")
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+    }).withColumn("n", lit(n))
       .select(col("tok"), expr(Terms.bm25IdfSql).as("idf_q"))
-    val cand = pruned("tf")
+    val cand = prunedTf
       .join(broadcast(probeTerms), "tok")
       .join(broadcast(idfSlice), "tok")
       .withColumn("n", lit(n))
@@ -297,8 +522,9 @@ object TermIndex {
     val f = fs(spark, dir)
     val keepFrom = math.max(1, latest - retainLast + 1)
     (1 until keepFrom).foreach(v => f.delete(new Path(versionDir(dir, v)), true))
-    val referenced = (keepFrom to latest)
+    val liveVersions = (keepFrom to latest)
       .filter(v => f.exists(new Path(versionDir(dir, v))))
+    val referenced = liveVersions
       .flatMap(readManifest(spark, dir, _).map(_._1)).toSet
     val segRoot = new Path(s"${dir.stripSuffix("/")}/segments")
     if (f.exists(segRoot))
@@ -306,6 +532,19 @@ object TermIndex {
         val name = st.getPath.getName
         val num = name.drop(1).toIntOption.getOrElse(Int.MaxValue)
         if (!referenced.contains(name) && num <= latest)
+          f.delete(st.getPath, true)
+      }
+    // tombstone datasets: reap what no retained manifest references
+    // (compactions retire them; crashed deletes strand orphans) —
+    // never the in-flight d(latest+1)
+    val refTombs = liveVersions
+      .flatMap(readTombstones(spark, dir, _)._2).toSet
+    val tombRoot = new Path(s"${dir.stripSuffix("/")}/tombs")
+    if (f.exists(tombRoot))
+      f.listStatus(tombRoot).foreach { st =>
+        val name = st.getPath.getName
+        val num = name.drop(1).toIntOption.getOrElse(Int.MaxValue)
+        if (!refTombs.contains(name) && num <= latest)
           f.delete(st.getPath, true)
       }
   }

@@ -65,6 +65,59 @@ class DiffSpec extends AnyFunSuite {
     assert(!lines(joinAt).contains("text"), lines(joinAt))
   }
 
+  test("diff-driven refresh: applying the delta to an IvfIndex == probing snapshot B") {
+    import graft.operators.{Diff, IvfIndex}
+    import graft.functions.VectorExpressions.{dotF, normF}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // snapshot B: remove %17==3, re-embed %13==5 (negated), add shifted
+    // copies of %19==7 under new ids
+    val removed = emb.filter(col("vec_id") % 17 === 3)
+    val b = emb.filter(col("vec_id") % 17 =!= 3)
+      .select(col("vec_id"),
+        when(col("vec_id") % 13 === 5,
+          org.apache.spark.sql.functions.transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")).as("embedding"))
+      .unionByName(emb.filter(col("vec_id") % 19 === 7)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val cfg = IvfIndex.Config(dim = 64, nList = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_diff_refresh")
+      .toString + "/idx"
+    IvfIndex.build(spark, emb, "vec_id", "embedding", dir, cfg)
+    // the refresh loop: classify with Diff, then delete/upsert/append
+    val d = Diff.snapshot(emb, b, Seq("vec_id"), Seq("embedding")).persist()
+    IvfIndex.delete(spark, dir,
+      d.filter(col("status") === "removed").select("vec_id"), "vec_id")
+    IvfIndex.upsert(spark, dir,
+      b.join(d.filter(col("status") === "changed"), Seq("vec_id"), "left_semi"),
+      "vec_id", "embedding", cfg)
+    IvfIndex.append(spark, dir,
+      b.join(d.filter(col("status") === "added"), Seq("vec_id"), "left_semi"),
+      "vec_id", "embedding", cfg)
+    d.unpersist()
+    // exhaustive probe of the refreshed index == independent cosine
+    // top-k over snapshot B (same kernel, different plan)
+    val q = emb.filter(col("vec_id") < 8)
+    val got = IvfIndex.topK(spark, dir, q, "vec_id", "embedding", 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val expected = q
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(b.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        dotF(col("qv"), col("cv")) / (normF(col("qv")) * normF(col("cv"))))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "rnk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == expected, "refreshed index diverges from snapshot B")
+    assert(removed.count() > 0 &&
+      !got.exists(t => t._3 % 17 == 3 && t._3 < 1000000L))
+  }
+
   test("profile: counts/nulls/distinct/min/max per column, exact") {
     import spark.implicits._
     val t = Seq((1L, Some("a")), (2L, Some("b")), (3L, None),

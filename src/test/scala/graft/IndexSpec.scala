@@ -133,6 +133,66 @@ class IndexSpec extends AnyFunSuite {
     assert(t(appended, 2, "warm") == t(fresh, 1, "warm"))
   }
 
+  test("deleteFromIndex == fresh build over corpus-minus-deleted, table for table; probes exact") {
+    val d = Tables.load(spark, sf, "documents")
+    val cut = graft.operators.Sampling.cuts(Seq(0.9))(1)
+    val isNew = graft.operators.Sampling.hashBucket(col("doc_id")) >= lit(cut)
+    val existing = d.filter(!isNew)
+    val batch = d.filter(isNew)
+    val delIds = existing.filter(col("doc_id") % 7 === 2).select("doc_id")
+    val reduced = existing.join(delIds, Seq("doc_id"), "left_anti")
+    val cfg = MinhashIndex.Config()
+    val dir = tmp("graft_mhidx_del")
+    val fresh = tmp("graft_mhidx_del_fresh")
+    MinhashIndex.build(spark, existing, "doc_id", "text", dir, cfg)
+    assert(MinhashIndex.deleteFromIndex(spark, dir, delIds, "doc_id", cfg) == 2)
+    MinhashIndex.build(spark, reduced, "doc_id", "text", fresh, cfg)
+    def t(dir: String, v: Int, comp: String): Set[Seq[Any]] =
+      spark.read.parquet(f"$dir/v$v%05d/$comp")
+        .collect().map(_.toSeq).toSet
+    Seq("docs", "df", "hot", "warm", "bands").foreach { comp =>
+      assert(t(dir, 2, comp) == t(fresh, 1, comp), s"$comp drifted")
+    }
+    // and the probe contract holds over the reduced corpus
+    val fromIdx = Dedup.minhashIncrementalFromIndex(spark, dir, batch,
+      "doc_id", "text", cfg)
+    val inline = Dedup.minhashIncremental(reduced, batch, "doc_id", "text")
+    assert(pairSet(fromIdx) == pairSet(inline))
+    assert(pairSet(fromIdx).nonEmpty, "degenerate: no pairs after delete")
+  }
+
+  test("deleteFromIndex un-hot transition: a shingle falls back under the cap; bands recomputed") {
+    // "x y z" has df=4 > cap=3 at build (hot, excluded from capped
+    // sets). Deleting docs 3 and 4 drops it to df=2 — cold again — so
+    // docs 1,2 regain it and their bands/jaccards must be recomputed;
+    // the inline recompute over the reduced corpus is the oracle.
+    val existing = docs(
+      1L -> "x y z a b c d e f",
+      2L -> "x y z a b c d e g",
+      3L -> "x y z q r s t u v",
+      4L -> "x y z m n o p q r")
+    val batch = docs(5L -> "x y z a b c h i j")
+    val cfg = MinhashIndex.Config(k = 3, numPerms = 16, bandRows = 2,
+      minJ = 0.3, maxShingleDf = 3, nBuckets = 4)
+    val dir = tmp("graft_mhidx_unhot")
+    MinhashIndex.build(spark, existing, "doc_id", "text", dir, cfg)
+    val hotV1 = spark.read.parquet(f"$dir/v00001/hot")
+      .collect().map(_.getString(0)).toSet
+    assert(hotV1.contains("x y z"), "fixture: shingle must start hot")
+    val delIds = docs(3L -> "", 4L -> "").select("doc_id")
+    MinhashIndex.deleteFromIndex(spark, dir, delIds, "doc_id", cfg)
+    val hotV2 = spark.read.parquet(f"$dir/v00002/hot")
+      .collect().map(_.getString(0)).toSet
+    assert(!hotV2.contains("x y z"), "shingle must fall back under the cap")
+    val reduced = existing.filter(col("doc_id") < 3)
+    val fromIdx = MinhashIndex.incrementalDupPairs(spark, dir, batch,
+      "doc_id", "text", cfg)
+    val inline = Dedup.minhashIncremental(reduced, batch, "doc_id", "text",
+      k = 3, numPerms = 16, bandRows = 2, minJ = 0.3, maxShingleDf = 3)
+    assert(pairSet(fromIdx) == pairSet(inline))
+    assert(pairSet(fromIdx).nonEmpty, "fixture should pair 5 with 1/2")
+  }
+
   test("warm-slice fallback: a low-df shingle crossing the cap via a shingle-heavy batch") {
     // cap=3 → warm holds df > 1 and the warm path requires
     // max(bdf) <= 2. "p q r" has corpus df=1 (NOT in warm) and bdf=3:

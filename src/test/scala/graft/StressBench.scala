@@ -179,6 +179,17 @@ object StressBench {
     health("ivfpq_recall_pct") =
       if (exactPairs.isEmpty) 100L
       else 100L * (exactPairs & pqPairs).size / exactPairs.size
+    // the stress corpus's feature-hash embeddings are near-noise — the
+    // worst case for ADC ordering, so default-refine recall degrades
+    // with corpus size by construction. Sweep the query-time re-rank
+    // knob to pin that recall is recoverable WITHOUT touching the
+    // stored index (real embeddings cluster; this is the floor).
+    val pqPairsWide = IvfIndex.topK(spark, pqDir, queries,
+      "vec_id", "embedding", k = 10, refine = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    health("ivfpq_recall_refine64_pct") =
+      if (exactPairs.isEmpty) 100L
+      else 100L * (exactPairs & pqPairsWide).size / exactPairs.size
     health("ivfpq_segments_in_manifest") = IvfIndex.readSegments(spark, pqDir,
       IvfIndex.latestVersion(spark, pqDir)).length.toLong
     emb.unpersist()

@@ -101,6 +101,95 @@ class TermIndexSpec extends AnyFunSuite {
     assert(nt > 0)
   }
 
+  test("delete: scores == inline over corpus-minus-deleted; replay; re-add revives") {
+    val d = docs
+    val delIds = d.filter(col("doc_id") % 5 === 2).select("doc_id")
+    val reduced = d.join(delIds, Seq("doc_id"), "left_anti")
+    val dir = tmpDir()
+    val cfg = TermIndex.Config(buckets = 8)
+    TermIndex.build(spark, d, "doc_id", "text", dir, cfg)
+    val probes = probesOf(d)
+    val v1res = rows(TermIndex.topKAt(spark, dir, 1, probes,
+      "doc_id", "text", 5, cfg))
+    assert(TermIndex.delete(spark, dir, delIds, cfg) == 2)
+    // the load-bearing equality: masked probe == inline BM25 over the
+    // reduced corpus — N, total tokens AND df all re-normalized
+    val got = rows(TermIndex.topK(spark, dir, probes, "doc_id", "text", 5, cfg))
+    val want = rows(Terms.bm25TopK(reduced, probes, "doc_id", "text", 5))
+    assert(got === want)
+    assert(got != v1res, "fixture: deletion should change some ranking")
+    // pinned replay at v1 unchanged
+    assert(rows(TermIndex.topKAt(spark, dir, 1, probes,
+      "doc_id", "text", 5, cfg)) === v1res)
+    // re-add the deleted docs: the strictly-newer segment outranks the
+    // tombstone — scores return to the full-corpus ranking
+    TermIndex.append(spark, dir, d.join(delIds, Seq("doc_id"), "left_semi"),
+      "doc_id", "text", cfg)
+    assert(rows(TermIndex.topK(spark, dir, probes, "doc_id", "text", 5, cfg))
+      === rows(Terms.bm25TopK(d, probes, "doc_id", "text", 5)))
+    spark.catalog.clearCache()
+  }
+
+  test("upsert: replaced text scores as new; == inline over the updated corpus") {
+    val d = docs
+    val dir = tmpDir()
+    val cfg = TermIndex.Config(buckets = 8)
+    TermIndex.build(spark, d, "doc_id", "text", dir, cfg)
+    // rewrite every %7==3 doc's text (dedup-shifted token stream)
+    val updated = d.filter(col("doc_id") % 7 === 3)
+      .select(col("doc_id"),
+        concat(lit("zq zr zs "), col("text")).as("text"))
+    assert(TermIndex.upsert(spark, dir, updated, "doc_id", "text", cfg) == 2)
+    val after = d.filter(col("doc_id") % 7 =!= 3).unionByName(updated)
+    val probes = probesOf(d)
+    assert(rows(TermIndex.topK(spark, dir, probes, "doc_id", "text", 5, cfg))
+      === rows(Terms.bm25TopK(after, probes, "doc_id", "text", 5)))
+    // a probe by the new prefix terms must find ONLY updated docs
+    val zq = TermIndex.topK(spark, dir,
+      spark.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row(-1L, "zq zr zs")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType)))),
+      "doc_id", "text", 10, cfg).collect()
+    assert(zq.nonEmpty && zq.forall(_.getLong(2) % 7 == 3))
+    spark.catalog.clearCache()
+  }
+
+  test("compaction folds tombstones physically and re-bases the masked scalars") {
+    val d = docs
+    val dir = tmpDir()
+    val cfg = TermIndex.Config(buckets = 8, maxSegments = 2)
+    val churn = d.filter(col("doc_id") % 4 === 0)
+    TermIndex.build(spark, d, "doc_id", "text", dir, cfg)
+    // v2: upsert churn (tombstone d00002 + segment s00002)
+    TermIndex.upsert(spark, dir, churn, "doc_id", "text", cfg)
+    // v3: append trips the cap (3 s-segments > 2) → fold with masking
+    val extra = d.filter(col("doc_id") % 4 === 1)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+    TermIndex.append(spark, dir, extra, "doc_id", "text", cfg)
+    assert(TermIndex.readManifest(spark, dir, 3).map(_._1) == Seq("r00003"))
+    assert(TermIndex.readTombstones(spark, dir, 3)._2.isEmpty,
+      "tombstones must retire when every masked segment folds")
+    // physical truth: each churned id appears once in the fold
+    val raw = spark.read.parquet(s"$dir/segments/r00003/docs")
+    assert(raw.count() == raw.select("doc_id").distinct().count(),
+      "masked copy survived the fold")
+    // scores == inline over the true corpus
+    val truth = d.unionByName(extra)
+    val probes = probesOf(d)
+    assert(rows(TermIndex.topK(spark, dir, probes, "doc_id", "text", 5, cfg))
+      === rows(Terms.bm25TopK(truth, probes, "doc_id", "text", 5)))
+    // retired tombstone datasets are gc-reaped
+    TermIndex.gc(spark, dir, retainLast = 1)
+    val tombsDir = java.nio.file.Paths.get(s"$dir/tombs")
+    assert(!java.nio.file.Files.exists(tombsDir)
+      || java.nio.file.Files.list(tombsDir).count() == 0)
+    spark.catalog.clearCache()
+  }
+
   test("terms-tag mismatch fails loudly; torn append recovers; gc reaps strands") {
     val d = docs.limit(40).persist()
     val dir = tmpDir()
