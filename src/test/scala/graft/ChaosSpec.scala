@@ -252,6 +252,45 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalStateException] { run(b2, 7L) }
   }
 
+  test("cdc indexed streaming ingest: redelivery applies nothing and re-emits identically; deletes stick") {
+    import graft.operators.IvfIndex
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    def ev(df: org.apache.spark.sql.DataFrame, op: String) =
+      df.select(lit(op).as("op"), col("vec_id"), col("embedding"))
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_chaos_cdc").toString + "/idx"
+    val cfg = IvfIndex.Config(dim = 64, nList = 8, iters = 2)
+    def run(batch: org.apache.spark.sql.DataFrame, bid: Long)
+        : Set[(Long, Int, Long, Double)] = {
+      val buf = scala.collection.mutable.Set[(Long, Int, Long, Double)]()
+      graft.streaming.Streams.cdcIndexedBatch(
+        batch, bid, "op", "vec_id", "embedding", idxDir, cfg, k = 5,
+        nProbe = 8, retainVersions = 3) { (topk, _) =>
+        buf ++= topk.collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      }
+      buf.toSet
+    }
+    val p0 = run(ev(emb.filter(col("vec_id") % 2 === 0), "upsert"), 0L)
+    assert(p0.nonEmpty && IvfIndex.latestVersion(spark, idxDir) == 1)
+    // batch 1: add the odd half AND delete %4==0
+    val b1 = ev(emb.filter(col("vec_id") % 2 === 1), "upsert")
+      .unionByName(ev(emb.filter(col("vec_id") % 4 === 0), "delete"))
+    val p1 = run(b1, 1L)
+    assert(IvfIndex.latestVersion(spark, idxDir) == 2)
+    // crash after commit, before checkpoint: redelivery re-applies
+    // NOTHING (no double tombstone, no double segment) and re-emits
+    // byte-identical results
+    assert(run(b1, 1L) == p1, "redelivered CDC batch diverged")
+    assert(IvfIndex.latestVersion(spark, idxDir) == 2)
+    assert(IvfIndex.readSegments(spark, idxDir, 2).length == 2)
+    // deleted ids never answer a post-delete probe
+    val res = IvfIndex.topK(spark, idxDir, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", 20, nProbe = 8).collect()
+    assert(res.nonEmpty && !res.exists(_.getLong(2) % 4 == 0))
+  }
+
   test("retrieval indexed streaming ingest: redelivery re-emits identical top-k, torn states recover, divergence fails fast") {
     import graft.operators.TermIndex
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")

@@ -297,4 +297,72 @@ class StreamingSpec extends AnyFunSuite {
     // size compaction ran in-stream and bounded the manifest
     assert(IvfIndex.readSegments(spark, idxDir, nB).length <= cfg.maxSegments)
   }
+
+  test("cdcStreamIndexed: one commit per batch; upserts+deletes resolve exactly; emissions pinned") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.IvfIndex
+    import graft.functions.VectorExpressions.{dotF, normF}
+    val emb = Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+    val rows = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def neg(a: Array[Float]) = a.map(x => -x)
+    // b0: bootstrap %4∈{0,1}; b1: add %4==2, delete %8==0;
+    // b2: REPLACE %4==1 with negated vectors, delete %8==4
+    val b0 = rows.filter(t => t._1 % 4 <= 1).map(t => ("upsert", t._1, t._2))
+    val b1 = rows.filter(_._1 % 4 == 2).map(t => ("upsert", t._1, t._2)) ++
+      rows.filter(_._1 % 8 == 0).map(t => ("delete", t._1, t._2))
+    val b2 = rows.filter(_._1 % 4 == 1).map(t => ("upsert", t._1, neg(t._2))) ++
+      rows.filter(_._1 % 8 == 4).map(t => ("delete", t._1, t._2))
+    val cfg = IvfIndex.Config(dim = 64, nList = 8, iters = 2)
+    val base = java.nio.file.Files.createTempDirectory("cdc_stream").toString
+    val idxDir = s"$base/idx"
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, Array[Float])]
+    val got = scala.collection.mutable.Map[Long, Set[(Long, Int, Long, Double)]]()
+    val q = Streams.cdcStreamIndexed(
+      source.toDF().toDF("op", "vec_id", "embedding"), "op", "vec_id",
+      "embedding", idxDir, s"$base/ckpt", cfg, k = 5, nProbe = 8,
+      retainVersions = 4) { (topk, bid) =>
+      got(bid) = topk.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    }
+    Seq(b0, b1, b2).foreach { b => source.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+    assert(IvfIndex.latestVersion(spark, idxDir) == 3)
+    // final state == the CDC-resolved corpus, by independent brute
+    // force (exhaustive nProbe): %4∈{1,2} survive (all %4==0 ids are
+    // %8∈{0,4}, so both deletes together retire them), %4==1 negated
+    val finalRows = rows.collect {
+      case (i, v) if i % 4 == 1 => (i, neg(v))
+      case (i, v) if i % 4 == 2 => (i, v)
+    }
+    val fin = spark.createDataFrame(finalRows.toSeq).toDF("vec_id", "embedding")
+    val queries = fin.filter(col("vec_id") < 20)
+    val gotTop = IvfIndex.topK(spark, idxDir, queries, "vec_id", "embedding",
+      5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val expected = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(fin.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        dotF(col("qv"), col("cv")) / (normF(col("qv")) * normF(col("cv"))))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= 5).select("query_id", "rnk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(gotTop == expected, "CDC-resolved index != independent top-k")
+    // emissions pinned: batch 2's emission == a read-only probe of its
+    // own version with its upserted vectors
+    val ups2 = spark.createDataFrame(
+      rows.filter(_._1 % 4 == 1).map(t => (t._1, neg(t._2))).toSeq)
+      .toDF("vec_id", "embedding")
+    val want2 = IvfIndex.topKAt(spark, idxDir, 3, ups2, "vec_id",
+      "embedding", 5, 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got(2L) == want2, "batch 2 emission is not version-pinned")
+  }
 }
