@@ -312,6 +312,25 @@ object RefOps {
           min(md5(col("text").cast("binary"))).as("h_min"),
           max(md5(col("text").cast("binary"))).as("h_max"))
         .sort(col("bucket"))
+    },
+
+    // JSONL round-trip (the LLM-pipeline interchange format): write the
+    // corpus as JSON lines, read back with a pinned schema, digest-audit
+    // per bucket — escaping bugs (quotes, control chars) or dropped
+    // rows break the md5 extrema vs the oracle on the source table.
+    "op_write_jsonl" -> { (spark, dir) =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val out = tmpDir("jsonl")
+      docs.select("doc_id", "text", "lang")
+        .write.mode("overwrite").json(out)
+      spark.read.schema("doc_id LONG, text STRING, lang STRING").json(out)
+        .groupBy((col("doc_id") % 7).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text"))).cast("long").as("chars"),
+          min(md5(col("text").cast("binary"))).as("h_min"),
+          max(md5(col("text").cast("binary"))).as("h_max"),
+          countDistinct(col("lang")).as("n_lang"))
+        .sort(col("bucket"))
     }
   )
 
@@ -406,6 +425,12 @@ object RefOps {
       """SELECT doc_id % 8 AS bucket, COUNT(*) AS n,
         |       CAST(SUM(LENGTH(text)) AS BIGINT) AS chars,
         |       MIN(md5(text)) AS h_min, MAX(md5(text)) AS h_max
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "op_write_jsonl" ->
+      """SELECT doc_id % 7 AS bucket, COUNT(*) AS n,
+        |       CAST(SUM(LENGTH(text)) AS BIGINT) AS chars,
+        |       MIN(md5(text)) AS h_min, MAX(md5(text)) AS h_max,
+        |       COUNT(DISTINCT lang) AS n_lang
         |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 }

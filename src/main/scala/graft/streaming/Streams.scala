@@ -613,6 +613,103 @@ object Streams {
     }
   }
 
+  /**
+   * Replay-safe streaming CDC ingest for the BM25 index — the
+   * retrieval sibling of [[cdcStreamIndexed]]: micro-batches of
+   * (op, id, text) rows, op ∈ {"upsert", "delete"}, applied in ONE
+   * commit per batch ([[graft.operators.TermIndex.applyCdc]] — BM25
+   * stays exact over the resolved corpus). Same pinned
+   * batch-id↔version pairing, fail-fast divergence, per-commit gc.
+   * `onTopK` receives the batch's UPSERTED docs' top-k at the batch's
+   * own version; pre-bootstrap deletes are dropped with the quiet
+   * batch.
+   */
+  def cdcRetrievalStreamIndexed(events: DataFrame, opCol: String,
+                                id: String, text: String,
+                                indexDir: String,
+                                checkpointLocation: String,
+                                cfg: graft.operators.TermIndex.Config,
+                                k: Int = 5,
+                                terms: org.apache.spark.sql.Column =>
+                                  org.apache.spark.sql.Column =
+                                  graft.functions.TextFunctions.tokens,
+                                retainVersions: Int = 2)
+                               (onTopK: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(retainVersions >= 2,
+      s"retainVersions must be >= 2 (replay needs the batch's own version): $retainVersions")
+    events.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        cdcRetrievalBatch(batch, batchId, opCol, id, text, indexDir, cfg,
+          k, terms, retainVersions)(onTopK)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[cdcRetrievalStreamIndexed]] — factored out
+    * for fault-injection tests, like [[retrievalIndexedBatch]]. */
+  private[graft] def cdcRetrievalBatch(
+      batch: Dataset[org.apache.spark.sql.Row], batchId: Long,
+      opCol: String, id: String, text: String, indexDir: String,
+      cfg: graft.operators.TermIndex.Config, k: Int,
+      terms: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      retainVersions: Int)(onTopK: (DataFrame, Long) => Unit): Unit = {
+    import graft.operators.TermIndex
+    val spark = batch.sparkSession
+    val ups = batch.filter(col(opCol) === "upsert").select(col(id), col(text))
+    val dels = batch.filter(col(opCol) === "delete").select(col(id))
+    def emptyOut: DataFrame = ups.limit(0)
+      .select(col(id).cast("long").as("probe_id"), lit(1L).as("rank"),
+        lit(0L).as("doc_id"), lit(0L).as("score"))
+    if (!TermIndex.exists(spark, indexDir) &&
+        TermIndex.readMarker(spark, indexDir, "STREAM").isEmpty &&
+        ups.isEmpty) {
+      onTopK(emptyOut, batchId) // quiet pre-bootstrap batch
+      return
+    }
+    val (firstB, base) = TermIndex.readMarker(spark, indexDir, "STREAM") match {
+      case Some(s) =>
+        val parts = s.split(" ")
+        (parts(0).toLong, parts(1).toInt)
+      case None =>
+        val bv = if (TermIndex.exists(spark, indexDir))
+          TermIndex.latestVersion(spark, indexDir) else 0
+        TermIndex.writeMarker(spark, indexDir, "STREAM", s"$batchId $bv")
+        (batchId, bv)
+    }
+    require(batchId >= firstB,
+      s"batch id $batchId precedes this index's first stream batch " +
+        s"$firstB — the stream checkpoint was reset against an existing " +
+        "index; checkpoint and index are one unit of state (delete both " +
+        "or neither)")
+    val expected = base + (batchId - firstB).toInt + 1
+    val latest = if (TermIndex.exists(spark, indexDir))
+      TermIndex.latestVersion(spark, indexDir) else 0
+    def emitAt(version: Int): Unit = {
+      val out = TermIndex.topKAt(spark, indexDir, version, ups, id, text,
+        k, cfg, terms).persist()
+      out.count()
+      try onTopK(out, batchId)
+      finally out.unpersist()
+    }
+    if (latest == expected) {
+      emitAt(expected) // replay: committed already — re-emit read-only
+    } else if (latest == expected - 1) {
+      if (latest == 0)
+        TermIndex.build(spark, ups, id, text, indexDir, cfg, terms)
+      else TermIndex.applyCdc(spark, indexDir, ups, dels, id, text, cfg, terms)
+      emitAt(expected)
+      TermIndex.gc(spark, indexDir, retainVersions)
+    } else {
+      throw new IllegalStateException(
+        s"TermIndex at $indexDir is at version $latest but stream batch " +
+          s"$batchId expects $expected — " +
+          "stream checkpoint and index state disagree — one was deleted " +
+          "or rolled back without the other")
+    }
+  }
+
   /** Run a streaming query to completion against the (finite) batch
     * source and return the result — the slicetest.Run analog for
     * streaming (memory sink + processAllAvailable). */

@@ -291,6 +291,48 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.nonEmpty && !res.exists(_.getLong(2) % 4 == 0))
   }
 
+  test("cdc retrieval ingest: redelivery applies nothing; BM25 exact over the resolved corpus") {
+    import graft.operators.{TermIndex, Terms}
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    def ev(df: org.apache.spark.sql.DataFrame, op: String) =
+      df.select(lit(op).as("op"), col("doc_id"), col("text"))
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_chaos_cdcr").toString + "/idx"
+    val cfg = TermIndex.Config(buckets = 8)
+    def run(batch: org.apache.spark.sql.DataFrame, bid: Long)
+        : Set[(Long, Long, Long, Long)] = {
+      val buf = scala.collection.mutable.Set[(Long, Long, Long, Long)]()
+      graft.streaming.Streams.cdcRetrievalBatch(
+        batch, bid, "op", "doc_id", "text", idxDir, cfg, k = 5,
+        graft.functions.TextFunctions.tokens, retainVersions = 3) { (topk, _) =>
+        buf ++= topk.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }
+      buf.toSet
+    }
+    val p0 = run(ev(docs.filter(col("doc_id") % 2 === 0), "upsert"), 0L)
+    assert(p0.nonEmpty && TermIndex.latestVersion(spark, idxDir) == 1)
+    val b1 = ev(docs.filter(col("doc_id") % 2 === 1), "upsert")
+      .unionByName(ev(docs.filter(col("doc_id") % 4 === 0), "delete"))
+    val p1 = run(b1, 1L)
+    assert(TermIndex.latestVersion(spark, idxDir) == 2)
+    // redelivery: no double tombstone, no double segment, identical emit
+    assert(run(b1, 1L) == p1, "redelivered CDC batch diverged")
+    assert(TermIndex.latestVersion(spark, idxDir) == 2)
+    // exactness: the index now scores the RESOLVED corpus (%4 in
+    // {1,2,3}) — pair-for-pair with the inline bm25 over it
+    val resolved = docs.filter(col("doc_id") % 4 =!= 0)
+    val probes = docs.filter(col("doc_id") % 17 === 0)
+    val got = TermIndex.topK(spark, idxDir, probes, "doc_id", "text", 5, cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = Terms.bm25TopK(resolved, probes, "doc_id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, "CDC-resolved BM25 != inline over the resolved corpus")
+    assert(!got.exists(_._3 % 4 == 0), "deleted doc answered")
+    spark.catalog.clearCache()
+  }
+
   test("retrieval indexed streaming ingest: redelivery re-emits identical top-k, torn states recover, divergence fails fast") {
     import graft.operators.TermIndex
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
