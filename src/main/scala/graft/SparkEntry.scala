@@ -46,5 +46,9 @@ object SparkEntry {
     // min-of-3 captures the steady-state probe — build amortizes on
     // run 1, like dedup_incremental_idx)
     "q_editdist_lookup", "q_nb_quality", "q_pps_sample",
-    "q_bm25_topk_idx")
+    "q_bm25_topk_idx",
+    // round 8 cont. (session 2): snapshot diff (full-outer digest
+    // join) and table profile (multi-distinct expand) — two plan
+    // classes the headline set didn't cover (30 queries)
+    "q_dataset_diff", "q_profile")
 }

@@ -237,6 +237,49 @@ object StressBench {
     health("tidx_segment_dirs_on_disk") = countDirs(s"$tidxDir/segments")
     health("tidx_versions_on_disk") = countDirs(tidxDir) - 1
 
+    // --- CDC phase (round-8 session 2): delete 2% and upsert 2% on
+    // BOTH LSM indexes, then re-probe. The timings pin the delete-path
+    // cost model (id-list write + narrow docs-stats scan, never a
+    // segment rewrite) at stress scale; health pins exactness — the
+    // masked BM25 probe must equal the inline scorer over the RESOLVED
+    // corpus, and the IVF probe must never answer a deleted id.
+    val tDel = docs.filter(col("doc_id") % 50 === 7).select("doc_id")
+    time("tidx_delete")(TermIndex.delete(spark, tidxDir, tDel, tCfg))
+    val tUp = docs.filter(col("doc_id") % 50 === 9)
+      .select(col("doc_id"),
+        concat_ws(" ", lit("cdcmarker"), col("text")).as("text"))
+    time("tidx_upsert")(
+      TermIndex.upsert(spark, tidxDir, tUp, "doc_id", "text", tCfg))
+    time("tidx_probe_after_cdc") {
+      health("tidx_cdc_topk_rows") = TermIndex.topK(spark, tidxDir,
+        tProbes, "doc_id", "text", 5, tCfg).count()
+    }
+    val resolved = docs
+      .filter(col("doc_id") % 50 =!= 7 && col("doc_id") % 50 =!= 9)
+      .unionByName(tUp)
+    val cdcInline = time("tidx_cdc_inline_equiv") {
+      Terms.bm25TopK(resolved, tProbes, "doc_id", "text", 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    }
+    val cdcIdx = TermIndex.topK(spark, tidxDir, tProbes,
+      "doc_id", "text", 5, tCfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    health("tidx_cdc_equals_inline") = if (cdcIdx == cdcInline) 1L else 0L
+
+    time("ivf_upsert")(IvfIndex.upsert(spark, ivfDir,
+      emb.filter(col("vec_id") % 50 === 9), "vec_id", "embedding", ivfCfg))
+    time("ivf_delete")(IvfIndex.delete(spark, ivfDir,
+      emb.filter(col("vec_id") % 50 === 7).select("vec_id"), "vec_id"))
+    val cdcAnn = time("ivf_probe_after_cdc") {
+      IvfIndex.topK(spark, ivfDir, queries, "vec_id", "embedding", k = 10)
+        .collect()
+    }
+    health("ivf_cdc_topk_rows") = cdcAnn.length.toLong
+    health("ivf_cdc_deleted_hits") =
+      cdcAnn.count(_.getLong(2) % 50 == 7).toLong
+
     val q = times.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(",")
     val h = health.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     val la = (loadBefore ++ loadAvg()).map(v => f"$v%.2f").mkString(",")
