@@ -255,6 +255,42 @@ object ExtOps {
         .orderBy("doc_id")
     },
 
+    // Pivot (wide per-day event-type counts): Spark's pivot with
+    // EXPLICIT values — no extra distinct-values job, fixed schema,
+    // one aggregation Exchange.
+    "q_pivot" -> { (spark, dir) =>
+      Tables.load(spark, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("day")
+    },
+
+    // Gap-filling over a date spine with carry-forward — the
+    // time-series resample shape: sparse daily aggregates left-joined
+    // onto a generated spine, missing counts zeroed, values filled
+    // with last-observation-carried-forward. The global window is over
+    // the SPINE (days, driver-bounded), never over events.
+    "q_gapfill" -> { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.load(spark, dir, "events")
+        .filter(col("event_type") === "purchase" && col("user_id") % 97 === 0)
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("v"))
+      val spine = daily.agg(min("day").as("lo"), max("day").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 day"))).as("day"))
+      spine.join(daily, Seq("day"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .withColumn("v_filled", last(col("v"), ignoreNulls = true)
+          .over(Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("day", "n", "v_filled")
+        .orderBy("day")
+    },
+
     // Column-level table profile (ANALYZE face): one agg pass + one
     // multi-distinct Exchange, one output row per column.
     "q_profile" -> { (spark, dir) =>
@@ -411,6 +447,28 @@ object ExtOps {
          |SELECT doc_id, status, digest_a, digest_b FROM j
          |WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin
     },
+    "q_pivot" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        | COUNT(*) FILTER (WHERE event_type='click') AS click,
+        | COUNT(*) FILTER (WHERE event_type='error') AS error,
+        | COUNT(*) FILTER (WHERE event_type='purchase') AS purchase,
+        | COUNT(*) FILTER (WHERE event_type='signup') AS signup,
+        | COUNT(*) FILTER (WHERE event_type='view') AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q_gapfill" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        |  FROM events WHERE event_type='purchase' AND user_id % 97 = 0
+        |  GROUP BY 1),
+        |spine AS (
+        |  SELECT CAST(UNNEST(generate_series(
+        |    (SELECT MIN(day) FROM daily), (SELECT MAX(day) FROM daily),
+        |    INTERVAL 1 DAY)) AS DATE) AS day)
+        |SELECT s.day, COALESCE(d.n, 0) AS n,
+        |  LAST_VALUE(d.v IGNORE NULLS) OVER (ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM spine s LEFT JOIN daily d USING(day) ORDER BY day""".stripMargin,
     "q_profile" -> {
       def one(c: String) =
         s"""SELECT '$c' AS col_name, COUNT(*) AS n,
