@@ -449,6 +449,39 @@ object IvfIndex {
     v + 1
   }
 
+  /**
+   * Maintenance compaction: fold EVERY manifest segment — applying all
+   * outstanding tombstones physically — into one fresh r-segment in a
+   * new version. The reclaim step after a large delete (space and
+   * probe-time masking both drop to zero immediately) without waiting
+   * for the size trigger. Centroids and PQ books are unchanged; probes
+   * before/after are pair-identical (spec-pinned).
+   */
+  def compact(spark: SparkSession, dir: String): Int = {
+    val v = latestVersion(spark, dir)
+    val segs = readSegments(spark, dir, v)
+    require(segs.nonEmpty, s"nothing to compact at $dir")
+    val schema = spark.read.parquet(segPath(dir, segs.head)).schema
+    val idCol = schema.fields.head.name
+    val tombs = readTombstones(spark, dir, v)
+    val comp = f"r${v + 1}%05d"
+    liveUnion(spark, dir, segs, tombs, idCol)
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(segPath(dir, comp))
+    val counts = spark.read.schema(schema).parquet(segPath(dir, comp))
+      .groupBy(col("list_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty,
+      s"compact would leave $dir empty (every row tombstoned) — " +
+        "an empty index has no probe semantics; rebuild instead")
+    writeManifest(spark, dir, v + 1, readCentroids(spark, dir, v),
+      Seq(comp), counts)
+    readBooks(spark, dir, v).foreach(writeBooks(spark, dir, v + 1, _))
+    commitLatest(spark, dir, v + 1, FormatVersion)
+    v + 1
+  }
+
   /** A version must be committed AND still on disk (see
     * [[MinhashIndex]]'s identical contract). */
   private def requireLiveVersion(spark: SparkSession, dir: String,

@@ -462,6 +462,43 @@ object TermIndex {
     v + 1
   }
 
+  /**
+   * Maintenance compaction: fold EVERY manifest segment — applying all
+   * outstanding tombstones physically — into one fresh r-segment in a
+   * new version, with df/doc-stats/corpus scalars recounted from the
+   * committed fold. The reclaim step after a large delete; scores
+   * before/after are pair-identical (spec-pinned).
+   */
+  def compact(spark: SparkSession, dir: String,
+              cfg: Config = Config()): Int = {
+    val v = latestVersion(spark, dir)
+    requireTerms(spark, dir, cfg)
+    val segs = readManifest(spark, dir, v)
+    require(segs.nonEmpty, s"nothing to compact at $dir")
+    val (_, tombs) = readTombstones(spark, dir, v)
+    val comp = f"r${v + 1}%05d"
+    val tfU = segs.map(s => readTf(spark, segPath(dir, s._1))
+        .withColumn("seg_seq", lit(nameSeq(s._1))))
+      .reduce(_.unionByName(_))
+    maskBySeq(tfU, tombFrame(spark, dir, tombs))
+      .repartition(col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt")
+      .parquet(s"${segPath(dir, comp)}/tf")
+    val committed = readTf(spark, segPath(dir, comp))
+    committed.groupBy("tok").agg(count(lit(1)).as("df"))
+      .withColumn("bkt", bkt(col("tok"), cfg.buckets))
+      .repartition(col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt")
+      .parquet(s"${segPath(dir, comp)}/df")
+    writeDocsStats(spark, segPath(dir, comp), committed, cfg)
+    val r = committed.agg(countDistinct(col("doc_id")), sum("tf")).head()
+    val (nd, nt) = (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    writeManifest(spark, dir, v + 1, Seq((comp, nd, nt)))
+    // every masked segment folded: all tombstones retire, correction 0
+    commitLatest(spark, dir, v + 1, FormatVersion)
+    v + 1
+  }
+
   private def requireLiveVersion(spark: SparkSession, dir: String,
                                  version: Int): Unit = {
     val latest = latestVersion(spark, dir)

@@ -521,6 +521,31 @@ class IvfIndexSpec extends AnyFunSuite {
       || java.nio.file.Files.list(tombsDir).count() == 0)
   }
 
+  test("maintenance compact: tombstones fold physically, probes pair-identical, space reclaimed") {
+    val dir = tmp("ivf_maint")
+    IvfIndex.build(spark, emb, "vec_id", "embedding", dir, cfg)
+    val delIds = emb.filter(col("vec_id") % 3 === 0).select("vec_id")
+    IvfIndex.delete(spark, dir, delIds, "vec_id")
+    val q = emb.filter(col("vec_id") < 10)
+    val pre = IvfIndex.topK(spark, dir, q, "vec_id", "embedding", 10, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(IvfIndex.compact(spark, dir) == 3)
+    assert(IvfIndex.readSegments(spark, dir, 3) == Seq("r00003"))
+    assert(IvfIndex.readTombstones(spark, dir, 3).isEmpty)
+    // physical: the fold holds exactly the live rows
+    val raw = spark.read.parquet(s"$dir/segments/r00003")
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(raw.length == emb.filter(col("vec_id") % 3 =!= 0).count())
+    assert(!raw.exists(_ % 3 == 0), "tombstoned row survived the fold")
+    val post = IvfIndex.topK(spark, dir, q, "vec_id", "embedding", 10, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(post == pre, "compaction changed probe results")
+    IvfIndex.gc(spark, dir, retainLast = 1)
+    val tombsDir = java.nio.file.Paths.get(s"$dir/tombs")
+    assert(!java.nio.file.Files.exists(tombsDir)
+      || java.nio.file.Files.list(tombsDir).count() == 0)
+  }
+
   test("IVF-PQ probes respect tombstones (ADC and re-rank stages)") {
     val dir = tmp("ivfpq_del")
     val pqCfg = cfg.copy(pq = Some(IvfIndex.PqConfig(m = 8, ksub = 16)))

@@ -190,6 +190,27 @@ class TermIndexSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("maintenance compact reclaims after delete; scores unchanged and == inline") {
+    val d = docs
+    val dir = tmpDir()
+    val cfg = TermIndex.Config(buckets = 8)
+    TermIndex.build(spark, d, "doc_id", "text", dir, cfg)
+    val delIds = d.filter(col("doc_id") % 3 === 0).select("doc_id")
+    TermIndex.delete(spark, dir, delIds, cfg)
+    val probes = probesOf(d)
+    val pre = rows(TermIndex.topK(spark, dir, probes, "doc_id", "text", 5, cfg))
+    assert(TermIndex.compact(spark, dir, cfg) == 3)
+    val m = TermIndex.readManifest(spark, dir, 3)
+    assert(m.map(_._1) == Seq("r00003"))
+    val reduced = d.join(delIds, Seq("doc_id"), "left_anti")
+    assert(m.head._2 == reduced.count(), "folded doc count drifted")
+    assert(TermIndex.readTombstones(spark, dir, 3)._2.isEmpty)
+    val post = rows(TermIndex.topK(spark, dir, probes, "doc_id", "text", 5, cfg))
+    assert(post == pre, "compaction changed scores")
+    assert(post == rows(Terms.bm25TopK(reduced, probes, "doc_id", "text", 5)))
+    spark.catalog.clearCache()
+  }
+
   test("terms-tag mismatch fails loudly; torn append recovers; gc reaps strands") {
     val d = docs.limit(40).persist()
     val dir = tmpDir()
