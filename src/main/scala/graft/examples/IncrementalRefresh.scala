@@ -86,14 +86,10 @@ object IncrementalRefresh {
       removed.select(col("doc_id").as("vec_id")), "vec_id", "embedding",
       vCfg)
 
-    // Near-dup: the minhash index rewrites per version, so replacement
-    // is delete(removed ∪ changed) then one ingest of the delta texts
-    // (probe+append; the emitted pairs go to triage).
-    MinhashIndex.deleteFromIndex(spark, mDir,
-      removed.unionByName(
-        delta.filter(col("status") === "changed").select("doc_id")),
-      "doc_id", mCfg)
-    val pairs = MinhashIndex.ingest(spark, mDir, upserts,
+    // Near-dup: delete the removals, then replace the delta texts
+    // (delete-any-old-copies + ingest; the emitted pairs go to triage).
+    MinhashIndex.deleteFromIndex(spark, mDir, removed, "doc_id", mCfg)
+    val pairs = MinhashIndex.replaceInIndex(spark, mDir, upserts,
       "doc_id", "text", mCfg)
     val nPairs = pairs.count(); pairs.unpersist()
 

@@ -725,6 +725,18 @@ object MinhashIndex {
     v + 1
   }
 
+  /** Replace `batch`'s docs (delete any existing copies, then ingest
+    * the new texts, emitting the probe pairs) — the upsert face of
+    * this index family. Two version commits (the rewrite-style layout
+    * has no tombstones to batch them into one); a crash between them
+    * leaves the delete applied and the ingest retryable. */
+  def replaceInIndex(spark: SparkSession, dir: String, batch: DataFrame,
+                     id: String, text: String,
+                     cfg: Config = Config()): DataFrame = {
+    deleteFromIndex(spark, dir, batch.select(col(id)), id, cfg)
+    ingest(spark, dir, batch, id, text, cfg)
+  }
+
   def ingest(spark: SparkSession, dir: String, batch: DataFrame,
              id: String, text: String, cfg: Config = Config()): DataFrame = {
     val v = latestVersion(spark, dir)

@@ -161,6 +161,29 @@ class IndexSpec extends AnyFunSuite {
     assert(pairSet(fromIdx).nonEmpty, "degenerate: no pairs after delete")
   }
 
+  test("replaceInIndex == fresh build over the updated corpus, table for table") {
+    val d = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val changed = d.filter(col("doc_id") % 5 === 1)
+      .select(col("doc_id"), concat(col("text"), lit(" rewritten")).as("text"))
+    val updated = d.filter(col("doc_id") % 5 =!= 1).unionByName(changed)
+    val cfg = MinhashIndex.Config()
+    val dir = tmp("graft_mhidx_repl")
+    val fresh = tmp("graft_mhidx_repl_fresh")
+    MinhashIndex.build(spark, d, "doc_id", "text", dir, cfg)
+    val pairs = MinhashIndex.replaceInIndex(spark, dir, changed,
+      "doc_id", "text", cfg)
+    pairs.unpersist()
+    assert(MinhashIndex.latestVersion(spark, dir) == 3) // delete + ingest
+    MinhashIndex.build(spark, updated, "doc_id", "text", fresh, cfg)
+    def t(dir: String, v: Int, comp: String): Set[Seq[Any]] =
+      spark.read.parquet(f"$dir/v$v%05d/$comp")
+        .collect().map(_.toSeq).toSet
+    Seq("docs", "df", "hot", "warm", "bands").foreach { comp =>
+      assert(t(dir, 3, comp) == t(fresh, 1, comp), s"$comp drifted")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("deleteFromIndex un-hot transition: a shingle falls back under the cap; bands recomputed") {
     // "x y z" has df=4 > cap=3 at build (hot, excluded from capped
     // sets). Deleting docs 3 and 4 drops it to df=2 — cold again — so
