@@ -295,7 +295,10 @@ object IvfIndex {
    * at the next compaction that folds the segments holding them; until
    * then deletes cost one id-list parquet write, never a segment
    * rewrite. Deletes are expected ≪ corpus, so probe-side masking is a
-   * broadcast anti-join on the id column.
+   * broadcast anti-join on the id column. Ids the index never held are
+   * NOT filtered out (that liveness check would scan the corpus id
+   * column; TermIndex affords it only via its narrow doc stats) — a
+   * ghost tombstone masks nothing and retires at the next compaction.
    */
   def delete(spark: SparkSession, dir: String, ids: DataFrame,
              idCol: String): Int = {

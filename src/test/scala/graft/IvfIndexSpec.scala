@@ -521,6 +521,24 @@ class IvfIndexSpec extends AnyFunSuite {
       || java.nio.file.Files.list(tombsDir).count() == 0)
   }
 
+  test("delete of absent ids: version advances, no tombstone, probes identical") {
+    val dir = tmp("ivf_del_noop")
+    IvfIndex.build(spark, emb, "vec_id", "embedding", dir, cfg)
+    val q = emb.filter(col("vec_id") < 10)
+    val pre = topKSet(IvfIndex.topK(spark, dir, q, "vec_id", "embedding", 5))
+    import spark.implicits._
+    val ghost = Seq(999999L, 888888L).toDF("vec_id")
+    assert(IvfIndex.delete(spark, dir, ghost, "vec_id") == 2)
+    // unlike TermIndex (whose doc stats make the liveness check free),
+    // IvfIndex records the tombstone without checking liveness — it
+    // masks nothing, probes are unchanged, and the next compaction
+    // retires it
+    assert(topKSet(IvfIndex.topK(spark, dir, q, "vec_id", "embedding", 5)) == pre)
+    IvfIndex.compact(spark, dir)
+    assert(IvfIndex.readTombstones(spark, dir, 3).isEmpty)
+    assert(topKSet(IvfIndex.topK(spark, dir, q, "vec_id", "embedding", 5)) == pre)
+  }
+
   test("maintenance compact: tombstones fold physically, probes pair-identical, space reclaimed") {
     val dir = tmp("ivf_maint")
     IvfIndex.build(spark, emb, "vec_id", "embedding", dir, cfg)

@@ -190,6 +190,22 @@ class TermIndexSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("delete of absent ids: version advances, no tombstone or correction, scores identical") {
+    val d = docs
+    val dir = tmpDir()
+    val cfg = TermIndex.Config(buckets = 8)
+    TermIndex.build(spark, d, "doc_id", "text", dir, cfg)
+    val probes = probesOf(d)
+    val pre = rows(TermIndex.topK(spark, dir, probes, "doc_id", "text", 5, cfg))
+    import spark.implicits._
+    assert(TermIndex.delete(spark, dir,
+      Seq(999999L, 888888L).toDF("doc_id"), cfg) == 2)
+    val (masked, tombs) = TermIndex.readTombstones(spark, dir, 2)
+    assert(masked == ((0L, 0L)) && tombs.isEmpty)
+    assert(rows(TermIndex.topK(spark, dir, probes, "doc_id", "text", 5, cfg)) == pre)
+    spark.catalog.clearCache()
+  }
+
   test("maintenance compact reclaims after delete; scores unchanged and == inline") {
     val d = docs
     val dir = tmpDir()
