@@ -267,6 +267,20 @@ object ExtOps {
         .orderBy("day")
     },
 
+    // Unpivot (melt) — the inverse: the wide per-day frame back to
+    // long form, keeping explicit zero rows (which a plain GROUP BY
+    // drops). Narrow row-expansion, no shuffle beyond the pivot's own.
+    "q_unpivot" -> { (spark, dir) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.load(spark, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .unpivot(Array(col("day")), types.map(col).toArray, "event_type", "n")
+        .orderBy("day", "event_type")
+    },
+
     // Gap-filling over a date spine with carry-forward — the
     // time-series resample shape: sparse daily aggregates left-joined
     // onto a generated spine, missing counts zeroed, values filled
@@ -455,6 +469,15 @@ object ExtOps {
         | COUNT(*) FILTER (WHERE event_type='signup') AS signup,
         | COUNT(*) FILTER (WHERE event_type='view') AS view
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q_unpivot" ->
+      """WITH days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+        |t AS (SELECT UNNEST(['click','error','purchase','signup','view']) AS event_type),
+        |agg AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |               COUNT(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT d.day, t.event_type, COALESCE(a.n, 0) AS n
+        |FROM days d CROSS JOIN t
+        |LEFT JOIN agg a ON a.day = d.day AND a.event_type = t.event_type
+        |ORDER BY d.day, t.event_type""".stripMargin,
     "q_gapfill" ->
       """WITH daily AS (
         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n,
