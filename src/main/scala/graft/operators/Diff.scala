@@ -45,10 +45,18 @@ object Diff {
   def snapshot(a: DataFrame, b: DataFrame, keyCols: Seq[String],
                compareCols: Seq[String]): DataFrame = {
     val da = a.select(keyCols.map(col) :+
-      rowDigest(compareCols.map(col)).as("digest_a"): _*)
+      rowDigest(compareCols.map(col)).as("digest_a"): _*).alias("__dfa")
     val db = b.select(keyCols.map(col) :+
-      rowDigest(compareCols.map(col)).as("digest_b"): _*)
-    da.join(db, keyCols, "full_outer")
+      rowDigest(compareCols.map(col)).as("digest_b"): _*).alias("__dfb")
+    // null-safe key equality: a key NULL on both sides is the SAME row
+    // (compared, not double-reported as removed+added); explicit side
+    // aliases keep a self-diff (a and b from one Dataset) unambiguous
+    val cond = keyCols
+      .map(k => col(s"__dfa.$k") <=> col(s"__dfb.$k")).reduce(_ && _)
+    da.join(db, cond, "full_outer")
+      .select(keyCols.map(k =>
+        coalesce(col(s"__dfa.$k"), col(s"__dfb.$k")).as(k)) ++
+        Seq(col("digest_a"), col("digest_b")): _*)
       .withColumn("status",
         when(col("digest_a").isNull, lit("added"))
           .when(col("digest_b").isNull, lit("removed"))

@@ -280,13 +280,18 @@ object IvfIndex {
     * copy of both sets, the new segment carries only the upserted
     * rows. The one-commit shape is what a streaming CDC wrapper needs
     * for exactly-once batch↔version pairing
-    * ([[graft.streaming.Streams.cdcStreamIndexed]]). */
+    * ([[graft.streaming.Streams.cdcStreamIndexed]]). An id in BOTH
+    * frames resolves delete-wins: its upsert row is dropped before the
+    * segment write (a same-commit row would otherwise outlive its own
+    * delete, since the tombstone masks only strictly-older segments). */
   def applyCdc(spark: SparkSession, dir: String, upserts: DataFrame,
                deletes: DataFrame, id: String, vec: String,
-               cfg: Config): Int =
-    appendImpl(spark, dir, upserts, id, vec, cfg,
-      tombIds = Some(upserts.select(col(id)).unionByName(
-        deletes.select(col(deletes.columns.head).as(id)))))
+               cfg: Config): Int = {
+    val delIds = deletes.select(col(deletes.columns.head).as(id))
+    val live = upserts.join(broadcast(delIds), Seq(id), "left_anti")
+    appendImpl(spark, dir, live, id, vec, cfg,
+      tombIds = Some(live.select(col(id)).unionByName(delIds)))
+  }
 
   /**
    * Tombstone `ids` (one column dataset, any size) in a new version:

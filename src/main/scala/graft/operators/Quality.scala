@@ -54,8 +54,10 @@ object Quality {
     val spark = df.sparkSession
     import spark.implicits._
     val aggs = cols.flatMap { c =>
+      // coalesce: sum over ZERO rows is NULL, and getLong below unboxes
       Seq(count(lit(1)).as(s"${c}__n"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"${c}__nulls"),
         (if (exact) countDistinct(col(c))
          else approx_count_distinct(col(c))).as(s"${c}__distinct"),
         min(col(c)).cast("string").as(s"${c}__min"),

@@ -357,14 +357,21 @@ object TermIndex {
   /** Apply one CDC batch — upserted docs AND deleted ids — in ONE
     * atomic commit (single tombstone + single segment), the
     * exactly-once shape a streaming CDC wrapper pairs with a batch id.
-    * BM25 stays exact over the resulting corpus. */
+    * BM25 stays exact over the resulting corpus. An id present in BOTH
+    * frames resolves as delete-wins: its upsert row is dropped before
+    * the segment write (the tombstone masks only strictly-older
+    * segments, so without the drop a same-commit row would survive its
+    * own delete). Callers with op ordering must pre-resolve to the
+    * final op per id; this is the safe collapse for unordered batches. */
   def applyCdc(spark: SparkSession, dir: String, upserts: DataFrame,
                deletes: DataFrame, id: String, text: String,
                cfg: Config = Config(),
-               terms: Column => Column = TF.tokens): Int =
-    appendImpl(spark, dir, upserts, id, text, cfg, terms,
-      tombIds = Some(upserts.select(col(id)).unionByName(
-        deletes.select(col(deletes.columns.head).as(id)))))
+               terms: Column => Column = TF.tokens): Int = {
+    val delIds = deletes.select(col(deletes.columns.head).as(id))
+    val live = upserts.join(broadcast(delIds), Seq(id), "left_anti")
+    appendImpl(spark, dir, live, id, text, cfg, terms,
+      tombIds = Some(live.select(col(id)).unionByName(delIds)))
+  }
 
   private def appendImpl(spark: SparkSession, dir: String, batch: DataFrame,
                          id: String, text: String, cfg: Config,
@@ -572,7 +579,13 @@ object TermIndex {
       .join(broadcast(idfSlice), "tok")
       .withColumn("n", lit(n))
       .withColumn("tt", lit(tt))
-    Terms.bm25ScoreRank(cand, k)
+    val out = Terms.bm25ScoreRank(cand, k)
+    // the persist existed for the bkts collect above; release it now so
+    // per-micro-batch probes don't accumulate cache generations for the
+    // life of a stream. Execution after this point re-derives the cheap
+    // probe tokenization from lineage inside the broadcast exchanges.
+    probeTerms.unpersist(blocking = false)
+    out
   }
 
   /** Drop versions older than the last `retainLast` and any segment

@@ -149,7 +149,9 @@ object Sources {
             it.foreach { row =>
               val name = row.getString(0)
               require(name != null, "writeTar: null entry name")
-              val body = row.getAs[Array[Byte]](1)
+              val raw = row.getAs[Array[Byte]](1)
+              // a NULL body is a zero-length entry, not a task NPE
+              val body = if (raw == null) Array.emptyByteArray else raw
               val e = new org.apache.commons.compress.archivers.tar.TarArchiveEntry(name)
               e.setSize(body.length.toLong)
               out.putArchiveEntry(e)

@@ -118,6 +118,30 @@ class DiffSpec extends AnyFunSuite {
       !got.exists(t => t._3 % 17 == 3 && t._3 < 1000000L))
   }
 
+  test("snapshot matches rows on NULL keys null-safely (no phantom removed+added)") {
+    import spark.implicits._
+    val a = Seq((Option(1L), "alpha", "x"), (Option.empty[Long], "beta", "x"))
+      .toDF("id", "text", "tag")
+    val b = Seq((Option(1L), "alpha", "x"), (Option.empty[Long], "beta2", "x"))
+      .toDF("id", "text", "tag")
+    val got = Diff.snapshot(a, b, Seq("id"), Seq("text", "tag"))
+      .select("id", "status").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getString(1))
+      .toMap
+    // the NULL-keyed row compares (changed), not removed+added twice
+    assert(got == Map(1L -> "unchanged", -1L -> "changed"))
+  }
+
+  test("profile of an EMPTY table returns zero counts, not NPE") {
+    import spark.implicits._
+    val t = Seq.empty[(Long, String)].toDF("k", "v")
+    val p = Quality.profile(t, Seq("k", "v")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("k").getLong(1) == 0 && p("k").getLong(2) == 0 &&
+      p("k").getLong(3) == 0)
+    assert(p("v").getString(4) == null && p("v").getString(5) == null)
+  }
+
   test("profile: counts/nulls/distinct/min/max per column, exact") {
     import spark.implicits._
     val t = Seq((1L, Some("a")), (2L, Some("b")), (3L, None),

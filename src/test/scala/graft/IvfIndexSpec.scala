@@ -484,6 +484,29 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(all.head.getDouble(3) < -0.9999, "stale vector still answering")
   }
 
+  test("applyCdc: an id in BOTH upserts and deletes resolves delete-wins") {
+    val dir = tmp("ivf_cdc_dw")
+    IvfIndex.build(spark, emb, "vec_id", "embedding", dir, cfg)
+    val conflicted = emb.agg(min("vec_id")).head().getLong(0)
+    // the conflicted id is upserted (negated vector) AND deleted in the
+    // same batch; another id is cleanly upserted
+    val other = emb.filter(col("vec_id") =!= conflicted)
+      .agg(min("vec_id")).head().getLong(0)
+    val ups = emb.filter(col("vec_id").isin(conflicted, other))
+      .select(col("vec_id"), transform(col("embedding"), x => -x).as("embedding"))
+    val dels = spark.range(1).select(lit(conflicted).as("vec_id"))
+    IvfIndex.applyCdc(spark, dir, ups, dels, "vec_id", "embedding", cfg)
+    // corpus-sized k, exhaustive probe: conflicted must be GONE entirely
+    // (not surviving via its same-commit upsert row); other answers with
+    // its new vector exactly once
+    val q = emb.limit(1).select(lit(-1L).as("vec_id"), col("embedding"))
+    val all = IvfIndex.topK(spark, dir, q, "vec_id", "embedding",
+      emb.count().toInt, nProbe = 8).collect()
+    assert(!all.exists(_.getLong(2) == conflicted),
+      "same-batch upsert outlived its own delete")
+    assert(all.count(_.getLong(2) == other) == 1)
+  }
+
   test("compaction applies tombstones physically; retired tombstones reaped by gc") {
     val dir = tmp("ivf_tomb_compact")
     val cap = cfg.copy(maxSegments = 2)

@@ -315,6 +315,21 @@ class SliceSpec extends AnyFunSuite {
     rows.foreach { case (n, b) => assert(back(n) == b.toSeq, n) }
   }
 
+  test("writeTar treats a NULL body as a zero-length entry, not a task NPE") {
+    import spark.implicits._
+    val df = Seq(("a.bin", Option(Array[Byte](1, 2, 3))),
+      ("b.bin", Option.empty[Array[Byte]]))
+      .toDF("name", "body").repartition(1)
+    val dir = java.nio.file.Files.createTempDirectory("grafttarnull").toString
+    val manifest = Sources.writeTar(df, dir, "name", "body").collect()
+    assert(manifest.map(_.getLong(2)).sum == 2L)
+    assert(manifest.map(_.getLong(3)).sum == 3L)
+    val back = Sources.readTar(spark, s"$dir/shard-*.tar").df
+      .select("name", "size").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(back == Map("a.bin" -> 3L, "b.bin" -> 0L))
+  }
+
   test("writerFunc onDone: sink sees success per shard, and the error on failure") {
     import spark.implicits._
     WriterProbe.reset()

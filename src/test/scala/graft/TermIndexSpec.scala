@@ -158,6 +158,37 @@ class TermIndexSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("applyCdc: same-batch upsert+delete of one id resolves delete-wins; == inline over the resolved corpus") {
+    val d = docs.limit(60).persist()
+    val dir = tmpDir()
+    val cfg = TermIndex.Config(buckets = 4)
+    TermIndex.build(spark, d, "doc_id", "text", dir, cfg)
+    val ids = d.select("doc_id").orderBy("doc_id").limit(2)
+      .collect().map(_.getLong(0))
+    val (conflicted, clean) = (ids(0), ids(1))
+    // conflicted: upserted AND deleted in one batch → must vanish;
+    // clean: plain upsert → must score as its new text
+    val ups = d.filter(col("doc_id").isin(conflicted, clean))
+      .select(col("doc_id"),
+        concat(lit("zzfresh zzfresh "), col("text")).as("text"))
+    val dels = spark.range(1).select(lit(conflicted).as("doc_id"))
+    TermIndex.applyCdc(spark, dir, ups, dels, "doc_id", "text", cfg)
+    val probes = probesOf(d)
+    val resolved = d.filter(col("doc_id") =!= conflicted &&
+        col("doc_id") =!= clean)
+      .unionByName(ups.filter(col("doc_id") === clean))
+    val got = TermIndex.topK(spark, dir, probes, "doc_id", "text", 5, cfg)
+    val want = Terms.bm25TopK(resolved, probes, "doc_id", "text", 5)
+    assert(rows(got) === rows(want))
+    // a probe for the upserted marker token finds clean, never conflicted
+    val mp = spark.range(1).select(lit(0L).as("doc_id"),
+      lit("zzfresh").as("text"))
+    val hits = TermIndex.topK(spark, dir, mp, "doc_id", "text", 10, cfg)
+      .collect().map(_.getLong(2)).toSet
+    assert(hits.contains(clean) && !hits.contains(conflicted))
+    d.unpersist(); spark.catalog.clearCache()
+  }
+
   test("compaction folds tombstones physically and re-bases the masked scalars") {
     val d = docs
     val dir = tmpDir()
