@@ -95,11 +95,15 @@ object MinhashIndex {
 
   import VersionedLayout.{atomicWrite, fs, versionDir}
 
-  /** On-disk layout revision. 4 = persisted hot/ + warm/ df-slice
-    * tables (round 6); 2 = per-doc array docs/ table (round 5); 1 was
-    * the exploded shingles/ layout. Checked on every probe so a stale
-    * index fails with "rebuild", not a parquet path error. */
-  private val FormatVersion = 4
+  /** On-disk layout revision. 5 = tombstone delete versions (round 9:
+    * a delete commit writes tomb/ + dfneg/ + corrected hot/warm + an
+    * optional bandfix/ overlay and a BASE pointer to the physical
+    * tables, instead of rewriting the corpus); 4 = persisted hot/ +
+    * warm/ df-slice tables (round 6); 2 = per-doc array docs/ table
+    * (round 5); 1 was the exploded shingles/ layout. Checked on every
+    * probe so a stale index fails with "rebuild", not a parquet path
+    * error. */
+  private val FormatVersion = 5
 
   /** Current committed version, from the LATEST pointer. */
   def latestVersion(spark: SparkSession, dir: String): Int =
@@ -234,6 +238,83 @@ object MinhashIndex {
   }
 
   // ------------------------------------------------------------------
+  // Tombstone layer (delete commits)
+  //
+  // A delete writes version v+1 holding ONLY delete-batch-or-smaller
+  // state — never the corpus tables:
+  //   BASE      pointer to the version holding the physical docs/df/
+  //             bands tables (always a build/append/compact version)
+  //   tomb/     (__tomb_id) cumulative dead ids since BASE
+  //   dfneg/    (shingle, ddf) cumulative df corrections — computed
+  //             from the dead docs' own stored shingle arrays
+  //   hot/warm  rewritten EXACTLY (both are small slices by
+  //             construction; hot/warm only shrink under deletes, so
+  //             the corrected values come from the previous warm slice
+  //             joined with the delete's own delta — no df scan)
+  //   bandfix/  (id, band, bucket) recomputed band rows for live docs
+  //             whose capped set GREW because a shingle fell back
+  //             under the df cap (rare; bounded by the un-hot
+  //             shingles' memberships)
+  // Probes mask at read time (broadcast anti-joins — deletes ≪
+  // corpus); the next append/compact folds everything physically,
+  // exactly like the IvfIndex/TermIndex LSM siblings.
+  // ------------------------------------------------------------------
+
+  /** Version whose directory holds the physical docs/df/bands tables
+    * for `v` — `v` itself unless `v` is a tombstone (delete) commit. */
+  private def baseOf(spark: SparkSession, dir: String, v: Int): Int = {
+    val f = fs(spark, dir)
+    val p = new Path(versionDir(dir, v), "BASE")
+    if (f.exists(p)) VersionedLayout.readSmall(f, p).toInt else v
+  }
+
+  private def optRead(spark: SparkSession, path: String): Option[DataFrame] =
+    if (fs(spark, path).exists(new Path(path))) Some(cachedRead(spark, path))
+    else None
+
+  /** Broadcast-hint `df` only while its (memoized) row count fits the
+    * driver — the same guard discipline as the batch/warm frames. */
+  private def bcastIfSmall(spark: SparkSession, path: String,
+                           df: DataFrame): DataFrame =
+    if (cachedCount(spark, path) <= MaxBroadcastShingles) broadcast(df) else df
+
+  /** The LIVE corpus state of version `v`: physical tables of its BASE
+    * version with the tombstone layer applied at read time. `bands` is
+    * the bucketed table masked of dead and band-fixed docs; `overlay`
+    * carries the (small, unbucketed) recomputed rows for the latter. */
+  private final case class Live(docs: DataFrame, df: DataFrame,
+                                bands: DataFrame,
+                                overlay: Option[DataFrame])
+
+  private def liveState(spark: SparkSession, dir: String, v: Int,
+                        id: String, cfg: Config): Live = {
+    val base = baseOf(spark, dir, v)
+    val bvd = versionDir(dir, base)
+    val docs0 = cachedRead(spark, s"$bvd/docs")
+    val df0 = cachedRead(spark, s"$bvd/df")
+    val bands0 = readBands(spark, dir, base, cfg)
+    if (base == v) Live(docs0, df0, bands0, None)
+    else {
+      val vd = versionDir(dir, v)
+      val tomb = bcastIfSmall(spark, s"$vd/tomb",
+        cachedRead(spark, s"$vd/tomb"))
+      val docs = docs0.join(tomb, col(id) === col("__tomb_id"), "left_anti")
+      val dfneg = bcastIfSmall(spark, s"$vd/dfneg",
+        cachedRead(spark, s"$vd/dfneg"))
+      val dfC = df0.join(dfneg, Seq("shingle"), "left_outer")
+        .select(col("shingle"),
+          (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
+        .filter(col("df") > 0)
+      val overlay = optRead(spark, s"$vd/bandfix")
+      val masked = bands0.join(tomb, col(id) === col("__tomb_id"), "left_anti")
+      val bands = overlay.fold(masked)(o =>
+        masked.join(broadcast(o.select(col(id)).distinct()), Seq(id),
+          "left_anti"))
+      Live(docs, dfC, bands, overlay)
+    }
+  }
+
+  // ------------------------------------------------------------------
   // Build / probe / append
   // ------------------------------------------------------------------
 
@@ -311,9 +392,14 @@ object MinhashIndex {
                     batch: DataFrame, id: String, text: String,
                     cfg: Config): Probe = {
     val vd = versionDir(dir, v)
-    val corpusDocs = cachedRead(spark, s"$vd/docs")
-    val corpusDf = cachedRead(spark, s"$vd/df")
-    val corpusBands = readBands(spark, dir, v, cfg)
+    // live views: the BASE version's physical tables with v's tombstone
+    // layer (if any) applied at read time — broadcast anti-join masks,
+    // never a corpus rewrite. On a physical version these ARE the raw
+    // tables and the overlay is empty.
+    val st = liveState(spark, dir, v, id, cfg)
+    val corpusDocs = st.docs
+    val corpusDf = st.df
+    val corpusBands = st.bands
 
     // Batch-scale frames are localCheckpoint'ed rather than persisted:
     // each is re-referenced by several downstream plans, and a persist
@@ -453,8 +539,8 @@ object MinhashIndex {
     // memberships — it BROADCASTS, and the corpus-sized band table is
     // filtered in place, never re-shuffled.
     val cachedB = Seq.newBuilder[DataFrame]
-    val (keptBands, recomputedBands) =
-      if (nhArr.isEmpty) (corpusBands, None)
+    val (keptBands, keptOverlay, recomputedBands) =
+      if (nhArr.isEmpty) (corpusBands, st.overlay, None)
       else {
         val nh1 = arrRow("nharr", nhArr)
         val affectedDocs = corpusDocs.crossJoin(broadcast(nh1))
@@ -462,8 +548,13 @@ object MinhashIndex {
           .select(col(id), col("sharr")).localCheckpoint(eager = false)
         val affectedIds = affectedDocs.select(col(id))
         val kept = corpusBands.join(broadcast(affectedIds), Seq(id), "left_anti")
+        // tombstone-overlay rows of affected docs are superseded by the
+        // recompute below (affectedDocs came from the LIVE docs view,
+        // so overlay docs are included in it)
+        val keptO = st.overlay.map(
+          _.join(broadcast(affectedIds), Seq(id), "left_anti"))
         val recomputed = bandsOf(cappedBy(affectedDocs, id, hot1), id, cfg)
-        (kept, Some(recomputed))
+        (kept, keptO, Some(recomputed))
       }
 
     val batchBands = bandsOf(cappedBy(batchDocs, id, hot1), id, cfg)
@@ -474,9 +565,10 @@ object MinhashIndex {
     // scan joined directly on its (band, bucket) clustering — the
     // index side is never re-shuffled per ingest (the batch side
     // broadcasts or shuffles to the bucket count); only the
-    // batch-scale fresh bands take the second, tiny join.
-    val freshBands = recomputedBands
-      .map(_.unionByName(batchBands)).getOrElse(batchBands)
+    // batch-scale fresh bands (plus the small tombstone overlay, when
+    // one is live) take the second, tiny join.
+    val freshBands = (keptOverlay.toSeq ++ recomputedBands.toSeq :+ batchBands)
+      .reduce(_.unionByName(_))
     val r = batchBands.select(col(id).as("b"), col("band"), col("bucket"))
     val candidates =
       keptBands.select(col(id).as("a"), col("band"), col("bucket"))
@@ -576,6 +668,10 @@ object MinhashIndex {
       s"version $version at $dir was dropped by gc (retainLast) — only " +
         "versions still on disk can be probed; raise retainLast if replay " +
         "needs deeper history")
+    val base = baseOf(spark, dir, version)
+    require(base == version ||
+      fs(spark, dir).exists(new Path(versionDir(dir, base))),
+      s"version $version at $dir references gc'd base version $base")
   }
 
   /** [[incrementalDupPairsAt]] with the ingest-style cache contract:
@@ -595,15 +691,21 @@ object MinhashIndex {
   }
 
   /** Drop committed versions older than the last `retainLast` (their
-    * directories and catalog table registrations). Callers own the
-    * retention policy — replay of in-flight streaming batches needs the
-    * previous version, so retainLast >= 2 there. Doc/df/band tables of
-    * retained versions are self-contained; GC never touches them. */
+    * directories and catalog table registrations) — EXCEPT a version
+    * still referenced as the BASE of a retained tombstone version: its
+    * docs/df/bands are that tombstone's physical tables and must
+    * outlive it (they are reaped once an append/compact folds the
+    * layer). Callers own the retention policy — replay of in-flight
+    * streaming batches needs the previous version, so retainLast >= 2
+    * there. Tables of retained versions are never touched. */
   def gc(spark: SparkSession, dir: String, retainLast: Int): Unit = {
     require(retainLast >= 1, s"retainLast must be >= 1: $retainLast")
     val latest = latestVersion(spark, dir)
     val f = fs(spark, dir)
-    (1 to latest - retainLast).foreach { v =>
+    val referenced = (math.max(1, latest - retainLast + 1) to latest)
+      .filter(v => f.exists(new Path(versionDir(dir, v))))
+      .map(v => baseOf(spark, dir, v)).toSet
+    (1 to latest - retainLast).filterNot(referenced).foreach { v =>
       f.delete(new Path(versionDir(dir, v)), true)
       dropHandles(spark, versionDir(dir, v))
       val t = bandsTableName(dir, v)
@@ -652,84 +754,133 @@ object MinhashIndex {
     * .nearDupStreamIndexed]] does — or each iteration pins a cache
     * generation. */
   /**
-   * Remove `ids` from the index in a new version — the retirement /
-   * right-to-erasure face of continuous ingest. EXACT: the new
-   * version's tables equal a fresh build over corpus-minus-deleted
-   * (same kernels end to end), so later probes stay pair-identical to
-   * [[Dedup.minhashIncremental]] over the reduced corpus — spec-pinned
-   * in IndexSpec.
+   * Remove `ids` from the index in a new TOMBSTONE version — the
+   * retirement / right-to-erasure face of continuous ingest. EXACT:
+   * probes at the new version are pair-identical to
+   * [[Dedup.minhashIncremental]] over corpus-minus-deleted (the masked
+   * views run through the same kernels end to end; the hot/warm stop-
+   * shingle state is corrected precisely), spec-pinned in IndexSpec.
+   * Pinned probes at older versions replay unchanged.
    *
-   * Cost model: one version rewrite, the same class as an append
-   * (which also writes the merged tables); the delete-specific work is
-   * dead-batch-sized (df deltas from the deleted docs' stored shingle
-   * arrays, broadcast onto the df scan). The subtle inverse of
-   * append's newly-hot machinery: deletion SHRINKS df, so a shingle
-   * can fall back under the cap — the live docs containing it regain
-   * it in their capped sets, and exactly their band rows are
-   * recomputed from the persisted arrays (rare by construction, and
-   * checked with one tiny driver-side set like the newly-hot guard).
+   * Cost model (the LSM shape of the IvfIndex/TermIndex siblings):
+   * everything written is delete-batch-or-smaller — a cumulative dead-
+   * id list, a cumulative df correction computed from the dead docs'
+   * OWN stored shingle arrays, the corrected hot/warm slices (derived
+   * from the previous warm slice + this delete's delta; hot/warm only
+   * shrink under deletes, so no df scan is needed), and, rarely, the
+   * recomputed band rows of live docs whose capped set grew because a
+   * shingle fell back under the df cap. The corpus docs/df/bands
+   * tables are NOT rewritten; the next [[appendToIndex]]/[[ingest]]/
+   * [[compact]] folds the tombstone layer physically.
    */
   def deleteFromIndex(spark: SparkSession, dir: String, ids: DataFrame,
                       id: String, cfg: Config = Config()): Int = {
     val v = latestVersion(spark, dir)
     val vd = versionDir(dir, v)
     val vd1 = versionDir(dir, v + 1)
-    val docs = spark.read.parquet(s"$vd/docs")
+    val base = baseOf(spark, dir, v)
+    val st = liveState(spark, dir, v, id, cfg)
     val dels = broadcast(
-      ids.select(col(ids.columns.head).as("del_id")).distinct())
-    // deleted docs' per-shingle df contribution (dead-batch-sized)
-    val delta = docs.join(dels, col(id) === col("del_id"), "left_semi")
+      ids.select(col(ids.columns.head).as("__tomb_id")).distinct()).persist()
+    // dead docs' per-shingle df contribution, from LIVE docs only (an
+    // absent or already-deleted id contributes nothing) — computed off
+    // the stored arrays, dead-batch-sized
+    val delta = st.docs.join(dels, col(id) === col("__tomb_id"), "left_semi")
       .select(explode(col("sharr")).as("shingle"))
-      .groupBy("shingle").agg(count(lit(1)).as("ddf"))
-    val newDf = spark.read.parquet(s"$vd/df")
-      .join(broadcast(delta), Seq("shingle"), "left")
+      .groupBy("shingle").agg(count(lit(1)).as("ddf")).persist()
+    // cumulative tombstone layer relative to the SAME base version
+    val tombOld = if (base == v) None
+      else Some(cachedRead(spark, s"$vd/tomb"))
+    tombOld.fold(dels.toDF())(_.unionByName(dels)).distinct()
+      .write.mode("overwrite").parquet(s"$vd1/tomb")
+    val dfnegOld = if (base == v) None
+      else Some(cachedRead(spark, s"$vd/dfneg"))
+    dfnegOld.fold(delta.toDF())(_.unionByName(delta))
+      .groupBy("shingle").agg(sum("ddf").as("ddf"))
+      .write.mode("overwrite").parquet(s"$vd1/dfneg")
+    // hot/warm correct EXACTLY from the previous warm slice: df only
+    // shrinks under deletes, so no shingle can enter either slice, and
+    // every member's corrected value is (previous warm df) − (this
+    // delete's delta) — small ⋈ small, never a df scan
+    val warmCorr = cachedRead(spark, s"$vd/warm")
+      .join(broadcast(delta), Seq("shingle"), "left_outer")
       .select(col("shingle"),
         (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
-      .filter(col("df") > 0)
-    docs.join(dels, col(id) === col("del_id"), "left_anti")
-      .write.mode("overwrite").parquet(s"$vd1/docs")
-    newDf.write.mode("overwrite").parquet(s"$vd1/df")
-    // hot/warm derive from the COMMITTED df (on-disk truth), mirroring
-    // writeVersionTables
-    val cDf = spark.read.parquet(s"$vd1/df")
-    val cHot = cDf.filter(col("df") > cfg.maxShingleDf).select("shingle")
-    cHot.write.mode("overwrite").parquet(s"$vd1/hot")
-    cDf.filter(col("df") > warmThreshold(cfg))
+    warmCorr.filter(col("df") > warmThreshold(cfg))
       .write.mode("overwrite").parquet(s"$vd1/warm")
+    spark.read.parquet(s"$vd1/warm")
+      .filter(col("df") > cfg.maxShingleDf).select("shingle")
+      .write.mode("overwrite").parquet(s"$vd1/hot")
     // shingles that fell back UNDER the cap (tiny: subset of the old
-    // hot set): their containing docs' capped sets grow
-    val unHotArr = spark.read.parquet(s"$vd/hot")
+    // hot set): live docs containing one regain it in their capped
+    // sets — recompute exactly their band rows into the overlay
+    val unHotArr = cachedRead(spark, s"$vd/hot")
       .join(spark.read.parquet(s"$vd1/hot"), Seq("shingle"), "left_anti")
       .collect().map(_.getString(0)).toSeq
-    val cLive = spark.read.parquet(s"$vd1/docs")
-    val liveBands = spark.read.parquet(s"$vd/bands")
-      .join(dels, col(id) === col("del_id"), "left_anti")
-    var affected: Option[DataFrame] = None
-    val newBands =
-      if (unHotArr.isEmpty) liveBands
-      else {
-        val aff = cLive
-          .filter(arrays_overlap(col("sharr"),
-            array(unHotArr.map(lit): _*))).persist()
-        affected = Some(aff)
-        val hot1 = asOneRowArray(
-          spark.read.parquet(s"$vd1/hot"), "hotarr")
-        liveBands
-          .join(broadcast(aff.select(col(id))), Seq(id), "left_anti")
-          .unionByName(bandsOf(cappedBy(aff, id, hot1), id, cfg))
-      }
-    Bucketing.writeBucketedAt(newBands, bandsTableName(dir, v + 1),
+    val liveDocs = st.docs.join(dels, col(id) === col("__tomb_id"), "left_anti")
+    val overlayOld = st.overlay.map(
+      _.join(dels, col(id) === col("__tomb_id"), "left_anti"))
+    if (unHotArr.isEmpty)
+      overlayOld.foreach(
+        _.write.mode("overwrite").parquet(s"$vd1/bandfix"))
+    else {
+      val aff = liveDocs
+        .filter(arrays_overlap(col("sharr"),
+          array(unHotArr.map(lit): _*))).persist()
+      val hot1 = asOneRowArray(
+        spark.read.parquet(s"$vd1/hot"), "hotarr")
+      val recomputed = bandsOf(cappedBy(aff, id, hot1), id, cfg)
+      val kept = overlayOld.map(
+        _.join(broadcast(aff.select(col(id))), Seq(id), "left_anti"))
+      kept.fold(recomputed)(_.unionByName(recomputed))
+        .write.mode("overwrite").parquet(s"$vd1/bandfix")
+      aff.unpersist()
+    }
+    atomicWrite(fs(spark, dir), new Path(vd1, "BASE"), base.toString)
+    writeLatest(spark, dir, v + 1)
+    dels.unpersist(); delta.unpersist()
+    v + 1
+  }
+
+  /** Fold the live tombstone layer physically into a new version —
+    * masked docs/df, corrected hot/warm, masked+overlay bands — so the
+    * tombstones retire and [[gc]] can reap the base once unreferenced.
+    * No-op (returns the current version) when nothing is masked.
+    * Corpus-sized by nature, like the siblings' maintenance compact;
+    * appends fold implicitly, so this exists for delete-heavy periods
+    * with no ingest. */
+  def compact(spark: SparkSession, dir: String,
+              cfg: Config = Config()): Int = {
+    val v = latestVersion(spark, dir)
+    if (baseOf(spark, dir, v) == v) return v
+    val st = liveState(spark, dir, v, idColOf(spark, dir, v), cfg)
+    val vd = versionDir(dir, v)
+    val vd1 = versionDir(dir, v + 1)
+    st.docs.write.mode("overwrite").parquet(s"$vd1/docs")
+    st.df.write.mode("overwrite").parquet(s"$vd1/df")
+    cachedRead(spark, s"$vd/hot")
+      .write.mode("overwrite").parquet(s"$vd1/hot")
+    cachedRead(spark, s"$vd/warm")
+      .write.mode("overwrite").parquet(s"$vd1/warm")
+    val folded = st.overlay.fold(st.bands)(st.bands.unionByName(_))
+    Bucketing.writeBucketedAt(folded, bandsTableName(dir, v + 1),
       cfg.nBuckets, Seq("band", "bucket"), s"$vd1/bands")
-    affected.foreach(_.unpersist())
     writeLatest(spark, dir, v + 1)
     v + 1
   }
 
-  /** Replace `batch`'s docs (delete any existing copies, then ingest
-    * the new texts, emitting the probe pairs) — the upsert face of
-    * this index family. Two version commits (the rewrite-style layout
-    * has no tombstones to batch them into one); a crash between them
-    * leaves the delete applied and the ingest retryable. */
+  /** The id column name of a version's docs table (its first column —
+    * docs are written as (id, sharr)). */
+  private def idColOf(spark: SparkSession, dir: String, v: Int): String =
+    cachedRead(spark,
+      s"${versionDir(dir, baseOf(spark, dir, v))}/docs").columns.head
+
+  /** Replace `batch`'s docs (tombstone any existing copies, then
+    * ingest the new texts, emitting the probe pairs) — the upsert face
+    * of this index family. Two version commits, but the first is the
+    * cheap tombstone write and the second folds it physically; a crash
+    * between them leaves the delete applied and the ingest
+    * retryable. */
   def replaceInIndex(spark: SparkSession, dir: String, batch: DataFrame,
                      id: String, text: String,
                      cfg: Config = Config()): DataFrame = {

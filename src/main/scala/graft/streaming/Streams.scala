@@ -710,6 +710,114 @@ object Streams {
     }
   }
 
+  /**
+   * Replay-safe streaming CDC ingest for the near-dup
+   * [[graft.operators.MinhashIndex]] — the missing third face of
+   * [[cdcStreamIndexed]]/[[cdcRetrievalStreamIndexed]]: micro-batches
+   * of (op, id, text) rows, op ∈ {"upsert", "delete"}. Each batch is
+   * TWO commits — a cheap tombstone delete covering the deleted AND
+   * replaced ids ([[graft.operators.MinhashIndex.deleteFromIndex]]:
+   * id-list + batch-sized corrections, never a corpus rewrite), then
+   * an ingest of the upserted texts whose append folds the layer
+   * physically and emits the near-dup pairs over the RESOLVED corpus.
+   * An id in both sets resolves delete-wins (dropped from the
+   * upserts), matching the sibling applyCdc contract.
+   *
+   * Redelivery arithmetic therefore strides by 2: batch b owns
+   * versions `base + 2(b − firstB) + {1, 2}`. The three live states —
+   * fresh (run both), torn (delete committed, ingest not: tombstoning
+   * the same ids again is a no-op by construction, so recovery just
+   * runs the ingest), and replayed (both committed: re-probe the
+   * delete version read-only, identical pairs re-emitted) — are
+   * distinguished by LATEST alone; anything else fails fast.
+   * [[graft.operators.MinhashIndex.gc]] keeps the replay window AND
+   * (automatically) the BASE version a retained tombstone commit
+   * still references.
+   */
+  def cdcNearDupStream(events: DataFrame, opCol: String, id: String,
+                       text: String, indexDir: String,
+                       checkpointLocation: String,
+                       cfg: graft.operators.MinhashIndex.Config =
+                         graft.operators.MinhashIndex.Config(),
+                       retainVersions: Int = 3)
+                      (onPairs: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(retainVersions >= 3,
+      "retainVersions must be >= 3 (replay re-probes the batch's delete " +
+        s"version, which references its base): $retainVersions")
+    events.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        cdcNearDupBatch(batch, batchId, opCol, id, text, indexDir, cfg,
+          retainVersions)(onPairs)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[cdcNearDupStream]] — factored out for
+    * fault-injection tests, like its siblings. */
+  private[graft] def cdcNearDupBatch(
+      batch: Dataset[org.apache.spark.sql.Row], batchId: Long,
+      opCol: String, id: String, text: String, indexDir: String,
+      cfg: graft.operators.MinhashIndex.Config,
+      retainVersions: Int)(onPairs: (DataFrame, Long) => Unit): Unit = {
+    import graft.operators.MinhashIndex
+    val spark = batch.sparkSession
+    val dels = batch.filter(col(opCol) === "delete").select(col(id))
+    // delete-wins on same-batch conflict, like the sibling applyCdc
+    val ups = batch.filter(col(opCol) === "upsert").select(col(id), col(text))
+      .join(org.apache.spark.sql.functions.broadcast(dels), Seq(id),
+        "left_anti")
+    if (!MinhashIndex.exists(spark, indexDir))
+      MinhashIndex.build(spark, ups.limit(0), id, text, indexDir, cfg)
+    val (firstB, base) =
+      MinhashIndex.readMarker(spark, indexDir, "STREAM") match {
+        case Some(s) =>
+          val parts = s.split(" ")
+          (parts(0).toLong, parts(1).toInt)
+        case None =>
+          val bv = MinhashIndex.latestVersion(spark, indexDir)
+          MinhashIndex.writeMarker(spark, indexDir, "STREAM", s"$batchId $bv")
+          (batchId, bv)
+      }
+    require(batchId >= firstB,
+      s"batch id $batchId precedes this index's first stream batch " +
+        s"$firstB — the stream checkpoint was reset against an existing " +
+        "index; checkpoint and index are one unit of state (delete both " +
+        "or neither)")
+    // two commits per batch: delVer = tombstone, delVer + 1 = ingest
+    val delVer = base + 2 * (batchId - firstB).toInt + 1
+    val latest = MinhashIndex.latestVersion(spark, indexDir)
+    // the tombstone must cover replaced ids too — old copies of an
+    // upserted doc stop pairing before the new text ingests
+    val allDead = dels.unionByName(ups.select(col(id)))
+    if (latest == delVer + 1) {
+      // fully replayed: re-probe the version the ingest ran against
+      val p = MinhashIndex.replayDupPairsAt(spark, indexDir, delVer, ups,
+        id, text, cfg)
+      try onPairs(p, batchId)
+      finally p.unpersist()
+    } else if (latest == delVer - 1 || latest == delVer) {
+      if (latest == delVer - 1) {
+        val got = MinhashIndex.deleteFromIndex(spark, indexDir, allDead,
+          id, cfg)
+        require(got == delVer, s"delete committed $got, expected $delVer")
+      }
+      // torn redelivery lands here with the delete already committed;
+      // its ids are already tombstoned, so only the ingest remains
+      val p = MinhashIndex.ingest(spark, indexDir, ups, id, text, cfg)
+      try onPairs(p, batchId)
+      finally p.unpersist()
+      MinhashIndex.gc(spark, indexDir, retainVersions)
+    } else {
+      throw new IllegalStateException(
+        s"MinhashIndex at $indexDir is at version $latest but CDC batch " +
+          s"$batchId expects ${delVer - 1} (fresh), $delVer (torn) or " +
+          s"${delVer + 1} (committed): stream checkpoint and index state " +
+          "disagree — one was deleted or rolled back without the other")
+    }
+  }
+
   /** Run a streaming query to completion against the (finite) batch
     * source and return the result — the slicetest.Run analog for
     * streaming (memory sink + processAllAvailable). */

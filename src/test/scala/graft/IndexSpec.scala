@@ -133,7 +133,7 @@ class IndexSpec extends AnyFunSuite {
     assert(t(appended, 2, "warm") == t(fresh, 1, "warm"))
   }
 
-  test("deleteFromIndex == fresh build over corpus-minus-deleted, table for table; probes exact") {
+  test("deleteFromIndex: tombstone commit is O(delete); probes exact; compact folds == fresh build") {
     val d = Tables.load(spark, sf, "documents")
     val cut = graft.operators.Sampling.cuts(Seq(0.9))(1)
     val isNew = graft.operators.Sampling.hashBucket(col("doc_id")) >= lit(cut)
@@ -147,18 +147,85 @@ class IndexSpec extends AnyFunSuite {
     MinhashIndex.build(spark, existing, "doc_id", "text", dir, cfg)
     assert(MinhashIndex.deleteFromIndex(spark, dir, delIds, "doc_id", cfg) == 2)
     MinhashIndex.build(spark, reduced, "doc_id", "text", fresh, cfg)
-    def t(dir: String, v: Int, comp: String): Set[Seq[Any]] =
-      spark.read.parquet(f"$dir/v$v%05d/$comp")
-        .collect().map(_.toSeq).toSet
-    Seq("docs", "df", "hot", "warm", "bands").foreach { comp =>
-      assert(t(dir, 2, comp) == t(fresh, 1, comp), s"$comp drifted")
+    // the delete commit is a TOMBSTONE: no corpus table in its version
+    // directory (the write volume is the id list + batch-sized
+    // corrections), and a BASE pointer to the physical tables
+    val v2 = new java.io.File(f"$dir/v00002")
+    assert(new java.io.File(v2, "BASE").exists(), "delete must write BASE")
+    assert(new java.io.File(v2, "tomb").exists())
+    Seq("docs", "df", "bands").foreach { comp =>
+      assert(!new java.io.File(v2, comp).exists(),
+        s"tombstone commit must not rewrite $comp")
     }
-    // and the probe contract holds over the reduced corpus
+    // the probe contract holds over the reduced corpus (masked views)
     val fromIdx = Dedup.minhashIncrementalFromIndex(spark, dir, batch,
       "doc_id", "text", cfg)
     val inline = Dedup.minhashIncremental(reduced, batch, "doc_id", "text")
     assert(pairSet(fromIdx) == pairSet(inline))
     assert(pairSet(fromIdx).nonEmpty, "degenerate: no pairs after delete")
+    // compact folds the layer physically: table-for-table == fresh build
+    assert(MinhashIndex.compact(spark, dir, cfg) == 3)
+    def t(dir: String, v: Int, comp: String): Set[Seq[Any]] =
+      spark.read.parquet(f"$dir/v$v%05d/$comp")
+        .collect().map(_.toSeq).toSet
+    Seq("docs", "df", "hot", "warm", "bands").foreach { comp =>
+      assert(t(dir, 3, comp) == t(fresh, 1, comp), s"$comp drifted")
+    }
+    // compact on a physical version is a no-op
+    assert(MinhashIndex.compact(spark, dir, cfg) == 3)
+    // gc keeps the base of a retained tombstone version alive: re-probe
+    // v2 after a gc that would otherwise reap v1
+    MinhashIndex.gc(spark, dir, retainLast = 2)
+    assert(new java.io.File(f"$dir/v00001").exists(),
+      "gc reaped a BASE version still referenced by retained v2")
+    val replay = MinhashIndex.replayDupPairsAt(spark, dir, 2, batch,
+      "doc_id", "text", cfg)
+    assert(pairSet(replay) == pairSet(inline))
+    replay.unpersist()
+    spark.catalog.clearCache()
+  }
+
+  test("chained tombstone deletes accumulate against one base; append folds all of them") {
+    val d = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val del1 = d.filter(col("doc_id") % 7 === 2).select("doc_id")
+    val del2 = d.filter(col("doc_id") % 7 === 3).select("doc_id")
+    val batch = d.filter(col("doc_id") % 7 === 4)
+      .select(col("doc_id") + 1000000L as "doc_id",
+        concat(col("text"), lit(" chained")).as("text"))
+    val reduced = d.filter(col("doc_id") % 7 =!= 2 && col("doc_id") % 7 =!= 3)
+    val cfg = MinhashIndex.Config()
+    val dir = tmp("graft_mhidx_chain")
+    val fresh = tmp("graft_mhidx_chain_fresh")
+    MinhashIndex.build(spark, d, "doc_id", "text", dir, cfg)
+    assert(MinhashIndex.deleteFromIndex(spark, dir, del1, "doc_id", cfg) == 2)
+    assert(MinhashIndex.deleteFromIndex(spark, dir, del2, "doc_id", cfg) == 3)
+    // both tombstone versions share base v1; the second's layer is
+    // cumulative
+    def base(v: Int): String = {
+      val src = scala.io.Source.fromFile(f"$dir/v$v%05d/BASE")
+      try src.mkString.trim finally src.close()
+    }
+    assert(base(2) == "1" && base(3) == "1")
+    // probe at v3 == inline over corpus minus BOTH delete sets
+    val fromIdx = Dedup.minhashIncrementalFromIndex(spark, dir, batch,
+      "doc_id", "text", cfg)
+    val inline = Dedup.minhashIncremental(reduced, batch, "doc_id", "text")
+    assert(pairSet(fromIdx) == pairSet(inline))
+    // an append folds the whole layer physically == fresh build over
+    // reduced ∪ batch
+    assert(MinhashIndex.appendToIndex(spark, dir, batch,
+      "doc_id", "text", cfg) == 4)
+    assert(!new java.io.File(f"$dir/v00004/BASE").exists(),
+      "append must fold, not chain")
+    MinhashIndex.build(spark, reduced.unionByName(batch), "doc_id", "text",
+      fresh, cfg)
+    def t(dir: String, v: Int, comp: String): Set[Seq[Any]] =
+      spark.read.parquet(f"$dir/v$v%05d/$comp")
+        .collect().map(_.toSeq).toSet
+    Seq("docs", "df", "hot", "warm", "bands").foreach { comp =>
+      assert(t(dir, 4, comp) == t(fresh, 1, comp), s"$comp drifted")
+    }
+    spark.catalog.clearCache()
   }
 
   test("replaceInIndex == fresh build over the updated corpus, table for table") {

@@ -298,6 +298,97 @@ class StreamingSpec extends AnyFunSuite {
     assert(IvfIndex.readSegments(spark, idxDir, nB).length <= cfg.maxSegments)
   }
 
+  test("cdcNearDupStream: two commits per batch; pairs == inline over the resolved corpus; torn + replay recover") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.{Dedup, MinhashIndex}
+    val d = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val rows = d.collect().map(r => (r.getLong(0), r.getString(1)))
+    def rewrite(t: String) = t + " cdc rewritten tail"
+    // b0: bootstrap %4<=1; b1: add %4==2, delete %8==0;
+    // b2: REPLACE %4==1 with rewritten text, delete %8==4
+    val b0 = rows.filter(_._1 % 4 <= 1).map(t => ("upsert", t._1, t._2))
+    val b1 = rows.filter(_._1 % 4 == 2).map(t => ("upsert", t._1, t._2)) ++
+      rows.filter(_._1 % 8 == 0).map(t => ("delete", t._1, ""))
+    val b2 = rows.filter(_._1 % 4 == 1)
+      .map(t => ("upsert", t._1, rewrite(t._2))) ++
+      rows.filter(_._1 % 8 == 4).map(t => ("delete", t._1, ""))
+    val cfg = MinhashIndex.Config()
+    val base = java.nio.file.Files.createTempDirectory("cdc_neardup").toString
+    val idxDir = s"$base/idx"
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, String)]
+    val got = scala.collection.mutable.Map[Long, Set[(Long, Long, Double)]]()
+    val q = Streams.cdcNearDupStream(
+      source.toDF().toDF("op", "doc_id", "text"), "op", "doc_id", "text",
+      idxDir, s"$base/ckpt", cfg, retainVersions = 3) { (pairs, bid) =>
+      got(bid) = pairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    Seq(b0, b1, b2).foreach { b => source.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+    // two commits per batch on top of the empty-build v1
+    assert(MinhashIndex.latestVersion(spark, idxDir) == 7)
+    // each emission == inline minhashIncremental(resolved-so-far minus
+    // this batch's dead ids, upserts)
+    def df(rs: Seq[(Long, String)]) = rs.toDF("doc_id", "text")
+    def pairSet(f: org.apache.spark.sql.DataFrame) = f.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val r0 = rows.filter(_._1 % 4 <= 1).toSeq
+    assert(got(0L) == pairSet(
+      Dedup.minhashIncremental(df(Seq.empty), df(r0), "doc_id", "text")))
+    val r1pre = r0.filterNot(_._1 % 8 == 0)
+    val ups1 = rows.filter(_._1 % 4 == 2).toSeq
+    assert(got(1L) == pairSet(
+      Dedup.minhashIncremental(df(r1pre), df(ups1), "doc_id", "text")))
+    val resolved1 = r1pre ++ ups1
+    val ups2 = rows.filter(_._1 % 4 == 1).map(t => (t._1, rewrite(t._2))).toSeq
+    val r2pre = resolved1.filterNot(t => t._1 % 8 == 4 || t._1 % 4 == 1)
+    assert(got(2L) == pairSet(
+      Dedup.minhashIncremental(df(r2pre), df(ups2), "doc_id", "text")))
+    assert(got.values.exists(_.nonEmpty), "degenerate fixture: no pairs")
+    // full redelivery of batch 2 re-emits identically, applies nothing
+    var replayed: Set[(Long, Long, Double)] = null
+    Streams.cdcNearDupBatch(
+      spark.createDataset(b2.toSeq).toDF("op", "doc_id", "text"), 2L,
+      "op", "doc_id", "text", idxDir, cfg, 3) { (p, _) =>
+      replayed = pairSet(p)
+    }
+    assert(replayed == got(2L), "replay diverged")
+    assert(MinhashIndex.latestVersion(spark, idxDir) == 7, "replay committed")
+    // TORN batch 3: crash between the delete commit and the ingest —
+    // inject by running the delete exactly as the batch body would,
+    // then redeliver the full batch; recovery must ingest WITHOUT
+    // re-deleting and land on the same state as a clean run
+    val ups3 = rows.filter(_._1 % 8 == 1).map(t => (t._1, t._2 + " v3")).toSeq
+    val dels3 = rows.filter(_._1 % 8 == 2).map(_._1).toSeq
+    val b3 = ups3.map(t => ("upsert", t._1, t._2)) ++
+      dels3.map(i => ("delete", i, ""))
+    MinhashIndex.deleteFromIndex(spark, idxDir,
+      (dels3 ++ ups3.map(_._1)).toDF("doc_id"), "doc_id", cfg)
+    assert(MinhashIndex.latestVersion(spark, idxDir) == 8) // torn state
+    var e3: Set[(Long, Long, Double)] = null
+    Streams.cdcNearDupBatch(
+      spark.createDataset(b3).toDF("op", "doc_id", "text"), 3L,
+      "op", "doc_id", "text", idxDir, cfg, 3) { (p, _) => e3 = pairSet(p) }
+    assert(MinhashIndex.latestVersion(spark, idxDir) == 9)
+    val r3pre = (r2pre ++ ups2)
+      .filterNot(t => t._1 % 8 == 2 || t._1 % 8 == 1)
+    assert(e3 == pairSet(
+      Dedup.minhashIncremental(df(r3pre), df(ups3), "doc_id", "text")))
+    // final index state == fresh build over the fully resolved corpus
+    // (probe equality via a foreign probe batch)
+    val finalCorpus = r3pre ++ ups3
+    val probeB = df(rows.filter(_._1 % 16 == 3)
+      .map(t => (t._1 + 500000L, t._2)).toSeq)
+    val fromIdx = Dedup.minhashIncrementalFromIndex(spark, idxDir, probeB,
+      "doc_id", "text", cfg)
+    val inline = Dedup.minhashIncremental(df(finalCorpus), probeB,
+      "doc_id", "text")
+    assert(pairSet(fromIdx) == pairSet(inline))
+    spark.catalog.clearCache()
+  }
+
   test("cdcStreamIndexed: one commit per batch; upserts+deletes resolve exactly; emissions pinned") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

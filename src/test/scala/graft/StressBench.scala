@@ -107,6 +107,21 @@ object StressBench {
     health("df_rows") = spark.read.parquet(f"$idx/v$latest%05d/df").count()
     health("mh_versions_on_disk") = countDirs(idx) // version dirs only (markers are files)
 
+    // minhash tombstone delete (round 9): the commit writes only the
+    // id list + batch-sized corrections, so its cost must stay
+    // near-constant per 10x data like tidx_delete/ivf_delete — and the
+    // masked probe must never pair a deleted id
+    val mhDel = docs.filter(col("doc_id") % 50 === 11).select("doc_id")
+    time("mh_delete")(
+      MinhashIndex.deleteFromIndex(spark, idx, mhDel, "doc_id"))
+    val mhAfter = time("mh_probe_after_delete") {
+      MinhashIndex.incrementalDupPairs(spark, idx, probeBatch,
+        "doc_id", "text").collect()
+    }
+    health("mh_del_pairs") = mhAfter.length.toLong
+    health("mh_del_deleted_hits") = mhAfter.count(r =>
+      r.getLong(0) % 50 == 11 || r.getLong(1) % 50 == 11).toLong
+
     // --- IVF/ANN family at the same scale: deterministic 64-dim
     // feature-hash embeddings derived from the text (near-dup docs →
     // near-dup vectors, so the index sees the same duplicate
