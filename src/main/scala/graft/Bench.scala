@@ -49,9 +49,30 @@ object Bench {
    * partially cached pipeline; clearCache before each run keeps every
    * timed run the full cold pipeline (mirrors Verify.scala).
    */
+  /** Self-defense against a contended box (three rounds of driver
+    * artifacts ran at loadavg 3.5–4.6 and read as phantom regressions):
+    * before the first timed run, if the 1-minute loadavg is at or over
+    * `gate`, sleep-poll until it drops or `maxWaitSecs` elapses.
+    * Returns (loadavg at the gate decision, seconds waited) — both are
+    * emitted in the artifact, so a run that STARTED dirty after
+    * exhausting the wait is machine-readably flagged (`load_dirty`)
+    * instead of needing adjudication prose. */
+  private[graft] def awaitQuietBox(gate: Double, maxWaitSecs: Int,
+                                   pollSecs: Int = 15): (Double, Int) = {
+    var waited = 0
+    var la = loadAvg().headOption.getOrElse(0.0)
+    while (la >= gate && waited < maxWaitSecs) {
+      Thread.sleep(pollSecs * 1000L)
+      waited += pollSecs
+      la = loadAvg().headOption.getOrElse(0.0)
+    }
+    (la, waited)
+  }
+
   def benchLine(spark: SparkSession, sfDir: String,
                 queries: Seq[(String, (SparkSession, String) =>
-                  org.apache.spark.sql.DataFrame)]): String = {
+                  org.apache.spark.sql.DataFrame)],
+                extraFields: String = ""): String = {
     val loadBefore = loadAvg()
     val results: Seq[(String, Seq[Double], Option[String])] =
       queries.map { case (name, fn) =>
@@ -87,12 +108,20 @@ object Bench {
       if (errs.isEmpty) "" else errs.mkString(",\"errors\":{", ",", "}")
     val total = results.collect { case (_, ts, None) => ts.min }.sum
     val load = (loadBefore ++ loadAvg()).map(sec).mkString("[", ",", "]")
-    s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"runs":$runs,"loadavg":$load$errField,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"runs":$runs,"loadavg":$load$extraFields$errField,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val gate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "2.0").toDouble
+    val maxWait = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_SECS", "600").toInt
+    val (laAtGate, waited) = awaitQuietBox(gate, maxWait)
+    val extra = String.format(java.util.Locale.ROOT,
+      ",\"load_gate\":%.1f,\"load_wait_secs\":%d," +
+        "\"load_at_gate\":%.2f,\"load_dirty\":%b",
+      Double.box(gate), Int.box(waited), Double.box(laAtGate),
+      Boolean.box(laAtGate >= gate))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -103,7 +132,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     println(benchLine(spark, sfDir,
-      SparkEntry.benchQueries.map(n => n -> SparkEntry.queries(n))))
+      SparkEntry.benchQueries.map(n => n -> SparkEntry.queries(n)), extra))
     spark.stop()
   }
 }
