@@ -26,7 +26,10 @@ import org.apache.spark.sql.functions._
  *                                           then tombstone names; absent
  *                                           = no deletes outstanding)
  *   dir/segments/sNNNNN/tf/bkt=N/…parquet   ((doc_id, tok, tf, dl))
- *   dir/segments/sNNNNN/df/bkt=N/…parquet   ((tok, df))
+ *   dir/segments/sNNNNN/df/bkt=N/…parquet   ((tok, df, max_tf, min_dl)
+ *                                           — df plus the per-term
+ *                                           posting bounds feeding the
+ *                                           max-score probe)
  *   dir/segments/sNNNNN/docs/dbkt=N/…       ((doc_id, dl) — the narrow
  *                                           per-doc stats a delete's
  *                                           scalar correction scans,
@@ -78,7 +81,10 @@ object TermIndex {
 
   import VersionedLayout._
 
-  val FormatVersion = 1
+  /** 2 = per-(term, segment) max_tf/min_dl posting stats in the df
+    * tables (round 9 — they feed max-score probe pruning); 1 was the
+    * plain (tok, df) form. */
+  val FormatVersion = 2
 
   /**
    * @param buckets     term-hash partition count (pruning granularity)
@@ -166,6 +172,7 @@ object TermIndex {
     StructField("bkt", IntegerType)))
   private val dfSchema = StructType(Seq(
     StructField("tok", StringType), StructField("df", LongType),
+    StructField("max_tf", LongType), StructField("min_dl", LongType),
     StructField("bkt", IntegerType)))
   private val docsSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("dl", LongType),
@@ -179,6 +186,20 @@ object TermIndex {
 
   private def readDocs(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(docsSchema).parquet(s"$path/docs")
+
+  /** df stats derived from a segment's committed tf rows: document
+    * frequency plus the per-term posting bounds (max tf, min dl) that
+    * upper-bound any single posting's BM25 partial score — the
+    * max-score statistics of [[topKAt]]'s pruned probe. */
+  private def dfFromTf(tf: DataFrame): DataFrame =
+    tf.groupBy("tok").agg(count(lit(1)).as("df"),
+      max("tf").as("max_tf"), min("dl").as("min_dl"))
+
+  /** Fold per-segment df stats (df sums; the posting bounds stay valid
+    * as max/min over segments). */
+  private def dfFold(dfs: DataFrame): DataFrame =
+    dfs.groupBy("tok").agg(sum("df").as("df"),
+      max("max_tf").as("max_tf"), min("min_dl").as("min_dl"))
 
   private def hasDocs(spark: SparkSession, path: String): Boolean =
     fs(spark, path).exists(new Path(s"$path/docs"))
@@ -207,7 +228,7 @@ object TermIndex {
     tf.repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/tf")
     val committed = readTf(spark, path)
-    committed.groupBy("tok").agg(count(lit(1)).as("df"))
+    dfFromTf(committed)
       .withColumn("bkt", bkt(col("tok"), cfg.buckets))
       .repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/df")
@@ -420,17 +441,19 @@ object TermIndex {
       val committed = readTf(spark, segPath(dir, comp))
       if (tombs.isEmpty)
         // df re-derives from the count-sized per-segment df tables —
-        // the corpus-sized tf is unioned once for the write, not re-agged
-        toMerge.map(s => readDf(spark, segPath(dir, s._1)))
-          .reduce(_.unionByName(_))
-          .groupBy("tok").agg(sum("df").as("df"))
+        // the corpus-sized tf is unioned once for the write, not
+        // re-agged (posting bounds fold as max/min; they may be LOOSER
+        // than a recount after masked rows vanish, which only weakens
+        // pruning, never exactness)
+        dfFold(toMerge.map(s => readDf(spark, segPath(dir, s._1)))
+            .reduce(_.unionByName(_)))
           .withColumn("bkt", bkt(col("tok"), cfg.buckets))
           .repartition(col("bkt"))
           .write.mode("overwrite").partitionBy("bkt")
           .parquet(s"${segPath(dir, comp)}/df")
       else
         // rows were masked: df must recount from the committed fold
-        committed.groupBy("tok").agg(count(lit(1)).as("df"))
+        dfFromTf(committed)
           .withColumn("bkt", bkt(col("tok"), cfg.buckets))
           .repartition(col("bkt"))
           .write.mode("overwrite").partitionBy("bkt")
@@ -492,7 +515,7 @@ object TermIndex {
       .write.mode("overwrite").partitionBy("bkt")
       .parquet(s"${segPath(dir, comp)}/tf")
     val committed = readTf(spark, segPath(dir, comp))
-    committed.groupBy("tok").agg(count(lit(1)).as("df"))
+    dfFromTf(committed)
       .withColumn("bkt", bkt(col("tok"), cfg.buckets))
       .repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("bkt")
@@ -528,6 +551,17 @@ object TermIndex {
    * cost: the probe-vocabulary `bkt=` partitions of each segment's df
    * (count-sized) and tf (candidate-sized) — nothing corpus-wide is
    * scanned, no doc-length table is joined (dl rides the tf rows).
+   *
+   * On tombstone-free versions the probe runs the MAX-SCORE pruned
+   * plan ([[maxScoreProbe]]): only rare, high-impact terms generate
+   * candidates; common terms' postings merely complete the scores of
+   * the few candidates that can still reach the top-k — exact by the
+   * θ/upper-bound argument documented there, with a per-probe fallback
+   * to the unpruned plan whenever pruning would be unsound. With
+   * tombstones outstanding the unpruned plan runs (its exact df is
+   * COUNTED from the masked candidate slice, which needs the full
+   * probe-vocabulary postings anyway); deletes are transient until the
+   * next compaction folds them.
    */
   def topKAt(spark: SparkSession, dir: String, version: Int,
              probes: DataFrame, id: String, text: String, k: Int,
@@ -546,46 +580,203 @@ object TermIndex {
     val probeTerms = probes.select(col(id).as("probe_id"),
         explode(array_distinct(terms(col(text)))).as("tok"))
       .persist()
-    // the probed buckets: ≤ cfg.buckets rows of driver metadata — the
-    // static partition filter that prunes every segment scan
-    val bkts = probeTerms.select(bkt(col("tok"), cfg.buckets).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val prunedTf = maskBySeq(
-      segs.map(s => readTf(spark, segPath(dir, s._1))
-          .filter(col("bkt").isin(bkts: _*))
-          .withColumn("seg_seq", lit(nameSeq(s._1))))
-        .reduce(_.unionByName(_)),
-      tombF)
-    val vocab = probeTerms.select("tok").distinct()
-    // global df = Σ over segments of the probe-vocabulary slice; with
-    // tombstones outstanding it is instead COUNTED from the masked
-    // candidate slice itself (complete: every live doc holding a
-    // probed term lives in that term's bucket partitions), so idf
-    // tracks the reduced corpus exactly
-    val idfSlice = (tombF match {
-      case None => segs
-        .map(s => readDf(spark, segPath(dir, s._1))
-          .filter(col("bkt").isin(bkts: _*)))
-        .reduce(_.unionByName(_))
-        .join(broadcast(vocab), "tok")
-        .groupBy("tok").agg(sum("df").as("df"))
-      case Some(_) => prunedTf
-        .join(broadcast(vocab), "tok")
-        .groupBy("tok").agg(count(lit(1)).as("df"))
-    }).withColumn("n", lit(n))
-      .select(col("tok"), expr(Terms.bm25IdfSql).as("idf_q"))
-    val cand = prunedTf
-      .join(broadcast(probeTerms), "tok")
-      .join(broadcast(idfSlice), "tok")
-      .withColumn("n", lit(n))
-      .withColumn("tt", lit(tt))
-    val out = Terms.bm25ScoreRank(cand, k)
-    // the persist existed for the bkts collect above; release it now so
-    // per-micro-batch probes don't accumulate cache generations for the
-    // life of a stream. Execution after this point re-derives the cheap
-    // probe tokenization from lineage inside the broadcast exchanges.
+    val out = tombF match {
+      case None =>
+        maxScoreProbe(spark, dir, segs, n, tt, probeTerms, k, cfg)
+      case Some(_) =>
+        // the probed buckets: ≤ cfg.buckets rows of driver metadata —
+        // the static partition filter that prunes every segment scan
+        val bkts = probeTerms.select(bkt(col("tok"), cfg.buckets).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val prunedTf = maskBySeq(
+          segs.map(s => readTf(spark, segPath(dir, s._1))
+              .filter(col("bkt").isin(bkts: _*))
+              .withColumn("seg_seq", lit(nameSeq(s._1))))
+            .reduce(_.unionByName(_)),
+          tombF)
+        val vocab = probeTerms.select("tok").distinct()
+        // exact df over corpus-minus-deleted, COUNTED from the masked
+        // candidate slice (complete: every live doc holding a probed
+        // term lives in that term's bucket partitions)
+        val idfSlice = prunedTf
+          .join(broadcast(vocab), "tok")
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+          .withColumn("n", lit(n))
+          .select(col("tok"), expr(Terms.bm25IdfSql).as("idf_q"))
+        val cand = prunedTf
+          .join(broadcast(probeTerms), "tok")
+          .join(broadcast(idfSlice), "tok")
+          .withColumn("n", lit(n))
+          .withColumn("tt", lit(tt))
+        Terms.bm25ScoreRank(cand, k)
+    }
+    // the persist existed for the driver-round collects above; release
+    // it now so per-micro-batch probes don't accumulate cache
+    // generations for the life of a stream. Execution after this point
+    // re-derives the cheap probe tokenization from lineage inside the
+    // broadcast exchanges.
     probeTerms.unpersist(blocking = false)
     out
+  }
+
+  /** Essential-term pivot of the max-score probe: terms with idf_q at
+    * or above this generate candidates; the rest only complete
+    * survivors' scores. idf_q ≥ 3 ⇔ df ≲ n/9 — the zipf tail, whose
+    * total postings mass is bounded, while the excluded head (df up to
+    * n) is exactly what made probe cost track corpus size. ANY pivot
+    * is exact — the θ test below falls back when pruning is unsound. */
+  private val MaxScorePivotIdf = 3
+
+  /** Observability for specs/stress harnesses: (pruned, fallback)
+    * probe counts of the most recent [[maxScoreProbe]] decision. */
+  @volatile private[graft] var lastMaxScoreDecision: (Long, Long) = (0L, 0L)
+
+  /**
+   * Max-score / TA-style EXACT top-k with impact-ordered term classes,
+   * for tombstone-free versions.
+   *
+   * Let U(t) = the per-posting score upper bound of term t (its stored
+   * (max_tf, min_dl) substituted into the monotone partial-score
+   * kernel — [[Terms.bm25PartialSql]]), R = probe terms with idf_q ≥
+   * [[MaxScorePivotIdf]] ("essential"), C = the rest.
+   *
+   *  - Phase 1 scores ONLY R postings: P(d) = Σ_{t∈R∩d} s(t,d);
+   *    θ = the k-th largest P per probe.
+   *  - A probe prunes iff it has ≥ k phase-1 candidates AND
+   *    θ > B_C := Σ_{t∈C} U(t). Then any doc with NO essential term
+   *    has score ≤ B_C < θ ≤ (true k-th score), strictly — it cannot
+   *    enter the top-k even via the doc_id tie-break; and a candidate
+   *    with P(d) + B_C < θ is likewise out. The true top-k is
+   *    therefore contained in the survivors {d : P(d) + B_C ≥ θ}.
+   *  - Phase 2 completes survivors EXACTLY: C postings (idf_q ≥ 1
+   *    only — zero-idf terms contribute literally 0 to every sum) are
+   *    semi-joined down to survivor docs BEFORE scoring, so the
+   *    aggregate sees |survivors|-scale rows, never Σ_C df. The scan
+   *    I/O of C buckets remains, but the corpus-sized
+   *    aggregate+rank — the measured cost center — is gone.
+   *  - Probes failing the test run the classic unpruned plan,
+   *    restricted to themselves. Exactness holds for any pivot/stat
+   *    looseness; only the pruning RATE varies.
+   *
+   * One extra driver round (the per-probe θ/B_C decision row — one
+   * row per probe) buys the postings-mass cut; the decision is
+   * collected and re-literalized so phase 1 is not re-evaluated as a
+   * subplan of every consumer.
+   */
+  private def maxScoreProbe(spark: SparkSession, dir: String,
+                            segs: Seq[(String, Long, Long)],
+                            n: Long, tt: Long, probeTerms: DataFrame,
+                            k: Int, cfg: Config): DataFrame = {
+    val vocab = probeTerms.select("tok").distinct()
+    def tfUnion(bs: Seq[Int]): DataFrame =
+      segs.map(s => readTf(spark, segPath(dir, s._1))
+          .filter(col("bkt").isin(bs: _*)))
+        .reduce(_.unionByName(_))
+    // probe-vocabulary df slice with posting bounds → idf_q and U(t)
+    val idfStats = dfFold(
+        segs.map(s => readDf(spark, segPath(dir, s._1)))
+          .reduce(_.unionByName(_))
+          .join(broadcast(vocab), "tok"))
+      .withColumn("n", lit(n)).withColumn("tt", lit(tt))
+      .withColumn("idf_q", expr(Terms.bm25IdfSql))
+      .withColumn("ub", expr(
+        "(idf_q * max_tf * 220000) div (1000*max_tf + 300 + " +
+          "9*((100 * min_dl * n) div tt))"))
+      .select("tok", "idf_q", "ub")
+    val rStats = idfStats.filter(col("idf_q") >= MaxScorePivotIdf)
+    val cStats = idfStats.filter(col("idf_q") < MaxScorePivotIdf)
+    // bucket lists per class, one driver round: essential buckets feed
+    // phase 1; completion buckets exclude those holding ONLY zero-idf
+    // terms (their postings can contribute nothing)
+    val bktRows = idfStats
+      .groupBy((col("idf_q") >= MaxScorePivotIdf).as("ess"),
+        bkt(col("tok"), cfg.buckets).as("b"))
+      .agg(count(when(col("idf_q") >= 1, 1)).as("nz"))
+      .collect()
+    val bktsR = bktRows.filter(_.getBoolean(0)).map(_.getInt(1)).toSeq
+    val bktsC1 = bktRows
+      .filter(r => !r.getBoolean(0) && r.getLong(2) > 0)
+      .map(_.getInt(1)).distinct.toSeq
+    def scoredOver(tf: DataFrame, stats: DataFrame): DataFrame =
+      tf.join(broadcast(probeTerms), "tok")
+        .join(broadcast(stats.select("tok", "idf_q")), "tok")
+        .withColumn("n", lit(n)).withColumn("tt", lit(tt))
+        .withColumn("rel", expr(Terms.bm25RelSql))
+        .withColumn("s", expr(Terms.bm25PartialSql))
+    // phase 1: essential-term partial scores. Lineage is truncated so
+    // θ, survivors and the final join all read the one materialization
+    // (the decision collect below runs the job).
+    val p1 = scoredOver(tfUnion(bktsR), rStats)
+      .groupBy("probe_id", "doc_id").agg(sum("s").as("p1"))
+      .localCheckpoint(eager = false)
+    val theta = Skew.groupTopK(
+        p1.select(col("probe_id"), col("doc_id"), col("p1").as("score")),
+        Seq("probe_id"), Seq(col("score").desc, col("doc_id").asc), k,
+        rankCol = "rank")
+      .filter(col("rank") === k)
+      .select(col("probe_id"), col("score").as("theta"))
+    // B_C per probe over ALL its terms (left join: probes with no
+    // common terms get 0), so every probe owns a decision row
+    val bc = probeTerms
+      .join(broadcast(cStats.select("tok", "ub")), Seq("tok"), "left_outer")
+      .groupBy("probe_id").agg(sum(coalesce(col("ub"), lit(0L))).as("bc"))
+    val dec = bc.join(theta, Seq("probe_id"), "left_outer")
+      .select(col("probe_id"), col("theta"), col("bc"))
+    val decRows = dec.collect()
+    val okRows = decRows.filter(r => !r.isNullAt(1) && r.getLong(1) > r.getLong(2))
+    val nFb = decRows.length - okRows.length
+    lastMaxScoreDecision = (okRows.length.toLong, nFb.toLong)
+    def localDf(rows: Array[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), dec.schema)
+    val prunedOut =
+      if (okRows.isEmpty) None
+      else {
+        val okLocal = localDf(okRows)
+        val surv = p1.join(broadcast(okLocal), "probe_id")
+          .filter(col("p1") + col("bc") >= col("theta"))
+          .select("probe_id", "doc_id", "p1")
+        val c1 = cStats.filter(col("idf_q") >= 1)
+        val sc =
+          if (bktsC1.isEmpty) None
+          else Some(scoredOver(
+              tfUnion(bktsC1)
+                .join(broadcast(surv.select("doc_id").distinct()),
+                  Seq("doc_id"), "left_semi"), c1)
+            .join(broadcast(surv.select("probe_id", "doc_id")),
+              Seq("probe_id", "doc_id"), "left_semi")
+            .groupBy("probe_id", "doc_id").agg(sum("s").as("p2")))
+        val full = sc.fold(surv.withColumn("score", col("p1")))(s2 =>
+          surv.join(s2, Seq("probe_id", "doc_id"), "left_outer")
+            .withColumn("score", col("p1") + coalesce(col("p2"), lit(0L))))
+        Some(Skew.groupTopK(full.select("probe_id", "doc_id", "score"),
+            Seq("probe_id"), Seq(col("score").desc, col("doc_id").asc), k,
+            rankCol = "rank")
+          .withColumn("rank", col("rank").cast("long"))
+          .select("probe_id", "rank", "doc_id", "score"))
+      }
+    val fbOut =
+      if (nFb == 0) None
+      else {
+        val fbTerms = probeTerms.join(
+          broadcast(localDf(okRows).select("probe_id")),
+          Seq("probe_id"), "left_anti")
+        val allBkts = bktRows.map(_.getInt(1)).distinct.toSeq
+        val cand = tfUnion(allBkts)
+          .join(broadcast(fbTerms), "tok")
+          .join(broadcast(idfStats.select("tok", "idf_q")), "tok")
+          .withColumn("n", lit(n))
+          .withColumn("tt", lit(tt))
+        Some(Terms.bm25ScoreRank(cand, k))
+      }
+    (prunedOut.toSeq ++ fbOut.toSeq)
+      .reduceOption(_.unionByName(_))
+      .getOrElse { // no probe produced any term: empty, schema-correct
+        val cand = tfUnion(Seq.empty)
+          .join(broadcast(probeTerms), "tok")
+          .join(broadcast(idfStats.select("tok", "idf_q")), "tok")
+          .withColumn("n", lit(n)).withColumn("tt", lit(tt))
+        Terms.bm25ScoreRank(cand, k)
+      }
   }
 
   /** Drop versions older than the last `retainLast` and any segment

@@ -162,14 +162,23 @@ object Terms {
   private[graft] val bm25IdfSql: String =
     "cast(length(bin((2*n - 2*df + 1) div (2*df + 1) + 1)) - 1 as bigint)"
 
+  /** The quantized relative-length and per-term partial score — shared
+    * by [[bm25ScoreRank]] and [[TermIndex]]'s max-score pruned probe so
+    * phase-split scoring can never drift from the one-shot kernel. The
+    * partial is monotone ↑ in tf and ↓ in dl (for fixed constants), so
+    * per-term (max_tf, min_dl) posting stats yield a valid per-posting
+    * upper bound by direct substitution. */
+  private[graft] val bm25RelSql: String = "(100 * dl * n) div tt"
+  private[graft] val bm25PartialSql: String =
+    "(idf_q * tf * 220000) div (1000*tf + 300 + 9*rel)"
+
   /** Shared scoring tail: Robertson saturation cleared of fractions,
     * partial-agg per (probe, doc), salted two-stage top-k. Expects
     * columns (probe_id, doc_id, tf, dl, idf_q, n, tt). */
   private[graft] def bm25ScoreRank(cand: DataFrame, k: Int): DataFrame = {
     val scored = cand
-      .withColumn("rel", expr("(100 * dl * n) div tt"))
-      .withColumn("s",
-        expr("(idf_q * tf * 220000) div (1000*tf + 300 + 9*rel)"))
+      .withColumn("rel", expr(bm25RelSql))
+      .withColumn("s", expr(bm25PartialSql))
       .groupBy("probe_id", "doc_id").agg(sum("s").as("score"))
     Skew.groupTopK(scored, Seq("probe_id"),
       Seq(col("score").desc, col("doc_id").asc), k, rankCol = "rank")

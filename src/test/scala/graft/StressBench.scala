@@ -234,6 +234,10 @@ object StressBench {
       health("tidx_topk_rows") = TermIndex.topK(spark, tidxDir, tProbes,
         "doc_id", "text", k = 5, tCfg).count()
     }
+    // max-score engagement at stress scale (round 9): how many probes
+    // ran the pruned plan vs fell back to full postings scoring
+    health("tidx_pruned_probes") = TermIndex.lastMaxScoreDecision._1
+    health("tidx_fallback_probes") = TermIndex.lastMaxScoreDecision._2
     // base (%20 >= 8) plus the eight appended slices (%20 in 0..7)
     // reconstruct the full corpus — the inline twin scores all of it
     val inlinePairs = time("tidx_inline_equiv") {

@@ -50,6 +50,30 @@ class TermIndexSpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("max-score probe prunes (engages on rare-term probes, falls back on all-common) and stays pair-exact") {
+    import spark.implicits._
+    // 240 docs: an 8-doc group token (idf_q 4 — essential), corpus-wide
+    // fillers (idf_q 0), a half-corpus mid token (idf_q 1 — completion
+    // class), per-doc uniq and 16-way payload tokens
+    val docs240 = (0 until 240).map { i =>
+      val mid = if (i % 2 == 0) "midtok" else "othertok"
+      (i.toLong, s"filler1 filler2 filler3 $mid grp${i / 8} uniq$i payload${i % 16}")
+    }.toDF("doc_id", "text")
+    val cfg = TermIndex.Config(buckets = 8)
+    val dir = tmpDir()
+    TermIndex.build(spark, docs240, "doc_id", "text", dir, cfg)
+    val pr = Seq((1000L, "grp3 filler1 filler2 midtok"),
+      (1001L, "grp11 filler3 othertok payload5"),
+      (1002L, "filler1 filler2 filler3")).toDF("doc_id", "text")
+    val got = TermIndex.topK(spark, dir, pr, "doc_id", "text", 5, cfg)
+    val want = Terms.bm25TopK(docs240, pr, "doc_id", "text", 5)
+    assert(rows(got) === rows(want))
+    val (ok, fb) = TermIndex.lastMaxScoreDecision
+    assert(ok == 2, s"rare-term probes must prune: ok=$ok fb=$fb")
+    assert(fb == 1, s"the all-common probe must fall back: ok=$ok fb=$fb")
+    spark.catalog.clearCache()
+  }
+
   test("appends == fresh build over the union; global df tracks growth") {
     val d = docs
     val (a, b, c) = (d.filter(col("doc_id") % 3 === 0),
