@@ -75,8 +75,12 @@ object IvfIndex {
     * only read for the ≤ queries·k·refine re-rank candidates, with
     * their ids pushed into the scan). Fixed at build time, part of the
     * index identity like `dim` (the re-rank pool `refine` is a
-    * query-time knob on [[topKAt]], like `nProbe`). */
-  final case class PqConfig(m: Int = 8, ksub: Int = 32)
+    * query-time knob on [[topKAt]], like `nProbe`).
+    * `trainSampleFraction` trains codebooks on a deterministic hash
+    * sample of the corpus ([[Pq.trainBooks]]) — a training knob, not
+    * index identity: any books decode any rows they encoded. */
+  final case class PqConfig(m: Int = 8, ksub: Int = 32,
+                            trainSampleFraction: Option[Double] = None)
 
   private val FormatVersion = 1
 
@@ -239,7 +243,8 @@ object IvfIndex {
       cfg.nList, cfg.iters)
     require(cents.nonEmpty, "IvfIndex.build needs a non-empty corpus")
     val books = cfg.pq.map(p =>
-      Pq.trainBooks(corpus, id, vec, cfg.dim, p.m, p.ksub, cfg.iters))
+      Pq.trainBooks(corpus, id, vec, cfg.dim, p.m, p.ksub, cfg.iters,
+        p.trainSampleFraction))
     val seg = "s00001"
     val counts = writeSegment(corpus, id, vec, cents, cfg, segPath(dir, seg),
       books)
@@ -396,14 +401,23 @@ object IvfIndex {
       // and the new manifest carries none
       val all = liveUnion(spark, dir, newSegs, tombs, id)
         .select(col(id), col(vec))
+      // nList GROWS with the corpus at the one path that rewrites every
+      // row anyway: ∝ √n keeps per-list candidate counts — and probe
+      // cost — at O(√n) instead of O(n) under a fixed list count
+      // (`total` is the manifest count, an upper bound under masking —
+      // a slightly early growth step, never a late one). Never shrinks
+      // below cfg.nList, never exceeds the row count.
+      val nList2 = math.min(math.max(cfg.nList.toLong,
+        math.ceil(math.sqrt(total.toDouble)).toLong), math.max(1L, total)).toInt
       val cents2 = Similarity.trainCentroids(all, id, vec, cfg.dim,
-        cfg.nList, cfg.iters)
+        nList2, cfg.iters)
       // the one path that rewrites EVERY row also retrains the PQ
       // codebooks — quantization error tracks the drifted distribution
       // at no extra write cost (frozen everywhere else: kept segments
       // must stay decodable with the manifest's books)
       val books2 = cfg.pq.map(p =>
-        Pq.trainBooks(all, id, vec, cfg.dim, p.m, p.ksub, cfg.iters))
+        Pq.trainBooks(all, id, vec, cfg.dim, p.m, p.ksub, cfg.iters,
+          p.trainSampleFraction))
       val comp = f"r${v + 1}%05d"
       val counts2 = writeSegment(all, id, vec, cents2, cfg, segPath(dir, comp),
         books2)

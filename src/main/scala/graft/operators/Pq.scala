@@ -39,17 +39,36 @@ object Pq {
   /**
    * Deterministic per-subspace Lloyd k-means. Seeds = the `ksub`
    * lowest-id vectors' subspace slices (same stance as
-   * [[Similarity.trainCentroids]]; at 100 TB seed/train on a
-   * TABLESAMPLE — codebooks are statistics, not membership). Each
-   * iteration is ONE corpus scan: encode with the current books
-   * (codegen'd kernel), posexplode the m codes, aggregate per
-   * (subspace, code) subspace-mean. Empty cells keep their previous
-   * entry. Collected result is m×ksub rows — bounded metadata.
+   * [[Similarity.trainCentroids]]). Each iteration is ONE scan of the
+   * TRAINING SET: encode with the current books (codegen'd kernel),
+   * posexplode the m codes, aggregate per (subspace, code)
+   * subspace-mean. Empty cells keep their previous entry. Collected
+   * result is m×ksub rows — bounded metadata.
+   *
+   * `sampleFraction` trains on a deterministic hash-sample of the
+   * corpus instead of every row — codebooks are STATISTICS, not
+   * membership, so at 100 TB a per-mille sample gives the same
+   * centroid estimates at a thousandth of the sweep cost (the full
+   * corpus is still ENCODED with the resulting books; only training
+   * reads the sample). Hash-sampling on the id (not `TABLESAMPLE`/
+   * `df.sample`) keeps the set stable across retries and engines.
    */
   def trainBooks(corpus: DataFrame, id: String, vec: String, dim: Int,
-                 m: Int, ksub: Int, iters: Int = 2): PqBooks = {
+                 m: Int, ksub: Int, iters: Int = 2,
+                 sampleFraction: Option[Double] = None): PqBooks = {
     require(m > 0 && dim % m == 0, s"dim $dim must be divisible by m $m")
+    require(sampleFraction.forall(f => f > 0 && f <= 1),
+      s"sampleFraction must be in (0, 1]: $sampleFraction")
+    val train = sampleFraction match {
+      case Some(f) if f < 1.0 =>
+        val buckets = 1 << 20
+        corpus.filter(
+          pmod(xxhash64(col(id)), lit(buckets.toLong)) < (f * buckets).toLong)
+      case _ => corpus
+    }
     val dsub = dim / m
+    // seeds stay corpus-lowest-id (deterministic whether or not the
+    // sample happens to contain them)
     val seedRows = corpus.orderBy(col(id)).limit(ksub).select(col(vec))
       .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(seedRows.nonEmpty, "empty corpus")
@@ -62,7 +81,7 @@ object Pq {
       val bc = booksBroadcast(new PqBooks(books))
       val avgs = (1 to dsub).map(i =>
         avg(element_at(col("sv"), i).cast("double")).as(s"c$i"))
-      val updated = corpus
+      val updated = train
         .select(posexplode(encodeArrF(col(vec), bc)).as(Seq("s", "code")),
           col(vec))
         .select(col("s"), col("code"),

@@ -265,6 +265,21 @@ object PipelineOps {
         .orderBy("query_id", "rnk")
     },
 
+    // The SAME IVF machinery at iters=0, where centroids are the eight
+    // lowest-id seed vectors VERBATIM — fully SQL-replayable, so the
+    // whole candidate rule (seed ranking with index tie-break, nProbe
+    // probe, one-list membership, exact within-list cosine re-rank) is
+    // pinned cross-engine instead of only recall-gated. The q_semdedup
+    // oracle's assignment CTE, extended with the probe/re-rank stages.
+    "sim_topk_ivf0" -> { (spark, dir) =>
+      val emb = Tables.load(spark, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", EmbDim, k = 5, nList = 8, nProbe = 2,
+        iters = 0)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy("query_id", "rnk")
+    },
+
     // IVF ANN against the INCREMENTAL persisted index (IvfIndex):
     // build over 80% of the corpus, append the rest against the frozen
     // centroids (the continuous-ingest path), query the committed
@@ -1057,6 +1072,38 @@ object PipelineOps {
          |FROM embeddings a, embeddings b
          |WHERE a.vec_id < b.vec_id AND ${cosSql("a", "b")} >= 0.4
          |ORDER BY a, b""".stripMargin,
+    // full replay of the iters=0 IVF pipeline: seed centroids (8
+    // lowest-id vectors), argmax dot/|c| assignment with index
+    // tie-break, per-query top-2 probe lists by the same ranking,
+    // within-probed-lists exact cosine top-5
+    "sim_topk_ivf0" ->
+      s"""WITH seeds AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS list_id,
+         |         embedding
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+         |assign AS (
+         |  SELECT e.vec_id, e.embedding,
+         |    (SELECT s.list_id FROM seeds s
+         |     ORDER BY (${dotSql("e", "s")}) / sqrt(${dotSql("s", "s")}) DESC,
+         |              s.list_id LIMIT 1) AS list_id
+         |  FROM embeddings e),
+         |pr AS (
+         |  SELECT q.vec_id AS query_id, q.embedding, s.list_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY (${dotSql("q", "s")}) / sqrt(${dotSql("s", "s")}) DESC,
+         |               s.list_id) AS r
+         |  FROM embeddings q, seeds s WHERE q.vec_id < 10),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id, ${cosSql("p", "a")} AS cos
+         |  FROM (SELECT query_id, embedding, list_id FROM pr WHERE r <= 2) p
+         |  JOIN assign a USING (list_id)
+         |  WHERE a.vec_id <> p.query_id),
+         |rk AS (SELECT query_id, neighbor_id, cos,
+         |  row_number() OVER (PARTITION BY query_id
+         |                     ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM cand)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, cos
+         |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     // the oracle replays the whole pipeline: seed centroids (8
     // lowest-id vectors), argmax dot/|c| assignment (ties by centroid
     // index — same contract as FloatVecBestLists), within-cluster

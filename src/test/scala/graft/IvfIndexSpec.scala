@@ -167,6 +167,46 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(got.map(_._1) == (0L until 10L).toSet)
   }
 
+  test("drift retrain grows nList with sqrt(corpus): more lists, probes exact at exhaustive nProbe") {
+    val dir = tmp("ivf_grow")
+    val small = IvfIndex.Config(dim = Dim, nList = 4, iters = 2,
+      maxImbalance = 1.5)
+    val b0 = emb.filter(col("vec_id") % 5 =!= 0)
+    IvfIndex.build(spark, b0, "vec_id", "embedding", dir, small)
+    assert(IvfIndex.readCentroids(spark, dir, 1).length == 4)
+    // skewed batch trips the drift guard; the retrain must size the
+    // list count to ceil(sqrt(total)) instead of reusing cfg.nList
+    val one = emb.orderBy("vec_id").limit(1)
+      .select(col("embedding")).crossJoin(
+        spark.range(10000, 10000 + b0.count() / 2).toDF("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    val v2 = IvfIndex.append(spark, dir, one, "vec_id", "embedding", small)
+    val total = b0.count() + one.count()
+    val expected = math.ceil(math.sqrt(total.toDouble)).toInt
+    val c2 = IvfIndex.readCentroids(spark, dir, v2)
+    assert(c2.length == expected,
+      s"retrain kept ${c2.length} lists; sqrt growth expects $expected")
+    assert(IvfIndex.readCounts(spark, dir, v2).values.sum == total)
+    // exhaustive probe over the grown layout == independent cosine
+    // top-k (same kernel, different plan)
+    val q = emb.filter(col("vec_id") < 8)
+    val got = topKSet(IvfIndex.topK(spark, dir, q, "vec_id", "embedding", 5,
+      nProbe = expected))
+    val corpus = b0.select("vec_id", "embedding").unionByName(one)
+    val want = topKSet(
+      q.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        .crossJoin(corpus.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("cv")))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos",
+          dotF(col("qv"), col("cv")) / (normF(col("qv")) * normF(col("cv"))))
+        .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("rnk"), col("neighbor_id")))
+    assert(got == want, "grown-layout probe != independent top-k")
+  }
+
   test("size-triggered compaction: tiered, segment count bounded, content and probes exact") {
     val dir = tmp("ivf_compact")
     val cap = cfg.copy(maxSegments = 3)

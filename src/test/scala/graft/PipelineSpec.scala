@@ -158,6 +158,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.values.forall(_.forall(c => (c & 0xFF) < 16)), "code out of ksub range")
   }
 
+  test("PQ books trained on a hash sample keep the recall gate (the 100 TB training path)") {
+    import graft.operators.Pq
+    // half-corpus sample: books are statistics — the recall gate must
+    // hold without sweeping every row per Lloyd iteration
+    val books = Pq.trainBooks(emb, "vec_id", "embedding", 64, m = 8,
+      ksub = 16, iters = 2, sampleFraction = Some(0.5))
+    val enc = Pq.encode(emb, "vec_id", "embedding", books)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(enc.values.forall(_.length == 8))
+    // deterministic: the hash sample is stable across runs
+    val books2 = Pq.trainBooks(emb, "vec_id", "embedding", 64, m = 8,
+      ksub = 16, iters = 2, sampleFraction = Some(0.5))
+    val enc2 = Pq.encode(emb, "vec_id", "embedding", books2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(enc.forall { case (k, v) => java.util.Arrays.equals(v, enc2(k)) },
+      "sampled training not deterministic")
+    // recall through the IVF-PQ index path with sampled training
+    import graft.operators.IvfIndex
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pq_sample").toString + "/idx"
+    val cfg = IvfIndex.Config(dim = 64, nList = 8, iters = 2,
+      pq = Some(IvfIndex.PqConfig(m = 8, ksub = 16,
+        trainSampleFraction = Some(0.5))))
+    IvfIndex.build(spark, emb, "vec_id", "embedding", dir, cfg)
+    val queries = emb.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 64, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = IvfIndex.topK(spark, dir, queries, "vec_id", "embedding", 5,
+        nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bf & got).size.toDouble / bf.size
+    assert(recall >= 0.6, s"sampled-training recall $recall too low")
+  }
+
   test("PQ ADC top-k: recall vs brute force >= 0.6; emitted cosines EXACT; <= k per query") {
     import graft.operators.Pq
     val queries = emb.filter(col("vec_id") < 20)
