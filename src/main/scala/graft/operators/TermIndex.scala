@@ -627,54 +627,81 @@ object TermIndex {
     * is exact — the θ test below falls back when pruning is unsound. */
   private val MaxScorePivotIdf = 3
 
+  /** Tier-1 (classic max-score) is attempted only for probes with at
+    * most this many distinct terms — its regime is search-query-shaped
+    * probes, where B_C is a handful of common-term bounds a rare-term
+    * θ can clear. Document-shaped probes (hundreds of terms) route
+    * straight to tier 2: their B_C is unbeatable by construction, and
+    * attempting tier 1 would waste its phase-1 pass. Routing only —
+    * exactness never depends on this. */
+  private val MaxScoreT1MaxTerms = 16L
+
   /** Observability for specs/stress harnesses: (pruned, fallback)
-    * probe counts of the most recent [[maxScoreProbe]] decision. */
+    * probe counts of the most recent [[maxScoreProbe]] decision —
+    * pruned counts both tiers; fallback is probes neither tier could
+    * prune (they ran the classic plan). */
   @volatile private[graft] var lastMaxScoreDecision: (Long, Long) = (0L, 0L)
 
   /**
    * Max-score / TA-style EXACT top-k with impact-ordered term classes,
-   * for tombstone-free versions.
+   * for tombstone-free versions — TWO pruning tiers matched to the two
+   * probe shapes this engine sees, each exact with a per-probe
+   * fallback.
    *
    * Let U(t) = the per-posting score upper bound of term t (its stored
    * (max_tf, min_dl) substituted into the monotone partial-score
-   * kernel — [[Terms.bm25PartialSql]]), R = probe terms with idf_q ≥
-   * [[MaxScorePivotIdf]] ("essential"), C = the rest.
+   * kernel — [[Terms.bm25PartialSql]]).
    *
-   *  - Phase 1 scores ONLY R postings: P(d) = Σ_{t∈R∩d} s(t,d);
-   *    θ = the k-th largest P per probe.
-   *  - A probe prunes iff it has ≥ k phase-1 candidates AND
-   *    θ > B_C := Σ_{t∈C} U(t). Then any doc with NO essential term
-   *    has score ≤ B_C < θ ≤ (true k-th score), strictly — it cannot
-   *    enter the top-k even via the doc_id tie-break; and a candidate
-   *    with P(d) + B_C < θ is likewise out. The true top-k is
-   *    therefore contained in the survivors {d : P(d) + B_C ≥ θ}.
-   *  - Phase 2 completes survivors EXACTLY: C postings (idf_q ≥ 1
-   *    only — zero-idf terms contribute literally 0 to every sum) are
-   *    semi-joined down to survivor docs BEFORE scoring, so the
-   *    aggregate sees |survivors|-scale rows, never Σ_C df. The scan
-   *    I/O of C buckets remains, but the corpus-sized
-   *    aggregate+rank — the measured cost center — is gone.
-   *  - Probes failing the test run the classic unpruned plan,
-   *    restricted to themselves. Exactness holds for any pivot/stat
-   *    looseness; only the pruning RATE varies.
+   * TIER 1 (classic max-score — few-term, search-query-shaped probes;
+   * attempted only when the probe has ≤ [[MaxScoreT1MaxTerms]] terms
+   * and B_R := Σ_{idf≥pivot} U exceeds B_C := Σ_{idf<pivot} U, both
+   * known from stats alone — B_R is an upper bound on any achievable
+   * θ, so B_R ≤ B_C can never pass the test below):
+   *  - Phase 1 scores ONLY essential postings (idf_q ≥
+   *    [[MaxScorePivotIdf]]): P(d) = Σ_{t∈R∩d} s(t,d); θ = the k-th
+   *    largest P per probe.
+   *  - The probe prunes iff it has ≥ k candidates AND θ > B_C: a doc
+   *    with no essential term scores ≤ B_C < θ ≤ (true k-th score),
+   *    strictly — out even via the doc_id tie-break; a candidate with
+   *    P + B_C < θ likewise. Survivors {P + B_C ≥ θ} are completed
+   *    EXACTLY by the common postings (idf ≥ 1 only) semi-joined down
+   *    to survivor docs before scoring.
    *
-   * One extra driver round (the per-probe θ/B_C decision row — one
-   * row per probe) buys the postings-mass cut; the decision is
-   * collected and re-literalized so phase 1 is not re-evaluated as a
-   * subplan of every consumer.
+   * TIER 2 (stopword elision — document-shaped probes, where B_C over
+   * a hundred common terms dwarfs any θ and tier 1 cannot engage):
+   * score ONLY positive-idf postings. That sum IS the full BM25 score
+   * — a zero-idf term contributes literally 0 — so the only docs the
+   * classic plan additionally ranks are zero-SCORE docs reachable
+   * through stopwords alone. If the k-th positive score θ₂ ≥ 1, those
+   * can never reach the top-k, and the tier-2 top-k is the exact
+   * answer; the pruned mass is precisely the stopword-class postings
+   * (df ≳ n/3) that dominate Σ df on zipf corpora.
+   *
+   * Probes failing both tests run the classic unpruned plan,
+   * restricted to themselves. Exactness holds for any pivot/stat
+   * looseness; only the pruning RATE varies. Each tier's per-probe
+   * decision row is collected and re-literalized so its phase-1
+   * aggregate is not re-evaluated as a subplan of every consumer.
    */
   private def maxScoreProbe(spark: SparkSession, dir: String,
                             segs: Seq[(String, Long, Long)],
                             n: Long, tt: Long, probeTerms: DataFrame,
                             k: Int, cfg: Config): DataFrame = {
+    import org.apache.spark.sql.Row
     val vocab = probeTerms.select("tok").distinct()
     def tfUnion(bs: Seq[Int]): DataFrame =
       segs.map(s => readTf(spark, segPath(dir, s._1))
           .filter(col("bkt").isin(bs: _*)))
         .reduce(_.unionByName(_))
+    // the probed buckets: ≤ cfg.buckets rows of driver metadata — the
+    // static partition filter pruning the (count-sized) df slices here
+    // and bounding the per-class tf bucket lists below
+    val bkts = probeTerms.select(bkt(col("tok"), cfg.buckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
     // probe-vocabulary df slice with posting bounds → idf_q and U(t)
     val idfStats = dfFold(
-        segs.map(s => readDf(spark, segPath(dir, s._1)))
+        segs.map(s => readDf(spark, segPath(dir, s._1))
+            .filter(col("bkt").isin(bkts: _*)))
           .reduce(_.unionByName(_))
           .join(broadcast(vocab), "tok"))
       .withColumn("n", lit(n)).withColumn("tt", lit(tt))
@@ -685,53 +712,91 @@ object TermIndex {
       .select("tok", "idf_q", "ub")
     val rStats = idfStats.filter(col("idf_q") >= MaxScorePivotIdf)
     val cStats = idfStats.filter(col("idf_q") < MaxScorePivotIdf)
-    // bucket lists per class, one driver round: essential buckets feed
-    // phase 1; completion buckets exclude those holding ONLY zero-idf
-    // terms (their postings can contribute nothing)
+    val posStats = idfStats.filter(col("idf_q") >= 1)
+    // per-class bucket lists, one driver round
     val bktRows = idfStats
-      .groupBy((col("idf_q") >= MaxScorePivotIdf).as("ess"),
-        bkt(col("tok"), cfg.buckets).as("b"))
-      .agg(count(when(col("idf_q") >= 1, 1)).as("nz"))
+      .groupBy(bkt(col("tok"), cfg.buckets).as("b"))
+      .agg(count(when(col("idf_q") >= MaxScorePivotIdf, 1)).as("ness"),
+        count(when(col("idf_q") >= 1 &&
+          col("idf_q") < MaxScorePivotIdf, 1)).as("ncomp"),
+        count(when(col("idf_q") >= 1, 1)).as("npos"))
       .collect()
-    val bktsR = bktRows.filter(_.getBoolean(0)).map(_.getInt(1)).toSeq
-    val bktsC1 = bktRows
-      .filter(r => !r.getBoolean(0) && r.getLong(2) > 0)
-      .map(_.getInt(1)).distinct.toSeq
-    def scoredOver(tf: DataFrame, stats: DataFrame): DataFrame =
-      tf.join(broadcast(probeTerms), "tok")
+    val bktsR = bktRows.filter(_.getLong(1) > 0).map(_.getInt(0)).toSeq
+    val bktsC1 = bktRows.filter(_.getLong(2) > 0).map(_.getInt(0)).toSeq
+    val bktsPos = bktRows.filter(_.getLong(3) > 0).map(_.getInt(0)).toSeq
+    def scoredOver(tf: DataFrame, pt: DataFrame,
+                   stats: DataFrame): DataFrame =
+      tf.join(broadcast(pt), "tok")
         .join(broadcast(stats.select("tok", "idf_q")), "tok")
         .withColumn("n", lit(n)).withColumn("tt", lit(tt))
         .withColumn("rel", expr(Terms.bm25RelSql))
         .withColumn("s", expr(Terms.bm25PartialSql))
-    // phase 1: essential-term partial scores. Lineage is truncated so
-    // θ, survivors and the final join all read the one materialization
-    // (the decision collect below runs the job).
-    val p1 = scoredOver(tfUnion(bktsR), rStats)
-      .groupBy("probe_id", "doc_id").agg(sum("s").as("p1"))
-      .localCheckpoint(eager = false)
-    val theta = Skew.groupTopK(
-        p1.select(col("probe_id"), col("doc_id"), col("p1").as("score")),
+    def topKof(scores: DataFrame, scoreCol: String): DataFrame =
+      Skew.groupTopK(scores.select(col("probe_id"), col("doc_id"),
+          col(scoreCol).as("score")),
         Seq("probe_id"), Seq(col("score").desc, col("doc_id").asc), k,
         rankCol = "rank")
-      .filter(col("rank") === k)
-      .select(col("probe_id"), col("score").as("theta"))
-    // B_C per probe over ALL its terms (left join: probes with no
-    // common terms get 0), so every probe owns a decision row
-    val bc = probeTerms
-      .join(broadcast(cStats.select("tok", "ub")), Seq("tok"), "left_outer")
-      .groupBy("probe_id").agg(sum(coalesce(col("ub"), lit(0L))).as("bc"))
-    val dec = bc.join(theta, Seq("probe_id"), "left_outer")
-      .select(col("probe_id"), col("theta"), col("bc"))
-    val decRows = dec.collect()
-    val okRows = decRows.filter(r => !r.isNullAt(1) && r.getLong(1) > r.getLong(2))
-    val nFb = decRows.length - okRows.length
-    lastMaxScoreDecision = (okRows.length.toLong, nFb.toLong)
-    def localDf(rows: Array[org.apache.spark.sql.Row]): DataFrame =
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), dec.schema)
-    val prunedOut =
-      if (okRows.isEmpty) None
-      else {
-        val okLocal = localDf(okRows)
+        .withColumn("rank", col("rank").cast("long"))
+        .select("probe_id", "rank", "doc_id", "score")
+    // per-probe stat bounds — one probe-sized driver round decides the
+    // tier WITHOUT running any postings job
+    val perProbe = probeTerms
+      .join(broadcast(idfStats), Seq("tok"), "left_outer")
+      .groupBy("probe_id").agg(count(lit(1)).as("nt"),
+        sum(when(col("idf_q") >= MaxScorePivotIdf, col("ub"))
+          .otherwise(lit(0L))).as("br"),
+        sum(when(col("idf_q") < MaxScorePivotIdf, coalesce(col("ub"),
+          lit(0L))).otherwise(lit(0L))).as("bc"))
+    val ppRows = perProbe.collect()
+    if (ppRows.isEmpty) { // no probe produced any term: empty output
+      lastMaxScoreDecision = (0L, 0L)
+      return Terms.bm25ScoreRank(tfUnion(Seq.empty)
+        .join(broadcast(probeTerms), "tok")
+        .join(broadcast(idfStats.select("tok", "idf_q")), "tok")
+        .withColumn("n", lit(n)).withColumn("tt", lit(tt)), k)
+    }
+    def idFrame(rows: Seq[Row]): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.map(r => Row(r.get(0))): _*),
+        org.apache.spark.sql.types.StructType(
+          perProbe.schema.fields.take(1)))
+    def restrict(rows: Seq[Row]): DataFrame =
+      probeTerms.join(broadcast(idFrame(rows)), Seq("probe_id"),
+        "left_semi")
+    val (t1Rows, t2Init) = ppRows.partition(r =>
+      r.getLong(1) <= MaxScoreT1MaxTerms && r.getLong(2) > r.getLong(3))
+
+    // ---- tier 1: classic max-score over the plausible probes
+    var t1Out: Option[DataFrame] = None
+    var t1Failed: Seq[Row] = Seq.empty
+    var nOk1 = 0L
+    if (t1Rows.nonEmpty) {
+      val pt1 = restrict(t1Rows.toSeq)
+      val p1 = scoredOver(tfUnion(bktsR), pt1, rStats)
+        .groupBy("probe_id", "doc_id").agg(sum("s").as("p1"))
+        .localCheckpoint(eager = false)
+      val theta = Skew.groupTopK(
+          p1.select(col("probe_id"), col("doc_id"), col("p1").as("score")),
+          Seq("probe_id"), Seq(col("score").desc, col("doc_id").asc), k,
+          rankCol = "rank")
+        .filter(col("rank") === k)
+        .select(col("probe_id"), col("score").as("theta"))
+        .collect()
+        .map(r => r.get(0) -> r.getLong(1)).toMap
+      val (ok1, fail1) = t1Rows.partition(r =>
+        theta.get(r.get(0)).exists(_ > r.getLong(3)))
+      t1Failed = fail1.toSeq
+      nOk1 = ok1.length.toLong
+      if (ok1.nonEmpty) {
+        val okLocal = spark.createDataFrame(
+          java.util.Arrays.asList(ok1.map(r =>
+            Row(r.get(0), theta(r.get(0)), r.getLong(3))): _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            perProbe.schema.fields.head,
+            org.apache.spark.sql.types.StructField("theta",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("bc",
+              org.apache.spark.sql.types.LongType))))
         val surv = p1.join(broadcast(okLocal), "probe_id")
           .filter(col("p1") + col("bc") >= col("theta"))
           .select("probe_id", "doc_id", "p1")
@@ -741,42 +806,56 @@ object TermIndex {
           else Some(scoredOver(
               tfUnion(bktsC1)
                 .join(broadcast(surv.select("doc_id").distinct()),
-                  Seq("doc_id"), "left_semi"), c1)
+                  Seq("doc_id"), "left_semi"), probeTerms, c1)
             .join(broadcast(surv.select("probe_id", "doc_id")),
               Seq("probe_id", "doc_id"), "left_semi")
             .groupBy("probe_id", "doc_id").agg(sum("s").as("p2")))
         val full = sc.fold(surv.withColumn("score", col("p1")))(s2 =>
           surv.join(s2, Seq("probe_id", "doc_id"), "left_outer")
             .withColumn("score", col("p1") + coalesce(col("p2"), lit(0L))))
-        Some(Skew.groupTopK(full.select("probe_id", "doc_id", "score"),
-            Seq("probe_id"), Seq(col("score").desc, col("doc_id").asc), k,
-            rankCol = "rank")
-          .withColumn("rank", col("rank").cast("long"))
-          .select("probe_id", "rank", "doc_id", "score"))
+        t1Out = Some(topKof(full, "score"))
       }
+    }
+
+    // ---- tier 2: stopword-elided full scoring for the rest
+    val t2Rows = t2Init.toSeq ++ t1Failed
+    var t2Out: Option[DataFrame] = None
+    var nOk2 = 0L
+    var t2Failed: Seq[Row] = Seq.empty
+    if (t2Rows.nonEmpty) {
+      val pt2 = restrict(t2Rows)
+      val pPos = scoredOver(tfUnion(bktsPos), pt2, posStats)
+        .groupBy("probe_id", "doc_id").agg(sum("s").as("ps"))
+        .localCheckpoint(eager = false)
+      val theta2 = Skew.groupTopK(
+          pPos.select(col("probe_id"), col("doc_id"), col("ps").as("score")),
+          Seq("probe_id"), Seq(col("score").desc, col("doc_id").asc), k,
+          rankCol = "rank")
+        .filter(col("rank") === k)
+        .select(col("probe_id"), col("score").as("theta"))
+        .collect()
+        .map(r => r.get(0) -> r.getLong(1)).toMap
+      val (ok2, fail2) = t2Rows.partition(r =>
+        theta2.get(r.get(0)).exists(_ >= 1L))
+      t2Failed = fail2
+      nOk2 = ok2.length.toLong
+      if (ok2.nonEmpty)
+        t2Out = Some(topKof(
+          pPos.join(broadcast(idFrame(ok2)), Seq("probe_id"), "left_semi"),
+          "ps"))
+    }
+
+    lastMaxScoreDecision = (nOk1 + nOk2, t2Failed.length.toLong)
+    // ---- classic plan for probes neither tier could prune
     val fbOut =
-      if (nFb == 0) None
-      else {
-        val fbTerms = probeTerms.join(
-          broadcast(localDf(okRows).select("probe_id")),
-          Seq("probe_id"), "left_anti")
-        val allBkts = bktRows.map(_.getInt(1)).distinct.toSeq
-        val cand = tfUnion(allBkts)
-          .join(broadcast(fbTerms), "tok")
-          .join(broadcast(idfStats.select("tok", "idf_q")), "tok")
-          .withColumn("n", lit(n))
-          .withColumn("tt", lit(tt))
-        Some(Terms.bm25ScoreRank(cand, k))
-      }
-    (prunedOut.toSeq ++ fbOut.toSeq)
-      .reduceOption(_.unionByName(_))
-      .getOrElse { // no probe produced any term: empty, schema-correct
-        val cand = tfUnion(Seq.empty)
-          .join(broadcast(probeTerms), "tok")
-          .join(broadcast(idfStats.select("tok", "idf_q")), "tok")
-          .withColumn("n", lit(n)).withColumn("tt", lit(tt))
-        Terms.bm25ScoreRank(cand, k)
-      }
+      if (t2Failed.isEmpty) None
+      else Some(Terms.bm25ScoreRank(tfUnion(bkts)
+        .join(broadcast(restrict(t2Failed)), "tok")
+        .join(broadcast(idfStats.select("tok", "idf_q")), "tok")
+        .withColumn("n", lit(n))
+        .withColumn("tt", lit(tt)), k))
+    (t1Out.toSeq ++ t2Out.toSeq ++ fbOut.toSeq)
+      .reduce(_.unionByName(_))
   }
 
   /** Drop versions older than the last `retainLast` and any segment

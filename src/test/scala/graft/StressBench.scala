@@ -299,6 +299,58 @@ object StressBench {
     health("ivf_cdc_deleted_hits") =
       cdcAnn.count(_.getLong(2) % 50 == 7).toLong
 
+    // --- Long CDC churn (round 9, verdict item 6): 60 applyCdc
+    // commits of pure churn (the same 2% of docs re-written each
+    // round) against the BM25 index with per-commit gc at the default
+    // retention. Live corpus size is constant, so total disk MUST
+    // plateau — tombstones retire at tier folds, gc reaps old
+    // versions/segments, and the tiered r-merges amortize. The du
+    // trajectory at commits 10..60 is the artifact: a leak (unreaped
+    // segments, unretired tombstones, version pile-up) shows as
+    // monotone growth between c20 and c60 instead of a plateau.
+    def du(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(p))
+    }
+    val churn = docs.filter(col("doc_id") % 50 === 13)
+    time("tidx_cdc_churn_60") {
+      (1 to 60).foreach { i =>
+        val ups = churn.select(col("doc_id"),
+          concat_ws(" ", lit(s"churn$i"), col("text")).as("text"))
+        TermIndex.applyCdc(spark, tidxDir, ups,
+          churn.select("doc_id").limit(0), "doc_id", "text", tCfg)
+        TermIndex.gc(spark, tidxDir, retainLast = 2)
+        if (i % 10 == 0)
+          health(s"tidx_churn_disk_c$i") = du(tidxDir)
+      }
+    }
+    health("tidx_churn_versions_on_disk") = countDirs(tidxDir) - 1
+    health("tidx_churn_segment_dirs") = countDirs(s"$tidxDir/segments")
+    // the index still answers after 60 churn commits
+    health("tidx_churn_topk_rows") = TermIndex.topK(spark, tidxDir,
+      tProbes, "doc_id", "text", 5, tCfg).count()
+
+    // same discipline for the ANN index: 30 re-embed churn commits
+    val vchurn = emb.filter(col("vec_id") % 50 === 13)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    time("ivf_cdc_churn_30") {
+      (1 to 30).foreach { i =>
+        val ups = if (i % 2 == 0) vchurn
+          else vchurn.select(col("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding"))
+        IvfIndex.applyCdc(spark, ivfDir, ups,
+          vchurn.select("vec_id").limit(0), "vec_id", "embedding", ivfCfg)
+        IvfIndex.gc(spark, ivfDir, retainLast = 2)
+        if (i % 10 == 0)
+          health(s"ivf_churn_disk_c$i") = du(ivfDir)
+      }
+    }
+    health("ivf_churn_versions_on_disk") = countDirs(ivfDir) - 1
+    health("ivf_churn_segment_dirs") = countDirs(s"$ivfDir/segments")
+
     val q = times.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(",")
     val h = health.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     val la = (loadBefore ++ loadAvg()).map(v => f"$v%.2f").mkString(",")

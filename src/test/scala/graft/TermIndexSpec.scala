@@ -64,12 +64,17 @@ class TermIndexSpec extends AnyFunSuite {
     TermIndex.build(spark, docs240, "doc_id", "text", dir, cfg)
     val pr = Seq((1000L, "grp3 filler1 filler2 midtok"),
       (1001L, "grp11 filler3 othertok payload5"),
-      (1002L, "filler1 filler2 filler3")).toDF("doc_id", "text")
+      (1002L, "filler1 filler2 filler3"),
+      // document-shaped probe (17 distinct terms > the tier-1 routing
+      // cap): must prune via tier 2 — stopword elision
+      (1003L, "grp0 grp1 grp2 uniq1 uniq2 uniq3 uniq4 uniq5 uniq6 " +
+        "uniq7 uniq8 uniq9 uniq10 midtok othertok filler1 filler2"))
+      .toDF("doc_id", "text")
     val got = TermIndex.topK(spark, dir, pr, "doc_id", "text", 5, cfg)
     val want = Terms.bm25TopK(docs240, pr, "doc_id", "text", 5)
     assert(rows(got) === rows(want))
     val (ok, fb) = TermIndex.lastMaxScoreDecision
-    assert(ok == 2, s"rare-term probes must prune: ok=$ok fb=$fb")
+    assert(ok == 3, s"three probes must prune (2 tier-1, 1 tier-2): ok=$ok fb=$fb")
     assert(fb == 1, s"the all-common probe must fall back: ok=$ok fb=$fb")
     spark.catalog.clearCache()
   }
