@@ -479,6 +479,49 @@ object IvfIndex {
    * for the size trigger. Centroids and PQ books are unchanged; probes
    * before/after are pair-identical (spec-pinned).
    */
+  /**
+   * Maintenance retrain — the EXPLICIT form of the drift-guard
+   * rewrite: re-cluster the live corpus (tombstones folded) at
+   * nList = clamp(cfg.nList, ⌈√rows⌉, rows), retrain the PQ codebooks
+   * if configured, re-encode, and commit ONE fresh r-segment. This is
+   * the amortized corpus-sized job a continuous-ingest deployment
+   * schedules (the drift guard triggers the same rewrite on skew) so
+   * per-list candidate counts — and probe cost — stay O(√n) as the
+   * corpus grows; between retrains every append stays batch-sized
+   * against frozen centroids. [[compact]] is the cheaper sibling that
+   * folds segments WITHOUT re-clustering (frozen centroids, no
+   * re-assignment). Returns the committed version.
+   */
+  def retrain(spark: SparkSession, dir: String, cfg: Config): Int = {
+    val v = latestVersion(spark, dir)
+    val segs = readSegments(spark, dir, v)
+    require(segs.nonEmpty, s"nothing to retrain at $dir")
+    val schema = spark.read.parquet(segPath(dir, segs.head)).schema
+    val (idCol, vecCol) = (schema.fields(0).name, schema.fields(1).name)
+    val tombs = readTombstones(spark, dir, v)
+    val all = liveUnion(spark, dir, segs, tombs, idCol)
+      .select(col(idCol), col(vecCol)).persist()
+    val total = all.count()
+    require(total > 0,
+      s"retrain would leave $dir empty (every row tombstoned) — " +
+        "an empty index has no probe semantics; rebuild instead")
+    val nList2 = math.min(math.max(cfg.nList.toLong,
+      math.ceil(math.sqrt(total.toDouble)).toLong), total).toInt
+    val cents2 = Similarity.trainCentroids(all, idCol, vecCol, cfg.dim,
+      nList2, cfg.iters)
+    val books2 = cfg.pq.map(p =>
+      Pq.trainBooks(all, idCol, vecCol, cfg.dim, p.m, p.ksub, cfg.iters,
+        p.trainSampleFraction))
+    val comp = f"r${v + 1}%05d"
+    val counts2 = writeSegment(all, idCol, vecCol, cents2, cfg,
+      segPath(dir, comp), books2)
+    all.unpersist(blocking = false)
+    writeManifest(spark, dir, v + 1, cents2, Seq(comp), counts2)
+    books2.foreach(writeBooks(spark, dir, v + 1, _))
+    commitLatest(spark, dir, v + 1, FormatVersion)
+    v + 1
+  }
+
   def compact(spark: SparkSession, dir: String): Int = {
     val v = latestVersion(spark, dir)
     val segs = readSegments(spark, dir, v)

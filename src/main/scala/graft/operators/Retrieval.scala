@@ -50,6 +50,14 @@ object Retrieval {
         kInner)
       .select(col("query_id").as("probe_id"),
         col("neighbor_id").as("doc_id"), col("rnk").cast("long").as("__rd"))
+    fuseRrf(bm, dn, k, rrfK, scale)
+  }
+
+  /** Shared RRF fusion tail: full-outer rank join + integer rrf +
+    * salted per-probe top-k. Inputs carry (probe_id, doc_id, __rt) and
+    * (probe_id, doc_id, __rd). */
+  private def fuseRrf(bm: DataFrame, dn: DataFrame, k: Int,
+                      rrfK: Int, scale: Long): DataFrame = {
     val fused = bm.join(dn, Seq("probe_id", "doc_id"), "full_outer")
       .withColumn("rrf",
         coalesce(expr(s"$scale div (${rrfK.toLong} + __rt)"), lit(0L)) +
@@ -58,6 +66,44 @@ object Retrieval {
       Seq(col("rrf").desc, col("doc_id").asc), k, rankCol = "rank")
       .withColumn("rank", col("rank").cast("long"))
       .select("probe_id", "rank", "doc_id", "rrf")
+  }
+
+  /**
+   * The steady-state form of [[hybridRrf]]: both rankers probe their
+   * PERSISTED indexes — [[TermIndex.topK]] (exact BM25 over the
+   * committed corpus, max-score pruned probes) and [[IvfIndex.topK]]
+   * (list-pruned ANN) — so a recurring probe workload costs index
+   * reads ∝ probe vocabulary / probed lists, never a corpus scan,
+   * tokenize, or corpus-sized broadcast. This is the RAG first stage
+   * a serving pipeline actually runs: the corpus is ingested once
+   * (batch or streaming CDC — [[graft.streaming.Streams]]), probes
+   * arrive forever. Fusion is the same all-integer RRF as the inline
+   * form, over the same rank-only inputs.
+   *
+   * Exactness: the BM25 leg is exact by the TermIndex contract; the
+   * dense leg is exact when `nProbe` covers every list — at that
+   * setting this returns EXACTLY [[hybridRrf]]'s output over the
+   * indexed corpus (RetrievalSpec), and with nProbe < nList it trades
+   * dense recall for probe cost like any IVF query.
+   */
+  def hybridRrfIndexed(spark: org.apache.spark.sql.SparkSession,
+                       termIdxDir: String, ivfIdxDir: String,
+                       probesText: DataFrame, probesEmb: DataFrame,
+                       id: String, text: String, vec: String,
+                       kInner: Int, k: Int,
+                       terms: Column => Column = TF.tokens,
+                       termCfg: TermIndex.Config = TermIndex.Config(),
+                       nProbe: Int = 4,
+                       rrfK: Int = 60, scale: Long = 1000000L): DataFrame = {
+    require(kInner > 0 && k > 0, "kInner and k must be > 0")
+    val bm = TermIndex.topK(spark, termIdxDir, probesText, id, text,
+        kInner, termCfg, terms)
+      .select(col("probe_id"), col("doc_id"), col("rank").as("__rt"))
+    val dn = IvfIndex.topK(spark, ivfIdxDir, probesEmb, id, vec, kInner,
+        nProbe)
+      .select(col("query_id").as("probe_id"),
+        col("neighbor_id").as("doc_id"), col("rnk").cast("long").as("__rd"))
+    fuseRrf(bm, dn, k, rrfK, scale)
   }
 
   /**

@@ -492,6 +492,63 @@ object Similarity {
   }
 
   /**
+   * Quantized-LSH approximate top-k whose ENTIRE candidate rule is
+   * cross-engine exact — the fully-SQL-replayable sibling of
+   * [[lshTopK]]. Signature bits are the signs of the integer random
+   * projection ([[randomProject]]: int8-quantized codes × the
+   * md5-derived ±1 matrix, pure 64-bit integer arithmetic), packed
+   * into `nBands` band values of `dOut / nBands` bits; vectors
+   * sharing any band value become candidates, and exact float cosine
+   * over the ORIGINAL embeddings re-ranks — the same fixed expression
+   * tree as [[bruteForceTopK]], whose correctly-rounded IEEE ops on
+   * identical inputs make even the emitted cosines cross-engine
+   * exact. Where [[lshTopK]]'s float hyperplanes leave it rows-only
+   * (recall spec-asserted, planes not SQL-replicable), every stage
+   * here — quantization, projections, sign/band values, candidate
+   * set, final ranking — replays verbatim in the DuckDB oracle.
+   *
+   * Scale shape: signatures are a pure per-row map (zero shuffle);
+   * the candidate generator is a (band, value) equi-join whose fan-in
+   * is bucket occupancy, never corpus²; candidate dedup runs over id
+   * pairs only (vectors re-attach after — corpus side one hash join,
+   * query side broadcast); the re-rank touches candidate rows only.
+   */
+  def lshTopKQuantized(corpus: DataFrame, queries: DataFrame,
+                       id: String, vec: String, dim: Int, k: Int,
+                       dOut: Int = 16, nBands: Int = 4): DataFrame = {
+    require(dOut % nBands == 0, s"nBands $nBands must divide dOut $dOut")
+    val rowsPer = dOut / nBands
+    def banded(df: DataFrame, side: String) = {
+      val bands = (0 until nBands).map { b =>
+        (0 until rowsPer).map { r =>
+          when(col(f"p${b * rowsPer + r}%02d") >= 0, lit(1L << r))
+            .otherwise(lit(0L))
+        }.reduce(_ + _)
+      }
+      randomProject(df, id, vec, dim, dOut)
+        .select(col(id).as(s"${side}_id"), posexplode(array(bands: _*)))
+        .toDF(s"${side}_id", "band", "bucket")
+    }
+    val cand = banded(corpus, "neighbor")
+      .join(banded(queries, "query"), Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val cv = corpus.select(col(id).as("neighbor_id"),
+      col(vec).as("neighbor_v"), normF(col(vec)).as("neighbor_n"))
+    val qv = broadcast(queries.select(col(id).as("query_id"),
+      col(vec).as("query_v"), normF(col(vec)).as("query_n")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(cv, Seq("neighbor_id")).join(qv, Seq("query_id"))
+      .withColumn("cos", dotF(col("query_v"), col("neighbor_v"))
+        / (col("query_n") * col("neighbor_n")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
+  }
+
+  /**
    * Banded-LSH near-duplicate pairs — the sub-quadratic scale path for
    * SEPARATED thresholds (near-dups at cos ≥ ~0.7 over a random
    * background): hyperplane band buckets generate candidates, exact

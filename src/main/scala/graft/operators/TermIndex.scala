@@ -552,16 +552,17 @@ object TermIndex {
    * (count-sized) and tf (candidate-sized) — nothing corpus-wide is
    * scanned, no doc-length table is joined (dl rides the tf rows).
    *
-   * On tombstone-free versions the probe runs the MAX-SCORE pruned
-   * plan ([[maxScoreProbe]]): only rare, high-impact terms generate
-   * candidates; common terms' postings merely complete the scores of
-   * the few candidates that can still reach the top-k — exact by the
-   * θ/upper-bound argument documented there, with a per-probe fallback
-   * to the unpruned plan whenever pruning would be unsound. With
-   * tombstones outstanding the unpruned plan runs (its exact df is
-   * COUNTED from the masked candidate slice, which needs the full
-   * probe-vocabulary postings anyway); deletes are transient until the
-   * next compaction folds them.
+   * Probes ALWAYS run the MAX-SCORE pruned plan ([[maxScoreProbe]]):
+   * only rare, high-impact terms generate candidates; common terms'
+   * postings merely complete the scores of the few candidates that can
+   * still reach the top-k — exact by the θ/upper-bound argument
+   * documented there, with a per-probe fallback to the unpruned plan
+   * whenever pruning would be unsound. With tombstones outstanding the
+   * per-term stats (exact masked df + posting bounds) are COUNTED from
+   * the tombstone-masked probe-vocabulary tf slice in one term-keyed
+   * aggregate — a scan-cost pass, so pruning still eliminates the
+   * per-(probe,doc) scoring aggregate + rank that tracks corpus size;
+   * a CDC-heavy index never loses pruning between compactions.
    */
   def topKAt(spark: SparkSession, dir: String, version: Int,
              probes: DataFrame, id: String, text: String, k: Int,
@@ -580,36 +581,8 @@ object TermIndex {
     val probeTerms = probes.select(col(id).as("probe_id"),
         explode(array_distinct(terms(col(text)))).as("tok"))
       .persist()
-    val out = tombF match {
-      case None =>
-        maxScoreProbe(spark, dir, segs, n, tt, probeTerms, k, cfg)
-      case Some(_) =>
-        // the probed buckets: ≤ cfg.buckets rows of driver metadata —
-        // the static partition filter that prunes every segment scan
-        val bkts = probeTerms.select(bkt(col("tok"), cfg.buckets).as("b"))
-          .distinct().collect().map(_.getInt(0)).toSeq
-        val prunedTf = maskBySeq(
-          segs.map(s => readTf(spark, segPath(dir, s._1))
-              .filter(col("bkt").isin(bkts: _*))
-              .withColumn("seg_seq", lit(nameSeq(s._1))))
-            .reduce(_.unionByName(_)),
-          tombF)
-        val vocab = probeTerms.select("tok").distinct()
-        // exact df over corpus-minus-deleted, COUNTED from the masked
-        // candidate slice (complete: every live doc holding a probed
-        // term lives in that term's bucket partitions)
-        val idfSlice = prunedTf
-          .join(broadcast(vocab), "tok")
-          .groupBy("tok").agg(count(lit(1)).as("df"))
-          .withColumn("n", lit(n))
-          .select(col("tok"), expr(Terms.bm25IdfSql).as("idf_q"))
-        val cand = prunedTf
-          .join(broadcast(probeTerms), "tok")
-          .join(broadcast(idfSlice), "tok")
-          .withColumn("n", lit(n))
-          .withColumn("tt", lit(tt))
-        Terms.bm25ScoreRank(cand, k)
-    }
+    val out = maxScoreProbe(spark, dir, segs, n, tt, probeTerms, k,
+      cfg, tombF)
     // the persist existed for the driver-round collects above; release
     // it now so per-micro-batch probes don't accumulate cache
     // generations for the life of a stream. Execution after this point
@@ -643,14 +616,21 @@ object TermIndex {
   @volatile private[graft] var lastMaxScoreDecision: (Long, Long) = (0L, 0L)
 
   /**
-   * Max-score / TA-style EXACT top-k with impact-ordered term classes,
-   * for tombstone-free versions — TWO pruning tiers matched to the two
-   * probe shapes this engine sees, each exact with a per-probe
-   * fallback.
+   * Max-score / TA-style EXACT top-k with impact-ordered term classes
+   * — TWO pruning tiers matched to the two probe shapes this engine
+   * sees, each exact with a per-probe fallback.
    *
-   * Let U(t) = the per-posting score upper bound of term t (its stored
-   * (max_tf, min_dl) substituted into the monotone partial-score
-   * kernel — [[Terms.bm25PartialSql]]).
+   * Let U(t) = the per-posting score upper bound of term t (its
+   * (max_tf, min_dl) posting bounds substituted into the monotone
+   * partial-score kernel — [[Terms.bm25PartialSql]]). On tombstone-free
+   * versions the bounds come from the count-sized per-segment df
+   * stats; with tombstones outstanding ALL per-term stats — exact
+   * masked df and the bounds — are recomputed from the masked
+   * probe-vocabulary tf slice in one term-keyed aggregate (scan cost,
+   * never a per-(probe,doc) aggregate). Either source is sound:
+   * masking only removes postings, so stored bounds stay upper bounds,
+   * and the recomputed ones are simply tighter; exactness never
+   * depends on tightness, only the pruning rate does.
    *
    * TIER 1 (classic max-score — few-term, search-query-shaped probes;
    * attempted only when the probe has ≤ [[MaxScoreT1MaxTerms]] terms
@@ -675,7 +655,11 @@ object TermIndex {
    * through stopwords alone. If the k-th positive score θ₂ ≥ 1, those
    * can never reach the top-k, and the tier-2 top-k is the exact
    * answer; the pruned mass is precisely the stopword-class postings
-   * (df ≳ n/3) that dominate Σ df on zipf corpora.
+   * (df ≳ n/3) that dominate Σ df on zipf corpora. A probe with NO
+   * elidable terms (every term present with idf ≥ 1 — e.g. any
+   * bigram-vocabulary workload) needs no θ₂ test at all: nothing was
+   * elided, its tier-2 ranking is unconditionally exact, and the θ
+   * collect (plus the checkpoint it needs) is skipped for it.
    *
    * Probes failing both tests run the classic unpruned plan,
    * restricted to themselves. Exactness holds for any pivot/stat
@@ -686,24 +670,36 @@ object TermIndex {
   private def maxScoreProbe(spark: SparkSession, dir: String,
                             segs: Seq[(String, Long, Long)],
                             n: Long, tt: Long, probeTerms: DataFrame,
-                            k: Int, cfg: Config): DataFrame = {
+                            k: Int, cfg: Config,
+                            tombF: Option[DataFrame]): DataFrame = {
     import org.apache.spark.sql.Row
     val vocab = probeTerms.select("tok").distinct()
-    def tfUnion(bs: Seq[Int]): DataFrame =
+    def tfUnion(bs: Seq[Int]): DataFrame = maskBySeq(
       segs.map(s => readTf(spark, segPath(dir, s._1))
-          .filter(col("bkt").isin(bs: _*)))
-        .reduce(_.unionByName(_))
+          .filter(col("bkt").isin(bs: _*))
+          .withColumn("seg_seq", lit(nameSeq(s._1))))
+        .reduce(_.unionByName(_)),
+      tombF)
     // the probed buckets: ≤ cfg.buckets rows of driver metadata — the
     // static partition filter pruning the (count-sized) df slices here
     // and bounding the per-class tf bucket lists below
     val bkts = probeTerms.select(bkt(col("tok"), cfg.buckets).as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    // probe-vocabulary df slice with posting bounds → idf_q and U(t)
-    val idfStats = dfFold(
-        segs.map(s => readDf(spark, segPath(dir, s._1))
-            .filter(col("bkt").isin(bkts: _*)))
-          .reduce(_.unionByName(_))
-          .join(broadcast(vocab), "tok"))
+    // probe-vocabulary per-term stats → idf_q and U(t). Tombstone-free:
+    // fold the count-sized per-segment df slices. Masked: one
+    // term-keyed aggregate over the masked tf slice — exact df over
+    // corpus-minus-deleted (complete: every live doc holding a probed
+    // term lives in that term's bucket partitions) plus bounds that
+    // are tighter than the stored ones, both sound.
+    val idfStats = (tombF match {
+        case None => dfFold(
+          segs.map(s => readDf(spark, segPath(dir, s._1))
+              .filter(col("bkt").isin(bkts: _*)))
+            .reduce(_.unionByName(_))
+            .join(broadcast(vocab), "tok"))
+        case Some(_) =>
+          dfFromTf(tfUnion(bkts).join(broadcast(vocab), "tok"))
+      })
       .withColumn("n", lit(n)).withColumn("tt", lit(tt))
       .withColumn("idf_q", expr(Terms.bm25IdfSql))
       .withColumn("ub", expr(
@@ -746,7 +742,8 @@ object TermIndex {
         sum(when(col("idf_q") >= MaxScorePivotIdf, col("ub"))
           .otherwise(lit(0L))).as("br"),
         sum(when(col("idf_q") < MaxScorePivotIdf, coalesce(col("ub"),
-          lit(0L))).otherwise(lit(0L))).as("bc"))
+          lit(0L))).otherwise(lit(0L))).as("bc"),
+        count(when(coalesce(col("idf_q"), lit(0L)) < 1, 1)).as("nzero"))
     val ppRows = perProbe.collect()
     if (ppRows.isEmpty) { // no probe produced any term: empty output
       lastMaxScoreDecision = (0L, 0L)
@@ -823,20 +820,34 @@ object TermIndex {
     var nOk2 = 0L
     var t2Failed: Seq[Row] = Seq.empty
     if (t2Rows.nonEmpty) {
+      // nzero == 0 → nothing elided for this probe: every term is
+      // present with idf ≥ 1, its tier-2 candidate set IS the classic
+      // candidate set, the ranking is unconditionally exact — no θ₂
+      // test needed (bigram-vocabulary workloads land here wholesale)
+      val (needTheta, direct) = t2Rows.partition(_.getLong(4) > 0)
       val pt2 = restrict(t2Rows)
-      val pPos = scoredOver(tfUnion(bktsPos), pt2, posStats)
+      val pPos0 = scoredOver(tfUnion(bktsPos), pt2, posStats)
         .groupBy("probe_id", "doc_id").agg(sum("s").as("ps"))
-        .localCheckpoint(eager = false)
-      val theta2 = Skew.groupTopK(
-          pPos.select(col("probe_id"), col("doc_id"), col("ps").as("score")),
-          Seq("probe_id"), Seq(col("score").desc, col("doc_id").asc), k,
-          rankCol = "rank")
-        .filter(col("rank") === k)
-        .select(col("probe_id"), col("score").as("theta"))
-        .collect()
-        .map(r => r.get(0) -> r.getLong(1)).toMap
-      val (ok2, fail2) = t2Rows.partition(r =>
+      // the checkpoint only pays for itself when BOTH the θ collect
+      // and the final rank consume the scoring job
+      val pPos =
+        if (needTheta.nonEmpty) pPos0.localCheckpoint(eager = false)
+        else pPos0
+      val theta2 =
+        if (needTheta.isEmpty) Map.empty[Any, Long]
+        else Skew.groupTopK(
+            pPos.join(broadcast(idFrame(needTheta)), Seq("probe_id"),
+                "left_semi")
+              .select(col("probe_id"), col("doc_id"), col("ps").as("score")),
+            Seq("probe_id"), Seq(col("score").desc, col("doc_id").asc), k,
+            rankCol = "rank")
+          .filter(col("rank") === k)
+          .select(col("probe_id"), col("score").as("theta"))
+          .collect()
+          .map(r => r.get(0) -> r.getLong(1)).toMap
+      val (okT, fail2) = needTheta.partition(r =>
         theta2.get(r.get(0)).exists(_ >= 1L))
+      val ok2 = direct ++ okT
       t2Failed = fail2
       nOk2 = ok2.length.toLong
       if (ok2.nonEmpty)

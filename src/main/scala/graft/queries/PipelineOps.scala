@@ -16,7 +16,11 @@ import org.apache.spark.sql.functions._
  * rows-only: their pruning depends on signature/codebook internals a
  * SQL oracle would have to re-implement wholesale; instead their
  * RECALL against the oracled brute-force baseline is asserted in
- * PipelineSpec (and for PQ, exactness of the re-ranked cosines).
+ * PipelineSpec (and for PQ, exactness of the re-ranked cosines) —
+ * AND each family's candidate rule is additionally pinned cross-engine
+ * by a fully-oracled configuration: sim_topk_ivf0 / sim_topk_ivf0_idx
+ * (frozen-seed IVF, inline and persisted-LSM forms) and
+ * sim_topk_lsh_q (integer-signature banded LSH).
  */
 object PipelineOps {
 
@@ -243,6 +247,20 @@ object PipelineOps {
         .orderBy("query_id", "rnk")
     },
 
+    // Quantized-LSH ANN — the fully-ORACLED banded-LSH configuration:
+    // integer sign signatures over the int8 codes (the emb_project
+    // projection machinery), so the candidate rule AND the exact
+    // float-cosine re-rank both replay verbatim in DuckDB.
+    // sim_topk_lsh stays the float-hyperplane production path; this
+    // pins the banded candidate semantics cross-engine the way
+    // sim_topk_ivf0 pins IVF's.
+    "sim_topk_lsh_q" -> { (spark, dir) =>
+      val emb = Tables.load(spark, dir, "embeddings")
+      Similarity.lshTopKQuantized(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", EmbDim, k = 5)
+        .orderBy("query_id", "rnk")
+    },
+
     // Product-quantized ANN (the memory/IO scale path: m one-byte
     // codes per vector instead of 4·dim bytes, ADC lookup-table
     // scoring, exact re-rank of the top k·refine) — codebooks not
@@ -276,6 +294,34 @@ object PipelineOps {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", EmbDim, k = 5, nList = 8, nProbe = 2,
         iters = 0)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy("query_id", "rnk")
+    },
+
+    // The PERSISTED index at the same iters=0 configuration: seeds are
+    // the eight lowest-id vectors of the BUILD slice, the append slice
+    // is assigned to those frozen centroids (exactly appendImpl's
+    // contract), and the driver-side probe ranking is the same
+    // dot/|c|-desc-ties-by-index rule — so the whole LSM candidate
+    // path (build segment + append segment + list pruning + exact
+    // re-rank) replays in SQL. maxImbalance is effectively disabled:
+    // the drift guard's retrain would re-seed, which is exactly the
+    // freezing this oracle pins against.
+    "sim_topk_ivf0_idx" -> { (spark, dir) =>
+      val emb = Tables.load(spark, dir, "embeddings")
+      val cfg = IvfIndex.Config(dim = EmbDim, nList = 8, iters = 0,
+        maxImbalance = 1e12)
+      val idxDir = ivfIndexes.computeIfAbsent(dir + "#ivf0", _ => {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft_ivf0_idx").toString + "/idx"
+        IvfIndex.build(spark, emb.filter(col("vec_id") % 5 =!= 0),
+          "vec_id", "embedding", d, cfg)
+        IvfIndex.append(spark, d, emb.filter(col("vec_id") % 5 === 0),
+          "vec_id", "embedding", cfg)
+        d
+      })
+      IvfIndex.topK(spark, idxDir, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbe = 2)
         .withColumn("rnk", col("rnk").cast("long"))
         .orderBy("query_id", "rnk")
     },
@@ -1104,6 +1150,38 @@ object PipelineOps {
          |  FROM cand)
          |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, cos
          |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // identical replay, but seeds come from the BUILD slice only
+    // (vec_id % 5 <> 0) — the append slice is assigned to the same
+    // frozen centroids, which is exactly what the segmented index does
+    "sim_topk_ivf0_idx" ->
+      s"""WITH seeds AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS list_id,
+         |         embedding
+         |  FROM (SELECT * FROM embeddings WHERE vec_id % 5 <> 0
+         |        ORDER BY vec_id LIMIT 8)),
+         |assign AS (
+         |  SELECT e.vec_id, e.embedding,
+         |    (SELECT s.list_id FROM seeds s
+         |     ORDER BY (${dotSql("e", "s")}) / sqrt(${dotSql("s", "s")}) DESC,
+         |              s.list_id LIMIT 1) AS list_id
+         |  FROM embeddings e),
+         |pr AS (
+         |  SELECT q.vec_id AS query_id, q.embedding, s.list_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY (${dotSql("q", "s")}) / sqrt(${dotSql("s", "s")}) DESC,
+         |               s.list_id) AS r
+         |  FROM embeddings q, seeds s WHERE q.vec_id < 10),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id, ${cosSql("p", "a")} AS cos
+         |  FROM (SELECT query_id, embedding, list_id FROM pr WHERE r <= 2) p
+         |  JOIN assign a USING (list_id)
+         |  WHERE a.vec_id <> p.query_id),
+         |rk AS (SELECT query_id, neighbor_id, cos,
+         |  row_number() OVER (PARTITION BY query_id
+         |                     ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM cand)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, cos
+         |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     // the oracle replays the whole pipeline: seed centroids (8
     // lowest-id vectors), argmax dot/|c| assignment (ties by centroid
     // index — same contract as FloatVecBestLists), within-cluster
@@ -1192,6 +1270,41 @@ object PipelineOps {
          |  FROM scored)
          |SELECT query_id, rnk, neighbor_id, cos FROM ranked
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "sim_topk_lsh_q" -> {
+      val dim = EmbDim
+      def pSql(j: Int): String =
+        s"""CAST(list_sum(list_transform(range($dim), i ->
+           |      qv[i+1] * (CASE WHEN ('0x' || substr(md5(
+           |        CAST(i AS VARCHAR) || '_$j'),1,8))::BIGINT % 2 = 0
+           |        THEN 1 ELSE -1 END))) AS BIGINT)""".stripMargin
+      val bandSelects = (0 until 4).map { b =>
+        val v = (0 until 4).map(r =>
+          s"(CASE WHEN ${pSql(b * 4 + r)} >= 0 THEN ${1L << r} ELSE 0 END)")
+          .mkString("\n    + ")
+        s"  SELECT vec_id, $b AS band,\n    $v AS bucket FROM t"
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH m AS (SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+         |  FROM embeddings),
+         |t AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) /
+         |      (CASE WHEN mx > 0 THEN mx/127.0 ELSE 1.0 END) + 0.5) AS BIGINT)) AS qv
+         |  FROM m),
+         |bands AS (
+         |$bandSelects),
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM bands q JOIN bands c ON q.band = c.band AND q.bucket = c.bucket
+         |  WHERE q.vec_id < 10 AND q.vec_id != c.vec_id),
+         |scored AS (SELECT query_id, neighbor_id, ${cosSql("a", "b")} AS cos
+         |  FROM cand JOIN embeddings a ON a.vec_id = cand.query_id
+         |            JOIN embeddings b ON b.vec_id = cand.neighbor_id),
+         |ranked AS (SELECT query_id, neighbor_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, rnk, neighbor_id, cos FROM ranked
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+    },
     "q_knn_classify" ->
       s"""WITH scored AS (
          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -207,6 +207,45 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(got == want, "grown-layout probe != independent top-k")
   }
 
+  test("maintenance retrain: explicit sqrt growth without drift; tombstones folded; probes exact") {
+    val dir = tmp("ivf_retrain")
+    val small = IvfIndex.Config(dim = Dim, nList = 4, iters = 2)
+    IvfIndex.build(spark, emb.filter(col("vec_id") % 5 =!= 0),
+      "vec_id", "embedding", dir, small)
+    IvfIndex.append(spark, dir, emb.filter(col("vec_id") % 5 === 0),
+      "vec_id", "embedding", small)
+    val delIds = emb.filter(col("vec_id") % 7 === 3).select("vec_id")
+    IvfIndex.delete(spark, dir, delIds, "vec_id")
+    val v = IvfIndex.retrain(spark, dir, small)
+    val live = emb.join(delIds, Seq("vec_id"), "left_anti")
+    val total = live.count()
+    val expected = math.max(4, math.ceil(math.sqrt(total.toDouble)).toInt)
+    assert(IvfIndex.readCentroids(spark, dir, v).length == expected,
+      s"retrain must land ceil(sqrt($total)) = $expected lists")
+    // one fresh r-segment, every tombstone folded physically
+    assert(IvfIndex.readSegments(spark, dir, v) ===
+      Seq(f"r$v%05d"))
+    assert(IvfIndex.readTombstones(spark, dir, v).isEmpty)
+    assert(IvfIndex.readCounts(spark, dir, v).values.sum == total)
+    // exhaustive probe over the retrained layout == independent cosine
+    // top-k over the LIVE corpus
+    val q = emb.filter(col("vec_id") < 8)
+    val got = topKSet(IvfIndex.topK(spark, dir, q, "vec_id", "embedding", 5,
+      nProbe = expected))
+    val want = topKSet(
+      q.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        .crossJoin(live.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("cv")))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos",
+          dotF(col("qv"), col("cv")) / (normF(col("qv")) * normF(col("cv"))))
+        .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("rnk"), col("neighbor_id")))
+    assert(got == want, "retrained-layout probe != independent top-k")
+  }
+
   test("size-triggered compaction: tiered, segment count bounded, content and probes exact") {
     val dir = tmp("ivf_compact")
     val cap = cfg.copy(maxSegments = 3)

@@ -111,6 +111,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"LSH recall $recall too low")
   }
 
+  test("quantized-LSH top-k: candidates honest (no better neighbor missing within candidates), recall floor") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 64, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = Similarity.lshTopKQuantized(emb, queries, "vec_id",
+      "embedding", 64, 5).collect()
+    // ranking well-formed: ranks 1..n contiguous per query, cos
+    // non-increasing within each query
+    got.groupBy(_.getLong(0)).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length))
+      val cs = sorted.map(_.getDouble(3)).toSeq
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    val recall = (bf & got.map(r => (r.getLong(0), r.getLong(2))).toSet)
+      .size.toDouble / bf.size
+    assert(recall >= 0.3, s"quantized-LSH recall $recall too low")
+  }
+
   test("IVF top-k recall vs brute force >= 0.6; exactly k per query") {
     val queries = emb.filter(col("vec_id") < 20)
     val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 64, 5)

@@ -94,6 +94,45 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.map(_._2).toSet == Set(10L, 11L, 12L))
   }
 
+  test("hybridRrfIndexed == hybridRrf when the dense probe covers every list") {
+    // real corpus slice: docs 10.. are the corpus, docs < 10 the
+    // probes (disjoint, so the self-exclusion filter is inert on both
+    // paths); embeddings ride the same ids. TermIndex is exact by
+    // contract; IvfIndex with nProbe == nList scans every list → its
+    // candidate set is the whole corpus → == bruteForceTopK. The fused
+    // outputs must therefore be identical row-for-row.
+    val sf = "/root/testdata/sf0.001"
+    val d = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val e = Tables.load(spark, sf, "embeddings")
+      .withColumnRenamed("vec_id", "doc_id")
+      .select(col("doc_id"), col("embedding"))
+    val (ct, pt) = (d.filter(col("doc_id") >= 10 && col("doc_id") < 90),
+      d.filter(col("doc_id") < 5))
+    val (ce, pe) = (e.filter(col("doc_id") >= 10 && col("doc_id") < 90),
+      e.filter(col("doc_id") < 5))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_rrf_idx").toString
+    val tCfg = graft.operators.TermIndex.Config(buckets = 4)
+    graft.operators.TermIndex.build(spark, ct, "doc_id", "text",
+      s"$base/t", tCfg)
+    graft.operators.IvfIndex.build(spark, ce, "doc_id", "embedding",
+      s"$base/v", graft.operators.IvfIndex.Config(dim = 64, nList = 4,
+        iters = 1))
+    val want = Retrieval.hybridRrf(ct, pt, ce, pe, "doc_id", "text",
+        "embedding", dim = 64, kInner = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val got = Retrieval.hybridRrfIndexed(spark, s"$base/t", s"$base/v",
+        pt, pe, "doc_id", "text", "embedding", kInner = 10, k = 5,
+        termCfg = tCfg, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   // --- dsirWeights --------------------------------------------------------
 
   test("dsirWeights: target-typical docs score above off-target docs") {

@@ -299,6 +299,23 @@ object StressBench {
     health("ivf_cdc_deleted_hits") =
       cdcAnn.count(_.getLong(2) % 50 == 7).toLong
 
+    // √n retrain: the amortized maintenance rewrite continuous ingest
+    // schedules (the drift guard triggers the same one on skew) — list
+    // count grows to ⌈√n⌉, cutting the probe's per-list candidate mass
+    // from n/nList to √n. ivf_probe above stays the r8-comparable
+    // fixed-16-list point; the pair (ivf_retrain, ivf_probe_retrained)
+    // pins the amortized cost and the probe payoff at every scale, and
+    // the churn below then runs against the retrained index — the
+    // actual steady state of a long-lived deployment.
+    time("ivf_retrain")(IvfIndex.retrain(spark, ivfDir, ivfCfg))
+    health("ivf_lists_after_retrain") =
+      IvfIndex.readCentroids(spark, ivfDir,
+        IvfIndex.latestVersion(spark, ivfDir)).length.toLong
+    time("ivf_probe_retrained") {
+      health("ivf_retrained_topk_rows") = IvfIndex.topK(spark, ivfDir,
+        queries, "vec_id", "embedding", k = 10).count()
+    }
+
     // --- Long CDC churn (round 9, verdict item 6): 60 applyCdc
     // commits of pure churn (the same 2% of docs re-written each
     // round) against the BM25 index with per-commit gc at the default

@@ -76,6 +76,17 @@ class TermIndexSpec extends AnyFunSuite {
     val (ok, fb) = TermIndex.lastMaxScoreDecision
     assert(ok == 3, s"three probes must prune (2 tier-1, 1 tier-2): ok=$ok fb=$fb")
     assert(fb == 1, s"the all-common probe must fall back: ok=$ok fb=$fb")
+    // tombstones outstanding: pruning must STILL engage (stats counted
+    // from the masked tf slice) and stay pair-exact vs inline over
+    // corpus-minus-deleted
+    val delIds = docs240.filter(col("doc_id") % 6 === 5).select("doc_id")
+    TermIndex.delete(spark, dir, delIds, cfg)
+    val reduced = docs240.join(delIds, Seq("doc_id"), "left_anti")
+    val gotM = TermIndex.topK(spark, dir, pr, "doc_id", "text", 5, cfg)
+    val wantM = Terms.bm25TopK(reduced, pr, "doc_id", "text", 5)
+    assert(rows(gotM) === rows(wantM))
+    val (okM, fbM) = TermIndex.lastMaxScoreDecision
+    assert(okM >= 3, s"masked probes must still prune: ok=$okM fb=$fbM")
     spark.catalog.clearCache()
   }
 
@@ -128,6 +139,47 @@ class TermIndexSpec extends AnyFunSuite {
     d.unpersist()
     spark.catalog.clearCache()
     assert(nt > 0)
+  }
+
+  test("long churn with per-commit gc: disk plateaus at default retention") {
+    // 24 applyCdc commits of the SAME 5-doc churn (live corpus size
+    // constant) with gc after every commit — tombstones retire at tier
+    // folds, old versions/segments are reaped, so total on-disk bytes
+    // must stop growing once the fold cycle reaches steady state. A
+    // leak (unreaped segments, unretired tombstones, version pile-up)
+    // shows as monotone growth instead of a bounded oscillation.
+    def du(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(p))
+    }
+    val d = docs.limit(40).persist()
+    val churn = d.filter(col("doc_id") % 8 === 1)
+    val cfg = TermIndex.Config(buckets = 4, maxSegments = 3)
+    val dir = tmpDir()
+    TermIndex.build(spark, d, "doc_id", "text", dir, cfg)
+    val dus = (1 to 24).map { i =>
+      val ups = churn.select(col("doc_id"),
+        concat_ws(" ", lit(s"churn$i"), col("text")).as("text"))
+      TermIndex.applyCdc(spark, dir, ups, churn.select("doc_id").limit(0),
+        "doc_id", "text", cfg)
+      TermIndex.gc(spark, dir, retainLast = 2)
+      du(dir)
+    }
+    val early = dus.slice(7, 15).max
+    val late = dus.slice(16, 24).max
+    assert(late <= 2 * early,
+      s"disk grew past plateau: early window max $early, late max $late " +
+        s"(trajectory: ${dus.mkString(",")})")
+    // and the index still answers, exactly, after 24 churn commits
+    val live = d.join(churn.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(churn.select(col("doc_id"),
+        concat_ws(" ", lit("churn24"), col("text")).as("text")))
+    assert(rows(TermIndex.topK(spark, dir, d.limit(5), "doc_id", "text", 5, cfg))
+      === rows(Terms.bm25TopK(live, d.limit(5), "doc_id", "text", 5)))
+    d.unpersist()
+    spark.catalog.clearCache()
   }
 
   test("delete: scores == inline over corpus-minus-deleted; replay; re-add revives") {
