@@ -658,8 +658,10 @@ object TermIndex {
    * (df ≳ n/3) that dominate Σ df on zipf corpora. A probe with NO
    * elidable terms (every term present with idf ≥ 1 — e.g. any
    * bigram-vocabulary workload) needs no θ₂ test at all: nothing was
-   * elided, its tier-2 ranking is unconditionally exact, and the θ
-   * collect (plus the checkpoint it needs) is skipped for it.
+   * elided, its tier-2 ranking is unconditionally exact. The θ₂
+   * values are read off the final RANKED output (probes × k rows),
+   * so tier 2 makes exactly ONE pass over the postings mass — the
+   * same job shape as the classic plan, minus the elided postings.
    *
    * Probes failing both tests run the classic unpruned plan,
    * restricted to themselves. Exactness holds for any pivot/stat
@@ -691,7 +693,7 @@ object TermIndex {
     // corpus-minus-deleted (complete: every live doc holding a probed
     // term lives in that term's bucket partitions) plus bounds that
     // are tighter than the stored ones, both sound.
-    val idfStats = (tombF match {
+    val idfDist = (tombF match {
         case None => dfFold(
           segs.map(s => readDf(spark, segPath(dir, s._1))
               .filter(col("bkt").isin(bkts: _*)))
@@ -706,20 +708,6 @@ object TermIndex {
         "(idf_q * max_tf * 220000) div (1000*max_tf + 300 + " +
           "9*((100 * min_dl * n) div tt))"))
       .select("tok", "idf_q", "ub")
-    val rStats = idfStats.filter(col("idf_q") >= MaxScorePivotIdf)
-    val cStats = idfStats.filter(col("idf_q") < MaxScorePivotIdf)
-    val posStats = idfStats.filter(col("idf_q") >= 1)
-    // per-class bucket lists, one driver round
-    val bktRows = idfStats
-      .groupBy(bkt(col("tok"), cfg.buckets).as("b"))
-      .agg(count(when(col("idf_q") >= MaxScorePivotIdf, 1)).as("ness"),
-        count(when(col("idf_q") >= 1 &&
-          col("idf_q") < MaxScorePivotIdf, 1)).as("ncomp"),
-        count(when(col("idf_q") >= 1, 1)).as("npos"))
-      .collect()
-    val bktsR = bktRows.filter(_.getLong(1) > 0).map(_.getInt(0)).toSeq
-    val bktsC1 = bktRows.filter(_.getLong(2) > 0).map(_.getInt(0)).toSeq
-    val bktsPos = bktRows.filter(_.getLong(3) > 0).map(_.getInt(0)).toSeq
     def scoredOver(tf: DataFrame, pt: DataFrame,
                    stats: DataFrame): DataFrame =
       tf.join(broadcast(pt), "tok")
@@ -734,6 +722,93 @@ object TermIndex {
         rankCol = "rank")
         .withColumn("rank", col("rank").cast("long"))
         .select("probe_id", "rank", "doc_id", "score")
+    def idFrame(rows: Seq[Row]): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.map(r => Row(r.get(0))): _*),
+        org.apache.spark.sql.types.StructType(
+          Seq(org.apache.spark.sql.types.StructField("probe_id",
+            probeTerms.schema("probe_id").dataType))))
+    def restrict(rows: Seq[Row]): DataFrame =
+      probeTerms.join(broadcast(idFrame(rows)), Seq("probe_id"),
+        "left_semi")
+    // distinct-term counts per probe — the tier-1 routing gate, from
+    // the CACHED probe frame alone (no stats join, no postings scan)
+    val ntRows = probeTerms.groupBy("probe_id")
+      .agg(count(lit(1)).as("nt")).collect()
+    if (ntRows.isEmpty) { // no probe produced any term: empty output
+      lastMaxScoreDecision = (0L, 0L)
+      return Terms.bm25ScoreRank(tfUnion(Seq.empty)
+        .join(broadcast(probeTerms), "tok")
+        .join(broadcast(idfDist.select("tok", "idf_q")), "tok")
+        .withColumn("n", lit(n)).withColumn("tt", lit(tt)), k)
+    }
+
+    // classic unpruned plan restricted to `rows`, idf from `stats`
+    // (lazy or local) — the shared per-probe fallback
+    def classicFor(rows: Seq[Row], stats: DataFrame): DataFrame =
+      Terms.bm25ScoreRank(tfUnion(bkts)
+        .join(broadcast(restrict(rows)), "tok")
+        .join(broadcast(stats.select("tok", "idf_q")), "tok")
+        .withColumn("n", lit(n))
+        .withColumn("tt", lit(tt)), k)
+    val longRows = ntRows.filter(_.getLong(1) > MaxScoreT1MaxTerms)
+
+    // ---- FAST TIER-2 whenever any document-shaped probe (> tier-1
+    // term cap) is present: ONE classic-shaped job for ALL probes (the
+    // idf frame joins in as a lazy broadcast subquery, positive-idf
+    // postings only); the θ₂ values are read off the small RANKED
+    // output — a test valid for ANY probe shape; probes whose k-th
+    // positive score misses θ₂ ≥ 1 (rare: fewer than k scoring
+    // candidates) re-run classic below. Short probes ride along in
+    // the same job: once the big scoring pass runs anyway, the stats
+    // rounds tier 1 would need cost more driver latency than its
+    // bound could save them. Job count == the unpruned plan, minus
+    // the elided postings.
+    if (longRows.nonEmpty) {
+      val ranked = topKof(
+          scoredOver(tfUnion(bkts), probeTerms,
+            idfDist.filter(col("idf_q") >= 1))
+          .groupBy("probe_id", "doc_id").agg(sum("s").as("ps")), "ps")
+        .localCheckpoint()
+      val kth = ranked.filter(col("rank") === k)
+        .select(col("probe_id"), col("score"))
+        .collect()
+        .map(r => r.get(0) -> r.getLong(1)).toMap
+      val (okF, failF) = ntRows.partition(r =>
+        kth.get(r.get(0)).exists(_ >= 1L))
+      lastMaxScoreDecision = (okF.length.toLong, failF.length.toLong)
+      val fastOut =
+        if (failF.isEmpty) ranked
+        else ranked.join(broadcast(idFrame(failF.toSeq)),
+          Seq("probe_id"), "left_anti")
+      val fbOut =
+        if (failF.isEmpty) None
+        else Some(classicFor(failF.toSeq, idfDist))
+      return (Seq(fastOut) ++ fbOut.toSeq).reduce(_.unionByName(_))
+    }
+
+    // ---- STATS PATH: every probe is search-query-shaped — collect
+    // the per-term stats ONCE into a local relation (probe-vocab-sized
+    // by the probe contract, like `bkts`) so the downstream consumers
+    // (class stats, bucket lists, per-probe bounds, the fallback)
+    // never re-run the df-slice scan (or, masked, the full postings
+    // aggregate).
+    val idfStats = spark.createDataFrame(
+      java.util.Arrays.asList(idfDist.collect(): _*), idfDist.schema)
+    val rStats = idfStats.filter(col("idf_q") >= MaxScorePivotIdf)
+    val cStats = idfStats.filter(col("idf_q") < MaxScorePivotIdf)
+    val posStats = idfStats.filter(col("idf_q") >= 1)
+    // per-class bucket lists, one (local-relation) driver round
+    val bktRows = idfStats
+      .groupBy(bkt(col("tok"), cfg.buckets).as("b"))
+      .agg(count(when(col("idf_q") >= MaxScorePivotIdf, 1)).as("ness"),
+        count(when(col("idf_q") >= 1 &&
+          col("idf_q") < MaxScorePivotIdf, 1)).as("ncomp"),
+        count(when(col("idf_q") >= 1, 1)).as("npos"))
+      .collect()
+    val bktsR = bktRows.filter(_.getLong(1) > 0).map(_.getInt(0)).toSeq
+    val bktsC1 = bktRows.filter(_.getLong(2) > 0).map(_.getInt(0)).toSeq
+    val bktsPos = bktRows.filter(_.getLong(3) > 0).map(_.getInt(0)).toSeq
     // per-probe stat bounds — one probe-sized driver round decides the
     // tier WITHOUT running any postings job
     val perProbe = probeTerms
@@ -745,23 +820,8 @@ object TermIndex {
           lit(0L))).otherwise(lit(0L))).as("bc"),
         count(when(coalesce(col("idf_q"), lit(0L)) < 1, 1)).as("nzero"))
     val ppRows = perProbe.collect()
-    if (ppRows.isEmpty) { // no probe produced any term: empty output
-      lastMaxScoreDecision = (0L, 0L)
-      return Terms.bm25ScoreRank(tfUnion(Seq.empty)
-        .join(broadcast(probeTerms), "tok")
-        .join(broadcast(idfStats.select("tok", "idf_q")), "tok")
-        .withColumn("n", lit(n)).withColumn("tt", lit(tt)), k)
-    }
-    def idFrame(rows: Seq[Row]): DataFrame =
-      spark.createDataFrame(
-        java.util.Arrays.asList(rows.map(r => Row(r.get(0))): _*),
-        org.apache.spark.sql.types.StructType(
-          perProbe.schema.fields.take(1)))
-    def restrict(rows: Seq[Row]): DataFrame =
-      probeTerms.join(broadcast(idFrame(rows)), Seq("probe_id"),
-        "left_semi")
     val (t1Rows, t2Init) = ppRows.partition(r =>
-      r.getLong(1) <= MaxScoreT1MaxTerms && r.getLong(2) > r.getLong(3))
+      r.getLong(2) > r.getLong(3))
 
     // ---- tier 1: classic max-score over the plausible probes
     var t1Out: Option[DataFrame] = None
@@ -820,51 +880,40 @@ object TermIndex {
     var nOk2 = 0L
     var t2Failed: Seq[Row] = Seq.empty
     if (t2Rows.nonEmpty) {
-      // nzero == 0 → nothing elided for this probe: every term is
-      // present with idf ≥ 1, its tier-2 candidate set IS the classic
-      // candidate set, the ranking is unconditionally exact — no θ₂
-      // test needed (bigram-vocabulary workloads land here wholesale)
-      val (needTheta, direct) = t2Rows.partition(_.getLong(4) > 0)
+      // ONE pass over the (large) positive-postings mass: score → rank.
+      // The θ₂ soundness data is read off the RANKED output (probes×k
+      // rows) instead of a separate ranking of the unranked frame — no
+      // corpus-sized checkpoint, no double rank. The small ranked
+      // frame is lineage-truncated so the kth-score collect and the
+      // emitted rows never re-run the scoring job.
       val pt2 = restrict(t2Rows)
-      val pPos0 = scoredOver(tfUnion(bktsPos), pt2, posStats)
-        .groupBy("probe_id", "doc_id").agg(sum("s").as("ps"))
-      // the checkpoint only pays for itself when BOTH the θ collect
-      // and the final rank consume the scoring job
-      val pPos =
-        if (needTheta.nonEmpty) pPos0.localCheckpoint(eager = false)
-        else pPos0
-      val theta2 =
-        if (needTheta.isEmpty) Map.empty[Any, Long]
-        else Skew.groupTopK(
-            pPos.join(broadcast(idFrame(needTheta)), Seq("probe_id"),
-                "left_semi")
-              .select(col("probe_id"), col("doc_id"), col("ps").as("score")),
-            Seq("probe_id"), Seq(col("score").desc, col("doc_id").asc), k,
-            rankCol = "rank")
-          .filter(col("rank") === k)
-          .select(col("probe_id"), col("score").as("theta"))
-          .collect()
-          .map(r => r.get(0) -> r.getLong(1)).toMap
-      val (okT, fail2) = needTheta.partition(r =>
-        theta2.get(r.get(0)).exists(_ >= 1L))
-      val ok2 = direct ++ okT
+      val ranked = topKof(scoredOver(tfUnion(bktsPos), pt2, posStats)
+          .groupBy("probe_id", "doc_id").agg(sum("s").as("ps")), "ps")
+        .localCheckpoint()
+      val kth = ranked.filter(col("rank") === k)
+        .select(col("probe_id"), col("score"))
+        .collect()
+        .map(r => r.get(0) -> r.getLong(1)).toMap
+      // a probe is exact if nothing was elided for it (nzero == 0 —
+      // every term present with idf ≥ 1, so its tier-2 candidate set
+      // IS the classic candidate set; bigram-vocabulary workloads land
+      // here wholesale) or its k-th positive score clears θ₂ ≥ 1
+      val (ok2, fail2) = t2Rows.partition(r =>
+        r.getLong(4) == 0L || kth.get(r.get(0)).exists(_ >= 1L))
       t2Failed = fail2
       nOk2 = ok2.length.toLong
       if (ok2.nonEmpty)
-        t2Out = Some(topKof(
-          pPos.join(broadcast(idFrame(ok2)), Seq("probe_id"), "left_semi"),
-          "ps"))
+        t2Out = Some(
+          if (fail2.isEmpty) ranked
+          else ranked.join(broadcast(idFrame(ok2)), Seq("probe_id"),
+            "left_semi"))
     }
 
     lastMaxScoreDecision = (nOk1 + nOk2, t2Failed.length.toLong)
     // ---- classic plan for probes neither tier could prune
     val fbOut =
       if (t2Failed.isEmpty) None
-      else Some(Terms.bm25ScoreRank(tfUnion(bkts)
-        .join(broadcast(restrict(t2Failed)), "tok")
-        .join(broadcast(idfStats.select("tok", "idf_q")), "tok")
-        .withColumn("n", lit(n))
-        .withColumn("tt", lit(tt)), k))
+      else Some(classicFor(t2Failed, idfStats))
     (t1Out.toSeq ++ t2Out.toSeq ++ fbOut.toSeq)
       .reduce(_.unionByName(_))
   }

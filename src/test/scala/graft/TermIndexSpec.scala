@@ -62,19 +62,31 @@ class TermIndexSpec extends AnyFunSuite {
     val cfg = TermIndex.Config(buckets = 8)
     val dir = tmpDir()
     TermIndex.build(spark, docs240, "doc_id", "text", dir, cfg)
-    val pr = Seq((1000L, "grp3 filler1 filler2 midtok"),
+    // (a) search-query-shaped probes only → the STATS path: tier-1
+    // max-score for the rare-term probes, classic fallback for the
+    // all-common one
+    val prShort = Seq((1000L, "grp3 filler1 filler2 midtok"),
       (1001L, "grp11 filler3 othertok payload5"),
-      (1002L, "filler1 filler2 filler3"),
-      // document-shaped probe (17 distinct terms > the tier-1 routing
-      // cap): must prune via tier 2 — stopword elision
+      (1002L, "filler1 filler2 filler3")).toDF("doc_id", "text")
+    val gotS = TermIndex.topK(spark, dir, prShort, "doc_id", "text", 5, cfg)
+    val wantS = Terms.bm25TopK(docs240, prShort, "doc_id", "text", 5)
+    assert(rows(gotS) === rows(wantS))
+    val (okS, fbS) = TermIndex.lastMaxScoreDecision
+    assert(okS == 2, s"the rare-term probes must prune via tier 1: ok=$okS fb=$fbS")
+    assert(fbS == 1, s"the all-common probe must fall back: ok=$okS fb=$fbS")
+    // (b) a document-shaped probe present (17 distinct terms > the
+    // tier-1 cap) → the FAST tier-2 path for the whole batch: one
+    // positive-idf scoring job, θ₂ read off the ranked output; the
+    // all-common probe still falls back (no positive candidates)
+    val pr = prShort.unionByName(Seq(
       (1003L, "grp0 grp1 grp2 uniq1 uniq2 uniq3 uniq4 uniq5 uniq6 " +
         "uniq7 uniq8 uniq9 uniq10 midtok othertok filler1 filler2"))
-      .toDF("doc_id", "text")
+      .toDF("doc_id", "text"))
     val got = TermIndex.topK(spark, dir, pr, "doc_id", "text", 5, cfg)
     val want = Terms.bm25TopK(docs240, pr, "doc_id", "text", 5)
     assert(rows(got) === rows(want))
     val (ok, fb) = TermIndex.lastMaxScoreDecision
-    assert(ok == 3, s"three probes must prune (2 tier-1, 1 tier-2): ok=$ok fb=$fb")
+    assert(ok == 3, s"three probes must prune via fast tier 2: ok=$ok fb=$fb")
     assert(fb == 1, s"the all-common probe must fall back: ok=$ok fb=$fb")
     // tombstones outstanding: pruning must STILL engage (stats counted
     // from the masked tf slice) and stay pair-exact vs inline over
