@@ -50,5 +50,9 @@ object SparkEntry {
     // round 8 cont. (session 2): snapshot diff (full-outer digest
     // join) and table profile (multi-distinct expand) — two plan
     // classes the headline set didn't cover (30 queries)
-    "q_dataset_diff", "q_profile")
+    "q_dataset_diff", "q_profile",
+    // round 9: the steady-state RAG first stage — TermIndex + IvfIndex
+    // probes fused by RRF; min-of-3 times the index-probe fusion,
+    // builds amortize on run 1 (31 queries)
+    "q_hybrid_rrf_idx")
 }

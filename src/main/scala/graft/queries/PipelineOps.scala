@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{Multimodal, TextFunctions => TF}
-import graft.operators.{Dedup, Graph, IvfIndex, MinhashIndex, Packing, Pq, Quality, Retrieval, Sampling, Similarity, Terms}
+import graft.operators.{Dedup, Graph, IvfIndex, MinhashIndex, Packing, Pq, Quality, Retrieval, Sampling, Similarity, TermIndex, Terms}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -19,8 +19,10 @@ import org.apache.spark.sql.functions._
  * PipelineSpec (and for PQ, exactness of the re-ranked cosines) —
  * AND each family's candidate rule is additionally pinned cross-engine
  * by a fully-oracled configuration: sim_topk_ivf0 / sim_topk_ivf0_idx
- * (frozen-seed IVF, inline and persisted-LSM forms) and
- * sim_topk_lsh_q (integer-signature banded LSH).
+ * (frozen-seed IVF, inline and persisted-LSM forms), sim_topk_lsh_q
+ * (integer-signature banded LSH), and sim_topk_pq0 (frozen-seed
+ * PQ/ADC — encode, lookup-table ranking and re-rank all replayed);
+ * q_hybrid_rrf_idx pins the whole indexed retrieval-fusion stage.
  */
 object PipelineOps {
 
@@ -238,6 +240,42 @@ object PipelineOps {
         .orderBy("probe_id", "rank")
     },
 
+    // The INDEXED hybrid retrieval stage, fully oracled: the lexical
+    // leg probes a persisted TermIndex (exact BM25 by contract — the
+    // inline leg's oracle replays it verbatim) and the dense leg
+    // probes a persisted IvfIndex at the iters=0 frozen-seed
+    // configuration (the sim_topk_ivf0_idx replay), fused by the same
+    // all-integer RRF as q_hybrid_rrf — so the ENTIRE steady-state
+    // RAG first stage (two LSM index probes + fusion) is pinned
+    // cross-engine, not just its legs.
+    "q_hybrid_rrf_idx" -> { (spark, dir) =>
+      val d = Tables.load(spark, dir, "documents")
+      val e = Tables.load(spark, dir, "embeddings")
+        .withColumnRenamed("vec_id", "doc_id")
+      val tCfg = TermIndex.Config(buckets = 8, termsTag = "bigram")
+      val vCfg = IvfIndex.Config(dim = EmbDim, nList = 8, iters = 0,
+        maxImbalance = 1e12)
+      val tDir = ivfIndexes.computeIfAbsent(dir + "#hyb_t", _ => {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_hyb_tidx").toString + "/idx"
+        TermIndex.build(spark, d.filter(col("doc_id") >= 10),
+          "doc_id", "text", p, tCfg, Terms.bigramTerms)
+        p
+      })
+      val vDir = ivfIndexes.computeIfAbsent(dir + "#hyb_v", _ => {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_hyb_ivf").toString + "/idx"
+        IvfIndex.build(spark, e.filter(col("doc_id") >= 10),
+          "doc_id", "embedding", p, vCfg)
+        p
+      })
+      Retrieval.hybridRrfIndexed(spark, tDir, vDir,
+        d.filter(col("doc_id") < 10), e.filter(col("doc_id") < 10),
+        "doc_id", "text", "embedding", kInner = 20, k = 5,
+        terms = Terms.bigramTerms, termCfg = tCfg, nProbe = 2)
+        .orderBy("probe_id", "rank")
+    },
+
     // hyperplane-LSH ANN — planes not SQL-replicable → rows-only;
     // recall vs brute force asserted in PipelineSpec.
     "sim_topk_lsh" -> { (spark, dir) =>
@@ -270,6 +308,20 @@ object PipelineOps {
       val emb = Tables.load(spark, dir, "embeddings")
       Pq.adcTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", EmbDim, k = 5)
+        .orderBy("query_id", "rnk")
+    },
+
+    // PQ/ADC at iters=0 — the codebooks are the 32 lowest-id vectors'
+    // subvectors VERBATIM, so encode (per-subspace argmin squared-L2,
+    // ties to the lowest entry), the ADC lookup-table ranking, AND the
+    // exact re-rank all replay in SQL: PQ joins IVF (sim_topk_ivf0 /
+    // sim_topk_ivf0_idx) and LSH (sim_topk_lsh_q) as the third ANN
+    // family carrying a fully-oracled configuration pin.
+    "sim_topk_pq0" -> { (spark, dir) =>
+      val emb = Tables.load(spark, dir, "embeddings")
+      Pq.adcTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", EmbDim, k = 5, iters = 0)
+        .withColumn("rnk", col("rnk").cast("long"))
         .orderBy("query_id", "rnk")
     },
 
@@ -1150,6 +1202,76 @@ object PipelineOps {
          |  FROM cand)
          |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, cos
          |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // PQ at iters=0: codebooks = subvectors of the 32 lowest-id
+    // vectors; encode replayed as per-subspace argmin of the unrolled
+    // squared-L2 (ties to the lowest entry id — the kernel's strict <),
+    // ADC = the per-subspace LUT values summed in subspace order
+    // (explicit left-associated + chain, matching PqAdcDot), top
+    // k·refine by (adc DESC, id), exact cosine re-rank
+    "sim_topk_pq0" -> {
+      val m = 8; val dsub = 8; val ksub = 32; val kRefine = 40
+      def dSql(s: Int) = (0 until dsub).map { i =>
+        val idx = s * dsub + i + 1
+        s"""(CAST(e.embedding[$idx] AS DOUBLE) - CAST(sd.embedding[$idx] AS DOUBLE))
+           |      * (CAST(e.embedding[$idx] AS DOUBLE) - CAST(sd.embedding[$idx] AS DOUBLE))"""
+          .stripMargin
+      }.mkString("\n      + ")
+      val distSelects = (0 until m).map(s =>
+        s"  SELECT e.vec_id, $s AS s, sd.j,\n      ${dSql(s)} AS d\n" +
+          "  FROM embeddings e, seeds32 sd").mkString("\n  UNION ALL\n")
+      def lutSql(s: Int) = (0 until dsub).map { i =>
+        val idx = s * dsub + i + 1
+        s"CAST(q.embedding[$idx] AS DOUBLE) * CAST(sd.embedding[$idx] AS DOUBLE)"
+      }.mkString("\n      + ")
+      val lutSelects = (0 until m).map(s =>
+        s"  SELECT q.vec_id AS query_id, $s AS s, sd.j,\n      ${lutSql(s)} AS lv\n" +
+          "  FROM embeddings q, seeds32 sd WHERE q.vec_id < 10")
+        .mkString("\n  UNION ALL\n")
+      val adcSum = (0 until m).map(s => s"l$s").mkString(" + ")
+      val lcols = (0 until m).map(s =>
+        s"    MAX(CASE WHEN cs.s = $s THEN lt.lv END) AS l$s").mkString(",\n")
+      s"""WITH seeds32 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
+         |         embedding
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $ksub)),
+         |dists AS (
+         |$distSelects),
+         |codes AS (
+         |  SELECT vec_id, s, j AS code FROM (
+         |    SELECT vec_id, s, j,
+         |      row_number() OVER (PARTITION BY vec_id, s
+         |                         ORDER BY d ASC, j ASC) AS rn
+         |    FROM dists) WHERE rn = 1),
+         |luts AS (
+         |$lutSelects),
+         |norms AS (SELECT vec_id, sqrt(${dotSql("e", "e")}) AS cn
+         |  FROM embeddings e),
+         |pairl AS (
+         |  SELECT lt.query_id, cs.vec_id AS neighbor_id,
+         |$lcols
+         |  FROM codes cs JOIN luts lt ON cs.s = lt.s AND cs.code = lt.j
+         |  WHERE lt.query_id <> cs.vec_id
+         |  GROUP BY 1, 2),
+         |adc AS (
+         |  SELECT p.query_id, p.neighbor_id,
+         |    CASE WHEN n.cn = 0 THEN CAST('-infinity' AS DOUBLE)
+         |         ELSE ($adcSum) / n.cn END AS adc
+         |  FROM pairl p JOIN norms n ON p.neighbor_id = n.vec_id),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY adc DESC, neighbor_id) AS r
+         |    FROM adc) WHERE r <= $kRefine),
+         |scored AS (SELECT c.query_id, c.neighbor_id, ${cosSql("a", "b")} AS cos
+         |  FROM cand c JOIN embeddings a ON a.vec_id = c.query_id
+         |              JOIN embeddings b ON b.vec_id = c.neighbor_id),
+         |rk AS (SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, cos
+         |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+    },
     // identical replay, but seeds come from the BUILD slice only
     // (vec_id % 5 <> 0) — the append slice is assigned to the same
     // frozen centroids, which is exactly what the segmented index does
@@ -1257,6 +1379,80 @@ object PipelineOps {
          |                     ORDER BY rrf DESC, doc_id) AS rank FROM fuse)
          |SELECT probe_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf
          |FROM rk WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    // the indexed form: lexical leg identical (TermIndex == inline
+    // BM25 by contract); dense leg replays the frozen-seed IVF index
+    // (seeds = 8 lowest-id corpus vectors, 2-probe lists, exact
+    // within-list cosine); fusion tail identical
+    "q_hybrid_rrf_idx" ->
+      s"""WITH t0 AS (SELECT doc_id,
+         |  list_filter(string_split_regex(text,'\\s+'), x -> len(x)>0) AS toks
+         |  FROM documents),
+         |t AS (SELECT doc_id, CASE WHEN len(toks) >= 2
+         |        THEN list_transform(range(1, len(toks)),
+         |             i -> toks[i] || ' ' || toks[i+1])
+         |        ELSE [] END AS toks FROM t0),
+         |corp AS (SELECT doc_id, unnest(toks) AS tok FROM t
+         |         WHERE doc_id >= 10),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |       FROM corp GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+         |       FROM tf GROUP BY 1),
+         |k AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(dl) AS BIGINT) AS tt FROM dl),
+         |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+         |        FROM tf GROUP BY 1),
+         |idf AS (SELECT tok,
+         |  CAST(len(bin((2*n - 2*df + 1)//(2*df + 1) + 1)) - 1 AS BIGINT)
+         |    AS idf_q FROM dfq, k),
+         |pt AS (SELECT doc_id AS probe_id, unnest(list_distinct(toks)) AS tok
+         |       FROM t WHERE doc_id < 10),
+         |s AS (SELECT probe_id, tf.doc_id AS doc_id,
+         |  CAST(sum((idf_q * tf * 220000)
+         |           //(1000*tf + 300 + 9*((100*dl*n)//tt))) AS BIGINT) AS score
+         |  FROM pt JOIN tf USING (tok) JOIN idf USING (tok)
+         |       JOIN dl ON tf.doc_id = dl.doc_id, k
+         |  GROUP BY 1, 2),
+         |rt AS (SELECT probe_id, doc_id,
+         |  row_number() OVER (PARTITION BY probe_id
+         |                     ORDER BY score DESC, doc_id) AS r FROM s),
+         |rt20 AS (SELECT * FROM rt WHERE r <= 20),
+         |seeds AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS list_id,
+         |         embedding
+         |  FROM (SELECT * FROM embeddings WHERE vec_id >= 10
+         |        ORDER BY vec_id LIMIT 8)),
+         |assign AS (
+         |  SELECT e.vec_id, e.embedding,
+         |    (SELECT s2.list_id FROM seeds s2
+         |     ORDER BY (${dotSql("e", "s2")}) / sqrt(${dotSql("s2", "s2")}) DESC,
+         |              s2.list_id LIMIT 1) AS list_id
+         |  FROM embeddings e WHERE e.vec_id >= 10),
+         |pr AS (
+         |  SELECT q.vec_id AS probe_id, q.embedding, s2.list_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY (${dotSql("q", "s2")}) / sqrt(${dotSql("s2", "s2")}) DESC,
+         |               s2.list_id) AS r
+         |  FROM embeddings q, seeds s2 WHERE q.vec_id < 10),
+         |dns AS (
+         |  SELECT p.probe_id, a.vec_id AS doc_id, ${cosSql("p", "a")} AS cos
+         |  FROM (SELECT probe_id, embedding, list_id FROM pr WHERE r <= 2) p
+         |  JOIN assign a USING (list_id)
+         |  WHERE a.vec_id <> p.probe_id),
+         |rd AS (SELECT probe_id, doc_id,
+         |  row_number() OVER (PARTITION BY probe_id
+         |                     ORDER BY cos DESC, doc_id) AS r FROM dns),
+         |rd20 AS (SELECT * FROM rd WHERE r <= 20),
+         |fuse AS (SELECT COALESCE(rt20.probe_id, rd20.probe_id) AS probe_id,
+         |  COALESCE(rt20.doc_id, rd20.doc_id) AS doc_id,
+         |  CAST(COALESCE(1000000//(60 + rt20.r), 0)
+         |     + COALESCE(1000000//(60 + rd20.r), 0) AS BIGINT) AS rrf
+         |  FROM rt20 FULL OUTER JOIN rd20
+         |    ON rt20.probe_id = rd20.probe_id AND rt20.doc_id = rd20.doc_id),
+         |rk2 AS (SELECT probe_id, doc_id, rrf,
+         |  row_number() OVER (PARTITION BY probe_id
+         |                     ORDER BY rrf DESC, doc_id) AS rank FROM fuse)
+         |SELECT probe_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf
+         |FROM rk2 WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
     "sim_topk_bruteforce" ->
       s"""WITH scored AS (
          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
