@@ -82,6 +82,13 @@ object IvfIndex {
   final case class PqConfig(m: Int = 8, ksub: Int = 32,
                             trainSampleFraction: Option[Double] = None)
 
+  /** √n list-count target shared by the drift-guard re-cluster and
+    * [[retrain]]: never below the configured floor, never above the
+    * row count. */
+  private def targetNList(cfgNList: Int, rows: Long): Int =
+    math.min(math.max(cfgNList.toLong,
+      math.ceil(math.sqrt(rows.toDouble)).toLong), math.max(1L, rows)).toInt
+
   private val FormatVersion = 1
 
   import VersionedLayout.{atomicWrite, commitLatest, fs, readSmall, versionDir}
@@ -400,17 +407,17 @@ object IvfIndex {
       // live rows only: the rewrite applies every tombstone physically
       // and the new manifest carries none
       val all = liveUnion(spark, dir, newSegs, tombs, id)
-        .select(col(id), col(vec))
-      // nList GROWS with the corpus at the one path that rewrites every
-      // row anyway: ∝ √n keeps per-list candidate counts — and probe
-      // cost — at O(√n) instead of O(n) under a fixed list count
-      // (`total` is the manifest count, an upper bound under masking —
-      // a slightly early growth step, never a late one). Never shrinks
-      // below cfg.nList, never exceeds the row count.
-      val nList2 = math.min(math.max(cfg.nList.toLong,
-        math.ceil(math.sqrt(total.toDouble)).toLong), math.max(1L, total)).toInt
+        .select(col(id), col(vec)).persist()
+      // the LIVE count, not the manifest's masked upper bound — a CDC
+      // batch that deletes every remaining id must fail loudly here
+      // instead of committing an empty centroids file that bricks
+      // every subsequent read
+      val liveN = all.count()
+      require(liveN > 0,
+        s"re-cluster would leave $dir empty (every row tombstoned) — " +
+          "an empty index has no probe semantics; rebuild instead")
       val cents2 = Similarity.trainCentroids(all, id, vec, cfg.dim,
-        nList2, cfg.iters)
+        targetNList(cfg.nList, liveN), cfg.iters)
       // the one path that rewrites EVERY row also retrains the PQ
       // codebooks — quantization error tracks the drifted distribution
       // at no extra write cost (frozen everywhere else: kept segments
@@ -421,6 +428,7 @@ object IvfIndex {
       val comp = f"r${v + 1}%05d"
       val counts2 = writeSegment(all, id, vec, cents2, cfg, segPath(dir, comp),
         books2)
+      all.unpersist(blocking = false)
       writeManifest(spark, dir, v + 1, cents2, Seq(comp), counts2)
       books2.foreach(writeBooks(spark, dir, v + 1, _))
     } else if (newSegs.length > cfg.maxSegments) {
@@ -494,6 +502,16 @@ object IvfIndex {
    */
   def retrain(spark: SparkSession, dir: String, cfg: Config): Int = {
     val v = latestVersion(spark, dir)
+    // same identity checks as appendImpl: a mismatched cfg must fail
+    // loudly, not silently re-dimension the index or strip/invent its
+    // PQ layer
+    val cents0 = readCentroids(spark, dir, v)
+    require(cents0.headOption.exists(_.length == cfg.dim),
+      s"index at $dir has dim ${cents0.headOption.map(_.length)}, " +
+        s"cfg has ${cfg.dim}")
+    require(readBooks(spark, dir, v).isDefined == cfg.pq.isDefined,
+      s"index at $dir ${if (readBooks(spark, dir, v).isDefined) "has"
+        else "lacks"} a PQ layer but cfg.pq is ${cfg.pq}")
     val segs = readSegments(spark, dir, v)
     require(segs.nonEmpty, s"nothing to retrain at $dir")
     val schema = spark.read.parquet(segPath(dir, segs.head)).schema
@@ -505,10 +523,8 @@ object IvfIndex {
     require(total > 0,
       s"retrain would leave $dir empty (every row tombstoned) — " +
         "an empty index has no probe semantics; rebuild instead")
-    val nList2 = math.min(math.max(cfg.nList.toLong,
-      math.ceil(math.sqrt(total.toDouble)).toLong), total).toInt
     val cents2 = Similarity.trainCentroids(all, idCol, vecCol, cfg.dim,
-      nList2, cfg.iters)
+      targetNList(cfg.nList, total), cfg.iters)
     val books2 = cfg.pq.map(p =>
       Pq.trainBooks(all, idCol, vecCol, cfg.dim, p.m, p.ksub, cfg.iters,
         p.trainSampleFraction))

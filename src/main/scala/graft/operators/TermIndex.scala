@@ -153,7 +153,16 @@ object TermIndex {
   private def requireTerms(spark: SparkSession, dir: String,
                            cfg: Config): Unit = {
     val f = fs(spark, dir)
-    val tag = readSmall(f, new Path(dir, "TERMS"))
+    val lines = readSmall(f, new Path(dir, "TERMS")).split("\n")
+    val tag = lines.head
+    // line 2 (when present) is the bucket count — part of the index
+    // identity like the terms tag: probing with a different modulus
+    // reads the wrong bkt= partitions and silently drops candidates
+    lines.lift(1).map(_.trim.toInt).foreach(b =>
+      require(b == cfg.buckets,
+        s"TermIndex at $dir was built with buckets=$b; this call uses " +
+          s"buckets=${cfg.buckets} — probe pruning would read the wrong " +
+          "partitions"))
     require(tag == cfg.termsTag,
       s"TermIndex at $dir was built with terms '$tag'; this call uses " +
         s"'${cfg.termsTag}' — scores would be silently wrong")
@@ -255,7 +264,7 @@ object TermIndex {
     val (nd, nt) = writeSegment(spark, corpus, id, text, cfg, terms,
       segPath(dir, seg))
     writeManifest(spark, dir, 1, Seq((seg, nd, nt)))
-    writeMarker(spark, dir, "TERMS", cfg.termsTag)
+    writeMarker(spark, dir, "TERMS", s"${cfg.termsTag}\n${cfg.buckets}")
     commitLatest(spark, dir, 1, FormatVersion)
     1
   }
@@ -774,16 +783,40 @@ object TermIndex {
         .select(col("probe_id"), col("score"))
         .collect()
         .map(r => r.get(0) -> r.getLong(1)).toMap
-      val (okF, failF) = ntRows.partition(r =>
+      val (okF, failF0) = ntRows.partition(r =>
         kth.get(r.get(0)).exists(_ >= 1L))
-      lastMaxScoreDecision = (okF.length.toLong, failF.length.toLong)
+      // a probe that missed θ₂ but had NOTHING elided (every term
+      // present with idf ≥ 1) is exact anyway — exempt it from the
+      // classic fallback. The (probe-sized) nzero round and the
+      // idfDist localization run only when some probe actually
+      // failed, so the common all-pass case keeps the single-job
+      // plan; with tombstones outstanding the localization also keeps
+      // the fallback from re-running the masked stats aggregate.
+      val (failF, exempt, idfStats) =
+        if (failF0.isEmpty)
+          (failF0, Array.empty[Row], idfDist)
+        else {
+          val loc = spark.createDataFrame(
+            java.util.Arrays.asList(idfDist.collect(): _*), idfDist.schema)
+          val nz = restrict(failF0.toSeq)
+            .join(broadcast(loc), Seq("tok"), "left_outer")
+            .groupBy("probe_id")
+            .agg(count(when(coalesce(col("idf_q"), lit(0L)) < 1, 1))
+              .as("nzero"))
+            .collect()
+            .map(r => r.get(0) -> r.getLong(1)).toMap
+          val (ex, fl) = failF0.partition(r => nz.get(r.get(0)).contains(0L))
+          (fl, ex, loc)
+        }
+      lastMaxScoreDecision =
+        ((okF.length + exempt.length).toLong, failF.length.toLong)
       val fastOut =
         if (failF.isEmpty) ranked
         else ranked.join(broadcast(idFrame(failF.toSeq)),
           Seq("probe_id"), "left_anti")
       val fbOut =
         if (failF.isEmpty) None
-        else Some(classicFor(failF.toSeq, idfDist))
+        else Some(classicFor(failF.toSeq, idfStats))
       return (Seq(fastOut) ++ fbOut.toSeq).reduce(_.unionByName(_))
     }
 
