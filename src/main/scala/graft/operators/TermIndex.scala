@@ -762,62 +762,77 @@ object TermIndex {
         .withColumn("tt", lit(tt)), k)
     val longRows = ntRows.filter(_.getLong(1) > MaxScoreT1MaxTerms)
 
-    // ---- FAST TIER-2 whenever any document-shaped probe (> tier-1
-    // term cap) is present: ONE classic-shaped job for ALL probes (the
-    // idf frame joins in as a lazy broadcast subquery, positive-idf
-    // postings only); the θ₂ values are read off the small RANKED
-    // output — a test valid for ANY probe shape; probes whose k-th
-    // positive score misses θ₂ ≥ 1 (rare: fewer than k scoring
-    // candidates) re-run classic below. Short probes ride along in
-    // the same job: once the big scoring pass runs anyway, the stats
-    // rounds tier 1 would need cost more driver latency than its
-    // bound could save them. Job count == the unpruned plan, minus
-    // the elided postings.
-    if (longRows.nonEmpty) {
-      val ranked = topKof(
-          scoredOver(tfUnion(bkts), probeTerms,
-            idfDist.filter(col("idf_q") >= 1))
+    // ---- the SHARED elided-scoring tier (tier 2): ONE positive-idf
+    // scoring pass over `buckets`, θ₂ read off the small RANKED output
+    // (probes×k rows — no corpus-sized checkpoint, no double rank), a
+    // θ₂ ≥ 1 test on each probe's k-th positive score, and the
+    // nothing-elided exemption: a probe whose every term scored with
+    // idf ≥ 1 has the classic candidate set already, so its ranking is
+    // unconditionally exact even below θ₂. `nzeroFor` supplies those
+    // elided-term counts and runs ONLY for θ₂-failing probes — the
+    // common all-pass case costs no extra driver round. Returns
+    // (emitted frame for passing probes, passing rows, rows needing
+    // the classic fallback). Both the fast path and the stats path
+    // call this; when the two copies were inlined they drifted (one
+    // gained the exemption, the other lost it).
+    def elidedTier2(probeRows: Seq[Row], probeFrame: DataFrame,
+                    buckets: Seq[Int], stats: DataFrame,
+                    nzeroFor: Seq[Row] => Map[Any, Long])
+        : (Option[DataFrame], Seq[Row], Seq[Row]) = {
+      val ranked = topKof(scoredOver(tfUnion(buckets), probeFrame, stats)
           .groupBy("probe_id", "doc_id").agg(sum("s").as("ps")), "ps")
         .localCheckpoint()
       val kth = ranked.filter(col("rank") === k)
         .select(col("probe_id"), col("score"))
         .collect()
         .map(r => r.get(0) -> r.getLong(1)).toMap
-      val (okF, failF0) = ntRows.partition(r =>
+      val (pass0, fail0) = probeRows.partition(r =>
         kth.get(r.get(0)).exists(_ >= 1L))
-      // a probe that missed θ₂ but had NOTHING elided (every term
-      // present with idf ≥ 1) is exact anyway — exempt it from the
-      // classic fallback. The (probe-sized) nzero round and the
-      // idfDist localization run only when some probe actually
-      // failed, so the common all-pass case keeps the single-job
-      // plan; with tombstones outstanding the localization also keeps
-      // the fallback from re-running the masked stats aggregate.
-      val (failF, exempt, idfStats) =
-        if (failF0.isEmpty)
-          (failF0, Array.empty[Row], idfDist)
+      val (exempt, fail) =
+        if (fail0.isEmpty) (fail0, fail0)
         else {
+          val nz = nzeroFor(fail0)
+          fail0.partition(r => nz.get(r.get(0)).contains(0L))
+        }
+      val ok = pass0 ++ exempt
+      val out =
+        if (ok.isEmpty) None
+        else if (fail.isEmpty) Some(ranked)
+        else Some(ranked.join(broadcast(idFrame(fail)),
+          Seq("probe_id"), "left_anti"))
+      (out, ok, fail)
+    }
+
+    // ---- FAST PATH whenever any document-shaped probe (> tier-1
+    // term cap) is present: tier 2 over ALL probes in one
+    // classic-shaped job (the idf frame joins in as a lazy broadcast
+    // subquery). Short probes ride along: once the big scoring pass
+    // runs anyway, the stats rounds tier 1 would need cost more
+    // driver latency than its bound could save them. Job count == the
+    // unpruned plan, minus the elided postings. On a θ₂ failure the
+    // stats localize once — the nzero round and the classic fallback
+    // share the collected relation, so with tombstones outstanding
+    // the masked stats aggregate never re-executes.
+    if (longRows.nonEmpty) {
+      var fbStats = idfDist
+      val (out, ok, fail) = elidedTier2(ntRows.toSeq, probeTerms, bkts,
+        idfDist.filter(col("idf_q") >= 1),
+        fail0 => {
           val loc = spark.createDataFrame(
             java.util.Arrays.asList(idfDist.collect(): _*), idfDist.schema)
-          val nz = restrict(failF0.toSeq)
+          fbStats = loc
+          restrict(fail0)
             .join(broadcast(loc), Seq("tok"), "left_outer")
             .groupBy("probe_id")
             .agg(count(when(coalesce(col("idf_q"), lit(0L)) < 1, 1))
               .as("nzero"))
             .collect()
             .map(r => r.get(0) -> r.getLong(1)).toMap
-          val (ex, fl) = failF0.partition(r => nz.get(r.get(0)).contains(0L))
-          (fl, ex, loc)
-        }
-      lastMaxScoreDecision =
-        ((okF.length + exempt.length).toLong, failF.length.toLong)
-      val fastOut =
-        if (failF.isEmpty) ranked
-        else ranked.join(broadcast(idFrame(failF.toSeq)),
-          Seq("probe_id"), "left_anti")
+        })
+      lastMaxScoreDecision = (ok.length.toLong, fail.length.toLong)
       val fbOut =
-        if (failF.isEmpty) None
-        else Some(classicFor(failF.toSeq, idfStats))
-      return (Seq(fastOut) ++ fbOut.toSeq).reduce(_.unionByName(_))
+        if (fail.isEmpty) None else Some(classicFor(fail, fbStats))
+      return (out.toSeq ++ fbOut.toSeq).reduce(_.unionByName(_))
     }
 
     // ---- STATS PATH: every probe is search-query-shaped — collect
@@ -907,39 +922,20 @@ object TermIndex {
       }
     }
 
-    // ---- tier 2: stopword-elided full scoring for the rest
+    // ---- tier 2: stopword-elided full scoring for the rest — the
+    // shared tier with the elided-term counts already on the perProbe
+    // rows (column `nzero`), so the exemption costs nothing here
     val t2Rows = t2Init.toSeq ++ t1Failed
     var t2Out: Option[DataFrame] = None
     var nOk2 = 0L
     var t2Failed: Seq[Row] = Seq.empty
     if (t2Rows.nonEmpty) {
-      // ONE pass over the (large) positive-postings mass: score → rank.
-      // The θ₂ soundness data is read off the RANKED output (probes×k
-      // rows) instead of a separate ranking of the unranked frame — no
-      // corpus-sized checkpoint, no double rank. The small ranked
-      // frame is lineage-truncated so the kth-score collect and the
-      // emitted rows never re-run the scoring job.
-      val pt2 = restrict(t2Rows)
-      val ranked = topKof(scoredOver(tfUnion(bktsPos), pt2, posStats)
-          .groupBy("probe_id", "doc_id").agg(sum("s").as("ps")), "ps")
-        .localCheckpoint()
-      val kth = ranked.filter(col("rank") === k)
-        .select(col("probe_id"), col("score"))
-        .collect()
-        .map(r => r.get(0) -> r.getLong(1)).toMap
-      // a probe is exact if nothing was elided for it (nzero == 0 —
-      // every term present with idf ≥ 1, so its tier-2 candidate set
-      // IS the classic candidate set; bigram-vocabulary workloads land
-      // here wholesale) or its k-th positive score clears θ₂ ≥ 1
-      val (ok2, fail2) = t2Rows.partition(r =>
-        r.getLong(4) == 0L || kth.get(r.get(0)).exists(_ >= 1L))
-      t2Failed = fail2
+      val nz = t2Rows.map(r => r.get(0) -> r.getLong(4)).toMap
+      val (out, ok2, fail2) =
+        elidedTier2(t2Rows, restrict(t2Rows), bktsPos, posStats, _ => nz)
+      t2Out = out
       nOk2 = ok2.length.toLong
-      if (ok2.nonEmpty)
-        t2Out = Some(
-          if (fail2.isEmpty) ranked
-          else ranked.join(broadcast(idFrame(ok2)), Seq("probe_id"),
-            "left_semi"))
+      t2Failed = fail2
     }
 
     lastMaxScoreDecision = (nOk1 + nOk2, t2Failed.length.toLong)

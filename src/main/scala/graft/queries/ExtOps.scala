@@ -312,6 +312,17 @@ object ExtOps {
         Tables.load(spark, dir, "documents"),
         Seq("doc_id", "text", "lang", "source", "n_chars"))
         .orderBy("col_name")
+    },
+
+    // Deterministic HLL distinct — unlike q_approx_distinct (stock
+    // sketch, engine-private hash, rows-only), this one replays the
+    // ENTIRE sketch + estimator in the DuckDB oracle bit-for-bit:
+    // md5 registers, integer harmonic sum, linear-counting branch.
+    "q_hll_distinct" -> { (spark, dir) =>
+      graft.operators.Hll.approxDistinct(
+        Tables.load(spark, dir, "lineitem"),
+        Seq("l_returnflag"), col("l_partkey"))
+        .orderBy("l_returnflag")
     }
   )
 
@@ -502,6 +513,9 @@ object ExtOps {
            |FROM documents""".stripMargin
       Seq("doc_id", "text", "lang", "source", "n_chars").map(one)
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
-    }
+    },
+    "q_hll_distinct" ->
+      (graft.operators.Hll.oracleSql("lineitem", Seq("l_returnflag"),
+        "l_partkey") + "ORDER BY l_returnflag")
   )
 }

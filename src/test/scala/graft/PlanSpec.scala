@@ -268,6 +268,38 @@ class PlanSpec extends AnyFunSuite {
     assert(rogue.isEmpty, rogue.mkString("\n"))
   }
 
+  test("deterministic HLL: error bound, exact-integer register state, " +
+    "ln series precision, partial+final aggregation") {
+    import graft.operators.Hll
+    val exact = SparkEntry.queries("q_count_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val df = SparkEntry.queries("q_hll_distinct")(spark, sf)
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).toSet == exact.keySet)
+    rows.foreach { r =>
+      val (k, est) = (r.getString(0), r.getDouble(3))
+      val n = exact(k)
+      // b=12 -> rsd ~1.6%; allow 3 sigma
+      assert(math.abs(est - n) / n < 0.05, s"$k: hll $est vs exact $n")
+      // register-state invariant: ssum = zeros*2^40 + per-bucket terms,
+      // bounded by m*2^40
+      assert(r.getLong(2) >= (r.getLong(1) << 40) &&
+        r.getLong(2) <= (4096L << 40), r.toString)
+    }
+    // the deterministic ln replays math.log to series precision over
+    // the whole operand domain (zeros in [1, m])
+    val lnRows = spark.range(1, 4097)
+      .select(col("id"), Hll.lnOfPosInt(col("id")).as("lnv")).collect()
+    lnRows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - math.log(r.getLong(0))) < 1e-6,
+        s"ln(${r.getLong(0)})")
+    }
+    // two-level aggregate: both groupBys partial+final, no extra joins
+    val p = plan(df)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("approx_count_distinct stays within 5% of exact (HLL default rsd)") {
     val exact = SparkEntry.queries("q_count_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
