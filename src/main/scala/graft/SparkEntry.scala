@@ -54,5 +54,8 @@ object SparkEntry {
     // round 9: the steady-state RAG first stage — TermIndex + IvfIndex
     // probes fused by RRF; min-of-3 times the index-probe fusion,
     // builds amortize on run 1 (31 queries)
-    "q_hybrid_rrf_idx")
+    "q_hybrid_rrf_idx",
+    // round 9 cont.: deterministic HLL — the sketch-family scan+agg
+    // shape (32 queries)
+    "q_hll_distinct")
 }

@@ -323,6 +323,20 @@ object ExtOps {
         Tables.load(spark, dir, "lineitem"),
         Seq("l_returnflag"), col("l_partkey"))
         .orderBy("l_returnflag")
+    },
+
+    // Count-min point estimates, same cross-engine-exact discipline:
+    // sketch lineitem part references, probe a deterministic 5% slice
+    // of the part keys (absent keys exercise the zero/collision path).
+    "q_cms_counts" -> { (spark, dir) =>
+      val sketch = graft.operators.Cms.build(
+        Tables.load(spark, dir, "lineitem"), col("l_partkey"))
+      val probes = Tables.load(spark, dir, "part")
+        .filter(graft.operators.Sampling.hashBucket(col("p_partkey")) <
+          lit(214748364L))
+        .select(col("p_partkey").as("pk"))
+      graft.operators.Cms.pointEstimates(sketch, probes, "pk")
+        .orderBy("pk")
     }
   )
 
@@ -516,6 +530,11 @@ object ExtOps {
     },
     "q_hll_distinct" ->
       (graft.operators.Hll.oracleSql("lineitem", Seq("l_returnflag"),
-        "l_partkey") + "ORDER BY l_returnflag")
+        "l_partkey") + "ORDER BY l_returnflag"),
+    "q_cms_counts" ->
+      (graft.operators.Cms.oracleSql("lineitem", "l_partkey",
+        "SELECT p_partkey AS pk FROM part WHERE ('0x' || " +
+          "substr(md5(CAST(p_partkey AS VARCHAR)),1,8))::BIGINT " +
+          "< 214748364") + "ORDER BY pk")
   )
 }

@@ -300,6 +300,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("count-min sketch: never underestimates, CMS error bound holds, " +
+    "sketch broadcasts into the probe join") {
+    import graft.operators.Cms
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val sketch = Cms.build(li, col("l_partkey"))
+    // the sketch is bounded by d*w cells regardless of input size
+    assert(sketch.count() <= 4L * 8192L)
+    val truth = li.groupBy(col("l_partkey").as("pk")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probes = spark.createDataFrame(
+      (truth.keys.toSeq.sorted ++ Seq(-1L, -2L)) // absent keys too
+        .map(Tuple1(_))).toDF("pk")
+    val est = SparkEntry.queries("q_cms_counts")(spark, sf)
+    val estAll = Cms.pointEstimates(sketch, probes, "pk")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = truth.values.sum
+    estAll.foreach { case (pk, e) =>
+      val t = truth.getOrElse(pk, 0L)
+      assert(e >= t, s"CMS underestimated key $pk: $e < $t")
+      // standard bound: overshoot beyond 2n/w for all 4 rows at once
+      // has probability 2^-4 per key — at these sizes it must not
+      // happen across the whole probe set
+      assert(e - t <= 2 * n / 8192 + 1, s"key $pk overshoot ${e - t}")
+    }
+    // probing is a broadcast join on the <=32k-cell sketch
+    val p = plan(est)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("approx_count_distinct stays within 5% of exact (HLL default rsd)") {
     val exact = SparkEntry.queries("q_count_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
