@@ -123,6 +123,88 @@ object Hll {
       est.as(out)): _*)
   }
 
+  /** Scalar twin of [[lnOfPosInt]] — the SAME operation sequence in
+    * JVM doubles, so [[HllAggregator]] and the column path agree
+    * bit-for-bit. */
+  private[graft] def lnOfPosIntScalar(n: Long): Double = {
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    val f = n.toDouble / (1L << e).toDouble
+    val z = (f - 1.0) / (f + 1.0)
+    val z2 = z * z
+    val lnf = 2.0 * z * (1.0 + z2 *
+      (1.0 / 3.0 + z2 * (1.0 / 5.0 + z2 *
+        (1.0 / 7.0 + z2 * (1.0 / 9.0 + z2 / 11.0)))))
+    e.toDouble * Ln2 + lnf
+  }
+
+  /** Estimate from a register array — the same estimator expression
+    * sequence as [[approxDistinct]]'s column form. */
+  private[graft] def estimateOf(regs: Array[Byte], b: Int): Double = {
+    val m = 1 << b
+    var zeros = 0
+    var s = 0L
+    var i = 0
+    while (i < m) {
+      val r = regs(i)
+      if (r == 0) zeros += 1
+      s += 1L << (RegCap - r)
+      i += 1
+    }
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val num = alpha * m.toDouble * m.toDouble * (1L << RegCap).toDouble
+    val raw = num / s.toDouble
+    if (zeros > 0 && raw <= 2.5 * m)
+      m.toDouble * (b.toDouble * Ln2 - lnOfPosIntScalar(zeros.toLong))
+    else raw
+  }
+
+  /**
+   * The MERGEABLE form: register state as a typed `Aggregator` — ONE
+   * aggregation (so it is legal inside a Structured Streaming windowed
+   * agg, where the two-level groupBy form is not), same md5 bucketing
+   * / rho / cap / estimator as [[approxDistinct]], pinned bit-identical
+   * by spec. Buffer is the m-byte register array; merge is elementwise
+   * max, so partial aggregation and state-store merges commute — the
+   * mergeable-summaries property that makes HLL the per-shard/day
+   * sketch you keep at 100 TB.
+   *
+   * Input is the key's STRING form (match `key.cast("string")` of the
+   * column path).
+   */
+  final case class HllAggregator(b: Int = 12)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        String, Array[Byte], Double] {
+    require(b >= 4 && b <= 16 && b % 4 == 0)
+    def zero: Array[Byte] = new Array[Byte](1 << b)
+    def reduce(buf: Array[Byte], key: String): Array[Byte] = {
+      // hex-string route, matching the column path's md5()/substring
+      // nibble order by construction
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = new StringBuilder(32)
+      dig.foreach(x => hex.append(f"${x & 0xff}%02x"))
+      val bkt = Integer.parseInt(hex.substring(0, b / 4), 16)
+      val w = java.lang.Long.parseLong(hex.substring(b / 4, b / 4 + 15), 16)
+      val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(w)
+      val rho = math.min(61 - bitlen, RegCap)
+      if (rho > buf(bkt)) buf(bkt) = rho.toByte
+      buf
+    }
+    def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < x.length) {
+        if (y(i) > x(i)) x(i) = y(i)
+        i += 1
+      }
+      x
+    }
+    def finish(regs: Array[Byte]): Double = estimateOf(regs, b)
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+      org.apache.spark.sql.Encoders.scalaDouble
+  }
+
   /** The DuckDB replay of [[approxDistinct]] — same tree, same
     * literals, op for op. `table`/`groupCols`/`keyExpr` are spliced
     * into a CTE chain; kept here so query and oracle evolve together. */

@@ -168,6 +168,21 @@ object ExtOps {
         .orderBy("l_returnflag")
     },
 
+    // Approximate percentiles — the 100 TB twin of q_percentiles: the
+    // exact `percentile` agg buffers every group value, this one keeps
+    // a bounded mergeable sketch (rank error <= n/accuracy). Sketch is
+    // engine-private and order-dependent -> rows-only; value error vs
+    // the exact form asserted in PlanSpec.
+    "q_approx_quantiles" -> { (spark, dir) =>
+      Tables.load(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5),
+            lit(10000)).as("p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.9),
+            lit(10000)).as("p90"))
+        .orderBy("l_returnflag")
+    },
+
     // Skew-salted two-phase aggregation — same result as a direct
     // groupBy, robust to hot keys at scale.
     "op_salted_agg" -> { (spark, dir) =>

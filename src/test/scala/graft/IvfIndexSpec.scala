@@ -246,6 +246,32 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(got == want, "retrained-layout probe != independent top-k")
   }
 
+  test("retrain rejects a mismatched Config: wrong dim, stripped or invented PQ layer") {
+    val dir = tmp("ivf_retrain_guard")
+    val cfg = IvfIndex.Config(dim = Dim, nList = 4, iters = 1)
+    IvfIndex.build(spark, emb, "vec_id", "embedding", dir, cfg)
+    val wrongDim = intercept[IllegalArgumentException] {
+      IvfIndex.retrain(spark, dir, cfg.copy(dim = Dim + 1))
+    }
+    assert(wrongDim.getMessage.contains("dim"))
+    val inventPq = intercept[IllegalArgumentException] {
+      IvfIndex.retrain(spark, dir,
+        cfg.copy(pq = Some(IvfIndex.PqConfig(m = 4, ksub = 8))))
+    }
+    assert(inventPq.getMessage.contains("PQ layer"))
+    // and the inverse: a PQ index must not silently lose its books
+    val pqDir = tmp("ivf_retrain_guard_pq")
+    val pqCfg = cfg.copy(pq = Some(IvfIndex.PqConfig(m = 4, ksub = 8)))
+    IvfIndex.build(spark, emb, "vec_id", "embedding", pqDir, pqCfg)
+    val stripPq = intercept[IllegalArgumentException] {
+      IvfIndex.retrain(spark, pqDir, cfg)
+    }
+    assert(stripPq.getMessage.contains("PQ layer"))
+    // a MATCHING cfg still retrains fine after the failed attempts
+    val v = IvfIndex.retrain(spark, dir, cfg)
+    assert(IvfIndex.readCentroids(spark, dir, v).nonEmpty)
+  }
+
   test("size-triggered compaction: tiered, segment count bounded, content and probes exact") {
     val dir = tmp("ivf_compact")
     val cap = cfg.copy(maxSegments = 3)

@@ -300,6 +300,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("approx percentiles track the exact form at accuracy 10000") {
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = m(SparkEntry.queries("q_percentiles")(spark, sf)
+      .select("l_returnflag", "p50", "p90"))
+    val approx = m(SparkEntry.queries("q_approx_quantiles")(spark, sf))
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (p50, p90)) =>
+      val (a50, a90) = approx(k)
+      assert(math.abs(a50 - p50) / p50 < 0.01, s"$k p50: $a50 vs $p50")
+      assert(math.abs(a90 - p90) / p90 < 0.01, s"$k p90: $a90 vs $p90")
+    }
+  }
+
+  test("HllAggregator (mergeable form) matches the column path " +
+    "BIT-FOR-BIT and is repartition-stable") {
+    import graft.operators.Hll
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val colPath = SparkEntry.queries("q_hll_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val hllU = udaf(Hll.HllAggregator(12))
+    def viaAgg(parts: Int) = li.repartition(parts)
+      .select(col("l_returnflag"),
+        col("l_partkey").cast("string").as("k"))
+      .groupBy("l_returnflag").agg(hllU(col("k")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val a1 = viaAgg(1)
+    assert(a1 == colPath,
+      s"aggregator and column estimates must be IDENTICAL doubles: " +
+        s"$a1 vs $colPath")
+    assert(viaAgg(7) == a1, "merge must be partitioning-independent")
+  }
+
   test("count-min sketch: never underestimates, CMS error bound holds, " +
     "sketch broadcasts into the probe join") {
     import graft.operators.Cms

@@ -456,4 +456,40 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
     assert(got(2L) == want2, "batch 2 emission is not version-pinned")
   }
+
+  test("streaming HLL distinct (mergeable aggregator) == batch estimate, " +
+    "updated across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Hll
+    val rows = Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("user_id").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val (b1, b2) = rows.partition(_._2.hashCode % 2 == 0)
+    val hllU = udaf(Hll.HllAggregator(12))
+    val source =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val q = source.toDF().toDF("event_type", "k")
+      .groupBy("event_type").agg(hllU(col("k")).as("est"))
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    def state(): Map[String, Double] =
+      spark.table("hll_stream").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def batchOver(data: Seq[(String, String)]): Map[String, Double] =
+      spark.createDataFrame(data).toDF("event_type", "k")
+        .groupBy("event_type").agg(hllU(col("k")).as("est"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    source.addData(b1.toSeq)
+    q.processAllAvailable()
+    // mid-stream state == a batch over the data so far (the register
+    // state in the store merges exactly like partial aggregation)
+    assert(state() == batchOver(b1.toSeq))
+    source.addData(b2.toSeq)
+    q.processAllAvailable()
+    val fin = state()
+    q.stop()
+    assert(fin == batchOver(rows.toSeq),
+      "streaming estimate after all batches must equal the batch run")
+  }
 }

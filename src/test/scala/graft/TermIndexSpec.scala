@@ -361,6 +361,13 @@ class TermIndexSpec extends AnyFunSuite {
       TermIndex.topK(spark, dir, d, "doc_id", "text", 3,
         cfg.copy(termsTag = "bigram"), Terms.bigramTerms)
     }
+    // probing with a different bucket modulus must throw — the bkt=
+    // pruning would silently read the wrong partitions
+    val bktErr = intercept[IllegalArgumentException] {
+      TermIndex.topK(spark, dir, d, "doc_id", "text", 3,
+        cfg.copy(buckets = 32))
+    }
+    assert(bktErr.getMessage.contains("buckets"))
     // torn append: segment written but LATEST never flipped — simulate
     // by writing the stranded segment dir directly
     val f = org.apache.hadoop.fs.FileSystem.getLocal(
