@@ -340,6 +340,28 @@ object ExtOps {
         .orderBy("l_returnflag")
     },
 
+    // Snapshot-overlap at sketch cost: |A|, |B|, |A∪B| from three HLL
+    // register sets built in ONE pass over the tagged union (each row
+    // feeds its own tag and 'u'), |A∩B| by inclusion-exclusion — the
+    // corpus-drift summary you run daily at 100 TB where the exact
+    // intersect join is a full shuffle. Deterministic HLL throughout,
+    // so ALL FOUR estimates are oracle-exact.
+    "q_hll_overlap" -> { (spark, dir) =>
+      val d = Tables.load(spark, dir, "documents")
+      val tagged = d.filter(col("doc_id") % 10 < 8)
+        .select(col("doc_id"), lit("a").as("t"))
+        .unionByName(d.filter(col("doc_id") % 10 >= 2)
+          .select(col("doc_id"), lit("b").as("t")))
+      val pre = tagged.select(col("doc_id"),
+        explode(array(col("t"), lit("u"))).as("g"))
+      graft.operators.Hll.approxDistinct(pre, Seq("g"), col("doc_id"))
+        .groupBy(lit(1).as("one")).pivot("g", Seq("a", "b", "u"))
+        .agg(first(col("approx_distinct")))
+        .select(col("a").as("est_a"), col("b").as("est_b"),
+          col("u").as("est_u"),
+          ((col("a") + col("b")) - col("u")).as("est_intersect"))
+    },
+
     // Count-min point estimates, same cross-engine-exact discipline:
     // sketch lineitem part references, probe a deterministic 5% slice
     // of the part keys (absent keys exercise the zero/collision path).
@@ -550,6 +572,23 @@ object ExtOps {
       (graft.operators.Cms.oracleSql("lineitem", "l_partkey",
         "SELECT p_partkey AS pk FROM part WHERE ('0x' || " +
           "substr(md5(CAST(p_partkey AS VARCHAR)),1,8))::BIGINT " +
-          "< 214748364") + "ORDER BY pk")
+          "< 214748364") + "ORDER BY pk"),
+    "q_hll_overlap" -> {
+      val src =
+        """(SELECT doc_id, 'a' AS g FROM documents WHERE doc_id % 10 < 8
+          | UNION ALL SELECT doc_id, 'b' FROM documents WHERE doc_id % 10 >= 2
+          | UNION ALL SELECT doc_id, 'u' FROM documents WHERE doc_id % 10 < 8
+          | UNION ALL SELECT doc_id, 'u' FROM documents WHERE doc_id % 10 >= 2
+          |) hll_src""".stripMargin
+      val inner = graft.operators.Hll.oracleSql(src, Seq("g"), "doc_id")
+      s"""SELECT
+         |  max(CASE WHEN g='a' THEN approx_distinct END) AS est_a,
+         |  max(CASE WHEN g='b' THEN approx_distinct END) AS est_b,
+         |  max(CASE WHEN g='u' THEN approx_distinct END) AS est_u,
+         |  (max(CASE WHEN g='a' THEN approx_distinct END) +
+         |   max(CASE WHEN g='b' THEN approx_distinct END)) -
+         |   max(CASE WHEN g='u' THEN approx_distinct END) AS est_intersect
+         |FROM ($inner) hll_base""".stripMargin
+    }
   )
 }

@@ -44,6 +44,28 @@ object Streams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Windowed DISTINCT-count rollup via the mergeable deterministic
+    * HLL ([[graft.operators.Hll.HllAggregator]]): per-window state is
+    * the m-byte register array, NOT the key set — `count(DISTINCT)`
+    * is illegal in streaming and an exact-dedup pre-stage would hold
+    * every key in the state store for the watermark horizon. The
+    * single-aggregation form is what makes this streaming-legal, and
+    * its estimates are BIT-IDENTICAL to the batch column path
+    * (PlanSpec), so a daily batch recount agrees with the live stream
+    * to the last ulp. */
+  def windowedDistinct(events: DataFrame, keyCol: String,
+                       window_ : String = "1 hour",
+                       watermark: String = "2 hours",
+                       b: Int = 12): DataFrame = {
+    val hllU = udaf(graft.operators.Hll.HllAggregator(b))
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(hllU(col(keyCol).cast("string")).as("approx_distinct"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("approx_distinct"))
+  }
+
   /**
    * Gap-based sessionization via the built-in session_window — one
    * declarative form that runs identically in batch and streaming

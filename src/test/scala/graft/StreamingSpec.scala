@@ -34,6 +34,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("windowedDistinct: streaming HLL rollup == batch HLL per window, " +
+    "bit-identical") {
+    val stream = Streams.windowedDistinct(
+      Streams.eventsStream(spark, sf), "user_id", "1 hour", "2 hours")
+    val got = Streams.runToMemory(spark, stream, "win_hll")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2))).toSet
+    val hllU = udaf(graft.operators.Hll.HllAggregator(12))
+    val batch = Tables.load(spark, sf, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("win_start"),
+        col("event_type"))
+      .agg(hllU(col("user_id").cast("string")).as("approx_distinct"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == batch,
+      "window estimates must be identical doubles stream vs batch")
+    assert(got.nonEmpty)
+  }
+
   test("streaming dedup keeps exactly the batch-distinct key set") {
     val stream = Streams.dedupStream(
       Streams.eventsStream(spark, sf), Seq("event_type"), "ts", "10 minutes")
