@@ -30,37 +30,41 @@ import org.apache.spark.sql.functions._
  */
 object Cms {
 
-  /** Per-row bucket of `key` under row-salt `r`: first 8 hex chars of
-    * md5("key#r") mod w — 32 bits of hash, engine-portable. */
-  private def bucketOf(key: Column, r: Column, w: Int): Column =
-    conv(substring(md5(concat(key.cast("string"), lit("#"),
-      r.cast("string")).cast("binary")), 1, 8), 16, 10)
-      .cast("long") % w
+  /** Per-row bucket of `key` under row-salt `r`: the shared
+    * engine-portable md5 hash ([[Sampling.hashBucket]], salted with
+    * "#r") mod w. */
+  private def bucketOf(key: Column, r: Int, w: Int): Column =
+    Sampling.hashBucket(key, s"#$r") % w
+
+  /** A built sketch: the cell frame PLUS the (d, w) it was built with —
+    * probing with mismatched parameters would silently break the
+    * est >= true guarantee, so the parameters travel with the cells. */
+  final case class Sketch(cells: DataFrame, d: Int, w: Int)
 
   /** The sketch: one row per non-empty (r, b) cell with its count.
     * d*w cells max — driver/broadcast sized by construction. */
   def build(df: DataFrame, key: Column, d: Int = 4, w: Int = 8192)
-      : DataFrame = {
+      : Sketch = {
     require(d >= 1 && d <= 8 && w >= 16,
       s"need 1<=d<=8 rows and w>=16 buckets, got d=$d w=$w")
-    df.select(posexplode(array((0 until d).map(r =>
-        bucketOf(key, lit(r), w)): _*)).as(Seq("r", "b")))
-      .groupBy("r", "b").agg(count(lit(1)).as("c"))
+    Sketch(df.select(posexplode(array((0 until d).map(r =>
+        bucketOf(key, r, w)): _*)).as(Seq("r", "b")))
+      .groupBy("r", "b").agg(count(lit(1)).as("c")), d, w)
   }
 
   /** Point estimates for `probes` (a one-column frame of keys, column
-    * `probeCol`): min over the d cells each key hashes to. The sketch
-    * broadcasts; zero cells (key row hashing to an empty bucket) read
-    * as 0 via the outer join — an absent key estimates 0 unless every
-    * one of its cells collides. */
-  def pointEstimates(sketch: DataFrame, probes: DataFrame,
-                     probeCol: String, d: Int = 4, w: Int = 8192,
+    * `probeCol`): min over the d cells each key hashes to, with the
+    * sketch's OWN (d, w). The sketch broadcasts; zero cells (key row
+    * hashing to an empty bucket) read as 0 via the outer join — an
+    * absent key estimates 0 unless every one of its cells collides. */
+  def pointEstimates(sketch: Sketch, probes: DataFrame,
+                     probeCol: String,
                      out: String = "cms_est"): DataFrame =
     probes
       .select(col(probeCol),
-        posexplode(array((0 until d).map(r =>
-          bucketOf(col(probeCol), lit(r), w)): _*)).as(Seq("r", "b")))
-      .join(broadcast(sketch), Seq("r", "b"), "left_outer")
+        posexplode(array((0 until sketch.d).map(r =>
+          bucketOf(col(probeCol), r, sketch.w)): _*)).as(Seq("r", "b")))
+      .join(broadcast(sketch.cells), Seq("r", "b"), "left_outer")
       .groupBy(probeCol)
       .agg(min(coalesce(col("c"), lit(0L))).as(out))
 

@@ -97,7 +97,12 @@ object Hll {
     val rho = least(lit(61) - length(ltrim(bin(w), "0")), lit(RegCap))
 
     val gc = groupCols.map(col)
+    // NULL keys are ignored like count(DISTINCT) ignores them (a group
+    // whose keys are all null yields no row) — same WHERE in the
+    // oracle and the same skip in HllAggregator, so all three faces
+    // stay bit-identical on null-bearing input
     val regs = df
+      .filter(key.isNotNull)
       .select(gc ++ Seq(bkt.as("hll_bkt"), rho.as("hll_rho")): _*)
       .groupBy(gc :+ col("hll_bkt"): _*)
       .agg(max("hll_rho").as("reg"))
@@ -176,15 +181,29 @@ object Hll {
         String, Array[Byte], Double] {
     require(b >= 4 && b <= 16 && b % 4 == 0)
     def zero: Array[Byte] = new Array[Byte](1 << b)
+    // per-task digest instance — getInstance is a JCA provider lookup,
+    // too expensive per row on the streaming hot path
+    @transient private lazy val md =
+      java.security.MessageDigest.getInstance("MD5")
     def reduce(buf: Array[Byte], key: String): Array[Byte] = {
-      // hex-string route, matching the column path's md5()/substring
-      // nibble order by construction
-      val dig = java.security.MessageDigest.getInstance("MD5")
-        .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val hex = new StringBuilder(32)
-      dig.foreach(x => hex.append(f"${x & 0xff}%02x"))
-      val bkt = Integer.parseInt(hex.substring(0, b / 4), 16)
-      val w = java.lang.Long.parseLong(hex.substring(b / 4, b / 4 + 15), 16)
+      if (key == null) return buf // NULLs ignored, like the column path
+      md.reset()
+      val dig = md.digest(
+        key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // nibble arithmetic over the digest bytes — identical to the
+      // column path's hex-string substrings by construction (hex char
+      // i IS nibble i of the digest, big-endian within each byte)
+      def nib(i: Int): Int = {
+        val x = dig(i >> 1) & 0xff
+        if ((i & 1) == 0) x >>> 4 else x & 0xf
+      }
+      val nb = b / 4
+      var bkt = 0
+      var i = 0
+      while (i < nb) { bkt = (bkt << 4) | nib(i); i += 1 }
+      var w = 0L
+      i = 0
+      while (i < 15) { w = (w << 4) | nib(nb + i); i += 1 }
       val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(w)
       val rho = math.min(61 - bitlen, RegCap)
       if (rho > buf(bkt)) buf(bkt) = rho.toByte
@@ -217,7 +236,7 @@ object Hll {
        |  SELECT $g,
        |    ('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, ${b / 4}))::BIGINT AS hll_bkt,
        |    least(61 - length(ltrim(bin(('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), ${b / 4 + 1}, 15))::BIGINT), '0')), $RegCap) AS hll_rho
-       |  FROM $table),
+       |  FROM $table WHERE $keyExpr IS NOT NULL),
        |hll_regs AS (
        |  SELECT $g, hll_bkt, max(hll_rho) AS reg
        |  FROM hll_pre GROUP BY ALL),

@@ -83,8 +83,9 @@ object IvfIndex {
                             trainSampleFraction: Option[Double] = None)
 
   /** √n list-count target shared by the drift-guard re-cluster and
-    * [[retrain]]: never below the configured floor, never above the
-    * row count. */
+    * [[retrain]]: max(cfg.nList, ceil(√rows)), clamped to the row
+    * count — the row-count clamp wins over the configured floor when
+    * rows < cfg.nList (an index cannot have more lists than rows). */
   private def targetNList(cfgNList: Int, rows: Long): Int =
     math.min(math.max(cfgNList.toLong,
       math.ceil(math.sqrt(rows.toDouble)).toLong), math.max(1L, rows)).toInt

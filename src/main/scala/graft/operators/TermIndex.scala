@@ -155,14 +155,20 @@ object TermIndex {
     val f = fs(spark, dir)
     val lines = readSmall(f, new Path(dir, "TERMS")).split("\n")
     val tag = lines.head
-    // line 2 (when present) is the bucket count — part of the index
-    // identity like the terms tag: probing with a different modulus
-    // reads the wrong bkt= partitions and silently drops candidates
-    lines.lift(1).map(_.trim.toInt).foreach(b =>
+    // line 2 (when present; markers written before round 9 have only
+    // the tag) is the bucket count — part of the index identity like
+    // the terms tag: probing with a different modulus reads the wrong
+    // bkt= partitions and silently drops candidates
+    lines.lift(1).filter(_.trim.nonEmpty).foreach { line =>
+      val b = line.trim.toIntOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"malformed TERMS marker at $dir: bucket line '$line' is not " +
+            "an integer"))
       require(b == cfg.buckets,
         s"TermIndex at $dir was built with buckets=$b; this call uses " +
           s"buckets=${cfg.buckets} — probe pruning would read the wrong " +
-          "partitions"))
+          "partitions")
+    }
     require(tag == cfg.termsTag,
       s"TermIndex at $dir was built with terms '$tag'; this call uses " +
         s"'${cfg.termsTag}' — scores would be silently wrong")
@@ -261,6 +267,8 @@ object TermIndex {
             text: String, dir: String, cfg: Config = Config(),
             terms: Column => Column = TF.tokens): Int = {
     val seg = "s00001"
+    require(!cfg.termsTag.contains("\n"),
+      s"termsTag must be single-line, got '${cfg.termsTag}'")
     val (nd, nt) = writeSegment(spark, corpus, id, text, cfg, terms,
       segPath(dir, seg))
     writeManifest(spark, dir, 1, Seq((seg, nd, nt)))
@@ -814,24 +822,25 @@ object TermIndex {
     // share the collected relation, so with tombstones outstanding
     // the masked stats aggregate never re-executes.
     if (longRows.nonEmpty) {
-      var fbStats = idfDist
+      // localized (collected) stats, forced only on the failure path —
+      // the nzero round and the classic fallback share the one
+      // collect, so with tombstones outstanding the masked stats
+      // aggregate never re-executes
+      lazy val locStats = spark.createDataFrame(
+        java.util.Arrays.asList(idfDist.collect(): _*), idfDist.schema)
       val (out, ok, fail) = elidedTier2(ntRows.toSeq, probeTerms, bkts,
         idfDist.filter(col("idf_q") >= 1),
-        fail0 => {
-          val loc = spark.createDataFrame(
-            java.util.Arrays.asList(idfDist.collect(): _*), idfDist.schema)
-          fbStats = loc
+        fail0 =>
           restrict(fail0)
-            .join(broadcast(loc), Seq("tok"), "left_outer")
+            .join(broadcast(locStats), Seq("tok"), "left_outer")
             .groupBy("probe_id")
             .agg(count(when(coalesce(col("idf_q"), lit(0L)) < 1, 1))
               .as("nzero"))
             .collect()
-            .map(r => r.get(0) -> r.getLong(1)).toMap
-        })
+            .map(r => r.get(0) -> r.getLong(1)).toMap)
       lastMaxScoreDecision = (ok.length.toLong, fail.length.toLong)
       val fbOut =
-        if (fail.isEmpty) None else Some(classicFor(fail, fbStats))
+        if (fail.isEmpty) None else Some(classicFor(fail, locStats))
       return (out.toSeq ++ fbOut.toSeq).reduce(_.unionByName(_))
     }
 

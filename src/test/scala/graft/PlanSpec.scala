@@ -331,6 +331,22 @@ class PlanSpec extends AnyFunSuite {
       s"aggregator and column estimates must be IDENTICAL doubles: " +
         s"$a1 vs $colPath")
     assert(viaAgg(7) == a1, "merge must be partitioning-independent")
+    // NULL keys are ignored by every face, like count(DISTINCT):
+    // nulling out half the keys must give the same estimates as
+    // filtering those rows, on both paths
+    val nulled = li.select(col("l_returnflag"),
+      when(col("l_linenumber") === 1, col("l_partkey"))
+        .cast("string").as("k"))
+    def m(df: org.apache.spark.sql.DataFrame, est: String) = df.collect()
+      .map(r => r.getString(0) -> r.getDouble(r.fieldIndex(est))).toMap
+    val colNulled = m(Hll.approxDistinct(nulled, Seq("l_returnflag"),
+      col("k")), "approx_distinct")
+    val colFiltered = m(Hll.approxDistinct(nulled.filter(col("k").isNotNull),
+      Seq("l_returnflag"), col("k")), "approx_distinct")
+    val aggNulled = m(nulled.groupBy("l_returnflag")
+      .agg(hllU(col("k")).as("est")), "est")
+    assert(colNulled == colFiltered, "nulls must not feed registers")
+    assert(aggNulled == colNulled, "aggregator must skip nulls identically")
   }
 
   test("count-min sketch: never underestimates, CMS error bound holds, " +
@@ -339,7 +355,7 @@ class PlanSpec extends AnyFunSuite {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val sketch = Cms.build(li, col("l_partkey"))
     // the sketch is bounded by d*w cells regardless of input size
-    assert(sketch.count() <= 4L * 8192L)
+    assert(sketch.cells.count() <= 4L * 8192L)
     val truth = li.groupBy(col("l_partkey").as("pk")).count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val probes = spark.createDataFrame(
