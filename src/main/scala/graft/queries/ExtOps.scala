@@ -340,6 +340,24 @@ object ExtOps {
         .orderBy("l_returnflag")
     },
 
+    // Approximate column profile — q_profile's n_distinct at sketch
+    // cost, in ONE pass: each row feeds a (col_name, value-as-string)
+    // pair per profiled column, one grouped HLL over the exploded
+    // frame. At 100 TB this replaces q_profile's multi-distinct
+    // Exchange (which keys the shuffle by every distinct value of
+    // every column) with m registers per column. Deterministic HLL ->
+    // fully oracle-exact, nulls ignored exactly like COUNT(DISTINCT).
+    "q_profile_hll" -> { (spark, dir) =>
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val pre = Tables.load(spark, dir, "documents")
+        .select(posexplode(array(cols.map(c =>
+          struct(lit(c).as("col_name"),
+            col(c).cast("string").as("k"))): _*)).as(Seq("p", "s")))
+        .select(col("s.col_name").as("col_name"), col("s.k").as("k"))
+      graft.operators.Hll.approxDistinct(pre, Seq("col_name"), col("k"))
+        .orderBy("col_name")
+    },
+
     // Snapshot-overlap at sketch cost: |A|, |B|, |A∪B| from three HLL
     // register sets built in ONE pass over the tagged union (each row
     // feeds its own tag and 'u'), |A∩B| by inclusion-exclusion — the
@@ -573,6 +591,14 @@ object ExtOps {
         "SELECT p_partkey AS pk FROM part WHERE ('0x' || " +
           "substr(md5(CAST(p_partkey AS VARCHAR)),1,8))::BIGINT " +
           "< 214748364") + "ORDER BY pk"),
+    "q_profile_hll" -> {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val src = cols.map(c =>
+          s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS k FROM documents")
+        .mkString("(", "\n UNION ALL ", ") hll_src")
+      graft.operators.Hll.oracleSql(src, Seq("col_name"), "k") +
+        "ORDER BY col_name"
+    },
     "q_hll_overlap" -> {
       val src =
         """(SELECT doc_id, 'a' AS g FROM documents WHERE doc_id % 10 < 8

@@ -314,6 +314,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_profile_hll tracks q_profile's exact n_distinct per column") {
+    val exact = SparkEntry.queries("q_profile")(spark, sf)
+      .select("col_name", "n_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = SparkEntry.queries("q_profile_hll")(spark, sf)
+      .select("col_name", "approx_distinct").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (c, n) =>
+      assert(math.abs(approx(c) - n) / math.max(n, 1L) < 0.05,
+        s"$c: hll ${approx(c)} vs exact $n")
+    }
+  }
+
   test("HllAggregator (mergeable form) matches the column path " +
     "BIT-FOR-BIT and is repartition-stable") {
     import graft.operators.Hll
