@@ -254,4 +254,71 @@ object Sampling {
     require(weights.nonEmpty, s"no rows in any of $domains")
     mixtureSample(df, key, domain, weights, salt)
   }
+
+  /**
+   * Deterministic WEIGHTED sample without replacement, k rows per
+   * group (Efraimidis–Spirakis exponential clocks): each row draws an
+   * exponential variate with rate = its weight from the key's hash and
+   * the k SMALLEST variates per group win — the "pick proportional to
+   * weight, remove, repeat" process in one pass, no sequential state.
+   * The standard corpus move it serves: "k docs per language, weighted
+   * by length/quality score", reproducible across engines, reruns, and
+   * repartitionings like every sampler here.
+   *
+   * Cross-engine exactness (the ln problem, quantized away): libms are
+   * only ulp-close on ln, so the variate is QUANTIZED —
+   * u = (bucket+1)/2³² (a dyadic rational, exact in a double),
+   * E = floor(−ln(u)·2²⁴) (integer; two ≤1-ulp ln implementations can
+   * disagree only when the product lies within ~2⁻²⁸ of an integer —
+   * P ≈ n·2⁻²⁸ per corpus, and a disagreement surfaces as an oracle
+   * mismatch, never silent corruption), and priority = E / weight is a
+   * single IEEE division — correctly rounded by spec, bit-identical in
+   * any engine. Ties in the priority break by (bucket, key): exact.
+   *
+   * Rows with NULL or non-positive weight are excluded (zero inclusion
+   * probability; a negative rate is meaningless).
+   *
+   * Scale shape: one Exchange on grp + a per-group top-k window — the
+   * same shape as every per-group top-k here; group cardinality bounds
+   * the sort, and for k ≪ group size AQE's skew split applies. Output:
+   * input columns, ≤ k rows per group.
+   */
+  def weightedSample(df: DataFrame, key: String, grp: Column, weight: Column,
+                     k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    import org.apache.spark.sql.expressions.Window
+    val (pri, h) = aesPriority(col(key), weight, salt)
+    val w = Window.partitionBy(grp).orderBy(pri.asc, h.asc, col(key).asc)
+    df.filter(weight.isNotNull && weight > 0)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** The exponential-clocks priority of [[weightedSample]]: quantized
+    * variate E = ⌊−ln((bucket+1)/2³²)·2²⁴⌋ over the key's hash, then one
+    * IEEE division by the weight. Returns (priority, bucket) — the
+    * bucket doubles as the exact tie-break coordinate. */
+  private def aesPriority(key: Column, weight: Column,
+                          salt: String): (Column, Column) = {
+    val h = hashBucket(key, salt)
+    val u = (h + lit(1L)).cast("double") / lit(4294967296.0) // (0,1], dyadic
+    val e = floor(-log(u) * lit(16777216.0)).cast("long")
+    (e.cast("double") / weight.cast("double"), h)
+  }
+
+  /** GLOBAL (ungrouped) [[weightedSample]]: k rows from the whole frame,
+    * weight-proportional without replacement. `orderBy(pri).limit(k)`
+    * compiles to TakeOrderedAndProject — per-partition top-k then a
+    * k-sized merge, never a global sort and never the one-group window
+    * (`weightedSample(grp = lit(1))` would funnel the corpus through a
+    * single task). Same quantized-variate exactness contract. */
+  def weightedSampleGlobal(df: DataFrame, key: String, weight: Column,
+                           k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val (pri, h) = aesPriority(col(key), weight, salt)
+    df.filter(weight.isNotNull && weight > 0)
+      .orderBy(pri.asc, h.asc, col(key).asc)
+      .limit(k)
+  }
 }

@@ -722,6 +722,29 @@ object PipelineOps {
         .orderBy("pos")
     },
 
+    // WEIGHTED sample without replacement (Efraimidis–Spirakis
+    // exponential clocks), k per group: 5 docs per language, weighted
+    // by n_chars — longer docs proportionally likelier, no row twice.
+    // The exponential variate is quantized to an integer so the oracle
+    // replays the exact draw; priority = E/weight is one IEEE division.
+    "q_weighted_sample" -> { (spark, dir) =>
+      val d = Tables.load(spark, dir, "documents")
+      Sampling.weightedSample(d, "doc_id", col("lang"), col("n_chars"), k = 5)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .orderBy("lang", "doc_id")
+    },
+
+    // GLOBAL weighted sample: 20 docs corpus-wide, still proportional-
+    // to-length without replacement. TakeOrderedAndProject (per-
+    // partition top-k + k-sized merge) — no global sort, no one-group
+    // window; the plan a 100 TB "pick k exemplars" wants.
+    "q_weighted_sample_global" -> { (spark, dir) =>
+      val d = Tables.load(spark, dir, "documents")
+      Sampling.weightedSampleGlobal(d, "doc_id", col("n_chars"), k = 20)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // Duplicated n-gram fraction (RefinedWeb/Gopher quality feature):
     // per doc, how many of its distinct 5-shingles occur in any other
     // document. Wordcount-shaped — shingle df aggregate re-joined onto
@@ -1602,6 +1625,28 @@ object PipelineOps {
         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT,
         |    doc_id) - 1 AS BIGINT) AS pos
         |FROM documents ORDER BY pos""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH p AS (SELECT lang, doc_id, n_chars,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT AS h
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |v AS (SELECT *, CAST(floor(-ln((h + 1) / 4294967296.0)
+        |                           * 16777216.0) AS BIGINT) AS e FROM p),
+        |r AS (SELECT lang, doc_id, n_chars, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY CAST(e AS DOUBLE) / CAST(n_chars AS DOUBLE), h, doc_id
+        |  ) AS rn FROM v)
+        |SELECT lang, doc_id, n_chars FROM r WHERE rn <= 5
+        |ORDER BY lang, doc_id""".stripMargin,
+    "q_weighted_sample_global" ->
+      """WITH p AS (SELECT doc_id, lang, n_chars,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT AS h
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |v AS (SELECT *, CAST(floor(-ln((h + 1) / 4294967296.0)
+        |                           * 16777216.0) AS BIGINT) AS e FROM p),
+        |s AS (SELECT doc_id, lang, n_chars FROM v
+        |  ORDER BY CAST(e AS DOUBLE) / CAST(n_chars AS DOUBLE), h, doc_id
+        |  LIMIT 20)
+        |SELECT doc_id, lang, n_chars FROM s ORDER BY doc_id""".stripMargin,
     "text_dup_ngram_frac" ->
       """WITH toks AS (SELECT doc_id,
         |    list_filter(string_split_regex(text,'\s+'), x -> len(x)>0) AS t

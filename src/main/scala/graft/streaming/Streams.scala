@@ -840,6 +840,47 @@ object Streams {
     }
   }
 
+  /**
+   * Watermarked STREAM-STREAM interval join — the attribution shape
+   * ("every right event for the same key within `within` AFTER the
+   * left event": view→click, impression→conversion, doc→late-arriving
+   * label). A stream-stream join is unbounded-state unless BOTH sides
+   * carry a watermark AND the join condition bounds event time; with
+   * them the state store holds a left row only until the watermark
+   * passes leftTs + within and a right row until it passes rightTs —
+   * state is (watermark horizon + within) × arrival rate, never stream
+   * history, the only formulation that survives an unbounded stream.
+   *
+   * joinType "inner" emits matches as both sides arrive; "leftOuter"
+   * additionally emits each unmatched left row with NULL right columns
+   * once the watermark PROVES no match can still arrive — so outer
+   * rows near the stream's current head stay pending until event time
+   * advances past their window (drive a later event through in tests).
+   *
+   * Column contract: output = left columns ++ right columns, where any
+   * right name colliding with a left name is prefixed `r_` and the
+   * right key column is dropped (it equals the left's by the join).
+   * Batch frames run the identical code (withWatermark is a no-op in
+   * batch), so batch/stream parity is the usual one-plan property.
+   */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+                         leftTs: String, rightTs: String,
+                         within: String,
+                         watermark: String = "0 seconds",
+                         joinType: String = "inner"): DataFrame = {
+    val clash = (right.columns.toSet - key).intersect(left.columns.toSet)
+    val renamed = clash.foldLeft(right) { (df, c) =>
+      df.withColumnRenamed(c, s"r_$c")
+    }.withColumnRenamed(key, "__rkey")
+    val rTs = if (clash.contains(rightTs)) s"r_$rightTs" else rightTs
+    val l = left.withWatermark(leftTs, watermark)
+    val r = renamed.withWatermark(rTs, watermark)
+    val cond = col(key) === col("__rkey") &&
+      col(rTs) >= col(leftTs) &&
+      col(rTs) <= col(leftTs) + expr(s"INTERVAL $within")
+    l.join(r, cond, joinType).drop("__rkey")
+  }
+
   /** Run a streaming query to completion against the (finite) batch
     * source and return the result — the slicetest.Run analog for
     * streaming (memory sink + processAllAvailable). */

@@ -399,6 +399,80 @@ class ScaleSpec extends AnyFunSuite {
     assert(p3 != p1 && p3.values.toSet == (0L until n).toSet)
   }
 
+  test("weightedSample: k per group without replacement, repartition-stable, " +
+    "weight-monotone") {
+    import spark.implicits._
+    val d = Tables.load(spark, sf, "documents")
+    val got = Sampling.weightedSample(d, "doc_id", col("lang"),
+      col("n_chars"), k = 3)
+      .select("lang", "doc_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // <= k per group, never a duplicate row
+    assert(got.size == got.toSet.size)
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.size <= 3, s"$lang got ${rows.size} rows")
+    }
+    val sizes = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (lang, n) =>
+      assert(got.count(_._1 == lang) == math.min(3L, n),
+        s"$lang: expected min(3,$n) rows")
+    }
+    // pure function of (key, salt): independent of input partitioning
+    val got2 = Sampling.weightedSample(d.repartition(13), "doc_id",
+      col("lang"), col("n_chars"), k = 3)
+      .select("lang", "doc_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got.sorted == got2.sorted)
+    // exponential-clocks weighting, ONE job over 300 salted replays of
+    // a 3-row group with weights 2:1:1 — the salt rides as a column
+    // through the same md5(key||salt) idiom hashBucket uses, priority
+    // replicated from the operator's documented formula. P(heavy
+    // first) = 2/4; the deterministic win count must sit in a ±4σ band.
+    val salts = (0 until 300).map(s => s"p$s")
+    val rows = for { s <- salts; (id, w) <- Seq((1L, 2L), (2L, 1L), (3L, 1L)) }
+      yield (s, id, w)
+    val h = conv(substring(md5(concat(col("id").cast("string"),
+      col("salt")).cast("binary")), 1, 8), 16, 10).cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(4294967296.0)
+    val pri = floor(-log(u) * lit(16777216.0)).cast("long")
+      .cast("double") / col("w").cast("double")
+    val wdw = org.apache.spark.sql.expressions.Window
+      .partitionBy("salt").orderBy(pri.asc, h.asc, col("id").asc)
+    val winners = rows.toDF("salt", "id", "w")
+      .withColumn("rn", row_number().over(wdw)).filter(col("rn") === 1)
+      .select("salt", "id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val heavyWins = winners.values.count(_ == 1L)
+    assert(heavyWins > 115 && heavyWins < 185,
+      s"heavy (w=2 of 4) won $heavyWins/300 — outside the 1/2 band")
+    // and the formula replay IS the operator: same winner via the API
+    // on a spot-checked salt
+    val three = Seq(("g", 1L, 2L), ("g", 2L, 1L), ("g", 3L, 1L))
+      .toDF("grp", "id", "w")
+    val apiWin = Sampling.weightedSample(three, "id", col("grp"), col("w"),
+      k = 1, salt = "p7").select("id").collect().head.getLong(0)
+    assert(apiWin == winners("p7"), s"API winner $apiWin != replay ${winners("p7")}")
+    // weight <= 0 and NULL rows are excluded outright
+    val mixed = Seq(("g", 1L, 5L), ("g", 2L, 0L), ("g", 3L, -1L))
+      .toDF("grp", "id", "w")
+      .union(Seq(("g", 4L)).toDF("grp", "id")
+        .withColumn("w", lit(null).cast("long")))
+    val kept = Sampling.weightedSample(mixed, "id", col("grp"), col("w"),
+      k = 10).select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+    // GLOBAL form: same selection as the one-group window path, but the
+    // physical plan is TakeOrderedAndProject (per-partition top-k +
+    // k-sized merge) — never an Exchange-then-global-sort
+    val g = Sampling.weightedSampleGlobal(d, "doc_id", col("n_chars"), k = 7)
+    val gIds = g.select("doc_id").collect().map(_.getLong(0)).toSet
+    val wIds = Sampling.weightedSample(d, "doc_id", lit(1), col("n_chars"),
+      k = 7).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gIds == wIds && gIds.size == 7)
+    val gPlan = g.queryExecution.executedPlan.toString
+    assert(gPlan.contains("TakeOrderedAndProject"), gPlan.take(400))
+  }
+
   test("dupShingleStats: exact counts on a hand-checked corpus") {
     import spark.implicits._
     // k=2 shingles: doc1 {a b, b c}, doc2 {a b, b d}, doc3 {x y}

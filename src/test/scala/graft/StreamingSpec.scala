@@ -511,4 +511,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(fin == batchOver(rows.toSeq),
       "streaming estimate after all batches must equal the batch run")
   }
+
+  test("intervalJoinStream (inner): stream-stream view→click attribution " +
+    "== batch interval join") {
+    val ev = Streams.eventsStream(spark, sf)
+    def side(df: org.apache.spark.sql.DataFrame, t: String, idAs: String) =
+      df.filter(col("event_type") === t)
+        .select(col("user_id"), col("ts"), col("event_id").as(idAs))
+    val joined = Streams.intervalJoinStream(
+      side(ev, "view", "view_id"), side(ev, "click", "click_id"),
+      "user_id", "ts", "ts", within = "2 hours")
+    val got = Streams.runToMemory(spark, joined, "ss_join", "append")
+      .select("view_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val bev = Tables.load(spark, sf, "events")
+    val bv = side(bev, "view", "view_id")
+    val bc = side(bev, "click", "click_id")
+      .withColumnRenamed("ts", "r_ts").withColumnRenamed("user_id", "u2")
+    val want = bv.join(bc, col("user_id") === col("u2") &&
+        col("r_ts") >= col("ts") &&
+        col("r_ts") <= col("ts") + expr("INTERVAL 2 hours"))
+      .select("view_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(want.nonEmpty, "fixture should contain view→click matches")
+    assert(got.sorted == want.sorted,
+      s"stream join != batch join (got ${got.size}, want ${want.size})")
+    // a match is emitted exactly once
+    assert(got.size == got.toSet.size)
+  }
+
+  test("intervalJoinStream (leftOuter): null emission once the watermark " +
+    "proves no match; matched rows identical to inner") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val lsrc = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val rsrc = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = Streams.intervalJoinStream(
+      lsrc.toDF().toDF("user_id", "ts", "view_id"),
+      rsrc.toDF().toDF("user_id", "ts", "click_id"),
+      "user_id", "ts", "ts", within = "30 minutes",
+      joinType = "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("ss_outer")
+      .outputMode("append").start()
+    // user 1 matches at +20min; user 2 never matches
+    lsrc.addData((1L, ts(0), 100L), (2L, ts(0), 200L))
+    rsrc.addData((1L, ts(20), 900L))
+    q.processAllAvailable()
+    // sentinels push event time far past ts(0)+30min on BOTH streams
+    // (global watermark = min over inputs); the second round lets the
+    // post-sentinel watermark drive the state-eviction micro-batch
+    for (m <- Seq(600, 610)) {
+      lsrc.addData((98L, ts(m), 101L)); rsrc.addData((99L, ts(m), 901L))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val rows = spark.table("ss_outer")
+      .filter(col("user_id").isin(1L, 2L))
+      .select("user_id", "view_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(rows == Set((1L, 100L, 900L), (2L, 200L, -1L)),
+      s"got $rows")
+    // sentinel left rows (98) sit inside their un-expired window: they
+    // must NOT have produced premature null matches
+    assert(spark.table("ss_outer").filter(col("user_id") === 98L).count() == 0)
+  }
 }
