@@ -22,7 +22,11 @@ import org.apache.spark.sql.functions._
  * {{{
  *   LATEST, FORMAT        atomic version pointer + layout revision
  *   segments/s00002/      one parquet dataset per append, PARTITIONED
- *                         BY list_id (immutable; shared by versions)
+ *                         BY list_id (immutable; shared by versions);
+ *                         a batch under smallRowsPerList×nList rows is
+ *                         instead ONE unpartitioned file with list_id
+ *                         as a data column (self-describing — readers
+ *                         apply the same list_id filter either way)
  *   segments/r00005/      a COMPACTION segment: drift-triggered
  *                         (re-clustered; replaces ALL prior segments)
  *                         or size-triggered (tiered; folds the small
@@ -62,10 +66,28 @@ object IvfIndex {
   /** Index parameters — part of the index's identity (like a schema);
     * must match between build and append. `maxImbalance` and
     * `maxSegments` tune only WHEN re-clustering/compaction happen,
-    * not what queries return. */
+    * not what queries return.
+    *
+    * `smallRowsPerList` (NOT identity — each segment's layout is
+    * self-describing): an append whose batch lands fewer than
+    * `smallRowsPerList × nList` rows writes ONE unpartitioned file
+    * with `list_id` as a data column instead of a `list_id=`-
+    * partitioned dataset. After a √n retrain the list count — and
+    * with it the per-commit cost of a partitioned write, which is
+    * O(nList) directories/files/footers regardless of data volume —
+    * grows as √corpus, so a CDC stream of constant-size batches paid
+    * √n per commit for slivers of a few rows per directory (measured
+    * 1.0–1.6 s/commit at nList=16 vs 10.5–23 s at nList=708 for the
+    * SAME 10k-row batch and corpus). Probes read small segments with
+    * the same `list_id IN (…)` predicate (row-group pushdown instead
+    * of directory pruning — the segment is batch-sized, so the full
+    * read is cheaper than the fan-out was), and the next fold/
+    * re-cluster migrates the rows into the partitioned layout. 0
+    * disables (every segment partitioned). */
   final case class Config(dim: Int, nList: Int = 16, iters: Int = 2,
                           maxImbalance: Double = 4.0, maxSegments: Int = 8,
-                          pq: Option[PqConfig] = None)
+                          pq: Option[PqConfig] = None,
+                          smallRowsPerList: Int = 16)
 
   /** Optional product-quantization refinement layer (IVF-PQ): segments
     * additionally carry an m-byte `codes` column + stored exact norm,
@@ -217,7 +239,8 @@ object IvfIndex {
   private def writeSegment(df: DataFrame, id: String, vec: String,
                            cents: Array[Array[Double]], cfg: Config,
                            path: String,
-                           books: Option[graft.functions.PqBooks]): Map[Int, Long] = {
+                           books: Option[graft.functions.PqBooks],
+                           partitioned: Boolean = true): Map[Int, Long] = {
     val base = Similarity.assignLists(
       df.select(col(id), col(vec)), id, vec, cfg.dim, cents)
     // IVF-PQ: codes + stored exact norm ride IN the segment parquet —
@@ -232,9 +255,16 @@ object IvfIndex {
     }
     // one file per list dir (repartition on the partition column):
     // without it every task writes a sliver into every list_id= dir
-    // and the pruned probe scan goes file-bound as segments accumulate
-    assigned.repartition(col("list_id"))
-      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+    // and the pruned probe scan goes file-bound as segments accumulate.
+    // Small batches skip the fan-out entirely (see Config
+    // .smallRowsPerList): one file, list_id as a data column — readers
+    // filter it identically either way.
+    if (partitioned)
+      assigned.repartition(col("list_id"))
+        .write.mode("overwrite").partitionBy("list_id").parquet(path)
+    else
+      assigned.repartition(1)
+        .write.mode("overwrite").parquet(path)
     // read back with the EXPLICIT schema: an empty batch writes no data
     // files and schema inference would throw, but an ingest loop must
     // tolerate quiet-period batches
@@ -390,8 +420,15 @@ object IvfIndex {
     // a crashed append overwrites its own orphan, never a committed
     // segment
     val segName = f"s${v + 1}%05d"
+    // layout decision (appends only — build and every compaction/
+    // retrain rewrite is corpus-sized and always partitions): a batch
+    // too small to give each list a real file skips the O(nList)
+    // directory fan-out. One batch-sized count job; the savings at
+    // √n-retrained list counts are an order of magnitude per commit.
+    val small = cfg.smallRowsPerList > 0 &&
+      batch.count() < cfg.smallRowsPerList.toLong * cents.length
     val bCounts = writeSegment(batch, id, vec, cents, cfg, segPath(dir, segName),
-      books)
+      books, partitioned = !small)
     // an empty batch leaves no segment behind: the manifest must not
     // reference a data-less directory (readers infer schemas from it)
     val newSegs = if (bCounts.isEmpty) segs else segs :+ segName
@@ -458,10 +495,23 @@ object IvfIndex {
       val toMerge = if (mergeAll) newSegs else sSegs
       val kept = if (mergeAll) Seq.empty else rSegs
       val comp = f"r${v + 1}%05d"
-      liveUnion(spark, dir, toMerge, tombs, id)
-        .repartition(col("list_id"))
-        .write.mode("overwrite").partitionBy("list_id")
-        .parquet(segPath(dir, comp))
+      // the fold output obeys the same rows-based layout rule as
+      // appends: a fold of a few small segments is still sliver-sized
+      // (an s-fold under a √n-retrained list count would pay the full
+      // O(nList) fan-out for ~tens of rows per directory); such small
+      // r-segments grow through r-with-r merges until they clear the
+      // threshold and take the partitioned layout. Corpus-sized
+      // rewrites (drift/maintenance retrain, compact) always partition.
+      val folded = liveUnion(spark, dir, toMerge, tombs, id)
+      val foldSmall = cfg.smallRowsPerList > 0 &&
+        folded.count() < cfg.smallRowsPerList.toLong * cents.length
+      if (foldSmall)
+        folded.repartition(1)
+          .write.mode("overwrite").parquet(segPath(dir, comp))
+      else
+        folded.repartition(col("list_id"))
+          .write.mode("overwrite").partitionBy("list_id")
+          .parquet(segPath(dir, comp))
       // rows carry their codes through the union untouched — frozen
       // books stay valid, so the merge never re-encodes. Tombstones
       // applied to the folded rows are retired unless a KEPT segment

@@ -390,8 +390,10 @@ class IvfIndexSpec extends AnyFunSuite {
   test("queries read ONLY probed list_id directories of manifest segments") {
     val dir = tmp("ivf_prune")
     // 16 lists, 3 queries × 2 probes → at most 6 probed lists: pruning
-    // must show in the scanned file set
-    val cfg16 = cfg.copy(nList = 16)
+    // must show in the scanned file set. smallRowsPerList=0 pins the
+    // PARTITIONED layout contract — the small-segment layout has its
+    // own test below
+    val cfg16 = cfg.copy(nList = 16, smallRowsPerList = 0)
     val b0 = emb.filter(col("vec_id") % 5 =!= 0)
     val b1 = emb.filter(col("vec_id") % 5 === 0)
     IvfIndex.build(spark, b0, "vec_id", "embedding", dir, cfg16)
@@ -422,6 +424,103 @@ class IvfIndexSpec extends AnyFunSuite {
         s"3 queries × nProbe=2 must list <= 6 of ${cfg16.nList} list dirs, got $nParts")
     }
   }
+
+  test("small-segment layout: tiny append writes ONE unpartitioned file; " +
+    "probes identical to the partitioned twin; fold migrates it") {
+    val b0 = emb.filter(col("vec_id") % 5 =!= 0)
+    val b1 = emb.filter(col("vec_id") % 5 === 0) // 100 rows
+    val q = emb.filter(col("vec_id") < 3)
+    // default smallRowsPerList=16 × nList=16 = 256 > 100 → small path;
+    // the twin forces the partitioned layout for the same data
+    val cfgS = cfg.copy(nList = 16)
+    val cfgP = cfg.copy(nList = 16, smallRowsPerList = 0)
+    val dirS = tmp("ivf_small"); val dirP = tmp("ivf_part")
+    // identical builds (both corpus-sized → partitioned) + one append
+    IvfIndex.build(spark, b0, "vec_id", "embedding", dirS, cfgS)
+    IvfIndex.build(spark, b0, "vec_id", "embedding", dirP, cfgP)
+    IvfIndex.append(spark, dirS, b1, "vec_id", "embedding", cfgS)
+    IvfIndex.append(spark, dirP, b1, "vec_id", "embedding", cfgP)
+    // layout: the small append is one data file, NO list_id= dirs; the
+    // twin fans out into per-list dirs
+    def listDirs(dir: String, seg: String): Seq[String] =
+      Option(new java.io.File(s"$dir/segments/$seg").listFiles())
+        .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName).toSeq
+    def dataFiles(dir: String, seg: String): Seq[String] =
+      Option(new java.io.File(s"$dir/segments/$seg").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.getName).toSeq
+    assert(listDirs(dirS, "s00002").isEmpty, "small segment must not fan out")
+    assert(dataFiles(dirS, "s00002").size == 1, "small segment is one file")
+    assert(listDirs(dirP, "s00002").nonEmpty, "twin stays partitioned")
+    // per-list manifest counts computed identically across layouts
+    assert(IvfIndex.readCounts(spark, dirS, 2) ==
+      IvfIndex.readCounts(spark, dirP, 2))
+    // probes are pair-identical across layouts (same centroids — both
+    // builds trained on identical input — same data, same tie-breaks)
+    val gotS = topKSet(IvfIndex.topK(spark, dirS, q, "vec_id", "embedding", 5))
+    val gotP = topKSet(IvfIndex.topK(spark, dirP, q, "vec_id", "embedding", 5))
+    assert(gotS == gotP && gotS.nonEmpty)
+    // and the small segment's scan still filters list_id (pushdown, not
+    // directory pruning)
+    val df = IvfIndex.topK(spark, dirS, q, "vec_id", "embedding", 5)
+    df.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case r: ReusedExchangeExec => scans(r.child)
+    }.flatten
+    val smallScans = scans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(
+        _.toString.contains("/segments/s00002")))
+    assert(smallScans.nonEmpty)
+    assert(smallScans.forall(s => (s.dataFilters ++ s.partitionFilters)
+        .exists(_.references.exists(_.name == "list_id"))),
+      "small-segment scan must carry the list_id filter as a data filter")
+    // enough further tiny appends trip the size fold (maxSegments=8 →
+    // nine segments): the fold output is PARTITIONED — small segments
+    // are a between-compactions layout, not a permanent one
+    val slices = (0 until 8).map(i => emb.filter(col("vec_id") % 40 === i))
+    slices.foreach(b =>
+      IvfIndex.append(spark, dirS, b, "vec_id", "embedding", cfgS))
+    val vNow = IvfIndex.latestVersion(spark, dirS)
+    val segsNow = IvfIndex.readSegments(spark, dirS, vNow)
+    val rSeg = segsNow.find(_.startsWith("r"))
+    assert(rSeg.isDefined, s"size fold must have fired: $segsNow")
+    // this fold sweeps in the 400-row build segment → 500 rows ≥ the
+    // 256-row threshold → partitioned layout
+    assert(listDirs(dirS, rSeg.get).nonEmpty,
+      "an above-threshold fold must use the partitioned layout")
+    // content identical to the twin fed the same appends
+    slices.foreach(b =>
+      IvfIndex.append(spark, dirP, b, "vec_id", "embedding", cfgP))
+    assert(indexedAssignments(dirS, vNow) ==
+      indexedAssignments(dirP, IvfIndex.latestVersion(spark, dirP)))
+    // a fold whose rows stay UNDER the threshold keeps the small
+    // layout (an r-segment of slivers must not fan out either): tiny
+    // build + tiny appends, tight cap → fold of ~150 rows < 256
+    val dirT = tmp("ivf_smallfold")
+    val cfgT = cfgS.copy(maxSegments = 3)
+    IvfIndex.build(spark, dirT_build, "vec_id", "embedding", dirT, cfgT)
+    (1 to 4).foreach(i => IvfIndex.append(spark, dirT,
+      emb.filter(col("vec_id") % 40 === i), "vec_id", "embedding", cfgT))
+    val vT = IvfIndex.latestVersion(spark, dirT)
+    val rT = IvfIndex.readSegments(spark, dirT, vT).find(_.startsWith("r"))
+    assert(rT.isDefined)
+    assert(listDirs(dirT, rT.get).isEmpty,
+      "an under-threshold fold keeps the single-file layout")
+    assert(dataFiles(dirT, rT.get).size == 1)
+    // and it still answers: equality with a frozen-centroid recompute
+    val gotT = topKSet(IvfIndex.topK(spark, dirT, q, "vec_id", "embedding", 3))
+    assert(gotT.nonEmpty)
+  }
+
+  /** 100-row build slice for the small-fold scenario above. */
+  private def dirT_build: DataFrame = emb.filter(col("vec_id") % 5 === 0)
 
   test("IVF-PQ: codes ride segments; probes recall >= 0.6 with EXACT cosines; books frozen across append; exact path intact") {
     val dir = tmp("ivf_pq")
