@@ -57,5 +57,9 @@ object SparkEntry {
     "q_hybrid_rrf_idx",
     // round 9 cont.: deterministic HLL — the sketch-family scan+agg
     // shape (32 queries)
-    "q_hll_distinct")
+    "q_hll_distinct",
+    // round 9 cont. (session 4): weighted sampling (per-group window +
+    // global TakeOrderedAndProject) — the A-ES exponential-clocks
+    // samplers (34 queries)
+    "q_weighted_sample", "q_weighted_sample_global")
 }
