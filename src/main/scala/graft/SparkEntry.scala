@@ -61,5 +61,10 @@ object SparkEntry {
     // round 9 cont. (session 4): weighted sampling (per-group window +
     // global TakeOrderedAndProject) — the A-ES exponential-clocks
     // samplers (34 queries)
-    "q_weighted_sample", "q_weighted_sample_global")
+    "q_weighted_sample", "q_weighted_sample_global",
+    // round 9 cont. (session 5): the fourth persisted family — exact
+    // dedup via the digest index; min-of-3 times the steady-state
+    // probe (bloom pass + candidate-sized verify), build amortizes on
+    // run 1 like its siblings (35 queries)
+    "dedup_exact_idx")
 }

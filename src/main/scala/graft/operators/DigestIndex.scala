@@ -1,0 +1,454 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.graft.shims
+import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Persisted EXACT-dedup digest index — the fourth incremental index
+ * family, completing the ingest-time dedup/retrieval set: exact
+ * (here), near-dup ([[MinhashIndex]]), ANN ([[IvfIndex]]), lexical
+ * ([[TermIndex]]). A continuous-ingest pipeline asks, per batch,
+ * "which of these documents are byte-identical to anything already
+ * ingested?" — [[Dedup.exact]] answers it by re-grouping the whole
+ * corpus per batch, and the streaming `dropDuplicatesWithinWatermark`
+ * form can only look back one watermark horizon. This index holds the
+ * corpus' digest set in LSM segments, so per-ingest work is
+ * batch-sized over the corpus' full lifetime.
+ * (Reference analogue: the cache-short-circuit discipline of
+ * /root/reference/cache.go:51-66 — persisted state answers what it
+ * can; only the delta is computed.)
+ *
+ * Layout (`dir/` on any Hadoop filesystem; [[VersionedLayout]]
+ * conventions — immutable segments, atomic LATEST, writer claims):
+ * {{{
+ *   LATEST, FORMAT, claims/   version pointer + layout rev + writer
+ *                             mutual exclusion (ConcurrencySpec)
+ *   segments/s00002/data/     (digest STRING, id LONG) parquet,
+ *                             range-partitioned AND sorted by digest —
+ *                             per-file min/max + row-group stats make
+ *                             a candidate-digest pushdown scan
+ *                             candidate-sized, not corpus-sized
+ *   segments/s00002/BLOOM     serialized Bloom filter over
+ *                             xxhash64(digest) of this segment's rows
+ *   segments/r00009/          a size-tiered compaction segment (folds
+ *                             the batch-sized `s` segments; prior `r`
+ *                             segments kept — the sibling families'
+ *                             O(N)-write-volume policy)
+ *   tombs/d00004/             (id LONG) tombstone datasets: mask
+ *                             matching ids in STRICTLY older segments
+ *   v00001/segments.txt       "name,rows" manifest
+ *   v00001/tombstones.txt     tombstone names this version masks with
+ * }}}
+ *
+ * Probe shape at 100 TB (what makes an ingest batch-sized): an exact
+ * membership probe is fundamentally an anti-join of batch digests
+ * against the corpus digest set — corpus-sized if run as a join. The
+ * index splits it bloom-proposes / exact-verifies (the
+ * [[BloomJoin]] discipline): each segment's Bloom filter is driver
+ * metadata (sized by segment rows × fpp), the batch tests against the
+ * OR of them inside whole-stage codegen, and only the survivors —
+ * true duplicates plus ≤ fpp false positives, NOT the batch — reach
+ * the verify scan, with their digests pushed into the parquet scan as
+ * an `In` filter over the digest-sorted files. A mostly-novel batch
+ * (the steady state of a crawl) therefore reads almost nothing;
+ * exactness never depends on the Bloom pass because the digest
+ * equi-join discards every false positive. Deletes only ever SHRINK
+ * the live set, so stale Blooms over-propose and the tombstone mask
+ * in the verify join restores exactness — Blooms are never rewritten
+ * by deletes.
+ *
+ * Semantics (seen-first-wins, the ingestion-order contract of a
+ * streaming dedup): the index holds AT MOST ONE live row per digest —
+ * ingest appends only batch docs whose digest has no live index match,
+ * one per digest (min id within the batch). A probe emits
+ * `(id, dup_of)` for every batch doc that duplicates either a live
+ * indexed doc (dup_of = the indexed id, regardless of id order — it
+ * was seen first) or an earlier (smaller-id) doc of its own batch.
+ * Deterministic, hence fully SQL-replayable (dedup_exact_idx).
+ */
+object DigestIndex {
+
+  /** `fpp`: per-segment Bloom false-positive rate — tunes verify-scan
+    * traffic, never results. `maxSegments`: size-tiered compaction
+    * threshold (the sibling families' policy). `rowsPerFile`: target
+    * rows per data file in a segment (range-split by digest). */
+  final case class Config(fpp: Double = 0.01, maxSegments: Int = 8,
+                          rowsPerFile: Long = 4L * 1000 * 1000)
+
+  private val FormatVersion = 1
+
+  /** Largest distinct candidate-digest set collected and pushed into
+    * the segment scans as an `In` filter (candidate-sized I/O); larger
+    * sets fall back to a broadcast semi-join over the full digest
+    * scan. Steady-state candidate sets (true dups + fp) sit orders of
+    * magnitude below this. Same knob class as
+    * [[MinhashIndex]]'s MaxPushdownCandidates. */
+  private val MaxPushdownCandidates = 10 * 1000
+
+  import VersionedLayout.{atomicWrite, claimCommit, commitLatest, fs, readSmall, versionDir}
+
+  def exists(spark: SparkSession, dir: String): Boolean =
+    VersionedLayout.exists(spark, dir)
+
+  def latestVersion(spark: SparkSession, dir: String): Int =
+    VersionedLayout.latestVersion(spark, dir, FormatVersion, "DigestIndex")
+
+  /** Small named marker alongside the index (streaming wrappers pin
+    * their batch↔version pairing here — sibling contract). */
+  def readMarker(spark: SparkSession, dir: String, name: String): Option[String] = {
+    val f = fs(spark, dir)
+    val p = new Path(dir, name)
+    if (!f.exists(p)) None else Some(readSmall(f, p))
+  }
+
+  def writeMarker(spark: SparkSession, dir: String, name: String,
+                  content: String): Unit =
+    atomicWrite(fs(spark, dir), new Path(dir, name), content)
+
+  private def segPath(dir: String, name: String): String =
+    s"${dir.stripSuffix("/")}/segments/$name"
+
+  private def tombPath(dir: String, name: String): String =
+    s"${dir.stripSuffix("/")}/tombs/$name"
+
+  private def nameSeq(name: String): Int = name.drop(1).toInt
+
+  private def writeManifest(spark: SparkSession, dir: String, v: Int,
+                            segs: Seq[(String, Long)]): Unit =
+    atomicWrite(fs(spark, dir), new Path(versionDir(dir, v), "segments.txt"),
+      segs.map { case (n, r) => s"$n,$r" }.mkString("\n"))
+
+  private[graft] def readManifest(spark: SparkSession, dir: String,
+                                  v: Int): Seq[(String, Long)] = {
+    val s = readSmall(fs(spark, dir),
+      new Path(versionDir(dir, v), "segments.txt"))
+    if (s.isEmpty) Seq.empty
+    else s.split("\n").toSeq.map { l =>
+      val Array(n, r) = l.split(","); (n, r.toLong)
+    }
+  }
+
+  private def writeTombstonesFile(spark: SparkSession, dir: String, v: Int,
+                                  tombs: Seq[String]): Unit =
+    if (tombs.nonEmpty)
+      atomicWrite(fs(spark, dir),
+        new Path(versionDir(dir, v), "tombstones.txt"), tombs.mkString("\n"))
+
+  private[graft] def readTombstones(spark: SparkSession, dir: String,
+                                    v: Int): Seq[String] = {
+    val p = new Path(versionDir(dir, v), "tombstones.txt")
+    val f = fs(spark, dir)
+    if (!f.exists(p)) Seq.empty
+    else readSmall(f, p).split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  private def requireLiveVersion(spark: SparkSession, dir: String,
+                                 version: Int): Unit = {
+    val latest = latestVersion(spark, dir)
+    require(version >= 1 && version <= latest,
+      s"version $version of $dir does not exist (latest: $latest)")
+    require(fs(spark, dir).exists(new Path(versionDir(dir, version))),
+      s"version $version of $dir was garbage-collected — pinned replay " +
+        "needs retainVersions to cover it")
+  }
+
+  // ---- Bloom plumbing (the BloomJoin build/probe pair, over digests)
+
+  private def bloomPath(dir: String, seg: String): Path =
+    new Path(segPath(dir, seg), "BLOOM")
+
+  /** Distributed Bloom build over a committed segment's digests
+    * (treeAggregate — no row shuffle), serialized next to the data. */
+  private def writeBloom(spark: SparkSession, dir: String, seg: String,
+                         rows: Long, cfg: Config): Unit = {
+    val bf = readSegData(spark, dir, seg).stat
+      .bloomFilter(xxhash64(col("digest")), math.max(rows, 1L), cfg.fpp)
+    val bos = new ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val out = fs(spark, dir).create(bloomPath(dir, seg), true)
+    try out.write(bos.toByteArray) finally out.close()
+  }
+
+  private def readBloom(spark: SparkSession, dir: String,
+                        seg: String): Array[Byte] = {
+    val in = fs(spark, dir).open(bloomPath(dir, seg))
+    try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+  }
+
+  /** Codegen'd `might_contain` over the serialized filter. */
+  private def mightContain(filterBytes: Array[Byte], key: Column): Column =
+    shims.column(new BloomFilterMightContain(
+      Literal(filterBytes, BinaryType), shims.expression(key)))
+
+  // ---- segment I/O
+
+  private val segSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("digest",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType)))
+
+  private def readSegData(spark: SparkSession, dir: String,
+                          seg: String): DataFrame =
+    spark.read.schema(segSchema).parquet(s"${segPath(dir, seg)}/data")
+
+  /** Write (digest, id) rows range-split and sorted by digest, so the
+    * verify scan's candidate `In` filter prunes files by min/max and
+    * row groups by stats. Returns the committed row count. */
+  private def writeSegData(spark: SparkSession, rows: DataFrame, dir: String,
+                           seg: String, cfg: Config): Long = {
+    val n = rows.count()
+    if (n > 0) {
+      val parts = math.max(1L, (n + cfg.rowsPerFile - 1) / cfg.rowsPerFile).toInt
+      rows.repartitionByRange(parts, col("digest"))
+        .sortWithinPartitions("digest")
+        .write.mode("overwrite").parquet(s"${segPath(dir, seg)}/data")
+    }
+    n
+  }
+
+  private def digestOf(text: String): Column =
+    md5(col(text).cast("binary"))
+
+  /** Tombstone union as (t_id, t_seq) — None when empty. */
+  private def tombFrame(spark: SparkSession, dir: String,
+                        tombs: Seq[String]): Option[DataFrame] =
+    if (tombs.isEmpty) None
+    else Some(tombs.map(t => spark.read.parquet(tombPath(dir, t))
+        .select(col("id").as("t_id"), lit(nameSeq(t)).as("t_seq")))
+      .reduce(_.unionByName(_)))
+
+  /** Mask rows (carrying seg_seq) by the strictly-newer-tombstone
+    * rule shared with the sibling families. */
+  private def maskBySeq(rows: DataFrame, tomb: Option[DataFrame]): DataFrame =
+    tomb.fold(rows)(t => rows.join(broadcast(t),
+      rows("id") === col("t_id") && col("t_seq") > col("seg_seq"),
+      "left_anti"))
+
+  // ---- lifecycle
+
+  /** Commit an empty v1 — the index exists, holds nothing. */
+  def create(spark: SparkSession, dir: String, cfg: Config = Config()): Int = {
+    val tok = claimCommit(spark, dir, 1, "DigestIndex")
+    writeManifest(spark, dir, 1, Seq.empty)
+    commitLatest(spark, dir, 1, FormatVersion, tok)
+    1
+  }
+
+  /** Create + ingest the initial corpus; returns its internal dup
+    * pairs (what [[ingest]] returns). */
+  def build(spark: SparkSession, corpus: DataFrame, id: String, text: String,
+            dir: String, cfg: Config = Config()): DataFrame = {
+    create(spark, dir, cfg)
+    ingest(spark, dir, corpus, id, text, cfg)
+  }
+
+  /** Probe state against one pinned version: the annotated batch
+    * (id, digest, bmin, idx_id) — idx_id non-null iff a LIVE indexed
+    * doc holds the digest. */
+  private def annotate(spark: SparkSession, dir: String, version: Int,
+                       batch: DataFrame, id: String, text: String,
+                       cfg: Config): DataFrame = {
+    val batchD = batch
+      .select(col(id).cast("long").as("id"), digestOf(text).as("digest"))
+    val bmin = batchD.groupBy("digest").agg(min(col("id")).as("bmin"))
+    val segs = readManifest(spark, dir, version).filter(_._2 > 0)
+    val idxLive: DataFrame =
+      if (segs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("digest",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("idx_id",
+              org.apache.spark.sql.types.LongType))))
+      else {
+        // bloom proposes: batch rows that might exist in ANY segment
+        val orPred = segs.map(s =>
+            mightContain(readBloom(spark, dir, s._1),
+              xxhash64(col("digest"))))
+          .reduce(_ || _)
+        val cand = batchD.filter(orPred)
+        // candidate-sized pushdown when the survivor set is small (the
+        // steady state); broadcast semi-join fallback otherwise — the
+        // limit(N+1) collect never materializes an oversized set
+        val candD = cand.select("digest").distinct()
+        val sample = candD.limit(MaxPushdownCandidates + 1).collect()
+        val tomb = tombFrame(spark, dir, readTombstones(spark, dir, version))
+        val hitsAll = segs.map { s =>
+          val base = readSegData(spark, dir, s._1)
+            .withColumn("seg_seq", lit(nameSeq(s._1)))
+          if (sample.length <= MaxPushdownCandidates)
+            base.filter(col("digest")
+              .isin(sample.map(_.getString(0)).toSeq: _*))
+          else base.join(broadcast(candD), Seq("digest"), "left_semi")
+        }.reduce(_.unionByName(_))
+        maskBySeq(hitsAll, tomb)
+          .select(col("digest"), col("id").as("idx_id"))
+      }
+    batchD.join(bmin, "digest").join(idxLive, Seq("digest"), "left")
+  }
+
+  /** `(id, dup_of)` for every batch doc duplicating a live indexed doc
+    * (dup_of = the indexed id — it was seen first) or a smaller-id doc
+    * of its own batch. Probe-only; commits nothing. */
+  def dupPairsAt(spark: SparkSession, dir: String, version: Int,
+                 batch: DataFrame, id: String, text: String,
+                 cfg: Config = Config()): DataFrame = {
+    requireLiveVersion(spark, dir, version)
+    pairsOf(annotate(spark, dir, version, batch, id, text, cfg), id)
+  }
+
+  /** The (id, dup_of) projection of an annotated probe. Self-pairs are
+    * dropped: re-probing a doc the index already holds under its own
+    * id reports nothing (it IS the canonical). */
+  private def pairsOf(ann: DataFrame, id: String): DataFrame =
+    ann.filter(col("idx_id").isNotNull || col("bmin") < col("id"))
+      .select(col("id"), coalesce(col("idx_id"), col("bmin")).as("dup_of"))
+      .filter(col("dup_of") =!= col("id"))
+      .select(col("id").as(id), col("dup_of"))
+
+  def dupPairs(spark: SparkSession, dir: String, batch: DataFrame,
+               id: String, text: String, cfg: Config = Config()): DataFrame =
+    dupPairsAt(spark, dir, latestVersion(spark, dir), batch, id, text, cfg)
+
+  /**
+   * Fold `batch` into the index: emit its dup pairs (against the
+   * pre-ingest state — [[dupPairsAt]] semantics) and append the novel
+   * canonical rows (one per new digest, min batch id) as one segment +
+   * Bloom, in one committed version. A batch with nothing novel still
+   * advances the version (streaming wrappers pair batch ids to
+   * versions 1:1 — the sibling quiet-batch contract). The returned
+   * pairs are MATERIALIZED before the flip; the caller unpersists.
+   */
+  def ingest(spark: SparkSession, dir: String, batch: DataFrame,
+             id: String, text: String, cfg: Config = Config()): DataFrame = {
+    val v = latestVersion(spark, dir)
+    val tok = claimCommit(spark, dir, v + 1, "DigestIndex")
+    val ann = annotate(spark, dir, v, batch, id, text, cfg).persist()
+    val pairs = pairsOf(ann, id).persist()
+    pairs.count() // materialize against v before v+1 commits
+    val novel = ann.filter(col("idx_id").isNull && col("id") === col("bmin"))
+      .select(col("digest"), col("id"))
+    val segsPrev = readManifest(spark, dir, v)
+    val tombs = readTombstones(spark, dir, v)
+    val seg = f"s${v + 1}%05d"
+    val n = writeSegData(spark, novel, dir, seg, cfg)
+    if (n > 0) writeBloom(spark, dir, seg, n, cfg)
+    ann.unpersist(blocking = false)
+    val newSegs = if (n == 0) segsPrev else segsPrev :+ ((seg, n))
+    if (newSegs.length > cfg.maxSegments) {
+      // size-tiered fold, sibling policy: batch-sized `s` segments
+      // fold into one `r` (outstanding tombstones applied PHYSICALLY);
+      // prior `r` segments merge only when their own count trips the
+      // cap — O(N) total write volume for N appends
+      val (rSegs, sSegs) = newSegs.partition(_._1.startsWith("r"))
+      val mergeAll = rSegs.length >= cfg.maxSegments
+      val toMerge = if (mergeAll) newSegs else sSegs
+      val kept = if (mergeAll) Seq.empty else rSegs
+      val comp = f"r${v + 1}%05d"
+      val folded = maskBySeq(
+        toMerge.map(s => readSegData(spark, dir, s._1)
+            .withColumn("seg_seq", lit(nameSeq(s._1))))
+          .reduce(_.unionByName(_)),
+        tombFrame(spark, dir, tombs)).drop("seg_seq")
+      val nC = writeSegData(spark, folded, dir, comp, cfg)
+      if (nC > 0) writeBloom(spark, dir, comp, nC, cfg)
+      // tombstones retire unless a KEPT segment is still older
+      val tombsKept = tombs.filter(t =>
+        kept.exists(s => nameSeq(s._1) < nameSeq(t)))
+      val compSegs =
+        (if (nC == 0) kept else kept :+ ((comp, nC))).sortBy(s => nameSeq(s._1))
+      writeManifest(spark, dir, v + 1, compSegs)
+      writeTombstonesFile(spark, dir, v + 1, tombsKept)
+    } else {
+      writeManifest(spark, dir, v + 1, newSegs)
+      writeTombstonesFile(spark, dir, v + 1, tombs)
+    }
+    commitLatest(spark, dir, v + 1, FormatVersion, tok)
+    pairs
+  }
+
+  /** Tombstone `ids` in a new version (one id-list write, no segment
+    * rewrite). Their digests stop being "seen": a later ingest of the
+    * same text is novel again and re-enters the index (spec-pinned).
+    * Blooms are untouched — they only over-propose; the verify join's
+    * tombstone mask keeps results exact. */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame,
+             idCol: String): Int = {
+    val v = latestVersion(spark, dir)
+    val tok = claimCommit(spark, dir, v + 1, "DigestIndex")
+    val dName = f"d${v + 1}%05d"
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .write.mode("overwrite").parquet(tombPath(dir, dName))
+    writeManifest(spark, dir, v + 1, readManifest(spark, dir, v))
+    writeTombstonesFile(spark, dir, v + 1,
+      readTombstones(spark, dir, v) :+ dName)
+    commitLatest(spark, dir, v + 1, FormatVersion, tok)
+    v + 1
+  }
+
+  /** Fold EVERY segment — tombstones applied physically and retired —
+    * into one fresh r-segment. Probes before/after are pair-identical
+    * (spec-pinned); the reclaim step after a large delete. */
+  def compact(spark: SparkSession, dir: String,
+              cfg: Config = Config()): Int = {
+    val v = latestVersion(spark, dir)
+    val tok = claimCommit(spark, dir, v + 1, "DigestIndex")
+    val segs = readManifest(spark, dir, v).filter(_._2 > 0)
+    val tombs = readTombstones(spark, dir, v)
+    val comp = f"r${v + 1}%05d"
+    val folded =
+      if (segs.isEmpty) None
+      else Some(maskBySeq(
+        segs.map(s => readSegData(spark, dir, s._1)
+            .withColumn("seg_seq", lit(nameSeq(s._1))))
+          .reduce(_.unionByName(_)),
+        tombFrame(spark, dir, tombs)).drop("seg_seq"))
+    val nC = folded.map(writeSegData(spark, _, dir, comp, cfg)).getOrElse(0L)
+    if (nC > 0) writeBloom(spark, dir, comp, nC, cfg)
+    writeManifest(spark, dir, v + 1,
+      if (nC == 0) Seq.empty else Seq((comp, nC)))
+    commitLatest(spark, dir, v + 1, FormatVersion, tok)
+    v + 1
+  }
+
+  /** Drop versions older than the last `retainLast`, plus segment and
+    * tombstone directories no retained manifest references (the
+    * sibling families' gc contract). */
+  def gc(spark: SparkSession, dir: String, retainLast: Int): Unit = {
+    require(retainLast >= 1, s"retainLast must be >= 1: $retainLast")
+    val latest = latestVersion(spark, dir)
+    val f = fs(spark, dir)
+    val keepFrom = math.max(1, latest - retainLast + 1)
+    (1 until keepFrom).foreach(v => f.delete(new Path(versionDir(dir, v)), true))
+    val liveVersions = (keepFrom to latest)
+      .filter(v => f.exists(new Path(versionDir(dir, v))))
+    val referenced = liveVersions
+      .flatMap(readManifest(spark, dir, _).map(_._1)).toSet
+    val segRoot = new Path(s"${dir.stripSuffix("/")}/segments")
+    if (f.exists(segRoot))
+      f.listStatus(segRoot).foreach { st =>
+        val name = st.getPath.getName
+        val num = name.drop(1).toIntOption.getOrElse(Int.MaxValue)
+        if (!referenced.contains(name) && num <= latest)
+          f.delete(st.getPath, true)
+      }
+    val refTombs = liveVersions
+      .flatMap(readTombstones(spark, dir, _)).toSet
+    val tombRoot = new Path(s"${dir.stripSuffix("/")}/tombs")
+    if (f.exists(tombRoot))
+      f.listStatus(tombRoot).foreach { st =>
+        val name = st.getPath.getName
+        val num = name.drop(1).toIntOption.getOrElse(Int.MaxValue)
+        if (!refTombs.contains(name) && num <= latest)
+          f.delete(st.getPath, true)
+      }
+  }
+}

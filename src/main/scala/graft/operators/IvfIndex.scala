@@ -114,7 +114,7 @@ object IvfIndex {
 
   private val FormatVersion = 1
 
-  import VersionedLayout.{atomicWrite, commitLatest, fs, readSmall, versionDir}
+  import VersionedLayout.{atomicWrite, claimCommit, commitLatest, fs, readSmall, versionDir}
 
   def exists(spark: SparkSession, dir: String): Boolean =
     VersionedLayout.exists(spark, dir)
@@ -277,6 +277,7 @@ object IvfIndex {
     * and commit v1 (one segment). */
   def build(spark: SparkSession, corpus: DataFrame, id: String, vec: String,
             dir: String, cfg: Config): Unit = {
+    val tok = VersionedLayout.claimCommit(spark, dir, 1, "IvfIndex")
     val cents = Similarity.trainCentroids(corpus, id, vec, cfg.dim,
       cfg.nList, cfg.iters)
     require(cents.nonEmpty, "IvfIndex.build needs a non-empty corpus")
@@ -288,7 +289,7 @@ object IvfIndex {
       books)
     writeManifest(spark, dir, 1, cents, Seq(seg), counts)
     books.foreach(writeBooks(spark, dir, 1, _))
-    commitLatest(spark, dir, 1, FormatVersion)
+    commitLatest(spark, dir, 1, FormatVersion, tok)
   }
 
   /**
@@ -351,6 +352,7 @@ object IvfIndex {
   def delete(spark: SparkSession, dir: String, ids: DataFrame,
              idCol: String): Int = {
     val v = latestVersion(spark, dir)
+    val tok = claimCommit(spark, dir, v + 1, "IvfIndex")
     val dName = f"d${v + 1}%05d"
     ids.select(col(idCol).as("id")).distinct()
       .write.mode("overwrite").parquet(tombPath(dir, dName))
@@ -360,7 +362,7 @@ object IvfIndex {
       readSegments(spark, dir, v), readCounts(spark, dir, v),
       if (n == 0) tombs else tombs :+ dName)
     readBooks(spark, dir, v).foreach(writeBooks(spark, dir, v + 1, _))
-    commitLatest(spark, dir, v + 1, FormatVersion)
+    commitLatest(spark, dir, v + 1, FormatVersion, tok)
     v + 1
   }
 
@@ -391,6 +393,7 @@ object IvfIndex {
                          id: String, vec: String, cfg: Config,
                          tombIds: Option[DataFrame]): Int = {
     val v = latestVersion(spark, dir)
+    val tok = claimCommit(spark, dir, v + 1, "IvfIndex")
     val cents = readCentroids(spark, dir, v)
     require(cents.headOption.exists(_.length == cfg.dim),
       s"index at $dir has dim ${cents.headOption.map(_.length)}, cfg has ${cfg.dim}")
@@ -526,7 +529,7 @@ object IvfIndex {
       writeManifest(spark, dir, v + 1, cents, newSegs, merged, tombs)
       books.foreach(writeBooks(spark, dir, v + 1, _))
     }
-    commitLatest(spark, dir, v + 1, FormatVersion)
+    commitLatest(spark, dir, v + 1, FormatVersion, tok)
     v + 1
   }
 
@@ -553,6 +556,7 @@ object IvfIndex {
    */
   def retrain(spark: SparkSession, dir: String, cfg: Config): Int = {
     val v = latestVersion(spark, dir)
+    val tok = claimCommit(spark, dir, v + 1, "IvfIndex")
     // same identity checks as appendImpl: a mismatched cfg must fail
     // loudly, not silently re-dimension the index or strip/invent its
     // PQ layer
@@ -585,12 +589,13 @@ object IvfIndex {
     all.unpersist(blocking = false)
     writeManifest(spark, dir, v + 1, cents2, Seq(comp), counts2)
     books2.foreach(writeBooks(spark, dir, v + 1, _))
-    commitLatest(spark, dir, v + 1, FormatVersion)
+    commitLatest(spark, dir, v + 1, FormatVersion, tok)
     v + 1
   }
 
   def compact(spark: SparkSession, dir: String): Int = {
     val v = latestVersion(spark, dir)
+    val tok = claimCommit(spark, dir, v + 1, "IvfIndex")
     val segs = readSegments(spark, dir, v)
     require(segs.nonEmpty, s"nothing to compact at $dir")
     val schema = spark.read.parquet(segPath(dir, segs.head)).schema
@@ -610,7 +615,7 @@ object IvfIndex {
     writeManifest(spark, dir, v + 1, readCentroids(spark, dir, v),
       Seq(comp), counts)
     readBooks(spark, dir, v).foreach(writeBooks(spark, dir, v + 1, _))
-    commitLatest(spark, dir, v + 1, FormatVersion)
+    commitLatest(spark, dir, v + 1, FormatVersion, tok)
     v + 1
   }
 

@@ -127,8 +127,9 @@ object MinhashIndex {
                   content: String): Unit =
     atomicWrite(fs(spark, dir), new Path(dir, name), content)
 
-  private def writeLatest(spark: SparkSession, dir: String, v: Int): Unit =
-    VersionedLayout.commitLatest(spark, dir, v, FormatVersion)
+  private def writeLatest(spark: SparkSession, dir: String, v: Int,
+                          tok: String): Unit =
+    VersionedLayout.commitLatest(spark, dir, v, FormatVersion, tok)
 
   /** Catalog name for a version's bands table: derived from the index
     * path so concurrent indexes in one session never collide. */
@@ -340,6 +341,7 @@ object MinhashIndex {
     * three tables (persisted, like [[Dedup.minhashDupPairs]]'s). */
   def build(spark: SparkSession, corpus: DataFrame, id: String, text: String,
             dir: String, cfg: Config = Config()): Unit = {
+    val tok = VersionedLayout.claimCommit(spark, dir, 1, "MinhashIndex")
     val docs = Dedup.shingleArrays(corpus, id, text, cfg.k).persist()
     val dfTab = docs.select(col(id), explode(col("sharr")).as("shingle"))
       .groupBy(col("shingle")).agg(count(lit(1)).as("df")).persist()
@@ -355,7 +357,7 @@ object MinhashIndex {
     Bucketing.writeBucketedAt(bands, bandsTableName(dir, 1), cfg.nBuckets,
       Seq("band", "bucket"), s"$vd/bands")
     docs.unpersist(); dfTab.unpersist()
-    writeLatest(spark, dir, 1)
+    writeLatest(spark, dir, 1, tok)
   }
 
   /** The warm slice holds every df row a probe with
@@ -723,9 +725,10 @@ object MinhashIndex {
                     id: String, text: String,
                     cfg: Config = Config()): Int = {
     val v = latestVersion(spark, dir)
+    val tok = VersionedLayout.claimCommit(spark, dir, v + 1, "MinhashIndex")
     val p = probe(spark, dir, v, batch, id, text, cfg)
     writeVersionTables(spark, dir, v + 1, p, cfg)
-    writeLatest(spark, dir, v + 1)
+    writeLatest(spark, dir, v + 1, tok)
     p.done() // append materialized everything — release the probe caches
     v + 1
   }
@@ -776,6 +779,7 @@ object MinhashIndex {
   def deleteFromIndex(spark: SparkSession, dir: String, ids: DataFrame,
                       id: String, cfg: Config = Config()): Int = {
     val v = latestVersion(spark, dir)
+    val tok = VersionedLayout.claimCommit(spark, dir, v + 1, "MinhashIndex")
     val vd = versionDir(dir, v)
     val vd1 = versionDir(dir, v + 1)
     val base = baseOf(spark, dir, v)
@@ -837,7 +841,7 @@ object MinhashIndex {
       aff.unpersist()
     }
     atomicWrite(fs(spark, dir), new Path(vd1, "BASE"), base.toString)
-    writeLatest(spark, dir, v + 1)
+    writeLatest(spark, dir, v + 1, tok)
     dels.unpersist(); delta.unpersist()
     v + 1
   }
@@ -853,6 +857,7 @@ object MinhashIndex {
               cfg: Config = Config()): Int = {
     val v = latestVersion(spark, dir)
     if (baseOf(spark, dir, v) == v) return v
+    val tok = VersionedLayout.claimCommit(spark, dir, v + 1, "MinhashIndex")
     val st = liveState(spark, dir, v, idColOf(spark, dir, v), cfg)
     val vd = versionDir(dir, v)
     val vd1 = versionDir(dir, v + 1)
@@ -865,7 +870,7 @@ object MinhashIndex {
     val folded = st.overlay.fold(st.bands)(st.bands.unionByName(_))
     Bucketing.writeBucketedAt(folded, bandsTableName(dir, v + 1),
       cfg.nBuckets, Seq("band", "bucket"), s"$vd1/bands")
-    writeLatest(spark, dir, v + 1)
+    writeLatest(spark, dir, v + 1, tok)
     v + 1
   }
 
@@ -891,11 +896,12 @@ object MinhashIndex {
   def ingest(spark: SparkSession, dir: String, batch: DataFrame,
              id: String, text: String, cfg: Config = Config()): DataFrame = {
     val v = latestVersion(spark, dir)
+    val tok = VersionedLayout.claimCommit(spark, dir, v + 1, "MinhashIndex")
     val p = probe(spark, dir, v, batch, id, text, cfg)
     val pairs = p.pairs.persist()
     pairs.count() // materialize against v before v+1 commits
     writeVersionTables(spark, dir, v + 1, p, cfg)
-    writeLatest(spark, dir, v + 1)
+    writeLatest(spark, dir, v + 1, tok)
     // pairs are materialized; release the probe caches so a continuous
     // ingest loop doesn't accumulate one cache generation per batch
     p.done()

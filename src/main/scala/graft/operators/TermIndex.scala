@@ -266,6 +266,7 @@ object TermIndex {
   def build(spark: SparkSession, corpus: DataFrame, id: String,
             text: String, dir: String, cfg: Config = Config(),
             terms: Column => Column = TF.tokens): Int = {
+    val tok = claimCommit(spark, dir, 1, "TermIndex")
     val seg = "s00001"
     require(!cfg.termsTag.contains("\n"),
       s"termsTag must be single-line, got '${cfg.termsTag}'")
@@ -273,7 +274,7 @@ object TermIndex {
       segPath(dir, seg))
     writeManifest(spark, dir, 1, Seq((seg, nd, nt)))
     writeMarker(spark, dir, "TERMS", s"${cfg.termsTag}\n${cfg.buckets}")
-    commitLatest(spark, dir, 1, FormatVersion)
+    commitLatest(spark, dir, 1, FormatVersion, tok)
     1
   }
 
@@ -356,6 +357,7 @@ object TermIndex {
   def delete(spark: SparkSession, dir: String, ids: DataFrame,
              cfg: Config = Config()): Int = {
     val v = latestVersion(spark, dir)
+    val tok = claimCommit(spark, dir, v + 1, "TermIndex")
     requireTerms(spark, dir, cfg)
     val segs = readManifest(spark, dir, v)
     val (masked, tombs) = readTombstones(spark, dir, v)
@@ -368,7 +370,7 @@ object TermIndex {
     writeTombstonesFile(spark, dir, v + 1,
       (masked._1 + nd, masked._2 + nt),
       if (nd == 0) tombs else tombs :+ dName)
-    commitLatest(spark, dir, v + 1, FormatVersion)
+    commitLatest(spark, dir, v + 1, FormatVersion, tok)
     v + 1
   }
 
@@ -416,6 +418,7 @@ object TermIndex {
                          terms: Column => Column,
                          tombIds: Option[DataFrame]): Int = {
     val v = latestVersion(spark, dir)
+    val tok = claimCommit(spark, dir, v + 1, "TermIndex")
     requireTerms(spark, dir, cfg)
     val segsPrev = readManifest(spark, dir, v)
     val (maskedPrev, tombsPrev) = readTombstones(spark, dir, v)
@@ -505,7 +508,7 @@ object TermIndex {
       writeManifest(spark, dir, v + 1, newSegs)
       writeTombstonesFile(spark, dir, v + 1, masked, tombs)
     }
-    commitLatest(spark, dir, v + 1, FormatVersion)
+    commitLatest(spark, dir, v + 1, FormatVersion, tok)
     v + 1
   }
 
@@ -519,6 +522,7 @@ object TermIndex {
   def compact(spark: SparkSession, dir: String,
               cfg: Config = Config()): Int = {
     val v = latestVersion(spark, dir)
+    val tok = claimCommit(spark, dir, v + 1, "TermIndex")
     requireTerms(spark, dir, cfg)
     val segs = readManifest(spark, dir, v)
     require(segs.nonEmpty, s"nothing to compact at $dir")
@@ -542,7 +546,7 @@ object TermIndex {
     val (nd, nt) = (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     writeManifest(spark, dir, v + 1, Seq((comp, nd, nt)))
     // every masked segment folded: all tombstones retire, correction 0
-    commitLatest(spark, dir, v + 1, FormatVersion)
+    commitLatest(spark, dir, v + 1, FormatVersion, tok)
     v + 1
   }
 

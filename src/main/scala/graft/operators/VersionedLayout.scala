@@ -17,6 +17,13 @@ import org.apache.spark.sql.SparkSession
  * can, is never trusted across an incompatible layout change, and is
  * swapped in atomically.
  */
+/** A writer lost the commit race for an index version: another live
+  * writer holds the claim for the version it tried to commit (or took
+  * the claim over mid-commit). The batch was NOT committed; retry
+  * after re-reading LATEST. See [[VersionedLayout.claimCommit]]. */
+final class ConcurrentCommitException(msg: String)
+  extends RuntimeException(msg)
+
 private[graft] object VersionedLayout {
 
   def fs(spark: SparkSession, dir: String): FileSystem =
@@ -73,5 +80,106 @@ private[graft] object VersionedLayout {
     val fmt = new Path(dir, "FORMAT")
     if (!f.exists(fmt)) atomicWrite(f, fmt, format.toString)
     atomicWrite(f, new Path(dir, "LATEST"), v.toString)
+  }
+
+  // ---- writer mutual exclusion (lease-based optimistic concurrency) ----
+  //
+  // Every index mutation writes data files at version-derived paths
+  // (v00002/, s00002/, d00002) BEFORE flipping LATEST, so two writers
+  // that both read LATEST=v would write into the SAME v+1 paths and
+  // corrupt each other before either commits. claimCommit serializes
+  // writers per version number: an exclusive-create claim file taken
+  // BEFORE any data write, so the loser fails fast having written
+  // nothing. The claim carries (applicationId, nonce, timestamp):
+  //  - same-app re-claim is immediate — the documented torn-append
+  //    recovery ("retry the batch; the rewrite overwrites strands")
+  //    keeps working after a failed attempt in the same session;
+  //  - a different app's claim older than the lease TTL
+  //    (spark conf graft.index.claim.ttlMs, default 15 min) is stolen —
+  //    a dead writer never wedges the index;
+  //  - commitLatest(token) verifies the claim still holds THIS token
+  //    before flipping LATEST, so a slow writer whose lease was stolen
+  //    (or a same-app thread that lost a re-claim) aborts instead of
+  //    publishing over the new owner. Lease assumption: TTL exceeds the
+  //    longest commit, standard for lock files on a filesystem.
+  // Exclusive create is atomic on HDFS (O_EXCL); on S3-style stores
+  // front the claim with a conditional-put manifest service, same as
+  // the LATEST caveat in the class doc.
+
+  private def claimsDir(dir: String): Path =
+    new Path(s"${dir.stripSuffix("/")}/claims")
+
+  private def claimPath(dir: String, v: Int): Path =
+    new Path(claimsDir(dir), f"v$v%05d")
+
+  def claimTtlMs(spark: SparkSession): Long =
+    spark.conf.get("graft.index.claim.ttlMs",
+      (15L * 60 * 1000).toString).toLong
+
+  /** Claim the right to commit version `v` of the index at `dir`.
+    * Returns an ownership token to pass to `commitLatest`. Throws
+    * [[ConcurrentCommitException]] (before ANY data write — call this
+    * first) if another live writer holds the claim. */
+  def claimCommit(spark: SparkSession, dir: String, v: Int,
+                  what: String): String = {
+    val f = fs(spark, dir)
+    val p = claimPath(dir, v)
+    f.mkdirs(p.getParent)
+    val appId = spark.sparkContext.applicationId
+    val token =
+      s"$appId#${java.util.UUID.randomUUID()}#${System.currentTimeMillis()}"
+    def tryCreate(): Boolean =
+      try {
+        val out = f.create(p, false)
+        try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      val existing =
+        try readSmall(f, p) catch { case _: java.io.IOException => "" }
+      val parts = existing.split("#", -1)
+      val theirApp = if (parts.nonEmpty) parts(0) else ""
+      val theirTs =
+        if (parts.length >= 3) scala.util.Try(parts(2).toLong).getOrElse(0L)
+        else 0L
+      val age = System.currentTimeMillis() - theirTs
+      val ttl = claimTtlMs(spark)
+      if (theirApp == appId || age > ttl || existing.isEmpty) {
+        f.delete(p, false)
+        if (!tryCreate())
+          throw new ConcurrentCommitException(
+            s"$what at $dir: lost the re-claim race for version $v")
+      } else
+        throw new ConcurrentCommitException(
+          s"$what at $dir: version $v is claimed by writer $theirApp " +
+            s"(age ${age}ms < ttl ${ttl}ms) — retry after it commits or " +
+            "its lease expires")
+    }
+    token
+  }
+
+  /** Ownership-verified commit: flips LATEST only if the claim for `v`
+    * still holds `token`, then retires every claim at or below `v`. */
+  def commitLatest(spark: SparkSession, dir: String, v: Int,
+                   format: Int, token: String): Unit = {
+    val f = fs(spark, dir)
+    val held =
+      try Some(readSmall(f, claimPath(dir, v)))
+      catch { case _: java.io.IOException => None }
+    if (!held.contains(token))
+      throw new ConcurrentCommitException(
+        s"claim for version $v of $dir was " +
+          s"${if (held.isEmpty) "released" else "taken over by another writer"} " +
+          "before the flip — aborting this commit")
+    commitLatest(spark, dir, v, format)
+    val cd = claimsDir(dir)
+    if (f.exists(cd))
+      f.listStatus(cd).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("v") &&
+            scala.util.Try(name.drop(1).toInt).toOption.exists(_ <= v))
+          f.delete(st.getPath, false)
+      }
   }
 }

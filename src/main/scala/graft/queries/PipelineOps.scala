@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{Multimodal, TextFunctions => TF}
-import graft.operators.{Dedup, Graph, IvfIndex, MinhashIndex, Packing, Pq, Quality, Retrieval, Sampling, Similarity, TermIndex, Terms}
+import graft.operators.{Dedup, DigestIndex, Graph, IvfIndex, MinhashIndex, Packing, Pq, Quality, Retrieval, Sampling, Similarity, TermIndex, Terms}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -65,6 +65,19 @@ object PipelineOps {
       val d = java.nio.file.Files.createTempDirectory("graft_mhidx_q").toString
       MinhashIndex.build(spark, existing, "doc_id", "text", d,
         MinhashIndex.Config())
+      d
+    })
+
+  /** Per-JVM memo of built digest indexes (same contract as
+    * mhIndexes — first run pays the build, later runs time the
+    * steady-state probe). */
+  private val digestIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def digestIndexFor(spark: SparkSession, dir: String,
+                             corpus: DataFrame): String =
+    digestIndexes.computeIfAbsent(dir, _ => {
+      val d = java.nio.file.Files.createTempDirectory("graft_didx_q").toString
+      DigestIndex.build(spark, corpus, "doc_id", "text", d).unpersist()
       d
     })
 
@@ -649,6 +662,34 @@ object PipelineOps {
       Dedup.minhashIncrementalFromIndex(spark, idx, d.filter(isNew),
         "doc_id", "text", MinhashIndex.Config())
         .orderBy("a", "b")
+    },
+
+    // Index-backed EXACT dedup — the fourth persisted family
+    // (DigestIndex: per-segment Blooms propose, a digest equi-join
+    // with candidate pushdown verifies). The corpus has no exact
+    // duplicates, so the probe batch is synthesized deterministically
+    // from the corpus tables: re-id'd byte-identical copies
+    // (doc_id % 7 = 3, +1e6), novel suffixed texts (doc_id % 7 = 5,
+    // +2e6), and a within-batch duplicate of each novel text at an
+    // even doc_id (% 14 = 5, +3e6) — the oracle replays the same
+    // construction. Emits (doc_id, dup_of) under seen-first-wins:
+    // indexed canonical beats batch ids; within-batch min id wins the
+    // rest. Index built once per JVM; Bench's min-of-3 times the
+    // steady-state probe (bloom pass + candidate-sized verify scan).
+    "dedup_exact_idx" -> { (spark, dir) =>
+      val d = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val batch = d.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") % 7 === 5)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" xnovel")).as("text")))
+        .unionByName(d.filter(col("doc_id") % 14 === 5)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(col("text"), lit(" xnovel")).as("text")))
+      val idx = digestIndexFor(spark, dir, d)
+      DigestIndex.dupPairs(spark, idx, batch, "doc_id", "text")
+        .orderBy("doc_id")
     },
 
     // k-fold cross-validation assignment: fold = md5-bucket mod 5 —
@@ -1555,6 +1596,25 @@ object PipelineOps {
     // exactly what the self-contained recompute returns (IndexSpec
     // asserts pair-set equality; the driver's oracle pins both)
     "dedup_incremental_idx" -> incrementalOracleSql,
+
+    "dedup_exact_idx" ->
+      """WITH corpus AS (SELECT doc_id, md5(text) AS d FROM documents),
+        |batch AS (
+        |  SELECT doc_id + 1000000 AS doc_id, md5(text) AS d
+        |  FROM documents WHERE doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, md5(text || ' xnovel')
+        |  FROM documents WHERE doc_id % 7 = 5
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, md5(text || ' xnovel')
+        |  FROM documents WHERE doc_id % 14 = 5),
+        |canon AS (SELECT d, min(doc_id) AS c FROM corpus GROUP BY 1),
+        |bmin AS (SELECT d, min(doc_id) AS m FROM batch GROUP BY 1)
+        |SELECT batch.doc_id AS doc_id, coalesce(canon.c, bmin.m) AS dup_of
+        |FROM batch LEFT JOIN canon USING (d) JOIN bmin USING (d)
+        |WHERE (canon.c IS NOT NULL OR bmin.m < batch.doc_id)
+        |  AND coalesce(canon.c, bmin.m) != batch.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_stratified_sample" ->
       s"""WITH t AS (SELECT doc_id,
          |  list_filter(string_split_regex(text,'\\s+'), x -> len(x)>0) AS toks

@@ -881,6 +881,106 @@ object Streams {
     l.join(r, cond, joinType).drop("__rkey")
   }
 
+  /**
+   * Streaming EXACT dedup against a persisted
+   * [[graft.operators.DigestIndex]] — the unbounded-history form of
+   * [[dedupStream]]: `dropDuplicatesWithinWatermark` forgets keys once
+   * the watermark passes, so byte-identical re-submissions a week
+   * apart slip through; the digest index holds the corpus digest set
+   * for its whole lifetime at batch-sized per-commit cost. Each
+   * micro-batch emits its `(id, dup_of)` pairs AS OF ARRIVAL
+   * ([[graft.operators.DigestIndex.dupPairsAt]] semantics — indexed
+   * canonical beats batch ids, within-batch min id wins the rest) and
+   * folds its novel canonicals into the index in one committed
+   * version.
+   *
+   * Same at-least-once redelivery contract as the three sibling
+   * wrappers: first contact pins `(firstBatchId, baseVersion)` as an
+   * atomic `STREAM` marker BEFORE the first commit, batch b is
+   * expected to commit `base + (b - firstB) + 1` (quiet all-dup
+   * batches still advance the version, keeping the pairing aligned),
+   * a replayed batch re-emits read-only by probing the PRE-ingest
+   * version (`dupPairsAt(expected - 1)` — exactly what its original
+   * ingest computed), and any other mismatch fails fast: checkpoint
+   * and index are one unit of state.
+   */
+  def exactDedupStreamIndexed(docs: DataFrame, id: String, text: String,
+                              indexDir: String,
+                              checkpointLocation: String,
+                              cfg: graft.operators.DigestIndex.Config =
+                                graft.operators.DigestIndex.Config(),
+                              retainVersions: Int = 2)
+                             (onPairs: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(retainVersions >= 2,
+      s"retainVersions must be >= 2 (replay needs the prior version): $retainVersions")
+    docs.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        exactDedupIndexedBatch(batch, batchId, id, text, indexDir, cfg,
+          retainVersions)(onPairs)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[exactDedupStreamIndexed]] — factored out so
+    * fault-injection tests can drive the exact production code path
+    * (crash inside it, then replay it) without a streaming harness. */
+  private[graft] def exactDedupIndexedBatch(
+      batch: Dataset[org.apache.spark.sql.Row], batchId: Long,
+      id: String, text: String, indexDir: String,
+      cfg: graft.operators.DigestIndex.Config,
+      retainVersions: Int)(onPairs: (DataFrame, Long) => Unit): Unit = {
+    import graft.operators.DigestIndex
+    val spark = batch.sparkSession
+    val slim = batch.select(col(id), col(text))
+    // bootstrap: an empty index (v1) — the first ingest's probe yields
+    // exactly the batch-internal dup pairs
+    if (!DigestIndex.exists(spark, indexDir))
+      DigestIndex.create(spark, indexDir, cfg)
+    val (firstB, base) =
+      DigestIndex.readMarker(spark, indexDir, "STREAM") match {
+        case Some(s) =>
+          val parts = s.split(" ")
+          (parts(0).toLong, parts(1).toInt)
+        case None =>
+          // pin the pairing before any ingest; idempotent under
+          // redelivery (a crash after the marker but before the ingest
+          // recomputes the same pair)
+          val bv = DigestIndex.latestVersion(spark, indexDir)
+          DigestIndex.writeMarker(spark, indexDir, "STREAM", s"$batchId $bv")
+          (batchId, bv)
+      }
+    require(batchId >= firstB,
+      s"batch id $batchId precedes this index's first stream batch " +
+        s"$firstB — the stream checkpoint was reset against an existing " +
+        "index; checkpoint and index are one unit of state (delete both " +
+        "or neither)")
+    val expected = base + (batchId - firstB).toInt + 1
+    val latest = DigestIndex.latestVersion(spark, indexDir)
+    if (latest == expected) {
+      // replayed batch: its ingest already committed — re-emit the
+      // identical pairs read-only against the PRE-ingest version,
+      // never double-ingest
+      val p = DigestIndex.dupPairsAt(spark, indexDir, expected - 1, slim,
+        id, text, cfg).persist()
+      p.count()
+      try onPairs(p, batchId)
+      finally p.unpersist()
+    } else if (latest == expected - 1) {
+      val p = DigestIndex.ingest(spark, indexDir, slim, id, text, cfg)
+      try onPairs(p, batchId)
+      finally p.unpersist() // one cache generation per batch otherwise
+      DigestIndex.gc(spark, indexDir, retainVersions)
+    } else {
+      throw new IllegalStateException(
+        s"index at $indexDir is at version $latest but batch $batchId " +
+          s"expects $expected (committed) or ${expected - 1} (fresh): " +
+          "stream checkpoint and index state disagree — one was deleted " +
+          "or rolled back without the other")
+    }
+  }
+
   /** Run a streaming query to completion against the (finite) batch
     * source and return the result — the slicetest.Run analog for
     * streaming (memory sink + processAllAvailable). */

@@ -1,0 +1,180 @@
+package graft
+
+import graft.operators.{ConcurrentCommitException, IvfIndex, MinhashIndex, TermIndex}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Writer mutual exclusion for the persisted index families: every
+ * mutation writes data files at version-derived paths BEFORE flipping
+ * LATEST, so two writers that both read LATEST=v would corrupt each
+ * other's v+1 files pre-commit. VersionedLayout.claimCommit takes an
+ * exclusive per-version claim first; this suite pins the protocol
+ * deterministically (claims are plain files — a foreign writer is
+ * simulated by planting one with another applicationId).
+ */
+class ConcurrencySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = Tables.load(spark, sf, "documents")
+    .select(col("doc_id"), col("text"))
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Plant a claim file as a (live) FOREIGN writer would leave it. */
+  private def plantForeignClaim(dir: String, v: Int,
+                                ts: Long = System.currentTimeMillis()): Unit = {
+    val claims = java.nio.file.Paths.get(dir, "claims")
+    java.nio.file.Files.createDirectories(claims)
+    java.nio.file.Files.write(claims.resolve(f"v$v%05d"),
+      s"app-elsewhere-123#deadbeef#$ts".getBytes("UTF-8"))
+  }
+
+  private def claimFile(dir: String, v: Int): java.nio.file.Path =
+    java.nio.file.Paths.get(dir, "claims", f"v$v%05d")
+
+  private def withTtl[A](ms: Long)(body: => A): A = {
+    spark.conf.set("graft.index.claim.ttlMs", ms.toString)
+    try body finally spark.conf.unset("graft.index.claim.ttlMs")
+  }
+
+  test("TermIndex: a live foreign claim fails the append fast — nothing written, index unchanged") {
+    val dir = tmpDir("graft_occ_tidx")
+    val d = docs.limit(40).persist()
+    val cfg = TermIndex.Config(buckets = 4)
+    TermIndex.build(spark, d, "doc_id", "text", dir, cfg)
+    val probes = d.filter(col("doc_id") % 7 === 0)
+    val before = TermIndex.topK(spark, dir, probes, "doc_id", "text", 3, cfg)
+      .collect().toSet
+
+    plantForeignClaim(dir, 2)
+    val ex = intercept[ConcurrentCommitException] {
+      TermIndex.append(spark, dir, docs.limit(60), "doc_id", "text", cfg)
+    }
+    assert(ex.getMessage.contains("app-elsewhere-123"))
+    assert(TermIndex.latestVersion(spark, dir) == 1,
+      "loser must not have committed")
+    // fail-fast BEFORE data writes: no stranded s00002 segment
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "segments", "s00002")),
+      "loser must fail before writing any segment data")
+    assert(TermIndex.topK(spark, dir, probes, "doc_id", "text", 3, cfg)
+      .collect().toSet === before, "readers undisturbed")
+    d.unpersist()
+  }
+
+  test("expired lease is stolen; successful commit retires the claim") {
+    val dir = tmpDir("graft_occ_steal")
+    val d = docs.limit(40)
+    val cfg = TermIndex.Config(buckets = 4)
+    TermIndex.build(spark, d, "doc_id", "text", dir, cfg)
+    // a claim from a DEAD writer: foreign app, timestamp older than ttl
+    plantForeignClaim(dir, 2, ts = System.currentTimeMillis() - 10000)
+    withTtl(1000) {
+      val v = TermIndex.append(spark, dir, docs.limit(60), "doc_id", "text", cfg)
+      assert(v == 2, "stale foreign lease must be stolen")
+    }
+    assert(!java.nio.file.Files.exists(claimFile(dir, 2)),
+      "winner retires its claim at commit")
+  }
+
+  test("same-app retry reclaims immediately (torn-append recovery keeps working)") {
+    val dir = tmpDir("graft_occ_retry")
+    val d = docs.limit(40)
+    val cfg = TermIndex.Config(buckets = 4)
+    TermIndex.build(spark, d, "doc_id", "text", dir, cfg)
+    // simulate a crashed attempt FROM THIS APP: claim taken, no commit
+    graft.operators.VersionedLayout.claimCommit(spark, dir, 2, "TermIndex")
+    // retry in the same session must proceed (reclaim, not deadlock)
+    val v = TermIndex.append(spark, dir, docs.limit(60), "doc_id", "text", cfg)
+    assert(v == 2)
+  }
+
+  test("commit verifies ownership: a stolen claim aborts the slow writer's flip") {
+    val dir = tmpDir("graft_occ_stolen")
+    val d = docs.limit(40)
+    val cfg = TermIndex.Config(buckets = 4)
+    TermIndex.build(spark, d, "doc_id", "text", dir, cfg)
+    val tok = graft.operators.VersionedLayout.claimCommit(spark, dir, 2, "t")
+    // lease stolen mid-commit (another writer replaced the claim)
+    plantForeignClaim(dir, 2)
+    intercept[ConcurrentCommitException] {
+      graft.operators.VersionedLayout.commitLatest(spark, dir, 2, 2, tok)
+    }
+    assert(TermIndex.latestVersion(spark, dir) == 1,
+      "flip must not happen on a stolen lease")
+    // and a RELEASED claim (deleted file) aborts the same way
+    val tok2 = s"${spark.sparkContext.applicationId}#not-on-disk#0"
+    java.nio.file.Files.deleteIfExists(claimFile(dir, 2))
+    intercept[ConcurrentCommitException] {
+      graft.operators.VersionedLayout.commitLatest(spark, dir, 2, 2, tok2)
+    }
+  }
+
+  test("IvfIndex: foreign claims block append/delete/retrain before any write; steal-after-ttl proceeds") {
+    import spark.implicits._
+    val dir = tmpDir("graft_occ_ivf")
+    val vecs = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 7 + d) % 13).toFloat)))
+      .toDF("id", "vec")
+    val cfg = IvfIndex.Config(dim = 8, nList = 4, iters = 1)
+    IvfIndex.build(spark, vecs, "id", "vec", dir, cfg)
+
+    plantForeignClaim(dir, 2)
+    intercept[ConcurrentCommitException] {
+      IvfIndex.append(spark, dir, vecs.filter(col("id") < 8), "id", "vec", cfg)
+    }
+    intercept[ConcurrentCommitException] {
+      IvfIndex.delete(spark, dir, vecs.select("id").limit(2), "id")
+    }
+    intercept[ConcurrentCommitException] { IvfIndex.retrain(spark, dir, cfg) }
+    assert(IvfIndex.latestVersion(spark, dir) == 1)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "segments", "s00002")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "tombs", "d00002")))
+
+    withTtl(0) {
+      assert(IvfIndex.delete(spark, dir, vecs.select("id").limit(2), "id") == 2)
+    }
+  }
+
+  test("MinhashIndex: foreign claim blocks ingest and delete; ttl steal proceeds and probes stay exact") {
+    val dir = tmpDir("graft_occ_mh")
+    val d = docs.limit(40).persist()
+    val cfg = MinhashIndex.Config(k = 3, numPerms = 16, bandRows = 2,
+      nBuckets = 4)
+    MinhashIndex.build(spark, d, "doc_id", "text", dir, cfg)
+
+    plantForeignClaim(dir, 2)
+    val batch = docs.filter(col("doc_id") >= 40).limit(10)
+    intercept[ConcurrentCommitException] {
+      MinhashIndex.ingest(spark, dir, batch, "doc_id", "text", cfg).count()
+    }
+    intercept[ConcurrentCommitException] {
+      MinhashIndex.deleteFromIndex(spark, dir, d.select("doc_id").limit(2),
+        "doc_id", cfg)
+    }
+    assert(MinhashIndex.latestVersion(spark, dir) == 1)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "v00002")),
+      "loser must not have written version tables")
+
+    withTtl(0) {
+      val pairs = MinhashIndex.ingest(spark, dir, batch, "doc_id", "text", cfg)
+      pairs.count()
+      assert(MinhashIndex.latestVersion(spark, dir) == 2)
+    }
+    spark.catalog.clearCache()
+    d.unpersist()
+  }
+}

@@ -1,0 +1,229 @@
+package graft
+
+import graft.operators.DigestIndex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Persisted exact-dedup digest index: the load-bearing contract is
+ * (id, dup_of) equality with an independent md5-groupBy recompute over
+ * the live corpus, under the seen-first-wins ingestion order — across
+ * appends, deletes (re-add revival included), compaction, pinned
+ * replay, and the bloom fast path (exactness never depends on fpp).
+ */
+class DigestIndexSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_didx").toString
+
+  /** texts chosen so several ids share a text (exact dups) and most
+    * don't — ids deliberately NOT aligned with ingestion order. */
+  private def doc(id: Long, text: String): (Long, String) = (id, text)
+
+  private def df(rows: Seq[(Long, String)]): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private def pairSet(p: DataFrame): Set[(Long, Long)] =
+    p.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** Independent recompute of the expected dup pairs for `batch`
+    * probed against live index rows `idx` (digest -> canonical id). */
+  private def expected(idx: Map[String, Long],
+                       batch: Seq[(Long, String)]): Set[(Long, Long)] = {
+    val bmin = batch.groupBy(_._2).map { case (t, rs) => t -> rs.map(_._1).min }
+    batch.flatMap { case (id, t) =>
+      idx.get(md5Hex(t)) match {
+        case Some(c) => Some((id, c))
+        case None => if (bmin(t) < id) Some((id, bmin(t))) else None
+      }
+    }.toSet
+  }
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+
+  test("build emits within-corpus pairs; ingest probes are exact against the live digest set") {
+    val dir = tmpDir()
+    val corpus = Seq(
+      doc(10, "alpha beta gamma"), doc(11, "delta epsilon"),
+      doc(12, "alpha beta gamma"), // dup of 10
+      doc(13, "zeta eta theta"), doc(14, "delta epsilon")) // dup of 11
+    val p0 = DigestIndex.build(spark, df(corpus), "doc_id", "text", dir)
+    assert(pairSet(p0) === Set((12L, 10L), (14L, 11L)))
+    p0.unpersist()
+    assert(DigestIndex.latestVersion(spark, dir) == 2) // create + ingest
+
+    // batch: one dup of an indexed doc (larger AND smaller id than the
+    // canonical — seen-first must win both ways), one within-batch dup
+    // pair, novels
+    val batch = Seq(
+      doc(5, "alpha beta gamma"),   // dup of indexed 10 (smaller id!)
+      doc(20, "zeta eta theta"),    // dup of indexed 13
+      doc(21, "iota kappa"), doc(22, "iota kappa"), // within-batch
+      doc(23, "lambda mu"))
+    val idxNow = Map(
+      md5Hex("alpha beta gamma") -> 10L, md5Hex("delta epsilon") -> 11L,
+      md5Hex("zeta eta theta") -> 13L)
+    val p1 = DigestIndex.ingest(spark, dir, df(batch), "doc_id", "text")
+    assert(pairSet(p1) === expected(idxNow, batch))
+    assert(pairSet(p1) === Set((5L, 10L), (20L, 13L), (22L, 21L)))
+    p1.unpersist()
+
+    // the canonical NOVEL rows entered the index: re-probing the same
+    // batch reports the same dups, and the now-indexed canonicals (21,
+    // 23) report nothing about themselves (self-pairs are dropped)
+    val p2 = DigestIndex.dupPairs(spark, dir, df(batch), "doc_id", "text")
+    assert(pairSet(p2) === Set((5L, 10L), (20L, 13L), (22L, 21L)))
+  }
+
+  test("quiet batch (all dup) advances the version without a segment; probes unchanged") {
+    val dir = tmpDir()
+    DigestIndex.build(spark, df(Seq(doc(1, "a a"), doc(2, "b b"))),
+      "doc_id", "text", dir).unpersist()
+    val v = DigestIndex.latestVersion(spark, dir)
+    val p = DigestIndex.ingest(spark, dir,
+      df(Seq(doc(9, "a a"))), "doc_id", "text")
+    assert(pairSet(p) === Set((9L, 1L)))
+    p.unpersist()
+    assert(DigestIndex.latestVersion(spark, dir) == v + 1)
+    assert(DigestIndex.readManifest(spark, dir, v + 1)
+      === DigestIndex.readManifest(spark, dir, v))
+  }
+
+  test("delete revives a digest: re-ingest of deleted text is novel and re-enters; masked probes exact") {
+    val dir = tmpDir()
+    DigestIndex.build(spark,
+      df(Seq(doc(1, "t one"), doc(2, "t two"), doc(3, "t three"))),
+      "doc_id", "text", dir).unpersist()
+    DigestIndex.delete(spark, dir, Seq(2L).toDF("doc_id"), "doc_id")
+    // deleted doc no longer answers probes
+    val p1 = DigestIndex.dupPairs(spark, dir,
+      df(Seq(doc(50, "t two"), doc(51, "t one"))), "doc_id", "text")
+    assert(pairSet(p1) === Set((51L, 1L)))
+    // re-ingest: "t two" is novel again (seen-first restarts at 50)
+    DigestIndex.ingest(spark, dir, df(Seq(doc(50, "t two"))),
+      "doc_id", "text").unpersist()
+    val p2 = DigestIndex.dupPairs(spark, dir,
+      df(Seq(doc(60, "t two"))), "doc_id", "text")
+    assert(pairSet(p2) === Set((60L, 50L)),
+      "re-added digest must answer with the NEW canonical, not the tombstoned one")
+  }
+
+  test("tiered compaction + maintenance compact: probes pair-identical before/after; tombstones fold physically") {
+    val dir = tmpDir()
+    val cfg = DigestIndex.Config(maxSegments = 3)
+    DigestIndex.create(spark, dir, cfg)
+    // enough appends to trip tiering repeatedly
+    (0 until 6).foreach { i =>
+      DigestIndex.ingest(spark, dir,
+        df(Seq(doc(100L + i, s"novel text $i"), doc(200L + i, s"shared text"))),
+        "doc_id", "text", cfg).unpersist()
+    }
+    // "shared text" canonical is 200 (first batch); later 201..205 were
+    // dups and never entered
+    val probe = df(Seq(doc(900, "shared text"), doc(901, "novel text 4"),
+      doc(902, "never seen")))
+    val before = pairSet(DigestIndex.dupPairs(spark, dir, probe,
+      "doc_id", "text", cfg))
+    assert(before === Set((900L, 200L), (901L, 104L)))
+    DigestIndex.delete(spark, dir, Seq(104L).toDF("doc_id"), "doc_id")
+    val afterDel = pairSet(DigestIndex.dupPairs(spark, dir, probe,
+      "doc_id", "text", cfg))
+    assert(afterDel === Set((900L, 200L)))
+    val vC = DigestIndex.compact(spark, dir, cfg)
+    assert(DigestIndex.readTombstones(spark, dir, vC).isEmpty,
+      "compaction must retire folded tombstones")
+    assert(DigestIndex.readManifest(spark, dir, vC).length == 1)
+    assert(pairSet(DigestIndex.dupPairs(spark, dir, probe,
+      "doc_id", "text", cfg)) === afterDel,
+      "maintenance compact must not change probe results")
+  }
+
+  test("pinned replay: dupPairsAt(old version) ignores later ingests; gc'd pins fail loudly") {
+    val dir = tmpDir()
+    DigestIndex.build(spark, df(Seq(doc(1, "x x"))), "doc_id", "text", dir)
+      .unpersist()
+    val v2 = DigestIndex.latestVersion(spark, dir)
+    DigestIndex.ingest(spark, dir, df(Seq(doc(2, "y y"))), "doc_id", "text")
+      .unpersist()
+    val probe = df(Seq(doc(9, "y y")))
+    assert(pairSet(DigestIndex.dupPairsAt(spark, dir, v2, probe,
+      "doc_id", "text")) === Set.empty[(Long, Long)])
+    assert(pairSet(DigestIndex.dupPairs(spark, dir, probe,
+      "doc_id", "text")) === Set((9L, 2L)))
+    DigestIndex.gc(spark, dir, retainLast = 1)
+    intercept[IllegalArgumentException] {
+      DigestIndex.dupPairsAt(spark, dir, v2, probe, "doc_id", "text")
+    }
+    // latest still works after gc
+    assert(pairSet(DigestIndex.dupPairs(spark, dir, probe,
+      "doc_id", "text")) === Set((9L, 2L)))
+  }
+
+  test("bloom fp floods cannot change results: fpp=0.5 probe equals fpp=0.0001 probe on the same data") {
+    val corpus = (0L until 200L).map(i => doc(i, s"corpus text number $i"))
+    val batch = (0L until 50L).map(i =>
+      if (i % 5 == 0) doc(1000L + i, s"corpus text number ${i * 3}")
+      else doc(1000L + i, s"batch novel $i"))
+    val got = Seq(0.5, 0.0001).map { fpp =>
+      val dir = tmpDir()
+      val cfg = DigestIndex.Config(fpp = fpp)
+      DigestIndex.build(spark, df(corpus), "doc_id", "text", dir, cfg)
+        .unpersist()
+      pairSet(DigestIndex.dupPairs(spark, dir, df(batch),
+        "doc_id", "text", cfg))
+    }
+    assert(got(0) === got(1))
+    assert(got(0) === (0L until 50L by 5).map(i =>
+      (1000L + i, i * 3)).toSet)
+  }
+
+  test("streaming batch body: redelivery re-emits identical pairs read-only; divergence fails fast") {
+    val dir = tmpDir()
+    val cfg = DigestIndex.Config()
+    val b0 = df(Seq(doc(1, "s one"), doc(2, "s two"), doc(3, "s one")))
+    val b1 = df(Seq(doc(4, "s two"), doc(5, "s three")))
+    val emitted = scala.collection.mutable.ArrayBuffer[Set[(Long, Long)]]()
+    def run(b: DataFrame, id: Long): Unit =
+      graft.streaming.Streams.exactDedupIndexedBatch(b, id, "doc_id",
+        "text", dir, cfg, retainVersions = 2) { (p, _) =>
+        emitted += pairSet(p)
+      }
+    run(b0, 0); run(b1, 1)
+    assert(emitted.toSeq === Seq(Set((3L, 1L)), Set((4L, 2L))))
+    val vAfter = DigestIndex.latestVersion(spark, dir)
+    // redelivery of batch 1 (foreachBatch at-least-once): identical
+    // pairs, no double-ingest, version unchanged
+    run(b1, 1)
+    assert(emitted.last === Set((4L, 2L)))
+    assert(DigestIndex.latestVersion(spark, dir) == vAfter)
+    // checkpoint/index divergence (skipped batch id) fails fast
+    intercept[IllegalStateException] { run(b1, 7) }
+  }
+
+  test("scale shape: a mostly-novel batch's verify scan is candidate-sized (bloom prunes the index read)") {
+    val dir = tmpDir()
+    val corpus = (0L until 500L).map(i => doc(i, s"stable corpus doc $i"))
+    DigestIndex.build(spark, df(corpus), "doc_id", "text", dir).unpersist()
+    // 100 novel + 3 dup: bloom passes ~3 + fp; the pushdown path takes
+    // the isin branch (collect ≤ MaxPushdownCandidates) — assert via
+    // the executed result being exact AND the candidate filter present
+    val batch = (0L until 100L).map(i => doc(2000L + i, s"fresh doc $i")) ++
+      Seq(doc(3000, "stable corpus doc 7"), doc(3001, "stable corpus doc 8"),
+        doc(3002, "stable corpus doc 9"))
+    val pairs = DigestIndex.dupPairs(spark, dir, df(batch), "doc_id", "text")
+    assert(pairSet(pairs) === Set((3000L, 7L), (3001L, 8L), (3002L, 9L)))
+  }
+}

@@ -175,6 +175,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.operators.MinhashIndex.latestVersion(spark, idxDir) == 3)
   }
 
+  test("exactDedupStreamIndexed: unbounded-history exact dedup — seen-first pairs per batch, one version per batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("exactdedup_idx").toString
+    val idxDir = s"$base/idx"
+    val perBatch = scala.collection.mutable.ArrayBuffer[Set[(Long, Long)]]()
+    val q = Streams.exactDedupStreamIndexed(
+      source.toDF().toDF("doc_id", "text"), "doc_id", "text", idxDir,
+      s"$base/ckpt") { (pairs, _) =>
+      perBatch += pairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // batch 0: 8 novels + 2 within-batch dups
+    source.addData((1L to 8L).map(i => (i, s"text $i")) ++
+      Seq((9L, "text 1"), (10L, "text 2")))
+    q.processAllAvailable()
+    // batch 1: dup-of-indexed (far beyond any watermark horizon —
+    // the contract dropDuplicatesWithinWatermark cannot give),
+    // within-batch pair, one novel
+    source.addData(Seq((11L, "text 1"), (12L, "brand new"),
+      (13L, "brand new"), (14L, "text 5"), (15L, "solo")))
+    q.processAllAvailable()
+    // batch 2: all-dup quiet batch
+    source.addData(Seq((20L, "text 1")))
+    q.processAllAvailable()
+    q.stop()
+    assert(perBatch.toSeq === Seq(
+      Set((9L, 1L), (10L, 2L)),
+      Set((11L, 1L), (13L, 12L), (14L, 5L)),
+      Set((20L, 1L))))
+    // bootstrap v1 + three ingests, the quiet batch included
+    assert(graft.operators.DigestIndex.latestVersion(spark, idxDir) == 4)
+  }
+
   test("annStreamIndexed with PQ layer: pinned emissions survive ADC probing + in-stream compaction") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

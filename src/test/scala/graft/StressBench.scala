@@ -101,11 +101,19 @@ object StressBench {
       val d = new java.io.File(p)
       if (!d.exists) -1 else d.listFiles.count(_.isDirectory).toLong
     }
+    // v***** dirs only — index roots also hold segments/tombs/claims
+    // dirs (claims/ is new this round: the writer-exclusion protocol)
+    def countVersionDirs(p: String): Long = {
+      val d = new java.io.File(p)
+      if (!d.exists) -1
+      else d.listFiles.count(f => f.isDirectory &&
+        f.getName.matches("v\\d+")).toLong
+    }
     health("band_files_latest") = countFiles(f"$idx/v$latest%05d/bands")
     health("hot_shingles") =
       spark.read.parquet(f"$idx/v$latest%05d/hot").count()
     health("df_rows") = spark.read.parquet(f"$idx/v$latest%05d/df").count()
-    health("mh_versions_on_disk") = countDirs(idx) // version dirs only (markers are files)
+    health("mh_versions_on_disk") = countVersionDirs(idx)
 
     // minhash tombstone delete (round 9): the commit writes only the
     // id list + batch-sized corrections, so its cost must stay
@@ -121,6 +129,65 @@ object StressBench {
     health("mh_del_pairs") = mhAfter.length.toLong
     health("mh_del_deleted_hits") = mhAfter.count(r =>
       r.getLong(0) % 50 == 11 || r.getLong(1) % 50 == 11).toLong
+
+    // --- DigestIndex (persisted exact dedup, round 9 session 5): the
+    // fourth family under the same discipline — build + an ingest loop
+    // with per-commit gc that trips the tier fold in-loop
+    // (maxSegments=3, build + 4 ingests), then TWO steady-state probes:
+    // a mostly-novel batch (the crawl steady state — the bloom pass
+    // should keep its verify scan candidate-sized, so its cost must
+    // stay flat per 10x corpus) and a duplicate-heavy batch (every row
+    // survives the blooms — the verify-join upper bound). Delete +
+    // masked re-probe pins the tombstone path at stress scale.
+    import graft.operators.DigestIndex
+    val didxDir = java.nio.file.Files.createTempDirectory("graft_stress_didx")
+      .toString + "/idx"
+    val dCfg = DigestIndex.Config(maxSegments = 3)
+    time("didx_build") {
+      val p = DigestIndex.build(spark,
+        docs.filter(col("doc_id") % 20 >= 8), "doc_id", "text", didxDir, dCfg)
+      health("didx_build_pairs") = p.count(); p.unpersist()
+    }
+    (0 until 4).foreach { i =>
+      time(s"didx_ingest_${i + 1}") {
+        val p = DigestIndex.ingest(spark, didxDir,
+          docs.filter(col("doc_id") % 20 === i), "doc_id", "text", dCfg)
+        health(s"didx_ingest${i + 1}_pairs") = p.count(); p.unpersist()
+        DigestIndex.gc(spark, didxDir, retainLast = 2)
+      }
+    }
+    // mostly-novel probe: un-ingested slice with re-id'd fresh texts —
+    // only the corpus's internal dup structure can propose candidates
+    val dNovel = docs.filter(col("doc_id") % 20 === 5)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(col("text"), lit(" didxnovel"), col("doc_id")).as("text"))
+    time("didx_probe_novel") {
+      health("didx_novel_pairs") =
+        DigestIndex.dupPairs(spark, didxDir, dNovel, "doc_id", "text", dCfg)
+          .count()
+    }
+    // duplicate-heavy probe: re-id'd byte-identical copies of indexed
+    // docs — every row passes the blooms and reaches the verify join
+    val dDup = docs.filter(col("doc_id") % 20 === 9)
+      .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+    time("didx_probe_dup") {
+      health("didx_dup_pairs") =
+        DigestIndex.dupPairs(spark, didxDir, dDup, "doc_id", "text", dCfg)
+          .count()
+    }
+    val dDel = docs.filter(col("doc_id") % 50 === 21).select("doc_id")
+    time("didx_delete")(DigestIndex.delete(spark, didxDir, dDel, "doc_id"))
+    val dAfter = time("didx_probe_after_delete") {
+      DigestIndex.dupPairs(spark, didxDir, dDup, "doc_id", "text", dCfg)
+        .collect()
+    }
+    health("didx_del_pairs") = dAfter.length.toLong
+    health("didx_del_deleted_hits") =
+      dAfter.count(_.getLong(1) % 50 == 21).toLong
+    health("didx_segments_in_manifest") = DigestIndex.readManifest(spark,
+      didxDir, DigestIndex.latestVersion(spark, didxDir)).length.toLong
+    health("didx_segment_dirs_on_disk") = countDirs(s"$didxDir/segments")
+    health("didx_versions_on_disk") = countVersionDirs(didxDir)
 
     // --- IVF/ANN family at the same scale: deterministic 64-dim
     // feature-hash embeddings derived from the text (near-dup docs →
@@ -161,7 +228,7 @@ object StressBench {
     health("ivf_segments_in_manifest") =
       IvfIndex.readSegments(spark, ivfDir, ivfLatest).length.toLong
     health("ivf_segment_dirs_on_disk") = countDirs(s"$ivfDir/segments")
-    health("ivf_versions_on_disk") = countDirs(ivfDir) - 1
+    health("ivf_versions_on_disk") = countVersionDirs(ivfDir)
 
     // --- IVF-PQ twin: same data, same append/gc/compaction loop, but
     // segments carry PQ codes and steady-state probes ADC-score the
@@ -254,7 +321,7 @@ object StressBench {
     health("tidx_segments_in_manifest") =
       TermIndex.readManifest(spark, tidxDir, tLatest).length.toLong
     health("tidx_segment_dirs_on_disk") = countDirs(s"$tidxDir/segments")
-    health("tidx_versions_on_disk") = countDirs(tidxDir) - 1
+    health("tidx_versions_on_disk") = countVersionDirs(tidxDir)
 
     // --- CDC phase (round-8 session 2): delete 2% and upsert 2% on
     // BOTH LSM indexes, then re-probe. The timings pin the delete-path
@@ -343,7 +410,7 @@ object StressBench {
           health(s"tidx_churn_disk_c$i") = du(tidxDir)
       }
     }
-    health("tidx_churn_versions_on_disk") = countDirs(tidxDir) - 1
+    health("tidx_churn_versions_on_disk") = countVersionDirs(tidxDir)
     health("tidx_churn_segment_dirs") = countDirs(s"$tidxDir/segments")
     // the index still answers after 60 churn commits
     health("tidx_churn_topk_rows") = TermIndex.topK(spark, tidxDir,
@@ -365,7 +432,7 @@ object StressBench {
           health(s"ivf_churn_disk_c$i") = du(ivfDir)
       }
     }
-    health("ivf_churn_versions_on_disk") = countDirs(ivfDir) - 1
+    health("ivf_churn_versions_on_disk") = countVersionDirs(ivfDir)
     health("ivf_churn_segment_dirs") = countDirs(s"$ivfDir/segments")
 
     val q = times.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(",")
