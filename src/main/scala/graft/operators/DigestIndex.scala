@@ -91,7 +91,7 @@ object DigestIndex {
     * [[MinhashIndex]]'s MaxPushdownCandidates. */
   private val MaxPushdownCandidates = 10 * 1000
 
-  import VersionedLayout.{atomicWrite, claimCommit, commitLatest, fs, readSmall, versionDir}
+  import VersionedLayout.{atomicWrite, fs, readSmall, versionDir, withClaim}
 
   def exists(spark: SparkSession, dir: String): Boolean =
     VersionedLayout.exists(spark, dir)
@@ -235,9 +235,9 @@ object DigestIndex {
 
   /** Commit an empty v1 — the index exists, holds nothing. */
   def create(spark: SparkSession, dir: String, cfg: Config = Config()): Int = {
-    val tok = claimCommit(spark, dir, 1, "DigestIndex")
-    writeManifest(spark, dir, 1, Seq.empty)
-    commitLatest(spark, dir, 1, FormatVersion, tok)
+    withClaim(spark, dir, 1, FormatVersion, "DigestIndex") {
+      writeManifest(spark, dir, 1, Seq.empty)
+    }
     1
   }
 
@@ -330,49 +330,50 @@ object DigestIndex {
   def ingest(spark: SparkSession, dir: String, batch: DataFrame,
              id: String, text: String, cfg: Config = Config()): DataFrame = {
     val v = latestVersion(spark, dir)
-    val tok = claimCommit(spark, dir, v + 1, "DigestIndex")
-    val ann = annotate(spark, dir, v, batch, id, text, cfg).persist()
-    val pairs = pairsOf(ann, id).persist()
-    pairs.count() // materialize against v before v+1 commits
-    val novel = ann.filter(col("idx_id").isNull && col("id") === col("bmin"))
-      .select(col("digest"), col("id"))
-    val segsPrev = readManifest(spark, dir, v)
-    val tombs = readTombstones(spark, dir, v)
-    val seg = f"s${v + 1}%05d"
-    val n = writeSegData(spark, novel, dir, seg, cfg)
-    if (n > 0) writeBloom(spark, dir, seg, n, cfg)
-    ann.unpersist(blocking = false)
-    val newSegs = if (n == 0) segsPrev else segsPrev :+ ((seg, n))
-    if (newSegs.length > cfg.maxSegments) {
-      // size-tiered fold, sibling policy: batch-sized `s` segments
-      // fold into one `r` (outstanding tombstones applied PHYSICALLY);
-      // prior `r` segments merge only when their own count trips the
-      // cap — O(N) total write volume for N appends
-      val (rSegs, sSegs) = newSegs.partition(_._1.startsWith("r"))
-      val mergeAll = rSegs.length >= cfg.maxSegments
-      val toMerge = if (mergeAll) newSegs else sSegs
-      val kept = if (mergeAll) Seq.empty else rSegs
-      val comp = f"r${v + 1}%05d"
-      val folded = maskBySeq(
-        toMerge.map(s => readSegData(spark, dir, s._1)
-            .withColumn("seg_seq", lit(nameSeq(s._1))))
-          .reduce(_.unionByName(_)),
-        tombFrame(spark, dir, tombs)).drop("seg_seq")
-      val nC = writeSegData(spark, folded, dir, comp, cfg)
-      if (nC > 0) writeBloom(spark, dir, comp, nC, cfg)
-      // tombstones retire unless a KEPT segment is still older
-      val tombsKept = tombs.filter(t =>
-        kept.exists(s => nameSeq(s._1) < nameSeq(t)))
-      val compSegs =
-        (if (nC == 0) kept else kept :+ ((comp, nC))).sortBy(s => nameSeq(s._1))
-      writeManifest(spark, dir, v + 1, compSegs)
-      writeTombstonesFile(spark, dir, v + 1, tombsKept)
-    } else {
-      writeManifest(spark, dir, v + 1, newSegs)
-      writeTombstonesFile(spark, dir, v + 1, tombs)
+    withClaim(spark, dir, v + 1, FormatVersion, "DigestIndex") {
+      val ann = annotate(spark, dir, v, batch, id, text, cfg).persist()
+      val pairs = pairsOf(ann, id).persist()
+      // (pairs is the block's value — returned once the flip commits)
+      pairs.count() // materialize against v before v+1 commits
+      val novel = ann.filter(col("idx_id").isNull && col("id") === col("bmin"))
+        .select(col("digest"), col("id"))
+      val segsPrev = readManifest(spark, dir, v)
+      val tombs = readTombstones(spark, dir, v)
+      val seg = f"s${v + 1}%05d"
+      val n = writeSegData(spark, novel, dir, seg, cfg)
+      if (n > 0) writeBloom(spark, dir, seg, n, cfg)
+      ann.unpersist(blocking = false)
+      val newSegs = if (n == 0) segsPrev else segsPrev :+ ((seg, n))
+      if (newSegs.length > cfg.maxSegments) {
+        // size-tiered fold, sibling policy: batch-sized `s` segments
+        // fold into one `r` (outstanding tombstones applied PHYSICALLY);
+        // prior `r` segments merge only when their own count trips the
+        // cap — O(N) total write volume for N appends
+        val (rSegs, sSegs) = newSegs.partition(_._1.startsWith("r"))
+        val mergeAll = rSegs.length >= cfg.maxSegments
+        val toMerge = if (mergeAll) newSegs else sSegs
+        val kept = if (mergeAll) Seq.empty else rSegs
+        val comp = f"r${v + 1}%05d"
+        val folded = maskBySeq(
+          toMerge.map(s => readSegData(spark, dir, s._1)
+              .withColumn("seg_seq", lit(nameSeq(s._1))))
+            .reduce(_.unionByName(_)),
+          tombFrame(spark, dir, tombs)).drop("seg_seq")
+        val nC = writeSegData(spark, folded, dir, comp, cfg)
+        if (nC > 0) writeBloom(spark, dir, comp, nC, cfg)
+        // tombstones retire unless a KEPT segment is still older
+        val tombsKept = tombs.filter(t =>
+          kept.exists(s => nameSeq(s._1) < nameSeq(t)))
+        val compSegs =
+          (if (nC == 0) kept else kept :+ ((comp, nC))).sortBy(s => nameSeq(s._1))
+        writeManifest(spark, dir, v + 1, compSegs)
+        writeTombstonesFile(spark, dir, v + 1, tombsKept)
+      } else {
+        writeManifest(spark, dir, v + 1, newSegs)
+        writeTombstonesFile(spark, dir, v + 1, tombs)
+      }
+      pairs
     }
-    commitLatest(spark, dir, v + 1, FormatVersion, tok)
-    pairs
   }
 
   /** Tombstone `ids` in a new version (one id-list write, no segment
@@ -383,14 +384,14 @@ object DigestIndex {
   def delete(spark: SparkSession, dir: String, ids: DataFrame,
              idCol: String): Int = {
     val v = latestVersion(spark, dir)
-    val tok = claimCommit(spark, dir, v + 1, "DigestIndex")
-    val dName = f"d${v + 1}%05d"
-    ids.select(col(idCol).cast("long").as("id")).distinct()
-      .write.mode("overwrite").parquet(tombPath(dir, dName))
-    writeManifest(spark, dir, v + 1, readManifest(spark, dir, v))
-    writeTombstonesFile(spark, dir, v + 1,
-      readTombstones(spark, dir, v) :+ dName)
-    commitLatest(spark, dir, v + 1, FormatVersion, tok)
+    withClaim(spark, dir, v + 1, FormatVersion, "DigestIndex") {
+      val dName = f"d${v + 1}%05d"
+      ids.select(col(idCol).cast("long").as("id")).distinct()
+        .write.mode("overwrite").parquet(tombPath(dir, dName))
+      writeManifest(spark, dir, v + 1, readManifest(spark, dir, v))
+      writeTombstonesFile(spark, dir, v + 1,
+        readTombstones(spark, dir, v) :+ dName)
+    }
     v + 1
   }
 
@@ -400,22 +401,22 @@ object DigestIndex {
   def compact(spark: SparkSession, dir: String,
               cfg: Config = Config()): Int = {
     val v = latestVersion(spark, dir)
-    val tok = claimCommit(spark, dir, v + 1, "DigestIndex")
-    val segs = readManifest(spark, dir, v).filter(_._2 > 0)
-    val tombs = readTombstones(spark, dir, v)
-    val comp = f"r${v + 1}%05d"
-    val folded =
-      if (segs.isEmpty) None
-      else Some(maskBySeq(
-        segs.map(s => readSegData(spark, dir, s._1)
-            .withColumn("seg_seq", lit(nameSeq(s._1))))
-          .reduce(_.unionByName(_)),
-        tombFrame(spark, dir, tombs)).drop("seg_seq"))
-    val nC = folded.map(writeSegData(spark, _, dir, comp, cfg)).getOrElse(0L)
-    if (nC > 0) writeBloom(spark, dir, comp, nC, cfg)
-    writeManifest(spark, dir, v + 1,
-      if (nC == 0) Seq.empty else Seq((comp, nC)))
-    commitLatest(spark, dir, v + 1, FormatVersion, tok)
+    withClaim(spark, dir, v + 1, FormatVersion, "DigestIndex") {
+      val segs = readManifest(spark, dir, v).filter(_._2 > 0)
+      val tombs = readTombstones(spark, dir, v)
+      val comp = f"r${v + 1}%05d"
+      val folded =
+        if (segs.isEmpty) None
+        else Some(maskBySeq(
+          segs.map(s => readSegData(spark, dir, s._1)
+              .withColumn("seg_seq", lit(nameSeq(s._1))))
+            .reduce(_.unionByName(_)),
+          tombFrame(spark, dir, tombs)).drop("seg_seq"))
+      val nC = folded.map(writeSegData(spark, _, dir, comp, cfg)).getOrElse(0L)
+      if (nC > 0) writeBloom(spark, dir, comp, nC, cfg)
+      writeManifest(spark, dir, v + 1,
+        if (nC == 0) Seq.empty else Seq((comp, nC)))
+    }
     v + 1
   }
 

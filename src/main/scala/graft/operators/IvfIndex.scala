@@ -114,7 +114,7 @@ object IvfIndex {
 
   private val FormatVersion = 1
 
-  import VersionedLayout.{atomicWrite, claimCommit, commitLatest, fs, readSmall, versionDir}
+  import VersionedLayout.{atomicWrite, fs, readSmall, versionDir, withClaim}
 
   def exists(spark: SparkSession, dir: String): Boolean =
     VersionedLayout.exists(spark, dir)
@@ -277,19 +277,19 @@ object IvfIndex {
     * and commit v1 (one segment). */
   def build(spark: SparkSession, corpus: DataFrame, id: String, vec: String,
             dir: String, cfg: Config): Unit = {
-    val tok = VersionedLayout.claimCommit(spark, dir, 1, "IvfIndex")
-    val cents = Similarity.trainCentroids(corpus, id, vec, cfg.dim,
-      cfg.nList, cfg.iters)
-    require(cents.nonEmpty, "IvfIndex.build needs a non-empty corpus")
-    val books = cfg.pq.map(p =>
-      Pq.trainBooks(corpus, id, vec, cfg.dim, p.m, p.ksub, cfg.iters,
-        p.trainSampleFraction))
-    val seg = "s00001"
-    val counts = writeSegment(corpus, id, vec, cents, cfg, segPath(dir, seg),
-      books)
-    writeManifest(spark, dir, 1, cents, Seq(seg), counts)
-    books.foreach(writeBooks(spark, dir, 1, _))
-    commitLatest(spark, dir, 1, FormatVersion, tok)
+    VersionedLayout.withClaim(spark, dir, 1, FormatVersion, "IvfIndex") {
+      val cents = Similarity.trainCentroids(corpus, id, vec, cfg.dim,
+        cfg.nList, cfg.iters)
+      require(cents.nonEmpty, "IvfIndex.build needs a non-empty corpus")
+      val books = cfg.pq.map(p =>
+        Pq.trainBooks(corpus, id, vec, cfg.dim, p.m, p.ksub, cfg.iters,
+          p.trainSampleFraction))
+      val seg = "s00001"
+      val counts = writeSegment(corpus, id, vec, cents, cfg, segPath(dir, seg),
+        books)
+      writeManifest(spark, dir, 1, cents, Seq(seg), counts)
+      books.foreach(writeBooks(spark, dir, 1, _))
+    }
   }
 
   /**
@@ -352,17 +352,17 @@ object IvfIndex {
   def delete(spark: SparkSession, dir: String, ids: DataFrame,
              idCol: String): Int = {
     val v = latestVersion(spark, dir)
-    val tok = claimCommit(spark, dir, v + 1, "IvfIndex")
-    val dName = f"d${v + 1}%05d"
-    ids.select(col(idCol).as("id")).distinct()
-      .write.mode("overwrite").parquet(tombPath(dir, dName))
-    val n = spark.read.parquet(tombPath(dir, dName)).count()
-    val tombs = readTombstones(spark, dir, v)
-    writeManifest(spark, dir, v + 1, readCentroids(spark, dir, v),
-      readSegments(spark, dir, v), readCounts(spark, dir, v),
-      if (n == 0) tombs else tombs :+ dName)
-    readBooks(spark, dir, v).foreach(writeBooks(spark, dir, v + 1, _))
-    commitLatest(spark, dir, v + 1, FormatVersion, tok)
+    withClaim(spark, dir, v + 1, FormatVersion, "IvfIndex") {
+      val dName = f"d${v + 1}%05d"
+      ids.select(col(idCol).as("id")).distinct()
+        .write.mode("overwrite").parquet(tombPath(dir, dName))
+      val n = spark.read.parquet(tombPath(dir, dName)).count()
+      val tombs = readTombstones(spark, dir, v)
+      writeManifest(spark, dir, v + 1, readCentroids(spark, dir, v),
+        readSegments(spark, dir, v), readCounts(spark, dir, v),
+        if (n == 0) tombs else tombs :+ dName)
+      readBooks(spark, dir, v).foreach(writeBooks(spark, dir, v + 1, _))
+    }
     v + 1
   }
 
@@ -393,143 +393,143 @@ object IvfIndex {
                          id: String, vec: String, cfg: Config,
                          tombIds: Option[DataFrame]): Int = {
     val v = latestVersion(spark, dir)
-    val tok = claimCommit(spark, dir, v + 1, "IvfIndex")
-    val cents = readCentroids(spark, dir, v)
-    require(cents.headOption.exists(_.length == cfg.dim),
-      s"index at $dir has dim ${cents.headOption.map(_.length)}, cfg has ${cfg.dim}")
-    // the PQ layer is part of the index identity, fixed at build time:
-    // appending with a mismatched cfg would write segments the probe
-    // path can't read uniformly
-    val books = readBooks(spark, dir, v)
-    require(books.isDefined == cfg.pq.isDefined,
-      s"index at $dir ${if (books.isDefined) "has" else "lacks"} a PQ " +
-        s"layer but cfg.pq is ${cfg.pq}")
-    val segs = readSegments(spark, dir, v)
-    val prev = readCounts(spark, dir, v)
-    // upsert: tombstone the batch ids in the SAME commit — sequence
-    // v+1 masks their copies in strictly older segments, never the
-    // rows this commit writes
-    val tombsPrev = readTombstones(spark, dir, v)
-    val dName = f"d${v + 1}%05d"
-    val nTomb = tombIds match {
-      case Some(t) =>
-        t.select(col(t.columns.head).as("id")).distinct()
-          .write.mode("overwrite").parquet(tombPath(dir, dName))
-        spark.read.parquet(tombPath(dir, dName)).count()
-      case None => 0L
+    withClaim(spark, dir, v + 1, FormatVersion, "IvfIndex") {
+      val cents = readCentroids(spark, dir, v)
+      require(cents.headOption.exists(_.length == cfg.dim),
+        s"index at $dir has dim ${cents.headOption.map(_.length)}, cfg has ${cfg.dim}")
+      // the PQ layer is part of the index identity, fixed at build time:
+      // appending with a mismatched cfg would write segments the probe
+      // path can't read uniformly
+      val books = readBooks(spark, dir, v)
+      require(books.isDefined == cfg.pq.isDefined,
+        s"index at $dir ${if (books.isDefined) "has" else "lacks"} a PQ " +
+          s"layer but cfg.pq is ${cfg.pq}")
+      val segs = readSegments(spark, dir, v)
+      val prev = readCounts(spark, dir, v)
+      // upsert: tombstone the batch ids in the SAME commit — sequence
+      // v+1 masks their copies in strictly older segments, never the
+      // rows this commit writes
+      val tombsPrev = readTombstones(spark, dir, v)
+      val dName = f"d${v + 1}%05d"
+      val nTomb = tombIds match {
+        case Some(t) =>
+          t.select(col(t.columns.head).as("id")).distinct()
+            .write.mode("overwrite").parquet(tombPath(dir, dName))
+          spark.read.parquet(tombPath(dir, dName)).count()
+        case None => 0L
+      }
+      val tombs = if (nTomb > 0) tombsPrev :+ dName else tombsPrev
+      // segment name derived from the version it belongs to: a retry of
+      // a crashed append overwrites its own orphan, never a committed
+      // segment
+      val segName = f"s${v + 1}%05d"
+      // layout decision (appends only — build and every compaction/
+      // retrain rewrite is corpus-sized and always partitions): a batch
+      // too small to give each list a real file skips the O(nList)
+      // directory fan-out. One batch-sized count job; the savings at
+      // √n-retrained list counts are an order of magnitude per commit.
+      val small = cfg.smallRowsPerList > 0 &&
+        batch.count() < cfg.smallRowsPerList.toLong * cents.length
+      val bCounts = writeSegment(batch, id, vec, cents, cfg, segPath(dir, segName),
+        books, partitioned = !small)
+      // an empty batch leaves no segment behind: the manifest must not
+      // reference a data-less directory (readers infer schemas from it)
+      val newSegs = if (bCounts.isEmpty) segs else segs :+ segName
+      val merged = (prev.keySet ++ bCounts.keySet).iterator
+        .map(k => k -> (prev.getOrElse(k, 0L) + bCounts.getOrElse(k, 0L))).toMap
+      val total = merged.values.sum
+      val skewed = merged.nonEmpty &&
+        merged.values.max > cfg.maxImbalance * total.toDouble / cents.length
+      if (skewed) {
+        // drift guard tripped: retrain over the FULL corpus (old
+        // segments ∪ the batch segment just written) and compact into
+        // one fresh segment — the amortized corpus-sized job that keeps
+        // list occupancy, probe cost and recall stable under drift
+        // live rows only: the rewrite applies every tombstone physically
+        // and the new manifest carries none
+        val all = liveUnion(spark, dir, newSegs, tombs, id)
+          .select(col(id), col(vec)).persist()
+        // the LIVE count, not the manifest's masked upper bound — a CDC
+        // batch that deletes every remaining id must fail loudly here
+        // instead of committing an empty centroids file that bricks
+        // every subsequent read
+        val liveN = all.count()
+        require(liveN > 0,
+          s"re-cluster would leave $dir empty (every row tombstoned) — " +
+            "an empty index has no probe semantics; rebuild instead")
+        val cents2 = Similarity.trainCentroids(all, id, vec, cfg.dim,
+          targetNList(cfg.nList, liveN), cfg.iters)
+        // the one path that rewrites EVERY row also retrains the PQ
+        // codebooks — quantization error tracks the drifted distribution
+        // at no extra write cost (frozen everywhere else: kept segments
+        // must stay decodable with the manifest's books)
+        val books2 = cfg.pq.map(p =>
+          Pq.trainBooks(all, id, vec, cfg.dim, p.m, p.ksub, cfg.iters,
+            p.trainSampleFraction))
+        val comp = f"r${v + 1}%05d"
+        val counts2 = writeSegment(all, id, vec, cents2, cfg, segPath(dir, comp),
+          books2)
+        all.unpersist(blocking = false)
+        writeManifest(spark, dir, v + 1, cents2, Seq(comp), counts2)
+        books2.foreach(writeBooks(spark, dir, v + 1, _))
+      } else if (newSegs.length > cfg.maxSegments) {
+        // SIZE-triggered compaction: a balanced workload never trips the
+        // drift guard, so without this cap N appends = N segments = N
+        // parquet datasets listed and unioned per probe — planner cost
+        // and file listing growing forever. LSM stores compact on
+        // segment count, not only on skew. Centroids are UNCHANGED, so
+        // no retrain and no re-assignment: rows already carry their
+        // list_id, the rewrite is one union → partitioned write, and
+        // `merged` (derived from per-segment read-backs) already equals
+        // on-disk truth. A crash before LATEST flips strands only the
+        // r-segment, which the retry overwrites.
+        //
+        // TIERED, like an LSM store: only the batch-sized `s` segments
+        // fold into the new `r` segment; prior `r` segments are KEPT —
+        // merging them too would rewrite the whole corpus every
+        // maxSegments appends (O(N²/maxSegments) total write volume for
+        // N appends, a scale-killer for continuous ingest). Each size
+        // compaction adds one `r`, so `r`-segments themselves merge
+        // r-with-r only when their count would exceed the cap — every
+        // ~maxSegments² appends, each merge amortized over the appends
+        // that built it up.
+        val (rSegs, sSegs) = newSegs.partition(_.startsWith("r"))
+        val mergeAll = rSegs.length >= cfg.maxSegments
+        val toMerge = if (mergeAll) newSegs else sSegs
+        val kept = if (mergeAll) Seq.empty else rSegs
+        val comp = f"r${v + 1}%05d"
+        // the fold output obeys the same rows-based layout rule as
+        // appends: a fold of a few small segments is still sliver-sized
+        // (an s-fold under a √n-retrained list count would pay the full
+        // O(nList) fan-out for ~tens of rows per directory); such small
+        // r-segments grow through r-with-r merges until they clear the
+        // threshold and take the partitioned layout. Corpus-sized
+        // rewrites (drift/maintenance retrain, compact) always partition.
+        val folded = liveUnion(spark, dir, toMerge, tombs, id)
+        val foldSmall = cfg.smallRowsPerList > 0 &&
+          folded.count() < cfg.smallRowsPerList.toLong * cents.length
+        if (foldSmall)
+          folded.repartition(1)
+            .write.mode("overwrite").parquet(segPath(dir, comp))
+        else
+          folded.repartition(col("list_id"))
+            .write.mode("overwrite").partitionBy("list_id")
+            .parquet(segPath(dir, comp))
+        // rows carry their codes through the union untouched — frozen
+        // books stay valid, so the merge never re-encodes. Tombstones
+        // applied to the folded rows are retired unless a KEPT segment
+        // is still older than them (r-segments keep their original
+        // sequence; the new comp segment, at v+1, outranks every live
+        // tombstone by the strictly-greater rule).
+        val tombsKept = tombs.filter(t =>
+          kept.exists(s => nameSeq(s) < nameSeq(t)))
+        writeManifest(spark, dir, v + 1, cents, kept :+ comp, merged, tombsKept)
+        books.foreach(writeBooks(spark, dir, v + 1, _))
+      } else {
+        writeManifest(spark, dir, v + 1, cents, newSegs, merged, tombs)
+        books.foreach(writeBooks(spark, dir, v + 1, _))
+      }
     }
-    val tombs = if (nTomb > 0) tombsPrev :+ dName else tombsPrev
-    // segment name derived from the version it belongs to: a retry of
-    // a crashed append overwrites its own orphan, never a committed
-    // segment
-    val segName = f"s${v + 1}%05d"
-    // layout decision (appends only — build and every compaction/
-    // retrain rewrite is corpus-sized and always partitions): a batch
-    // too small to give each list a real file skips the O(nList)
-    // directory fan-out. One batch-sized count job; the savings at
-    // √n-retrained list counts are an order of magnitude per commit.
-    val small = cfg.smallRowsPerList > 0 &&
-      batch.count() < cfg.smallRowsPerList.toLong * cents.length
-    val bCounts = writeSegment(batch, id, vec, cents, cfg, segPath(dir, segName),
-      books, partitioned = !small)
-    // an empty batch leaves no segment behind: the manifest must not
-    // reference a data-less directory (readers infer schemas from it)
-    val newSegs = if (bCounts.isEmpty) segs else segs :+ segName
-    val merged = (prev.keySet ++ bCounts.keySet).iterator
-      .map(k => k -> (prev.getOrElse(k, 0L) + bCounts.getOrElse(k, 0L))).toMap
-    val total = merged.values.sum
-    val skewed = merged.nonEmpty &&
-      merged.values.max > cfg.maxImbalance * total.toDouble / cents.length
-    if (skewed) {
-      // drift guard tripped: retrain over the FULL corpus (old
-      // segments ∪ the batch segment just written) and compact into
-      // one fresh segment — the amortized corpus-sized job that keeps
-      // list occupancy, probe cost and recall stable under drift
-      // live rows only: the rewrite applies every tombstone physically
-      // and the new manifest carries none
-      val all = liveUnion(spark, dir, newSegs, tombs, id)
-        .select(col(id), col(vec)).persist()
-      // the LIVE count, not the manifest's masked upper bound — a CDC
-      // batch that deletes every remaining id must fail loudly here
-      // instead of committing an empty centroids file that bricks
-      // every subsequent read
-      val liveN = all.count()
-      require(liveN > 0,
-        s"re-cluster would leave $dir empty (every row tombstoned) — " +
-          "an empty index has no probe semantics; rebuild instead")
-      val cents2 = Similarity.trainCentroids(all, id, vec, cfg.dim,
-        targetNList(cfg.nList, liveN), cfg.iters)
-      // the one path that rewrites EVERY row also retrains the PQ
-      // codebooks — quantization error tracks the drifted distribution
-      // at no extra write cost (frozen everywhere else: kept segments
-      // must stay decodable with the manifest's books)
-      val books2 = cfg.pq.map(p =>
-        Pq.trainBooks(all, id, vec, cfg.dim, p.m, p.ksub, cfg.iters,
-          p.trainSampleFraction))
-      val comp = f"r${v + 1}%05d"
-      val counts2 = writeSegment(all, id, vec, cents2, cfg, segPath(dir, comp),
-        books2)
-      all.unpersist(blocking = false)
-      writeManifest(spark, dir, v + 1, cents2, Seq(comp), counts2)
-      books2.foreach(writeBooks(spark, dir, v + 1, _))
-    } else if (newSegs.length > cfg.maxSegments) {
-      // SIZE-triggered compaction: a balanced workload never trips the
-      // drift guard, so without this cap N appends = N segments = N
-      // parquet datasets listed and unioned per probe — planner cost
-      // and file listing growing forever. LSM stores compact on
-      // segment count, not only on skew. Centroids are UNCHANGED, so
-      // no retrain and no re-assignment: rows already carry their
-      // list_id, the rewrite is one union → partitioned write, and
-      // `merged` (derived from per-segment read-backs) already equals
-      // on-disk truth. A crash before LATEST flips strands only the
-      // r-segment, which the retry overwrites.
-      //
-      // TIERED, like an LSM store: only the batch-sized `s` segments
-      // fold into the new `r` segment; prior `r` segments are KEPT —
-      // merging them too would rewrite the whole corpus every
-      // maxSegments appends (O(N²/maxSegments) total write volume for
-      // N appends, a scale-killer for continuous ingest). Each size
-      // compaction adds one `r`, so `r`-segments themselves merge
-      // r-with-r only when their count would exceed the cap — every
-      // ~maxSegments² appends, each merge amortized over the appends
-      // that built it up.
-      val (rSegs, sSegs) = newSegs.partition(_.startsWith("r"))
-      val mergeAll = rSegs.length >= cfg.maxSegments
-      val toMerge = if (mergeAll) newSegs else sSegs
-      val kept = if (mergeAll) Seq.empty else rSegs
-      val comp = f"r${v + 1}%05d"
-      // the fold output obeys the same rows-based layout rule as
-      // appends: a fold of a few small segments is still sliver-sized
-      // (an s-fold under a √n-retrained list count would pay the full
-      // O(nList) fan-out for ~tens of rows per directory); such small
-      // r-segments grow through r-with-r merges until they clear the
-      // threshold and take the partitioned layout. Corpus-sized
-      // rewrites (drift/maintenance retrain, compact) always partition.
-      val folded = liveUnion(spark, dir, toMerge, tombs, id)
-      val foldSmall = cfg.smallRowsPerList > 0 &&
-        folded.count() < cfg.smallRowsPerList.toLong * cents.length
-      if (foldSmall)
-        folded.repartition(1)
-          .write.mode("overwrite").parquet(segPath(dir, comp))
-      else
-        folded.repartition(col("list_id"))
-          .write.mode("overwrite").partitionBy("list_id")
-          .parquet(segPath(dir, comp))
-      // rows carry their codes through the union untouched — frozen
-      // books stay valid, so the merge never re-encodes. Tombstones
-      // applied to the folded rows are retired unless a KEPT segment
-      // is still older than them (r-segments keep their original
-      // sequence; the new comp segment, at v+1, outranks every live
-      // tombstone by the strictly-greater rule).
-      val tombsKept = tombs.filter(t =>
-        kept.exists(s => nameSeq(s) < nameSeq(t)))
-      writeManifest(spark, dir, v + 1, cents, kept :+ comp, merged, tombsKept)
-      books.foreach(writeBooks(spark, dir, v + 1, _))
-    } else {
-      writeManifest(spark, dir, v + 1, cents, newSegs, merged, tombs)
-      books.foreach(writeBooks(spark, dir, v + 1, _))
-    }
-    commitLatest(spark, dir, v + 1, FormatVersion, tok)
     v + 1
   }
 
@@ -556,66 +556,66 @@ object IvfIndex {
    */
   def retrain(spark: SparkSession, dir: String, cfg: Config): Int = {
     val v = latestVersion(spark, dir)
-    val tok = claimCommit(spark, dir, v + 1, "IvfIndex")
-    // same identity checks as appendImpl: a mismatched cfg must fail
-    // loudly, not silently re-dimension the index or strip/invent its
-    // PQ layer
-    val cents0 = readCentroids(spark, dir, v)
-    require(cents0.headOption.exists(_.length == cfg.dim),
-      s"index at $dir has dim ${cents0.headOption.map(_.length)}, " +
-        s"cfg has ${cfg.dim}")
-    require(readBooks(spark, dir, v).isDefined == cfg.pq.isDefined,
-      s"index at $dir ${if (readBooks(spark, dir, v).isDefined) "has"
-        else "lacks"} a PQ layer but cfg.pq is ${cfg.pq}")
-    val segs = readSegments(spark, dir, v)
-    require(segs.nonEmpty, s"nothing to retrain at $dir")
-    val schema = spark.read.parquet(segPath(dir, segs.head)).schema
-    val (idCol, vecCol) = (schema.fields(0).name, schema.fields(1).name)
-    val tombs = readTombstones(spark, dir, v)
-    val all = liveUnion(spark, dir, segs, tombs, idCol)
-      .select(col(idCol), col(vecCol)).persist()
-    val total = all.count()
-    require(total > 0,
-      s"retrain would leave $dir empty (every row tombstoned) — " +
-        "an empty index has no probe semantics; rebuild instead")
-    val cents2 = Similarity.trainCentroids(all, idCol, vecCol, cfg.dim,
-      targetNList(cfg.nList, total), cfg.iters)
-    val books2 = cfg.pq.map(p =>
-      Pq.trainBooks(all, idCol, vecCol, cfg.dim, p.m, p.ksub, cfg.iters,
-        p.trainSampleFraction))
-    val comp = f"r${v + 1}%05d"
-    val counts2 = writeSegment(all, idCol, vecCol, cents2, cfg,
-      segPath(dir, comp), books2)
-    all.unpersist(blocking = false)
-    writeManifest(spark, dir, v + 1, cents2, Seq(comp), counts2)
-    books2.foreach(writeBooks(spark, dir, v + 1, _))
-    commitLatest(spark, dir, v + 1, FormatVersion, tok)
+    withClaim(spark, dir, v + 1, FormatVersion, "IvfIndex") {
+      // same identity checks as appendImpl: a mismatched cfg must fail
+      // loudly, not silently re-dimension the index or strip/invent its
+      // PQ layer
+      val cents0 = readCentroids(spark, dir, v)
+      require(cents0.headOption.exists(_.length == cfg.dim),
+        s"index at $dir has dim ${cents0.headOption.map(_.length)}, " +
+          s"cfg has ${cfg.dim}")
+      require(readBooks(spark, dir, v).isDefined == cfg.pq.isDefined,
+        s"index at $dir ${if (readBooks(spark, dir, v).isDefined) "has"
+          else "lacks"} a PQ layer but cfg.pq is ${cfg.pq}")
+      val segs = readSegments(spark, dir, v)
+      require(segs.nonEmpty, s"nothing to retrain at $dir")
+      val schema = spark.read.parquet(segPath(dir, segs.head)).schema
+      val (idCol, vecCol) = (schema.fields(0).name, schema.fields(1).name)
+      val tombs = readTombstones(spark, dir, v)
+      val all = liveUnion(spark, dir, segs, tombs, idCol)
+        .select(col(idCol), col(vecCol)).persist()
+      val total = all.count()
+      require(total > 0,
+        s"retrain would leave $dir empty (every row tombstoned) — " +
+          "an empty index has no probe semantics; rebuild instead")
+      val cents2 = Similarity.trainCentroids(all, idCol, vecCol, cfg.dim,
+        targetNList(cfg.nList, total), cfg.iters)
+      val books2 = cfg.pq.map(p =>
+        Pq.trainBooks(all, idCol, vecCol, cfg.dim, p.m, p.ksub, cfg.iters,
+          p.trainSampleFraction))
+      val comp = f"r${v + 1}%05d"
+      val counts2 = writeSegment(all, idCol, vecCol, cents2, cfg,
+        segPath(dir, comp), books2)
+      all.unpersist(blocking = false)
+      writeManifest(spark, dir, v + 1, cents2, Seq(comp), counts2)
+      books2.foreach(writeBooks(spark, dir, v + 1, _))
+    }
     v + 1
   }
 
   def compact(spark: SparkSession, dir: String): Int = {
     val v = latestVersion(spark, dir)
-    val tok = claimCommit(spark, dir, v + 1, "IvfIndex")
-    val segs = readSegments(spark, dir, v)
-    require(segs.nonEmpty, s"nothing to compact at $dir")
-    val schema = spark.read.parquet(segPath(dir, segs.head)).schema
-    val idCol = schema.fields.head.name
-    val tombs = readTombstones(spark, dir, v)
-    val comp = f"r${v + 1}%05d"
-    liveUnion(spark, dir, segs, tombs, idCol)
-      .repartition(col("list_id"))
-      .write.mode("overwrite").partitionBy("list_id")
-      .parquet(segPath(dir, comp))
-    val counts = spark.read.schema(schema).parquet(segPath(dir, comp))
-      .groupBy(col("list_id")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    require(counts.nonEmpty,
-      s"compact would leave $dir empty (every row tombstoned) — " +
-        "an empty index has no probe semantics; rebuild instead")
-    writeManifest(spark, dir, v + 1, readCentroids(spark, dir, v),
-      Seq(comp), counts)
-    readBooks(spark, dir, v).foreach(writeBooks(spark, dir, v + 1, _))
-    commitLatest(spark, dir, v + 1, FormatVersion, tok)
+    withClaim(spark, dir, v + 1, FormatVersion, "IvfIndex") {
+      val segs = readSegments(spark, dir, v)
+      require(segs.nonEmpty, s"nothing to compact at $dir")
+      val schema = spark.read.parquet(segPath(dir, segs.head)).schema
+      val idCol = schema.fields.head.name
+      val tombs = readTombstones(spark, dir, v)
+      val comp = f"r${v + 1}%05d"
+      liveUnion(spark, dir, segs, tombs, idCol)
+        .repartition(col("list_id"))
+        .write.mode("overwrite").partitionBy("list_id")
+        .parquet(segPath(dir, comp))
+      val counts = spark.read.schema(schema).parquet(segPath(dir, comp))
+        .groupBy(col("list_id")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      require(counts.nonEmpty,
+        s"compact would leave $dir empty (every row tombstoned) — " +
+          "an empty index has no probe semantics; rebuild instead")
+      writeManifest(spark, dir, v + 1, readCentroids(spark, dir, v),
+        Seq(comp), counts)
+      readBooks(spark, dir, v).foreach(writeBooks(spark, dir, v + 1, _))
+    }
     v + 1
   }
 

@@ -127,10 +127,6 @@ object MinhashIndex {
                   content: String): Unit =
     atomicWrite(fs(spark, dir), new Path(dir, name), content)
 
-  private def writeLatest(spark: SparkSession, dir: String, v: Int,
-                          tok: String): Unit =
-    VersionedLayout.commitLatest(spark, dir, v, FormatVersion, tok)
-
   /** Catalog name for a version's bands table: derived from the index
     * path so concurrent indexes in one session never collide. */
   private def bandsTableName(dir: String, v: Int): String =
@@ -341,23 +337,23 @@ object MinhashIndex {
     * three tables (persisted, like [[Dedup.minhashDupPairs]]'s). */
   def build(spark: SparkSession, corpus: DataFrame, id: String, text: String,
             dir: String, cfg: Config = Config()): Unit = {
-    val tok = VersionedLayout.claimCommit(spark, dir, 1, "MinhashIndex")
-    val docs = Dedup.shingleArrays(corpus, id, text, cfg.k).persist()
-    val dfTab = docs.select(col(id), explode(col("sharr")).as("shingle"))
-      .groupBy(col("shingle")).agg(count(lit(1)).as("df")).persist()
-    val hotTab = dfTab.filter(col("df") > cfg.maxShingleDf).select("shingle")
-    val hot1 = asOneRowArray(hotTab, "hotarr")
-    val bands = bandsOf(cappedBy(docs, id, hot1), id, cfg)
-    val vd = versionDir(dir, 1)
-    docs.write.mode("overwrite").parquet(s"$vd/docs")
-    dfTab.write.mode("overwrite").parquet(s"$vd/df")
-    hotTab.write.mode("overwrite").parquet(s"$vd/hot")
-    dfTab.filter(col("df") > warmThreshold(cfg))
-      .write.mode("overwrite").parquet(s"$vd/warm")
-    Bucketing.writeBucketedAt(bands, bandsTableName(dir, 1), cfg.nBuckets,
-      Seq("band", "bucket"), s"$vd/bands")
-    docs.unpersist(); dfTab.unpersist()
-    writeLatest(spark, dir, 1, tok)
+    VersionedLayout.withClaim(spark, dir, 1, FormatVersion, "MinhashIndex") {
+      val docs = Dedup.shingleArrays(corpus, id, text, cfg.k).persist()
+      val dfTab = docs.select(col(id), explode(col("sharr")).as("shingle"))
+        .groupBy(col("shingle")).agg(count(lit(1)).as("df")).persist()
+      val hotTab = dfTab.filter(col("df") > cfg.maxShingleDf).select("shingle")
+      val hot1 = asOneRowArray(hotTab, "hotarr")
+      val bands = bandsOf(cappedBy(docs, id, hot1), id, cfg)
+      val vd = versionDir(dir, 1)
+      docs.write.mode("overwrite").parquet(s"$vd/docs")
+      dfTab.write.mode("overwrite").parquet(s"$vd/df")
+      hotTab.write.mode("overwrite").parquet(s"$vd/hot")
+      dfTab.filter(col("df") > warmThreshold(cfg))
+        .write.mode("overwrite").parquet(s"$vd/warm")
+      Bucketing.writeBucketedAt(bands, bandsTableName(dir, 1), cfg.nBuckets,
+        Seq("band", "bucket"), s"$vd/bands")
+      docs.unpersist(); dfTab.unpersist()
+    }
   }
 
   /** The warm slice holds every df row a probe with
@@ -725,11 +721,11 @@ object MinhashIndex {
                     id: String, text: String,
                     cfg: Config = Config()): Int = {
     val v = latestVersion(spark, dir)
-    val tok = VersionedLayout.claimCommit(spark, dir, v + 1, "MinhashIndex")
-    val p = probe(spark, dir, v, batch, id, text, cfg)
-    writeVersionTables(spark, dir, v + 1, p, cfg)
-    writeLatest(spark, dir, v + 1, tok)
-    p.done() // append materialized everything — release the probe caches
+    VersionedLayout.withClaim(spark, dir, v + 1, FormatVersion, "MinhashIndex") {
+      val p = probe(spark, dir, v, batch, id, text, cfg)
+      writeVersionTables(spark, dir, v + 1, p, cfg)
+      p
+    }.done() // append materialized everything — release the probe caches
     v + 1
   }
 
@@ -779,70 +775,72 @@ object MinhashIndex {
   def deleteFromIndex(spark: SparkSession, dir: String, ids: DataFrame,
                       id: String, cfg: Config = Config()): Int = {
     val v = latestVersion(spark, dir)
-    val tok = VersionedLayout.claimCommit(spark, dir, v + 1, "MinhashIndex")
-    val vd = versionDir(dir, v)
-    val vd1 = versionDir(dir, v + 1)
-    val base = baseOf(spark, dir, v)
-    val st = liveState(spark, dir, v, id, cfg)
-    val dels = broadcast(
-      ids.select(col(ids.columns.head).as("__tomb_id")).distinct()).persist()
-    // dead docs' per-shingle df contribution, from LIVE docs only (an
-    // absent or already-deleted id contributes nothing) — computed off
-    // the stored arrays, dead-batch-sized
-    val delta = st.docs.join(dels, col(id) === col("__tomb_id"), "left_semi")
-      .select(explode(col("sharr")).as("shingle"))
-      .groupBy("shingle").agg(count(lit(1)).as("ddf")).persist()
-    // cumulative tombstone layer relative to the SAME base version
-    val tombOld = if (base == v) None
-      else Some(cachedRead(spark, s"$vd/tomb"))
-    tombOld.fold(dels.toDF())(_.unionByName(dels)).distinct()
-      .write.mode("overwrite").parquet(s"$vd1/tomb")
-    val dfnegOld = if (base == v) None
-      else Some(cachedRead(spark, s"$vd/dfneg"))
-    dfnegOld.fold(delta.toDF())(_.unionByName(delta))
-      .groupBy("shingle").agg(sum("ddf").as("ddf"))
-      .write.mode("overwrite").parquet(s"$vd1/dfneg")
-    // hot/warm correct EXACTLY from the previous warm slice: df only
-    // shrinks under deletes, so no shingle can enter either slice, and
-    // every member's corrected value is (previous warm df) − (this
-    // delete's delta) — small ⋈ small, never a df scan
-    val warmCorr = cachedRead(spark, s"$vd/warm")
-      .join(broadcast(delta), Seq("shingle"), "left_outer")
-      .select(col("shingle"),
-        (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
-    warmCorr.filter(col("df") > warmThreshold(cfg))
-      .write.mode("overwrite").parquet(s"$vd1/warm")
-    spark.read.parquet(s"$vd1/warm")
-      .filter(col("df") > cfg.maxShingleDf).select("shingle")
-      .write.mode("overwrite").parquet(s"$vd1/hot")
-    // shingles that fell back UNDER the cap (tiny: subset of the old
-    // hot set): live docs containing one regain it in their capped
-    // sets — recompute exactly their band rows into the overlay
-    val unHotArr = cachedRead(spark, s"$vd/hot")
-      .join(spark.read.parquet(s"$vd1/hot"), Seq("shingle"), "left_anti")
-      .collect().map(_.getString(0)).toSeq
-    val liveDocs = st.docs.join(dels, col(id) === col("__tomb_id"), "left_anti")
-    val overlayOld = st.overlay.map(
-      _.join(dels, col(id) === col("__tomb_id"), "left_anti"))
-    if (unHotArr.isEmpty)
-      overlayOld.foreach(
-        _.write.mode("overwrite").parquet(s"$vd1/bandfix"))
-    else {
-      val aff = liveDocs
-        .filter(arrays_overlap(col("sharr"),
-          array(unHotArr.map(lit): _*))).persist()
-      val hot1 = asOneRowArray(
-        spark.read.parquet(s"$vd1/hot"), "hotarr")
-      val recomputed = bandsOf(cappedBy(aff, id, hot1), id, cfg)
-      val kept = overlayOld.map(
-        _.join(broadcast(aff.select(col(id))), Seq(id), "left_anti"))
-      kept.fold(recomputed)(_.unionByName(recomputed))
-        .write.mode("overwrite").parquet(s"$vd1/bandfix")
-      aff.unpersist()
+    VersionedLayout.withClaim(spark, dir, v + 1, FormatVersion, "MinhashIndex") {
+      val vd = versionDir(dir, v)
+      val vd1 = versionDir(dir, v + 1)
+      val base = baseOf(spark, dir, v)
+      val st = liveState(spark, dir, v, id, cfg)
+      val dels = broadcast(
+        ids.select(col(ids.columns.head).as("__tomb_id")).distinct()).persist()
+      // dead docs' per-shingle df contribution, from LIVE docs only (an
+      // absent or already-deleted id contributes nothing) — computed off
+      // the stored arrays, dead-batch-sized
+      val delta = st.docs.join(dels, col(id) === col("__tomb_id"), "left_semi")
+        .select(explode(col("sharr")).as("shingle"))
+        .groupBy("shingle").agg(count(lit(1)).as("ddf")).persist()
+      // cumulative tombstone layer relative to the SAME base version
+      val tombOld = if (base == v) None
+        else Some(cachedRead(spark, s"$vd/tomb"))
+      tombOld.fold(dels.toDF())(_.unionByName(dels)).distinct()
+        .write.mode("overwrite").parquet(s"$vd1/tomb")
+      val dfnegOld = if (base == v) None
+        else Some(cachedRead(spark, s"$vd/dfneg"))
+      dfnegOld.fold(delta.toDF())(_.unionByName(delta))
+        .groupBy("shingle").agg(sum("ddf").as("ddf"))
+        .write.mode("overwrite").parquet(s"$vd1/dfneg")
+      // hot/warm correct EXACTLY from the previous warm slice: df only
+      // shrinks under deletes, so no shingle can enter either slice, and
+      // every member's corrected value is (previous warm df) − (this
+      // delete's delta) — small ⋈ small, never a df scan
+      val warmCorr = cachedRead(spark, s"$vd/warm")
+        .join(broadcast(delta), Seq("shingle"), "left_outer")
+        .select(col("shingle"),
+          (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
+      warmCorr.filter(col("df") > warmThreshold(cfg))
+        .write.mode("overwrite").parquet(s"$vd1/warm")
+      spark.read.parquet(s"$vd1/warm")
+        .filter(col("df") > cfg.maxShingleDf).select("shingle")
+        .write.mode("overwrite").parquet(s"$vd1/hot")
+      // shingles that fell back UNDER the cap (tiny: subset of the old
+      // hot set): live docs containing one regain it in their capped
+      // sets — recompute exactly their band rows into the overlay
+      val unHotArr = cachedRead(spark, s"$vd/hot")
+        .join(spark.read.parquet(s"$vd1/hot"), Seq("shingle"), "left_anti")
+        .collect().map(_.getString(0)).toSeq
+      val liveDocs = st.docs.join(dels, col(id) === col("__tomb_id"), "left_anti")
+      val overlayOld = st.overlay.map(
+        _.join(dels, col(id) === col("__tomb_id"), "left_anti"))
+      if (unHotArr.isEmpty)
+        overlayOld.foreach(
+          _.write.mode("overwrite").parquet(s"$vd1/bandfix"))
+      else {
+        val aff = liveDocs
+          .filter(arrays_overlap(col("sharr"),
+            array(unHotArr.map(lit): _*))).persist()
+        val hot1 = asOneRowArray(
+          spark.read.parquet(s"$vd1/hot"), "hotarr")
+        val recomputed = bandsOf(cappedBy(aff, id, hot1), id, cfg)
+        val kept = overlayOld.map(
+          _.join(broadcast(aff.select(col(id))), Seq(id), "left_anti"))
+        kept.fold(recomputed)(_.unionByName(recomputed))
+          .write.mode("overwrite").parquet(s"$vd1/bandfix")
+        aff.unpersist()
+      }
+      atomicWrite(fs(spark, dir), new Path(vd1, "BASE"), base.toString)
+      // every table is written — the probe-support caches can go before
+      // the flip (a failed flip releases them all the same)
+      dels.unpersist(); delta.unpersist()
     }
-    atomicWrite(fs(spark, dir), new Path(vd1, "BASE"), base.toString)
-    writeLatest(spark, dir, v + 1, tok)
-    dels.unpersist(); delta.unpersist()
     v + 1
   }
 
@@ -857,20 +855,20 @@ object MinhashIndex {
               cfg: Config = Config()): Int = {
     val v = latestVersion(spark, dir)
     if (baseOf(spark, dir, v) == v) return v
-    val tok = VersionedLayout.claimCommit(spark, dir, v + 1, "MinhashIndex")
-    val st = liveState(spark, dir, v, idColOf(spark, dir, v), cfg)
-    val vd = versionDir(dir, v)
-    val vd1 = versionDir(dir, v + 1)
-    st.docs.write.mode("overwrite").parquet(s"$vd1/docs")
-    st.df.write.mode("overwrite").parquet(s"$vd1/df")
-    cachedRead(spark, s"$vd/hot")
-      .write.mode("overwrite").parquet(s"$vd1/hot")
-    cachedRead(spark, s"$vd/warm")
-      .write.mode("overwrite").parquet(s"$vd1/warm")
-    val folded = st.overlay.fold(st.bands)(st.bands.unionByName(_))
-    Bucketing.writeBucketedAt(folded, bandsTableName(dir, v + 1),
-      cfg.nBuckets, Seq("band", "bucket"), s"$vd1/bands")
-    writeLatest(spark, dir, v + 1, tok)
+    VersionedLayout.withClaim(spark, dir, v + 1, FormatVersion, "MinhashIndex") {
+      val st = liveState(spark, dir, v, idColOf(spark, dir, v), cfg)
+      val vd = versionDir(dir, v)
+      val vd1 = versionDir(dir, v + 1)
+      st.docs.write.mode("overwrite").parquet(s"$vd1/docs")
+      st.df.write.mode("overwrite").parquet(s"$vd1/df")
+      cachedRead(spark, s"$vd/hot")
+        .write.mode("overwrite").parquet(s"$vd1/hot")
+      cachedRead(spark, s"$vd/warm")
+        .write.mode("overwrite").parquet(s"$vd1/warm")
+      val folded = st.overlay.fold(st.bands)(st.bands.unionByName(_))
+      Bucketing.writeBucketedAt(folded, bandsTableName(dir, v + 1),
+        cfg.nBuckets, Seq("band", "bucket"), s"$vd1/bands")
+    }
     v + 1
   }
 
@@ -896,12 +894,14 @@ object MinhashIndex {
   def ingest(spark: SparkSession, dir: String, batch: DataFrame,
              id: String, text: String, cfg: Config = Config()): DataFrame = {
     val v = latestVersion(spark, dir)
-    val tok = VersionedLayout.claimCommit(spark, dir, v + 1, "MinhashIndex")
-    val p = probe(spark, dir, v, batch, id, text, cfg)
-    val pairs = p.pairs.persist()
-    pairs.count() // materialize against v before v+1 commits
-    writeVersionTables(spark, dir, v + 1, p, cfg)
-    writeLatest(spark, dir, v + 1, tok)
+    val (p, pairs) = VersionedLayout.withClaim(spark, dir, v + 1,
+      FormatVersion, "MinhashIndex") {
+      val p = probe(spark, dir, v, batch, id, text, cfg)
+      val pairs = p.pairs.persist()
+      pairs.count() // materialize against v before v+1 commits
+      writeVersionTables(spark, dir, v + 1, p, cfg)
+      (p, pairs)
+    }
     // pairs are materialized; release the probe caches so a continuous
     // ingest loop doesn't accumulate one cache generation per batch
     p.done()

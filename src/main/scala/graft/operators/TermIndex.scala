@@ -266,15 +266,15 @@ object TermIndex {
   def build(spark: SparkSession, corpus: DataFrame, id: String,
             text: String, dir: String, cfg: Config = Config(),
             terms: Column => Column = TF.tokens): Int = {
-    val tok = claimCommit(spark, dir, 1, "TermIndex")
-    val seg = "s00001"
-    require(!cfg.termsTag.contains("\n"),
-      s"termsTag must be single-line, got '${cfg.termsTag}'")
-    val (nd, nt) = writeSegment(spark, corpus, id, text, cfg, terms,
-      segPath(dir, seg))
-    writeManifest(spark, dir, 1, Seq((seg, nd, nt)))
-    writeMarker(spark, dir, "TERMS", s"${cfg.termsTag}\n${cfg.buckets}")
-    commitLatest(spark, dir, 1, FormatVersion, tok)
+    withClaim(spark, dir, 1, FormatVersion, "TermIndex") {
+      val seg = "s00001"
+      require(!cfg.termsTag.contains("\n"),
+        s"termsTag must be single-line, got '${cfg.termsTag}'")
+      val (nd, nt) = writeSegment(spark, corpus, id, text, cfg, terms,
+        segPath(dir, seg))
+      writeManifest(spark, dir, 1, Seq((seg, nd, nt)))
+      writeMarker(spark, dir, "TERMS", s"${cfg.termsTag}\n${cfg.buckets}")
+    }
     1
   }
 
@@ -357,20 +357,20 @@ object TermIndex {
   def delete(spark: SparkSession, dir: String, ids: DataFrame,
              cfg: Config = Config()): Int = {
     val v = latestVersion(spark, dir)
-    val tok = claimCommit(spark, dir, v + 1, "TermIndex")
-    requireTerms(spark, dir, cfg)
-    val segs = readManifest(spark, dir, v)
-    val (masked, tombs) = readTombstones(spark, dir, v)
-    val dName = f"d${v + 1}%05d"
-    ids.select(col(ids.columns.head).cast("long").as("doc_id")).distinct()
-      .write.mode("overwrite").parquet(tombPath(dir, dName))
-    val (nd, nt) = liveDelta(spark, dir, segs, tombs,
-      tombPath(dir, dName), cfg)
-    writeManifest(spark, dir, v + 1, segs)
-    writeTombstonesFile(spark, dir, v + 1,
-      (masked._1 + nd, masked._2 + nt),
-      if (nd == 0) tombs else tombs :+ dName)
-    commitLatest(spark, dir, v + 1, FormatVersion, tok)
+    withClaim(spark, dir, v + 1, FormatVersion, "TermIndex") {
+      requireTerms(spark, dir, cfg)
+      val segs = readManifest(spark, dir, v)
+      val (masked, tombs) = readTombstones(spark, dir, v)
+      val dName = f"d${v + 1}%05d"
+      ids.select(col(ids.columns.head).cast("long").as("doc_id")).distinct()
+        .write.mode("overwrite").parquet(tombPath(dir, dName))
+      val (nd, nt) = liveDelta(spark, dir, segs, tombs,
+        tombPath(dir, dName), cfg)
+      writeManifest(spark, dir, v + 1, segs)
+      writeTombstonesFile(spark, dir, v + 1,
+        (masked._1 + nd, masked._2 + nt),
+        if (nd == 0) tombs else tombs :+ dName)
+    }
     v + 1
   }
 
@@ -418,97 +418,97 @@ object TermIndex {
                          terms: Column => Column,
                          tombIds: Option[DataFrame]): Int = {
     val v = latestVersion(spark, dir)
-    val tok = claimCommit(spark, dir, v + 1, "TermIndex")
-    requireTerms(spark, dir, cfg)
-    val segsPrev = readManifest(spark, dir, v)
-    val (maskedPrev, tombsPrev) = readTombstones(spark, dir, v)
-    var masked = maskedPrev
-    var tombs = tombsPrev
-    tombIds.foreach { t =>
-      val dName = f"d${v + 1}%05d"
-      t.select(col(t.columns.head).cast("long").as("doc_id")).distinct()
-        .write.mode("overwrite").parquet(tombPath(dir, dName))
-      val (dnd, dnt) = liveDelta(spark, dir, segsPrev, tombsPrev,
-        tombPath(dir, dName), cfg)
-      if (dnd > 0) {
-        masked = (maskedPrev._1 + dnd, maskedPrev._2 + dnt)
-        tombs = tombsPrev :+ dName
+    withClaim(spark, dir, v + 1, FormatVersion, "TermIndex") {
+      requireTerms(spark, dir, cfg)
+      val segsPrev = readManifest(spark, dir, v)
+      val (maskedPrev, tombsPrev) = readTombstones(spark, dir, v)
+      var masked = maskedPrev
+      var tombs = tombsPrev
+      tombIds.foreach { t =>
+        val dName = f"d${v + 1}%05d"
+        t.select(col(t.columns.head).cast("long").as("doc_id")).distinct()
+          .write.mode("overwrite").parquet(tombPath(dir, dName))
+        val (dnd, dnt) = liveDelta(spark, dir, segsPrev, tombsPrev,
+          tombPath(dir, dName), cfg)
+        if (dnd > 0) {
+          masked = (maskedPrev._1 + dnd, maskedPrev._2 + dnt)
+          tombs = tombsPrev :+ dName
+        }
+      }
+      val seg = f"s${v + 1}%05d"
+      val (nd, nt) = writeSegment(spark, batch, id, text, cfg, terms,
+        segPath(dir, seg))
+      val newSegs = segsPrev :+ ((seg, nd, nt))
+      if (newSegs.length > cfg.maxSegments) {
+        // size-tiered: fold the batch-sized `s` segments into one new
+        // `r`; keep prior `r` segments unless their own count trips the
+        // cap (then merge r-with-r — amortized over the appends that
+        // built them). Identical policy to IvfIndex. Outstanding
+        // tombstones are applied PHYSICALLY to the folded rows.
+        val (rSegs, sSegs) = newSegs.partition(_._1.startsWith("r"))
+        val mergeAll = rSegs.length >= cfg.maxSegments
+        val toMerge = if (mergeAll) newSegs else sSegs
+        val kept = if (mergeAll) Seq.empty else rSegs
+        val comp = f"r${v + 1}%05d"
+        val tombF = tombFrame(spark, dir, tombs)
+        val tfU = toMerge.map(s => readTf(spark, segPath(dir, s._1))
+            .withColumn("seg_seq", lit(nameSeq(s._1))))
+          .reduce(_.unionByName(_))
+        maskBySeq(tfU, tombF)
+          .repartition(col("bkt"))
+          .write.mode("overwrite").partitionBy("bkt")
+          .parquet(s"${segPath(dir, comp)}/tf")
+        val committed = readTf(spark, segPath(dir, comp))
+        if (tombs.isEmpty)
+          // df re-derives from the count-sized per-segment df tables —
+          // the corpus-sized tf is unioned once for the write, not
+          // re-agged (posting bounds fold as max/min; they may be LOOSER
+          // than a recount after masked rows vanish, which only weakens
+          // pruning, never exactness)
+          dfFold(toMerge.map(s => readDf(spark, segPath(dir, s._1)))
+              .reduce(_.unionByName(_)))
+            .withColumn("bkt", bkt(col("tok"), cfg.buckets))
+            .repartition(col("bkt"))
+            .write.mode("overwrite").partitionBy("bkt")
+            .parquet(s"${segPath(dir, comp)}/df")
+        else
+          // rows were masked: df must recount from the committed fold
+          dfFromTf(committed)
+            .withColumn("bkt", bkt(col("tok"), cfg.buckets))
+            .repartition(col("bkt"))
+            .write.mode("overwrite").partitionBy("bkt")
+            .parquet(s"${segPath(dir, comp)}/df")
+        writeDocsStats(spark, segPath(dir, comp), committed, cfg)
+        val rr = committed.agg(countDistinct(col("doc_id")), sum("tf")).head()
+        val (ndC, ntC) =
+          (rr.getLong(0), if (rr.isNullAt(1)) 0L else rr.getLong(1))
+        // retire tombstones no kept segment is older than; re-base the
+        // masked scalars over the KEPT segments only (the folded copies
+        // are physically gone and the comp read-back already excludes
+        // them). One semi-join counts each masked row exactly once.
+        val tombsKept = tombs.filter(t =>
+          kept.exists(s => nameSeq(s._1) < nameSeq(t)))
+        val maskedKept =
+          if (tombsKept.isEmpty) (0L, 0L)
+          else {
+            val docsU = kept.map { case (s, _, _) =>
+                readDocs(spark, segPath(dir, s))
+                  .withColumn("seg_seq", lit(nameSeq(s)))
+              }.reduce(_.unionByName(_))
+            val t = tombFrame(spark, dir, tombsKept).get
+            val m = docsU.join(broadcast(t),
+                col("doc_id") === col("t_id") && col("t_seq") > col("seg_seq"),
+                "left_semi")
+              .agg(count(lit(1)), sum("dl")).head()
+            (m.getLong(0), if (m.isNullAt(1)) 0L else m.getLong(1))
+          }
+        writeManifest(spark, dir, v + 1, kept :+ ((comp, ndC, ntC)))
+        writeTombstonesFile(spark, dir, v + 1, maskedKept, tombsKept)
+      } else {
+        writeManifest(spark, dir, v + 1, newSegs)
+        writeTombstonesFile(spark, dir, v + 1, masked, tombs)
       }
     }
-    val seg = f"s${v + 1}%05d"
-    val (nd, nt) = writeSegment(spark, batch, id, text, cfg, terms,
-      segPath(dir, seg))
-    val newSegs = segsPrev :+ ((seg, nd, nt))
-    if (newSegs.length > cfg.maxSegments) {
-      // size-tiered: fold the batch-sized `s` segments into one new
-      // `r`; keep prior `r` segments unless their own count trips the
-      // cap (then merge r-with-r — amortized over the appends that
-      // built them). Identical policy to IvfIndex. Outstanding
-      // tombstones are applied PHYSICALLY to the folded rows.
-      val (rSegs, sSegs) = newSegs.partition(_._1.startsWith("r"))
-      val mergeAll = rSegs.length >= cfg.maxSegments
-      val toMerge = if (mergeAll) newSegs else sSegs
-      val kept = if (mergeAll) Seq.empty else rSegs
-      val comp = f"r${v + 1}%05d"
-      val tombF = tombFrame(spark, dir, tombs)
-      val tfU = toMerge.map(s => readTf(spark, segPath(dir, s._1))
-          .withColumn("seg_seq", lit(nameSeq(s._1))))
-        .reduce(_.unionByName(_))
-      maskBySeq(tfU, tombF)
-        .repartition(col("bkt"))
-        .write.mode("overwrite").partitionBy("bkt")
-        .parquet(s"${segPath(dir, comp)}/tf")
-      val committed = readTf(spark, segPath(dir, comp))
-      if (tombs.isEmpty)
-        // df re-derives from the count-sized per-segment df tables —
-        // the corpus-sized tf is unioned once for the write, not
-        // re-agged (posting bounds fold as max/min; they may be LOOSER
-        // than a recount after masked rows vanish, which only weakens
-        // pruning, never exactness)
-        dfFold(toMerge.map(s => readDf(spark, segPath(dir, s._1)))
-            .reduce(_.unionByName(_)))
-          .withColumn("bkt", bkt(col("tok"), cfg.buckets))
-          .repartition(col("bkt"))
-          .write.mode("overwrite").partitionBy("bkt")
-          .parquet(s"${segPath(dir, comp)}/df")
-      else
-        // rows were masked: df must recount from the committed fold
-        dfFromTf(committed)
-          .withColumn("bkt", bkt(col("tok"), cfg.buckets))
-          .repartition(col("bkt"))
-          .write.mode("overwrite").partitionBy("bkt")
-          .parquet(s"${segPath(dir, comp)}/df")
-      writeDocsStats(spark, segPath(dir, comp), committed, cfg)
-      val rr = committed.agg(countDistinct(col("doc_id")), sum("tf")).head()
-      val (ndC, ntC) =
-        (rr.getLong(0), if (rr.isNullAt(1)) 0L else rr.getLong(1))
-      // retire tombstones no kept segment is older than; re-base the
-      // masked scalars over the KEPT segments only (the folded copies
-      // are physically gone and the comp read-back already excludes
-      // them). One semi-join counts each masked row exactly once.
-      val tombsKept = tombs.filter(t =>
-        kept.exists(s => nameSeq(s._1) < nameSeq(t)))
-      val maskedKept =
-        if (tombsKept.isEmpty) (0L, 0L)
-        else {
-          val docsU = kept.map { case (s, _, _) =>
-              readDocs(spark, segPath(dir, s))
-                .withColumn("seg_seq", lit(nameSeq(s)))
-            }.reduce(_.unionByName(_))
-          val t = tombFrame(spark, dir, tombsKept).get
-          val m = docsU.join(broadcast(t),
-              col("doc_id") === col("t_id") && col("t_seq") > col("seg_seq"),
-              "left_semi")
-            .agg(count(lit(1)), sum("dl")).head()
-          (m.getLong(0), if (m.isNullAt(1)) 0L else m.getLong(1))
-        }
-      writeManifest(spark, dir, v + 1, kept :+ ((comp, ndC, ntC)))
-      writeTombstonesFile(spark, dir, v + 1, maskedKept, tombsKept)
-    } else {
-      writeManifest(spark, dir, v + 1, newSegs)
-      writeTombstonesFile(spark, dir, v + 1, masked, tombs)
-    }
-    commitLatest(spark, dir, v + 1, FormatVersion, tok)
     v + 1
   }
 
@@ -522,31 +522,31 @@ object TermIndex {
   def compact(spark: SparkSession, dir: String,
               cfg: Config = Config()): Int = {
     val v = latestVersion(spark, dir)
-    val tok = claimCommit(spark, dir, v + 1, "TermIndex")
-    requireTerms(spark, dir, cfg)
-    val segs = readManifest(spark, dir, v)
-    require(segs.nonEmpty, s"nothing to compact at $dir")
-    val (_, tombs) = readTombstones(spark, dir, v)
-    val comp = f"r${v + 1}%05d"
-    val tfU = segs.map(s => readTf(spark, segPath(dir, s._1))
-        .withColumn("seg_seq", lit(nameSeq(s._1))))
-      .reduce(_.unionByName(_))
-    maskBySeq(tfU, tombFrame(spark, dir, tombs))
-      .repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt")
-      .parquet(s"${segPath(dir, comp)}/tf")
-    val committed = readTf(spark, segPath(dir, comp))
-    dfFromTf(committed)
-      .withColumn("bkt", bkt(col("tok"), cfg.buckets))
-      .repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt")
-      .parquet(s"${segPath(dir, comp)}/df")
-    writeDocsStats(spark, segPath(dir, comp), committed, cfg)
-    val r = committed.agg(countDistinct(col("doc_id")), sum("tf")).head()
-    val (nd, nt) = (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    writeManifest(spark, dir, v + 1, Seq((comp, nd, nt)))
-    // every masked segment folded: all tombstones retire, correction 0
-    commitLatest(spark, dir, v + 1, FormatVersion, tok)
+    withClaim(spark, dir, v + 1, FormatVersion, "TermIndex") {
+      requireTerms(spark, dir, cfg)
+      val segs = readManifest(spark, dir, v)
+      require(segs.nonEmpty, s"nothing to compact at $dir")
+      val (_, tombs) = readTombstones(spark, dir, v)
+      val comp = f"r${v + 1}%05d"
+      val tfU = segs.map(s => readTf(spark, segPath(dir, s._1))
+          .withColumn("seg_seq", lit(nameSeq(s._1))))
+        .reduce(_.unionByName(_))
+      maskBySeq(tfU, tombFrame(spark, dir, tombs))
+        .repartition(col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt")
+        .parquet(s"${segPath(dir, comp)}/tf")
+      val committed = readTf(spark, segPath(dir, comp))
+      dfFromTf(committed)
+        .withColumn("bkt", bkt(col("tok"), cfg.buckets))
+        .repartition(col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt")
+        .parquet(s"${segPath(dir, comp)}/df")
+      writeDocsStats(spark, segPath(dir, comp), committed, cfg)
+      val r = committed.agg(countDistinct(col("doc_id")), sum("tf")).head()
+      val (nd, nt) = (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      writeManifest(spark, dir, v + 1, Seq((comp, nd, nt)))
+      // every masked segment folded: all tombstones retire, correction 0
+    }
     v + 1
   }
 

@@ -91,17 +91,30 @@ private[graft] object VersionedLayout {
   // writers per version number: an exclusive-create claim file taken
   // BEFORE any data write, so the loser fails fast having written
   // nothing. The claim carries (applicationId, nonce, timestamp):
-  //  - same-app re-claim is immediate — the documented torn-append
-  //    recovery ("retry the batch; the rewrite overwrites strands")
-  //    keeps working after a failed attempt in the same session;
+  //  - in-process concurrency is exact, not lease-based: a live claim
+  //    registry keyed by (dir, version) makes a second thread of the
+  //    same app fail fast instead of stomping the first (appIds are
+  //    per-SparkContext, so the on-disk appId can't discriminate
+  //    threads — the registry can);
+  //  - a FAILED attempt releases its claim (withClaim does it on any
+  //    body exception), so the documented torn-append recovery ("retry
+  //    the batch; the rewrite overwrites strands") proceeds
+  //    immediately — no TTL wait after an in-session crash. A same-app
+  //    on-disk claim with NO live registration is exactly that
+  //    release-failed strand and is reclaimed;
   //  - a different app's claim older than the lease TTL
   //    (spark conf graft.index.claim.ttlMs, default 15 min) is stolen —
   //    a dead writer never wedges the index;
+  //  - the claim is only valid for the NEXT version: after acquiring
+  //    it, claimCommit re-reads LATEST and aborts (releasing) if `v`
+  //    was already committed — a writer that read LATEST before
+  //    another's commit retired the claim file would otherwise
+  //    re-claim v and overwrite committed data;
   //  - commitLatest(token) verifies the claim still holds THIS token
   //    before flipping LATEST, so a slow writer whose lease was stolen
-  //    (or a same-app thread that lost a re-claim) aborts instead of
-  //    publishing over the new owner. Lease assumption: TTL exceeds the
-  //    longest commit, standard for lock files on a filesystem.
+  //    aborts instead of publishing over the new owner. Lease
+  //    assumption: TTL exceeds the longest commit, standard for lock
+  //    files on a filesystem.
   // Exclusive create is atomic on HDFS (O_EXCL); on S3-style stores
   // front the claim with a conditional-put manifest service, same as
   // the LATEST caveat in the class doc.
@@ -112,51 +125,118 @@ private[graft] object VersionedLayout {
   private def claimPath(dir: String, v: Int): Path =
     new Path(claimsDir(dir), f"v$v%05d")
 
+  /** Live in-process claims: "(dir)|(v)" → token. Entries exist exactly
+    * while a claim in THIS JVM is between claimCommit and its
+    * commit/release, which is what lets same-app on-disk claims be
+    * classified as live (blocked) vs crashed (reclaimable). */
+  private val liveClaims =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def claimKey(dir: String, v: Int): String =
+    s"${dir.stripSuffix("/")}|$v"
+
   def claimTtlMs(spark: SparkSession): Long =
     spark.conf.get("graft.index.claim.ttlMs",
       (15L * 60 * 1000).toString).toLong
 
   /** Claim the right to commit version `v` of the index at `dir`.
-    * Returns an ownership token to pass to `commitLatest`. Throws
-    * [[ConcurrentCommitException]] (before ANY data write — call this
-    * first) if another live writer holds the claim. */
+    * Returns an ownership token to pass to `commitLatest` (or
+    * `releaseClaim` on failure — prefer [[withClaim]], which does
+    * both). Throws [[ConcurrentCommitException]] (before ANY data
+    * write — call this first) if another live writer holds the claim
+    * or `v` is already committed. */
   def claimCommit(spark: SparkSession, dir: String, v: Int,
                   what: String): String = {
-    val f = fs(spark, dir)
-    val p = claimPath(dir, v)
-    f.mkdirs(p.getParent)
     val appId = spark.sparkContext.applicationId
     val token =
       s"$appId#${java.util.UUID.randomUUID()}#${System.currentTimeMillis()}"
-    def tryCreate(): Boolean =
-      try {
-        val out = f.create(p, false)
-        try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
-    if (!tryCreate()) {
-      val existing =
-        try readSmall(f, p) catch { case _: java.io.IOException => "" }
-      val parts = existing.split("#", -1)
-      val theirApp = if (parts.nonEmpty) parts(0) else ""
-      val theirTs =
-        if (parts.length >= 3) scala.util.Try(parts(2).toLong).getOrElse(0L)
-        else 0L
-      val age = System.currentTimeMillis() - theirTs
-      val ttl = claimTtlMs(spark)
-      if (theirApp == appId || age > ttl || existing.isEmpty) {
-        f.delete(p, false)
-        if (!tryCreate())
+    val key = claimKey(dir, v)
+    // in-process lock FIRST: one live claimant per (dir, v) per JVM,
+    // decided atomically — on-disk appIds can't discriminate threads,
+    // and any disk-first ordering leaves a window where a live
+    // same-app claim reads as a dead strand (observed: two threads in
+    // one JVM writing the same segment). The entry is removed on every
+    // failure path below, at commit, and at releaseClaim.
+    if (liveClaims.putIfAbsent(key, token) != null)
+      throw new ConcurrentCommitException(
+        s"$what at $dir: version $v is being committed by another " +
+          "writer thread of this application — retry after it finishes")
+    try {
+      val f = fs(spark, dir)
+      val p = claimPath(dir, v)
+      f.mkdirs(p.getParent)
+      def tryCreate(): Boolean =
+        try {
+          val out = f.create(p, false)
+          try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      if (!tryCreate()) {
+        // a FOREIGN owner's token lands a moment after its exclusive
+        // create — a claim read in that window looks empty/partial.
+        // Short-token reads are therefore INDETERMINATE (probably a
+        // live writer mid-create), never immediately-stealable
+        // strands: grace-retry the read before any steal decision.
+        def readClaim(): String =
+          try readSmall(f, p) catch { case _: java.io.IOException => "" }
+        var existing = readClaim()
+        var grace = 0
+        while (existing.split("#", -1).length < 3 && grace < 20 &&
+               f.exists(p)) {
+          Thread.sleep(50); grace += 1; existing = readClaim()
+        }
+        val parts = existing.split("#", -1)
+        val theirApp = if (parts.nonEmpty) parts(0) else ""
+        val theirTs =
+          if (parts.length >= 3) scala.util.Try(parts(2).toLong).getOrElse(0L)
+          else 0L
+        val age = System.currentTimeMillis() - theirTs
+        val ttl = claimTtlMs(spark)
+        // same-app disk claim while WE hold the in-process lock = a
+        // strand of a dead attempt (every live claimant holds the
+        // lock) — reclaim immediately; foreign claims wait out the TTL
+        if (theirApp == appId || age > ttl) {
+          f.delete(p, false)
+          if (!tryCreate())
+            throw new ConcurrentCommitException(
+              s"$what at $dir: lost the re-claim race for version $v")
+        } else
           throw new ConcurrentCommitException(
-            s"$what at $dir: lost the re-claim race for version $v")
-      } else
+            s"$what at $dir: version $v is claimed by writer $theirApp " +
+              s"(age ${age}ms < ttl ${ttl}ms) — retry after it commits or " +
+              "its lease expires")
+      }
+      // stale-read guard: holding the claim for v proves nothing if v
+      // is already committed (its original claim was retired by the
+      // commit, freeing the name for re-creation). LATEST cannot
+      // advance to v after this check while we hold the claim —
+      // committing v requires it, and committing any w > v requires
+      // LATEST ≥ v first.
+      val lp = new Path(dir, "LATEST")
+      if (f.exists(lp) && readSmall(f, lp).toInt >= v) {
+        f.delete(p, false)
         throw new ConcurrentCommitException(
-          s"$what at $dir: version $v is claimed by writer $theirApp " +
-            s"(age ${age}ms < ttl ${ttl}ms) — retry after it commits or " +
-            "its lease expires")
+          s"$what at $dir: version $v was already committed by another " +
+            "writer — re-read LATEST and retry against the current state")
+      }
+      token
+    } catch {
+      case e: Throwable => liveClaims.remove(key, token); throw e
     }
-    token
+  }
+
+  /** Release a claim after a FAILED commit attempt (any data strands
+    * are overwritten by the retry — the documented torn-append
+    * recovery), so the retry proceeds immediately instead of waiting
+    * out the lease. No-op if the claim has already moved on. */
+  def releaseClaim(spark: SparkSession, dir: String, v: Int,
+                   token: String): Unit = {
+    liveClaims.remove(claimKey(dir, v), token)
+    val f = fs(spark, dir)
+    val p = claimPath(dir, v)
+    val held =
+      try Some(readSmall(f, p)) catch { case _: java.io.IOException => None }
+    if (held.contains(token)) f.delete(p, false)
   }
 
   /** Ownership-verified commit: flips LATEST only if the claim for `v`
@@ -167,12 +247,15 @@ private[graft] object VersionedLayout {
     val held =
       try Some(readSmall(f, claimPath(dir, v)))
       catch { case _: java.io.IOException => None }
-    if (!held.contains(token))
+    if (!held.contains(token)) {
+      liveClaims.remove(claimKey(dir, v), token)
       throw new ConcurrentCommitException(
         s"claim for version $v of $dir was " +
           s"${if (held.isEmpty) "released" else "taken over by another writer"} " +
           "before the flip — aborting this commit")
+    }
     commitLatest(spark, dir, v, format)
+    liveClaims.remove(claimKey(dir, v), token)
     val cd = claimsDir(dir)
     if (f.exists(cd))
       f.listStatus(cd).foreach { st =>
@@ -181,5 +264,22 @@ private[graft] object VersionedLayout {
             scala.util.Try(name.drop(1).toInt).toOption.exists(_ <= v))
           f.delete(st.getPath, false)
       }
+  }
+
+  /** The full claim→write→commit envelope every index mutation runs:
+    * claims `v`, runs `body` (the data writes), commits on success,
+    * RELEASES the claim on any body failure so an in-session retry is
+    * immediate. Returns `body`'s value (materialize anything that must
+    * be computed against the pre-commit state inside `body`). */
+  def withClaim[T](spark: SparkSession, dir: String, v: Int, format: Int,
+                   what: String)(body: => T): T = {
+    val tok = claimCommit(spark, dir, v, what)
+    val out =
+      try body
+      catch {
+        case e: Throwable => releaseClaim(spark, dir, v, tok); throw e
+      }
+    commitLatest(spark, dir, v, format, tok)
+    out
   }
 }

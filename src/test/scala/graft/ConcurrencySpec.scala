@@ -87,16 +87,128 @@ class ConcurrencySpec extends AnyFunSuite {
       "winner retires its claim at commit")
   }
 
-  test("same-app retry reclaims immediately (torn-append recovery keeps working)") {
+  test("same-app strand (claim file, no live holder) reclaims immediately; a LIVE same-app claim blocks until released") {
     val dir = tmpDir("graft_occ_retry")
     val d = docs.limit(40)
     val cfg = TermIndex.Config(buckets = 4)
     TermIndex.build(spark, d, "doc_id", "text", dir, cfg)
-    // simulate a crashed attempt FROM THIS APP: claim taken, no commit
-    graft.operators.VersionedLayout.claimCommit(spark, dir, 2, "TermIndex")
-    // retry in the same session must proceed (reclaim, not deadlock)
+    // a crashed same-app attempt leaves only the claim FILE (the live
+    // registry entry died with whatever failed to release it) — plant
+    // that state directly; the retry must reclaim, not deadlock
+    val appId = spark.sparkContext.applicationId
+    val claims = java.nio.file.Paths.get(dir, "claims")
+    java.nio.file.Files.createDirectories(claims)
+    java.nio.file.Files.write(claims.resolve("v00002"),
+      s"$appId#dead-strand#${System.currentTimeMillis()}".getBytes("UTF-8"))
     val v = TermIndex.append(spark, dir, docs.limit(60), "doc_id", "text", cfg)
     assert(v == 2)
+    // a LIVE same-app claim (another thread mid-commit) blocks a second
+    // writer even inside the lease — appIds can't discriminate threads,
+    // the in-process registry does; releaseClaim unblocks
+    val tok = graft.operators.VersionedLayout.claimCommit(spark, dir, 3, "t")
+    val ex = intercept[ConcurrentCommitException] {
+      TermIndex.append(spark, dir, docs.limit(50), "doc_id", "text", cfg)
+    }
+    assert(ex.getMessage.contains("another writer thread"), ex.getMessage)
+    graft.operators.VersionedLayout.releaseClaim(spark, dir, 3, tok)
+    assert(TermIndex.append(spark, dir, docs.limit(50), "doc_id", "text",
+      cfg) == 3)
+  }
+
+  test("stale-read guard: a claim for an already-committed version aborts before any write") {
+    val dir = tmpDir("graft_occ_stale")
+    val cfg = TermIndex.Config(buckets = 4)
+    TermIndex.build(spark, docs.limit(40), "doc_id", "text", dir, cfg)
+    TermIndex.append(spark, dir, docs.limit(60), "doc_id", "text", cfg)
+    // version 2 is committed and its claim retired — a writer that read
+    // LATEST=1 before that commit could re-create claims/v00002 and
+    // overwrite committed data; the post-claim LATEST re-check stops it
+    val ex = intercept[ConcurrentCommitException] {
+      graft.operators.VersionedLayout.claimCommit(spark, dir, 2, "t")
+    }
+    assert(ex.getMessage.contains("already committed"), ex.getMessage)
+    assert(!java.nio.file.Files.exists(claimFile(dir, 2)),
+      "the aborted claim must not strand its file")
+  }
+
+  test("failed mutation releases its claim: an in-session retry proceeds immediately") {
+    val dir = tmpDir("graft_occ_release")
+    val cfg = TermIndex.Config(buckets = 4)
+    TermIndex.build(spark, docs.limit(40), "doc_id", "text", dir, cfg)
+    // an append whose body fails after the claim (missing text column →
+    // analysis error inside the write path) must release the claim...
+    intercept[Exception] {
+      TermIndex.append(spark, dir, docs.limit(60).select("doc_id"),
+        "doc_id", "text", cfg)
+    }
+    assert(!java.nio.file.Files.exists(claimFile(dir, 2)),
+      "failed attempt must release its claim")
+    assert(TermIndex.latestVersion(spark, dir) == 1)
+    // ...so the retry needs neither a TTL wait nor a same-app reclaim
+    assert(TermIndex.append(spark, dir, docs.limit(60), "doc_id", "text",
+      cfg) == 2)
+  }
+
+  test("two concurrent ingest threads (DigestIndex): one winner per version, loser fails clean and retries to a consistent index") {
+    import graft.operators.DigestIndex
+    val dir = tmpDir("graft_occ_race") + "/idx"
+    // texts made unique per id — the fixture has exact dups, which
+    // would make the canonical-id expectation below order-dependent
+    val d = docs.limit(60)
+      .select(col("doc_id"),
+        concat_ws(" ", col("text"), col("doc_id").cast("string")).as("text"))
+      .persist()
+    val base = d.filter(col("doc_id") < 20)
+    val b1 = d.filter(col("doc_id") >= 20 && col("doc_id") < 40)
+    val b2 = d.filter(col("doc_id") >= 40)
+    DigestIndex.build(spark, base, "doc_id", "text", dir).unpersist()
+    assert(DigestIndex.latestVersion(spark, dir) == 2)
+    // both threads race the same LATEST; every interleaving must end
+    // with both batches ingested exactly once (a loser sees
+    // ConcurrentCommitException having written nothing, and retries)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    def ingestWithRetry(b: org.apache.spark.sql.DataFrame): Int = {
+      gate.await()
+      var retries = 0
+      var done = false
+      while (!done) {
+        try {
+          DigestIndex.ingest(spark, dir, b, "doc_id", "text").unpersist()
+          done = true
+        } catch {
+          case _: ConcurrentCommitException =>
+            // the winner's commit takes seconds — back off instead of
+            // burning the retry budget inside its window
+            retries += 1
+            assert(retries <= 150, "livelock: loser keeps losing")
+            Thread.sleep(200)
+        }
+      }
+      retries
+    }
+    val f1 = scala.concurrent.Future(ingestWithRetry(b1))
+    val f2 = scala.concurrent.Future(ingestWithRetry(b2))
+    gate.countDown()
+    import scala.concurrent.duration._
+    val r = scala.concurrent.Await.result(f1.zip(f2), 300.seconds)
+    pool.shutdown()
+    // exactly two successful commits — one version each, no double
+    // bump, no lost batch
+    assert(DigestIndex.latestVersion(spark, dir) == 4,
+      s"retries: $r, latest: ${DigestIndex.latestVersion(spark, dir)}")
+    // the batches are disjoint novel texts, so the final live set is
+    // order-independent: byte-copies of EVERY ingested doc must now
+    // report that doc as canonical
+    val copies = d.select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+    val got = DigestIndex.dupPairs(spark, dir, copies, "doc_id", "text")
+      .collect().map(r2 => (r2.getLong(0), r2.getLong(1))).toSet
+    val want = d.select("doc_id").collect()
+      .map(_.getLong(0)).map(i => (i + 1000L, i)).toSet
+    assert(got == want)
+    d.unpersist()
   }
 
   test("commit verifies ownership: a stolen claim aborts the slow writer's flip") {

@@ -175,7 +175,10 @@ object StressBench {
         DigestIndex.dupPairs(spark, didxDir, dDup, "doc_id", "text", dCfg)
           .count()
     }
-    val dDel = docs.filter(col("doc_id") % 50 === 21).select("doc_id")
+    // delete a subset of the dup probe's own canonicals (%100==9 ⊂
+    // %20==9), so the masked re-probe must actually drop those pairs —
+    // a mask that misses would keep answering with deleted ids
+    val dDel = docs.filter(col("doc_id") % 100 === 9).select("doc_id")
     time("didx_delete")(DigestIndex.delete(spark, didxDir, dDel, "doc_id"))
     val dAfter = time("didx_probe_after_delete") {
       DigestIndex.dupPairs(spark, didxDir, dDup, "doc_id", "text", dCfg)
@@ -183,7 +186,7 @@ object StressBench {
     }
     health("didx_del_pairs") = dAfter.length.toLong
     health("didx_del_deleted_hits") =
-      dAfter.count(_.getLong(1) % 50 == 21).toLong
+      dAfter.count(_.getLong(1) % 100 == 9).toLong
     health("didx_segments_in_manifest") = DigestIndex.readManifest(spark,
       didxDir, DigestIndex.latestVersion(spark, didxDir)).length.toLong
     health("didx_segment_dirs_on_disk") = countDirs(s"$didxDir/segments")
