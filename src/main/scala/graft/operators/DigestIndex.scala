@@ -251,10 +251,14 @@ object DigestIndex {
 
   /** Probe state against one pinned version: the annotated batch
     * (id, digest, bmin, idx_id) — idx_id non-null iff a LIVE indexed
-    * doc holds the digest. */
+    * doc holds the digest. `extraTomb` (an (id LONG) frame) masks ON
+    * TOP of the version's committed tombstones, over every segment —
+    * the in-flight delete set of a CDC commit, applied to the probe
+    * before its own tombstone version exists. */
   private def annotate(spark: SparkSession, dir: String, version: Int,
                        batch: DataFrame, id: String, text: String,
-                       cfg: Config): DataFrame = {
+                       cfg: Config,
+                       extraTomb: Option[DataFrame] = None): DataFrame = {
     val batchD = batch
       .select(col(id).cast("long").as("id"), digestOf(text).as("digest"))
     val bmin = batchD.groupBy("digest").agg(min(col("id")).as("bmin"))
@@ -280,7 +284,15 @@ object DigestIndex {
         // limit(N+1) collect never materializes an oversized set
         val candD = cand.select("digest").distinct()
         val sample = candD.limit(MaxPushdownCandidates + 1).collect()
-        val tomb = tombFrame(spark, dir, readTombstones(spark, dir, version))
+        // extraTomb masks every committed segment: seq MaxValue is
+        // strictly newer than any segment of this version
+        val extra = extraTomb.map(_.select(col("id").as("t_id"),
+          lit(Int.MaxValue).as("t_seq")))
+        val tomb0 = tombFrame(spark, dir, readTombstones(spark, dir, version))
+        val tomb = (tomb0, extra) match {
+          case (Some(b), Some(e)) => Some(b.unionByName(e))
+          case (b, e)             => b.orElse(e)
+        }
         val hitsAll = segs.map { s =>
           val base = readSegData(spark, dir, s._1)
             .withColumn("seg_seq", lit(nameSeq(s._1)))
@@ -328,17 +340,34 @@ object DigestIndex {
    * pairs are MATERIALIZED before the flip; the caller unpersists.
    */
   def ingest(spark: SparkSession, dir: String, batch: DataFrame,
-             id: String, text: String, cfg: Config = Config()): DataFrame = {
+             id: String, text: String, cfg: Config = Config()): DataFrame =
+    ingestImpl(spark, dir, batch, id, text, cfg, extraTomb = None)
+
+  /** [[ingest]] plus an optional in-commit delete set: `extraTomb` ids
+    * are masked from the probe (so a dup answer never points at a doc
+    * dying in this very commit) and written as a tombstone of the SAME
+    * version as the batch segment — one atomic CDC commit, the
+    * TermIndex/IvfIndex applyCdc shape. */
+  private def ingestImpl(spark: SparkSession, dir: String, batch: DataFrame,
+                         id: String, text: String, cfg: Config,
+                         extraTomb: Option[DataFrame]): DataFrame = {
     val v = latestVersion(spark, dir)
     withClaim(spark, dir, v + 1, FormatVersion, "DigestIndex") {
-      val ann = annotate(spark, dir, v, batch, id, text, cfg).persist()
+      val ann = annotate(spark, dir, v, batch, id, text, cfg, extraTomb)
+        .persist()
       val pairs = pairsOf(ann, id).persist()
       // (pairs is the block's value — returned once the flip commits)
       pairs.count() // materialize against v before v+1 commits
       val novel = ann.filter(col("idx_id").isNull && col("id") === col("bmin"))
         .select(col("digest"), col("id"))
       val segsPrev = readManifest(spark, dir, v)
-      val tombs = readTombstones(spark, dir, v)
+      val dName = extraTomb.map { ids =>
+        val d = f"d${v + 1}%05d"
+        ids.select(col("id")).distinct()
+          .write.mode("overwrite").parquet(tombPath(dir, d))
+        d
+      }
+      val tombs = readTombstones(spark, dir, v) ++ dName
       val seg = f"s${v + 1}%05d"
       val n = writeSegData(spark, novel, dir, seg, cfg)
       if (n > 0) writeBloom(spark, dir, seg, n, cfg)
@@ -374,6 +403,57 @@ object DigestIndex {
       }
       pairs
     }
+  }
+
+  /** Delete-wins resolution of one CDC batch: the live upsert rows
+    * (ids NOT also deleted in the batch) and the tombstone id set
+    * (every touched id — an upsert retires its own old row). */
+  private def resolveCdc(upserts: DataFrame, deletes: DataFrame,
+                         id: String): (DataFrame, DataFrame) = {
+    val delIds = broadcast(deletes
+      .select(col(deletes.columns.head).cast("long").as("__del_id"))
+      .distinct())
+    val live = upserts.join(delIds,
+      col(id).cast("long") === col("__del_id"), "left_anti")
+    val tombIds = live.select(col(id).cast("long").as("id"))
+      .unionByName(delIds.select(col("__del_id").as("id"))).distinct()
+    (live, tombIds)
+  }
+
+  /**
+   * Apply one CDC batch — upserts (id, text) and deletes (id) — in ONE
+   * committed version: every touched id's old row is tombstoned, the
+   * surviving upserts are probed against the corpus-minus-touched live
+   * set (their dup pairs returned, [[ingest]] semantics) and their
+   * novel digests land as the version's segment. An id in both sides
+   * resolves delete-wins, like the TermIndex/IvfIndex siblings. The
+   * returned pairs are materialized pre-flip; the caller unpersists.
+   */
+  def applyCdc(spark: SparkSession, dir: String, upserts: DataFrame,
+               deletes: DataFrame, id: String, text: String,
+               cfg: Config = Config()): DataFrame = {
+    val (live, tombIds) = resolveCdc(upserts, deletes, id)
+    ingestImpl(spark, dir, live, id, text, cfg, Some(tombIds))
+  }
+
+  /** Replace `batch`'s docs (old rows tombstoned, new texts probed and
+    * ingested) in one commit — [[applyCdc]] with no deletes. */
+  def upsert(spark: SparkSession, dir: String, batch: DataFrame,
+             id: String, text: String, cfg: Config = Config()): DataFrame =
+    applyCdc(spark, dir, batch, batch.select(col(id)).limit(0), id, text, cfg)
+
+  /** The READ-ONLY replay of [[applyCdc]] against a pinned version:
+    * resolves the same batch, applies the same in-flight mask, returns
+    * the identical pairs — without committing anything. Streaming
+    * redelivery re-emits through this (probing the PRE-CDC version,
+    * exactly what the original commit computed). */
+  def cdcPairsAt(spark: SparkSession, dir: String, version: Int,
+                 upserts: DataFrame, deletes: DataFrame, id: String,
+                 text: String, cfg: Config = Config()): DataFrame = {
+    requireLiveVersion(spark, dir, version)
+    val (live, tombIds) = resolveCdc(upserts, deletes, id)
+    pairsOf(annotate(spark, dir, version, live, id, text, cfg,
+      Some(tombIds)), id)
   }
 
   /** Tombstone `ids` in a new version (one id-list write, no segment

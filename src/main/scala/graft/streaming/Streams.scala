@@ -981,6 +981,90 @@ object Streams {
     }
   }
 
+  /**
+   * Streaming CDC ingest for the [[graft.operators.DigestIndex]] exact-
+   * dedup index — the fourth family joins the CDC wrapper set
+   * ([[cdcStreamIndexed]]/[[cdcRetrievalStreamIndexed]]/
+   * [[cdcNearDupStream]]): micro-batches of `(op, id, text)` events
+   * (`op` ∈ upsert/delete, delete-wins on a same-batch conflict) apply
+   * as ONE DigestIndex.applyCdc commit each, emitting the surviving
+   * upserts' dup pairs as of arrival. Same pinned batch↔version replay
+   * contract as [[exactDedupStreamIndexed]]: redelivery applies
+   * nothing and re-emits identically via
+   * [[graft.operators.DigestIndex.cdcPairsAt]] against the PRE-CDC
+   * version.
+   */
+  def cdcExactDedupStream(events: DataFrame, opCol: String, id: String,
+                          text: String, indexDir: String,
+                          checkpointLocation: String,
+                          cfg: graft.operators.DigestIndex.Config =
+                            graft.operators.DigestIndex.Config(),
+                          retainVersions: Int = 2)
+                         (onPairs: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(retainVersions >= 2,
+      s"retainVersions must be >= 2 (replay needs the prior version): $retainVersions")
+    events.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        cdcExactDedupBatch(batch, batchId, opCol, id, text, indexDir, cfg,
+          retainVersions)(onPairs)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[cdcExactDedupStream]] — factored out so
+    * fault-injection tests drive the production path directly. */
+  private[graft] def cdcExactDedupBatch(
+      batch: Dataset[org.apache.spark.sql.Row], batchId: Long,
+      opCol: String, id: String, text: String, indexDir: String,
+      cfg: graft.operators.DigestIndex.Config,
+      retainVersions: Int)(onPairs: (DataFrame, Long) => Unit): Unit = {
+    import graft.operators.DigestIndex
+    val spark = batch.sparkSession
+    val ups = batch.filter(col(opCol) === "upsert").select(col(id), col(text))
+    val dels = batch.filter(col(opCol) === "delete").select(col(id))
+    if (!DigestIndex.exists(spark, indexDir))
+      DigestIndex.create(spark, indexDir, cfg)
+    val (firstB, base) =
+      DigestIndex.readMarker(spark, indexDir, "STREAM") match {
+        case Some(s) =>
+          val parts = s.split(" ")
+          (parts(0).toLong, parts(1).toInt)
+        case None =>
+          val bv = DigestIndex.latestVersion(spark, indexDir)
+          DigestIndex.writeMarker(spark, indexDir, "STREAM", s"$batchId $bv")
+          (batchId, bv)
+      }
+    require(batchId >= firstB,
+      s"batch id $batchId precedes this index's first stream batch " +
+        s"$firstB — the stream checkpoint was reset against an existing " +
+        "index; checkpoint and index are one unit of state (delete both " +
+        "or neither)")
+    val expected = base + (batchId - firstB).toInt + 1
+    val latest = DigestIndex.latestVersion(spark, indexDir)
+    if (latest == expected) {
+      // replayed batch: re-emit the identical pairs read-only against
+      // the PRE-CDC version, never double-apply
+      val p = DigestIndex.cdcPairsAt(spark, indexDir, expected - 1, ups,
+        dels, id, text, cfg).persist()
+      p.count()
+      try onPairs(p, batchId)
+      finally p.unpersist()
+    } else if (latest == expected - 1) {
+      val p = DigestIndex.applyCdc(spark, indexDir, ups, dels, id, text, cfg)
+      try onPairs(p, batchId)
+      finally p.unpersist()
+      DigestIndex.gc(spark, indexDir, retainVersions)
+    } else {
+      throw new IllegalStateException(
+        s"index at $indexDir is at version $latest but batch $batchId " +
+          s"expects $expected (committed) or ${expected - 1} (fresh): " +
+          "stream checkpoint and index state disagree — one was deleted " +
+          "or rolled back without the other")
+    }
+  }
+
   /** Run a streaming query to completion against the (finite) batch
     * source and return the result — the slicetest.Run analog for
     * streaming (memory sink + processAllAvailable). */

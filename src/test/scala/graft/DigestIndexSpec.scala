@@ -213,6 +213,78 @@ class DigestIndexSpec extends AnyFunSuite {
     intercept[IllegalStateException] { run(b1, 7) }
   }
 
+  test("applyCdc: one-commit upsert+delete, delete-wins, pairs replayable read-only via cdcPairsAt") {
+    val dir = tmpDir()
+    // build order 1,2,3,4: "c two" canonical is 2 (4 was a dup, never
+    // entered — the one-live-row-per-digest invariant)
+    DigestIndex.build(spark, df(Seq(doc(1, "c one"), doc(2, "c two"),
+      doc(3, "c three"), doc(4, "c two"))), "doc_id", "text", dir)
+      .unpersist()
+    val vPre = DigestIndex.latestVersion(spark, dir)
+    val ups = df(Seq(
+      doc(2, "c two changed"), // text change of a live canonical
+      doc(5, "c three"),       // takes over 3's text — 3 dies below
+      doc(6, "c six"), doc(7, "c six"), // within-batch pair
+      doc(9, "c one"),         // dup of the surviving canonical 1
+      doc(8, "gone")))         // also deleted in this batch
+    val dels = Seq(3L, 8L).toDF("doc_id")
+    val p = DigestIndex.applyCdc(spark, dir, ups, dels, "doc_id", "text")
+    // 9 pairs to 1 (still live); 7 pairs within-batch to 6; 5's text is
+    // novel BECAUSE 3 dies in this same commit; 2's new text novel;
+    // 8 resolves delete-wins (no pair, not ingested)
+    assert(pairSet(p) === Set((9L, 1L), (7L, 6L)))
+    p.unpersist()
+    assert(DigestIndex.latestVersion(spark, dir) == vPre + 1)
+    // read-only replay against the pre-CDC version: identical pairs
+    assert(pairSet(DigestIndex.cdcPairsAt(spark, dir, vPre, ups, dels,
+      "doc_id", "text")) === Set((9L, 1L), (7L, 6L)))
+    // post-state probes: per-digest canonicals of the RESOLVED corpus
+    val probe = df(Seq(doc(90, "c three"), doc(91, "c two"),
+      doc(92, "c two changed"), doc(93, "gone"), doc(94, "c one"),
+      doc(95, "c six")))
+    assert(pairSet(DigestIndex.dupPairs(spark, dir, probe, "doc_id", "text"))
+      === Set((90L, 5L),  // re-entered under the upserting id
+              (92L, 2L),  // the changed text answers with 2
+              (94L, 1L), (95L, 6L)),
+      "91 ('c two' — canonical 2 upserted away, dup 4 never entered) " +
+        "and 93 (delete-wins) must be novel")
+    // and the CDC commit equals a fresh build over the resolved corpus
+    val dir2 = tmpDir()
+    DigestIndex.build(spark, df(Seq(doc(1, "c one"),
+      doc(2, "c two changed"), doc(5, "c three"), doc(6, "c six"))),
+      "doc_id", "text", dir2).unpersist()
+    assert(pairSet(DigestIndex.dupPairs(spark, dir2, probe, "doc_id", "text"))
+      === pairSet(DigestIndex.dupPairs(spark, dir, probe, "doc_id", "text")))
+  }
+
+  test("CDC streaming batch body: redelivery re-emits identically without double-apply") {
+    val dir = tmpDir()
+    val cfg = DigestIndex.Config()
+    def ev(rows: (String, Long, String)*): DataFrame =
+      rows.toDF("op", "doc_id", "text")
+    val emitted = scala.collection.mutable.ArrayBuffer[Set[(Long, Long)]]()
+    def run(b: DataFrame, id: Long): Unit =
+      graft.streaming.Streams.cdcExactDedupBatch(b, id, "op", "doc_id",
+        "text", dir, cfg, retainVersions = 2) { (p, _) =>
+        emitted += pairSet(p)
+      }
+    run(ev(("upsert", 1, "k one"), ("upsert", 2, "k two"),
+      ("upsert", 3, "k one")), 0)
+    run(ev(("upsert", 4, "k two edited"), ("delete", 2, ""),
+      ("upsert", 6, "k one")), 1)
+    assert(emitted.toSeq === Seq(Set((3L, 1L)), Set((6L, 1L))))
+    val vAfter = DigestIndex.latestVersion(spark, dir)
+    run(ev(("upsert", 4, "k two edited"), ("delete", 2, ""),
+      ("upsert", 6, "k one")), 1) // redelivery
+    assert(emitted.last === Set((6L, 1L)))
+    assert(DigestIndex.latestVersion(spark, dir) == vAfter,
+      "redelivery must not commit")
+    // "k two" died with 2's delete: novel again
+    run(ev(("upsert", 7, "k two"), ("upsert", 8, "k two")), 2)
+    assert(emitted.last === Set((8L, 7L)))
+    intercept[IllegalStateException] { run(ev(("upsert", 9, "z")), 9) }
+  }
+
   test("scale shape: a mostly-novel batch's verify scan is candidate-sized (bloom prunes the index read)") {
     val dir = tmpDir()
     val corpus = (0L until 500L).map(i => doc(i, s"stable corpus doc $i"))
