@@ -438,6 +438,31 @@ object StressBench {
     health("ivf_churn_versions_on_disk") = countVersionDirs(ivfDir)
     health("ivf_churn_segment_dirs") = countDirs(s"$ivfDir/segments")
 
+    // digest-index churn, same discipline: 30 one-commit CDC rounds of
+    // the same 2% of docs re-written, per-commit gc at default
+    // retention — the plateau assertion for the fourth family (its
+    // commits are the cheapest: md5 only, no signatures/centroids/tf)
+    val dchurn = docs.filter(col("doc_id") % 50 === 13)
+    time("didx_cdc_churn_30") {
+      (1 to 30).foreach { i =>
+        val ups = dchurn.select(col("doc_id"),
+          concat_ws(" ", lit(s"dchurn$i"), col("text")).as("text"))
+        DigestIndex.applyCdc(spark, didxDir, ups,
+          dchurn.select("doc_id").limit(0), "doc_id", "text", dCfg)
+          .unpersist()
+        DigestIndex.gc(spark, didxDir, retainLast = 2)
+        if (i % 10 == 0)
+          health(s"didx_churn_disk_c$i") = du(didxDir)
+      }
+    }
+    health("didx_churn_versions_on_disk") = countVersionDirs(didxDir)
+    health("didx_churn_segment_dirs") = countDirs(s"$didxDir/segments")
+    // the index still answers after the churn: the un-churned dup
+    // probe is unchanged except canonicals deleted earlier
+    health("didx_churn_dup_pairs") =
+      DigestIndex.dupPairs(spark, didxDir, dDup, "doc_id", "text", dCfg)
+        .count()
+
     val q = times.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(",")
     val h = health.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     val la = (loadBefore ++ loadAvg()).map(v => f"$v%.2f").mkString(",")
