@@ -185,8 +185,12 @@ object StressBench {
         .collect()
     }
     health("didx_del_pairs") = dAfter.length.toLong
+    // only CORPUS ids (< the probe's +2e7 re-id offset) can be deleted
+    // canonicals — a within-batch canonical whose original id happens
+    // to be ≡9 (mod 100) is a legitimate re-pair, not a mask failure
     health("didx_del_deleted_hits") =
-      dAfter.count(_.getLong(1) % 100 == 9).toLong
+      dAfter.count(r => r.getLong(1) < 20000000L &&
+        r.getLong(1) % 100 == 9).toLong
     health("didx_segments_in_manifest") = DigestIndex.readManifest(spark,
       didxDir, DigestIndex.latestVersion(spark, didxDir)).length.toLong
     health("didx_segment_dirs_on_disk") = countDirs(s"$didxDir/segments")
