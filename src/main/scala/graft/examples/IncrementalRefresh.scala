@@ -1,17 +1,17 @@
 package graft.examples
 
 import graft.{GraftSession, Tables}
-import graft.operators.{Diff, IvfIndex, MinhashIndex, TermIndex}
+import graft.operators.{Diff, DigestIndex, IvfIndex, MinhashIndex, TermIndex}
 import org.apache.spark.sql.functions._
 
 /**
  * The incremental corpus-refresh loop end to end: a new corpus
  * snapshot arrives, [[Diff.snapshot]] classifies every doc against the
  * indexed one, and the delta — never the corpus — flows into all
- * three persisted indexes:
+ * four persisted indexes:
  *
- *   - removed  → tombstones (TermIndex.delete / IvfIndex.delete) or an
- *                exact table rewrite (MinhashIndex.deleteFromIndex)
+ *   - removed  → tombstones (TermIndex/IvfIndex/DigestIndex.delete,
+ *                MinhashIndex.deleteFromIndex — all id-list commits)
  *   - changed  → one-commit upserts (applyCdc: tombstone + segment)
  *   - added    → the same applyCdc segment
  *
@@ -36,14 +36,15 @@ object IncrementalRefresh {
     // Day 0: build the standing indexes over snapshot v1.
     // ------------------------------------------------------------------
     val base = java.nio.file.Files.createTempDirectory("graft_refresh")
-    val (tDir, vDir, mDir) =
-      (s"$base/bm25", s"$base/ann", s"$base/neardup")
+    val (tDir, vDir, mDir, dDir) =
+      (s"$base/bm25", s"$base/ann", s"$base/neardup", s"$base/exact")
     val tCfg = TermIndex.Config(buckets = 8)
     val vCfg = IvfIndex.Config(dim = 64, nList = 8, iters = 2)
     val mCfg = MinhashIndex.Config()
     TermIndex.build(spark, docsV1, "doc_id", "text", tDir, tCfg)
     IvfIndex.build(spark, embV1, "vec_id", "embedding", vDir, vCfg)
     MinhashIndex.build(spark, docsV1, "doc_id", "text", mDir, mCfg)
+    DigestIndex.build(spark, docsV1, "doc_id", "text", dDir).unpersist()
 
     // ------------------------------------------------------------------
     // Day 1: snapshot v2 (here a deterministic mutation; in production,
@@ -93,6 +94,14 @@ object IncrementalRefresh {
       "doc_id", "text", mCfg)
     val nPairs = pairs.count(); pairs.unpersist()
 
+    // Exact dedup: the same one-commit CDC shape — retired and revised
+    // ids tombstone, the revised/new texts' digests enter, and the
+    // returned pairs say which "new" docs are byte-identical to
+    // something already live (cheap triage before the near-dup pass).
+    val exactPairs = DigestIndex.applyCdc(spark, dDir, upserts, removed,
+      "doc_id", "text")
+    val nExact = exactPairs.count(); exactPairs.unpersist()
+
     // ------------------------------------------------------------------
     // Audit: the refreshed indexes answer for snapshot v2.
     // ------------------------------------------------------------------
@@ -107,10 +116,23 @@ object IncrementalRefresh {
     println(s"refresh: ${byStatus.getOrElse("removed", 0L)} removed, " +
       s"${byStatus.getOrElse("changed", 0L)} re-embedded/re-indexed, " +
       s"${byStatus.getOrElse("added", 0L)} added; " +
-      s"near-dup pairs from the delta: $nPairs")
+      s"near-dup pairs from the delta: $nPairs, exact dups: $nExact")
     println(s"post-refresh bm25 probe rows: $nHits " +
       s"(hits on retired docs: $leaked — must be 0)")
     require(leaked == 0, "a retired doc answered a probe")
+    // exact-dedup audit: a byte-copy of every live v2 doc must answer,
+    // and never with a retired id
+    val copies = docsV2.filter(col("doc_id") % 29 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    val exact = DigestIndex.dupPairs(spark, dDir, copies, "doc_id", "text")
+      .persist()
+    val nCopies = copies.count(); val nAnswered = exact.count()
+    val exactLeaked = exact
+      .filter(col("dup_of").isin(removedSet.toSeq: _*)).count()
+    exact.unpersist()
+    println(s"exact-dup audit: $nAnswered/$nCopies copies answered " +
+      s"(hits on retired docs: $exactLeaked — must be 0)")
+    require(exactLeaked == 0, "a retired doc answered an exact-dup probe")
     spark.stop()
   }
 }
