@@ -149,6 +149,38 @@ class ConcurrencySpec extends AnyFunSuite {
       cfg) == 2)
   }
 
+  test("DigestIndex: foreign claim blocks ingest/delete/compact before any write; ttl steal proceeds") {
+    import graft.operators.DigestIndex
+    val dir = tmpDir("graft_occ_didx") + "/idx"
+    val d = docs.limit(40).persist()
+    DigestIndex.build(spark, d, "doc_id", "text", dir).unpersist()
+    assert(DigestIndex.latestVersion(spark, dir) == 2)
+
+    plantForeignClaim(dir, 3)
+    intercept[ConcurrentCommitException] {
+      DigestIndex.ingest(spark, dir, docs.limit(60), "doc_id", "text")
+        .count()
+    }
+    intercept[ConcurrentCommitException] {
+      DigestIndex.delete(spark, dir, d.select("doc_id").limit(2), "doc_id")
+    }
+    intercept[ConcurrentCommitException] { DigestIndex.compact(spark, dir) }
+    assert(DigestIndex.latestVersion(spark, dir) == 2)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "segments", "s00003")),
+      "loser must not have written any segment data")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "tombs", "d00003")))
+
+    withTtl(0) {
+      val p = DigestIndex.ingest(spark, dir, docs.limit(60),
+        "doc_id", "text")
+      p.count(); p.unpersist()
+      assert(DigestIndex.latestVersion(spark, dir) == 3)
+    }
+    d.unpersist()
+  }
+
   test("two concurrent ingest threads (DigestIndex): one winner per version, loser fails clean and retries to a consistent index") {
     import graft.operators.DigestIndex
     val dir = tmpDir("graft_occ_race") + "/idx"
