@@ -297,5 +297,27 @@ class DigestIndexSpec extends AnyFunSuite {
         doc(3002, "stable corpus doc 9"))
     val pairs = DigestIndex.dupPairs(spark, dir, df(batch), "doc_id", "text")
     assert(pairSet(pairs) === Set((3000L, 7L), (3001L, 8L), (3002L, 9L)))
+
+    // the contract is a PLAN property, not just a result: the segment
+    // verify scans must carry the candidate-digest filter (pushdown →
+    // file min/max + row-group skipping at scale) — same assertion
+    // shape as the sibling indexes' id-pushdown tests
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case r: ReusedExchangeExec => scans(r.child)
+    }.flatten
+    val again = DigestIndex.dupPairs(spark, dir, df(batch), "doc_id", "text")
+    again.collect()
+    val segScans = scans(again.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("/segments/")))
+    assert(segScans.nonEmpty, "the probe must read the segment data")
+    assert(segScans.forall(_.dataFilters.exists(
+      _.references.exists(_.name == "digest"))),
+      s"verify scans must push the candidate digests: $segScans")
   }
 }
