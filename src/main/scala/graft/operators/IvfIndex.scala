@@ -79,15 +79,24 @@ object IvfIndex {
     * √n per commit for slivers of a few rows per directory (measured
     * 1.0–1.6 s/commit at nList=16 vs 10.5–23 s at nList=708 for the
     * SAME 10k-row batch and corpus). Probes read small segments with
-    * the same `list_id IN (…)` predicate (row-group pushdown instead
-    * of directory pruning — the segment is batch-sized, so the full
-    * read is cheaper than the fan-out was), and the next fold/
-    * re-cluster migrates the rows into the partitioned layout. 0
-    * disables (every segment partitioned). */
+    * the same `list_id IN (…)` predicate (the write sorts by list_id,
+    * so row-group stats prune instead of directory pruning — the
+    * segment is batch-sized, so even a full read is cheaper than the
+    * fan-out was), and a big-enough fold/re-cluster migrates the rows
+    * into the partitioned layout. The SAME threshold governs folds:
+    * with it set low, a constant-size CDC stream re-entered the
+    * fan-out at FOLD granularity after a √n retrain (every
+    * maxSegments-th commit folded ~3 batches into nList directories
+    * of sliver files — amortized √corpus per commit, the exact shape
+    * the small layout exists to kill). The default — 256 rows per
+    * list before partitioning pays — makes a partitioned write's
+    * per-list files at least row-group-sized; below that, sorted
+    * row-group pruning reads the same bytes without the O(nList)
+    * file/footer tax. 0 disables (every segment partitioned). */
   final case class Config(dim: Int, nList: Int = 16, iters: Int = 2,
                           maxImbalance: Double = 4.0, maxSegments: Int = 8,
                           pq: Option[PqConfig] = None,
-                          smallRowsPerList: Int = 16)
+                          smallRowsPerList: Int = 256)
 
   /** Optional product-quantization refinement layer (IVF-PQ): segments
     * additionally carry an m-byte `codes` column + stored exact norm,
@@ -263,7 +272,10 @@ object IvfIndex {
       assigned.repartition(col("list_id"))
         .write.mode("overwrite").partitionBy("list_id").parquet(path)
     else
-      assigned.repartition(1)
+      // sorted by list_id so the one file's row-group min/max stats
+      // prune under the probe's `list_id IN (…)` data filter — the
+      // small layout's answer to directory pruning
+      assigned.repartition(1).sortWithinPartitions("list_id")
         .write.mode("overwrite").parquet(path)
     // read back with the EXPLICIT schema: an empty batch writes no data
     // files and schema inference would throw, but an ingest loop must

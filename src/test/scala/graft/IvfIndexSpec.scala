@@ -430,9 +430,11 @@ class IvfIndexSpec extends AnyFunSuite {
     val b0 = emb.filter(col("vec_id") % 5 =!= 0)
     val b1 = emb.filter(col("vec_id") % 5 === 0) // 100 rows
     val q = emb.filter(col("vec_id") < 3)
-    // default smallRowsPerList=16 × nList=16 = 256 > 100 → small path;
-    // the twin forces the partitioned layout for the same data
-    val cfgS = cfg.copy(nList = 16)
+    // explicit smallRowsPerList=16 (threshold 16 × nList=16 = 256 >
+    // 100 → small path) so the fold-migration assertion below pins the
+    // layout switch at a chosen size independent of the default; the
+    // twin forces the partitioned layout for the same data
+    val cfgS = cfg.copy(nList = 16, smallRowsPerList = 16)
     val cfgP = cfg.copy(nList = 16, smallRowsPerList = 0)
     val dirS = tmp("ivf_small"); val dirP = tmp("ivf_part")
     // identical builds (both corpus-sized → partitioned) + one append
