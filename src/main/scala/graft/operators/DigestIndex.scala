@@ -361,11 +361,16 @@ object DigestIndex {
       val novel = ann.filter(col("idx_id").isNull && col("id") === col("bmin"))
         .select(col("digest"), col("id"))
       val segsPrev = readManifest(spark, dir, v)
-      val dName = extraTomb.map { ids =>
+      // sibling-family guard (IvfIndex/TermIndex gate on nTomb > 0):
+      // an empty CDC delete set must not append an empty tombstone
+      // dataset that every later probe and fold reads until retired.
+      val dName = extraTomb.flatMap { ids =>
         val d = f"d${v + 1}%05d"
-        ids.select(col("id")).distinct()
-          .write.mode("overwrite").parquet(tombPath(dir, d))
-        d
+        val distinctIds = ids.select(col("id")).distinct()
+        distinctIds.write.mode("overwrite").parquet(tombPath(dir, d))
+        val nTomb = spark.read.parquet(tombPath(dir, d)).count()
+        if (nTomb > 0) Some(d)
+        else { fs(spark, dir).delete(new Path(tombPath(dir, d)), true); None }
       }
       val tombs = readTombstones(spark, dir, v) ++ dName
       val seg = f"s${v + 1}%05d"

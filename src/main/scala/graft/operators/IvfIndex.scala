@@ -401,6 +401,17 @@ object IvfIndex {
     }
   }
 
+  /** Per-phase wall-clock attribution for the commit path, printed when
+    * `graft.ivf.profile=true` — the ProfileChurn decomposition knob.
+    * Costs nothing when off (one conf read per commit). */
+  private def phased[T](spark: SparkSession, tag: String)(f: => T): T =
+    if (spark.conf.getOption("graft.ivf.profile").contains("true")) {
+      val t0 = System.nanoTime()
+      val x = f
+      println(f"    [ivf-phase] $tag%-22s ${(System.nanoTime() - t0) / 1e9}%7.3fs")
+      x
+    } else f
+
   private def appendImpl(spark: SparkSession, dir: String, batch: DataFrame,
                          id: String, vec: String, cfg: Config,
                          tombIds: Option[DataFrame]): Int = {
@@ -424,10 +435,11 @@ object IvfIndex {
       val tombsPrev = readTombstones(spark, dir, v)
       val dName = f"d${v + 1}%05d"
       val nTomb = tombIds match {
-        case Some(t) =>
+        case Some(t) => phased(spark, "tombstone-write") {
           t.select(col(t.columns.head).as("id")).distinct()
             .write.mode("overwrite").parquet(tombPath(dir, dName))
           spark.read.parquet(tombPath(dir, dName)).count()
+        }
         case None => 0L
       }
       val tombs = if (nTomb > 0) tombsPrev :+ dName else tombsPrev
@@ -441,9 +453,12 @@ object IvfIndex {
       // directory fan-out. One batch-sized count job; the savings at
       // √n-retrained list counts are an order of magnitude per commit.
       val small = cfg.smallRowsPerList > 0 &&
-        batch.count() < cfg.smallRowsPerList.toLong * cents.length
-      val bCounts = writeSegment(batch, id, vec, cents, cfg, segPath(dir, segName),
-        books, partitioned = !small)
+        phased(spark, "batch-count")(batch.count()) <
+          cfg.smallRowsPerList.toLong * cents.length
+      val bCounts = phased(spark, "segment-write") {
+        writeSegment(batch, id, vec, cents, cfg, segPath(dir, segName),
+          books, partitioned = !small)
+      }
       // an empty batch leaves no segment behind: the manifest must not
       // reference a data-less directory (readers infer schemas from it)
       val newSegs = if (bCounts.isEmpty) segs else segs :+ segName
@@ -509,6 +524,9 @@ object IvfIndex {
         val mergeAll = rSegs.length >= cfg.maxSegments
         val toMerge = if (mergeAll) newSegs else sSegs
         val kept = if (mergeAll) Seq.empty else rSegs
+        if (spark.conf.getOption("graft.ivf.profile").contains("true"))
+          println(s"    [ivf-phase] fold kind=${if (mergeAll) "mergeAll" else "s-fold"} " +
+            s"toMerge=${toMerge.mkString(",")} tombs=${tombs.length}")
         val comp = f"r${v + 1}%05d"
         // the fold output obeys the same rows-based layout rule as
         // appends: a fold of a few small segments is still sliver-sized
@@ -519,14 +537,17 @@ object IvfIndex {
         // rewrites (drift/maintenance retrain, compact) always partition.
         val folded = liveUnion(spark, dir, toMerge, tombs, id)
         val foldSmall = cfg.smallRowsPerList > 0 &&
-          folded.count() < cfg.smallRowsPerList.toLong * cents.length
-        if (foldSmall)
-          folded.repartition(1)
-            .write.mode("overwrite").parquet(segPath(dir, comp))
-        else
-          folded.repartition(col("list_id"))
-            .write.mode("overwrite").partitionBy("list_id")
-            .parquet(segPath(dir, comp))
+          phased(spark, "fold-count")(folded.count()) <
+            cfg.smallRowsPerList.toLong * cents.length
+        phased(spark, "fold-write") {
+          if (foldSmall)
+            folded.repartition(1)
+              .write.mode("overwrite").parquet(segPath(dir, comp))
+          else
+            folded.repartition(col("list_id"))
+              .write.mode("overwrite").partitionBy("list_id")
+              .parquet(segPath(dir, comp))
+        }
         // rows carry their codes through the union untouched — frozen
         // books stay valid, so the merge never re-encodes. Tombstones
         // applied to the folded rows are retired unless a KEPT segment

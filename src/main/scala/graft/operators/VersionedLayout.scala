@@ -196,10 +196,29 @@ private[graft] object VersionedLayout {
         // strand of a dead attempt (every live claimant holds the
         // lock) — reclaim immediately; foreign claims wait out the TTL
         if (theirApp == appId || age > ttl) {
-          f.delete(p, false)
+          // Steal = compare-before-delete + exclusive re-create +
+          // post-create verification. delete-then-create alone races:
+          // two stealers that both observed the expired claim can
+          // interleave (A deletes+creates, B deletes A's FRESH claim
+          // and creates its own) and both proceed into the same data
+          // paths. The delete is therefore conditional on the claim
+          // content still being the stale token this writer decided
+          // on, and after a successful re-create the claim is re-read
+          // past a grace window: any competing stealer's delete within
+          // the grace is observed and this writer aborts having
+          // written nothing.
+          if (readClaim() == existing) f.delete(p, false)
           if (!tryCreate())
             throw new ConcurrentCommitException(
               s"$what at $dir: lost the re-claim race for version $v")
+          Thread.sleep(200)
+          if (readClaim() != token) {
+            // someone stole it back between our create and now — they
+            // own v; leave their claim in place and fail fast.
+            throw new ConcurrentCommitException(
+              s"$what at $dir: claim for version $v was taken over by " +
+                "another writer during a lease steal — retry")
+          }
         } else
           throw new ConcurrentCommitException(
             s"$what at $dir: version $v is claimed by writer $theirApp " +
@@ -254,7 +273,15 @@ private[graft] object VersionedLayout {
           s"${if (held.isEmpty) "released" else "taken over by another writer"} " +
           "before the flip — aborting this commit")
     }
-    commitLatest(spark, dir, v, format)
+    // A flip failure (transient filesystem error in atomicWrite) must
+    // not strand the claim: without the release, the in-process
+    // registry entry and the on-disk claim for (dir, v) leak, and
+    // every later mutation of this index from this JVM fails with
+    // "being committed by another writer thread" forever.
+    try commitLatest(spark, dir, v, format)
+    catch {
+      case e: Throwable => releaseClaim(spark, dir, v, token); throw e
+    }
     liveClaims.remove(claimKey(dir, v), token)
     val cd = claimsDir(dir)
     if (f.exists(cd))
