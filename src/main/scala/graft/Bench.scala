@@ -69,46 +69,110 @@ object Bench {
     (la, waited)
   }
 
+  /** Per-query EXTERNAL-load gate for the clean-twin re-pass: a run's
+    * external pressure is estimated as (1-min loadavg at run end)
+    * minus (this JVM's own CPU cores consumed during the run — the
+    * bench saturates the box by design, so raw loadavg would flag
+    * every query at any real SF). Queries whose HEADLINE run shows
+    * external pressure at or above this gate are re-run once after
+    * the box quiets. */
+  private[graft] val CleanPassGate = 2.0
+
+  private val osBean = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean
+    .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+
   def benchLine(spark: SparkSession, sfDir: String,
                 queries: Seq[(String, (SparkSession, String) =>
                   org.apache.spark.sql.DataFrame)],
                 extraFields: String = ""): String = {
     val loadBefore = loadAvg()
-    val results: Seq[(String, Seq[Double], Option[String])] =
+    // (wall secs, 1-min loadavg at end, self CPU cores during, err)
+    def timedRun(fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)
+        : (Double, Double, Double, Option[String]) = {
+      spark.catalog.clearCache()
+      val cpu0 = osBean.getProcessCpuTime
+      val t0 = System.nanoTime()
+      val err =
+        try { fn(spark, sfDir).collect(); None }
+        catch {
+          case t: Throwable => Some(t.getClass.getName + ": " +
+            Option(t.getMessage).getOrElse("").take(300))
+        }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val selfCores =
+        if (wall <= 0) 0.0
+        else (osBean.getProcessCpuTime - cpu0) / 1e9 / wall
+      (wall, loadAvg().headOption.getOrElse(0.0), selfCores, err)
+    }
+    val results
+        : Seq[(String, Seq[(Double, Double, Double)], Option[String])] =
       queries.map { case (name, fn) =>
         var err: Option[String] = None
-        val times = Seq.newBuilder[Double]
+        val times = Seq.newBuilder[(Double, Double, Double)]
         var run = 0
         while (run < 3 && err.isEmpty) {
-          spark.catalog.clearCache()
-          val t0 = System.nanoTime()
-          try fn(spark, sfDir).collect()
-          catch {
-            case t: Throwable =>
-              err = Some(t.getClass.getName + ": " +
-                Option(t.getMessage).getOrElse("").take(300))
-          }
-          times += (System.nanoTime() - t0) / 1e9
+          val (t, la, sc, e) = timedRun(fn)
+          err = e
+          times += ((t, la, sc))
           run += 1
         }
         (name, times.result(), err)
+      }
+    // Clean-twin re-pass (self-adjudicating artifact): a query whose
+    // HEADLINE (min-time) run ran under external pressure ≥ gate is
+    // re-run ONCE after the box quiets — its clean time lands in
+    // "clean_runs", so a mid-run contention spike never needs prose to
+    // dismiss (r9 had four phantom regressions adjudicated by hand).
+    // The headline "queries"/"value" stay min-of-3 for round-over-round
+    // comparability; readers prefer clean_runs where present.
+    def external(t: (Double, Double, Double)): Double =
+      math.max(0.0, t._2 - t._3)
+    val dirtyQs = results.collect {
+      case (name, ts, None)
+        if ts.nonEmpty && external(ts.minBy(_._1)) >= CleanPassGate => name
+    }
+    val cleanRuns: Seq[(String, Double, Double)] =
+      if (dirtyQs.isEmpty) Seq.empty
+      else {
+        val (laQuiet, _) = awaitQuietBox(CleanPassGate, maxWaitSecs = 180)
+        if (laQuiet >= CleanPassGate) Seq.empty // box never quieted: skip
+        else {
+          val byName = queries.toMap
+          dirtyQs.map { name =>
+            val (t, la, sc, _) = timedRun(byName(name))
+            (name, t, math.max(0.0, la - sc))
+          }
+        }
       }
     // Locale.ROOT: a comma decimal separator would corrupt the JSON
     def sec(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, ts, e) =>
-      "\"" + k + "\":" + (if (e.isDefined) "-1.0" else sec(ts.min)) }
+      "\"" + k + "\":" + (if (e.isDefined) "-1.0" else sec(ts.map(_._1).min)) }
       .mkString("{", ",", "}")
     val runs = results.map { case (k, ts, _) =>
-      "\"" + k + "\":" + ts.map(sec).mkString("[", ",", "]") }
+      "\"" + k + "\":" + ts.map(t => sec(t._1)).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    // per-run external pressure (loadavg minus own cores): the
+    // machine-readable contamination stamp
+    val runLoad = results.map { case (k, ts, _) =>
+      "\"" + k + "\":" + ts.map(t => sec(external(t)))
+        .mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val cleanField =
+      if (cleanRuns.isEmpty) ""
+      else cleanRuns.map { case (k, t, x) =>
+        "\"" + k + "\":{\"sec\":" + sec(t) + ",\"xload\":" + sec(x) + "}"
+      }.mkString(",\"clean_runs\":{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
       "\"" + k + "\":\"" + jsonEscape(e) + "\"" }
     val errField =
       if (errs.isEmpty) "" else errs.mkString(",\"errors\":{", ",", "}")
-    val total = results.collect { case (_, ts, None) => ts.min }.sum
+    val total = results.collect { case (_, ts, None) => ts.map(_._1).min }.sum
     val load = (loadBefore ++ loadAvg()).map(sec).mkString("[", ",", "]")
-    s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"runs":$runs,"loadavg":$load$extraFields$errField,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"runs":$runs,"run_xload":$runLoad$cleanField,"loadavg":$load$extraFields$errField,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {

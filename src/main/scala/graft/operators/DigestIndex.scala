@@ -77,9 +77,20 @@ object DigestIndex {
   /** `fpp`: per-segment Bloom false-positive rate — tunes verify-scan
     * traffic, never results. `maxSegments`: size-tiered compaction
     * threshold (the sibling families' policy). `rowsPerFile`: target
-    * rows per data file in a segment (range-split by digest). */
+    * rows per data file in a segment (range-split by digest).
+    * `bloomMaxBytes`: hard per-segment Bloom size budget. Blooms are
+    * DRIVER metadata (deserialized per probe, embedded as scan-side
+    * literals), so without a cap a corpus-sized r-segment's
+    * fpp-optimal filter grows O(rows) on the driver heap — ~1.2 GB per
+    * billion rows at 1%. Over budget, the filter is sized to the
+    * budget instead and the EFFECTIVE fpp degrades; exactness never
+    * moves (the verify join restores it), only verify-scan traffic.
+    * Total probe-side Bloom memory is therefore bounded by
+    * (manifest segments ≤ ~maxSegments) × bloomMaxBytes, independent
+    * of corpus rows — spec-pinned in DigestIndexSpec. */
   final case class Config(fpp: Double = 0.01, maxSegments: Int = 8,
-                          rowsPerFile: Long = 4L * 1000 * 1000)
+                          rowsPerFile: Long = 4L * 1000 * 1000,
+                          bloomMaxBytes: Long = 16L * 1024 * 1024)
 
   private val FormatVersion = 1
 
@@ -164,11 +175,21 @@ object DigestIndex {
     new Path(segPath(dir, seg), "BLOOM")
 
   /** Distributed Bloom build over a committed segment's digests
-    * (treeAggregate — no row shuffle), serialized next to the data. */
+    * (treeAggregate — no row shuffle), serialized next to the data.
+    * Sized by fpp while that fits `bloomMaxBytes`; by the byte budget
+    * (degraded fpp, bounded heap) beyond it. */
   private def writeBloom(spark: SparkSession, dir: String, seg: String,
                          rows: Long, cfg: Config): Unit = {
-    val bf = readSegData(spark, dir, seg).stat
-      .bloomFilter(xxhash64(col("digest")), math.max(rows, 1L), cfg.fpp)
+    val n = math.max(rows, 1L)
+    val optimalBits = math.ceil(
+      -n * math.log(cfg.fpp) / (math.log(2) * math.log(2))).toLong
+    val budgetBits = cfg.bloomMaxBytes * 8L
+    val data = readSegData(spark, dir, seg)
+    val bf =
+      if (optimalBits <= budgetBits)
+        data.stat.bloomFilter(xxhash64(col("digest")), n, cfg.fpp)
+      else
+        data.stat.bloomFilter(xxhash64(col("digest")), n, budgetBits)
     val bos = new ByteArrayOutputStream()
     bf.writeTo(bos)
     val out = fs(spark, dir).create(bloomPath(dir, seg), true)

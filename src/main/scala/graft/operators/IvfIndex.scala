@@ -27,10 +27,13 @@ import org.apache.spark.sql.functions._
  *                         instead ONE unpartitioned file with list_id
  *                         as a data column (self-describing — readers
  *                         apply the same list_id filter either way)
- *   segments/r00005/      a COMPACTION segment: drift-triggered
+ *   segments/r00005/      a COMPACTION segment: retrain-triggered
  *                         (re-clustered; replaces ALL prior segments)
  *                         or size-triggered (tiered; folds the small
  *                         `s` segments, prior `r` segments are kept)
+ *   segments/t00007/      a SPLIT segment: the drift guard's rewrite
+ *                         of hot lists' live rows under the extended
+ *                         centroid array (folds like an `s` segment)
  *   tombs/d00004/         id-list parquet written by delete/upsert:
  *                         masks matching ids in STRICTLY older
  *                         segments until a compaction folds them away
@@ -55,11 +58,13 @@ import org.apache.spark.sql.functions._
  * frozen centroids slowly stop fitting a drifting embedding
  * distribution — lists go lopsided, probes read ever-larger fractions
  * of the corpus, recall/latency degrade silently. Each append checks
- * the merged per-list counts; when the largest list exceeds
- * `maxImbalance ×` the mean, the append RE-CLUSTERS: centroids retrain
- * over the full corpus (the one corpus-sized job, amortized over the
- * appends that stayed balanced) and the data compacts into a single
- * fresh segment — which also caps segment-count growth, LSM-style.
+ * the merged per-list counts; when a list exceeds `maxImbalance ×`
+ * the mean, the append SPLITS it locally: sub-centroids train over
+ * the hot lists' rows alone, append to the centroid array (positions
+ * are list ids — existing segments stay valid untouched), and only
+ * the hot lists' live rows rewrite. O(hot mass) ≈ O(batch) for
+ * churn-induced skew, never O(corpus) — the corpus-sized global
+ * rebalance is [[retrain]], the explicitly-scheduled maintenance job.
  */
 object IvfIndex {
 
@@ -166,7 +171,8 @@ object IvfIndex {
   private def writeManifest(spark: SparkSession, dir: String, v: Int,
                             cents: Array[Array[Double]], segs: Seq[String],
                             counts: Map[Int, Long],
-                            tombs: Seq[String] = Seq.empty): Unit = {
+                            tombs: Seq[String] = Seq.empty,
+                            frozen: Set[Int] = Set.empty): Unit = {
     val f = fs(spark, dir)
     val vd = versionDir(dir, v)
     atomicWrite(f, new Path(vd, "centroids.txt"),
@@ -176,6 +182,26 @@ object IvfIndex {
       counts.toSeq.sorted.map { case (l, c) => s"$l,$c" }.mkString("\n"))
     if (tombs.nonEmpty)
       atomicWrite(f, new Path(vd, "tombstones.txt"), tombs.mkString("\n"))
+    if (frozen.nonEmpty)
+      atomicWrite(f, new Path(vd, "frozen.txt"),
+        frozen.toSeq.sorted.mkString("\n"))
+  }
+
+  /** Lists the drift guard must not re-split: a prior split failed to
+    * spread their mass (k-means cannot separate identical vectors, and
+    * tied assignments all pick the lowest centroid index) — re-splitting
+    * every commit would pay O(list mass) forever for nothing. Cleared
+    * by [[retrain]], whose fresh global clustering re-evaluates
+    * everything. Absent file (pre-split manifests) = none. */
+  private[graft] def readFrozen(spark: SparkSession, dir: String,
+                                v: Int): Set[Int] = {
+    val p = new Path(versionDir(dir, v), "frozen.txt")
+    val f = fs(spark, dir)
+    if (!f.exists(p)) Set.empty
+    else {
+      val s = readSmall(f, p)
+      if (s.isEmpty) Set.empty else s.split("\n").map(_.toInt).toSet
+    }
   }
 
   /** Tombstone datasets a version masks with (absent file = none —
@@ -205,7 +231,7 @@ object IvfIndex {
   /** PQ codebooks for a version, if this is an IVF-PQ index. Format:
     * header "m ksub dsub", then m·ksub comma-separated rows in
     * (subspace-major, entry) order. Frozen like the centroids; the
-    * drift-guard re-cluster — the one path that rewrites EVERY row —
+    * maintenance [[retrain]] — the one path that rewrites EVERY row —
     * retrains them alongside. */
   private def writeBooks(spark: SparkSession, dir: String, v: Int,
                          books: graft.functions.PqBooks): Unit =
@@ -306,9 +332,11 @@ object IvfIndex {
 
   /**
    * Fold `batch` into the index: one batch-sized segment against the
-   * current centroids, or a full re-cluster + compaction when the
-   * drift guard trips. Returns the committed version. Single-writer
-   * (like [[MinhashIndex]]): appends are serialized by the caller.
+   * current centroids, plus a local split of any list the drift guard
+   * flags (sub-centroids appended, hot rows rewritten — O(hot mass),
+   * never a corpus re-cluster). Returns the committed version.
+   * Single-writer (like [[MinhashIndex]]): appends are serialized by
+   * the caller.
    */
   def append(spark: SparkSession, dir: String, batch: DataFrame,
              id: String, vec: String, cfg: Config): Int =
@@ -321,10 +349,12 @@ object IvfIndex {
    * commit sequence masks only STRICTLY older segments, so the new
    * rows written in this same commit survive it, as does any future
    * re-add. Compactions apply live tombstones physically to the
-   * segments they fold (and the drift re-cluster, which rewrites every
-   * row, retires them all); between compactions the masked rows sit in
+   * segments they fold (and [[retrain]], which rewrites every row,
+   * retires them all); between compactions the masked rows sit in
    * immutable old segments and `counts.txt` is an upper bound — which
-   * only makes the drift guard fire earlier, never later.
+   * only makes the drift guard fire earlier, never later, and whose
+   * phantom mass purges at every split (hot lists recount) and every
+   * mergeAll fold (global recount).
    */
   def upsert(spark: SparkSession, dir: String, batch: DataFrame,
              id: String, vec: String, cfg: Config): Int =
@@ -372,7 +402,8 @@ object IvfIndex {
       val tombs = readTombstones(spark, dir, v)
       writeManifest(spark, dir, v + 1, readCentroids(spark, dir, v),
         readSegments(spark, dir, v), readCounts(spark, dir, v),
-        if (n == 0) tombs else tombs :+ dName)
+        if (n == 0) tombs else tombs :+ dName,
+        readFrozen(spark, dir, v))
       readBooks(spark, dir, v).foreach(writeBooks(spark, dir, v + 1, _))
     }
     v + 1
@@ -447,59 +478,133 @@ object IvfIndex {
       // a crashed append overwrites its own orphan, never a committed
       // segment
       val segName = f"s${v + 1}%05d"
+      // ONE batch-sized assignment pre-pass: the per-list histogram the
+      // drift guard reads BEFORE anything is written (a skew-tripping
+      // batch must be written against the EXTENDED centroid array, not
+      // rewritten after the fact), and its sum is the row count the
+      // small-layout decision needs — no separate count job.
+      val preCounts = phased(spark, "batch-assign") {
+        Similarity.assignLists(batch.select(col(id), col(vec)), id, vec,
+            cfg.dim, cents)
+          .groupBy("list_id").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      }
+      val batchRows = preCounts.values.sum
+      val mergedPre = (prev.keySet ++ preCounts.keySet).iterator
+        .map(k => k -> (prev.getOrElse(k, 0L) + preCounts.getOrElse(k, 0L)))
+        .toMap
+      val totalPre = mergedPre.values.sum
+      val cap = cfg.maxImbalance * totalPre.toDouble / cents.length
+      val frozenPrev = readFrozen(spark, dir, v)
+      val hot =
+        if (mergedPre.isEmpty) Seq.empty[Int]
+        else mergedPre.collect {
+          case (l, c) if c > cap && !frozenPrev.contains(l) => l
+        }.toSeq.sorted
+
+      // ---- drift guard: LOCAL LIST SPLIT, not a corpus re-cluster.
+      // The guard used to retrain + compact the FULL corpus — O(corpus)
+      // for a batch-sized commit, measured 21 s per trip at 500k rows
+      // (vs 1 s untripped) with an oscillating-churn workload tripping
+      // it every other commit. Splitting only the offending lists is
+      // the LSM-proportionate response: train sub-centroids over the
+      // hot lists' rows alone (a partition-pruned read — list_id= dirs
+      // for partitioned segments, sorted row-groups for small ones),
+      // APPEND them to the centroid array (positions are list ids, so
+      // existing segments stay valid untouched), rewrite only the hot
+      // lists' live rows under the extended array, and mask their old
+      // copies with a same-commit tombstone. O(hot mass) ≈ O(batch)
+      // for churn-induced skew. The parent centroid keeps its slot (an
+      // emptied list costs a probe nothing); [[retrain]] remains the
+      // scheduled global rebalance that resets list count to √n.
+      var centsW = cents
+      var tName: Option[String] = None
+      var tCounts = Map.empty[Int, Long]
+      var eTomb: Option[String] = None
+      var frozen = frozenPrev
+      if (hot.nonEmpty) phased(spark, "list-split") {
+        // live rows of the hot lists in STRICTLY OLDER segments. The
+        // batch tombstone (dName, seq v+1) is already in `tombs`, so
+        // batch ids' old copies are excluded here — the t-segment and
+        // the s-segment can never hold the same id.
+        val hotOld =
+          if (segs.isEmpty) None
+          else Some(liveUnion(spark, dir, segs, tombs, id)
+            .filter(col("list_id").isin(hot: _*)).persist())
+        val hotBatch = Similarity.assignLists(
+            batch.select(col(id), col(vec)), id, vec, cfg.dim, cents)
+          .filter(col("list_id").isin(hot: _*))
+          .select(col(id), col(vec))
+        val trainRows =
+          (hotOld.map(_.select(col(id), col(vec))).toSeq :+ hotBatch)
+            .reduce(_.unionByName(_))
+        // sub-list count sized so each lands near the mean occupancy;
+        // the histogram mass is an upper bound (phantom tombstoned rows
+        // inflate it), which only over-provisions centroids slightly
+        val meanTarget = math.max(1L, totalPre / cents.length)
+        val k = math.min(
+          math.max(2L, math.ceil(
+            hot.map(mergedPre).sum.toDouble / meanTarget).toLong),
+          math.max(2L, totalPre)).toInt
+        val sub = Similarity.trainCentroids(trainRows, id, vec, cfg.dim,
+          k, cfg.iters)
+        centsW = cents ++ sub
+        hotOld.foreach { ho =>
+          val nOld = ho.count()
+          if (nOld > 0) {
+            val t = f"t${v + 1}%05d"
+            val e = f"e${v + 1}%05d"
+            ho.select(col(id).as("id")).distinct()
+              .write.mode("overwrite").parquet(tombPath(dir, e))
+            val smallT = cfg.smallRowsPerList > 0 &&
+              nOld < cfg.smallRowsPerList.toLong * centsW.length
+            tCounts = writeSegment(ho.select(col(id), col(vec)), id, vec,
+              centsW, cfg, segPath(dir, t), books, partitioned = !smallT)
+            tName = Some(t)
+            eTomb = Some(e)
+          }
+          ho.unpersist(blocking = false)
+        }
+      }
+      val tombsAll = tombs ++ eTomb
+
       // layout decision (appends only — build and every compaction/
       // retrain rewrite is corpus-sized and always partitions): a batch
       // too small to give each list a real file skips the O(nList)
-      // directory fan-out. One batch-sized count job; the savings at
-      // √n-retrained list counts are an order of magnitude per commit.
+      // directory fan-out, an order of magnitude per commit at
+      // √n-retrained list counts.
       val small = cfg.smallRowsPerList > 0 &&
-        phased(spark, "batch-count")(batch.count()) <
-          cfg.smallRowsPerList.toLong * cents.length
+        batchRows < cfg.smallRowsPerList.toLong * centsW.length
       val bCounts = phased(spark, "segment-write") {
-        writeSegment(batch, id, vec, cents, cfg, segPath(dir, segName),
+        writeSegment(batch, id, vec, centsW, cfg, segPath(dir, segName),
           books, partitioned = !small)
+      }
+      // a split whose sub-lists are STILL over the cap found an
+      // irreducible mass (identical vectors tie-break to one centroid);
+      // freeze them so the guard stops paying for splits that cannot
+      // spread anything. retrain() clears the set.
+      if (hot.nonEmpty) {
+        val subRange = cents.length until centsW.length
+        frozen = frozen ++ subRange.filter(l =>
+          bCounts.getOrElse(l, 0L) + tCounts.getOrElse(l, 0L) > cap)
+        // the parent lists just split: whatever stays was irreducible
+        // too (nearest-centroid kept it against every sub-centroid)
+        frozen = frozen ++ hot.filter(l =>
+          bCounts.getOrElse(l, 0L) + tCounts.getOrElse(l, 0L) > cap)
       }
       // an empty batch leaves no segment behind: the manifest must not
       // reference a data-less directory (readers infer schemas from it)
-      val newSegs = if (bCounts.isEmpty) segs else segs :+ segName
-      val merged = (prev.keySet ++ bCounts.keySet).iterator
-        .map(k => k -> (prev.getOrElse(k, 0L) + bCounts.getOrElse(k, 0L))).toMap
-      val total = merged.values.sum
-      val skewed = merged.nonEmpty &&
-        merged.values.max > cfg.maxImbalance * total.toDouble / cents.length
-      if (skewed) {
-        // drift guard tripped: retrain over the FULL corpus (old
-        // segments ∪ the batch segment just written) and compact into
-        // one fresh segment — the amortized corpus-sized job that keeps
-        // list occupancy, probe cost and recall stable under drift
-        // live rows only: the rewrite applies every tombstone physically
-        // and the new manifest carries none
-        val all = liveUnion(spark, dir, newSegs, tombs, id)
-          .select(col(id), col(vec)).persist()
-        // the LIVE count, not the manifest's masked upper bound — a CDC
-        // batch that deletes every remaining id must fail loudly here
-        // instead of committing an empty centroids file that bricks
-        // every subsequent read
-        val liveN = all.count()
-        require(liveN > 0,
-          s"re-cluster would leave $dir empty (every row tombstoned) — " +
-            "an empty index has no probe semantics; rebuild instead")
-        val cents2 = Similarity.trainCentroids(all, id, vec, cfg.dim,
-          targetNList(cfg.nList, liveN), cfg.iters)
-        // the one path that rewrites EVERY row also retrains the PQ
-        // codebooks — quantization error tracks the drifted distribution
-        // at no extra write cost (frozen everywhere else: kept segments
-        // must stay decodable with the manifest's books)
-        val books2 = cfg.pq.map(p =>
-          Pq.trainBooks(all, id, vec, cfg.dim, p.m, p.ksub, cfg.iters,
-            p.trainSampleFraction))
-        val comp = f"r${v + 1}%05d"
-        val counts2 = writeSegment(all, id, vec, cents2, cfg, segPath(dir, comp),
-          books2)
-        all.unpersist(blocking = false)
-        writeManifest(spark, dir, v + 1, cents2, Seq(comp), counts2)
-        books2.foreach(writeBooks(spark, dir, v + 1, _))
-      } else if (newSegs.length > cfg.maxSegments) {
+      val newSegs = (if (bCounts.isEmpty) segs else segs :+ segName) ++ tName
+      // manifest counts: read-back truth for the new segments; a split
+      // PURGES the hot lists' accumulated phantom (tombstone-masked)
+      // mass — their prior counts are dropped and replaced by what the
+      // rewrite actually landed
+      val base = if (hot.isEmpty) prev else prev -- hot
+      val merged = Seq(bCounts, tCounts).foldLeft(base) { (m, add) =>
+        (m.keySet ++ add.keySet).iterator
+          .map(k => k -> (m.getOrElse(k, 0L) + add.getOrElse(k, 0L))).toMap
+      }
+      if (newSegs.length > cfg.maxSegments) {
         // SIZE-triggered compaction: a balanced workload never trips the
         // drift guard, so without this cap N appends = N segments = N
         // parquet datasets listed and unioned per probe — planner cost
@@ -526,7 +631,7 @@ object IvfIndex {
         val kept = if (mergeAll) Seq.empty else rSegs
         if (spark.conf.getOption("graft.ivf.profile").contains("true"))
           println(s"    [ivf-phase] fold kind=${if (mergeAll) "mergeAll" else "s-fold"} " +
-            s"toMerge=${toMerge.mkString(",")} tombs=${tombs.length}")
+            s"toMerge=${toMerge.mkString(",")} tombs=${tombsAll.length}")
         val comp = f"r${v + 1}%05d"
         // the fold output obeys the same rows-based layout rule as
         // appends: a fold of a few small segments is still sliver-sized
@@ -535,10 +640,10 @@ object IvfIndex {
         // r-segments grow through r-with-r merges until they clear the
         // threshold and take the partitioned layout. Corpus-sized
         // rewrites (drift/maintenance retrain, compact) always partition.
-        val folded = liveUnion(spark, dir, toMerge, tombs, id)
+        val folded = liveUnion(spark, dir, toMerge, tombsAll, id)
         val foldSmall = cfg.smallRowsPerList > 0 &&
           phased(spark, "fold-count")(folded.count()) <
-            cfg.smallRowsPerList.toLong * cents.length
+            cfg.smallRowsPerList.toLong * centsW.length
         phased(spark, "fold-write") {
           if (foldSmall)
             folded.repartition(1)
@@ -554,12 +659,25 @@ object IvfIndex {
         // is still older than them (r-segments keep their original
         // sequence; the new comp segment, at v+1, outranks every live
         // tombstone by the strictly-greater rule).
-        val tombsKept = tombs.filter(t =>
+        val tombsKept = tombsAll.filter(t =>
           kept.exists(s => nameSeq(s) < nameSeq(t)))
-        writeManifest(spark, dir, v + 1, cents, kept :+ comp, merged, tombsKept)
+        // a mergeAll folded EVERY segment and applied every tombstone
+        // physically: recount the manifest from the committed fold —
+        // this is the point that purges ALL accumulated phantom
+        // (tombstone-masked) mass from the histogram, bounding how far
+        // the drift guard's upper-bound signal can wander from the
+        // live distribution (one inter-mergeAll window)
+        val manifestCounts =
+          if (!mergeAll) merged
+          else spark.read.schema(folded.schema).parquet(segPath(dir, comp))
+            .groupBy("list_id").agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        writeManifest(spark, dir, v + 1, centsW, kept :+ comp,
+          manifestCounts, tombsKept, frozen)
         books.foreach(writeBooks(spark, dir, v + 1, _))
       } else {
-        writeManifest(spark, dir, v + 1, cents, newSegs, merged, tombs)
+        writeManifest(spark, dir, v + 1, centsW, newSegs, merged, tombsAll,
+          frozen)
         books.foreach(writeBooks(spark, dir, v + 1, _))
       }
     }
@@ -575,17 +693,19 @@ object IvfIndex {
    * before/after are pair-identical (spec-pinned).
    */
   /**
-   * Maintenance retrain — the EXPLICIT form of the drift-guard
-   * rewrite: re-cluster the live corpus (tombstones folded) at
+   * Maintenance retrain — the ONE corpus-sized rewrite: re-cluster
+   * the live corpus (tombstones folded) at
    * nList = clamp(cfg.nList, ⌈√rows⌉, rows), retrain the PQ codebooks
    * if configured, re-encode, and commit ONE fresh r-segment. This is
-   * the amortized corpus-sized job a continuous-ingest deployment
-   * schedules (the drift guard triggers the same rewrite on skew) so
+   * the amortized job a continuous-ingest deployment schedules so
    * per-list candidate counts — and probe cost — stay O(√n) as the
    * corpus grows; between retrains every append stays batch-sized
-   * against frozen centroids. [[compact]] is the cheaper sibling that
-   * folds segments WITHOUT re-clustering (frozen centroids, no
-   * re-assignment). Returns the committed version.
+   * against frozen centroids, with the drift guard's LOCAL splits
+   * absorbing skew at O(hot mass). Retrain also clears the
+   * frozen-list set (fresh clustering re-evaluates everything).
+   * [[compact]] is the cheaper sibling that folds segments WITHOUT
+   * re-clustering (frozen centroids, no re-assignment). Returns the
+   * committed version.
    */
   def retrain(spark: SparkSession, dir: String, cfg: Config): Int = {
     val v = latestVersion(spark, dir)
@@ -645,8 +765,10 @@ object IvfIndex {
       require(counts.nonEmpty,
         s"compact would leave $dir empty (every row tombstoned) — " +
           "an empty index has no probe semantics; rebuild instead")
+      // frozen carries: compact keeps the same centroids, so a list
+      // k-means couldn't spread is still unspreadable; retrain clears
       writeManifest(spark, dir, v + 1, readCentroids(spark, dir, v),
-        Seq(comp), counts)
+        Seq(comp), counts, Seq.empty, readFrozen(spark, dir, v))
       readBooks(spark, dir, v).foreach(writeBooks(spark, dir, v + 1, _))
     }
     v + 1

@@ -391,6 +391,42 @@ object PipelineOps {
         .orderBy("query_id", "rnk")
     },
 
+    // The persisted index's STEADY-STATE CDC configuration, fully
+    // oracled (round 10, closing the gap between "the oracled twin
+    // pins the machinery" and "the CDC'd index state itself is
+    // pinned"): frozen iters=0 seeds, build + append, then ONE
+    // applyCdc commit that re-embeds vec_id%7==3 (negated vectors —
+    // float negation is exact, so cosines replay bit-for-bit) and
+    // deletes vec_id%9==4, delete-wins on the overlap. The probe runs
+    // against the tombstone-masked LSM state; the oracle replays the
+    // final live set (non-touched rows ∪ upserted negations),
+    // assignment to the FROZEN original seeds, 2-probe candidate rule
+    // and exact re-rank in SQL.
+    "sim_topk_ivf0_cdc_idx" -> { (spark, dir) =>
+      val emb = Tables.load(spark, dir, "embeddings")
+      val cfg = IvfIndex.Config(dim = EmbDim, nList = 8, iters = 0,
+        maxImbalance = 1e12)
+      val idxDir = ivfIndexes.computeIfAbsent(dir + "#ivf0cdc", _ => {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft_ivf0_cdc_idx").toString + "/idx"
+        IvfIndex.build(spark, emb.filter(col("vec_id") % 5 =!= 0),
+          "vec_id", "embedding", d, cfg)
+        IvfIndex.append(spark, d, emb.filter(col("vec_id") % 5 === 0),
+          "vec_id", "embedding", cfg)
+        IvfIndex.applyCdc(spark, d,
+          emb.filter(col("vec_id") % 7 === 3)
+            .select(col("vec_id"),
+              transform(col("embedding"), x => -x).as("embedding")),
+          emb.filter(col("vec_id") % 9 === 4).select("vec_id"),
+          "vec_id", "embedding", cfg)
+        d
+      })
+      IvfIndex.topK(spark, idxDir, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbe = 2)
+        .withColumn("rnk", col("rnk").cast("long"))
+        .orderBy("query_id", "rnk")
+    },
+
     // IVF ANN against the INCREMENTAL persisted index (IvfIndex):
     // build over 80% of the corpus, append the rest against the frozen
     // centroids (the continuous-ingest path), query the committed
@@ -1351,6 +1387,48 @@ object PipelineOps {
          |     ORDER BY (${dotSql("e", "s")}) / sqrt(${dotSql("s", "s")}) DESC,
          |              s.list_id LIMIT 1) AS list_id
          |  FROM embeddings e),
+         |pr AS (
+         |  SELECT q.vec_id AS query_id, q.embedding, s.list_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY (${dotSql("q", "s")}) / sqrt(${dotSql("s", "s")}) DESC,
+         |               s.list_id) AS r
+         |  FROM embeddings q, seeds s WHERE q.vec_id < 10),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id, ${cosSql("p", "a")} AS cos
+         |  FROM (SELECT query_id, embedding, list_id FROM pr WHERE r <= 2) p
+         |  JOIN assign a USING (list_id)
+         |  WHERE a.vec_id <> p.query_id),
+         |rk AS (SELECT query_id, neighbor_id, cos,
+         |  row_number() OVER (PARTITION BY query_id
+         |                     ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM cand)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, cos
+         |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // the CDC replay: live set = untouched rows ∪ negated upserts
+    // (delete-wins on the %7∩%9 overlap), seeds stay the ORIGINAL
+    // 8 lowest-id build-slice vectors (centroids are frozen at build;
+    // an upserted or deleted seed id never moves its centroid),
+    // assignment/cosines read the FINAL live embeddings
+    "sim_topk_ivf0_cdc_idx" ->
+      s"""WITH ups AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> -x) AS embedding
+         |  FROM embeddings WHERE vec_id % 7 = 3 AND vec_id % 9 <> 4),
+         |final AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 9 <> 4 AND vec_id % 7 <> 3
+         |  UNION ALL SELECT vec_id, embedding FROM ups),
+         |seeds AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS list_id,
+         |         embedding
+         |  FROM (SELECT * FROM embeddings WHERE vec_id % 5 <> 0
+         |        ORDER BY vec_id LIMIT 8)),
+         |assign AS (
+         |  SELECT e.vec_id, e.embedding,
+         |    (SELECT s.list_id FROM seeds s
+         |     ORDER BY (${dotSql("e", "s")}) / sqrt(${dotSql("s", "s")}) DESC,
+         |              s.list_id LIMIT 1) AS list_id
+         |  FROM final e),
          |pr AS (
          |  SELECT q.vec_id AS query_id, q.embedding, s.list_id,
          |    row_number() OVER (PARTITION BY q.vec_id

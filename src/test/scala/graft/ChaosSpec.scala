@@ -195,6 +195,93 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("gc"), e.getMessage)
   }
 
+  test("out-of-band gc under a live checkpoint: pre-state-replay families fail fast, own-version families re-emit exactly") {
+    // A long-lived pipeline's operator runs gc(retainLast = 1) by hand
+    // while the stream checkpoint still pins a batch↔version pairing.
+    // The two pair-emitting families replay against the PRE-ingest
+    // version — now gone — and must fail with the retention message
+    // (never silently recompute against the wrong state); the two
+    // topK-emitting families replay against the batch's OWN version,
+    // which gc always retains, and must re-emit identically.
+    import graft.operators.{DigestIndex, IvfIndex, MinhashIndex, TermIndex}
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val b0d = docs.filter(col("doc_id") % 2 === 0)
+    val b1d = docs.filter(col("doc_id") % 2 === 1)
+
+    // MinhashIndex (near-dup pairs): replay probes expected-1
+    val mhDir = java.nio.file.Files
+      .createTempDirectory("graft_chaos_gc_mh").toString + "/idx"
+    val mhCfg = MinhashIndex.Config()
+    def mhRun(b: org.apache.spark.sql.DataFrame, bid: Long): Unit =
+      graft.streaming.Streams.nearDupIndexedBatch(
+        b, bid, "doc_id", "text", mhDir, mhCfg, retainVersions = 2) {
+        (p, _) => p.count(); ()
+      }
+    mhRun(b0d, 0L); mhRun(b1d, 1L)
+    MinhashIndex.gc(spark, mhDir, retainLast = 1)
+    val eMh = intercept[IllegalArgumentException] { mhRun(b1d, 1L) }
+    assert(eMh.getMessage.contains("gc"), eMh.getMessage)
+
+    // DigestIndex (exact-dedup pairs): replay probes expected-1
+    val dxDir = java.nio.file.Files
+      .createTempDirectory("graft_chaos_gc_dx").toString + "/idx"
+    val dxCfg = DigestIndex.Config()
+    def dxRun(b: org.apache.spark.sql.DataFrame, bid: Long): Unit =
+      graft.streaming.Streams.exactDedupIndexedBatch(
+        b, bid, "doc_id", "text", dxDir, dxCfg, retainVersions = 2) {
+        (p, _) => p.count(); ()
+      }
+    dxRun(b0d, 0L); dxRun(b1d, 1L)
+    DigestIndex.gc(spark, dxDir, retainLast = 1)
+    val eDx = intercept[IllegalArgumentException] { dxRun(b1d, 1L) }
+    assert(eDx.getMessage.contains("garbage-collected"), eDx.getMessage)
+
+    // IvfIndex (ANN topK): replay probes the batch's OWN version —
+    // retained by any gc — so redelivery after the manual gc must
+    // still re-emit the identical results
+    val annDir = java.nio.file.Files
+      .createTempDirectory("graft_chaos_gc_ann").toString + "/idx"
+    val annCfg = IvfIndex.Config(dim = 64, nList = 4, iters = 1)
+    var annOut: Set[(Long, Long, Long)] = Set.empty
+    def annRun(b: org.apache.spark.sql.DataFrame, bid: Long): Unit =
+      graft.streaming.Streams.annIndexedBatch(
+        b, bid, "vec_id", "embedding", annDir, annCfg, k = 3, nProbe = 2,
+        retainVersions = 2) { (t, _) =>
+        annOut = t.collect()
+          .map(r => (r.getLong(0), r.get(1).toString.toLong,
+            r.getLong(2))).toSet
+      }
+    annRun(emb.filter(col("vec_id") % 2 === 0), 0L)
+    annRun(emb.filter(col("vec_id") % 2 === 1), 1L)
+    val annAt1 = annOut
+    IvfIndex.gc(spark, annDir, retainLast = 1)
+    annRun(emb.filter(col("vec_id") % 2 === 1), 1L)
+    assert(annOut == annAt1,
+      "ANN redelivery after out-of-band gc must re-emit identically")
+
+    // TermIndex (BM25 topK): same own-version contract
+    val tDir = java.nio.file.Files
+      .createTempDirectory("graft_chaos_gc_t").toString + "/idx"
+    val tCfg = TermIndex.Config(buckets = 4)
+    var tOut: Set[(Long, Long, Long, Long)] = Set.empty
+    def tRun(b: org.apache.spark.sql.DataFrame, bid: Long): Unit =
+      graft.streaming.Streams.retrievalIndexedBatch(
+        b, bid, "doc_id", "text", tDir, tCfg, k = 3,
+        graft.operators.Terms.bigramTerms, retainVersions = 2) { (t, _) =>
+        tOut = t.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      }
+    tRun(b0d, 0L); tRun(b1d, 1L)
+    val tAt1 = tOut
+    TermIndex.gc(spark, tDir, retainLast = 1)
+    tRun(b1d, 1L)
+    assert(tOut == tAt1,
+      "retrieval redelivery after out-of-band gc must re-emit identically")
+  }
+
   test("ann indexed streaming ingest: redelivery re-emits identical top-k, torn states recover, divergence fails fast") {
     import graft.operators.IvfIndex
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")

@@ -190,6 +190,56 @@ class DigestIndexSpec extends AnyFunSuite {
       (1000L + i, i * 3)).toSet)
   }
 
+  test("bloom byte budget: driver-side Bloom bytes stay bounded across CDC churn; capped filters stay exact") {
+    // budget far below the fpp-optimal size so the cap engages from
+    // the first segment: 256 B = 2048 bits vs ~19 bits/row at
+    // fpp=1e-4 for a 300-row segment (~5.7 kbit optimal)
+    val cfg = DigestIndex.Config(fpp = 0.0001, maxSegments = 3,
+      bloomMaxBytes = 256)
+    val dir = tmpDir()
+    val corpus = (0L until 300L).map(i => doc(i, s"budget corpus $i"))
+    DigestIndex.build(spark, df(corpus), "doc_id", "text", dir, cfg)
+      .unpersist()
+    def bloomFiles(): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isFile) { if (f.getName == "BLOOM") Seq(f) else Seq.empty }
+        else Option(f.listFiles).map(_.toSeq.flatMap(walk))
+          .getOrElse(Seq.empty)
+      walk(new java.io.File(dir))
+    }
+    val churn = (0L until 60L)
+    (1 to 12).foreach { i =>
+      val ups = df(churn.map(id => doc(id, s"churned $i text $id")))
+      DigestIndex.applyCdc(spark, dir, ups,
+        ups.select(col("doc_id")).limit(0), "doc_id", "text", cfg)
+        .unpersist()
+      DigestIndex.gc(spark, dir, retainLast = 2)
+      // EVERY on-disk filter obeys the per-segment budget (+ the
+      // serialization header), at every point of the churn — driver
+      // probe memory is Σ over manifest segments of these files
+      val sizes = bloomFiles().map(_.length)
+      assert(sizes.nonEmpty)
+      assert(sizes.forall(_ <= cfg.bloomMaxBytes + 64),
+        s"commit $i: bloom over budget: $sizes")
+      // segment count is bounded by the tier policy, so Σ bloom bytes
+      // is bounded by segments × budget, independent of corpus rows
+      assert(sizes.length <= cfg.maxSegments + 2,
+        s"commit $i: ${sizes.length} bloom files on disk")
+    }
+    // budget-capped (fp-degraded) filters still answer exactly: the
+    // verify join restores exactness, blooms only propose
+    val live = (0L until 300L).map { i =>
+      if (i < 60L) md5Hex(s"churned 12 text $i") -> i
+      else md5Hex(s"budget corpus $i") -> i
+    }.toMap
+    val batch = (0L until 40L).map(i =>
+      if (i % 4 == 0) doc(5000L + i, s"churned 12 text ${i / 4}")
+      else doc(5000L + i, s"novel probe $i"))
+    val got = pairSet(DigestIndex.dupPairs(spark, dir, df(batch),
+      "doc_id", "text", cfg))
+    assert(got === expected(live, batch))
+  }
+
   test("streaming batch body: redelivery re-emits identical pairs read-only; divergence fails fast") {
     val dir = tmpDir()
     val cfg = DigestIndex.Config()

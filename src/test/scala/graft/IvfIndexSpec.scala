@@ -127,7 +127,7 @@ class IvfIndexSpec extends AnyFunSuite {
       == emb.select("vec_id").collect().map(_.getLong(0)).toSet)
   }
 
-  test("drift guard: skew-inducing append retrains, compacts, rebalances") {
+  test("drift guard: skew-inducing append splits hot lists locally — centroid prefix preserved, old segments untouched, probes exact") {
     val dir = tmp("ivf_drift")
     // tight guard so the skewed append trips it deterministically
     val tight = cfg.copy(maxImbalance = 1.5)
@@ -141,57 +141,37 @@ class IvfIndexSpec extends AnyFunSuite {
         spark.range(10000, 10000 + b0.count() / 2).toDF("vec_id"))
       .select(col("vec_id"), col("embedding"))
     val v2 = IvfIndex.append(spark, dir, one, "vec_id", "embedding", tight)
-    // re-cluster: centroids changed, ONE compacted segment
+    // LOCAL split, not a re-cluster: the old centroids survive as a
+    // prefix (positions are list ids — segments written before the
+    // split must stay valid), sub-centroids append
     val c2 = IvfIndex.readCentroids(spark, dir, v2)
-    assert(c1.map(_.toSeq).toSeq != c2.map(_.toSeq).toSeq,
-      "drift guard must retrain centroids")
+    assert(c2.length > c1.length, "split must append sub-centroids")
+    assert(c2.take(c1.length).map(_.toSeq).toSeq == c1.map(_.toSeq).toSeq,
+      "split must preserve the existing centroid prefix")
+    // the build segment is NOT rewritten — the split's cost is the hot
+    // lists' rows, never the corpus
     val segs = IvfIndex.readSegments(spark, dir, v2)
-    assert(segs.length == 1 && segs.head.startsWith("r"), segs)
+    assert(segs.contains("s00001"),
+      s"split must keep the untouched base segment: $segs")
+    // counts reflect every live row exactly once
     val counts = IvfIndex.readCounts(spark, dir, v2)
     assert(counts.values.sum == b0.count() + one.count())
-    // the retrain reduces the skew the frozen centroids produced (200
-    // identical vectors can never be SPLIT by any clustering, so the
-    // bound is improvement, not balance: frozen centroids lump the
-    // duplicated mass into a list that already held corpus vectors;
-    // retraining dedicates a centroid to it)
+    // the split reduces the skew the frozen centroids produced (the
+    // duplicated mass can never be SPLIT by any clustering, so the
+    // bound is no-worse, not balance: the guard dedicates appended
+    // sub-centroids to the hot region)
     val frozenCounts = Similarity.assignLists(
       b0.select("vec_id", "embedding").unionByName(one),
       "vec_id", "embedding", Dim, c1)
       .groupBy("list_id").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(counts.values.max <= frozenCounts.values.max,
-      s"retrain made skew worse: $counts vs frozen $frozenCounts")
-    // queries stay sane against the retrained layout
-    val q = emb.filter(col("vec_id") < 10)
-    val got = topKSet(IvfIndex.topK(spark, dir, q, "vec_id", "embedding", 5))
-    assert(got.map(_._1) == (0L until 10L).toSet)
-  }
-
-  test("drift retrain grows nList with sqrt(corpus): more lists, probes exact at exhaustive nProbe") {
-    val dir = tmp("ivf_grow")
-    val small = IvfIndex.Config(dim = Dim, nList = 4, iters = 2,
-      maxImbalance = 1.5)
-    val b0 = emb.filter(col("vec_id") % 5 =!= 0)
-    IvfIndex.build(spark, b0, "vec_id", "embedding", dir, small)
-    assert(IvfIndex.readCentroids(spark, dir, 1).length == 4)
-    // skewed batch trips the drift guard; the retrain must size the
-    // list count to ceil(sqrt(total)) instead of reusing cfg.nList
-    val one = emb.orderBy("vec_id").limit(1)
-      .select(col("embedding")).crossJoin(
-        spark.range(10000, 10000 + b0.count() / 2).toDF("vec_id"))
-      .select(col("vec_id"), col("embedding"))
-    val v2 = IvfIndex.append(spark, dir, one, "vec_id", "embedding", small)
-    val total = b0.count() + one.count()
-    val expected = math.ceil(math.sqrt(total.toDouble)).toInt
-    val c2 = IvfIndex.readCentroids(spark, dir, v2)
-    assert(c2.length == expected,
-      s"retrain kept ${c2.length} lists; sqrt growth expects $expected")
-    assert(IvfIndex.readCounts(spark, dir, v2).values.sum == total)
-    // exhaustive probe over the grown layout == independent cosine
-    // top-k (same kernel, different plan)
+      s"split made skew worse: $counts vs frozen $frozenCounts")
+    // exhaustive probe over the split layout == independent cosine
+    // top-k over the full corpus (same kernel, different plan)
     val q = emb.filter(col("vec_id") < 8)
     val got = topKSet(IvfIndex.topK(spark, dir, q, "vec_id", "embedding", 5,
-      nProbe = expected))
+      nProbe = c2.length))
     val corpus = b0.select("vec_id", "embedding").unionByName(one)
     val want = topKSet(
       q.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -204,7 +184,46 @@ class IvfIndexSpec extends AnyFunSuite {
           .orderBy(col("cos").desc, col("neighbor_id"))))
         .filter(col("rnk") <= 5)
         .select(col("query_id"), col("rnk"), col("neighbor_id")))
-    assert(got == want, "grown-layout probe != independent top-k")
+    assert(got == want, "split-layout probe != independent top-k")
+  }
+
+  test("drift guard: irreducible (identical-vector) hot list freezes — no split loop, retrain clears") {
+    val dir = tmp("ivf_freeze")
+    val tight = cfg.copy(maxImbalance = 1.5)
+    val b0 = emb.filter(col("vec_id") % 5 =!= 0)
+    IvfIndex.build(spark, b0, "vec_id", "embedding", dir, tight)
+    val one = emb.orderBy("vec_id").limit(1)
+      .select(col("embedding")).crossJoin(
+        spark.range(10000, 10000 + b0.count()).toDF("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+    // first skewed append: the identical mass all ties to ONE
+    // sub-centroid — k-means cannot spread it, so the guard freezes
+    // the irreducible list instead of re-splitting forever
+    val v2 = IvfIndex.append(spark, dir, one, "vec_id", "embedding", tight)
+    val frozen2 = IvfIndex.readFrozen(spark, dir, v2)
+    assert(frozen2.nonEmpty,
+      "an unsplittable hot list must land in the frozen set")
+    val nC2 = IvfIndex.readCentroids(spark, dir, v2).length
+    // a second balanced append must NOT split again (the hot list is
+    // frozen): centroid count stays, no t-segment appears
+    val v3 = IvfIndex.append(spark, dir,
+      emb.filter(col("vec_id") % 5 === 0), "vec_id", "embedding", tight)
+    assert(IvfIndex.readCentroids(spark, dir, v3).length == nC2,
+      "frozen list must not re-split on the next append")
+    // v2's split segment legitimately persists in later manifests; a
+    // NEW split segment at v3 would mean the frozen list re-split
+    assert(!IvfIndex.readSegments(spark, dir, v3).contains(f"t$v3%05d"),
+      "no new split segment may be written while the hot list is frozen")
+    assert(IvfIndex.readFrozen(spark, dir, v3) == frozen2,
+      "the frozen set carries across ordinary appends")
+    // retrain re-evaluates globally and clears the frozen set
+    val v4 = IvfIndex.retrain(spark, dir, tight)
+    assert(IvfIndex.readFrozen(spark, dir, v4).isEmpty,
+      "retrain must clear the frozen set")
+    // every id answers after the whole sequence
+    val total = b0.count() + one.count() +
+      emb.filter(col("vec_id") % 5 === 0).count()
+    assert(IvfIndex.readCounts(spark, dir, v4).values.sum == total)
   }
 
   test("maintenance retrain: explicit sqrt growth without drift; tombstones folded; probes exact") {
@@ -816,12 +835,9 @@ class IvfIndexSpec extends AnyFunSuite {
     // balanced append (v2) — same distribution, stays balanced
     val b1 = emb.filter(col("vec_id") % 5 === 0)
     IvfIndex.append(spark, dir, b1, "vec_id", "embedding", tight)
-    // skewed append (v3) — compaction strands s00001/s00002/s00003
-    val one = emb.orderBy("vec_id").limit(1)
-      .select(col("embedding")).crossJoin(
-        spark.range(10000, 10000 + emb.count()).toDF("vec_id"))
-      .select(col("vec_id"), col("embedding"))
-    val v3 = IvfIndex.append(spark, dir, one, "vec_id", "embedding", tight)
+    // maintenance compaction (v3) — folds everything into r00003,
+    // stranding s00001/s00002 once their versions retire
+    val v3 = IvfIndex.compact(spark, dir)
     assert(v3 == 3)
     val q = emb.filter(col("vec_id") < 10)
     val atV3 = topKSet(IvfIndex.topKAt(spark, dir, 3, q, "vec_id", "embedding", 5))

@@ -18,6 +18,7 @@ object ProfileChurn {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      .config("graft.ivf.profile", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     var jobs = 0

@@ -467,6 +467,81 @@ object StressBench {
       DigestIndex.dupPairs(spark, didxDir, dDup, "doc_id", "text", dCfg)
         .count()
 
+    // --- Claim-protocol stress (round 10, verdict item 6): N
+    // concurrent ingest writers racing one DigestIndex on the stress
+    // corpus. Expected: every batch lands exactly once (losers see
+    // ConcurrentCommitException having written NOTHING and retry), the
+    // version chain is linear (latest == build + N batches — one
+    // commit per batch, no double bump, no lost batch), zero claim
+    // files stranded, zero unreferenced segments after gc, and the
+    // final index answers a full-corpus dup probe exactly.
+    val raceDir = java.nio.file.Files
+      .createTempDirectory("graft_stress_race").toString + "/idx"
+    val raceDocs = docs.filter(col("doc_id") % 10 < 7)
+      .select(col("doc_id"),
+        concat_ws(" ", col("text"), col("doc_id").cast("string")).as("text"))
+      .persist()
+    val writers = 6
+    DigestIndex.build(spark,
+      raceDocs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+      raceDir, dCfg).unpersist()
+    val raceBase = DigestIndex.latestVersion(spark, raceDir)
+    time("didx_concurrent_ingest_6") {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      def ingestWithRetry(slice: Int): Long = {
+        gate.await()
+        val b = raceDocs.filter(col("doc_id") % 10 === slice)
+        var retries = 0L
+        var done = false
+        while (!done) {
+          try {
+            DigestIndex.ingest(spark, raceDir, b, "doc_id", "text", dCfg)
+              .unpersist()
+            done = true
+          } catch {
+            case _: graft.operators.ConcurrentCommitException =>
+              retries += 1
+              require(retries <= 600, "livelock: loser keeps losing")
+              Thread.sleep(100)
+          }
+        }
+        retries
+      }
+      val fs = (1 to writers).map(i =>
+        scala.concurrent.Future(ingestWithRetry(i)))
+      gate.countDown()
+      import scala.concurrent.duration._
+      val retries = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(fs), 1200.seconds)
+      pool.shutdown()
+      health("race_retries_total") = retries.sum
+    }
+    health("race_versions_committed") =
+      (DigestIndex.latestVersion(spark, raceDir) - raceBase).toLong
+    health("race_expected_versions") = writers.toLong
+    // no claim strands: every winner's commit retired its claim, every
+    // loser released on failure
+    health("race_stranded_claims") = Option(
+      new java.io.File(s"${raceDir.stripSuffix("/")}/claims").listFiles)
+      .map(_.length.toLong).getOrElse(0L)
+    // no stranded segments: after gc at retainLast=1 the on-disk
+    // segment set equals the final manifest's
+    DigestIndex.gc(spark, raceDir, retainLast = 1)
+    health("race_segment_dirs_after_gc") = countDirs(s"$raceDir/segments")
+    // linearizable content: byte-copies of every ingested doc report
+    // that doc as canonical, regardless of commit interleaving
+    val raceCopies = raceDocs
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    val racePairs = DigestIndex.dupPairs(spark, raceDir, raceCopies,
+      "doc_id", "text", dCfg)
+      .filter(col("dup_of") === col("doc_id") - 10000000L).count()
+    health("race_probe_exact") =
+      if (racePairs == raceDocs.count()) 1L else 0L
+    raceDocs.unpersist()
+
     val q = times.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(",")
     val h = health.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     val la = (loadBefore ++ loadAvg()).map(v => f"$v%.2f").mkString(",")
