@@ -237,13 +237,34 @@ object DigestIndex {
   private def digestOf(text: String): Column =
     md5(col(text).cast("binary"))
 
-  /** Tombstone union as (t_id, t_seq) — None when empty. */
+  /** Tombstone union as (t_id, t_seq) — None when empty. `d` datasets
+    * carry one id column (sequence = the name); `c` datasets are
+    * COALESCED (id, max seq) rows from a fold — exact, see the sibling
+    * families' tombFrame docs. */
   private def tombFrame(spark: SparkSession, dir: String,
                         tombs: Seq[String]): Option[DataFrame] =
     if (tombs.isEmpty) None
-    else Some(tombs.map(t => spark.read.parquet(tombPath(dir, t))
-        .select(col("id").as("t_id"), lit(nameSeq(t)).as("t_seq")))
-      .reduce(_.unionByName(_)))
+    else Some(tombs.map { t =>
+        val raw = spark.read.parquet(tombPath(dir, t))
+        if (t.startsWith("c"))
+          raw.select(col("id").as("t_id"), col("seq").as("t_seq"))
+        else
+          raw.select(col("id").as("t_id"), lit(nameSeq(t)).as("t_seq"))
+      }.reduce(_.unionByName(_)))
+
+  /** Coalesce retained tombstone datasets into ONE (id, max seq)
+    * dataset when they have piled up — called at fold commits. */
+  private def coalesceTombs(spark: SparkSession, dir: String, v: Int,
+                            tombs: Seq[String]): Seq[String] =
+    if (tombs.length < 3) tombs
+    else {
+      val cName = f"c$v%05d"
+      tombFrame(spark, dir, tombs).get
+        .groupBy("t_id").agg(max("t_seq").as("seq"))
+        .select(col("t_id").as("id"), col("seq"))
+        .write.mode("overwrite").parquet(tombPath(dir, cName))
+      Seq(cName)
+    }
 
   /** Mask rows (carrying seg_seq) by the strictly-newer-tombstone
     * rule shared with the sibling families. */
@@ -403,11 +424,16 @@ object DigestIndex {
         // size-tiered fold, sibling policy: batch-sized `s` segments
         // fold into one `r` (outstanding tombstones applied PHYSICALLY);
         // prior `r` segments merge only when their own count trips the
-        // cap — O(N) total write volume for N appends
+        // cap, and then only a SIZE-MATCHED subset
+        // ([[VersionedLayout.tierMergeSet]] over the manifest's
+        // per-segment row counts) — each row rewrites O(log n) times
+        // total, never an amortized corpus rewrite per fold cycle
         val (rSegs, sSegs) = newSegs.partition(_._1.startsWith("r"))
-        val mergeAll = rSegs.length >= cfg.maxSegments
-        val toMerge = if (mergeAll) newSegs else sSegs
-        val kept = if (mergeAll) Seq.empty else rSegs
+        val rMerge: Set[String] =
+          if (rSegs.length < cfg.maxSegments) Set.empty
+          else VersionedLayout.tierMergeSet(rSegs.map(s => s._1 -> s._2))
+        val toMerge = sSegs ++ rSegs.filter(s => rMerge(s._1))
+        val kept = rSegs.filterNot(s => rMerge(s._1))
         val comp = f"r${v + 1}%05d"
         val folded = maskBySeq(
           toMerge.map(s => readSegData(spark, dir, s._1)
@@ -417,8 +443,8 @@ object DigestIndex {
         val nC = writeSegData(spark, folded, dir, comp, cfg)
         if (nC > 0) writeBloom(spark, dir, comp, nC, cfg)
         // tombstones retire unless a KEPT segment is still older
-        val tombsKept = tombs.filter(t =>
-          kept.exists(s => nameSeq(s._1) < nameSeq(t)))
+        val tombsKept = coalesceTombs(spark, dir, v + 1,
+          tombs.filter(t => kept.exists(s => nameSeq(s._1) < nameSeq(t))))
         val compSegs =
           (if (nC == 0) kept else kept :+ ((comp, nC))).sortBy(s => nameSeq(s._1))
         writeManifest(spark, dir, v + 1, compSegs)

@@ -322,7 +322,11 @@ object IvfIndex {
       val books = cfg.pq.map(p =>
         Pq.trainBooks(corpus, id, vec, cfg.dim, p.m, p.ksub, cfg.iters,
           p.trainSampleFraction))
-      val seg = "s00001"
+      // the initial corpus is compaction-class by construction: naming
+      // it `r` keeps it OUT of the batch-tier s-folds (the first fold
+      // would otherwise sweep the whole corpus into its r) and under
+      // the size-matched r-merge rule from the start
+      val seg = "r00001"
       val counts = writeSegment(corpus, id, vec, cents, cfg, segPath(dir, seg),
         books)
       writeManifest(spark, dir, 1, cents, Seq(seg), counts)
@@ -409,13 +413,42 @@ object IvfIndex {
     v + 1
   }
 
-  /** Union of tombstone datasets as (t_id, t_seq) — None when empty. */
+  /** Union of tombstone datasets as (t_id, t_seq) — None when empty.
+    * `d`/`e` datasets carry one id column (sequence = the name);
+    * `c` datasets are COALESCED — (id, seq) rows, the max sequence per
+    * id over the datasets a fold folded together (exact, not just
+    * sound: a row of id x at seg_seq g is masked iff any tombstone of
+    * x has seq > g, and max-seq preserves that predicate verbatim).
+    * Folds coalesce so a churn stream's tombstone-dataset COUNT — and
+    * the probe-side broadcast — stays bounded by distinct churned ids
+    * instead of growing one dataset per commit while a kept base
+    * segment pins them all live. */
   private def tombFrame(spark: SparkSession, dir: String,
                         tombs: Seq[String]): Option[DataFrame] =
     if (tombs.isEmpty) None
-    else Some(tombs.map(d => spark.read.parquet(tombPath(dir, d))
-        .select(col("id").as("t_id"), lit(nameSeq(d)).as("t_seq")))
-      .reduce(_.unionByName(_)))
+    else Some(tombs.map { d =>
+        val raw = spark.read.parquet(tombPath(dir, d))
+        if (d.startsWith("c"))
+          raw.select(col("id").as("t_id"), col("seq").as("t_seq"))
+        else
+          raw.select(col("id").as("t_id"), lit(nameSeq(d)).as("t_seq"))
+      }.reduce(_.unionByName(_)))
+
+  /** Coalesce the retained tombstone datasets into ONE (id, max seq)
+    * dataset when they have piled up — called at fold commits, where
+    * the union is already being read anyway. Returns the new tombstone
+    * name list. */
+  private def coalesceTombs(spark: SparkSession, dir: String, v: Int,
+                            tombs: Seq[String]): Seq[String] =
+    if (tombs.length < 3) tombs
+    else {
+      val cName = f"c$v%05d"
+      tombFrame(spark, dir, tombs).get
+        .groupBy("t_id").agg(max("t_seq").as("seq"))
+        .select(col("t_id").as("id"), col("seq"))
+        .write.mode("overwrite").parquet(tombPath(dir, cName))
+      Seq(cName)
+    }
 
   /** Union of segments with per-row commit sequence, live rows only
     * (tombstones with a strictly greater sequence applied). */
@@ -616,19 +649,29 @@ object IvfIndex {
         // on-disk truth. A crash before LATEST flips strands only the
         // r-segment, which the retry overwrites.
         //
-        // TIERED, like an LSM store: only the batch-sized `s` segments
-        // fold into the new `r` segment; prior `r` segments are KEPT —
-        // merging them too would rewrite the whole corpus every
-        // maxSegments appends (O(N²/maxSegments) total write volume for
-        // N appends, a scale-killer for continuous ingest). Each size
-        // compaction adds one `r`, so `r`-segments themselves merge
-        // r-with-r only when their count would exceed the cap — every
-        // ~maxSegments² appends, each merge amortized over the appends
-        // that built it up.
+        // TIERED, like an LSM store: the batch-sized `s`/`t` segments
+        // fold into the new `r` segment; prior `r` segments are KEPT
+        // until their own count trips the cap, and then only a
+        // SIZE-MATCHED subset merges ([[VersionedLayout.tierMergeSet]]
+        // — smallest two plus neighbors within 2× of the running
+        // mass). The corpus-sized base r joins a merge only once the
+        // newer tiers have accumulated comparable mass, so each row is
+        // rewritten O(log n) times total and a constant-size churn
+        // stream never pays an amortized corpus rewrite per fold cycle
+        // (the old merge-ALL-r's policy cost O(corpus/maxSegments²)
+        // per commit — linear in corpus for constant-size commits).
         val (rSegs, sSegs) = newSegs.partition(_.startsWith("r"))
-        val mergeAll = rSegs.length >= cfg.maxSegments
-        val toMerge = if (mergeAll) newSegs else sSegs
-        val kept = if (mergeAll) Seq.empty else rSegs
+        val rMerge: Set[String] =
+          if (rSegs.length < cfg.maxSegments) Set.empty
+          else {
+            val fsys = fs(spark, dir)
+            VersionedLayout.tierMergeSet(rSegs.map(r =>
+              r -> fsys.getContentSummary(new Path(segPath(dir, r)))
+                .getLength))
+          }
+        val toMerge = sSegs ++ rSegs.filter(rMerge)
+        val kept = rSegs.filterNot(rMerge)
+        val mergeAll = kept.isEmpty
         if (spark.conf.getOption("graft.ivf.profile").contains("true"))
           println(s"    [ivf-phase] fold kind=${if (mergeAll) "mergeAll" else "s-fold"} " +
             s"toMerge=${toMerge.mkString(",")} tombs=${tombsAll.length}")
@@ -659,8 +702,8 @@ object IvfIndex {
         // is still older than them (r-segments keep their original
         // sequence; the new comp segment, at v+1, outranks every live
         // tombstone by the strictly-greater rule).
-        val tombsKept = tombsAll.filter(t =>
-          kept.exists(s => nameSeq(s) < nameSeq(t)))
+        val tombsKept = coalesceTombs(spark, dir, v + 1,
+          tombsAll.filter(t => kept.exists(s => nameSeq(s) < nameSeq(t))))
         // a mergeAll folded EVERY segment and applied every tombstone
         // physically: recount the manifest from the committed fold —
         // this is the point that purges ALL accumulated phantom

@@ -267,7 +267,9 @@ object TermIndex {
             text: String, dir: String, cfg: Config = Config(),
             terms: Column => Column = TF.tokens): Int = {
     withClaim(spark, dir, 1, FormatVersion, "TermIndex") {
-      val seg = "s00001"
+      // compaction-class by construction — `r` keeps the corpus out of
+      // the batch-tier s-folds and under the size-matched merge rule
+      val seg = "r00001"
       require(!cfg.termsTag.contains("\n"),
         s"termsTag must be single-line, got '${cfg.termsTag}'")
       val (nd, nt) = writeSegment(spark, corpus, id, text, cfg, terms,
@@ -294,16 +296,44 @@ object TermIndex {
                   content: String): Unit =
     atomicWrite(fs(spark, dir), new Path(dir, name), content)
 
-  /** Union of tombstone id sets as (t_id, t_seq) — None when empty. */
+  /** Union of tombstone id sets as (t_id, t_seq) — None when empty.
+    * `d` datasets carry one doc_id column (sequence = the name);
+    * `c` datasets are COALESCED — (doc_id, seq) rows, the max sequence
+    * per id over the datasets a fold folded together (EXACT: a row at
+    * seg_seq g is masked iff any tombstone of its id has seq > g, and
+    * max-seq preserves that predicate verbatim). Folds coalesce so a
+    * churn stream's tombstone-dataset count — and the probe-side
+    * broadcast — stays bounded by distinct churned ids instead of one
+    * dataset per commit while a kept base segment pins them live. */
   private def tombFrame(spark: SparkSession, dir: String,
                         tombs: Seq[String]): Option[DataFrame] =
     if (tombs.isEmpty) None
     else Some(tombs.map { d =>
         import org.apache.spark.sql.types._
-        spark.read.schema(StructType(Seq(StructField("doc_id", LongType))))
-          .parquet(tombPath(dir, d))
-          .select(col("doc_id").as("t_id"), lit(nameSeq(d)).as("t_seq"))
+        if (d.startsWith("c"))
+          spark.read.schema(StructType(Seq(StructField("doc_id", LongType),
+              StructField("seq", IntegerType))))
+            .parquet(tombPath(dir, d))
+            .select(col("doc_id").as("t_id"), col("seq").as("t_seq"))
+        else
+          spark.read.schema(StructType(Seq(StructField("doc_id", LongType))))
+            .parquet(tombPath(dir, d))
+            .select(col("doc_id").as("t_id"), lit(nameSeq(d)).as("t_seq"))
       }.reduce(_.unionByName(_)))
+
+  /** Coalesce retained tombstone datasets into ONE (doc_id, max seq)
+    * dataset when they have piled up — called at fold commits. */
+  private def coalesceTombs(spark: SparkSession, dir: String, v: Int,
+                            tombs: Seq[String]): Seq[String] =
+    if (tombs.length < 3) tombs
+    else {
+      val cName = f"c$v%05d"
+      tombFrame(spark, dir, tombs).get
+        .groupBy("t_id").agg(max("t_seq").as("seq"))
+        .select(col("t_id").as("doc_id"), col("seq"))
+        .write.mode("overwrite").parquet(tombPath(dir, cName))
+      Seq(cName)
+    }
 
   /** Mask rows carrying (doc_id, seg_seq) by tombstones with a strictly
     * greater sequence; drops seg_seq. */
@@ -441,14 +471,22 @@ object TermIndex {
       val newSegs = segsPrev :+ ((seg, nd, nt))
       if (newSegs.length > cfg.maxSegments) {
         // size-tiered: fold the batch-sized `s` segments into one new
-        // `r`; keep prior `r` segments unless their own count trips the
-        // cap (then merge r-with-r — amortized over the appends that
-        // built them). Identical policy to IvfIndex. Outstanding
-        // tombstones are applied PHYSICALLY to the folded rows.
+        // `r`; keep prior `r` segments unless their own count trips
+        // the cap — and then merge only a SIZE-MATCHED subset
+        // ([[VersionedLayout.tierMergeSet]] over the manifest's
+        // per-segment token counts): the corpus-sized base r joins a
+        // merge only once the newer tiers accumulate comparable mass,
+        // so each posting rewrites O(log n) times total and a
+        // constant-size churn stream never amortizes a corpus rewrite
+        // per fold cycle. Identical policy to IvfIndex/DigestIndex.
+        // Outstanding tombstones are applied PHYSICALLY to the folded
+        // rows.
         val (rSegs, sSegs) = newSegs.partition(_._1.startsWith("r"))
-        val mergeAll = rSegs.length >= cfg.maxSegments
-        val toMerge = if (mergeAll) newSegs else sSegs
-        val kept = if (mergeAll) Seq.empty else rSegs
+        val rMerge: Set[String] =
+          if (rSegs.length < cfg.maxSegments) Set.empty
+          else VersionedLayout.tierMergeSet(rSegs.map(s => s._1 -> s._3))
+        val toMerge = sSegs ++ rSegs.filter(s => rMerge(s._1))
+        val kept = rSegs.filterNot(s => rMerge(s._1))
         val comp = f"r${v + 1}%05d"
         val tombF = tombFrame(spark, dir, tombs)
         val tfU = toMerge.map(s => readTf(spark, segPath(dir, s._1))
@@ -486,8 +524,8 @@ object TermIndex {
         // masked scalars over the KEPT segments only (the folded copies
         // are physically gone and the comp read-back already excludes
         // them). One semi-join counts each masked row exactly once.
-        val tombsKept = tombs.filter(t =>
-          kept.exists(s => nameSeq(s._1) < nameSeq(t)))
+        val tombsKept = coalesceTombs(spark, dir, v + 1,
+          tombs.filter(t => kept.exists(s => nameSeq(s._1) < nameSeq(t))))
         val maskedKept =
           if (tombsKept.isEmpty) (0L, 0L)
           else {

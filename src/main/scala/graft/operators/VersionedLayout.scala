@@ -293,6 +293,32 @@ private[graft] object VersionedLayout {
       }
   }
 
+  /** Size-tiered merge subset for r-with-r compaction, shared by the
+    * index families: always the two smallest r-segments, extended
+    * upward (ascending size) while the next segment is at most 2× the
+    * cumulative mass already selected. A corpus-sized base segment
+    * therefore joins a merge only once the newer tiers have
+    * accumulated ≥ half its mass — each row is rewritten O(log n)
+    * times total, and a constant-size churn stream NEVER amortizes a
+    * corpus rewrite per fold cycle (the pre-round-10 "merge all r's at
+    * the cap" policy cost O(corpus / maxSegments²) per commit, linear
+    * in corpus for constant-size commits). The trigger caller
+    * guarantees ≥ 2 candidates, so every trigger shrinks the r-count
+    * by at least one. */
+  private[graft] def tierMergeSet(sizes: Seq[(String, Long)]): Set[String] = {
+    val asc = sizes.sortBy(s => (s._2, s._1))
+    if (asc.length < 2) asc.map(_._1).toSet
+    else {
+      var cum = asc(0)._2 + asc(1)._2
+      val sel = scala.collection.mutable.ListBuffer(asc(0)._1, asc(1)._1)
+      var i = 2
+      while (i < asc.length && asc(i)._2 <= 2 * cum) {
+        sel += asc(i)._1; cum += asc(i)._2; i += 1
+      }
+      sel.toSet
+    }
+  }
+
   /** The full claim→write→commit envelope every index mutation runs:
     * claims `v`, runs `body` (the data writes), commits on success,
     * RELEASES the claim on any body failure so an in-session retry is

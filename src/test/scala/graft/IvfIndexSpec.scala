@@ -94,7 +94,7 @@ class IvfIndexSpec extends AnyFunSuite {
     val v2 = IvfIndex.append(spark, dir, emb.filter(col("vec_id") < 0),
       "vec_id", "embedding", cfg)
     assert(v2 == 2)
-    assert(IvfIndex.readSegments(spark, dir, 2) == Seq("s00001"),
+    assert(IvfIndex.readSegments(spark, dir, 2) == Seq("r00001"),
       "an empty segment must not enter the manifest")
     assert(IvfIndex.readCounts(spark, dir, 2) == IvfIndex.readCounts(spark, dir, 1))
     assert(topKSet(IvfIndex.topK(spark, dir, q, "vec_id", "embedding", 5))
@@ -151,7 +151,7 @@ class IvfIndexSpec extends AnyFunSuite {
     // the build segment is NOT rewritten — the split's cost is the hot
     // lists' rows, never the corpus
     val segs = IvfIndex.readSegments(spark, dir, v2)
-    assert(segs.contains("s00001"),
+    assert(segs.contains("r00001"),
       s"split must keep the untouched base segment: $segs")
     // counts reflect every live row exactly once
     val counts = IvfIndex.readCounts(spark, dir, v2)
@@ -348,9 +348,13 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(sawTieredKeep,
       "no version ever held the first r-segment alongside a newer one — tiering unexercised")
     // the r-with-r merge must also have happened by v10 (3 r's + 1 s
-    // trips the r-cap): final manifest is a single fresh r-segment
+    // trips the r-cap): the first fold's r was merged away (its peers
+    // were size-matched — all batch-tier), and the r-count stays
+    // bounded
     val fin = IvfIndex.readSegments(spark, dir, 10)
-    assert(fin == Seq("r00010"), s"expected the r-cap merge by v10: $fin")
+    assert(!fin.contains(firstR.get._1),
+      s"the r-cap merge never retired ${firstR.get._1}: $fin")
+    assert(fin.count(_.startsWith("r")) <= cap.maxSegments, fin)
     // probe results pair-identical to an UNCOMPACTED twin: same build
     // batch → same centroids (training is deterministic), same appends,
     // cap high enough that it never compacts — any row the compaction
@@ -394,10 +398,11 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(topKSet(IvfIndex.topK(spark, dir, q, "vec_id", "embedding", 5))
       == before, "torn compaction must not disturb readers of v3")
     // retry: overwrites BOTH orphans, lands v4 with the compaction done
+    // (the size-tiered fold keeps the corpus base r00001 out of it)
     val v4 = IvfIndex.append(spark, dir, batches(3), "vec_id", "embedding", cap)
     assert(v4 == 4)
     val segs = IvfIndex.readSegments(spark, dir, 4)
-    assert(segs == Seq("r00004"), segs)
+    assert(segs == Seq("r00001", "r00004"), segs)
     val c1 = IvfIndex.readCentroids(spark, dir, 1)
     assert(indexedAssignments(dir, 4)
       == assignmentSet(Similarity.assignLists(
@@ -502,18 +507,21 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(smallScans.forall(s => (s.dataFilters ++ s.partitionFilters)
         .exists(_.references.exists(_.name == "list_id"))),
       "small-segment scan must carry the list_id filter as a data filter")
-    // enough further tiny appends trip the size fold (maxSegments=8 →
-    // nine segments): the fold output is PARTITIONED — small segments
-    // are a between-compactions layout, not a permanent one
-    val slices = (0 until 8).map(i => emb.filter(col("vec_id") % 40 === i))
+    // enough further appends trip the size fold (tight cap): the fold
+    // of the batch tier alone clears the 256-row threshold, so its
+    // output is PARTITIONED — small segments are a between-compactions
+    // layout, not a permanent one. (The corpus base r00001 stays out
+    // of the fold under the size-tiered subset rule.)
+    val cfgS3 = cfgS.copy(maxSegments = 3)
+    val slices = (0 until 3).map(i => emb.filter(col("vec_id") % 3 === i))
     slices.foreach(b =>
-      IvfIndex.append(spark, dirS, b, "vec_id", "embedding", cfgS))
+      IvfIndex.append(spark, dirS, b, "vec_id", "embedding", cfgS3))
     val vNow = IvfIndex.latestVersion(spark, dirS)
     val segsNow = IvfIndex.readSegments(spark, dirS, vNow)
-    val rSeg = segsNow.find(_.startsWith("r"))
+    val rSeg = segsNow.filter(_.startsWith("r")).filterNot(_ == "r00001")
+      .sorted.lastOption
     assert(rSeg.isDefined, s"size fold must have fired: $segsNow")
-    // this fold sweeps in the 400-row build segment → 500 rows ≥ the
-    // 256-row threshold → partitioned layout
+    // this fold holds ~430 rows ≥ the 256-row threshold → partitioned
     assert(listDirs(dirS, rSeg.get).nonEmpty,
       "an above-threshold fold must use the partitioned layout")
     // content identical to the twin fed the same appends
@@ -523,14 +531,16 @@ class IvfIndexSpec extends AnyFunSuite {
       indexedAssignments(dirP, IvfIndex.latestVersion(spark, dirP)))
     // a fold whose rows stay UNDER the threshold keeps the small
     // layout (an r-segment of slivers must not fan out either): tiny
-    // build + tiny appends, tight cap → fold of ~150 rows < 256
+    // appends, tight cap → a batch-tier fold of ~40 rows < 256 (the
+    // partitioned corpus base r00001 stays out of it)
     val dirT = tmp("ivf_smallfold")
     val cfgT = cfgS.copy(maxSegments = 3)
     IvfIndex.build(spark, dirT_build, "vec_id", "embedding", dirT, cfgT)
     (1 to 4).foreach(i => IvfIndex.append(spark, dirT,
       emb.filter(col("vec_id") % 40 === i), "vec_id", "embedding", cfgT))
     val vT = IvfIndex.latestVersion(spark, dirT)
-    val rT = IvfIndex.readSegments(spark, dirT, vT).find(_.startsWith("r"))
+    val rT = IvfIndex.readSegments(spark, dirT, vT)
+      .filter(_.startsWith("r")).filterNot(_ == "r00001").sorted.lastOption
     assert(rT.isDefined)
     assert(listDirs(dirT, rT.get).isEmpty,
       "an under-threshold fold keeps the single-file layout")
@@ -554,7 +564,7 @@ class IvfIndexSpec extends AnyFunSuite {
     // segments carry the PQ columns; codes are m bytes; pnorm is the
     // EXACT vector norm (same arithmetic as FloatVecDot)
     val m = cfgPq.pq.get.m
-    Seq("s00001", "s00002").foreach { s =>
+    Seq("r00001", "s00002").foreach { s =>
       val seg = spark.read.parquet(s"$dir/segments/$s")
       assert(seg.columns.toSet == Set("vec_id", "embedding", "codes", "pnorm", "list_id"))
       val rows = seg.limit(20).collect()
@@ -744,12 +754,25 @@ class IvfIndexSpec extends AnyFunSuite {
       transform(col("embedding"), x => -x).as("embedding"))
     assert(IvfIndex.upsert(spark, dir, negated, "vec_id", "embedding", cap) == 2)
     assert(IvfIndex.upsert(spark, dir, churn, "vec_id", "embedding", cap) == 3)
-    assert(IvfIndex.readSegments(spark, dir, 3) == Seq("r00003"))
-    assert(IvfIndex.readTombstones(spark, dir, 3).isEmpty,
+    // the size-tiered fold keeps the corpus base OUT of the merge:
+    // the churn s-segments fold to r00003, the base keeps the masked
+    // originals, and the tombstones stay live to mask them
+    assert(IvfIndex.readSegments(spark, dir, 3) == Seq("r00001", "r00003"))
+    assert(IvfIndex.readTombstones(spark, dir, 3).nonEmpty,
+      "tombstones must stay while the kept base holds masked copies")
+    // the fold output holds each churned id ONCE, the latest vector
+    val rawF = spark.read.parquet(s"$dir/segments/r00003")
+      .select(col("vec_id"), col("embedding")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.toSeq).toMap
+    assert(rawF.keySet == churn.collect().map(_.getLong(0)).toSet)
+    assert(rawF.values.forall(_.size == 1), "masked copy survived the fold")
+    // maintenance compact folds EVERYTHING: tombstones retire, the
+    // physical state holds each id ONCE with its latest vector
+    assert(IvfIndex.compact(spark, dir) == 4)
+    assert(IvfIndex.readSegments(spark, dir, 4) == Seq("r00004"))
+    assert(IvfIndex.readTombstones(spark, dir, 4).isEmpty,
       "tombstones must retire when every masked segment folds")
-    // physical truth: the compacted segment holds each id ONCE, with
-    // the latest vector
-    val raw = spark.read.parquet(s"$dir/segments/r00003")
+    val raw = spark.read.parquet(s"$dir/segments/r00004")
       .select(col("vec_id"), col("embedding")).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.toSeq).toMap
     assert(raw.size == emb.count(), "row lost or duplicated in the fold")
@@ -760,8 +783,8 @@ class IvfIndexSpec extends AnyFunSuite {
       assert(raw(id).head.getSeq[Float](1) == orig(id),
         s"churned id $id does not carry its latest vector")
     }
-    // the d-datasets are still referenced by v2; after gc to the
-    // tombstone-free v3 they are orphans and must be reaped
+    // the d-datasets are still referenced by v2/v3; after gc to the
+    // tombstone-free v4 they are orphans and must be reaped
     val tombsDir = java.nio.file.Paths.get(s"$dir/tombs")
     assert(java.nio.file.Files.list(tombsDir).count() == 2)
     IvfIndex.gc(spark, dir, retainLast = 1)

@@ -33,6 +33,55 @@ class TermIndexSpec extends AnyFunSuite {
   private def probesOf(d: DataFrame): DataFrame =
     d.filter(col("doc_id") % 17 === 0)
 
+  test("constant-size churn never rewrites the corpus base segment; tombstones coalesce; scores stay exact") {
+    val dir = tmpDir()
+    val cfg = TermIndex.Config(buckets = 4, maxSegments = 3)
+    val d = docs.persist()
+    TermIndex.build(spark, d, "doc_id", "text", dir, cfg)
+    // fingerprint of the base (corpus-sized) segment's files — a
+    // rewrite cannot preserve mtimes
+    def segFiles(seg: String): Set[(String, Long, Long)] = {
+      val p = java.nio.file.Paths.get(s"$dir/segments/$seg")
+      java.nio.file.Files.walk(p).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(f => java.nio.file.Files.isRegularFile(f))
+        .map(f => (p.relativize(f).toString, java.nio.file.Files.size(f),
+          java.nio.file.Files.getLastModifiedTime(f).toMillis)).toSet
+    }
+    val baseFp = segFiles("r00001")
+    val churn = d.filter(col("doc_id") % 25 === 3)
+    var lastText: Long => String = null
+    (1 to 14).foreach { i =>
+      val ups = churn.select(col("doc_id"),
+        concat_ws(" ", lit(s"churn$i"), col("text")).as("text"))
+      val v = TermIndex.applyCdc(spark, dir, ups,
+        churn.select("doc_id").limit(0), "doc_id", "text", cfg)
+      TermIndex.gc(spark, dir, retainLast = 2)
+      val segs = TermIndex.readManifest(spark, dir, v)
+      // the size-tiered subset rule: the corpus-sized base never joins
+      // a fold while the churn tiers stay far smaller
+      assert(segs.exists(_._1 == "r00001"),
+        s"v$v: base segment folded away: ${segs.map(_._1)}")
+      assert(segFiles("r00001") == baseFp,
+        s"v$v: base segment rewritten")
+      // r-count bounded by the cap (every trigger shrinks it)
+      assert(segs.count(_._1.startsWith("r")) <= cfg.maxSegments,
+        s"v$v: r pile-up: ${segs.map(_._1)}")
+      // tombstone-dataset count bounded (folds coalesce to one `c`)
+      val (_, tombs) = TermIndex.readTombstones(spark, dir, v)
+      assert(tombs.length <= 4, s"v$v: tombstones piled up: $tombs")
+    }
+    // scores == inline over the resolved corpus (latest churn wins)
+    val resolved = d.join(churn.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(churn.select(col("doc_id"),
+        concat_ws(" ", lit("churn14"), col("text")).as("text")))
+    val got = TermIndex.topK(spark, dir, probesOf(d), "doc_id", "text",
+      k = 5, cfg)
+    val want = Terms.bm25TopK(resolved, probesOf(d), "doc_id", "text", k = 5)
+    assert(rows(got) === rows(want))
+    d.unpersist()
+  }
+
   test("build + topK == inline bm25TopK, unigram and bigram terms") {
     val d = docs.persist()
     for ((terms, tag) <- Seq(
@@ -294,16 +343,26 @@ class TermIndexSpec extends AnyFunSuite {
     val extra = d.filter(col("doc_id") % 4 === 1)
       .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
     TermIndex.append(spark, dir, extra, "doc_id", "text", cfg)
-    assert(TermIndex.readManifest(spark, dir, 3).map(_._1) == Seq("r00003"))
-    assert(TermIndex.readTombstones(spark, dir, 3)._2.isEmpty,
-      "tombstones must retire when every masked segment folds")
-    // physical truth: each churned id appears once in the fold
-    val raw = spark.read.parquet(s"$dir/segments/r00003/docs")
-    assert(raw.count() == raw.select("doc_id").distinct().count(),
-      "masked copy survived the fold")
-    // scores == inline over the true corpus
+    // size-tiered: the corpus base keeps the masked originals and the
+    // tombstone stays live to mask them; the churn s-segments fold
+    assert(TermIndex.readManifest(spark, dir, 3).map(_._1)
+      == Seq("r00001", "r00003"))
+    assert(TermIndex.readTombstones(spark, dir, 3)._2.nonEmpty,
+      "tombstones must stay while the kept base holds masked copies")
+    // scores == inline over the true corpus, tombstones still masking
     val truth = d.unionByName(extra)
     val probes = probesOf(d)
+    assert(rows(TermIndex.topK(spark, dir, probes, "doc_id", "text", 5, cfg))
+      === rows(Terms.bm25TopK(truth, probes, "doc_id", "text", 5)))
+    // maintenance compact folds EVERYTHING: tombstones retire, each
+    // churned id appears once physically, scores unchanged
+    assert(TermIndex.compact(spark, dir, cfg) == 4)
+    assert(TermIndex.readManifest(spark, dir, 4).map(_._1) == Seq("r00004"))
+    assert(TermIndex.readTombstones(spark, dir, 4)._2.isEmpty,
+      "tombstones must retire when every masked segment folds")
+    val raw = spark.read.parquet(s"$dir/segments/r00004/docs")
+    assert(raw.count() == raw.select("doc_id").distinct().count(),
+      "masked copy survived the fold")
     assert(rows(TermIndex.topK(spark, dir, probes, "doc_id", "text", 5, cfg))
       === rows(Terms.bm25TopK(truth, probes, "doc_id", "text", 5)))
     // retired tombstone datasets are gc-reaped
