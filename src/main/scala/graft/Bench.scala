@@ -82,10 +82,17 @@ object Bench {
     .getOperatingSystemMXBean
     .asInstanceOf[com.sun.management.OperatingSystemMXBean]
 
-  def benchLine(spark: SparkSession, sfDir: String,
-                queries: Seq[(String, (SparkSession, String) =>
-                  org.apache.spark.sql.DataFrame)],
-                extraFields: String = ""): String = {
+  /** (compact, detail): `compact` is the driver-facing line — headline
+    * total + per-query mins + clean_runs + load fields, and NOTHING
+    * per-run — sized to survive the driver's ~2 KB stdout-tail capture
+    * (round 10's artifact was truncated mid-`runs` and lost the
+    * medians). `detail` additionally carries the per-run times
+    * ("runs") and per-run external load ("run_xload"); main() writes
+    * it to a repo file (BENCH_DETAIL.json) committed alongside. */
+  def benchLines(spark: SparkSession, sfDir: String,
+                 queries: Seq[(String, (SparkSession, String) =>
+                   org.apache.spark.sql.DataFrame)],
+                 extraFields: String = ""): (String, String) = {
     val loadBefore = loadAvg()
     // (wall secs, 1-min loadavg at end, self CPU cores during, err)
     def timedRun(fn: (SparkSession, String) =>
@@ -172,8 +179,25 @@ object Bench {
       if (errs.isEmpty) "" else errs.mkString(",\"errors\":{", ",", "}")
     val total = results.collect { case (_, ts, None) => ts.map(_._1).min }.sum
     val load = (loadBefore ++ loadAvg()).map(sec).mkString("[", ",", "]")
-    s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"runs":$runs,"run_xload":$runLoad$cleanField,"loadavg":$load$extraFields$errField,"sf":"$sfDir"}"""
+    // compact must survive the driver's ~2 KB stdout-tail capture even
+    // in the worst case (every query dirty → a full clean_runs map):
+    // beyond the size guard, clean_runs stays detail-file-only
+    val compactFull =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs$cleanField,"loadavg":$load$extraFields$errField,"sf":"$sfDir"}"""
+    val compact =
+      if (compactFull.length <= 1900) compactFull
+      else s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"loadavg":$load$extraFields$errField,"sf":"$sfDir"}"""
+    val detail =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"runs":$runs,"run_xload":$runLoad$cleanField,"loadavg":$load$extraFields$errField,"sf":"$sfDir"}"""
+    (compact, detail)
   }
+
+  /** Back-compat single-line form (the compact line). */
+  def benchLine(spark: SparkSession, sfDir: String,
+                queries: Seq[(String, (SparkSession, String) =>
+                  org.apache.spark.sql.DataFrame)],
+                extraFields: String = ""): String =
+    benchLines(spark, sfDir, queries, extraFields)._1
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -195,8 +219,24 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    println(benchLine(spark, sfDir,
-      SparkEntry.benchQueries.map(n => n -> SparkEntry.queries(n)), extra))
+    val (compact, detail) = benchLines(spark, sfDir,
+      SparkEntry.benchQueries.map(n => n -> SparkEntry.queries(n)), extra)
+    // full per-run detail goes to a repo file (committed alongside the
+    // round artifacts); the COMPACT line is printed LAST so the
+    // driver's stdout-tail capture always holds a complete, parseable
+    // JSON object with the per-query medians
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "BENCH_DETAIL.json")
+    try {
+      val w = new java.io.PrintWriter(detailPath, "UTF-8")
+      try w.println(detail) finally w.close()
+      println(s"[bench] per-run detail written to $detailPath")
+    } catch {
+      case t: Throwable =>
+        println(s"[bench] detail write failed (${t.getMessage}); detail inline:")
+        println(detail)
+    }
+    println(compact)
     spark.stop()
   }
 }

@@ -88,9 +88,24 @@ object DigestIndex {
     * Total probe-side Bloom memory is therefore bounded by
     * (manifest segments ≤ ~maxSegments) × bloomMaxBytes, independent
     * of corpus rows — spec-pinned in DigestIndexSpec. */
+  /** `tombMaxBytes`: byte budget for the RETAINED tombstone datasets.
+    * Tombstones only retire when every segment older than them has
+    * been folded; a long-kept corpus-sized base r-segment therefore
+    * pins them live, and the coalesced (id, max seq) dataset — re-read
+    * at every probe and re-written at every fold — grows with distinct
+    * churned ids: bounded only while churn touches ≪ corpus ids,
+    * unbounded if a workload eventually touches most ids. When the
+    * retained tombstone bytes exceed this budget at a fold commit, the
+    * fold ESCALATES to a full merge (every segment folds, every
+    * tombstone applies physically and retires) — an O(corpus) rewrite
+    * paid once per O(tombMaxBytes) of accumulated churn, i.e. O(1)
+    * amortized per churned row, in exchange for probe-side tombstone
+    * state that is bounded by the budget instead of by corpus
+    * lifetime. */
   final case class Config(fpp: Double = 0.01, maxSegments: Int = 8,
                           rowsPerFile: Long = 4L * 1000 * 1000,
-                          bloomMaxBytes: Long = 16L * 1024 * 1024)
+                          bloomMaxBytes: Long = 16L * 1024 * 1024,
+                          tombMaxBytes: Long = 64L * 1024 * 1024)
 
   private val FormatVersion = 1
 
@@ -128,12 +143,17 @@ object DigestIndex {
   private def tombPath(dir: String, name: String): String =
     s"${dir.stripSuffix("/")}/tombs/$name"
 
-  private def nameSeq(name: String): Int = name.drop(1).toInt
+  private def nameSeq(name: String): Int =
+    name.drop(1).takeWhile(_.isDigit).toInt
 
   private def writeManifest(spark: SparkSession, dir: String, v: Int,
-                            segs: Seq[(String, Long)]): Unit =
+                            segs: Seq[(String, Long)]): Unit = {
+    // shared-path manifest write: re-verify the lease first (fencing —
+    // see VersionedLayout's protocol doc)
+    VersionedLayout.fenceCheck(spark, dir, v, "DigestIndex")
     atomicWrite(fs(spark, dir), new Path(versionDir(dir, v), "segments.txt"),
       segs.map { case (n, r) => s"$n,$r" }.mkString("\n"))
+  }
 
   private[graft] def readManifest(spark: SparkSession, dir: String,
                                   v: Int): Seq[(String, Long)] = {
@@ -253,18 +273,38 @@ object DigestIndex {
       }.reduce(_.unionByName(_)))
 
   /** Coalesce retained tombstone datasets into ONE (id, max seq)
-    * dataset when they have piled up — called at fold commits. */
+    * dataset when they have piled up — called at fold commits.
+    * `keptMinSeq` (the OLDEST kept segment's sequence) prunes rows
+    * that mask nothing anymore: a tombstone row masks only segments
+    * with a strictly smaller sequence, so rows with
+    * t_seq ≤ keptMinSeq are dead weight the coalesce drops. */
   private def coalesceTombs(spark: SparkSession, dir: String, v: Int,
-                            tombs: Seq[String]): Seq[String] =
+                            tombs: Seq[String],
+                            keptMinSeq: Option[Int]): Seq[String] =
     if (tombs.length < 3) tombs
     else {
-      val cName = f"c$v%05d"
-      tombFrame(spark, dir, tombs).get
-        .groupBy("t_id").agg(max("t_seq").as("seq"))
+      val cName = f"c$v%05d${VersionedLayout.fence(dir, v)}"
+      val rows0 = tombFrame(spark, dir, tombs).get
+      val rows = keptMinSeq.fold(rows0)(m => rows0.filter(col("t_seq") > m))
+      rows.groupBy("t_id").agg(max("t_seq").as("seq"))
         .select(col("t_id").as("id"), col("seq"))
         .write.mode("overwrite").parquet(tombPath(dir, cName))
-      Seq(cName)
+      // an all-pruned coalesce writes an empty dataset: drop it from
+      // the manifest entirely (nothing left to mask)
+      if (spark.read.parquet(tombPath(dir, cName)).isEmpty) Seq.empty
+      else Seq(cName)
     }
+
+  /** On-disk bytes of the retained tombstone datasets — the
+    * [[Config.tombMaxBytes]] escalation signal. */
+  private def tombBytes(spark: SparkSession, dir: String,
+                        tombs: Seq[String]): Long = {
+    val f = fs(spark, dir)
+    tombs.map { t =>
+      val p = new Path(tombPath(dir, t))
+      if (f.exists(p)) f.getContentSummary(p).getLength else 0L
+    }.sum
+  }
 
   /** Mask rows (carrying seg_seq) by the strictly-newer-tombstone
     * rule shared with the sibling families. */
@@ -406,8 +446,9 @@ object DigestIndex {
       // sibling-family guard (IvfIndex/TermIndex gate on nTomb > 0):
       // an empty CDC delete set must not append an empty tombstone
       // dataset that every later probe and fold reads until retired.
+      val fx = VersionedLayout.fence(dir, v + 1)
       val dName = extraTomb.flatMap { ids =>
-        val d = f"d${v + 1}%05d"
+        val d = f"d${v + 1}%05d$fx"
         val distinctIds = ids.select(col("id")).distinct()
         distinctIds.write.mode("overwrite").parquet(tombPath(dir, d))
         val nTomb = spark.read.parquet(tombPath(dir, d)).count()
@@ -415,7 +456,7 @@ object DigestIndex {
         else { fs(spark, dir).delete(new Path(tombPath(dir, d)), true); None }
       }
       val tombs = readTombstones(spark, dir, v) ++ dName
-      val seg = f"s${v + 1}%05d"
+      val seg = f"s${v + 1}%05d$fx"
       val n = writeSegData(spark, novel, dir, seg, cfg)
       if (n > 0) writeBloom(spark, dir, seg, n, cfg)
       ann.unpersist(blocking = false)
@@ -427,14 +468,24 @@ object DigestIndex {
         // cap, and then only a SIZE-MATCHED subset
         // ([[VersionedLayout.tierMergeSet]] over the manifest's
         // per-segment row counts) — each row rewrites O(log n) times
-        // total, never an amortized corpus rewrite per fold cycle
+        // total, never an amortized corpus rewrite per fold cycle.
+        // EXCEPT: when the retained tombstones exceed their byte
+        // budget, the fold escalates to a FULL merge — every segment
+        // folds, so every tombstone applies physically and retires
+        // (see Config.tombMaxBytes for the amortization argument).
+        // Checked at fold commits only, so the overshoot above the
+        // budget is bounded by one fold cycle (≤ maxSegments commits)
+        // of tombstone writes.
         val (rSegs, sSegs) = newSegs.partition(_._1.startsWith("r"))
+        val escalate = tombs.nonEmpty &&
+          tombBytes(spark, dir, tombs) > cfg.tombMaxBytes
         val rMerge: Set[String] =
-          if (rSegs.length < cfg.maxSegments) Set.empty
+          if (escalate) rSegs.map(_._1).toSet
+          else if (rSegs.length < cfg.maxSegments) Set.empty
           else VersionedLayout.tierMergeSet(rSegs.map(s => s._1 -> s._2))
         val toMerge = sSegs ++ rSegs.filter(s => rMerge(s._1))
         val kept = rSegs.filterNot(s => rMerge(s._1))
-        val comp = f"r${v + 1}%05d"
+        val comp = f"r${v + 1}%05d$fx"
         val folded = maskBySeq(
           toMerge.map(s => readSegData(spark, dir, s._1)
               .withColumn("seg_seq", lit(nameSeq(s._1))))
@@ -442,9 +493,13 @@ object DigestIndex {
           tombFrame(spark, dir, tombs)).drop("seg_seq")
         val nC = writeSegData(spark, folded, dir, comp, cfg)
         if (nC > 0) writeBloom(spark, dir, comp, nC, cfg)
-        // tombstones retire unless a KEPT segment is still older
+        // tombstones retire unless a KEPT segment is still older;
+        // surviving rows that mask nothing older than the oldest kept
+        // segment are pruned inside the coalesce
+        val keptMinSeq = kept.map(s => nameSeq(s._1)).minOption
         val tombsKept = coalesceTombs(spark, dir, v + 1,
-          tombs.filter(t => kept.exists(s => nameSeq(s._1) < nameSeq(t))))
+          tombs.filter(t => kept.exists(s => nameSeq(s._1) < nameSeq(t))),
+          keptMinSeq)
         val compSegs =
           (if (nC == 0) kept else kept :+ ((comp, nC))).sortBy(s => nameSeq(s._1))
         writeManifest(spark, dir, v + 1, compSegs)
@@ -517,7 +572,7 @@ object DigestIndex {
              idCol: String): Int = {
     val v = latestVersion(spark, dir)
     withClaim(spark, dir, v + 1, FormatVersion, "DigestIndex") {
-      val dName = f"d${v + 1}%05d"
+      val dName = f"d${v + 1}%05d${VersionedLayout.fence(dir, v + 1)}"
       ids.select(col(idCol).cast("long").as("id")).distinct()
         .write.mode("overwrite").parquet(tombPath(dir, dName))
       writeManifest(spark, dir, v + 1, readManifest(spark, dir, v))
@@ -536,7 +591,7 @@ object DigestIndex {
     withClaim(spark, dir, v + 1, FormatVersion, "DigestIndex") {
       val segs = readManifest(spark, dir, v).filter(_._2 > 0)
       val tombs = readTombstones(spark, dir, v)
-      val comp = f"r${v + 1}%05d"
+      val comp = f"r${v + 1}%05d${VersionedLayout.fence(dir, v + 1)}"
       val folded =
         if (segs.isEmpty) None
         else Some(maskBySeq(
@@ -569,7 +624,8 @@ object DigestIndex {
     if (f.exists(segRoot))
       f.listStatus(segRoot).foreach { st =>
         val name = st.getPath.getName
-        val num = name.drop(1).toIntOption.getOrElse(Int.MaxValue)
+        val num = name.drop(1).takeWhile(_.isDigit).toIntOption
+          .getOrElse(Int.MaxValue)
         if (!referenced.contains(name) && num <= latest)
           f.delete(st.getPath, true)
       }
@@ -579,7 +635,8 @@ object DigestIndex {
     if (f.exists(tombRoot))
       f.listStatus(tombRoot).foreach { st =>
         val name = st.getPath.getName
-        val num = name.drop(1).toIntOption.getOrElse(Int.MaxValue)
+        val num = name.drop(1).takeWhile(_.isDigit).toIntOption
+          .getOrElse(Int.MaxValue)
         if (!refTombs.contains(name) && num <= latest)
           f.delete(st.getPath, true)
       }

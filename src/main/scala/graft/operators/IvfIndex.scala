@@ -4,7 +4,7 @@ import scala.jdk.CollectionConverters._
 
 import graft.functions.VectorExpressions.{dotF, normF}
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -158,10 +158,13 @@ object IvfIndex {
     s"${dir.stripSuffix("/")}/tombs/$name"
 
   /** Commit sequence encoded in a segment/tombstone name (s00007 /
-    * r00007 / d00007 → 7). A tombstone masks ids only in segments with
-    * a STRICTLY smaller sequence — a row (re-)written in the same or a
-    * later commit (upsert, re-add, compaction) survives it. */
-  private def nameSeq(name: String): Int = name.drop(1).toInt
+    * r00007 / d00007 → 7; a fence-suffixed s00007x1 — written under a
+    * stolen claim generation, see [[VersionedLayout.fence]] — also
+    * → 7). A tombstone masks ids only in segments with a STRICTLY
+    * smaller sequence — a row (re-)written in the same or a later
+    * commit (upsert, re-add, compaction) survives it. */
+  private def nameSeq(name: String): Int =
+    name.drop(1).takeWhile(_.isDigit).toInt
 
   // ------------------------------------------------------------------
   // Manifest (per-version driver metadata: centroids, segment list,
@@ -173,6 +176,10 @@ object IvfIndex {
                             counts: Map[Int, Long],
                             tombs: Seq[String] = Seq.empty,
                             frozen: Set[Int] = Set.empty): Unit = {
+    // manifest files live at shared (unfenced) paths — re-verify the
+    // lease immediately before writing them, so a fenced-out writer
+    // aborts instead of clobbering the new owner's manifest
+    VersionedLayout.fenceCheck(spark, dir, v, "IvfIndex")
     val f = fs(spark, dir)
     val vd = versionDir(dir, v)
     atomicWrite(f, new Path(vd, "centroids.txt"),
@@ -332,7 +339,7 @@ object IvfIndex {
       // it `r` keeps it OUT of the batch-tier s-folds (the first fold
       // would otherwise sweep the whole corpus into its r) and under
       // the size-matched r-merge rule from the start
-      val seg = "r00001"
+      val seg = "r00001" + VersionedLayout.fence(dir, 1)
       val counts = writeSegment(corpus, id, vec, cents, cfg, segPath(dir, seg),
         books)
       writeManifest(spark, dir, 1, cents, Seq(seg), counts)
@@ -406,7 +413,7 @@ object IvfIndex {
              idCol: String): Int = {
     val v = latestVersion(spark, dir)
     withClaim(spark, dir, v + 1, FormatVersion, "IvfIndex") {
-      val dName = f"d${v + 1}%05d"
+      val dName = f"d${v + 1}%05d${VersionedLayout.fence(dir, v + 1)}"
       ids.select(col(idCol).as("id")).distinct()
         .write.mode("overwrite").parquet(tombPath(dir, dName))
       val n = spark.read.parquet(tombPath(dir, dName)).count()
@@ -420,39 +427,66 @@ object IvfIndex {
     v + 1
   }
 
-  /** Union of tombstone datasets as (t_id, t_seq) — None when empty.
-    * `d`/`e` datasets carry one id column (sequence = the name);
-    * `c` datasets are COALESCED — (id, seq) rows, the max sequence per
-    * id over the datasets a fold folded together (exact, not just
-    * sound: a row of id x at seg_seq g is masked iff any tombstone of
-    * x has seq > g, and max-seq preserves that predicate verbatim).
-    * Folds coalesce so a churn stream's tombstone-dataset COUNT — and
-    * the probe-side broadcast — stays bounded by distinct churned ids
-    * instead of growing one dataset per commit while a kept base
-    * segment pins them all live. */
+  /** Union of tombstone datasets as (t_id, t_seq, t_list) — None when
+    * empty. `d` datasets carry one id column (sequence = the name,
+    * list-global: t_list null). `e` datasets — a split's mask of the
+    * hot lists' old copies — carry (id, list_id) pairs and are
+    * LIST-SCOPED: they mask only the copy in the list the split
+    * actually rewrote, so a duplicate id's live copy in a NON-hot list
+    * of an older segment (possible via plain append of a duplicate id)
+    * survives the split unmasked, exactly as the pre-split state held
+    * it. `c` datasets are COALESCED — (id, [list_id,] seq) rows, the
+    * max sequence per (id, scope) over the datasets a fold folded
+    * together (exact, not just sound: a row of id x in list l at
+    * seg_seq g is masked iff any global tombstone of x or any (x, l)
+    * tombstone has seq > g, and per-scope max-seq preserves that
+    * predicate verbatim). Folds coalesce so a churn stream's
+    * tombstone-dataset COUNT — and the probe-side broadcast — stays
+    * bounded by distinct churned ids instead of growing one dataset
+    * per commit while a kept base segment pins them all live. */
   private def tombFrame(spark: SparkSession, dir: String,
                         tombs: Seq[String]): Option[DataFrame] =
     if (tombs.isEmpty) None
     else Some(tombs.map { d =>
         val raw = spark.read.parquet(tombPath(dir, d))
-        if (d.startsWith("c"))
-          raw.select(col("id").as("t_id"), col("seq").as("t_seq"))
+        val scoped = raw.columns.contains("list_id")
+        if (d.startsWith("c")) {
+          if (scoped)
+            raw.select(col("id").as("t_id"), col("seq").as("t_seq"),
+              col("list_id").as("t_list"))
+          else
+            raw.select(col("id").as("t_id"), col("seq").as("t_seq"),
+              lit(null).cast("int").as("t_list"))
+        } else if (scoped)
+          raw.select(col("id").as("t_id"), lit(nameSeq(d)).as("t_seq"),
+            col("list_id").as("t_list"))
         else
-          raw.select(col("id").as("t_id"), lit(nameSeq(d)).as("t_seq"))
+          raw.select(col("id").as("t_id"), lit(nameSeq(d)).as("t_seq"),
+            lit(null).cast("int").as("t_list"))
       }.reduce(_.unionByName(_)))
 
-  /** Coalesce the retained tombstone datasets into ONE (id, max seq)
-    * dataset when they have piled up — called at fold commits, where
-    * the union is already being read anyway. Returns the new tombstone
-    * name list. */
+  /** The strictly-newer-tombstone mask predicate: a global tombstone
+    * (t_list null) masks the id in every list; a list-scoped one masks
+    * only its (id, list) copy. */
+  private def tombMatch(idCol: Column): Column =
+    idCol === col("t_id") && col("t_seq") > col("seg_seq") &&
+      (col("t_list").isNull || col("t_list") === col("list_id"))
+
+  /** Coalesce the retained tombstone datasets into ONE
+    * (id, list_id, max seq) dataset when they have piled up — called
+    * at fold commits, where the union is already being read anyway.
+    * Grouped per (id, scope): a global and a list-scoped tombstone of
+    * the same id stay separate rows (their mask predicates differ).
+    * Returns the new tombstone name list. */
   private def coalesceTombs(spark: SparkSession, dir: String, v: Int,
                             tombs: Seq[String]): Seq[String] =
     if (tombs.length < 3) tombs
     else {
-      val cName = f"c$v%05d"
+      val cName = f"c$v%05d${VersionedLayout.fence(dir, v)}"
       tombFrame(spark, dir, tombs).get
-        .groupBy("t_id").agg(max("t_seq").as("seq"))
-        .select(col("t_id").as("id"), col("seq"))
+        .groupBy("t_id", "t_list").agg(max("t_seq").as("seq"))
+        .select(col("t_id").as("id"), col("t_list").as("list_id"),
+          col("seq"))
         .write.mode("overwrite").parquet(tombPath(dir, cName))
       Seq(cName)
     }
@@ -466,8 +500,7 @@ object IvfIndex {
       .reduce(_.unionByName(_))
     tombFrame(spark, dir, tombs) match {
       case None => u.drop("seg_seq")
-      case Some(t) => u.join(broadcast(t),
-          col(idCol) === col("t_id") && col("t_seq") > col("seg_seq"),
+      case Some(t) => u.join(broadcast(t), tombMatch(col(idCol)),
           "left_anti").drop("seg_seq")
     }
   }
@@ -502,10 +535,15 @@ object IvfIndex {
       val segs = readSegments(spark, dir, v)
       val prev = readCounts(spark, dir, v)
       val tombsPrev = readTombstones(spark, dir, v)
+      // data-path fence: names written under a stolen claim generation
+      // carry its suffix, so a fenced-out previous owner (alive past
+      // the TTL, still writing) can never clobber files THIS commit's
+      // manifest will reference — see VersionedLayout's protocol doc
+      val fx = VersionedLayout.fence(dir, v + 1)
       // segment name derived from the version it belongs to: a retry of
       // a crashed append overwrites its own orphan, never a committed
       // segment
-      val segName = f"s${v + 1}%05d"
+      val segName = f"s${v + 1}%05d$fx"
       // ONE batch materialization per commit: the batch is assigned to
       // the current centroids and PERSISTED — the drift-guard
       // histogram, the tombstone id set, the split's hot-batch slice
@@ -513,9 +551,15 @@ object IvfIndex {
       // re-computing the caller's batch lineage (an expensive upstream
       // — embedding extraction, a CDC anti-join — would otherwise be
       // paid 3-5× per commit; measured 2 s per re-materialization at
-      // 50k on the stress corpus).
+      // 50k on the stress corpus). Unpersisted in the finally below:
+      // a transient write failure anywhere in the commit body must not
+      // leak the cached blocks for the session's lifetime (withClaim
+      // releases the claim and the caller retries — long-lived ingest
+      // loops hit this).
       val assigned0 = Similarity.assignLists(
         batch.select(col(id), col(vec)), id, vec, cfg.dim, cents).persist()
+      var hotOldH: Option[DataFrame] = None
+      try {
       // per-list histogram read BEFORE anything is written (a
       // skew-tripping batch must be written against the EXTENDED
       // centroid array, not rewritten after the fact); its sum is the
@@ -529,7 +573,7 @@ object IvfIndex {
       // SAME commit — sequence v+1 masks their copies in strictly
       // older segments, never the rows this commit writes. The live
       // batch ids come from the CACHED assigned frame.
-      val dName = f"d${v + 1}%05d"
+      val dName = f"d${v + 1}%05d$fx"
       val nTomb =
         if (!tombBatch && delIds.isEmpty) 0L
         else phased(spark, "tombstone-write") {
@@ -583,6 +627,7 @@ object IvfIndex {
           if (segs.isEmpty) None
           else Some(liveUnion(spark, dir, segs, tombs, id)
             .filter(col("list_id").isin(hot: _*)).persist())
+        hotOldH = hotOld
         val hotBatch = assigned0.filter(col("list_id").isin(hot: _*))
           .select(col(id), col(vec))
         val trainRows =
@@ -602,9 +647,16 @@ object IvfIndex {
         hotOld.foreach { ho =>
           val nOld = ho.count()
           if (nOld > 0) {
-            val t = f"t${v + 1}%05d"
-            val e = f"e${v + 1}%05d"
-            ho.select(col(id).as("id")).distinct()
+            val t = f"t${v + 1}%05d$fx"
+            val e = f"e${v + 1}%05d$fx"
+            // LIST-SCOPED mask: (id, list_id) pairs — exactly the
+            // copies this split rewrites. A bare-id mask would also
+            // silently drop a duplicate id's live copy sitting in a
+            // NON-hot list of an older segment (reachable via plain
+            // append of a duplicate id after a prior split extended
+            // the centroid array), a behavior regression vs the old
+            // full re-cluster, which preserved every live row.
+            ho.select(col(id).as("id"), col("list_id")).distinct()
               .write.mode("overwrite").parquet(tombPath(dir, e))
             val smallT = cfg.smallRowsPerList > 0 &&
               nOld < cfg.smallRowsPerList.toLong * centsW.length
@@ -613,7 +665,6 @@ object IvfIndex {
             tName = Some(t)
             eTomb = Some(e)
           }
-          ho.unpersist(blocking = false)
         }
       }
       val tombsAll = tombs ++ eTomb
@@ -636,7 +687,6 @@ object IvfIndex {
           writeSegment(assigned0.drop("list_id"), id, vec, centsW, cfg,
             segPath(dir, segName), books, partitioned = !small)
       }
-      assigned0.unpersist(blocking = false)
       // a split whose sub-lists are STILL over the cap found an
       // irreducible mass (identical vectors tie-break to one centroid);
       // freeze them so the guard stops paying for splits that cannot
@@ -700,7 +750,7 @@ object IvfIndex {
         if (spark.conf.getOption("graft.ivf.profile").contains("true"))
           println(s"    [ivf-phase] fold kind=${if (mergeAll) "mergeAll" else "s-fold"} " +
             s"toMerge=${toMerge.mkString(",")} tombs=${tombsAll.length}")
-        val comp = f"r${v + 1}%05d"
+        val comp = f"r${v + 1}%05d$fx"
         // the fold output obeys the same rows-based layout rule as
         // appends: a fold of a few small segments is still sliver-sized
         // (an s-fold under a √n-retrained list count would pay the full
@@ -709,17 +759,23 @@ object IvfIndex {
         // threshold and take the partitioned layout. Corpus-sized
         // rewrites (drift/maintenance retrain, compact) always partition.
         val folded = liveUnion(spark, dir, toMerge, tombsAll, id)
-        val foldSmall = cfg.smallRowsPerList > 0 &&
-          phased(spark, "fold-count")(folded.count()) <
-            cfg.smallRowsPerList.toLong * centsW.length
-        phased(spark, "fold-write") {
-          if (foldSmall)
-            folded.repartition(1)
-              .write.mode("overwrite").parquet(segPath(dir, comp))
-          else
-            folded.repartition(col("list_id"))
-              .write.mode("overwrite").partitionBy("list_id")
-              .parquet(segPath(dir, comp))
+        val nFold = phased(spark, "fold-count")(folded.count())
+        // every folded row tombstone-masked (e.g. a CDC stream deleted
+        // the whole batch tier): SKIP the comp segment — the sibling
+        // DigestIndex guard (nC == 0 drops comp); a data-less directory
+        // in the manifest breaks reader schema inference
+        if (nFold > 0) {
+          val foldSmall = cfg.smallRowsPerList > 0 &&
+            nFold < cfg.smallRowsPerList.toLong * centsW.length
+          phased(spark, "fold-write") {
+            if (foldSmall)
+              folded.repartition(1)
+                .write.mode("overwrite").parquet(segPath(dir, comp))
+            else
+              folded.repartition(col("list_id"))
+                .write.mode("overwrite").partitionBy("list_id")
+                .parquet(segPath(dir, comp))
+          }
         }
         // rows carry their codes through the union untouched — frozen
         // books stay valid, so the merge never re-encodes. Tombstones
@@ -736,17 +792,23 @@ object IvfIndex {
         // the drift guard's upper-bound signal can wander from the
         // live distribution (one inter-mergeAll window)
         val manifestCounts =
-          if (!mergeAll) merged
+          if (nFold == 0) { if (mergeAll) Map.empty[Int, Long] else merged }
+          else if (!mergeAll) merged
           else spark.read.schema(folded.schema).parquet(segPath(dir, comp))
             .groupBy("list_id").agg(count(lit(1)).as("n"))
             .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-        writeManifest(spark, dir, v + 1, centsW, kept :+ comp,
+        writeManifest(spark, dir, v + 1, centsW,
+          if (nFold == 0) kept else kept :+ comp,
           manifestCounts, tombsKept, frozen)
         books.foreach(writeBooks(spark, dir, v + 1, _))
       } else {
         writeManifest(spark, dir, v + 1, centsW, newSegs, merged, tombsAll,
           frozen)
         books.foreach(writeBooks(spark, dir, v + 1, _))
+      }
+      } finally {
+        assigned0.unpersist(blocking = false)
+        hotOldH.foreach(_.unpersist(blocking = false))
       }
     }
     v + 1
@@ -804,7 +866,7 @@ object IvfIndex {
       val books2 = cfg.pq.map(p =>
         Pq.trainBooks(all, idCol, vecCol, cfg.dim, p.m, p.ksub, cfg.iters,
           p.trainSampleFraction))
-      val comp = f"r${v + 1}%05d"
+      val comp = f"r${v + 1}%05d${VersionedLayout.fence(dir, v + 1)}"
       val counts2 = writeSegment(all, idCol, vecCol, cents2, cfg,
         segPath(dir, comp), books2)
       all.unpersist(blocking = false)
@@ -822,7 +884,7 @@ object IvfIndex {
       val schema = spark.read.parquet(segPath(dir, segs.head)).schema
       val idCol = schema.fields.head.name
       val tombs = readTombstones(spark, dir, v)
-      val comp = f"r${v + 1}%05d"
+      val comp = f"r${v + 1}%05d${VersionedLayout.fence(dir, v + 1)}"
       liveUnion(spark, dir, segs, tombs, idCol)
         .repartition(col("list_id"))
         .write.mode("overwrite").partitionBy("list_id")
@@ -840,6 +902,37 @@ object IvfIndex {
       readBooks(spark, dir, v).foreach(writeBooks(spark, dir, v + 1, _))
     }
     v + 1
+  }
+
+  /** Manifest-derived index health — the operational dashboard stats a
+    * continuous-ingest deployment watches. FROZEN lists are the ones
+    * to alarm on: a frozen (irreducible — k-means cannot spread
+    * identical vectors) list never splits again, so under adversarial
+    * ingest (many identical-vector clumps) its mass grows without the
+    * drift guard's help and every probe that lands on it scans the
+    * full clump — probe cost on a frozen list is bounded by (and only
+    * by) its mass, spec-pinned in IvfIndexSpec. `frozenMassFraction`
+    * is therefore the health signal: when it grows past the tolerable
+    * probe-latency budget, schedule [[retrain]] — the one remediation
+    * that clears the frozen set (fresh global clustering re-evaluates
+    * everything). Counts are the manifest's upper bounds (phantom
+    * tombstone-masked mass included), same caveat as the drift guard's
+    * own signal. */
+  final case class Health(version: Int, segments: Int,
+                          tombstoneDatasets: Int, lists: Int,
+                          frozenLists: Int, totalMass: Long,
+                          frozenMass: Long) {
+    def frozenMassFraction: Double =
+      if (totalMass == 0L) 0.0 else frozenMass.toDouble / totalMass
+  }
+
+  def health(spark: SparkSession, dir: String): Health = {
+    val v = latestVersion(spark, dir)
+    val counts = readCounts(spark, dir, v)
+    val frozen = readFrozen(spark, dir, v)
+    Health(v, readSegments(spark, dir, v).length,
+      readTombstones(spark, dir, v).length, counts.size, frozen.size,
+      counts.values.sum, frozen.toSeq.map(counts.getOrElse(_, 0L)).sum)
   }
 
   /** A version must be committed AND still on disk (see
@@ -876,6 +969,21 @@ object IvfIndex {
              nProbe: Int = 4, refine: Int = 8,
              usePq: Boolean = true): DataFrame = {
     requireLiveVersion(spark, dir, version)
+    // a version whose manifest lists NO segments (every row of a fold
+    // was tombstone-masked — a CDC stream that deleted everything) has
+    // a well-defined probe answer: no neighbors
+    if (readSegments(spark, dir, version).isEmpty) {
+      val idType = queries.schema(id).dataType
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id", idType),
+          org.apache.spark.sql.types.StructField("rnk",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("neighbor_id", idType),
+          org.apache.spark.sql.types.StructField("cos",
+            org.apache.spark.sql.types.DoubleType))))
+    }
     val cents = readCentroids(spark, dir, version)
     // Queries are small by contract (every formulation broadcasts
     // them), so probe lists are computed HERE, in Scala, from the
@@ -948,8 +1056,7 @@ object IvfIndex {
         .reduce(_.unionByName(_))
       tombDf match {
         case None => u.drop("seg_seq")
-        case Some(t) => u.join(broadcast(t),
-            col(cols.head) === col("t_id") && col("t_seq") > col("seg_seq"),
+        case Some(t) => u.join(broadcast(t), tombMatch(col(cols.head)),
             "left_anti").drop("seg_seq")
       }
     }
@@ -1064,7 +1171,8 @@ object IvfIndex {
         val name = st.getPath.getName
         // name = [sr]NNNNN; only reap segments at or below the latest
         // committed version — latest+1 may be an append in flight
-        val num = name.drop(1).toIntOption.getOrElse(Int.MaxValue)
+        val num = name.drop(1).takeWhile(_.isDigit).toIntOption
+          .getOrElse(Int.MaxValue)
         if (!referenced.contains(name) && num <= latest)
           f.delete(st.getPath, true)
       }
@@ -1078,7 +1186,8 @@ object IvfIndex {
     if (f.exists(tombRoot))
       f.listStatus(tombRoot).foreach { st =>
         val name = st.getPath.getName
-        val num = name.drop(1).toIntOption.getOrElse(Int.MaxValue)
+        val num = name.drop(1).takeWhile(_.isDigit).toIntOption
+          .getOrElse(Int.MaxValue)
         if (!refTombs.contains(name) && num <= latest)
           f.delete(st.getPath, true)
       }

@@ -734,6 +734,11 @@ object MinhashIndex {
     * instead of re-executing the corpus-scale df merge). */
   private def writeVersionTables(spark: SparkSession, dir: String, v1: Int,
                                  p: Probe, cfg: Config): Unit = {
+    // MinhashIndex writes its physical tables directly under the
+    // version dir (no fenced segment names like the LSM siblings), so
+    // the lease re-check before the batch of shared-path writes is the
+    // whole fencing story here — see VersionedLayout's protocol doc
+    VersionedLayout.fenceCheck(spark, dir, v1, "MinhashIndex")
     val vd = versionDir(dir, v1)
     p.newDocs.write.mode("overwrite").parquet(s"$vd/docs")
     p.newDf.write.mode("overwrite").parquet(s"$vd/df")

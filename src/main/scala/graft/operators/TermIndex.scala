@@ -110,13 +110,19 @@ object TermIndex {
     s"${dir.stripSuffix("/")}/tombs/$name"
 
   /** Commit sequence in a segment/tombstone name (s00007/r00007/d00007
-    * → 7); a tombstone masks only STRICTLY smaller sequences. */
-  private def nameSeq(name: String): Int = name.drop(1).toInt
+    * → 7; a fence-suffixed s00007x1 also → 7); a tombstone masks only
+    * STRICTLY smaller sequences. */
+  private def nameSeq(name: String): Int =
+    name.drop(1).takeWhile(_.isDigit).toInt
 
   private def writeManifest(spark: SparkSession, dir: String, v: Int,
-                            segs: Seq[(String, Long, Long)]): Unit =
+                            segs: Seq[(String, Long, Long)]): Unit = {
+    // shared-path manifest write: re-verify the lease first (fencing —
+    // see VersionedLayout's protocol doc)
+    VersionedLayout.fenceCheck(spark, dir, v, "TermIndex")
     atomicWrite(fs(spark, dir), new Path(versionDir(dir, v), "segments.txt"),
       segs.map { case (n, d, t) => s"$n,$d,$t" }.mkString("\n"))
+  }
 
   /** ((ndMasked, ntMasked), tombstone names) for a version; absent
     * file (pre-delete manifests) = no masking. */
@@ -269,7 +275,7 @@ object TermIndex {
     withClaim(spark, dir, 1, FormatVersion, "TermIndex") {
       // compaction-class by construction — `r` keeps the corpus out of
       // the batch-tier s-folds and under the size-matched merge rule
-      val seg = "r00001"
+      val seg = "r00001" + VersionedLayout.fence(dir, 1)
       require(!cfg.termsTag.contains("\n"),
         s"termsTag must be single-line, got '${cfg.termsTag}'")
       val (nd, nt) = writeSegment(spark, corpus, id, text, cfg, terms,
@@ -327,7 +333,7 @@ object TermIndex {
                             tombs: Seq[String]): Seq[String] =
     if (tombs.length < 3) tombs
     else {
-      val cName = f"c$v%05d"
+      val cName = f"c$v%05d${VersionedLayout.fence(dir, v)}"
       tombFrame(spark, dir, tombs).get
         .groupBy("t_id").agg(max("t_seq").as("seq"))
         .select(col("t_id").as("doc_id"), col("seq"))
@@ -391,7 +397,7 @@ object TermIndex {
       requireTerms(spark, dir, cfg)
       val segs = readManifest(spark, dir, v)
       val (masked, tombs) = readTombstones(spark, dir, v)
-      val dName = f"d${v + 1}%05d"
+      val dName = f"d${v + 1}%05d${VersionedLayout.fence(dir, v + 1)}"
       ids.select(col(ids.columns.head).cast("long").as("doc_id")).distinct()
         .write.mode("overwrite").parquet(tombPath(dir, dName))
       val (nd, nt) = liveDelta(spark, dir, segs, tombs,
@@ -452,10 +458,11 @@ object TermIndex {
       requireTerms(spark, dir, cfg)
       val segsPrev = readManifest(spark, dir, v)
       val (maskedPrev, tombsPrev) = readTombstones(spark, dir, v)
+      val fx = VersionedLayout.fence(dir, v + 1)
       var masked = maskedPrev
       var tombs = tombsPrev
       tombIds.foreach { t =>
-        val dName = f"d${v + 1}%05d"
+        val dName = f"d${v + 1}%05d$fx"
         t.select(col(t.columns.head).cast("long").as("doc_id")).distinct()
           .write.mode("overwrite").parquet(tombPath(dir, dName))
         val (dnd, dnt) = liveDelta(spark, dir, segsPrev, tombsPrev,
@@ -465,7 +472,7 @@ object TermIndex {
           tombs = tombsPrev :+ dName
         }
       }
-      val seg = f"s${v + 1}%05d"
+      val seg = f"s${v + 1}%05d$fx"
       val (nd, nt) = writeSegment(spark, batch, id, text, cfg, terms,
         segPath(dir, seg))
       val newSegs = segsPrev :+ ((seg, nd, nt))
@@ -487,7 +494,7 @@ object TermIndex {
           else VersionedLayout.tierMergeSet(rSegs.map(s => s._1 -> s._3))
         val toMerge = sSegs ++ rSegs.filter(s => rMerge(s._1))
         val kept = rSegs.filterNot(s => rMerge(s._1))
-        val comp = f"r${v + 1}%05d"
+        val comp = f"r${v + 1}%05d$fx"
         val tombF = tombFrame(spark, dir, tombs)
         val tfU = toMerge.map(s => readTf(spark, segPath(dir, s._1))
             .withColumn("seg_seq", lit(nameSeq(s._1))))
@@ -565,7 +572,7 @@ object TermIndex {
       val segs = readManifest(spark, dir, v)
       require(segs.nonEmpty, s"nothing to compact at $dir")
       val (_, tombs) = readTombstones(spark, dir, v)
-      val comp = f"r${v + 1}%05d"
+      val comp = f"r${v + 1}%05d${VersionedLayout.fence(dir, v + 1)}"
       val tfU = segs.map(s => readTf(spark, segPath(dir, s._1))
           .withColumn("seg_seq", lit(nameSeq(s._1))))
         .reduce(_.unionByName(_))
@@ -1015,7 +1022,8 @@ object TermIndex {
     if (f.exists(segRoot))
       f.listStatus(segRoot).foreach { st =>
         val name = st.getPath.getName
-        val num = name.drop(1).toIntOption.getOrElse(Int.MaxValue)
+        val num = name.drop(1).takeWhile(_.isDigit).toIntOption
+          .getOrElse(Int.MaxValue)
         if (!referenced.contains(name) && num <= latest)
           f.delete(st.getPath, true)
       }
@@ -1028,7 +1036,8 @@ object TermIndex {
     if (f.exists(tombRoot))
       f.listStatus(tombRoot).foreach { st =>
         val name = st.getPath.getName
-        val num = name.drop(1).toIntOption.getOrElse(Int.MaxValue)
+        val num = name.drop(1).takeWhile(_.isDigit).toIntOption
+          .getOrElse(Int.MaxValue)
         if (!refTombs.contains(name) && num <= latest)
           f.delete(st.getPath, true)
       }

@@ -104,17 +104,46 @@ private[graft] object VersionedLayout {
   //    release-failed strand and is reclaimed;
   //  - a different app's claim older than the lease TTL
   //    (spark conf graft.index.claim.ttlMs, default 15 min) is stolen —
-  //    a dead writer never wedges the index;
+  //    a dead writer never wedges the index. STEALS ARE ATOMIC AND
+  //    TIME-INDEPENDENT: a claim is a GENERATION chain (base file
+  //    v00007 = generation 0, steals are v00007.g00001, .g00002, …)
+  //    and ownership is "holding the HIGHEST generation". A stealer
+  //    never deletes or mutates the stale claim — it exclusive-creates
+  //    the NEXT generation file, and the filesystem's O_EXCL arbitrates
+  //    every race: of any number of stealers that observed the same
+  //    stale claim (no matter how long any of them pauses between its
+  //    read and its create), exactly the one whose create succeeds owns
+  //    the version; every other create fails fast. No deletes, no
+  //    verification sleeps, no window (the pre-round-11 protocol's
+  //    compare-before-delete + 200 ms grace re-read shrank but could
+  //    not close the two-stealer race);
   //  - the claim is only valid for the NEXT version: after acquiring
   //    it, claimCommit re-reads LATEST and aborts (releasing) if `v`
   //    was already committed — a writer that read LATEST before
   //    another's commit retired the claim file would otherwise
-  //    re-claim v and overwrite committed data;
-  //  - commitLatest(token) verifies the claim still holds THIS token
-  //    before flipping LATEST, so a slow writer whose lease was stolen
-  //    aborts instead of publishing over the new owner. Lease
-  //    assumption: TTL exceeds the longest commit, standard for lock
-  //    files on a filesystem.
+  //    re-claim v and overwrite committed data. (This also covers the
+  //    stealer that paused across a full commit: its late create of a
+  //    retired generation name succeeds, and this check rejects it.);
+  //  - commitLatest(token) verifies the HIGHEST generation still
+  //    carries THIS token before flipping LATEST, so a slow writer
+  //    whose lease was stolen aborts instead of publishing over the
+  //    new owner (a thief's higher generation can never be unseen —
+  //    generations only grow until the commit retires them all);
+  //  - DATA-PATH FENCING: a steal implies the previous owner may still
+  //    be alive (a GC pause or FS stall longer than the TTL) and
+  //    writing. Each stolen generation therefore writes its segment /
+  //    tombstone datasets under generation-suffixed names
+  //    ([[fence]] — s00007 for gen 0, s00007x1 for gen 1, …), so the
+  //    files a committed manifest references are written by EXACTLY
+  //    one claimant; a fenced-out loser's late writes land in paths no
+  //    manifest references and are reaped by gc. Manifest files under
+  //    v00007/ are still shared paths — [[fenceCheck]] re-verifies
+  //    ownership immediately before they are written, narrowing the
+  //    residual clobber window from "any time during the loser's
+  //    multi-minute body" to "paused INSIDE writeManifest across the
+  //    winner's entire commit"; deployments where even that matters
+  //    must size the TTL above the longest possible stall, the
+  //    standard lease-file assumption.
   // Exclusive create is atomic on HDFS (O_EXCL); on S3-style stores
   // front the claim with a conditional-put manifest service, same as
   // the LATEST caveat in the class doc.
@@ -122,8 +151,36 @@ private[graft] object VersionedLayout {
   private def claimsDir(dir: String): Path =
     new Path(s"${dir.stripSuffix("/")}/claims")
 
+  private def claimBaseName(v: Int): String = f"v$v%05d"
+
   private def claimPath(dir: String, v: Int): Path =
-    new Path(claimsDir(dir), f"v$v%05d")
+    new Path(claimsDir(dir), claimBaseName(v))
+
+  private def claimGenPath(dir: String, v: Int, gen: Int): Path =
+    if (gen == 0) claimPath(dir, v)
+    else new Path(claimsDir(dir), f"${claimBaseName(v)}.g$gen%05d")
+
+  /** Existing claim generations for version `v`, ascending. */
+  private def listClaimGens(f: FileSystem, dir: String, v: Int): Seq[Int] = {
+    val cd = claimsDir(dir)
+    val base = claimBaseName(v)
+    if (!f.exists(cd)) Seq.empty
+    else f.listStatus(cd).toSeq.map(_.getPath.getName).flatMap { n =>
+      if (n == base) Some(0)
+      else if (n.startsWith(base + ".g"))
+        n.drop(base.length + 2).toIntOption.filter(_ > 0)
+      else None
+    }.sorted
+  }
+
+  /** The version number encoded in a claim file name (with or without
+    * a generation suffix): v00007 / v00007.g00002 → 7. */
+  private def claimNameVersion(name: String): Option[Int] =
+    if (!name.startsWith("v")) None
+    else {
+      val digits = name.drop(1).takeWhile(_.isDigit)
+      if (digits.isEmpty) None else digits.toIntOption
+    }
 
   /** Live in-process claims: "(dir)|(v)" → token. Entries exist exactly
     * while a claim in THIS JVM is between claimCommit and its
@@ -131,8 +188,50 @@ private[graft] object VersionedLayout {
     * classified as live (blocked) vs crashed (reclaimable). */
   private val liveClaims =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Generation held by this JVM's live claim on (dir, v) — drives
+    * [[fence]]. Maintained in lockstep with [[liveClaims]]. */
+  private val liveClaimGens =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private def claimKey(dir: String, v: Int): String =
     s"${dir.stripSuffix("/")}|$v"
+
+  /** Data-path fence suffix for the claim this JVM holds on (dir, v):
+    * "" for the first claimant (generation 0 — the common case; names
+    * are byte-identical to the unfenced layout), "x<gen>" for a stolen
+    * generation. Index families append it to the NEW segment/tombstone
+    * names they write under this claim, so a fenced-out previous owner
+    * (alive past the TTL, still writing) and the stealer can never
+    * write the same data path — the files a committed manifest
+    * references are written by exactly one claimant. Sequence parsing
+    * ([[nameSeq]]-style digits-prefix) is unaffected: s00007x1 still
+    * carries sequence 7. */
+  def fence(dir: String, v: Int): String = {
+    val g = liveClaimGens.get(claimKey(dir, v))
+    if (g == null || g.intValue == 0) "" else s"x${g.intValue}"
+  }
+
+  /** Re-verify, immediately before a shared-path manifest write, that
+    * the claim for (dir, v) is still held by THIS JVM's token (the
+    * on-disk highest generation matches). Throws
+    * [[ConcurrentCommitException]] if the lease was stolen — the
+    * fenced-out writer aborts before clobbering the new owner's
+    * manifest files. See the fencing note in the protocol doc. */
+  def fenceCheck(spark: SparkSession, dir: String, v: Int,
+                 what: String): Unit = {
+    val tok = liveClaims.get(claimKey(dir, v))
+    require(tok != null,
+      s"$what at $dir: manifest write for version $v outside a live claim")
+    val f = fs(spark, dir)
+    val held = listClaimGens(f, dir, v).lastOption.map { g =>
+      try readSmall(f, claimGenPath(dir, v, g))
+      catch { case _: java.io.IOException => "" }
+    }
+    if (!held.contains(tok))
+      throw new ConcurrentCommitException(
+        s"$what at $dir: lease for version $v was " +
+          s"${if (held.isEmpty) "released" else "stolen"} before the " +
+          "manifest write — aborting (fenced out)")
+  }
 
   def claimTtlMs(spark: SparkSession): Long =
     spark.conf.get("graft.index.claim.ttlMs",
@@ -162,27 +261,38 @@ private[graft] object VersionedLayout {
           "writer thread of this application — retry after it finishes")
     try {
       val f = fs(spark, dir)
-      val p = claimPath(dir, v)
-      f.mkdirs(p.getParent)
-      def tryCreate(): Boolean =
+      f.mkdirs(claimsDir(dir))
+      def tryCreate(p: Path): Boolean =
         try {
           val out = f.create(p, false)
           try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
           true
         } catch { case _: java.io.IOException => false }
-      if (!tryCreate()) {
+      // the common, uncontended case: no claim exists — take gen 0
+      var gen = -1
+      if (listClaimGens(f, dir, v).isEmpty && tryCreate(claimPath(dir, v)))
+        gen = 0
+      if (gen < 0) {
+        // contention: the HIGHEST existing generation is the owner of
+        // record (re-list — the failed create above may have raced a
+        // fresh claimant)
+        val hi = listClaimGens(f, dir, v).lastOption.getOrElse(0)
+        val hp = claimGenPath(dir, v, hi)
         // a FOREIGN owner's token lands a moment after its exclusive
         // create — a claim read in that window looks empty/partial.
         // Short-token reads are therefore INDETERMINATE (probably a
         // live writer mid-create), never immediately-stealable
         // strands: grace-retry the read before any steal decision.
+        // (This wait is a liveness nicety for an indeterminate READ —
+        // the steal itself is arbitrated by exclusive create below and
+        // carries no timing assumption.)
         def readClaim(): String =
-          try readSmall(f, p) catch { case _: java.io.IOException => "" }
+          try readSmall(f, hp) catch { case _: java.io.IOException => "" }
         var existing = readClaim()
         var grace = 0
         while (existing.split("#", -1).length < 3 && grace < 20 &&
-               f.exists(p)) {
+               f.exists(hp)) {
           Thread.sleep(50); grace += 1; existing = readClaim()
         }
         val parts = existing.split("#", -1)
@@ -196,29 +306,20 @@ private[graft] object VersionedLayout {
         // strand of a dead attempt (every live claimant holds the
         // lock) — reclaim immediately; foreign claims wait out the TTL
         if (theirApp == appId || age > ttl) {
-          // Steal = compare-before-delete + exclusive re-create +
-          // post-create verification. delete-then-create alone races:
-          // two stealers that both observed the expired claim can
-          // interleave (A deletes+creates, B deletes A's FRESH claim
-          // and creates its own) and both proceed into the same data
-          // paths. The delete is therefore conditional on the claim
-          // content still being the stale token this writer decided
-          // on, and after a successful re-create the claim is re-read
-          // past a grace window: any competing stealer's delete within
-          // the grace is observed and this writer aborts having
-          // written nothing.
-          if (readClaim() == existing) f.delete(p, false)
-          if (!tryCreate())
+          // STEAL = exclusive-create of the NEXT generation. Atomic
+          // and time-independent: any number of stealers that observed
+          // the same stale generation race to create the same name,
+          // O_EXCL picks exactly one, and a stealer that paused
+          // arbitrarily long between its read and its create either
+          // wins that create or fails fast — it can never evict a
+          // fresh owner (nothing is ever deleted or overwritten here;
+          // a generation name only becomes creatable again after a
+          // commit retires the whole chain, and the LATEST re-check
+          // below rejects exactly that late-winner case).
+          if (!tryCreate(claimGenPath(dir, v, hi + 1)))
             throw new ConcurrentCommitException(
               s"$what at $dir: lost the re-claim race for version $v")
-          Thread.sleep(200)
-          if (readClaim() != token) {
-            // someone stole it back between our create and now — they
-            // own v; leave their claim in place and fail fast.
-            throw new ConcurrentCommitException(
-              s"$what at $dir: claim for version $v was taken over by " +
-                "another writer during a lease steal — retry")
-          }
+          gen = hi + 1
         } else
           throw new ConcurrentCommitException(
             s"$what at $dir: version $v is claimed by writer $theirApp " +
@@ -233,14 +334,16 @@ private[graft] object VersionedLayout {
       // LATEST ≥ v first.
       val lp = new Path(dir, "LATEST")
       if (f.exists(lp) && readSmall(f, lp).toInt >= v) {
-        f.delete(p, false)
+        f.delete(claimGenPath(dir, v, gen), false)
         throw new ConcurrentCommitException(
           s"$what at $dir: version $v was already committed by another " +
             "writer — re-read LATEST and retry against the current state")
       }
+      liveClaimGens.put(key, Int.box(gen))
       token
     } catch {
-      case e: Throwable => liveClaims.remove(key, token); throw e
+      case e: Throwable =>
+        liveClaims.remove(key, token); liveClaimGens.remove(key); throw e
     }
   }
 
@@ -251,23 +354,34 @@ private[graft] object VersionedLayout {
   def releaseClaim(spark: SparkSession, dir: String, v: Int,
                    token: String): Unit = {
     liveClaims.remove(claimKey(dir, v), token)
+    liveClaimGens.remove(claimKey(dir, v))
     val f = fs(spark, dir)
-    val p = claimPath(dir, v)
-    val held =
-      try Some(readSmall(f, p)) catch { case _: java.io.IOException => None }
-    if (held.contains(token)) f.delete(p, false)
+    // delete the generation file THIS token created (content-matched —
+    // never another claimant's); lower stale generations stay until a
+    // commit retires the chain, which is harmless: the next claimant
+    // sees them as the highest generation and steals past them
+    listClaimGens(f, dir, v).foreach { g =>
+      val p = claimGenPath(dir, v, g)
+      val held =
+        try Some(readSmall(f, p)) catch { case _: java.io.IOException => None }
+      if (held.contains(token)) f.delete(p, false)
+    }
   }
 
-  /** Ownership-verified commit: flips LATEST only if the claim for `v`
-    * still holds `token`, then retires every claim at or below `v`. */
+  /** Ownership-verified commit: flips LATEST only if the HIGHEST claim
+    * generation for `v` still holds `token` (a thief's higher
+    * generation can never be unseen — generations only grow until the
+    * commit retires them), then retires every claim at or below `v`. */
   def commitLatest(spark: SparkSession, dir: String, v: Int,
                    format: Int, token: String): Unit = {
     val f = fs(spark, dir)
-    val held =
-      try Some(readSmall(f, claimPath(dir, v)))
-      catch { case _: java.io.IOException => None }
+    val held = listClaimGens(f, dir, v).lastOption.map { g =>
+      try readSmall(f, claimGenPath(dir, v, g))
+      catch { case _: java.io.IOException => "" }
+    }
     if (!held.contains(token)) {
       liveClaims.remove(claimKey(dir, v), token)
+      liveClaimGens.remove(claimKey(dir, v))
       throw new ConcurrentCommitException(
         s"claim for version $v of $dir was " +
           s"${if (held.isEmpty) "released" else "taken over by another writer"} " +
@@ -283,12 +397,11 @@ private[graft] object VersionedLayout {
       case e: Throwable => releaseClaim(spark, dir, v, token); throw e
     }
     liveClaims.remove(claimKey(dir, v), token)
+    liveClaimGens.remove(claimKey(dir, v))
     val cd = claimsDir(dir)
     if (f.exists(cd))
       f.listStatus(cd).foreach { st =>
-        val name = st.getPath.getName
-        if (name.startsWith("v") &&
-            scala.util.Try(name.drop(1).toInt).toOption.exists(_ <= v))
+        if (claimNameVersion(st.getPath.getName).exists(_ <= v))
           f.delete(st.getPath, false)
       }
   }

@@ -243,6 +243,122 @@ class ConcurrencySpec extends AnyFunSuite {
     d.unpersist()
   }
 
+  test("atomic steal: a stealer paused ARBITRARILY long between its stale read and its create cannot evict the new owner — no sleep in the argument") {
+    val dir = tmpDir("graft_occ_pause")
+    val cfg = TermIndex.Config(buckets = 4)
+    TermIndex.build(spark, docs.limit(40), "doc_id", "text", dir, cfg)
+    // a dead writer's stale claim for v2
+    plantForeignClaim(dir, 2, ts = System.currentTimeMillis() - 10000)
+    // stealer B reads the stale claim and DECIDES to steal — in the
+    // generation protocol its entire action is one exclusive create of
+    // the next generation name. Simulate B pausing here (arbitrarily
+    // long: GC pause, NFS stall) while stealer A proceeds.
+    withTtl(1000) {
+      val tokA = graft.operators.VersionedLayout.claimCommit(spark, dir, 2, "t")
+      // A owns v2 via generation 1; the stale gen-0 file is untouched
+      // (steals never delete — that is the point)
+      val g1 = java.nio.file.Paths.get(dir, "claims", "v00002.g00001")
+      assert(java.nio.file.Files.exists(g1), "steal creates the next generation")
+      assert(new String(java.nio.file.Files.readAllBytes(g1), "UTF-8") == tokA)
+      assert(java.nio.file.Files.exists(claimFile(dir, 2)),
+        "the stale generation is never deleted by a steal")
+      // B wakes up NOW — after any amount of time — and performs the
+      // only mutation the protocol allows a stealer: the exclusive
+      // create of generation 1. The filesystem rejects it; B can never
+      // evict A's fresh claim because nothing in the protocol deletes
+      // or overwrites an existing generation.
+      val bCreate = intercept[Exception] {
+        java.nio.file.Files.write(g1,
+          s"app-elsewhere-456#cafe#${System.currentTimeMillis()}".getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+      }
+      assert(bCreate.isInstanceOf[java.nio.file.FileAlreadyExistsException])
+      // and a B that re-runs the full protocol instead sees A's FRESH
+      // generation as owner of record and fails fast (foreign + young)
+      // — exercised from another "app" by making A's claim look foreign
+      // is impossible in-process; the in-process registry already
+      // blocks a same-JVM B, which the live-claim test pins. A's claim
+      // survives either way:
+      assert(new String(java.nio.file.Files.readAllBytes(g1), "UTF-8") == tokA,
+        "A's claim content untouched by the failed steal")
+      graft.operators.VersionedLayout.commitLatest(spark, dir, 2, 2, tokA)
+      assert(TermIndex.latestVersion(spark, dir) == 2)
+      // commit retires the WHOLE generation chain
+      assert(!java.nio.file.Files.exists(g1))
+      assert(!java.nio.file.Files.exists(claimFile(dir, 2)))
+    }
+  }
+
+  test("late winner of a retired generation name is rejected by the LATEST re-check") {
+    val dir = tmpDir("graft_occ_late")
+    val cfg = TermIndex.Config(buckets = 4)
+    TermIndex.build(spark, docs.limit(40), "doc_id", "text", dir, cfg)
+    plantForeignClaim(dir, 2, ts = System.currentTimeMillis() - 10000)
+    withTtl(1000) {
+      // A steals and COMMITS v2 while B is paused; the whole claim
+      // chain is retired with the commit
+      TermIndex.append(spark, dir, docs.limit(60), "doc_id", "text", cfg)
+      assert(TermIndex.latestVersion(spark, dir) == 2)
+      // B wakes: its exclusive create of the (now retired) generation
+      // name SUCCEEDS — and the post-claim LATEST re-check rejects it
+      // before any data write
+      val ex = intercept[ConcurrentCommitException] {
+        graft.operators.VersionedLayout.claimCommit(spark, dir, 2, "t")
+      }
+      assert(ex.getMessage.contains("already committed"), ex.getMessage)
+      assert(!java.nio.file.Files.exists(claimFile(dir, 2)),
+        "the rejected late claim must not strand its file")
+    }
+  }
+
+  test("fencing: a stolen-generation commit writes suffixed data paths; a fenced-out writer's manifest write aborts") {
+    import spark.implicits._
+    val dir = tmpDir("graft_occ_fence")
+    val vecs = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 7 + d) % 13).toFloat)))
+      .toDF("id", "vec")
+    val cfg = IvfIndex.Config(dim = 8, nList = 4, iters = 1)
+    IvfIndex.build(spark, vecs.filter(col("id") < 48), "id", "vec", dir, cfg)
+    // a dead writer holds v2: the steal commits under generation 1 and
+    // must fence its segment/tombstone names with the x1 suffix, so
+    // the dead writer's paths (s00002, d00002) can never collide with
+    // what THIS commit's manifest references
+    plantForeignClaim(dir, 2, ts = System.currentTimeMillis() - 10000)
+    withTtl(1000) {
+      val v2 = IvfIndex.upsert(spark, dir, vecs.filter(col("id") >= 48),
+        "id", "vec", cfg)
+      assert(v2 == 2)
+    }
+    val segs = IvfIndex.readSegments(spark, dir, 2)
+    assert(segs.contains("s00002x1"), s"fenced segment name expected: $segs")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "tombs", "d00002x1")),
+      "fenced tombstone name expected")
+    // fenced names carry the same commit sequence: the upsert's
+    // tombstone (seq 2) must mask nothing of its own segment (seq 2),
+    // and probes answer every id exactly once
+    val got = IvfIndex.topK(spark, dir,
+      vecs.filter(col("id") >= 48).limit(2), "id", "vec", 3, nProbe = 8)
+      .select("query_id").distinct().count()
+    assert(got == 2)
+    // a fenced-out writer (its lease stolen mid-body) aborts at the
+    // manifest write: simulate by planting a HIGHER generation over a
+    // claim this session holds
+    val tok3 = graft.operators.VersionedLayout.claimCommit(spark, dir, 3, "t")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "claims", "v00003.g00001"),
+      s"app-elsewhere-789#beef#${System.currentTimeMillis()}".getBytes("UTF-8"))
+    val ex = intercept[ConcurrentCommitException] {
+      graft.operators.VersionedLayout.fenceCheck(spark, dir, 3, "t")
+    }
+    assert(ex.getMessage.contains("stolen"), ex.getMessage)
+    // cleanup: drop the planted thief and release our claim
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dir, "claims", "v00003.g00001"))
+    graft.operators.VersionedLayout.releaseClaim(spark, dir, 3, tok3)
+  }
+
   test("commit verifies ownership: a stolen claim aborts the slow writer's flip") {
     val dir = tmpDir("graft_occ_stolen")
     val d = docs.limit(40)

@@ -370,4 +370,74 @@ class DigestIndexSpec extends AnyFunSuite {
       _.references.exists(_.name == "digest"))),
       s"verify scans must push the candidate digests: $segScans")
   }
+
+  test("tombstone byte budget: long churn keeps retained tombstone bytes bounded via fold escalation; probes stay exact") {
+    // CHURN SHAPE that pins the r10 gap: a kept base r-segment pins
+    // tombstones live forever, and the coalesced (id, max seq) dataset
+    // regrows with distinct churned ids — unbounded if churn
+    // eventually touches most ids. The budget escalates a fold to a
+    // FULL merge when the retained tombstone bytes exceed it, retiring
+    // every tombstone.
+    def tombFiles(dir: String, v: Int): Seq[String] =
+      DigestIndex.readTombstones(spark, dir, v)
+    def tombDiskBytes(dir: String, v: Int): Long =
+      tombFiles(dir, v).map { t =>
+        val p = java.nio.file.Paths.get(dir, "tombs", t)
+        if (!java.nio.file.Files.exists(p)) 0L
+        else {
+          val s = java.nio.file.Files.walk(p)
+          try s.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum
+          finally s.close()
+        }
+      }.sum
+    def churn(cfg: DigestIndex.Config): (String, Seq[Long]) = {
+      val dir = tmpDir() + "/idx"
+      val base = (0L until 30L).map(i => doc(i, s"base text $i"))
+      DigestIndex.build(spark, df(base), "doc_id", "text", cfg = cfg,
+        dir = dir).unpersist()
+      // 12 upsert commits, each touching a FRESH id range — churned-id
+      // cardinality grows monotonically, the unbounded-c-dataset shape
+      val bytesPerV = (0 until 12).map { k =>
+        val ids = (1000L + k * 10L) until (1000L + k * 10L + 10L)
+        val batch = ids.map(i => doc(i, s"churn $k text $i"))
+        DigestIndex.upsert(spark, dir, df(batch), "doc_id", "text", cfg)
+          .unpersist()
+        tombDiskBytes(dir, DigestIndex.latestVersion(spark, dir))
+      }
+      (dir, bytesPerV)
+    }
+    // control: effectively-unbounded budget — tombstones accumulate
+    // (the base r-segment from the build is kept by tier merges)
+    val (dirC, bytesC) = churn(DigestIndex.Config(maxSegments = 3,
+      tombMaxBytes = Long.MaxValue))
+    // budgeted: a 1-byte budget forces escalation at EVERY fold —
+    // tombstones retire whenever a fold commits
+    val (dirB, bytesB) = churn(DigestIndex.Config(maxSegments = 3,
+      tombMaxBytes = 1L))
+    assert(bytesC.max > 0, "control must accumulate retained tombstones")
+    // escalation retires tombstones at folds: the budgeted run's
+    // retained bytes return to zero repeatedly and never exceed one
+    // fold cycle's worth of fresh tombstones
+    assert(bytesB.count(_ == 0L) >= 3,
+      s"escalated folds must retire tombstones: $bytesB")
+    assert(bytesB.max < bytesC.max,
+      s"budgeted churn must stay below the unbounded control: " +
+        s"${bytesB.max} vs ${bytesC.max}")
+    // after an escalated fold the manifest is a single full merge and
+    // NO tombstones
+    val vB = DigestIndex.latestVersion(spark, dirB)
+    val foldedV = (2 to vB).findLast(v => tombFiles(dirB, v).isEmpty).get
+    assert(DigestIndex.readManifest(spark, dirB, foldedV)
+      .forall(_._1.startsWith("r")), "escalation must fold everything")
+    // correctness unmoved by escalation: byte-copies of the live docs
+    // dedup against them identically in both runs
+    val lastIds = (1110L until 1120L)
+    val copies = df(lastIds.map(i => doc(i + 9000L, s"churn 11 text $i")))
+    val want = lastIds.map(i => (i + 9000L, i)).toSet
+    assert(pairSet(DigestIndex.dupPairs(spark, dirB, copies, "doc_id",
+      "text")) == want)
+    assert(pairSet(DigestIndex.dupPairs(spark, dirC, copies, "doc_id",
+      "text")) == want)
+  }
 }

@@ -880,4 +880,123 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(topKSet(IvfIndex.topKAt(spark, dir, 3, q, "vec_id", "embedding", 5))
       == atV3)
   }
+
+  // synthetic two-cluster corpus for the split-semantics tests below:
+  // cluster X near [10,0,·,·], cluster Y near [0,10,·,·], deterministic
+  // per-id jitter in the trailing dims so k-means can spread sub-lists.
+  // Cluster membership alternates by id parity because trainCentroids
+  // seeds from the FIRST nList rows by id — ids 0 (X) and 1 (Y) give
+  // one seed per cluster, so the 2-means recovers the clusters instead
+  // of a jitter-dim local optimum.
+  private def clusterVec(axis: Int, i: Int): Array[Float] = {
+    val v = Array.fill(4)(0f)
+    v(axis) = 10f
+    v(2) = (i % 7) * 0.1f
+    v(3) = (i % 5) * 0.1f
+    v
+  }
+  private def twoClusters: Seq[(Long, Array[Float])] =
+    (0L until 40L).map(i =>
+      (i, clusterVec(if (i % 2 == 0) 0 else 1, i.toInt)))
+
+  test("split preserves a duplicate id's live copy in a NON-hot list (list-scoped e-tombstones)") {
+    import spark.implicits._
+    val dir = tmp("ivf_duplist")
+    val cfg2 = IvfIndex.Config(dim = 4, nList = 2, iters = 2,
+      maxImbalance = 1.5, maxSegments = 100, smallRowsPerList = 0)
+    IvfIndex.build(spark, twoClusters.toDF("id", "vec"), "id", "vec", dir,
+      cfg2)
+    // plain appends of the SAME id into two different lists — the
+    // duplicate-id shape plain append permits (no tombstone): one copy
+    // near cluster Y, then one near cluster X
+    val vecY = Array(0f, 10f, 0.5f, 0f)
+    val vecX = Array(10f, 0f, 0.5f, 0f)
+    IvfIndex.append(spark, dir, Seq((999L, vecY)).toDF("id", "vec"),
+      "id", "vec", cfg2)
+    IvfIndex.append(spark, dir, Seq((999L, vecX)).toDF("id", "vec"),
+      "id", "vec", cfg2)
+    // skew cluster X hot: 60 more X-side rows → X list mass 81 of 102,
+    // over the 1.5× cap → the guard splits the X list; id 999's X-side
+    // copy is rewritten into the t-segment and its old copy masked by
+    // the split's e-tombstone
+    val b3 = (200L until 260L).map(i => (i, clusterVec(0, i.toInt * 2)))
+    val v4 = IvfIndex.append(spark, dir, b3.toDF("id", "vec"),
+      "id", "vec", cfg2)
+    val c4 = IvfIndex.readCentroids(spark, dir, v4)
+    assert(c4.length > 2, "the X list must have split")
+    assert(IvfIndex.readSegments(spark, dir, v4).exists(_.startsWith("t")),
+      "split must have rewritten the hot list")
+    // THE regression (ADVICE r10): a bare-id e-tombstone would also
+    // mask 999's Y-side copy sitting in a non-hot list of an older
+    // segment. List-scoped tombstones keep it live: BOTH copies answer.
+    def neighbors(qv: Array[Float]): Set[Long] =
+      IvfIndex.topK(spark, dir, Seq((5000L, qv)).toDF("id", "vec"),
+        "id", "vec", k = 3, nProbe = c4.length)
+        .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(neighbors(vecY).contains(999L),
+      "the Y-side duplicate copy must survive the X-list split")
+    assert(neighbors(vecX).contains(999L),
+      "the X-side copy must be rewritten live into the t-segment")
+    // no row lost or duplicated: manifest mass = 20+20+1+1+60
+    assert(IvfIndex.readCounts(spark, dir, v4).values.sum == 102L,
+      IvfIndex.readCounts(spark, dir, v4).toString)
+  }
+
+  test("health: frozen lists are reported with their mass; probes on a frozen list stay exact and list-pruned") {
+    import spark.implicits._
+    val dir = tmp("ivf_health")
+    val cfg2 = IvfIndex.Config(dim = 4, nList = 2, iters = 2,
+      maxImbalance = 1.5, maxSegments = 100, smallRowsPerList = 0)
+    IvfIndex.build(spark, twoClusters.toDF("id", "vec"), "id", "vec", dir,
+      cfg2)
+    val h0 = IvfIndex.health(spark, dir)
+    assert(h0.frozenLists == 0 && h0.frozenMass == 0L &&
+      h0.totalMass == 40L && h0.lists == 2, h0.toString)
+    // an adversarial clump: 200 IDENTICAL vectors — k-means cannot
+    // spread them, the split's sub-list stays over the cap and freezes
+    val clump = (300L until 500L).map(i => (i, Array(0f, 0f, 10f, 0f)))
+    val v2 = IvfIndex.append(spark, dir, clump.toDF("id", "vec"),
+      "id", "vec", cfg2)
+    assert(IvfIndex.readFrozen(spark, dir, v2).nonEmpty, "clump must freeze")
+    val h2 = IvfIndex.health(spark, dir)
+    assert(h2.frozenLists >= 1, h2.toString)
+    assert(h2.frozenMass >= 200L, s"the clump's mass must be frozen: $h2")
+    assert(h2.totalMass == 240L, h2.toString)
+    assert(h2.frozenMassFraction >= 200.0 / 240.0 - 1e-9 &&
+      h2.frozenMassFraction <= 1.0, h2.toString)
+    // probe cost on the frozen list is bounded by (and only by) its
+    // mass: an nProbe=1 probe at the clump reads ONLY the probed list
+    // directories (partition filters present, listed dirs ≤ probed
+    // lists per segment) and still answers exactly
+    val df = IvfIndex.topK(spark, dir,
+      Seq((5000L, Array(0f, 0f, 10f, 0f))).toDF("id", "vec"),
+      "id", "vec", k = 5, nProbe = 1)
+    val rows = df.collect()
+    assert(rows.length == 5 && rows.forall(_.getLong(2) >= 300L),
+      "frozen-list probe must answer from the clump exactly")
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case r: ReusedExchangeExec => scans(r.child)
+    }.flatten
+    val segScans = scans(df.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("/segments/")))
+    assert(segScans.nonEmpty)
+    segScans.foreach { s =>
+      assert(s.partitionFilters.exists(_.references.exists(_.name == "list_id")),
+        "frozen-list probe must stay partition-pruned")
+      assert(s.metrics("numPartitions").value <= 1,
+        s"nProbe=1 must list at most one list dir per segment: $s")
+    }
+    // remediation contract: retrain clears the frozen set and health
+    // reflects it
+    IvfIndex.retrain(spark, dir, cfg2)
+    val h3 = IvfIndex.health(spark, dir)
+    assert(h3.frozenLists == 0 && h3.frozenMass == 0L, h3.toString)
+    assert(h3.totalMass == 240L, h3.toString)
+  }
 }

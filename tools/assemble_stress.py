@@ -13,9 +13,13 @@ raw = sys.argv[2]
 note = sys.argv[3]
 runs = []
 for line in open(raw):
-    if '"metric"' not in line:
+    # anchor on the literal JSON prefix: a log line that merely mentions
+    # "metric" without an object (e.g. a Spark log echo) must be skipped,
+    # not crash the assembly
+    i = line.find('{"metric"')
+    if i < 0:
         continue
-    runs.append(json.loads(line[line.index("{"):]))
+    runs.append(json.loads(line[i:]))
 json.dump({"round": round_n, "harness": note, "runs": runs},
           sys.stdout, indent=1)
 print()
