@@ -98,10 +98,18 @@ object IvfIndex {
     * per-list files at least row-group-sized; below that, sorted
     * row-group pruning reads the same bytes without the O(nList)
     * file/footer tax. 0 disables (every segment partitioned). */
+  /** `tombMaxBytes`: byte budget for RETAINED tombstone datasets —
+    * when exceeded at a fold commit, the fold escalates to a FULL
+    * merge so every tombstone applies physically and retires. Bounds
+    * probe-side tombstone state by the budget instead of corpus
+    * lifetime at an amortized O(1) cost per churned row (the
+    * DigestIndex sibling's policy; see its Config doc for the
+    * argument). */
   final case class Config(dim: Int, nList: Int = 16, iters: Int = 2,
                           maxImbalance: Double = 4.0, maxSegments: Int = 8,
                           pq: Option[PqConfig] = None,
-                          smallRowsPerList: Int = 256)
+                          smallRowsPerList: Int = 256,
+                          tombMaxBytes: Long = 64L * 1024 * 1024)
 
   /** Optional product-quantization refinement layer (IVF-PQ): segments
     * additionally carry an m-byte `codes` column + stored exact norm,
@@ -491,6 +499,17 @@ object IvfIndex {
       Seq(cName)
     }
 
+  /** On-disk bytes of the retained tombstone datasets — the
+    * [[Config.tombMaxBytes]] escalation signal. */
+  private def tombBytes(spark: SparkSession, dir: String,
+                        tombs: Seq[String]): Long = {
+    val f = fs(spark, dir)
+    tombs.map { t =>
+      val p = new Path(tombPath(dir, t))
+      if (f.exists(p)) f.getContentSummary(p).getLength else 0L
+    }.sum
+  }
+
   /** Union of segments with per-row commit sequence, live rows only
     * (tombstones with a strictly greater sequence applied). */
   private def liveUnion(spark: SparkSession, dir: String, segs: Seq[String],
@@ -736,8 +755,13 @@ object IvfIndex {
         // (the old merge-ALL-r's policy cost O(corpus/maxSegments²)
         // per commit — linear in corpus for constant-size commits).
         val (rSegs, sSegs) = newSegs.partition(_.startsWith("r"))
+        // tombstone byte budget (sibling policy, see Config): past it,
+        // escalate to a full merge so every tombstone retires
+        val escalate = tombsAll.nonEmpty &&
+          tombBytes(spark, dir, tombsAll) > cfg.tombMaxBytes
         val rMerge: Set[String] =
-          if (rSegs.length < cfg.maxSegments) Set.empty
+          if (escalate) rSegs.toSet
+          else if (rSegs.length < cfg.maxSegments) Set.empty
           else {
             val fsys = fs(spark, dir)
             VersionedLayout.tierMergeSet(rSegs.map(r =>

@@ -94,8 +94,13 @@ object TermIndex {
    *                    built over bigrams can't be silently probed
    *                    with unigrams
    */
+  /** `tombMaxBytes`: byte budget for RETAINED tombstone datasets —
+    * past it a fold escalates to a full merge so every tombstone
+    * retires (the DigestIndex sibling's policy; see its Config doc
+    * for the amortization argument). */
   case class Config(buckets: Int = 32, maxSegments: Int = 8,
-                    termsTag: String = "unigram")
+                    termsTag: String = "unigram",
+                    tombMaxBytes: Long = 64L * 1024 * 1024)
 
   def exists(spark: SparkSession, dir: String): Boolean =
     VersionedLayout.exists(spark, dir)
@@ -489,8 +494,18 @@ object TermIndex {
         // Outstanding tombstones are applied PHYSICALLY to the folded
         // rows.
         val (rSegs, sSegs) = newSegs.partition(_._1.startsWith("r"))
+        // tombstone byte budget (sibling policy, see Config): past it,
+        // escalate to a full merge so every tombstone retires
+        val escalate = tombs.nonEmpty && {
+          val f = fs(spark, dir)
+          tombs.map { t =>
+            val p = new Path(tombPath(dir, t))
+            if (f.exists(p)) f.getContentSummary(p).getLength else 0L
+          }.sum > cfg.tombMaxBytes
+        }
         val rMerge: Set[String] =
-          if (rSegs.length < cfg.maxSegments) Set.empty
+          if (escalate) rSegs.map(_._1).toSet
+          else if (rSegs.length < cfg.maxSegments) Set.empty
           else VersionedLayout.tierMergeSet(rSegs.map(s => s._1 -> s._3))
         val toMerge = sSegs ++ rSegs.filter(s => rMerge(s._1))
         val kept = rSegs.filterNot(s => rMerge(s._1))

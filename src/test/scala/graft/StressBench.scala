@@ -449,6 +449,14 @@ object StressBench {
     }
     health("ivf_churn_versions_on_disk") = countVersionDirs(ivfDir)
     health("ivf_churn_segment_dirs") = countDirs(s"$ivfDir/segments")
+    // frozen-list accounting (round 11): the operational alarm for
+    // irreducible clumps — if churn froze lists, their mass fraction
+    // is the probe-latency exposure retrain() remediates
+    val ivfH = IvfIndex.health(spark, ivfDir)
+    health("ivf_frozen_lists") = ivfH.frozenLists.toLong
+    health("ivf_frozen_mass_pct") =
+      math.round(ivfH.frozenMassFraction * 100.0)
+    health("ivf_tombstone_datasets") = ivfH.tombstoneDatasets.toLong
     emb.unpersist()
 
     // digest-index churn, same discipline: 30 one-commit CDC rounds of
