@@ -27,4 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JDK-8192647: with 32 executor threads holding JNI critical regions
+  // (parquet/zstd native buffers), G1's GCLocker can starve a tiny
+  // allocation past the DEFAULT retry count of 2 and throw a spurious
+  // OOM ("Retried waiting for GCLocker too often allocating 4 words")
+  // with plenty of heap free — observed killing the 500k stress leg.
+  // (diagnostic flag on JDK 17, hence the unlock)
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=64",
 )

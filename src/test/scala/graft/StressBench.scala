@@ -39,9 +39,13 @@ object StressBench {
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val health = scala.collection.mutable.LinkedHashMap[String, Long]()
     def time[T](tag: String)(f: => T): T = {
+      // phase marker on stderr: a mid-run crash (OOM, executor loss)
+      // is attributable to its phase without any artifact surviving
+      System.err.println(f"[stress-phase] $tag start")
       val t0 = System.nanoTime()
       val x = f
       times(tag) = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[stress-phase] $tag ${times(tag)}%.1fs")
       x
     }
 
