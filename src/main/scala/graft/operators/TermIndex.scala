@@ -644,6 +644,14 @@ object TermIndex {
    * aggregate — a scan-cost pass, so pruning still eliminates the
    * per-(probe,doc) scoring aggregate + rank that tracks corpus size;
    * a CDC-heavy index never loses pruning between compactions.
+   *
+   * SCALE CAVEAT (adjudicated, BENCH_NOTES_r10 §2): document-shaped
+   * probes — hundreds of distinct terms — have candidate sets ≈ the
+   * corpus, and their EXACT cost is linear in the corpus by necessity
+   * (the elided tier is the proven floor). Gate batch workloads with
+   * [[estimateProbeCost]] and route retrieval-style document probes
+   * to the approximate first stage ([[Retrieval]]'s indexed
+   * hybrid-RRF) instead.
    */
   def topKAt(spark: SparkSession, dir: String, version: Int,
              probes: DataFrame, id: String, text: String, k: Int,
@@ -671,6 +679,68 @@ object TermIndex {
     // broadcast exchanges.
     probeTerms.unpersist(blocking = false)
     out
+  }
+
+  /** What a probe batch will cost before any posting is touched.
+    * `scoredPostings` = Σ over probes of Σ df over the probe's
+    * positive-idf terms — EXACTLY the tf rows the tier-2 (elided)
+    * plan scores, the adjudicated exact-scoring floor for
+    * document-shaped probes (BENCH_NOTES_r10 §2). `candidateFraction`
+    * ≈ the average fraction of the corpus each probe candidates:
+    * near 0 for search-query-shaped probes (rare-term candidates
+    * only), approaching 1 for document-shaped probes, whose exact
+    * cost is therefore irreducibly linear in the corpus. */
+  final case class ProbeCost(scoredPostings: Long, maxProbePostings: Long,
+                             probeCount: Long, corpusDocs: Long) {
+    def candidateFraction: Double =
+      if (probeCount == 0 || corpusDocs == 0) 0.0
+      else scoredPostings.toDouble / (probeCount.toDouble * corpusDocs)
+  }
+
+  /** Pre-flight guardrail for document-scale probe batches: estimate
+    * the exact-scoring work of [[topK]] from the COUNT-SIZED df slices
+    * alone (probe-vocabulary `bkt=` partitions; no posting is read, so
+    * this costs about one stats round regardless of corpus size).
+    * A batch whose `candidateFraction` approaches 1 is document-shaped
+    * — its exact BM25 cost is linear in the corpus by adjudicated
+    * necessity (the elided tier IS the floor; the impact-ordered tier
+    * was measured 2.3-3.2× slower and rejected) — and a retrieval
+    * deployment should route it to the approximate first stage
+    * ([[Retrieval]]'s indexed hybrid-RRF over this index + IvfIndex)
+    * instead of stumbling into hours of exact scoring at 100 TB.
+    * With tombstones outstanding the stored df are upper bounds
+    * (sound for a pre-flight gate; [[topKAt]] itself recounts
+    * exactly). */
+  def estimateProbeCost(spark: SparkSession, dir: String,
+                        probes: DataFrame, id: String, text: String,
+                        cfg: Config = Config(),
+                        terms: Column => Column = TF.tokens): ProbeCost = {
+    val version = latestVersion(spark, dir)
+    requireTerms(spark, dir, cfg)
+    val segs = readManifest(spark, dir, version)
+    val (masked, _) = readTombstones(spark, dir, version)
+    val n = segs.map(_._2).sum - masked._1
+    val tt = segs.map(_._3).sum - masked._2
+    val probeTerms = probes.select(col(id).as("probe_id"),
+      explode(array_distinct(terms(col(text)))).as("tok"))
+    val bkts = probeTerms.select(bkt(col("tok"), cfg.buckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    if (bkts.isEmpty) return ProbeCost(0L, 0L, 0L, n)
+    val dfStats = dfFold(
+        segs.map(s => readDf(spark, segPath(dir, s._1))
+            .filter(col("bkt").isin(bkts: _*)))
+          .reduce(_.unionByName(_))
+          .join(broadcast(probeTerms.select("tok").distinct()), "tok"))
+      .withColumn("n", lit(n)).withColumn("tt", lit(tt))
+      .withColumn("idf_q", expr(Terms.bm25IdfSql))
+      .filter(col("idf_q") >= 1)
+      .select("tok", "df")
+    val perProbe = probeTerms.join(broadcast(dfStats), "tok")
+      .groupBy("probe_id").agg(sum("df").as("w"))
+      .agg(coalesce(sum("w"), lit(0L)), coalesce(max("w"), lit(0L)))
+      .head()
+    val nProbes = probes.select(col(id)).distinct().count()
+    ProbeCost(perProbe.getLong(0), perProbe.getLong(1), nProbes, n)
   }
 
   /** Essential-term pivot of the max-score probe: terms with idf_q at

@@ -471,4 +471,69 @@ class TermIndexSpec extends AnyFunSuite {
     q.collect()
     spark.catalog.clearCache()
   }
+
+  test("estimateProbeCost: pre-flight work estimate equals an independent df recompute; document-shaped probes read as corpus-fraction ~1") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // synthetic corpus with a known term distribution: every doc
+    // holds the stopword "common"; doc i additionally holds its
+    // unique token and one shared-by-five token
+    val corpus = (0L until 60L).map(i =>
+      (i, s"common u$i s${i % 12}")).toDF("doc_id", "text")
+    val cfg = TermIndex.Config(buckets = 8)
+    TermIndex.build(spark, corpus, "doc_id", "text", dir, cfg)
+
+    // independent recompute of what the tier-2 plan scores: per probe,
+    // Σ df over its POSITIVE-idf terms (same quantized idf kernel)
+    val n = 60L
+    val dfMap = corpus
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.TextFunctions.tokens(col("text")))).as("tok"))
+      .distinct().groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def idfPos(tok: String): Option[Long] = dfMap.get(tok).flatMap { df =>
+      val q = spark.range(1).select(
+        lit(df).as("df"), lit(n).as("n"),
+        expr(graft.operators.Terms.bm25IdfSql).as("idf_q"))
+        .head().getLong(2)
+      if (q >= 1) Some(df) else None
+    }
+    def expected(probeTexts: Seq[String]): (Long, Long) = {
+      val per = probeTexts.map(
+        _.split(" ").distinct.toSeq.flatMap(idfPos).sum)
+      (per.sum, per.max)
+    }
+
+    // search-query-shaped probe: one rare term → candidate fraction
+    // ≈ 1/n
+    val searchProbe = Seq((100L, "u7")).toDF("doc_id", "text")
+    val cSearch = TermIndex.estimateProbeCost(spark, dir, searchProbe,
+      "doc_id", "text", cfg)
+    val (wantS, wantSMax) = expected(Seq("u7"))
+    assert(cSearch.scoredPostings == wantS &&
+      cSearch.maxProbePostings == wantSMax &&
+      cSearch.probeCount == 1L && cSearch.corpusDocs == n, cSearch.toString)
+    assert(cSearch.candidateFraction <= 0.05, cSearch.toString)
+
+    // document-shaped probe batch: texts holding MANY unique tokens →
+    // the positive-idf candidate mass approaches the corpus
+    val docProbes = (0 until 3).map(p =>
+      (200L + p, (0 until 60).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cDoc = TermIndex.estimateProbeCost(spark, dir, docProbes,
+      "doc_id", "text", cfg)
+    val (wantD, wantDMax) = expected(
+      Seq.fill(3)((0 until 60).map(i => s"u$i").mkString(" ")))
+    assert(cDoc.scoredPostings == wantD &&
+      cDoc.maxProbePostings == wantDMax && cDoc.probeCount == 3L,
+      cDoc.toString)
+    assert(cDoc.candidateFraction > 0.8,
+      s"document-shaped batch must read as corpus-fraction ~1: $cDoc")
+
+    // a probe of nothing but unknown terms costs zero
+    val cNone = TermIndex.estimateProbeCost(spark, dir,
+      Seq((300L, "zzz qqq")).toDF("doc_id", "text"), "doc_id", "text", cfg)
+    assert(cNone.scoredPostings == 0L && cNone.candidateFraction == 0.0,
+      cNone.toString)
+  }
 }
