@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CorpusOps, ExtOps, PipelineOps, RefOps, ScaleOps, Tpch, Tpch2, Tpch3}
+import graft.queries.{CorpusOps, ExtOps, IvmOps, PipelineOps, RefOps, ScaleOps, Tpch, Tpch2, Tpch3}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -15,14 +15,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RefOps.queries ++ Tpch.queries ++ Tpch2.queries ++ Tpch3.queries ++
       PipelineOps.queries ++ ExtOps.queries ++ ScaleOps.queries ++
-      CorpusOps.queries
+      CorpusOps.queries ++ IvmOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RefOps.oracleSql ++ Tpch.oracleSql ++ Tpch2.oracleSql ++ Tpch3.oracleSql ++
       PipelineOps.oracleSql ++ ExtOps.oracleSql ++ ScaleOps.oracleSql ++
-      CorpusOps.oracleSql
+      CorpusOps.oracleSql ++ IvmOps.oracleSql
 
   /** Headline subset timed by Bench (BENCH_r{N}.json) — the round-1
     * analytical core plus the round-4 scale operators, so regressions

@@ -1,0 +1,147 @@
+package graft.queries
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Ivm, MergeTable}
+
+/**
+ * Incremental-view-maintenance queries: the persisted [[MergeTable]] /
+ * [[Ivm]] state machines driven through a DETERMINISTIC multi-batch
+ * CDC history, then read back — so the DuckDB oracle can replay the
+ * netted final state in plain SQL and pin the maintained state itself
+ * cross-engine (the sim_topk_ivf0_cdc_idx discipline, applied to the
+ * downstream-consumer layer).
+ *
+ * History (documents table, projection doc_id/lang/source/n_chars):
+ *   init    insert  doc_id%5 != 0
+ *   batch1  delete  doc_id%9 == 4 (of the live set)
+ *           insert  doc_id%5 == 0 AND doc_id%2 == 0
+ *   batch2  update  live rows with doc_id%7 == 3 →
+ *           (source='aug', n_chars+=1000)  [delete before-image +
+ *           insert new row — the standard CDC update encoding]
+ *
+ * State dirs are memoized per corpus dir (bench/verify reruns time the
+ * steady-state read; a fresh JVM rebuilds), like the index queries.
+ */
+object IvmOps {
+
+  private val dirs = new ConcurrentHashMap[String, String]()
+
+  private def docsProj(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+
+  /** (inserts, deletes) per batch of the shared CDC history. `live`
+    * tracking is replayed functionally from the documents table — the
+    * history is deterministic, never random. */
+  private def history(docs: DataFrame): Seq[(DataFrame, DataFrame)] = {
+    val init = docs.filter(col("doc_id") % 5 =!= 0)
+    val b1del = init.filter(col("doc_id") % 9 === 4)
+    val b1ins = docs.filter(col("doc_id") % 5 === 0 &&
+      col("doc_id") % 2 === 0)
+    // live after batch1
+    val live1 = init.filter(col("doc_id") % 9 =!= 4).unionByName(b1ins)
+    val b2tgt = live1.filter(col("doc_id") % 7 === 3)
+    val b2ins = b2tgt.withColumn("source", lit("aug"))
+      .withColumn("n_chars", col("n_chars") + 1000)
+    val empty = docs.limit(0)
+    Seq((init, empty), (b1ins, b1del), (b2ins, b2tgt))
+  }
+
+  private def ivmDir(spark: SparkSession, dir: String): String =
+    dirs.computeIfAbsent(dir + "#ivm", _ => {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_ivm").toString + "/agg"
+      val docs = docsProj(spark, dir)
+      Ivm.create(spark, d, docs.schema, Ivm.Spec(
+        groupCols = Seq("lang"),
+        aggs = Seq(
+          Ivm.Count("cnt"),
+          Ivm.Sum("n_chars", "sum_chars"),
+          Ivm.Min("doc_id", "min_id"),
+          Ivm.Max("n_chars", "max_chars"),
+          Ivm.Avg("n_chars", "avg_chars"),
+          Ivm.CountDistinct("source", "n_sources"))),
+        nBuckets = 8)
+      history(docs).foreach { case (ins, del) =>
+        Ivm.applyDelta(spark, d, ins, del)
+      }
+      d
+    })
+
+  private def mirrorDir(spark: SparkSession, dir: String): String =
+    dirs.computeIfAbsent(dir + "#mirror", _ => {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_mirror").toString + "/tbl"
+      val docs = docsProj(spark, dir)
+      MergeTable.build(spark, d, docs.filter(col("doc_id") % 5 =!= 0),
+        keyCols = Seq("doc_id"), bucketCols = Seq("doc_id"), nBuckets = 16)
+      // one merge: upsert-or-insert the even multiples of 5 plus the
+      // %7==3 augmentations (single projection — a key never appears
+      // twice in the batch); delete %9==4, delete-wins on the overlap,
+      // deletes of absent keys are no-ops
+      val upserts = docs
+        .filter((col("doc_id") % 5 === 0 && col("doc_id") % 2 === 0) ||
+          col("doc_id") % 7 === 3)
+        .withColumn("source",
+          when(col("doc_id") % 7 === 3, lit("aug")).otherwise(col("source")))
+        .withColumn("n_chars",
+          when(col("doc_id") % 7 === 3, col("n_chars") + 1000)
+            .otherwise(col("n_chars")))
+      val deletes = docs.filter(col("doc_id") % 9 === 4).select("doc_id")
+      MergeTable.merge(spark, d, upserts, deletes)
+      d
+    })
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The maintained GROUP BY after the 3-batch CDC history — counting
+    // IVM (z-set + group-local recompute), every refresh O(batch +
+    // touched buckets), exact under deletes for min/max/distinct too.
+    // The oracle replays the netted final state and aggregates it from
+    // scratch: maintained state == recomputed state, cross-engine.
+    "q_ivm_agg" -> { (spark, dir) =>
+      Ivm.readView(spark, ivmDir(spark, dir)).orderBy("lang")
+    },
+
+    // The maintained keyed mirror (copy-on-write bucketed table) after
+    // build + one upsert/delete merge: replace-by-key, delete-wins,
+    // absent-key deletes as no-ops — the netted state replays in SQL.
+    "q_ivm_mirror" -> { (spark, dir) =>
+      MergeTable.read(spark, mirrorDir(spark, dir)).orderBy("doc_id")
+    })
+
+  def oracleSql: Map[String, String] = Map(
+    "q_ivm_agg" ->
+      """WITH live AS (
+        |  SELECT doc_id, lang, source, n_chars FROM documents
+        |  WHERE (doc_id % 5 <> 0 AND doc_id % 9 <> 4)
+        |     OR (doc_id % 5 = 0 AND doc_id % 2 = 0)),
+        |final AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN doc_id % 7 = 3 THEN 'aug' ELSE source END AS source,
+        |         CASE WHEN doc_id % 7 = 3 THEN n_chars + 1000
+        |              ELSE n_chars END AS n_chars
+        |  FROM live)
+        |SELECT lang,
+        |       CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       min(doc_id) AS min_id,
+        |       max(n_chars) AS max_chars,
+        |       CAST(sum(CAST(n_chars AS DOUBLE)) / count(n_chars) AS DOUBLE)
+        |         AS avg_chars,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM final GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_ivm_mirror" ->
+      """SELECT doc_id, lang,
+        |       CASE WHEN doc_id % 7 = 3 THEN 'aug' ELSE source END AS source,
+        |       CASE WHEN doc_id % 7 = 3 THEN n_chars + 1000
+        |            ELSE n_chars END AS n_chars
+        |FROM documents
+        |WHERE (doc_id % 5 <> 0 OR doc_id % 2 = 0 OR doc_id % 7 = 3)
+        |  AND doc_id % 9 <> 4
+        |ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,234 @@
+package graft
+
+import graft.operators.{Ivm, MergeTable}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * MergeTable (copy-on-write bucketed keyed table) and Ivm (counting
+ * incremental view maintenance) — semantics, the no-corpus-rewrite
+ * invariant (untouched bucket POINTERS survive a merge verbatim), the
+ * consistency guards (negative multiplicity reject, stale VIEWSYNC
+ * refuse + rebuild), and a seeded random CDC walk whose maintained
+ * view must equal a from-scratch driver-model recompute after every
+ * commit.
+ */
+class IvmSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString + "/t"
+
+  private def rowsDf(rows: Seq[(Long, String, Long)]): DataFrame =
+    rows.toDF("k", "g", "v")
+
+  // ---- MergeTable ----
+
+  test("merge: replace-by-key, delete-wins, absent-key delete no-op") {
+    val dir = tmp("graft_mt")
+    MergeTable.build(spark, dir,
+      rowsDf(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))),
+      keyCols = Seq("k"), bucketCols = Seq("k"), nBuckets = 4)
+    // upsert k=2 (replace) and k=9 (insert); delete k=3 and k=77
+    // (absent, no-op); k=9 in both sides resolves delete-wins
+    MergeTable.merge(spark, dir,
+      rowsDf(Seq((2L, "a", 21L), (9L, "c", 90L))),
+      Seq(3L, 77L, 9L).toDF("k"))
+    val got = MergeTable.read(spark, dir).as[(Long, String, Long)]
+      .collect().toSet
+    assert(got == Set((1L, "a", 10L), (2L, "a", 21L)))
+    // upsert-wins form: the same overlap keeps the upsert
+    MergeTable.merge(spark, dir,
+      rowsDf(Seq((9L, "c", 91L))), Seq(9L).toDF("k"), deleteWins = false)
+    assert(MergeTable.read(spark, dir).filter($"k" === 9L)
+      .as[(Long, String, Long)].collect().toSeq == Seq((9L, "c", 91L)))
+  }
+
+  test("merge rejects duplicate upsert keys and null keys") {
+    val dir = tmp("graft_mt_bad")
+    MergeTable.build(spark, dir, rowsDf(Seq((1L, "a", 1L))),
+      Seq("k"), Seq("k"), 4)
+    val v0 = MergeTable.latestVersion(spark, dir)
+    intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, dir,
+        rowsDf(Seq((5L, "a", 1L), (5L, "a", 2L))), Seq.empty[Long].toDF("k"))
+    }
+    intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, dir,
+        Seq((Option.empty[Long], "a", 1L)).toDF("k", "g", "v"),
+        Seq.empty[Long].toDF("k"))
+    }
+    // nothing committed by either rejected batch
+    assert(MergeTable.latestVersion(spark, dir) == v0)
+    assert(MergeTable.read(spark, dir).count() == 1)
+  }
+
+  test("untouched buckets keep their manifest pointers verbatim (no corpus rewrite)") {
+    val dir = tmp("graft_mt_cow")
+    val init = (0L until 64L).map(k => (k, s"g${k % 5}", k * 10))
+    MergeTable.build(spark, dir, rowsDf(init), Seq("k"), Seq("k"), 16)
+    val v = MergeTable.latestVersion(spark, dir)
+    val before = MergeTable.readManifest(spark, dir, v).toMap2
+    MergeTable.merge(spark, dir, rowsDf(Seq((7L, "gX", 777L))),
+      Seq.empty[Long].toDF("k"))
+    val after = MergeTable
+      .readManifest(spark, dir, MergeTable.latestVersion(spark, dir)).toMap2
+    val touched = after.keySet.filter(b => before.get(b) != after.get(b))
+    // exactly the single bucket k=7 hashes to was rewritten; every
+    // other bucket's (path, rows) pointer is byte-identical
+    assert(touched.size == 1, s"rewrote buckets $touched")
+    assert((after.keySet - touched.head).forall(b =>
+      before(b) == after(b)))
+    // k=7 existed — the merge REPLACED it, count unchanged
+    assert(MergeTable.read(spark, dir).count() == 64)
+    assert(MergeTable.read(spark, dir).filter($"k" === 7L)
+      .select("v").as[Long].collect().toSeq == Seq(777L))
+  }
+
+  implicit class ManifestOps(m: Seq[(Int, String, Long)]) {
+    def toMap2: Map[Int, (String, Long)] =
+      m.map { case (b, rel, n) => b -> ((rel, n)) }.toMap
+  }
+
+  test("pinned reads survive until gc; gc reclaims unreferenced bucket dirs") {
+    val dir = tmp("graft_mt_gc")
+    MergeTable.build(spark, dir, rowsDf(Seq((1L, "a", 1L), (2L, "b", 2L))),
+      Seq("k"), Seq("k"), 4)
+    val v1 = MergeTable.latestVersion(spark, dir)
+    MergeTable.merge(spark, dir, rowsDf(Seq((1L, "a", 99L))),
+      Seq.empty[Long].toDF("k"))
+    // pinned read of the pre-merge version
+    assert(MergeTable.readAt(spark, dir, v1).filter($"k" === 1L)
+      .select("v").as[Long].collect().toSeq == Seq(1L))
+    MergeTable.gc(spark, dir, retainLast = 1)
+    assert(MergeTable.read(spark, dir).filter($"k" === 1L)
+      .select("v").as[Long].collect().toSeq == Seq(99L))
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.readAt(spark, dir, v1)
+    }
+    assert(e.getMessage.contains("garbage-collected"))
+  }
+
+  // ---- Ivm ----
+
+  private val specG = Ivm.Spec(
+    groupCols = Seq("g"),
+    aggs = Seq(Ivm.Count("cnt"), Ivm.Sum("v", "sum_v"), Ivm.Min("v", "min_v"),
+      Ivm.Max("v", "max_v"), Ivm.Avg("v", "avg_v"),
+      Ivm.CountDistinct("tag", "n_tags")))
+
+  private def baseDf(rows: Seq[(Long, String, Long, String)]): DataFrame =
+    rows.toDF("k", "g", "v", "tag")
+
+  /** From-scratch aggregates of the model rows, in the view's column
+    * order. */
+  private def modelView(rows: Iterable[(Long, String, Long, String)])
+      : Set[Row] =
+    rows.groupBy(_._2).map { case (g, rs) =>
+      val vs = rs.map(_._3)
+      Row(g, rs.size.toLong, vs.sum, vs.min, vs.max,
+        vs.map(_.toDouble).sum / rs.size, rs.map(_._4).toSet.size.toLong)
+    }.toSet
+
+  test("ivm: negative multiplicity (delete of never-inserted row) rejects atomically") {
+    val dir = tmp("graft_ivm_neg")
+    Ivm.create(spark, dir, baseDf(Seq((1L, "a", 1L, "t"))).schema, specG,
+      nBuckets = 4)
+    Ivm.applyDelta(spark, dir, baseDf(Seq((1L, "a", 5L, "t1"))),
+      baseDf(Seq.empty))
+    val viewBefore = Ivm.readView(spark, dir).collect().toSet
+    val e = intercept[IllegalArgumentException] {
+      Ivm.applyDelta(spark, dir, baseDf(Seq.empty),
+        baseDf(Seq((2L, "a", 6L, "t2"))))
+    }
+    assert(e.getMessage.contains("NEGATIVE"))
+    assert(Ivm.readView(spark, dir).collect().toSet == viewBefore)
+    // the claim released — the next consistent batch commits fine
+    Ivm.applyDelta(spark, dir, baseDf(Seq((2L, "a", 6L, "t2"))),
+      baseDf(Seq.empty))
+    assert(Ivm.readView(spark, dir).collect().toSet ==
+      modelView(Seq((1L, "a", 5L, "t1"), (2L, "a", 6L, "t2"))))
+  }
+
+  test("ivm: stale VIEWSYNC refuses applyDelta; rebuildView repairs") {
+    val dir = tmp("graft_ivm_sync")
+    Ivm.create(spark, dir, baseDf(Seq((1L, "a", 1L, "t"))).schema, specG,
+      nBuckets = 4)
+    Ivm.applyDelta(spark, dir,
+      baseDf(Seq((1L, "a", 5L, "t1"), (2L, "b", 7L, "t2"))), baseDf(Seq.empty))
+    // simulate a crash between the zset and view commits: roll the
+    // marker back one version (through the Hadoop FS so the local
+    // checksum file stays consistent)
+    graft.operators.VersionedLayout.atomicWrite(
+      graft.operators.VersionedLayout.fs(spark, dir),
+      new org.apache.hadoop.fs.Path(dir, "VIEWSYNC"), "1")
+    val e = intercept[IllegalArgumentException] {
+      Ivm.applyDelta(spark, dir, baseDf(Seq((3L, "a", 9L, "t3"))),
+        baseDf(Seq.empty))
+    }
+    assert(e.getMessage.contains("rebuildView"))
+    Ivm.rebuildView(spark, dir)
+    Ivm.applyDelta(spark, dir, baseDf(Seq((3L, "a", 9L, "t3"))),
+      baseDf(Seq.empty))
+    assert(Ivm.readView(spark, dir).collect().toSet == modelView(Seq(
+      (1L, "a", 5L, "t1"), (2L, "b", 7L, "t2"), (3L, "a", 9L, "t3"))))
+  }
+
+  test("ivm random CDC walk: maintained view == from-scratch recompute after every commit") {
+    val dir = tmp("graft_ivm_model")
+    Ivm.create(spark, dir, baseDf(Seq((1L, "a", 1L, "t"))).schema, specG,
+      nBuckets = 8)
+    val rnd = new scala.util.Random(11)
+    val groups = Array("g0", "g1", "g2", "g3")
+    val tags = Array("ta", "tb", "tc")
+    val model = scala.collection.mutable.Map[Long, (Long, String, Long, String)]()
+    var nextK = 0L
+    (1 to 10).foreach { step =>
+      // inserts: fresh keys; duplicates of existing (g, v, tag) tuples
+      // happen naturally (small domains) so multiplicities > 1 occur
+      val ins = (0 until rnd.nextInt(6)).map { _ =>
+        val r = (nextK, groups(rnd.nextInt(groups.length)),
+          rnd.nextInt(5).toLong, tags(rnd.nextInt(tags.length)))
+        nextK += 1; r
+      }
+      // deletes: random live keys, BEFORE-IMAGES from the model
+      val dels = rnd.shuffle(model.keys.toList)
+        .take(rnd.nextInt(3)).map(model(_))
+      // updates: delete(old) + insert(new) in the same batch
+      val upd = rnd.shuffle((model.keys.toSet -- dels.map(_._1)).toList)
+        .take(rnd.nextInt(2)).map { k =>
+          val old = model(k)
+          (old, (k, old._2, old._3 + 100, tags(rnd.nextInt(tags.length))))
+        }
+      val insAll = ins ++ upd.map(_._2)
+      val delAll = dels ++ upd.map(_._1)
+      Ivm.applyDelta(spark, dir, baseDf(insAll), baseDf(delAll))
+      delAll.foreach(r => model.remove(r._1))
+      insAll.foreach(r => model(r._1) = r)
+      val got = Ivm.readView(spark, dir).collect().toSet
+      assert(got == modelView(model.values),
+        s"step $step:\n got  $got\n want ${modelView(model.values)}")
+      // z-set invariant: multiplicities are the model's (g,v,tag)
+      // row counts, every row positive
+      val zGot = Ivm.readZset(spark, dir)
+        .select("g", "v", "tag", "__mult")
+        .as[(String, Long, String, Long)].collect().toSet
+      val zWant = model.values.groupBy(r => (r._2, r._3, r._4))
+        .map { case ((g, v, t), rs) => (g, v, t, rs.size.toLong) }.toSet
+      assert(zGot == zWant, s"step $step zset:\n got  $zGot\n want $zWant")
+    }
+    // end-to-end repair path stays consistent with the walk's state
+    Ivm.rebuildView(spark, dir)
+    assert(Ivm.readView(spark, dir).collect().toSet == modelView(model.values))
+    Ivm.gc(spark, dir, retainLast = 1)
+    assert(Ivm.readView(spark, dir).collect().toSet == modelView(model.values))
+  }
+}
