@@ -217,9 +217,14 @@ object Ivm {
       df.select(cols.map(c =>
         col(c).cast(zMeta.schema(c).dataType).as(c)) :+
         lit(sign.toLong).as("__d"): _*)
+    // net-zero (g, v) rows are KEPT in the delta: they change nothing
+    // in the fold (new mult == old mult, zero-only rows drop at the
+    // != 0 filter) but keep the touched-group set equal to the batch's
+    // raw group set, so a replayed batch's read-only re-emit
+    // ([[groupsAt]] over the raw batch) is row-identical to what the
+    // original refresh emitted.
     val delta = proj(inserts, 1).unionByName(proj(deletes, -1))
       .groupBy(cols.map(col): _*).agg(sum(col("__d")).as("__d"))
-      .filter(col("__d") =!= 0)
       .persist()
     var nzH: Option[DataFrame] = None
     try {
@@ -280,6 +285,51 @@ object Ivm {
     syncMarker(spark, dir, MergeTable.latestVersion(spark, zd))
     vv
   }
+
+  /** Read-only recompute of the groups `touched` touches, against a
+    * PINNED z-set version — the streaming redelivery path: a replayed
+    * batch re-emits the identical refreshed rows without reapplying
+    * anything. Emits only LIVE groups (a group whose rows all died by
+    * that version is absent, exactly as the original refresh emitted). */
+  def groupsAt(spark: SparkSession, dir: String, zsetVersion: Int,
+               touched: DataFrame): DataFrame = {
+    val spec = readSpec(spark, dir)
+    val zMeta = MergeTable.readMeta(spark, zsetDir(dir))
+    val tg = touched.select(spec.groupCols.map(col): _*).distinct()
+    val (rows, _) =
+      MergeTable.readForKeysAt(spark, zsetDir(dir), zsetVersion, tg)
+    rows.join(broadcast(tg), spec.groupCols, "left_semi")
+      .groupBy(spec.groupCols.map(col): _*)
+      .agg(aggExprs(spec, zMeta.schema).head,
+           aggExprs(spec, zMeta.schema).tail: _*)
+  }
+
+  /** Current z-set version (the version [[applyDelta]] advances by
+    * exactly one per batch — what stream wrappers pair batch ids to). */
+  def latestVersion(spark: SparkSession, dir: String): Int =
+    MergeTable.latestVersion(spark, zsetDir(dir))
+
+  /** True when the view lags its z-set (crash between the two inner
+    * commits) — [[rebuildView]] repairs. */
+  def viewStale(spark: SparkSession, dir: String): Boolean =
+    readSync(spark, dir) != latestVersion(spark, dir)
+
+  /** Small named marker alongside the view (streaming wrappers pin
+    * their batch↔version pairing here — the index-family contract). */
+  def readMarker(spark: SparkSession, dir: String,
+                 name: String): Option[String] = {
+    val f = fs(spark, dir)
+    val p = new Path(dir, name)
+    if (!f.exists(p)) None else Some(readSmall(f, p))
+  }
+
+  def writeMarker(spark: SparkSession, dir: String, name: String,
+                  content: String): Unit =
+    atomicWrite(fs(spark, dir), new Path(dir, name), content)
+
+  def exists(spark: SparkSession, dir: String): Boolean =
+    fs(spark, dir).exists(new Path(dir, "SPEC")) &&
+      MergeTable.exists(spark, zsetDir(dir))
 
   /** The maintained view (one row per live group). */
   def readView(spark: SparkSession, dir: String): DataFrame =

@@ -1065,6 +1065,89 @@ object Streams {
     }
   }
 
+  /** Maintain a persisted [[graft.operators.Ivm]] aggregate view from a
+    * CDC stream — the fifth streaming-maintained family, under the
+    * index wrappers' contract: one z-set+view commit per micro-batch,
+    * batch↔version pairing pinned by a STREAM marker, redelivered
+    * batches RE-EMIT read-only against the pinned version (never
+    * double-apply), per-batch gc at `retainVersions`. `opCol` is
+    * "insert" | "delete"; delete rows carry BEFORE-IMAGES (the
+    * standard CDC contract — an update is delete(old)+insert(new)).
+    * A crash between the view's two inner commits self-heals on the
+    * replay path (rebuildView), so exactly-once is by idempotence.
+    * `onRefresh` receives the refreshed view rows of the batch's
+    * touched groups (live groups only) and the batch id. The view must
+    * already exist ([[graft.operators.Ivm.create]] — a stream cannot
+    * invent the view definition). */
+  def cdcViewStream(events: DataFrame, opCol: String, viewDir: String,
+                    checkpointLocation: String, retainVersions: Int = 2)
+                   (onRefresh: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(retainVersions >= 2,
+      s"retainVersions must be >= 2 (replay needs the prior version): $retainVersions")
+    events.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        cdcViewBatch(batch, batchId, opCol, viewDir, retainVersions)(onRefresh)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[cdcViewStream]] — factored out so
+    * fault-injection tests drive the production path directly. */
+  private[graft] def cdcViewBatch(
+      batch: Dataset[org.apache.spark.sql.Row], batchId: Long,
+      opCol: String, viewDir: String, retainVersions: Int)
+      (onRefresh: (DataFrame, Long) => Unit): Unit = {
+    import graft.operators.Ivm
+    val spark = batch.sparkSession
+    require(Ivm.exists(spark, viewDir),
+      s"no Ivm view at $viewDir — create it (spec + input schema) " +
+        "before starting the stream")
+    val ins = batch.filter(col(opCol) === "insert").drop(opCol)
+    val dels = batch.filter(col(opCol) === "delete").drop(opCol)
+    val (firstB, base) = Ivm.readMarker(spark, viewDir, "STREAM") match {
+      case Some(s) =>
+        val parts = s.split(" ")
+        (parts(0).toLong, parts(1).toInt)
+      case None =>
+        val bv = Ivm.latestVersion(spark, viewDir)
+        Ivm.writeMarker(spark, viewDir, "STREAM", s"$batchId $bv")
+        (batchId, bv)
+    }
+    require(batchId >= firstB,
+      s"batch id $batchId precedes this view's first stream batch " +
+        s"$firstB — the stream checkpoint was reset against an existing " +
+        "view; checkpoint and view are one unit of state (delete both " +
+        "or neither)")
+    val expected = base + (batchId - firstB).toInt + 1
+    val latest = Ivm.latestVersion(spark, viewDir)
+    if (latest == expected) {
+      // replayed batch: the z-set commit already landed. The view may
+      // lag it if the crash hit between the two inner commits — repair
+      // first, then re-emit READ-ONLY against the pinned version (the
+      // identical rows the original refresh emitted).
+      if (Ivm.viewStale(spark, viewDir)) Ivm.rebuildView(spark, viewDir)
+      val rows = Ivm.groupsAt(spark, viewDir, expected,
+        batch.drop(opCol)).persist()
+      rows.count()
+      try onRefresh(rows, batchId) finally rows.unpersist()
+    } else if (latest == expected - 1) {
+      Ivm.applyDelta(spark, viewDir, ins, dels)
+      val rows = Ivm.groupsAt(spark, viewDir, expected,
+        batch.drop(opCol)).persist()
+      rows.count()
+      try onRefresh(rows, batchId) finally rows.unpersist()
+      Ivm.gc(spark, viewDir, retainVersions)
+    } else {
+      throw new IllegalStateException(
+        s"view at $viewDir is at z-set version $latest but batch " +
+          s"$batchId expects $expected (committed) or ${expected - 1} " +
+          "(fresh): stream checkpoint and view state disagree — one was " +
+          "deleted or rolled back without the other")
+    }
+  }
+
   /** Run a streaming query to completion against the (finite) batch
     * source and return the result — the slicetest.Run analog for
     * streaming (memory sink + processAllAvailable). */

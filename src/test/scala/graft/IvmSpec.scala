@@ -182,6 +182,52 @@ class IvmSpec extends AnyFunSuite {
       (1L, "a", 5L, "t1"), (2L, "b", 7L, "t2"), (3L, "a", 9L, "t3"))))
   }
 
+  test("ivm stream wrapper: per-batch commit, redelivery re-emits identically, crash self-heals") {
+    val dir = tmp("graft_ivm_stream")
+    Ivm.create(spark, dir, baseDf(Seq((1L, "a", 1L, "t"))).schema, specG,
+      nBuckets = 4)
+    def cdc(ins: Seq[(Long, String, Long, String)],
+            del: Seq[(Long, String, Long, String)]): DataFrame =
+      baseDf(ins).withColumn("op", lit("insert"))
+        .unionByName(baseDf(del).withColumn("op", lit("delete")))
+    var emitted = Map[Long, Set[Row]]()
+    def drive(b: DataFrame, id: Long): Unit =
+      graft.streaming.Streams.cdcViewBatch(b, id, "op", dir, 2) {
+        (rows, bid) => emitted += bid -> rows.collect().toSet
+      }
+    drive(cdc(Seq((1L, "a", 5L, "t1"), (2L, "b", 7L, "t2")), Seq.empty), 0L)
+    drive(cdc(Seq((3L, "a", 9L, "t3")), Seq((2L, "b", 7L, "t2"))), 1L)
+    val view1 = Ivm.readView(spark, dir).collect().toSet
+    assert(view1 == modelView(Seq((1L, "a", 5L, "t1"), (3L, "a", 9L, "t3"))))
+    // batch 1 touched groups a (insert) and b (delete → group b died):
+    // the emit carries a's refreshed row only (live groups)
+    assert(emitted(1L) == modelView(
+      Seq((1L, "a", 5L, "t1"), (3L, "a", 9L, "t3"))).filter(_.getString(0) == "a"))
+    // REDELIVERY of batch 1: no double-apply, byte-identical emit
+    val before = emitted(1L)
+    drive(cdc(Seq((3L, "a", 9L, "t3")), Seq((2L, "b", 7L, "t2"))), 1L)
+    assert(Ivm.readView(spark, dir).collect().toSet == view1)
+    assert(emitted(1L) == before)
+    // crash between the inner commits (marker rolled back): the replay
+    // path self-heals (rebuildView) and still emits identically
+    graft.operators.VersionedLayout.atomicWrite(
+      graft.operators.VersionedLayout.fs(spark, dir),
+      new org.apache.hadoop.fs.Path(dir, "VIEWSYNC"), "2")
+    drive(cdc(Seq((3L, "a", 9L, "t3")), Seq((2L, "b", 7L, "t2"))), 1L)
+    assert(!Ivm.viewStale(spark, dir))
+    assert(Ivm.readView(spark, dir).collect().toSet == view1)
+    assert(emitted(1L) == before)
+    // a fresh batch continues normally after the repair
+    drive(cdc(Seq((4L, "b", 2L, "t1")), Seq.empty), 2L)
+    assert(Ivm.readView(spark, dir).collect().toSet == modelView(Seq(
+      (1L, "a", 5L, "t1"), (3L, "a", 9L, "t3"), (4L, "b", 2L, "t1"))))
+    // checkpoint reset against an existing view is refused loudly
+    val e = intercept[IllegalStateException] {
+      drive(cdc(Seq((9L, "c", 1L, "tz")), Seq.empty), 99L)
+    }
+    assert(e.getMessage.contains("disagree"))
+  }
+
   test("ivm random CDC walk: maintained view == from-scratch recompute after every commit") {
     val dir = tmp("graft_ivm_model")
     Ivm.create(spark, dir, baseDf(Seq((1L, "a", 1L, "t"))).schema, specG,

@@ -563,6 +563,86 @@ object StressBench {
       if (racePairs == raceDocs.count()) 1L else 0L
     raceDocs.unpersist()
 
+    // --- MergeTable / IVM churn (round 11): the downstream-consumer
+    // layer under the cross-scale discipline. Refresh batches are
+    // CONSTANT-size (200 keys) while the corpus grows 10x per leg, and
+    // nBuckets scales to hold ~4k rows per bucket (the documented
+    // sizing: BUCKET mass, not corpus mass, is the COW rewrite unit).
+    // Expected: churn-phase cost ~FLAT across the triplet — a growing
+    // corpus must not make a constant-size refresh dearer — and disk
+    // plateaus under per-commit gc. The builds (corpus-sized by
+    // definition) are timed separately.
+    import graft.operators.{Ivm, MergeTable}
+    val mtDir = java.nio.file.Files.createTempDirectory("graft_stress_mt")
+      .toString + "/tbl"
+    val nBk = math.max(8, (nDocs / 4000).toInt)
+    health("mt_buckets") = nBk.toLong
+    // the mirror buckets by a BLOCK prefix (doc_id DIV 4000), the
+    // time/partition-prefix shape real mirrors use — churn keys are
+    // clustered (doc_id < 200 = one block), so the constant batch
+    // touches ONE bucket at every scale; a doc_id-hash bucketing would
+    // scatter 200 keys over ~all buckets and measure the documented
+    // scatter-batch worst case (a corpus rewrite) instead of the
+    // steady state
+    val mirror = docs.select(expr("doc_id DIV 4000").as("block"),
+      col("doc_id"), col("text"))
+    time("mt_build") {
+      MergeTable.build(spark, mtDir, mirror,
+        Seq("block", "doc_id"), Seq("block"), nBk)
+    }
+    val mtKeys = mirror.filter(col("doc_id") < 200).persist()
+    mtKeys.count()
+    time("mt_churn_12") {
+      (1 to 12).foreach { i =>
+        val ups = mtKeys.select(col("block"), col("doc_id"),
+          concat_ws(" ", lit(s"v$i"), col("text")).as("text"))
+        MergeTable.merge(spark, mtDir, ups,
+          ups.select("block", "doc_id").limit(0))
+        MergeTable.gc(spark, mtDir, retainLast = 2)
+        if (i % 4 == 0) health(s"mt_churn_disk_c$i") = du(mtDir)
+      }
+    }
+    health("mt_rows_after_churn") = MergeTable.read(spark, mtDir).count()
+
+    // IVM: groups are contiguous 50-doc blocks, so the constant
+    // 200-key churn batch touches a CONSTANT ~4 groups (the
+    // steady-state shape — updates cluster); the value is
+    // deterministic in the commit number, so before-images are
+    // reconstructed arithmetically instead of tracking state.
+    val ivmDir = java.nio.file.Files.createTempDirectory("graft_stress_ivm")
+      .toString + "/view"
+    def ivmBase(of: org.apache.spark.sql.DataFrame) = of.select(
+      expr("doc_id DIV 50").as("g"),
+      length(col("text")).cast("long").as("v"))
+    def churnRows(i: Int) = ivmBase(mtKeys)
+      .withColumn("v", col("v") + lit(i * 1000L))
+    time("ivm_build") {
+      Ivm.create(spark, ivmDir, ivmBase(docs).schema,
+        Ivm.Spec(Seq("g"), Seq(Ivm.Count("cnt"), Ivm.Sum("v", "sum_v"),
+          Ivm.Max("v", "max_v"))), nBuckets = nBk)
+      Ivm.applyDelta(spark, ivmDir, ivmBase(docs), ivmBase(docs).limit(0))
+    }
+    time("ivm_churn_12") {
+      (1 to 12).foreach { i =>
+        Ivm.applyDelta(spark, ivmDir, churnRows(i), churnRows(i - 1))
+        Ivm.gc(spark, ivmDir, retainLast = 2)
+        if (i % 4 == 0) health(s"ivm_churn_disk_c$i") = du(ivmDir)
+      }
+    }
+    health("ivm_groups") = Ivm.readView(spark, ivmDir).count()
+    // exactness after the walk: the maintained view equals a
+    // from-scratch aggregation of the final netted state
+    val ivmWant = ivmBase(docs.filter(col("doc_id") >= 200))
+      .unionByName(churnRows(12))
+      .groupBy("g").agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"),
+        max("v").as("max_v"))
+    val ivmGot = Ivm.readView(spark, ivmDir)
+      .select("g", "cnt", "sum_v", "max_v")
+    health("ivm_exact") =
+      if (ivmGot.exceptAll(ivmWant).isEmpty &&
+          ivmWant.exceptAll(ivmGot).isEmpty) 1L else 0L
+    mtKeys.unpersist()
+
     val q = times.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(",")
     val h = health.map { case (k, v) => s""""$k":$v""" }.mkString(",")
     val la = (loadBefore ++ loadAvg()).map(v => f"$v%.2f").mkString(",")
