@@ -1,7 +1,7 @@
 package graft.examples
 
 import graft.{GraftSession, Tables}
-import graft.operators.{Diff, DigestIndex, IvfIndex, MinhashIndex, TermIndex}
+import graft.operators.{Diff, DigestIndex, Ivm, IvfIndex, MinhashIndex, TermIndex}
 import org.apache.spark.sql.functions._
 
 /**
@@ -102,6 +102,27 @@ object IncrementalRefresh {
       "doc_id", "text")
     val nExact = exactPairs.count(); exactPairs.unpersist()
 
+    // Maintained view (the DOWNSTREAM consumer of the same delta):
+    // per-language corpus stats stay exact across the refresh in
+    // O(delta) — deletes carry the v1 BEFORE-IMAGES (removed docs and
+    // the old rows of changed docs), inserts carry the v2 rows of
+    // changed + added docs. Without this, "docs/chars per language
+    // after today's refresh" re-aggregates the corpus.
+    val statsOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("lang"), col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"))
+    val viewDir = s"$base/lang_stats"
+    Ivm.create(spark, viewDir, statsOf(docsV1).schema, Ivm.Spec(
+      groupCols = Seq("lang"),
+      aggs = Seq(Ivm.Count("docs"), Ivm.Sum("n_chars", "chars"))))
+    Ivm.applyDelta(spark, viewDir, statsOf(docsV1),
+      statsOf(docsV1).limit(0))
+    val viewTouched = delta.filter(col("status").isin("removed", "changed"))
+      .select("doc_id")
+    Ivm.applyDelta(spark, viewDir,
+      statsOf(upserts),
+      statsOf(docsV1.join(viewTouched, Seq("doc_id"), "left_semi")))
+
     // ------------------------------------------------------------------
     // Audit: the refreshed indexes answer for snapshot v2.
     // ------------------------------------------------------------------
@@ -133,6 +154,15 @@ object IncrementalRefresh {
     println(s"exact-dup audit: $nAnswered/$nCopies copies answered " +
       s"(hits on retired docs: $exactLeaked — must be 0)")
     require(exactLeaked == 0, "a retired doc answered an exact-dup probe")
+    // view audit: the incrementally-maintained stats equal a
+    // from-scratch aggregation of snapshot v2
+    val viewGot = Ivm.readView(spark, viewDir)
+    val viewWant = statsOf(docsV2).groupBy("lang")
+      .agg(count(lit(1)).as("docs"), sum("n_chars").as("chars"))
+    val viewExact = viewGot.exceptAll(viewWant).isEmpty &&
+      viewWant.exceptAll(viewGot).isEmpty
+    println(s"view audit: maintained lang stats == v2 recompute: $viewExact")
+    require(viewExact, "maintained view diverged from the v2 recompute")
     spark.stop()
   }
 }

@@ -117,6 +117,75 @@ class IvmSpec extends AnyFunSuite {
     assert(e.getMessage.contains("garbage-collected"))
   }
 
+  test("concurrent merges: claims serialize writers, loser retries to a consistent state") {
+    val dir = tmp("graft_mt_race")
+    MergeTable.build(spark, dir, rowsDf(Seq((1L, "a", 1L))),
+      Seq("k"), Seq("k"), 4)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val retries = new java.util.concurrent.atomic.AtomicLong(0)
+    def writer(k: Long): Thread = {
+      val t = new Thread(() => {
+        gate.await()
+        var done = false
+        while (!done) {
+          try {
+            MergeTable.merge(spark, dir, rowsDf(Seq((k, "w", k))),
+              Seq.empty[Long].toDF("k"))
+            done = true
+          } catch {
+            case _: graft.operators.ConcurrentCommitException =>
+              retries.incrementAndGet(); Thread.sleep(20)
+          }
+        }
+      })
+      t.start(); t
+    }
+    val ts = Seq(writer(100L), writer(200L), writer(300L))
+    gate.countDown()
+    ts.foreach(_.join(120000))
+    // every batch landed exactly once; the chain is linear
+    assert(MergeTable.read(spark, dir).as[(Long, String, Long)]
+      .collect().toSet ==
+      Set((1L, "a", 1L), (100L, "w", 100L), (200L, "w", 200L),
+        (300L, "w", 300L)))
+    assert(MergeTable.latestVersion(spark, dir) == 5,
+      s"expected a linear 5-version chain, got " +
+        s"${MergeTable.latestVersion(spark, dir)} (retries ${retries.get})")
+  }
+
+  test("gc reaps stray (torn-merge) state dirs; routing bugs reject before commit") {
+    val dir = tmp("graft_mt_stray")
+    MergeTable.build(spark, dir, rowsDf(Seq((1L, "a", 1L), (2L, "b", 2L))),
+      Seq("k"), Seq("k"), 4)
+    MergeTable.merge(spark, dir, rowsDf(Seq((3L, "c", 3L))),
+      Seq.empty[Long].toDF("k"))
+    // a torn merge's strand: a bucket dir under an old p-seq that no
+    // manifest references
+    val stray = new java.io.File(s"$dir/state/p00002x9/__bucket=0")
+    stray.mkdirs()
+    java.nio.file.Files.write(stray.toPath.resolve("junk.parquet"),
+      Array[Byte](1, 2, 3))
+    MergeTable.gc(spark, dir, retainLast = 1)
+    assert(!stray.exists, "gc left the unreferenced strand")
+    assert(MergeTable.read(spark, dir).count() == 3)
+    // a refresh that mutates bucket columns (rows land in untouched
+    // buckets) is rejected BEFORE the manifest commit, and the claim
+    // releases so the next merge proceeds
+    val v0 = MergeTable.latestVersion(spark, dir)
+    val touch = rowsDf(Seq((1L, "a", 1L))).select("k")
+    val e = intercept[IllegalArgumentException] {
+      // 20 extra keys: with 4 buckets at least one lands outside the
+      // single touched bucket (xxhash64 is fixed — deterministic)
+      MergeTable.mergeCompute(spark, dir, touch)(old =>
+        old.unionByName(rowsDf((100L to 119L).map(k => (k, "x", k)))))
+    }
+    assert(e.getMessage.contains("untouched buckets"))
+    assert(MergeTable.latestVersion(spark, dir) == v0)
+    MergeTable.merge(spark, dir, rowsDf(Seq((9L, "z", 9L))),
+      Seq.empty[Long].toDF("k"))
+    assert(MergeTable.read(spark, dir).count() == 4)
+  }
+
   // ---- Ivm ----
 
   private val specG = Ivm.Spec(

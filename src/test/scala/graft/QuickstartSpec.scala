@@ -46,6 +46,12 @@ class QuickstartSpec extends AnyFunSuite {
     assert(intAfter(out, "(train epoch-0 ordered rows:") > 0, out)
   }
 
+  test("quickstart: IncrementalRefresh runs end-to-end; indexes and maintained view stay exact") {
+    val out = captured(examples.IncrementalRefresh.main(Array(sf)))
+    assert(out.contains("hits on retired docs: 0"), out)
+    assert(out.contains("maintained lang stats == v2 recompute: true"), out)
+  }
+
   test("quickstart: IndexMaintenance runs end-to-end through append/retrain/compact/gc") {
     val out = captured(examples.IndexMaintenance.main(Array(sf)))
     assert(out.contains("after 7 appends: ann v"), out)
