@@ -1,0 +1,395 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Incrementally-maintained JOIN-aggregate view — the star-schema
+ * rollup `SELECT g…, count(*), sum(x)… FROM fact JOIN dim USING (k…)
+ * GROUP BY g…` kept exact under CDC on BOTH sides, refreshed in
+ * O(batch × matching mass) instead of re-joining the corpus. The
+ * missing shape after [[Ivm]]: single-table views cover per-column
+ * stats, but every reporting rollup joins a fact to a dimension, and a
+ * dimension UPDATE (a customer changes segment) invalidates every
+ * joined row of that key — at 100 TB the naive answer is a full
+ * fact-side re-join per refresh.
+ *
+ * Technique — the standard bilinear join delta over z-sets (see DBSP,
+ * Budiu et al. VLDB'23 §4, and the counting algorithm of
+ * Gupta/Mumick/Subrahmanian SIGMOD'93): with F' = F + ΔF, D' = D + ΔD,
+ *
+ *   Δ(F ⋈ D) = ΔF ⋈ D'  +  F ⋈ ΔD
+ *            (joined multiplicities multiply; the ΔF⋈ΔD cross term is
+ *            inside ΔF ⋈ D' exactly once)
+ *
+ * so a refresh needs ΔF against the NEW dim state restricted to ΔF's
+ * join keys, and the OLD fact state restricted to ΔD's join keys
+ * (recovered as F = F' − ΔF on those keys — no pre-commit snapshot is
+ * retained). Both restrictions are touched-bucket reads: the two side
+ * z-sets are [[MergeTable]]s BUCKETED BY JOIN KEY, so "every fact row
+ * of the customers in this batch" is a bucket-pruned scan, never a
+ * corpus scan.
+ *
+ * Aggregates: Count / Sum / Avg only — they are INVERTIBLE, so the
+ * view folds signed per-group deltas without storing the joined z-set
+ * at all (state = the two side projections, never |F ⋈ D|). Min/max/
+ * count-distinct over a join would need exactly that joined state;
+ * use [[Ivm]] on a materialized join if you need them, and see the
+ * float caveat on [[Spec]] for Sum/Avg columns.
+ *
+ * Layout under `dir/`: `factz/`, `dimz/` (side z-sets: one row per
+ * distinct projected tuple with multiplicity `__mult`, keyed by the
+ * full tuple, bucketed by the join cols), `view/` (one row per live
+ * group: hidden `__cnt`, `__sum_<c>`, `__cntnn_<c>` columns a read
+ * projects through the requested aggregates), `SPEC`, and a `VIEWSYNC`
+ * marker recording the (factz, dimz) versions the view reflects —
+ * the three tables commit in order and a crash in between refuses
+ * further deltas until [[rebuildView]] (an O(state) bucket-local
+ * re-join) repairs. Writer exclusion, atomic versions, pinned reads
+ * and gc come from [[MergeTable]]/[[VersionedLayout]].
+ *
+ * (The reference has no join-view surface; its pipelines re-cogroup
+ * whole inputs per run — /root/reference/cogroup.go. This is the
+ * beyond-reference consumer that makes two-sided CDC pay off.)
+ */
+object JoinIvm {
+
+  /** View definition. `joinCols` must exist in BOTH input schemas
+    * (same names — rename upstream); every group/aggregate column in
+    * exactly ONE schema (its side is inferred). Sum/Avg columns should
+    * be integral for bit-exact maintenance under retraction — a
+    * DOUBLE sum that retracts (+a then −a) can drift in the last bit
+    * vs a fresh recompute (floating addition is not associative);
+    * quantize currencies to integer cents upstream, the
+    * [[functions.TextFunctions]] integer-scoring discipline. */
+  final case class Spec(joinCols: Seq[String], groupCols: Seq[String],
+                        aggs: Seq[Ivm.Agg]) {
+    require(joinCols.nonEmpty, "at least one join column")
+    require(groupCols.nonEmpty, "at least one group column")
+    require(aggs.nonEmpty, "at least one aggregate")
+    require(aggs.map(_.out).distinct.length == aggs.length,
+      "aggregate output names must be unique")
+    aggs.foreach {
+      case _: Ivm.Count | _: Ivm.Sum | _: Ivm.Avg => ()
+      case a => throw new IllegalArgumentException(
+        s"JoinIvm maintains Count/Sum/Avg only (invertible — no joined " +
+          s"state); got $a. Min/max/count-distinct need the joined " +
+          "z-set: run Ivm over a materialized join instead.")
+    }
+    def sumCols: Seq[String] = aggs.flatMap(_.in).distinct
+  }
+
+  private val Mult = "__mult"
+
+  import VersionedLayout.{atomicWrite, fs, readSmall}
+
+  private def factzDir(dir: String) = s"${dir.stripSuffix("/")}/factz"
+  private def dimzDir(dir: String) = s"${dir.stripSuffix("/")}/dimz"
+  private def viewDir(dir: String) = s"${dir.stripSuffix("/")}/view"
+
+  private def writeSpec(spark: SparkSession, dir: String, s: Spec): Unit = {
+    val cols = s.joinCols ++ s.groupCols ++ s.sumCols
+    require(cols.forall(c => !c.contains(",") && !c.contains("\t")),
+      "column names must not contain ',' or tab (SPEC format)")
+    val lines = Seq(s"join\t${s.joinCols.mkString(",")}",
+      s"group\t${s.groupCols.mkString(",")}") ++
+      s.aggs.map {
+        case Ivm.Count(o)  => s"agg\tcount\t\t$o"
+        case Ivm.Sum(c, o) => s"agg\tsum\t$c\t$o"
+        case Ivm.Avg(c, o) => s"agg\tavg\t$c\t$o"
+        case a => throw new IllegalArgumentException(s"unreachable: $a")
+      }
+    atomicWrite(fs(spark, dir), new Path(dir, "SPEC"), lines.mkString("\n"))
+  }
+
+  def readSpec(spark: SparkSession, dir: String): Spec = {
+    val lines = readSmall(fs(spark, dir), new Path(dir, "SPEC")).split("\n")
+    val join = lines(0).split("\t", 2)(1).split(",").toSeq
+    val group = lines(1).split("\t", 2)(1).split(",").toSeq
+    val aggs = lines.drop(2).toSeq.map { l =>
+      val p = l.split("\t", -1)
+      (p(1), p(2), p(3)) match {
+        case ("count", _, o) => Ivm.Count(o)
+        case ("sum", c, o)   => Ivm.Sum(c, o)
+        case ("avg", c, o)   => Ivm.Avg(c, o)
+        case (k, _, _) => throw new IllegalArgumentException(s"bad agg $k")
+      }
+    }
+    Spec(join, group, aggs)
+  }
+
+  private def sumType(t: DataType): DataType = t match {
+    case ByteType | ShortType | IntegerType | LongType => LongType
+    case _                                             => DoubleType
+  }
+
+  /** Hidden view storage columns: __cnt plus (__sum_c, __cntnn_c) per
+    * referenced column. */
+  private def hiddenSchema(spec: Spec, zf: StructType,
+                           zd: StructType): StructType = {
+    def typeOf(c: String): DataType =
+      if (zf.fieldNames.contains(c)) zf(c).dataType else zd(c).dataType
+    StructType(
+      spec.groupCols.map(c => StructField(c, typeOf(c))) ++
+        Seq(StructField("__cnt", LongType)) ++
+        spec.sumCols.flatMap(c => Seq(
+          StructField(s"__sum_$c", sumType(typeOf(c))),
+          StructField(s"__cntnn_$c", LongType))))
+  }
+
+  /** Signed per-group deltas of the hidden columns over joined z-set
+    * rows carrying a signed `__jm` multiplicity. */
+  private def hiddenDeltas(spec: Spec, j: DataFrame): DataFrame =
+    j.groupBy(spec.groupCols.map(col): _*)
+      .agg(sum(col("__jm")).cast(LongType).as("__cnt"),
+        spec.sumCols.flatMap(c => Seq(
+          sum(col(c) * col("__jm")).as(s"__sum_$c"),
+          sum(when(col(c).isNotNull, col("__jm")).otherwise(lit(0L)))
+            .cast(LongType).as(s"__cntnn_$c"))): _*)
+
+  /** Create the empty maintained join view. Side projections are
+    * inferred from the spec: each side's z-set carries the join cols
+    * plus the group/aggregate cols found in ITS schema. */
+  def create(spark: SparkSession, dir: String, factSchema: StructType,
+             dimSchema: StructType, spec: Spec, nBuckets: Int = 64): Unit = {
+    spec.joinCols.foreach(c => require(
+      factSchema.fieldNames.contains(c) && dimSchema.fieldNames.contains(c),
+      s"join column $c must exist in BOTH schemas (rename upstream)"))
+    (spec.groupCols ++ spec.sumCols).foreach { c =>
+      val inF = factSchema.fieldNames.contains(c)
+      val inD = dimSchema.fieldNames.contains(c)
+      require(inF ^ inD,
+        s"column $c must exist in exactly one side's schema " +
+          s"(fact: $inF, dim: $inD)")
+    }
+    writeSpec(spark, dir, spec)
+    def zSchema(side: StructType): StructType = {
+      val own = (spec.groupCols ++ spec.sumCols)
+        .filter(side.fieldNames.contains).distinct
+      StructType((spec.joinCols ++ own).map(c => side(c)) :+
+        StructField(Mult, LongType))
+    }
+    val zf = zSchema(factSchema)
+    val zd = zSchema(dimSchema)
+    MergeTable.create(spark, factzDir(dir), zf,
+      keyCols = zf.fieldNames.toSeq.filterNot(_ == Mult),
+      bucketCols = spec.joinCols, nBuckets = nBuckets)
+    MergeTable.create(spark, dimzDir(dir), zd,
+      keyCols = zd.fieldNames.toSeq.filterNot(_ == Mult),
+      bucketCols = spec.joinCols, nBuckets = nBuckets)
+    MergeTable.create(spark, viewDir(dir), hiddenSchema(spec, zf, zd),
+      keyCols = spec.groupCols, bucketCols = spec.groupCols,
+      nBuckets = nBuckets)
+    syncMarker(spark, dir)
+  }
+
+  private def syncMarker(spark: SparkSession, dir: String): Unit =
+    atomicWrite(fs(spark, dir), new Path(dir, "VIEWSYNC"),
+      s"${MergeTable.latestVersion(spark, factzDir(dir))} " +
+        s"${MergeTable.latestVersion(spark, dimzDir(dir))}")
+
+  private def readSync(spark: SparkSession, dir: String): (Int, Int) = {
+    val p = readSmall(fs(spark, dir), new Path(dir, "VIEWSYNC")).split(" ")
+    (p(0).toInt, p(1).toInt)
+  }
+
+  /** Fold one side's signed delta into its z-set MergeTable; returns
+    * the persisted NEW state of the touched buckets (the caller
+    * unpersists). Rejects batches that would drive a multiplicity
+    * negative — a delete of a row never inserted. */
+  private def foldSide(spark: SparkSession, zdir: String, what: String,
+                       cols: Seq[String], delta: DataFrame): DataFrame = {
+    var nzH: Option[DataFrame] = None
+    MergeTable.mergeCompute(spark, zdir, delta) { old =>
+      val nz = old.select(cols.map(col) :+ col(Mult): _*)
+        .unionByName(delta.withColumnRenamed("__d", Mult))
+        .groupBy(cols.map(col): _*).agg(sum(col(Mult)).as(Mult))
+        .filter(col(Mult) =!= 0)
+        .persist()
+      nzH = Some(nz)
+      val neg = nz.filter(col(Mult) < 0).count()
+      require(neg == 0,
+        s"$neg $what rows would go NEGATIVE — the batch deletes rows " +
+          "that were never inserted; the change stream is inconsistent " +
+          "with the maintained state (nothing was committed)")
+      nz
+    }
+    nzH.get
+  }
+
+  /**
+   * Apply one two-sided CDC batch (any of the four frames may be
+   * empty; deletes carry BEFORE-IMAGES). Commits factz, dimz, then the
+   * view, in O(batch + touched join-key buckets + touched groups).
+   * Returns (factzVersion, dimzVersion, viewVersion).
+   *
+   * Crash recovery: the three commits are sequential, not atomic. An
+   * INFLIGHT marker (recording the pre-batch z-set versions) brackets
+   * the refresh; if a crash leaves it behind, the next applyDelta
+   * refuses with the recovery procedure: compare the recorded
+   * pre-versions to the current ones to see which SIDE z-sets already
+   * absorbed the batch (each fold advances its side by exactly one),
+   * run [[rebuildView]] (which restores view consistency and clears
+   * the marker), then re-submit ONLY the side(s) that did not land —
+   * an applyDelta with the landed side's frames empty.
+   */
+  def applyDelta(spark: SparkSession, dir: String,
+                 factInserts: DataFrame, factDeletes: DataFrame,
+                 dimInserts: DataFrame, dimDeletes: DataFrame)
+      : (Int, Int, Int) = {
+    val spec = readSpec(spark, dir)
+    val (fv0, dv0) = (MergeTable.latestVersion(spark, factzDir(dir)),
+      MergeTable.latestVersion(spark, dimzDir(dir)))
+    val fsys = fs(spark, dir)
+    val inflight = new Path(dir, "INFLIGHT")
+    require(!fsys.exists(inflight), {
+      val rec = readSmall(fsys, inflight)
+      s"view at $dir has an interrupted refresh (INFLIGHT pre-versions " +
+        s"$rec; z-sets now at $fv0 $dv0 — a side that advanced past its " +
+        "recorded pre-version already absorbed the batch): run " +
+        "JoinIvm.rebuildView, then re-submit only the side(s) that did " +
+        "not land"
+    })
+    require(readSync(spark, dir) == ((fv0, dv0)),
+      s"view at $dir is behind its z-sets (crash between commits?) — " +
+        "run JoinIvm.rebuildView first")
+    atomicWrite(fsys, inflight, s"$fv0 $dv0")
+    // a failure that committed NOTHING (a rejected inconsistent batch,
+    // a lost claim race before any flip) is a clean abort: clear the
+    // marker so the caller can just retry; a failure after a side
+    // advanced leaves it for the documented recovery
+    def abortCleanIfNothingLanded(): Unit =
+      if (MergeTable.latestVersion(spark, factzDir(dir)) == fv0 &&
+          MergeTable.latestVersion(spark, dimzDir(dir)) == dv0)
+        fsys.delete(inflight, false)
+    val fMeta = MergeTable.readMeta(spark, factzDir(dir))
+    val dMeta = MergeTable.readMeta(spark, dimzDir(dir))
+    val fCols = fMeta.schema.fieldNames.toSeq.filterNot(_ == Mult)
+    val dCols = dMeta.schema.fieldNames.toSeq.filterNot(_ == Mult)
+    def zdelta(ins: DataFrame, del: DataFrame, cols: Seq[String],
+               schema: StructType): DataFrame = {
+      def proj(df: DataFrame, sign: Int): DataFrame =
+        df.select(cols.map(c =>
+          col(c).cast(schema(c).dataType).as(c)) :+
+          lit(sign.toLong).as("__d"): _*)
+      proj(ins, 1).unionByName(proj(del, -1))
+        .groupBy(cols.map(col): _*).agg(sum(col("__d")).as("__d"))
+        .persist()
+    }
+    val dF = zdelta(factInserts, factDeletes, fCols, fMeta.schema)
+    val dD = zdelta(dimInserts, dimDeletes, dCols, dMeta.schema)
+    val handles = scala.collection.mutable.ListBuffer[DataFrame](dF, dD)
+    try {
+      // 1+2: commit both side z-sets (order fixed: fact, then dim)
+      val fNew = foldSide(spark, factzDir(dir), "fact z-set", fCols, dF)
+      handles += fNew
+      val dNew = foldSide(spark, dimzDir(dir), "dim z-set", dCols, dD)
+      handles += dNew
+      val fvN = MergeTable.latestVersion(spark, factzDir(dir))
+      val dvN = MergeTable.latestVersion(spark, dimzDir(dir))
+      // Δ(F⋈D) = ΔF ⋈ D′  +  F ⋈ ΔD, multiplicities multiplied.
+      // D′ over ΔF's keys: dNew is the new state of the dim buckets
+      // touched by ΔD — NOT ΔF — so read the dim buckets for ΔF's keys
+      // at the just-committed version (bucket-pruned).
+      val dimForDF = MergeTable.readForKeysAt(spark, dimzDir(dir), dvN,
+        dF.select(spec.joinCols.map(col): _*))._1
+      val j1 = dF.join(dimForDF, spec.joinCols)
+        .withColumn("__jm", col("__d") * col(Mult))
+      // F (OLD fact state) over ΔD's keys: recovered as F′ − ΔF on
+      // those keys — read the new fact buckets for ΔD's keys, subtract
+      // the fact delta restricted to the same keys.
+      val dDKeys = dD.select(spec.joinCols.map(col): _*).distinct()
+      val factNewForDD = MergeTable.readForKeysAt(spark, factzDir(dir),
+        fvN, dDKeys)._1
+        .join(broadcast(dDKeys), spec.joinCols, "left_semi")
+        .select(fCols.map(col) :+ col(Mult): _*)
+      val factDeltaForDD = dF
+        .join(broadcast(dDKeys), spec.joinCols, "left_semi")
+        .select(fCols.map(col) :+ (-col("__d")).as(Mult): _*)
+      val factOldForDD = factNewForDD.unionByName(factDeltaForDD)
+        .groupBy(fCols.map(col): _*).agg(sum(col(Mult)).as(Mult))
+        .filter(col(Mult) =!= 0)
+      val j2 = factOldForDD.join(dD, spec.joinCols)
+        .withColumn("__jm", col(Mult) * col("__d"))
+      val deltas = hiddenDeltas(spec,
+        j1.unionByName(j2, allowMissingColumns = true)).persist()
+      handles += deltas
+      // 3: fold the signed deltas into the view (a z-set of sums —
+      // groups whose count reaches 0 drop)
+      val hidden = hiddenSchema(spec, fMeta.schema, dMeta.schema)
+      val hCols = hidden.fieldNames.toSeq
+      val vv = MergeTable.mergeCompute(spark, viewDir(dir),
+        deltas.select(spec.groupCols.map(col): _*)) { old =>
+        val folded = old.select(hCols.map(col): _*)
+          .unionByName(deltas.select(hCols.map(col): _*))
+          .groupBy(spec.groupCols.map(col): _*)
+          .agg(sum(col("__cnt")).cast(LongType).as("__cnt"),
+            spec.sumCols.flatMap(c => Seq(
+              sum(col(s"__sum_$c")).as(s"__sum_$c"),
+              sum(col(s"__cntnn_$c")).cast(LongType)
+                .as(s"__cntnn_$c"))): _*)
+          .filter(col("__cnt") =!= 0).persist()
+        handles += folded
+        val neg = folded.filter(col("__cnt") < 0).count()
+        require(neg == 0,
+          s"$neg view groups would go NEGATIVE — inconsistent change " +
+            "stream (nothing was committed to the view)")
+        folded
+      }
+      syncMarker(spark, dir)
+      fsys.delete(inflight, false)
+      (fvN, dvN, vv)
+    } catch {
+      case e: Throwable => abortCleanIfNothingLanded(); throw e
+    } finally handles.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Recompute EVERY group from the two side z-sets — the crash-repair
+    * path: an O(state) bucket-co-located join (both z-sets share the
+    * join-col bucketing), never a base-table access. */
+  def rebuildView(spark: SparkSession, dir: String): Int = {
+    val spec = readSpec(spark, dir)
+    val f = MergeTable.read(spark, factzDir(dir))
+    val d = MergeTable.read(spark, dimzDir(dir))
+    val j = f.withColumnRenamed(Mult, "__fm")
+      .join(d.withColumnRenamed(Mult, "__dm"), spec.joinCols)
+      .withColumn("__jm", col("__fm") * col("__dm"))
+    val recomputed = hiddenDeltas(spec, j).persist()
+    val touch = MergeTable.read(spark, viewDir(dir))
+      .select(spec.groupCols.map(col): _*)
+      .unionByName(recomputed.select(spec.groupCols.map(col): _*))
+      .distinct()
+    val vv = MergeTable.mergeCompute(spark, viewDir(dir), touch)(_ =>
+      recomputed.filter(col("__cnt") =!= 0))
+    recomputed.unpersist(blocking = false)
+    syncMarker(spark, dir)
+    fs(spark, dir).delete(new Path(dir, "INFLIGHT"), false)
+    vv
+  }
+
+  /** The maintained view: group columns + the requested aggregates,
+    * projected from the hidden sums (Avg = Σx·m / Σm over non-null x,
+    * null when the group has no non-null x — SQL semantics). */
+  def readView(spark: SparkSession, dir: String): DataFrame = {
+    val spec = readSpec(spark, dir)
+    val outs: Seq[Column] = spec.aggs.map {
+      case Ivm.Count(o)  => col("__cnt").as(o)
+      case Ivm.Sum(c, o) => col(s"__sum_$c").as(o)
+      case Ivm.Avg(c, o) =>
+        (col(s"__sum_$c").cast(DoubleType) /
+          when(col(s"__cntnn_$c") === 0, lit(null))
+            .otherwise(col(s"__cntnn_$c"))).as(o)
+      case a => throw new IllegalArgumentException(s"unreachable: $a")
+    }
+    MergeTable.read(spark, viewDir(dir))
+      .select(spec.groupCols.map(col) ++ outs: _*)
+  }
+
+  def gc(spark: SparkSession, dir: String, retainLast: Int): Unit = {
+    MergeTable.gc(spark, factzDir(dir), retainLast)
+    MergeTable.gc(spark, dimzDir(dir), retainLast)
+    MergeTable.gc(spark, viewDir(dir), retainLast)
+  }
+}

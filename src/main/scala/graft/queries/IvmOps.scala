@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Ivm, MergeTable}
+import graft.operators.{Ivm, JoinIvm, MergeTable}
 
 /**
  * Incremental-view-maintenance queries: the persisted [[MergeTable]] /
@@ -97,7 +97,52 @@ object IvmOps {
       d
     })
 
+  /** orders ⋈ customer rollup maintained through a two-sided CDC batch
+    * (order churn + customer segment reassignments). Prices quantize
+    * to integer cents (floor — identical in both engines) so sums are
+    * bit-exact under retraction. */
+  private def joinDir(spark: SparkSession, dir: String): String =
+    dirs.computeIfAbsent(dir + "#joinivm", _ => {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_joinivm").toString + "/view"
+      val fact = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val dim = Tables.load(spark, dir, "customer")
+        .select(col("c_custkey").as("custkey"),
+          col("c_mktsegment").as("segment"))
+      val factP = fact.select("custkey", "cents")
+      JoinIvm.create(spark, d, factP.schema, dim.schema, JoinIvm.Spec(
+        joinCols = Seq("custkey"), groupCols = Seq("segment"),
+        aggs = Seq(Ivm.Count("orders"), Ivm.Sum("cents", "revenue"),
+          Ivm.Avg("cents", "avg_cents"))), nBuckets = 8)
+      val none = factP.limit(0)
+      val noneD = dim.limit(0)
+      JoinIvm.applyDelta(spark, d, factP, none, dim, noneD)
+      // one two-sided batch: order churn (deletes carry the projected
+      // before-images) + customer segment reassignments (delete old
+      // dim row, insert the new one)
+      JoinIvm.applyDelta(spark, d,
+        fact.filter(col("o_orderkey") % 5 === 0)
+          .select(col("custkey"), (col("cents") + 555).as("cents")),
+        fact.filter(col("o_orderkey") % 9 === 4)
+          .select("custkey", "cents"),
+        dim.filter(col("custkey") % 7 === 3)
+          .withColumn("segment", lit("AUG")),
+        dim.filter(col("custkey") % 7 === 3))
+      d
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The maintained JOIN-aggregate (orders ⋈ customer revenue rollup)
+    // after a two-sided CDC batch — the bilinear join-delta algebra
+    // (ΔF⋈D' + F⋈ΔD) over join-key-bucketed z-sets; the oracle
+    // replays the netted final state and joins/aggregates it from
+    // scratch.
+    "q_ivm_join_agg" -> { (spark, dir) =>
+      JoinIvm.readView(spark, joinDir(spark, dir)).orderBy("segment")
+    },
+
     // The maintained GROUP BY after the 3-batch CDC history — counting
     // IVM (z-set + group-local recompute), every refresh O(batch +
     // touched buckets), exact under deletes for min/max/distinct too.
@@ -115,6 +160,27 @@ object IvmOps {
     })
 
   def oracleSql: Map[String, String] = Map(
+    "q_ivm_join_agg" ->
+      """WITH fact AS (
+        |  SELECT o_custkey AS custkey,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 9 <> 4
+        |  UNION ALL
+        |  SELECT o_custkey,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) + 555
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |dim AS (
+        |  SELECT c_custkey AS custkey,
+        |         CASE WHEN c_custkey % 7 = 3 THEN 'AUG'
+        |              ELSE c_mktsegment END AS segment
+        |  FROM customer)
+        |SELECT segment,
+        |       CAST(count(*) AS BIGINT) AS orders,
+        |       CAST(sum(cents) AS BIGINT) AS revenue,
+        |       CAST(sum(CAST(cents AS DOUBLE)) / count(cents) AS DOUBLE)
+        |         AS avg_cents
+        |FROM fact JOIN dim USING (custkey)
+        |GROUP BY segment ORDER BY segment""".stripMargin,
     "q_ivm_agg" ->
       """WITH live AS (
         |  SELECT doc_id, lang, source, n_chars FROM documents

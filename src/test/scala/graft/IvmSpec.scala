@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Ivm, MergeTable}
+import graft.operators.{Ivm, JoinIvm, MergeTable}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -295,6 +295,98 @@ class IvmSpec extends AnyFunSuite {
       drive(cdc(Seq((9L, "c", 1L, "tz")), Seq.empty), 99L)
     }
     assert(e.getMessage.contains("disagree"))
+  }
+
+  // ---- JoinIvm ----
+
+  private val jspec = JoinIvm.Spec(Seq("k"), Seq("seg"),
+    Seq(Ivm.Count("cnt"), Ivm.Sum("v", "sum_v"), Ivm.Avg("v", "avg_v")))
+
+  private def factDf(rows: Seq[(Long, Long)]): DataFrame =
+    rows.toDF("k", "v")
+  private def dimDf(rows: Seq[(Long, String)]): DataFrame =
+    rows.toDF("k", "seg")
+
+  /** From-scratch join-aggregate of the model multisets. */
+  private def jModel(fact: Seq[(Long, Long)],
+                     dim: Seq[(Long, String)]): Set[Row] = {
+    val joined = for {(k, v) <- fact; (k2, s) <- dim if k == k2} yield (s, v)
+    joined.groupBy(_._1).map { case (s, rs) =>
+      val vs = rs.map(_._2)
+      Row(s, rs.size.toLong, vs.sum, vs.map(_.toDouble).sum / rs.size)
+    }.toSet
+  }
+
+  test("join-ivm: two-sided deltas maintain the join rollup; guards fire cleanly") {
+    val dir = tmp("graft_jivm")
+    JoinIvm.create(spark, dir, factDf(Seq((1L, 1L))).schema,
+      dimDf(Seq((1L, "s"))).schema, jspec, nBuckets = 4)
+    val f0 = Seq((1L, 10L), (1L, 20L), (2L, 30L), (3L, 40L))
+    val d0 = Seq((1L, "s0"), (2L, "s0"), (3L, "s1"))
+    JoinIvm.applyDelta(spark, dir, factDf(f0), factDf(Seq.empty),
+      dimDf(d0), dimDf(Seq.empty))
+    assert(JoinIvm.readView(spark, dir).collect().toSet == jModel(f0, d0))
+    // dim UPDATE (key 1 → s1) + fact churn in ONE two-sided batch
+    val f1 = f0.filterNot(_ == ((2L, 30L))) :+ ((2L, 31L))
+    val d1 = d0.filterNot(_ == ((1L, "s0"))) :+ ((1L, "s1"))
+    JoinIvm.applyDelta(spark, dir,
+      factDf(Seq((2L, 31L))), factDf(Seq((2L, 30L))),
+      dimDf(Seq((1L, "s1"))), dimDf(Seq((1L, "s0"))))
+    assert(JoinIvm.readView(spark, dir).collect().toSet == jModel(f1, d1))
+    // inconsistent batch (delete of a never-inserted fact row): clean
+    // abort — nothing committed, no stranded INFLIGHT, retry works
+    val e = intercept[IllegalArgumentException] {
+      JoinIvm.applyDelta(spark, dir, factDf(Seq.empty),
+        factDf(Seq((9L, 999L))), dimDf(Seq.empty), dimDf(Seq.empty))
+    }
+    assert(e.getMessage.contains("NEGATIVE"))
+    assert(JoinIvm.readView(spark, dir).collect().toSet == jModel(f1, d1))
+    // interrupted-refresh marker: refused with the recovery procedure,
+    // rebuildView clears it, the next delta proceeds
+    graft.operators.VersionedLayout.atomicWrite(
+      graft.operators.VersionedLayout.fs(spark, dir),
+      new org.apache.hadoop.fs.Path(dir, "INFLIGHT"), "1 1")
+    val e2 = intercept[IllegalArgumentException] {
+      JoinIvm.applyDelta(spark, dir, factDf(Seq((4L, 50L))),
+        factDf(Seq.empty), dimDf(Seq.empty), dimDf(Seq.empty))
+    }
+    assert(e2.getMessage.contains("interrupted refresh"))
+    JoinIvm.rebuildView(spark, dir)
+    val f2 = f1 :+ ((3L, 41L))
+    JoinIvm.applyDelta(spark, dir, factDf(Seq((3L, 41L))),
+      factDf(Seq.empty), dimDf(Seq.empty), dimDf(Seq.empty))
+    assert(JoinIvm.readView(spark, dir).collect().toSet == jModel(f2, d1))
+  }
+
+  test("join-ivm random two-sided walk: view == from-scratch join recompute after every commit") {
+    val dir = tmp("graft_jivm_model")
+    JoinIvm.create(spark, dir, factDf(Seq((1L, 1L))).schema,
+      dimDf(Seq((1L, "s"))).schema, jspec, nBuckets = 4)
+    val rnd = new scala.util.Random(13)
+    val segs = Array("s0", "s1", "s2")
+    var fact = Vector[(Long, Long)]()
+    var dim = Vector[(Long, String)]()
+    (1 to 8).foreach { step =>
+      val fIns = (0 until rnd.nextInt(4)).map(_ =>
+        (rnd.nextInt(6).toLong, rnd.nextInt(4).toLong))
+      val fDel = rnd.shuffle(fact).take(rnd.nextInt(2))
+      val dIns = (0 until rnd.nextInt(3)).map(_ =>
+        (rnd.nextInt(6).toLong, segs(rnd.nextInt(segs.length))))
+      val dDel = rnd.shuffle(dim).take(rnd.nextInt(2))
+      JoinIvm.applyDelta(spark, dir, factDf(fIns), factDf(fDel),
+        dimDf(dIns), dimDf(dDel))
+      fact = (fact diff fDel) ++ fIns
+      dim = (dim diff dDel) ++ dIns
+      val got = JoinIvm.readView(spark, dir).collect().toSet
+      assert(got == jModel(fact, dim),
+        s"step $step:\n got  $got\n want ${jModel(fact, dim)}")
+    }
+    JoinIvm.rebuildView(spark, dir)
+    assert(JoinIvm.readView(spark, dir).collect().toSet ==
+      jModel(fact, dim))
+    JoinIvm.gc(spark, dir, retainLast = 1)
+    assert(JoinIvm.readView(spark, dir).collect().toSet ==
+      jModel(fact, dim))
   }
 
   test("ivm random CDC walk: maintained view == from-scratch recompute after every commit") {
