@@ -164,7 +164,12 @@ object Ivm {
       case Sum(c, o) =>
         sum(col(c) * col(Mult)).cast(sumType(input(c).dataType)).as(o)
       case Avg(c, o) =>
-        (sum(col(c).cast(DoubleType) * col(Mult)) / sum(col(Mult)))
+        // SQL AVG semantics: the denominator counts only rows whose
+        // value is non-null (an all-null group divides by 0 → null,
+        // matching SQL); sum(m) would silently shift the average on
+        // any corpus with null value columns
+        (sum(col(c).cast(DoubleType) * col(Mult)) /
+          sum(when(col(c).isNotNull, col(Mult)).otherwise(lit(0L))))
           .cast(DoubleType).as(o)
       case Min(c, o)           => min(col(c)).as(o)
       case Max(c, o)           => max(col(c)).as(o)
@@ -226,8 +231,19 @@ object Ivm {
     val delta = proj(inserts, 1).unionByName(proj(deletes, -1))
       .groupBy(cols.map(col): _*).agg(sum(col("__d")).as("__d"))
       .persist()
+    // NULL group keys are rejected UP FRONT with the real reason: the
+    // z-set fold itself (groupBy) would handle them, but the view
+    // table's keyed merge masks deletes with a null-unsafe equi-join —
+    // SQL GROUP BY's null group is not supported; COALESCE upstream.
+    // (Null VALUE columns are fine — the aggregates follow SQL
+    // null-skipping semantics.)
     var nzH: Option[DataFrame] = None
     try {
+      val nullG = delta
+        .filter(spec.groupCols.map(col(_).isNull).reduce(_ || _)).count()
+      require(nullG == 0,
+        s"$nullG delta rows carry NULL group columns — null groups are " +
+          "not supported (coalesce them upstream); nothing was committed")
       val zv = MergeTable.mergeCompute(spark, zd, delta) { old =>
         val nz = old.select(cols.map(col) :+ col(Mult): _*)
           .unionByName(delta.withColumnRenamed("__d", Mult))

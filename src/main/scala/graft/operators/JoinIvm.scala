@@ -182,27 +182,35 @@ object JoinIvm {
     MergeTable.create(spark, viewDir(dir), hiddenSchema(spec, zf, zd),
       keyCols = spec.groupCols, bucketCols = spec.groupCols,
       nBuckets = nBuckets)
-    syncMarker(spark, dir)
+    syncMarker(spark, dir, 1, 1)
   }
 
-  private def syncMarker(spark: SparkSession, dir: String): Unit =
-    atomicWrite(fs(spark, dir), new Path(dir, "VIEWSYNC"),
-      s"${MergeTable.latestVersion(spark, factzDir(dir))} " +
-        s"${MergeTable.latestVersion(spark, dimzDir(dir))}")
+  /** Records the z-set versions THIS caller folded into the view —
+    * never re-read from LATEST, so an interleaved writer's newer z-set
+    * commits are not silently claimed as reflected (the next
+    * applyDelta's marker≠latest check refuses instead). The composite
+    * three-table protocol is single-writer by contract; the inner
+    * table commits are individually claim-serialized either way. */
+  private def syncMarker(spark: SparkSession, dir: String,
+                         fv: Int, dv: Int): Unit =
+    atomicWrite(fs(spark, dir), new Path(dir, "VIEWSYNC"), s"$fv $dv")
 
   private def readSync(spark: SparkSession, dir: String): (Int, Int) = {
     val p = readSmall(fs(spark, dir), new Path(dir, "VIEWSYNC")).split(" ")
     (p(0).toInt, p(1).toInt)
   }
 
-  /** Fold one side's signed delta into its z-set MergeTable; returns
-    * the persisted NEW state of the touched buckets (the caller
-    * unpersists). Rejects batches that would drive a multiplicity
-    * negative — a delete of a row never inserted. */
+  /** Fold one side's signed delta into its z-set MergeTable. Rejects
+    * batches that would drive a multiplicity negative — a delete of a
+    * row never inserted. (The folded frame is only cached for the
+    * negativity check + write; both join-delta terms re-read committed
+    * state bucket-pruned by THEIR key sets, which the fold's touched
+    * buckets need not cover — so the cache is released here, not
+    * handed to the caller.) */
   private def foldSide(spark: SparkSession, zdir: String, what: String,
-                       cols: Seq[String], delta: DataFrame): DataFrame = {
+                       cols: Seq[String], delta: DataFrame): Unit = {
     var nzH: Option[DataFrame] = None
-    MergeTable.mergeCompute(spark, zdir, delta) { old =>
+    try MergeTable.mergeCompute(spark, zdir, delta) { old =>
       val nz = old.select(cols.map(col) :+ col(Mult): _*)
         .unionByName(delta.withColumnRenamed("__d", Mult))
         .groupBy(cols.map(col): _*).agg(sum(col(Mult)).as(Mult))
@@ -215,8 +223,7 @@ object JoinIvm {
           "that were never inserted; the change stream is inconsistent " +
           "with the maintained state (nothing was committed)")
       nz
-    }
-    nzH.get
+    } finally nzH.foreach(_.unpersist(blocking = false))
   }
 
   /**
@@ -282,11 +289,25 @@ object JoinIvm {
     val dD = zdelta(dimInserts, dimDeletes, dCols, dMeta.schema)
     val handles = scala.collection.mutable.ListBuffer[DataFrame](dF, dD)
     try {
+      // NULL join keys / group columns reject BEFORE any commit — a
+      // null group discovered only at the view fold would leave a
+      // half-applied refresh that rebuildView (hitting the same null
+      // check) could not repair. SQL GROUP BY's null group is not
+      // supported; coalesce upstream. Null VALUE columns are fine.
+      def nullCheck(d: DataFrame, what: String): Unit = {
+        val present = (spec.joinCols ++ spec.groupCols)
+          .filter(d.columns.contains)
+        val n = d.filter(present.map(col(_).isNull).reduce(_ || _)).count()
+        require(n == 0,
+          s"$n $what delta rows carry NULL join/group columns — null " +
+            "join keys and null groups are not supported (coalesce " +
+            "upstream); nothing was committed")
+      }
+      nullCheck(dF, "fact")
+      nullCheck(dD, "dim")
       // 1+2: commit both side z-sets (order fixed: fact, then dim)
-      val fNew = foldSide(spark, factzDir(dir), "fact z-set", fCols, dF)
-      handles += fNew
-      val dNew = foldSide(spark, dimzDir(dir), "dim z-set", dCols, dD)
-      handles += dNew
+      foldSide(spark, factzDir(dir), "fact z-set", fCols, dF)
+      foldSide(spark, dimzDir(dir), "dim z-set", dCols, dD)
       val fvN = MergeTable.latestVersion(spark, factzDir(dir))
       val dvN = MergeTable.latestVersion(spark, dimzDir(dir))
       // Δ(F⋈D) = ΔF ⋈ D′  +  F ⋈ ΔD, multiplicities multiplied.
@@ -338,7 +359,7 @@ object JoinIvm {
             "stream (nothing was committed to the view)")
         folded
       }
-      syncMarker(spark, dir)
+      syncMarker(spark, dir, fvN, dvN)
       fsys.delete(inflight, false)
       (fvN, dvN, vv)
     } catch {
@@ -364,7 +385,10 @@ object JoinIvm {
     val vv = MergeTable.mergeCompute(spark, viewDir(dir), touch)(_ =>
       recomputed.filter(col("__cnt") =!= 0))
     recomputed.unpersist(blocking = false)
-    syncMarker(spark, dir)
+    // rebuild IS "consistent with the current z-sets" by definition
+    syncMarker(spark, dir,
+      MergeTable.latestVersion(spark, factzDir(dir)),
+      MergeTable.latestVersion(spark, dimzDir(dir)))
     fs(spark, dir).delete(new Path(dir, "INFLIGHT"), false)
     vv
   }

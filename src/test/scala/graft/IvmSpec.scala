@@ -227,6 +227,33 @@ class IvmSpec extends AnyFunSuite {
       modelView(Seq((1L, "a", 5L, "t1"), (2L, "a", 6L, "t2"))))
   }
 
+  test("ivm: SQL null semantics — avg ignores null values, null groups reject up front") {
+    val dir = tmp("graft_ivm_null")
+    val schema = Seq((1L, "a", Option(1L), "t")).toDF("k", "g", "v", "tag")
+      .schema
+    Ivm.create(spark, dir, schema, specG, nBuckets = 4)
+    Ivm.applyDelta(spark, dir,
+      Seq((1L, "a", Option(10L), "t1"), (2L, "a", Option.empty[Long], "t2"))
+        .toDF("k", "g", "v", "tag"),
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    val r = Ivm.readView(spark, dir).collect()(0)
+    assert(r.getLong(1) == 2L)            // cnt counts the null-v row
+    assert(r.getDouble(5) == 10.0,        // avg_v skips it (SQL AVG)
+      s"avg over [10, null] must be 10.0, got ${r.getDouble(5)}")
+    // a NULL group key rejects before any commit
+    val zv = Ivm.latestVersion(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      Ivm.applyDelta(spark, dir,
+        Seq((3L, Option.empty[String], Option(1L), "t"))
+          .toDF("k", "g", "v", "tag"),
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    }
+    assert(e.getMessage.contains("NULL group"))
+    assert(Ivm.latestVersion(spark, dir) == zv)
+  }
+
   test("ivm: stale VIEWSYNC refuses applyDelta; rebuildView repairs") {
     val dir = tmp("graft_ivm_sync")
     Ivm.create(spark, dir, baseDf(Seq((1L, "a", 1L, "t"))).schema, specG,
@@ -341,6 +368,19 @@ class IvmSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("NEGATIVE"))
     assert(JoinIvm.readView(spark, dir).collect().toSet == jModel(f1, d1))
+    // NULL group key on the dim side: rejected BEFORE any side commit
+    // (a view-fold-time discovery would strand a half-applied refresh)
+    val fv = graft.operators.MergeTable.latestVersion(spark, s"$dir/factz")
+    val dv = graft.operators.MergeTable.latestVersion(spark, s"$dir/dimz")
+    val eN = intercept[IllegalArgumentException] {
+      JoinIvm.applyDelta(spark, dir, factDf(Seq.empty), factDf(Seq.empty),
+        Seq((5L, Option.empty[String])).toDF("k", "seg"), dimDf(Seq.empty))
+    }
+    assert(eN.getMessage.contains("NULL join/group"))
+    assert(graft.operators.MergeTable.latestVersion(spark, s"$dir/factz") == fv)
+    assert(graft.operators.MergeTable.latestVersion(spark, s"$dir/dimz") == dv)
+    assert(!new java.io.File(s"$dir/INFLIGHT").exists,
+      "clean abort must clear INFLIGHT")
     // interrupted-refresh marker: refused with the recovery procedure,
     // rebuildView clears it, the next delta proceeds
     graft.operators.VersionedLayout.atomicWrite(

@@ -641,6 +641,60 @@ object StressBench {
     health("ivm_exact") =
       if (ivmGot.exceptAll(ivmWant).isEmpty &&
           ivmWant.exceptAll(ivmGot).isEmpty) 1L else 0L
+
+    // JoinIvm under the same discipline: fact = docs keyed by a
+    // 50-doc "domain", dim = (domain, segment). Churn per commit is
+    // CONSTANT two-sided work — the same 200 fact-row update plus 4
+    // domains' segment reassignment (the dimension-update fan-out that
+    // makes the naive answer a fact re-join; here it reads the 4
+    // domains' fact bucket, ~200 z-rows, at every scale).
+    import graft.operators.JoinIvm
+    val jivmDir = java.nio.file.Files.createTempDirectory("graft_stress_jivm")
+      .toString + "/view"
+    val factBase = ivmBase(docs).withColumnRenamed("g", "k")
+    val nDomains = factBase.agg(max("k")).collect()(0).getLong(0) + 1
+    def dimSeg(d: org.apache.spark.sql.Column, shift: Int) =
+      concat(lit("g"), pmod(d + lit(shift), lit(7L)).cast("string"))
+    val domains = spark.range(nDomains).select(col("id").as("k"))
+    def dimRows(shift: Int, hot: Boolean) = {
+      val base = if (hot) domains.filter(col("k") < 4) else domains
+      base.select(col("k"),
+        when(col("k") < 4, dimSeg(col("k"), shift))
+          .otherwise(dimSeg(col("k"), 0)).as("seg"))
+    }
+    def jChurn(i: Int) = ivmBase(mtKeys).withColumnRenamed("g", "k")
+      .withColumn("v", col("v") + lit(i * 1000L))
+    time("jivm_build") {
+      JoinIvm.create(spark, jivmDir, factBase.schema,
+        dimRows(0, hot = false).schema, JoinIvm.Spec(
+          joinCols = Seq("k"), groupCols = Seq("seg"),
+          aggs = Seq(graft.operators.Ivm.Count("cnt"),
+            graft.operators.Ivm.Sum("v", "sum_v"))), nBuckets = nBk)
+      JoinIvm.applyDelta(spark, jivmDir,
+        factBase, factBase.limit(0),
+        dimRows(0, hot = false), dimRows(0, hot = false).limit(0))
+    }
+    time("jivm_churn_12") {
+      (1 to 12).foreach { i =>
+        JoinIvm.applyDelta(spark, jivmDir,
+          jChurn(i), jChurn(i - 1),
+          dimRows(i, hot = true), dimRows(i - 1, hot = true))
+        JoinIvm.gc(spark, jivmDir, retainLast = 2)
+        if (i % 4 == 0) health(s"jivm_churn_disk_c$i") = du(jivmDir)
+      }
+    }
+    // exactness: the maintained rollup equals a from-scratch join of
+    // the final netted state
+    val jFactFinal = ivmBase(docs.filter(col("doc_id") >= 200))
+      .withColumnRenamed("g", "k").unionByName(jChurn(12))
+    val jDimFinal = dimRows(12, hot = false)
+    val jWant = jFactFinal.join(jDimFinal, "k").groupBy("seg")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+    val jGot = JoinIvm.readView(spark, jivmDir).select("seg", "cnt", "sum_v")
+    health("jivm_exact") =
+      if (jGot.exceptAll(jWant).isEmpty && jWant.exceptAll(jGot).isEmpty)
+        1L else 0L
+    health("jivm_segments") = jGot.count()
     mtKeys.unpersist()
 
     val q = times.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(",")
