@@ -280,6 +280,38 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
     tRun(b1d, 1L)
     assert(tOut == tAt1,
       "retrieval redelivery after out-of-band gc must re-emit identically")
+
+    // Ivm maintained view (the fifth family): own-version contract —
+    // a replayed batch re-emits via groupsAt against the PINNED z-set
+    // version, which an out-of-band gc(retainLast=1) always retains
+    // (the pinned version IS latest after the original commit)
+    import graft.operators.Ivm
+    val vDir = java.nio.file.Files
+      .createTempDirectory("graft_chaos_gc_v").toString + "/view"
+    def vcdc(rows: Seq[(Long, String, Long)], op: String) = {
+      val s = spark; import s.implicits._
+      rows.toDF("k", "g", "v").withColumn("op", lit(op))
+    }
+    Ivm.create(spark, vDir,
+      vcdc(Seq((1L, "a", 1L)), "x").drop("op").schema,
+      Ivm.Spec(Seq("g"), Seq(Ivm.Count("cnt"), Ivm.Sum("v", "sum_v"))),
+      nBuckets = 4)
+    var vOut: Set[(String, Long, Long)] = Set.empty
+    def vRun(b: org.apache.spark.sql.DataFrame, bid: Long): Unit =
+      graft.streaming.Streams.cdcViewBatch(b, bid, "op", vDir, 2) {
+        (rows, _) =>
+          vOut = rows.collect().map(r =>
+            (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      }
+    vRun(vcdc(Seq((1L, "a", 5L), (2L, "b", 7L)), "insert"), 0L)
+    vRun(vcdc(Seq((3L, "a", 9L)), "insert")
+      .unionByName(vcdc(Seq((2L, "b", 7L)), "delete")), 1L)
+    val vAt1 = vOut
+    Ivm.gc(spark, vDir, retainLast = 1)
+    vRun(vcdc(Seq((3L, "a", 9L)), "insert")
+      .unionByName(vcdc(Seq((2L, "b", 7L)), "delete")), 1L)
+    assert(vOut == vAt1,
+      "view redelivery after out-of-band gc must re-emit identically")
   }
 
   test("ann indexed streaming ingest: redelivery re-emits identical top-k, torn states recover, divergence fails fast") {
