@@ -91,6 +91,15 @@ object Ivm {
       "aggregate output names must be unique")
     /** Distinct value columns the z-set must carry. */
     def valueCols: Seq[String] = aggs.flatMap(_.in).distinct
+    // a column that is BOTH a group key and an aggregate input would be
+    // duplicated in the z-set schema/keyCols (groupCols ++ valueCols)
+    // and die only later with ambiguous-reference errors against
+    // already-persisted state — aggregating a group key is also
+    // pointless (it is constant within the group); reject at spec time
+    require(groupCols.intersect(valueCols).isEmpty,
+      s"column(s) ${groupCols.intersect(valueCols).mkString(",")} appear " +
+        "in BOTH groupCols and an aggregate input — a group key is " +
+        "constant within its group; aggregate a different column")
   }
 
   private val Mult = "__mult"
@@ -167,9 +176,13 @@ object Ivm {
         // SQL AVG semantics: the denominator counts only rows whose
         // value is non-null (an all-null group divides by 0 → null,
         // matching SQL); sum(m) would silently shift the average on
-        // any corpus with null value columns
+        // any corpus with null value columns. The zero denominator is
+        // guarded explicitly (not left to non-ANSI x/0 → null) so the
+        // refresh survives spark.sql.ansi.enabled=true — the same
+        // guard [[JoinIvm.readView]] carries.
+        val denom = sum(when(col(c).isNotNull, col(Mult)).otherwise(lit(0L)))
         (sum(col(c).cast(DoubleType) * col(Mult)) /
-          sum(when(col(c).isNotNull, col(Mult)).otherwise(lit(0L))))
+          when(denom === 0, lit(null)).otherwise(denom))
           .cast(DoubleType).as(o)
       case Min(c, o)           => min(col(c)).as(o)
       case Max(c, o)           => max(col(c)).as(o)

@@ -1104,6 +1104,16 @@ object Streams {
     require(Ivm.exists(spark, viewDir),
       s"no Ivm view at $viewDir — create it (spec + input schema) " +
         "before starting the stream")
+    // fail LOUDLY on op values outside this view's contract — the four
+    // index wrappers in this file use "upsert" for the add side, so
+    // wiring the same CDC feed in here would otherwise yield a quiet
+    // partial batch (quiet-batch contract) and a silently-wrong view
+    val badOps = batch.filter(!col(opCol).isin("insert", "delete")).count()
+    require(badOps == 0,
+      s"$badOps batch rows carry an op value other than " +
+        "'insert'/'delete' — this view's CDC contract is insert/delete " +
+        "with before-images (an index wrapper's upsert feed must be " +
+        "mapped upstream); nothing was applied")
     val ins = batch.filter(col(opCol) === "insert").drop(opCol)
     val dels = batch.filter(col(opCol) === "delete").drop(opCol)
     val (firstB, base) = Ivm.readMarker(spark, viewDir, "STREAM") match {

@@ -254,6 +254,56 @@ class IvmSpec extends AnyFunSuite {
     assert(Ivm.latestVersion(spark, dir) == zv)
   }
 
+  test("ivm: spec rejects a column in both groupCols and an aggregate input") {
+    val e = intercept[IllegalArgumentException] {
+      Ivm.Spec(Seq("g"), Seq(Ivm.Count("cnt"), Ivm.Min("g", "min_g")))
+    }
+    assert(e.getMessage.contains("BOTH groupCols"))
+  }
+
+  test("ivm: all-null-value group refreshes cleanly under ANSI mode (avg → null)") {
+    val dir = tmp("graft_ivm_ansi")
+    val schema = Seq((1L, "a", Option(1L), "t")).toDF("k", "g", "v", "tag")
+      .schema
+    Ivm.create(spark, dir, schema, specG, nBuckets = 4)
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      // every value in the group is null — the Avg denominator is 0;
+      // the explicit guard must yield null instead of DIVIDE_BY_ZERO
+      Ivm.applyDelta(spark, dir,
+        Seq((1L, "a", Option.empty[Long], "t1"),
+          (2L, "a", Option.empty[Long], "t2")).toDF("k", "g", "v", "tag"),
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+      val r = Ivm.readView(spark, dir).collect()(0)
+      assert(r.getLong(1) == 2L)
+      assert(r.isNullAt(5), "avg over an all-null group must be null")
+      Ivm.rebuildView(spark, dir)
+      assert(Ivm.readView(spark, dir).collect()(0).isNullAt(5))
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+  }
+
+  test("ivm stream wrapper: op values outside insert/delete fail loudly, nothing applied") {
+    val dir = tmp("graft_ivm_badop")
+    Ivm.create(spark, dir, baseDf(Seq((1L, "a", 1L, "t"))).schema, specG,
+      nBuckets = 4)
+    // an index-family feed (upsert/delete) wired in by mistake: the
+    // batch must be rejected up front, not silently half-applied
+    val bad = baseDf(Seq((1L, "a", 5L, "t1"))).withColumn("op", lit("upsert"))
+      .unionByName(baseDf(Seq((2L, "b", 7L, "t2")))
+        .withColumn("op", lit("insert")))
+    val zv = Ivm.latestVersion(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Streams.cdcViewBatch(bad, 0L, "op", dir, 2) {
+        (_, _) => fail("must not emit")
+      }
+    }
+    assert(e.getMessage.contains("insert"))
+    assert(Ivm.latestVersion(spark, dir) == zv)
+    assert(Ivm.readView(spark, dir).count() == 0)
+  }
+
   test("ivm: stale VIEWSYNC refuses applyDelta; rebuildView repairs") {
     val dir = tmp("graft_ivm_sync")
     Ivm.create(spark, dir, baseDf(Seq((1L, "a", 1L, "t"))).schema, specG,
