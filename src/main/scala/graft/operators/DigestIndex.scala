@@ -147,13 +147,12 @@ object DigestIndex {
     name.drop(1).takeWhile(_.isDigit).toInt
 
   private def writeManifest(spark: SparkSession, dir: String, v: Int,
-                            segs: Seq[(String, Long)]): Unit = {
-    // shared-path manifest write: re-verify the lease first (fencing —
-    // see VersionedLayout's protocol doc)
-    VersionedLayout.fenceCheck(spark, dir, v, "DigestIndex")
-    atomicWrite(fs(spark, dir), new Path(versionDir(dir, v), "segments.txt"),
+                            segs: Seq[(String, Long)]): Unit =
+    // rename-based fenced manifest commit (lease re-verified AFTER the
+    // content write — see VersionedLayout.fencedWrite)
+    VersionedLayout.fencedWrite(spark, dir, v, "DigestIndex",
+      new Path(versionDir(dir, v), "segments.txt"),
       segs.map { case (n, r) => s"$n,$r" }.mkString("\n"))
-  }
 
   private[graft] def readManifest(spark: SparkSession, dir: String,
                                   v: Int): Seq[(String, Long)] = {

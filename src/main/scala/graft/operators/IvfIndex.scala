@@ -184,22 +184,20 @@ object IvfIndex {
                             counts: Map[Int, Long],
                             tombs: Seq[String] = Seq.empty,
                             frozen: Set[Int] = Set.empty): Unit = {
-    // manifest files live at shared (unfenced) paths — re-verify the
-    // lease immediately before writing them, so a fenced-out writer
-    // aborts instead of clobbering the new owner's manifest
-    VersionedLayout.fenceCheck(spark, dir, v, "IvfIndex")
-    val f = fs(spark, dir)
+    // manifest files live at shared (unfenced) paths — rename-based
+    // fenced commits (lease re-verified AFTER each content write), so
+    // a writer paused mid-write across a steal aborts without touching
+    // the new owner's files
     val vd = versionDir(dir, v)
-    atomicWrite(f, new Path(vd, "centroids.txt"),
-      cents.map(_.mkString(",")).mkString("\n"))
-    atomicWrite(f, new Path(vd, "segments.txt"), segs.mkString("\n"))
-    atomicWrite(f, new Path(vd, "counts.txt"),
+    def w(name: String, content: String): Unit =
+      VersionedLayout.fencedWrite(spark, dir, v, "IvfIndex",
+        new Path(vd, name), content)
+    w("centroids.txt", cents.map(_.mkString(",")).mkString("\n"))
+    w("segments.txt", segs.mkString("\n"))
+    w("counts.txt",
       counts.toSeq.sorted.map { case (l, c) => s"$l,$c" }.mkString("\n"))
-    if (tombs.nonEmpty)
-      atomicWrite(f, new Path(vd, "tombstones.txt"), tombs.mkString("\n"))
-    if (frozen.nonEmpty)
-      atomicWrite(f, new Path(vd, "frozen.txt"),
-        frozen.toSeq.sorted.mkString("\n"))
+    if (tombs.nonEmpty) w("tombstones.txt", tombs.mkString("\n"))
+    if (frozen.nonEmpty) w("frozen.txt", frozen.toSeq.sorted.mkString("\n"))
   }
 
   /** Lists the drift guard must not re-split: a prior split failed to
@@ -250,7 +248,8 @@ object IvfIndex {
     * retrains them alongside. */
   private def writeBooks(spark: SparkSession, dir: String, v: Int,
                          books: graft.functions.PqBooks): Unit =
-    atomicWrite(fs(spark, dir), new Path(versionDir(dir, v), "pqbooks.txt"),
+    VersionedLayout.fencedWrite(spark, dir, v, "IvfIndex",
+      new Path(versionDir(dir, v), "pqbooks.txt"),
       s"${books.m} ${books.ksub} ${books.dsub}\n" +
         books.books.flatMap(_.map(_.mkString(","))).mkString("\n"))
 

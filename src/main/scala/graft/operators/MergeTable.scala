@@ -114,12 +114,14 @@ object MergeTable {
       .cast("int")
 
   private def writeManifest(spark: SparkSession, dir: String, v: Int,
-                            entries: Seq[(Int, String, Long)]): Unit = {
-    VersionedLayout.fenceCheck(spark, dir, v, "MergeTable")
-    atomicWrite(fs(spark, dir), new Path(versionDir(dir, v), "buckets.txt"),
+                            entries: Seq[(Int, String, Long)]): Unit =
+    // rename-based fenced commit: content lands in a claimant-private
+    // temp, lease re-verified AFTER the write, one rename publishes —
+    // a loser paused mid-write across a steal aborts untouched
+    VersionedLayout.fencedWrite(spark, dir, v, "MergeTable",
+      new Path(versionDir(dir, v), "buckets.txt"),
       entries.sortBy(_._1)
         .map { case (b, rel, n) => s"$b,$rel,$n" }.mkString("\n"))
-  }
 
   private[graft] def readManifest(spark: SparkSession, dir: String,
                                   v: Int): Seq[(Int, String, Long)] = {

@@ -121,13 +121,12 @@ object TermIndex {
     name.drop(1).takeWhile(_.isDigit).toInt
 
   private def writeManifest(spark: SparkSession, dir: String, v: Int,
-                            segs: Seq[(String, Long, Long)]): Unit = {
-    // shared-path manifest write: re-verify the lease first (fencing —
-    // see VersionedLayout's protocol doc)
-    VersionedLayout.fenceCheck(spark, dir, v, "TermIndex")
-    atomicWrite(fs(spark, dir), new Path(versionDir(dir, v), "segments.txt"),
+                            segs: Seq[(String, Long, Long)]): Unit =
+    // rename-based fenced manifest commit (lease re-verified AFTER the
+    // content write — see VersionedLayout.fencedWrite)
+    VersionedLayout.fencedWrite(spark, dir, v, "TermIndex",
+      new Path(versionDir(dir, v), "segments.txt"),
       segs.map { case (n, d, t) => s"$n,$d,$t" }.mkString("\n"))
-  }
 
   /** ((ndMasked, ntMasked), tombstone names) for a version; absent
     * file (pre-delete manifests) = no masking. */
@@ -148,7 +147,8 @@ object TermIndex {
                                   masked: (Long, Long),
                                   tombs: Seq[String]): Unit =
     if (tombs.nonEmpty)
-      atomicWrite(fs(spark, dir), new Path(versionDir(dir, v), "tombstones.txt"),
+      VersionedLayout.fencedWrite(spark, dir, v, "TermIndex",
+        new Path(versionDir(dir, v), "tombstones.txt"),
         (s"${masked._1},${masked._2}" +: tombs).mkString("\n"))
 
   private[graft] def readManifest(spark: SparkSession, dir: String,

@@ -137,13 +137,16 @@ private[graft] object VersionedLayout {
   //    files a committed manifest references are written by EXACTLY
   //    one claimant; a fenced-out loser's late writes land in paths no
   //    manifest references and are reaped by gc. Manifest files under
-  //    v00007/ are still shared paths — [[fenceCheck]] re-verifies
-  //    ownership immediately before they are written, narrowing the
-  //    residual clobber window from "any time during the loser's
-  //    multi-minute body" to "paused INSIDE writeManifest across the
-  //    winner's entire commit"; deployments where even that matters
-  //    must size the TTL above the longest possible stall, the
-  //    standard lease-file assumption.
+  //    v00007/ are still shared paths — [[fencedWrite]] makes their
+  //    commit rename-based: the content write lands in a generation-
+  //    suffixed temp (claimant-private, like the data paths), the
+  //    lease is re-verified AFTER the write completes, and one rename
+  //    publishes it — a loser paused mid-manifest-write across the
+  //    winner's entire commit wakes into the re-check and aborts
+  //    without touching the shared path. The residual window is the
+  //    single rename metadata op after the re-check; deployments where
+  //    even that matters must size the TTL above the longest possible
+  //    stall, the standard lease-file assumption.
   // Exclusive create is atomic on HDFS (O_EXCL); on S3-style stores
   // front the claim with a conditional-put manifest service, same as
   // the LATEST caveat in the class doc.
@@ -210,12 +213,47 @@ private[graft] object VersionedLayout {
     if (g == null || g.intValue == 0) "" else s"x${g.intValue}"
   }
 
+  /** Rename-based fenced write for shared-path manifest files — the
+    * commit-side half of the data-path fencing story. The FULL content
+    * write goes to a CLAIMANT-PRIVATE temp (generation-suffixed, so a
+    * fenced-out loser and its stealer can never collide even on the
+    * temp); the lease is re-verified AFTER that write completes; only
+    * then does one rename publish it at the shared destination. A
+    * writer paused for ANY length of time during the content write —
+    * including across a stealer's entire commit — wakes into the lease
+    * re-check and aborts having touched nothing shared. The residual
+    * window is the single metadata op between the re-check and the
+    * rename (was: the whole manifest write) — the TTL-sizing rule in
+    * the protocol doc covers it as for any lease-file scheme. */
+  def fencedWrite(spark: SparkSession, dir: String, v: Int, what: String,
+                  dst: Path, content: String): Unit = {
+    val key = claimKey(dir, v)
+    require(liveClaims.get(key) != null,
+      s"$what at $dir: manifest write for version $v outside a live claim")
+    val g = liveClaimGens.get(key)
+    val gen = if (g == null) 0 else g.intValue
+    val f = fs(spark, dir)
+    val tmp = new Path(dst.getParent, f"${dst.getName}.wip.g$gen%05d")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // final lease check AFTER the slow write, immediately before the
+    // publish — a steal during the write is detected here
+    try fenceCheck(spark, dir, v, what)
+    catch { case e: Throwable => f.delete(tmp, false); throw e }
+    f.delete(dst, false)
+    require(f.rename(tmp, dst), s"failed to commit $dst")
+  }
+
   /** Re-verify, immediately before a shared-path manifest write, that
     * the claim for (dir, v) is still held by THIS JVM's token (the
     * on-disk highest generation matches). Throws
     * [[ConcurrentCommitException]] if the lease was stolen — the
     * fenced-out writer aborts before clobbering the new owner's
-    * manifest files. See the fencing note in the protocol doc. */
+    * manifest files. Prefer [[fencedWrite]] (which re-checks AFTER the
+    * content write, closing the paused-mid-write clobber) for manifest
+    * files; this remains the pre-write guard for bulk table writes
+    * whose output paths cannot be renamed into place. */
   def fenceCheck(spark: SparkSession, dir: String, v: Int,
                  what: String): Unit = {
     val tok = liveClaims.get(claimKey(dir, v))

@@ -359,6 +359,55 @@ class ConcurrencySpec extends AnyFunSuite {
     graft.operators.VersionedLayout.releaseClaim(spark, dir, 3, tok3)
   }
 
+  test("rename-based manifest commit: a writer paused mid-manifest-write across a FULL winner commit cannot clobber the winner's file") {
+    import spark.implicits._
+    val dir = tmpDir("graft_occ_mwrite") + "/t"
+    graft.operators.MergeTable.build(spark, dir, Seq((1L, 10L)).toDF("k", "v"),
+      keyCols = Seq("k"), bucketCols = Seq("k"), nBuckets = 4)
+    // LOSER: claims v2, writes its data, and BEGINS its manifest write —
+    // with the rename-based commit, the content write lands in its
+    // claimant-private temp (buckets.txt.wip.g00000), never the shared
+    // path. It then pauses (GC pause / FS stall past the TTL).
+    val tok = graft.operators.VersionedLayout.claimCommit(
+      spark, dir, 3, "MergeTable")
+    val vd = java.nio.file.Paths.get(dir, "v00003")
+    java.nio.file.Files.createDirectories(vd)
+    val loserContent = "0,p00003/__bucket=0,1"
+    java.nio.file.Files.write(vd.resolve("buckets.txt.wip.g00000"),
+      loserContent.getBytes("UTF-8"))
+    // WINNER (another app): steals the lease — exclusive-creates the
+    // next claim generation — and completes a FULL commit: its own
+    // manifest at the shared path, the LATEST flip, claim retirement.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "claims", "v00003.g00001"),
+      s"app-elsewhere-456#cafe#${System.currentTimeMillis()}".getBytes("UTF-8"))
+    val winnerContent = "0,p00003x1/__bucket=0,7"
+    val f = graft.operators.VersionedLayout.fs(spark, dir)
+    graft.operators.VersionedLayout.atomicWrite(f,
+      new org.apache.hadoop.fs.Path(s"$dir/v00003", "buckets.txt"),
+      winnerContent)
+    graft.operators.VersionedLayout.atomicWrite(f,
+      new org.apache.hadoop.fs.Path(dir, "LATEST"), "3")
+    // loser WAKES and resumes its manifest write on the production path
+    // (fencedWrite re-writes its private temp, then re-verifies the
+    // lease AFTER the content write): it must abort, having touched
+    // nothing shared — the pre-round-12 in-place write would have
+    // clobbered the winner's committed manifest right here
+    val ex = intercept[ConcurrentCommitException] {
+      graft.operators.VersionedLayout.fencedWrite(spark, dir, 3,
+        "MergeTable",
+        new org.apache.hadoop.fs.Path(s"$dir/v00003", "buckets.txt"),
+        loserContent)
+    }
+    assert(ex.getMessage.contains("fenced out"), ex.getMessage)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      vd.resolve("buckets.txt")), "UTF-8") == winnerContent,
+      "the winner's committed manifest must be byte-intact")
+    assert(!java.nio.file.Files.exists(vd.resolve("buckets.txt.wip.g00000")),
+      "the fenced-out loser's temp is cleaned up")
+    graft.operators.VersionedLayout.releaseClaim(spark, dir, 3, tok)
+  }
+
   test("commit verifies ownership: a stolen claim aborts the slow writer's flip") {
     val dir = tmpDir("graft_occ_stolen")
     val d = docs.limit(40)
