@@ -245,6 +245,26 @@ object JoinIvm {
   def applyDelta(spark: SparkSession, dir: String,
                  factInserts: DataFrame, factDeletes: DataFrame,
                  dimInserts: DataFrame, dimDeletes: DataFrame)
+      : (Int, Int, Int) =
+    applyDeltaFolding(spark, dir, factInserts, factDeletes, dimInserts,
+      dimDeletes, foldFact = true, foldDim = true)
+
+  /** [[applyDelta]] with per-side fold control — the RESUME primitive
+    * for a refresh that crashed between the side commits, to be called
+    * only after [[rebuildView]] restored view↔z-set consistency. A
+    * side with fold = false already absorbed this batch: its z-set is
+    * not folded again (the version does not advance) and its delta is
+    * ZEROED in the view math — the rebuild baked that side's effect
+    * into the view, so the remaining delta to reach (F′, D′) is the
+    * OTHER side's term alone (e.g. fact landed, view rebuilt to
+    * F′ ⋈ D: remaining = F′ ⋈ ΔD, which is exactly what dF = 0 makes
+    * the bilinear formula produce). Streaming redelivery uses this so
+    * a recovered batch consumes exactly one version per side (the
+    * batch↔version pairing stays arithmetic). */
+  private[graft] def applyDeltaFolding(spark: SparkSession, dir: String,
+                 factInserts: DataFrame, factDeletes: DataFrame,
+                 dimInserts: DataFrame, dimDeletes: DataFrame,
+                 foldFact: Boolean, foldDim: Boolean)
       : (Int, Int, Int) = {
     val spec = readSpec(spark, dir)
     val (fv0, dv0) = (MergeTable.latestVersion(spark, factzDir(dir)),
@@ -285,8 +305,16 @@ object JoinIvm {
         .groupBy(cols.map(col): _*).agg(sum(col("__d")).as("__d"))
         .persist()
     }
-    val dF = zdelta(factInserts, factDeletes, fCols, fMeta.schema)
-    val dD = zdelta(dimInserts, dimDeletes, dCols, dMeta.schema)
+    // a landed (fold = false) side contributes a ZERO delta — see the
+    // applyDeltaFolding doc
+    val dF =
+      if (foldFact) zdelta(factInserts, factDeletes, fCols, fMeta.schema)
+      else zdelta(factInserts.limit(0), factDeletes.limit(0), fCols,
+        fMeta.schema)
+    val dD =
+      if (foldDim) zdelta(dimInserts, dimDeletes, dCols, dMeta.schema)
+      else zdelta(dimInserts.limit(0), dimDeletes.limit(0), dCols,
+        dMeta.schema)
     val handles = scala.collection.mutable.ListBuffer[DataFrame](dF, dD)
     try {
       // NULL join keys / group columns reject BEFORE any commit — a
@@ -306,8 +334,8 @@ object JoinIvm {
       nullCheck(dF, "fact")
       nullCheck(dD, "dim")
       // 1+2: commit both side z-sets (order fixed: fact, then dim)
-      foldSide(spark, factzDir(dir), "fact z-set", fCols, dF)
-      foldSide(spark, dimzDir(dir), "dim z-set", dCols, dD)
+      if (foldFact) foldSide(spark, factzDir(dir), "fact z-set", fCols, dF)
+      if (foldDim) foldSide(spark, dimzDir(dir), "dim z-set", dCols, dD)
       val fvN = MergeTable.latestVersion(spark, factzDir(dir))
       val dvN = MergeTable.latestVersion(spark, dimzDir(dir))
       // Δ(F⋈D) = ΔF ⋈ D′  +  F ⋈ ΔD, multiplicities multiplied.
@@ -416,4 +444,109 @@ object JoinIvm {
     MergeTable.gc(spark, dimzDir(dir), retainLast)
     MergeTable.gc(spark, viewDir(dir), retainLast)
   }
+
+  // ---- streaming-wrapper support (the shared maintained-family
+  // contract: batch↔version pairing, pinned read-only re-emit) ----
+
+  /** Current (factz, dimz) versions — each [[applyDelta]] advances
+    * BOTH by exactly one (quiet sides still fold), so stream wrappers
+    * pair batch ids to both with one offset. */
+  def latestVersions(spark: SparkSession, dir: String): (Int, Int) =
+    (MergeTable.latestVersion(spark, factzDir(dir)),
+      MergeTable.latestVersion(spark, dimzDir(dir)))
+
+  /** True when the view lags its z-sets (crash between the inner
+    * commits) — [[rebuildView]] repairs. */
+  def viewStale(spark: SparkSession, dir: String): Boolean =
+    readSync(spark, dir) != latestVersions(spark, dir)
+
+  /** True when an interrupted refresh's INFLIGHT marker is behind —
+    * [[rebuildView]] clears it. */
+  def inflight(spark: SparkSession, dir: String): Boolean =
+    fs(spark, dir).exists(new Path(dir, "INFLIGHT"))
+
+  /** The (fact, dim) z-set column lists — the projections CDC batch
+    * frames must carry (join cols + the side's own group/value cols). */
+  def sideCols(spark: SparkSession, dir: String): (Seq[String], Seq[String]) = {
+    val f = MergeTable.readMeta(spark, factzDir(dir))
+      .schema.fieldNames.toSeq.filterNot(_ == Mult)
+    val d = MergeTable.readMeta(spark, dimzDir(dir))
+      .schema.fieldNames.toSeq.filterNot(_ == Mult)
+    (f, d)
+  }
+
+  /** Read-only re-emit of one batch's refreshed view rows against the
+    * PINNED post-batch z-set versions — the streaming redelivery path.
+    * The batch's touched groups are recomputed from the same bilinear
+    * delta formula the refresh ran (ΔF ⋈ D′@dimVersion plus
+    * (F′@factVersion − ΔF) ⋈ ΔD — every read bucket-pruned and
+    * version-pinned, so the set is identical on every replay), and the
+    * view's CURRENT rows for those groups are returned (live groups
+    * only — a group whose rows all died is absent, exactly as the
+    * original refresh emitted). Requires VIEWSYNC == the pinned
+    * versions, i.e. the view reflects exactly this batch — the
+    * single-writer streaming contract. */
+  def groupsAt(spark: SparkSession, dir: String, factVersion: Int,
+               dimVersion: Int,
+               factInserts: DataFrame, factDeletes: DataFrame,
+               dimInserts: DataFrame, dimDeletes: DataFrame): DataFrame = {
+    val spec = readSpec(spark, dir)
+    require(readSync(spark, dir) == ((factVersion, dimVersion)),
+      s"view at $dir does not reflect z-set versions " +
+        s"($factVersion, $dimVersion) — run JoinIvm.rebuildView first")
+    val fMeta = MergeTable.readMeta(spark, factzDir(dir))
+    val dMeta = MergeTable.readMeta(spark, dimzDir(dir))
+    val fCols = fMeta.schema.fieldNames.toSeq.filterNot(_ == Mult)
+    val dCols = dMeta.schema.fieldNames.toSeq.filterNot(_ == Mult)
+    def zdelta(ins: DataFrame, del: DataFrame, cols: Seq[String],
+               schema: StructType): DataFrame = {
+      def proj(df: DataFrame, sign: Int): DataFrame =
+        df.select(cols.map(c =>
+          col(c).cast(schema(c).dataType).as(c)) :+
+          lit(sign.toLong).as("__d"): _*)
+      proj(ins, 1).unionByName(proj(del, -1))
+        .groupBy(cols.map(col): _*).agg(sum(col("__d")).as("__d"))
+    }
+    val dF = zdelta(factInserts, factDeletes, fCols, fMeta.schema).persist()
+    try {
+      val dD = zdelta(dimInserts, dimDeletes, dCols, dMeta.schema)
+      val dimForDF = MergeTable.readForKeysAt(spark, dimzDir(dir),
+        dimVersion, dF.select(spec.joinCols.map(col): _*))._1
+      val g1 = dF.join(dimForDF, spec.joinCols)
+        .select(spec.groupCols.map(col): _*)
+      val dDKeys = dD.select(spec.joinCols.map(col): _*).distinct()
+      val factNewForDD = MergeTable.readForKeysAt(spark, factzDir(dir),
+        factVersion, dDKeys)._1
+        .join(broadcast(dDKeys), spec.joinCols, "left_semi")
+        .select(fCols.map(col) :+ col(Mult): _*)
+      val factDeltaForDD = dF
+        .join(broadcast(dDKeys), spec.joinCols, "left_semi")
+        .select(fCols.map(col) :+ (-col("__d")).as(Mult): _*)
+      val factOldForDD = factNewForDD.unionByName(factDeltaForDD)
+        .groupBy(fCols.map(col): _*).agg(sum(col(Mult)).as(Mult))
+        .filter(col(Mult) =!= 0)
+      val g2 = factOldForDD.join(dD, spec.joinCols)
+        .select(spec.groupCols.map(col): _*)
+      val tg = g1.unionByName(g2).distinct()
+      readView(spark, dir)
+        .join(broadcast(tg), spec.groupCols, "left_semi")
+    } finally dF.unpersist(blocking = false)
+  }
+
+  /** Small named marker alongside the view (stream wrappers pin their
+    * batch↔version pairing here — the maintained-family contract). */
+  def readMarker(spark: SparkSession, dir: String,
+                 name: String): Option[String] = {
+    val f = fs(spark, dir)
+    val p = new Path(dir, name)
+    if (!f.exists(p)) None else Some(readSmall(f, p))
+  }
+
+  def writeMarker(spark: SparkSession, dir: String, name: String,
+                  content: String): Unit =
+    atomicWrite(fs(spark, dir), new Path(dir, name), content)
+
+  def exists(spark: SparkSession, dir: String): Boolean =
+    fs(spark, dir).exists(new Path(dir, "SPEC")) &&
+      MergeTable.exists(spark, factzDir(dir))
 }

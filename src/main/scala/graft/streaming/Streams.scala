@@ -1158,6 +1158,140 @@ object Streams {
     }
   }
 
+  /** Maintain a persisted [[graft.operators.JoinIvm]] join-rollup view
+    * from a two-sided CDC stream — the sixth streaming-maintained
+    * family, under the same contract as [[cdcViewStream]]: one
+    * composite commit per micro-batch, batch↔version pairing pinned by
+    * a STREAM marker (each batch advances BOTH side z-sets by exactly
+    * one), redelivered batches RE-EMIT read-only against the pinned
+    * versions (never double-apply), per-batch gc. Events carry
+    * `sideCol` ∈ "fact" | "dim" and `opCol` ∈ "insert" | "delete"
+    * (deletes with BEFORE-IMAGES; an update is delete(old) +
+    * insert(new)); each row must carry its side's z-set columns
+    * ([[graft.operators.JoinIvm.sideCols]]) — the other side's
+    * columns are ignored for that row.
+    *
+    * Crash self-heal over the three-table INFLIGHT window: a batch
+    * interrupted between the fact and dim commits is detected by the
+    * version arithmetic on redelivery (fact at the committed level,
+    * dim one behind), repaired with [[graft.operators.JoinIvm
+    * .rebuildView]], and RESUMED by folding only the side that did
+    * not land — the batch still consumes exactly one version per
+    * side, so the pairing stays arithmetic. A crash between the dim
+    * and view commits self-heals the same way the fifth family does
+    * (rebuildView on the replay path). Exactly-once is by idempotence.
+    * `onRefresh` receives the refreshed view rows of the batch's
+    * touched groups (live groups only) and the batch id. */
+  def cdcJoinViewStream(events: DataFrame, opCol: String, sideCol: String,
+                        viewDir: String, checkpointLocation: String,
+                        retainVersions: Int = 2)
+                       (onRefresh: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(retainVersions >= 2,
+      s"retainVersions must be >= 2 (replay needs the prior version): $retainVersions")
+    events.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        cdcJoinViewBatch(batch, batchId, opCol, sideCol, viewDir,
+          retainVersions)(onRefresh)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[cdcJoinViewStream]] — factored out so
+    * fault-injection tests drive the production path directly. */
+  private[graft] def cdcJoinViewBatch(
+      batch: Dataset[org.apache.spark.sql.Row], batchId: Long,
+      opCol: String, sideCol: String, viewDir: String, retainVersions: Int)
+      (onRefresh: (DataFrame, Long) => Unit): Unit = {
+    import graft.operators.JoinIvm
+    val spark = batch.sparkSession
+    require(JoinIvm.exists(spark, viewDir),
+      s"no JoinIvm view at $viewDir — create it (spec + side schemas) " +
+        "before starting the stream")
+    // fail LOUDLY on op/side values outside the contract — a quiet
+    // partial batch would leave the view silently wrong forever
+    val bad = batch.filter(!col(opCol).isin("insert", "delete") ||
+      !col(sideCol).isin("fact", "dim")).count()
+    require(bad == 0,
+      s"$bad batch rows carry an op outside 'insert'/'delete' or a " +
+        "side outside 'fact'/'dim' — this view's CDC contract is " +
+        "two-sided insert/delete with before-images; nothing was applied")
+    val (fCols, dCols) = JoinIvm.sideCols(spark, viewDir)
+    def part(side: String, op: String, cols: Seq[String]): DataFrame =
+      batch.filter(col(sideCol) === side && col(opCol) === op)
+        .select(cols.map(col): _*)
+    val fi = part("fact", "insert", fCols)
+    val fd = part("fact", "delete", fCols)
+    val di = part("dim", "insert", dCols)
+    val dd = part("dim", "delete", dCols)
+    val (firstB, baseF, baseD) =
+      JoinIvm.readMarker(spark, viewDir, "STREAM") match {
+        case Some(s) =>
+          val p = s.split(" ")
+          (p(0).toLong, p(1).toInt, p(2).toInt)
+        case None =>
+          val (bf, bd) = JoinIvm.latestVersions(spark, viewDir)
+          JoinIvm.writeMarker(spark, viewDir, "STREAM", s"$batchId $bf $bd")
+          (batchId, bf, bd)
+      }
+    require(batchId >= firstB,
+      s"batch id $batchId precedes this view's first stream batch " +
+        s"$firstB — the stream checkpoint was reset against an existing " +
+        "view; checkpoint and view are one unit of state (delete both " +
+        "or neither)")
+    val off = (batchId - firstB).toInt
+    val (expF, expD) = (baseF + off + 1, baseD + off + 1)
+    val (fv, dv) = JoinIvm.latestVersions(spark, viewDir)
+    def emit(): Unit = {
+      val rows = JoinIvm.groupsAt(spark, viewDir, expF, expD,
+        fi, fd, di, dd).persist()
+      rows.count()
+      try onRefresh(rows, batchId) finally rows.unpersist()
+    }
+    if (fv == expF && dv == expD) {
+      // replayed batch, both sides landed: the view may lag (crash
+      // between dim and view commits, or mid-view) — repair, then
+      // re-emit READ-ONLY against the pinned versions
+      if (JoinIvm.viewStale(spark, viewDir))
+        JoinIvm.rebuildView(spark, viewDir)
+      else if (JoinIvm.inflight(spark, viewDir))
+        // refresh completed through VIEWSYNC but crashed before the
+        // marker delete: the view is provably consistent — clear it
+        graft.operators.VersionedLayout.fs(spark, viewDir)
+          .delete(new org.apache.hadoop.fs.Path(viewDir, "INFLIGHT"), false)
+      emit()
+    } else if (fv == expF - 1 && dv == expD - 1) {
+      // fresh batch. A leftover INFLIGHT with nothing of THIS batch
+      // landed (crash between the marker write and the first fold) is
+      // cleared by the same repair applyDelta would demand.
+      if (JoinIvm.inflight(spark, viewDir) ||
+          JoinIvm.viewStale(spark, viewDir))
+        JoinIvm.rebuildView(spark, viewDir)
+      JoinIvm.applyDelta(spark, viewDir, fi, fd, di, dd)
+      emit()
+      JoinIvm.gc(spark, viewDir, retainVersions)
+    } else if (fv == expF && dv == expD - 1) {
+      // the three-commit INFLIGHT window: fact folded, dim did not.
+      // rebuildView restores view↔z-set consistency (and clears the
+      // marker); the RESUME fold applies only the dim side — ΔF still
+      // participates in the view delta algebraically (F = F′ − ΔF),
+      // and the batch consumes exactly one version per side.
+      JoinIvm.rebuildView(spark, viewDir)
+      JoinIvm.applyDeltaFolding(spark, viewDir, fi, fd, di, dd,
+        foldFact = false, foldDim = true)
+      emit()
+      JoinIvm.gc(spark, viewDir, retainVersions)
+    } else {
+      throw new IllegalStateException(
+        s"view at $viewDir is at z-set versions ($fv, $dv) but batch " +
+          s"$batchId expects ($expF, $expD) committed, " +
+          s"(${expF - 1}, ${expD - 1}) fresh, or ($expF, ${expD - 1}) " +
+          "interrupted: stream checkpoint and view state disagree — " +
+          "one was deleted or rolled back without the other")
+    }
+  }
+
   /** Run a streaming query to completion against the (finite) batch
     * source and return the result — the slicetest.Run analog for
     * streaming (memory sink + processAllAvailable). */

@@ -312,6 +312,52 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
       .unionByName(vcdc(Seq((2L, "b", 7L)), "delete")), 1L)
     assert(vOut == vAt1,
       "view redelivery after out-of-band gc must re-emit identically")
+
+    // JoinIvm maintained join view (the sixth family): same contract —
+    // the re-emit reads the side z-sets at their PINNED post-batch
+    // versions (latest after the commit, so gc(retainLast=1) keeps
+    // them) and the view's current rows for the touched groups
+    import graft.operators.JoinIvm
+    val jDir = java.nio.file.Files
+      .createTempDirectory("graft_chaos_gc_j").toString + "/view"
+    def jev2(fIns: Seq[(Long, Long)], dIns: Seq[(Long, String)],
+             dDel: Seq[(Long, String)]) = {
+      val s = spark; import s.implicits._
+      (fIns.map(r => (r._1, Option(r._2), Option.empty[String],
+          "insert", "fact")) ++
+        dIns.map(r => (r._1, Option.empty[Long], Option(r._2),
+          "insert", "dim")) ++
+        dDel.map(r => (r._1, Option.empty[Long], Option(r._2),
+          "delete", "dim")))
+        .toDF("k", "v", "seg", "op", "side")
+    }
+    {
+      val s = spark; import s.implicits._
+      JoinIvm.create(spark, jDir,
+        Seq((1L, 1L)).toDF("k", "v").schema,
+        Seq((1L, "s")).toDF("k", "seg").schema,
+        JoinIvm.Spec(Seq("k"), Seq("seg"),
+          Seq(graft.operators.Ivm.Count("cnt"),
+            graft.operators.Ivm.Sum("v", "sum_v"))), nBuckets = 4)
+    }
+    var jOut: Set[(String, Long, Long)] = Set.empty
+    def jRun(b: org.apache.spark.sql.DataFrame, bid: Long): Unit =
+      graft.streaming.Streams.cdcJoinViewBatch(b, bid, "op", "side",
+        jDir, 2) { (rows, _) =>
+        jOut = rows.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      }
+    jRun(jev2(Seq((1L, 10L), (2L, 20L)), Seq((1L, "sa"), (2L, "sb")),
+      Seq.empty), 0L)
+    // batch 1: dim reassignment (key 2 → sa) — the fan-out shape
+    val jb1 = jev2(Seq((3L, 30L)), Seq((2L, "sa"), (3L, "sb")),
+      Seq((2L, "sb")))
+    jRun(jb1, 1L)
+    val jAt1 = jOut
+    JoinIvm.gc(spark, jDir, retainLast = 1)
+    jRun(jb1, 1L)
+    assert(jOut == jAt1,
+      "join-view redelivery after out-of-band gc must re-emit identically")
   }
 
   test("ann indexed streaming ingest: redelivery re-emits identical top-k, torn states recover, divergence fails fast") {

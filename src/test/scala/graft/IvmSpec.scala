@@ -448,6 +448,111 @@ class IvmSpec extends AnyFunSuite {
     assert(JoinIvm.readView(spark, dir).collect().toSet == jModel(f2, d1))
   }
 
+  /** Two-sided CDC events frame for the join-view stream wrapper. */
+  private def jev(fIns: Seq[(Long, Long)], fDel: Seq[(Long, Long)],
+                  dIns: Seq[(Long, String)], dDel: Seq[(Long, String)])
+      : DataFrame = {
+    val rows =
+      fIns.map(r => (r._1, Option(r._2), Option.empty[String], "insert", "fact")) ++
+      fDel.map(r => (r._1, Option(r._2), Option.empty[String], "delete", "fact")) ++
+      dIns.map(r => (r._1, Option.empty[Long], Option(r._2), "insert", "dim")) ++
+      dDel.map(r => (r._1, Option.empty[Long], Option(r._2), "delete", "dim"))
+    rows.toDF("k", "v", "seg", "op", "side")
+  }
+
+  test("join-view stream wrapper: per-batch two-sided commits, redelivery re-emits identically, INFLIGHT window resumes") {
+    val dir = tmp("graft_jivm_stream")
+    val clean = tmp("graft_jivm_stream_clean")
+    Seq(dir, clean).foreach(d => JoinIvm.create(spark, d,
+      factDf(Seq((1L, 1L))).schema, dimDf(Seq((1L, "s"))).schema, jspec,
+      nBuckets = 4))
+    var emitted = Map[(String, Long), Set[Row]]()
+    def drive(d: String, b: DataFrame, id: Long): Unit =
+      graft.streaming.Streams.cdcJoinViewBatch(b, id, "op", "side", d, 2) {
+        (rows, bid) => emitted += (d, bid) -> rows.collect().toSet
+      }
+    val f0 = Seq((1L, 10L), (1L, 20L), (2L, 30L), (3L, 40L))
+    val d0 = Seq((1L, "s0"), (2L, "s0"), (3L, "s1"))
+    val b0 = jev(f0, Seq.empty, d0, Seq.empty)
+    // batch 1: dim UPDATE (key 1 → s1) + fact churn, two-sided
+    val b1 = jev(Seq((2L, 31L)), Seq((2L, 30L)), Seq((1L, "s1")),
+      Seq((1L, "s0")))
+    val f1 = f0.filterNot(_ == ((2L, 30L))) :+ ((2L, 31L))
+    val d1 = d0.filterNot(_ == ((1L, "s0"))) :+ ((1L, "s1"))
+    drive(dir, b0, 0L)
+    assert(JoinIvm.latestVersions(spark, dir) == ((2, 2)),
+      "each batch advances BOTH side z-sets by exactly one")
+    drive(dir, b1, 1L)
+    assert(JoinIvm.latestVersions(spark, dir) == ((3, 3)))
+    val view1 = JoinIvm.readView(spark, dir).collect().toSet
+    assert(view1 == jModel(f1, d1))
+    val e1 = emitted((dir, 1L))
+    // REDELIVERY of batch 1: no double-apply, identical emit
+    drive(dir, b1, 1L)
+    assert(JoinIvm.latestVersions(spark, dir) == ((3, 3)))
+    assert(JoinIvm.readView(spark, dir).collect().toSet == view1)
+    assert(emitted((dir, 1L)) == e1)
+    // crash between the dim and view commits: VIEWSYNC rolled back —
+    // the replay path self-heals (rebuildView) and re-emits identically
+    graft.operators.VersionedLayout.atomicWrite(
+      graft.operators.VersionedLayout.fs(spark, dir),
+      new org.apache.hadoop.fs.Path(dir, "VIEWSYNC"), "2 2")
+    drive(dir, b1, 1L)
+    assert(!JoinIvm.viewStale(spark, dir))
+    assert(JoinIvm.readView(spark, dir).collect().toSet == view1)
+    assert(emitted((dir, 1L)) == e1)
+    // the three-commit INFLIGHT window: batch 2 "crashes" after the
+    // FACT fold, before the dim fold — construct the torn state by
+    // hand (fold the fact delta exactly as applyDelta does + leave the
+    // INFLIGHT marker), then redeliver the batch
+    val b2fIns = Seq((4L, 50L)); val b2fDel = Seq((1L, 10L))
+    val b2dIns = Seq((4L, "s1")); val b2dDel = Seq.empty[(Long, String)]
+    val b2 = jev(b2fIns, b2fDel, b2dIns, b2dDel)
+    val f2 = (f1 diff b2fDel) ++ b2fIns
+    val d2 = d1 ++ b2dIns
+    val dF2 = factDf(b2fIns).withColumn("__d", lit(1L))
+      .unionByName(factDf(b2fDel).withColumn("__d", lit(-1L)))
+      .groupBy("k", "v").agg(sum($"__d").as("__d"))
+    MergeTable.mergeCompute(spark, s"$dir/factz", dF2) { old =>
+      old.select($"k", $"v", $"__mult")
+        .unionByName(dF2.withColumnRenamed("__d", "__mult"))
+        .groupBy("k", "v").agg(sum($"__mult").as("__mult"))
+        .filter($"__mult" =!= 0)
+    }
+    graft.operators.VersionedLayout.atomicWrite(
+      graft.operators.VersionedLayout.fs(spark, dir),
+      new org.apache.hadoop.fs.Path(dir, "INFLIGHT"), "3 3")
+    assert(JoinIvm.latestVersions(spark, dir) == ((4, 3)))
+    drive(dir, b2, 2L)
+    // the resumed batch consumed exactly one version per side
+    assert(JoinIvm.latestVersions(spark, dir) == ((4, 4)))
+    assert(!JoinIvm.inflight(spark, dir) && !JoinIvm.viewStale(spark, dir))
+    assert(JoinIvm.readView(spark, dir).collect().toSet == jModel(f2, d2))
+    // the crashed-and-resumed run is indistinguishable from a clean
+    // one: same view, same per-batch emissions
+    drive(clean, b0, 0L); drive(clean, b1, 1L); drive(clean, b2, 2L)
+    assert(JoinIvm.readView(spark, clean).collect().toSet ==
+      JoinIvm.readView(spark, dir).collect().toSet)
+    assert(emitted((clean, 2L)) == emitted((dir, 2L)))
+    // a fresh batch continues normally after the recovery
+    drive(dir, jev(Seq((5L, 60L)), Seq.empty, Seq((5L, "s0")), Seq.empty), 3L)
+    assert(JoinIvm.readView(spark, dir).collect().toSet ==
+      jModel(f2 :+ ((5L, 60L)), d2 :+ ((5L, "s0"))))
+    // op/side values outside the contract fail loudly, nothing applied
+    val vBefore = JoinIvm.latestVersions(spark, dir)
+    val eBad = intercept[IllegalArgumentException] {
+      drive(dir, jev(Seq((9L, 9L)), Seq.empty, Seq.empty, Seq.empty)
+        .withColumn("op", lit("upsert")), 4L)
+    }
+    assert(eBad.getMessage.contains("two-sided"))
+    assert(JoinIvm.latestVersions(spark, dir) == vBefore)
+    // checkpoint/state divergence fails fast
+    val eDiv = intercept[IllegalStateException] {
+      drive(dir, jev(Seq((9L, 9L)), Seq.empty, Seq.empty, Seq.empty), 99L)
+    }
+    assert(eDiv.getMessage.contains("disagree"))
+  }
+
   test("join-ivm random two-sided walk: view == from-scratch join recompute after every commit") {
     val dir = tmp("graft_jivm_model")
     JoinIvm.create(spark, dir, factDf(Seq((1L, 1L))).schema,

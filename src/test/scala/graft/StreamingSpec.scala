@@ -249,6 +249,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.operators.DigestIndex.latestVersion(spark, s"$base/idx") == 4)
   }
 
+  test("cdcJoinViewStream: two-sided CDC stream maintains the join rollup == batch join-aggregate; one version per side per batch") {
+    import graft.operators.{Ivm, JoinIvm}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // events: (side, op, k, v, seg) — fact rows carry v, dim rows seg
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String, Long, Option[Long], Option[String])]
+    val base = java.nio.file.Files.createTempDirectory("cdc_jview").toString
+    val dir = s"$base/view"
+    JoinIvm.create(spark, dir,
+      Seq((1L, 1L)).toDF("k", "v").schema,
+      Seq((1L, "s")).toDF("k", "seg").schema,
+      JoinIvm.Spec(Seq("k"), Seq("seg"),
+        Seq(Ivm.Count("cnt"), Ivm.Sum("v", "sum_v"), Ivm.Avg("v", "avg_v"))),
+      nBuckets = 4)
+    val emitted = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+    val q = Streams.cdcJoinViewStream(
+      source.toDF().toDF("side", "op", "k", "v", "seg"), "op", "side",
+      dir, s"$base/ckpt") { (rows, bid) =>
+      emitted += ((bid, rows.collect().length))
+    }
+    def f(op: String, k: Long, v: Long) =
+      ("fact", op, k, Option(v), Option.empty[String])
+    def d(op: String, k: Long, seg: String) =
+      ("dim", op, k, Option.empty[Long], Option(seg))
+    // batch 0: initial two-sided load
+    source.addData(f("insert", 1L, 10L), f("insert", 1L, 20L),
+      f("insert", 2L, 30L), f("insert", 3L, 40L),
+      d("insert", 1L, "s0"), d("insert", 2L, "s0"), d("insert", 3L, "s1"))
+    q.processAllAvailable()
+    // batch 1: dim reassignment (key 1 → s1: every joined row of that
+    // key moves groups) + fact update on key 2
+    source.addData(d("delete", 1L, "s0"), d("insert", 1L, "s1"),
+      f("delete", 2L, 30L), f("insert", 2L, 31L))
+    q.processAllAvailable()
+    // batch 2: delete key 3 entirely — group s1 shrinks; key 4 joins in
+    source.addData(f("delete", 3L, 40L), d("delete", 3L, "s1"),
+      f("insert", 4L, 50L), d("insert", 4L, "s0"))
+    q.processAllAvailable()
+    q.stop()
+    // stream == batch: the maintained view must equal the one-shot
+    // join-aggregate over the net final state
+    val factNow = Seq((1L, 10L), (1L, 20L), (2L, 31L), (4L, 50L))
+      .toDF("k", "v")
+    val dimNow = Seq((1L, "s1"), (2L, "s0"), (4L, "s0")).toDF("k", "seg")
+    val want = factNow.join(dimNow, "k").groupBy("seg")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"),
+        avg("v").as("avg_v"))
+      .collect().toSet
+    assert(JoinIvm.readView(spark, dir).collect().toSet === want)
+    // one version per SIDE per batch, every batch emitted exactly once
+    assert(JoinIvm.latestVersions(spark, dir) == ((4, 4)))
+    assert(emitted.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(emitted.forall(_._2 > 0))
+  }
+
   test("annStreamIndexed with PQ layer: pinned emissions survive ADC probing + in-stream compaction") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
