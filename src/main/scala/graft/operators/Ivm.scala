@@ -224,6 +224,24 @@ object Ivm {
   def applyDelta(spark: SparkSession, dir: String, inserts: DataFrame,
                  deletes: DataFrame): (Int, Int) = {
     val spec = readSpec(spark, dir)
+    val cols = spec.groupCols ++ spec.valueCols
+    def proj(df: DataFrame, sign: Int): DataFrame =
+      df.select(cols.map(col) :+ lit(sign.toLong).as("__d"): _*)
+    applyZDelta(spark, dir, proj(inserts, 1).unionByName(proj(deletes, -1)))
+  }
+
+  /**
+   * Apply one PRE-SIGNED z-set delta: `signed` carries the z-set
+   * columns plus a weight column `__d` (any signed long — rows need
+   * not be pre-grouped; joined deltas with multiplied multiplicities
+   * land here via [[IvmOverJoin]]). [[applyDelta]] is the ±1 row-CDC
+   * instance. Same contract otherwise: commits the z-set then the
+   * view, rejects (without committing) a delta that would drive a
+   * multiplicity negative, quiet batches still advance both versions.
+   */
+  private[graft] def applyZDelta(spark: SparkSession, dir: String,
+                                 signed: DataFrame): (Int, Int) = {
+    val spec = readSpec(spark, dir)
     val zd = zsetDir(dir)
     val zLatest = MergeTable.latestVersion(spark, zd)
     require(readSync(spark, dir) == zLatest,
@@ -231,17 +249,16 @@ object Ivm {
         "run Ivm.rebuildView first")
     val cols = spec.groupCols ++ spec.valueCols
     val zMeta = MergeTable.readMeta(spark, zd)
-    def proj(df: DataFrame, sign: Int): DataFrame =
-      df.select(cols.map(c =>
-        col(c).cast(zMeta.schema(c).dataType).as(c)) :+
-        lit(sign.toLong).as("__d"): _*)
     // net-zero (g, v) rows are KEPT in the delta: they change nothing
     // in the fold (new mult == old mult, zero-only rows drop at the
     // != 0 filter) but keep the touched-group set equal to the batch's
     // raw group set, so a replayed batch's read-only re-emit
     // ([[groupsAt]] over the raw batch) is row-identical to what the
     // original refresh emitted.
-    val delta = proj(inserts, 1).unionByName(proj(deletes, -1))
+    val delta = signed
+      .select(cols.map(c =>
+        col(c).cast(zMeta.schema(c).dataType).as(c)) :+
+        col("__d").cast(LongType).as("__d"): _*)
       .groupBy(cols.map(col): _*).agg(sum(col("__d")).as("__d"))
       .persist()
     // NULL group keys are rejected UP FRONT with the real reason: the
@@ -290,6 +307,22 @@ object Ivm {
       delta.unpersist(blocking = false)
       nzH.foreach(_.unpersist(blocking = false))
     }
+  }
+
+  /** Replace the ENTIRE z-set with `z` (z-set columns + `__mult`, one
+    * row per distinct tuple, multiplicities > 0) in one committed
+    * version — the [[IvmOverJoin]] rebuild path, which recomputes the
+    * joined projection from its side z-sets. Follow with
+    * [[rebuildView]]. */
+  private[graft] def replaceZset(spark: SparkSession, dir: String,
+                                 z: DataFrame): Int = {
+    val spec = readSpec(spark, dir)
+    val zd = zsetDir(dir)
+    val touch = MergeTable.read(spark, zd)
+      .select(spec.groupCols.map(col): _*)
+      .unionByName(z.select(spec.groupCols.map(col): _*))
+      .distinct()
+    MergeTable.mergeCompute(spark, zd, touch)(_ => z)
   }
 
   /** Recompute EVERY group's view row from the z-set — the crash

@@ -1,0 +1,343 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Incrementally-maintained join view with the FULL aggregate set —
+ * min / max / count-distinct included — kept exact under CDC on both
+ * sides. [[JoinIvm]] maintains Count/Sum/Avg without any joined state
+ * (they are invertible, so the view folds signed deltas directly);
+ * min/max/count-distinct are NOT invertible from the aggregate alone —
+ * a retraction of the current minimum needs the runner-up, which only
+ * the joined multiset knows. This operator is the documented
+ * composition for exactly that case: maintain the joined PROJECTION
+ * π(G, V) of F ⋈ D itself as a counting z-set (the minimal state that
+ * makes the recompute group-local), and run [[Ivm]]'s group-local
+ * recompute over it.
+ *
+ * Technique: the same bilinear delta [[JoinIvm]] uses,
+ *
+ *   Δ(F ⋈ D) = ΔF ⋈ D′  +  F ⋈ ΔD      (multiplicities multiply)
+ *
+ * but instead of folding the per-group HIDDEN SUMS, the joined delta
+ * is projected onto (G, V) with its signed multiplicities and fed to
+ * [[Ivm.applyZDelta]] — the inner Ivm's z-set IS π(G, V) of the join,
+ * and its refresh recomputes exactly the touched groups' aggregates
+ * from that state (min/max/distinct over rows with mult > 0 — exact
+ * under retraction by construction).
+ *
+ * State: the two side projections (as in [[JoinIvm]]) PLUS
+ * O(distinct (G, V) of the join) — strictly smaller than |F ⋈ D|
+ * whenever values repeat, and the unavoidable price of non-invertible
+ * aggregates (DBSP, Budiu et al. VLDB'23 §6 makes the same split:
+ * linear operators stream, non-linear ones keep their support).
+ *
+ * Layout under `dir/`: `factz/`, `dimz/` (side z-sets bucketed by the
+ * join cols), `ivm/` (a complete inner [[Ivm]]: joined z-set bucketed
+ * by GROUP + materialized view), `SPEC`, `SYNC` (the side versions +
+ * inner z-set version the view reflects), `INFLIGHT`. The commits are
+ * sequential (fact → dim → inner z-set → inner view); any crash
+ * between them refuses further deltas until [[rebuild]] — an O(state)
+ * bucket-co-located recompute of π(G, V) from the side z-sets, never
+ * a base-table access — restores consistency. Writer exclusion,
+ * atomic versions, pinned reads and gc come from [[MergeTable]] /
+ * [[VersionedLayout]].
+ *
+ * (The reference has no maintained-view surface at all; its pipelines
+ * re-cogroup whole inputs per run — /root/reference/cogroup.go.)
+ */
+object IvmOverJoin {
+
+  /** View definition — same shape rules as [[JoinIvm.Spec]] (join
+    * cols in BOTH input schemas, every group/value col in exactly
+    * one), but every [[Ivm.Agg]] is allowed. */
+  final case class Spec(joinCols: Seq[String], groupCols: Seq[String],
+                        aggs: Seq[Ivm.Agg]) {
+    require(joinCols.nonEmpty, "at least one join column")
+    /** The inner Ivm spec (validates group/agg constraints). */
+    val inner: Ivm.Spec = Ivm.Spec(groupCols, aggs)
+    require(joinCols.intersect(groupCols ++ inner.valueCols).isEmpty,
+      "join columns cannot also be group/aggregate columns — project " +
+        "the key to a differently-named column upstream")
+    def valueCols: Seq[String] = inner.valueCols
+  }
+
+  private val Mult = "__mult"
+
+  import VersionedLayout.{atomicWrite, fs, readSmall}
+
+  private def factzDir(dir: String) = s"${dir.stripSuffix("/")}/factz"
+  private def dimzDir(dir: String) = s"${dir.stripSuffix("/")}/dimz"
+  private def ivmDir(dir: String) = s"${dir.stripSuffix("/")}/ivm"
+
+  private def writeSpec(spark: SparkSession, dir: String, s: Spec): Unit = {
+    val cols = s.joinCols ++ s.groupCols ++ s.valueCols
+    require(cols.forall(c => !c.contains(",") && !c.contains("\t")),
+      "column names must not contain ',' or tab (SPEC format)")
+    val lines = Seq(s"join\t${s.joinCols.mkString(",")}",
+      s"group\t${s.groupCols.mkString(",")}") ++
+      s.aggs.map {
+        case Ivm.Count(o)            => s"agg\tcount\t\t$o"
+        case Ivm.Sum(c, o)           => s"agg\tsum\t$c\t$o"
+        case Ivm.Avg(c, o)           => s"agg\tavg\t$c\t$o"
+        case Ivm.Min(c, o)           => s"agg\tmin\t$c\t$o"
+        case Ivm.Max(c, o)           => s"agg\tmax\t$c\t$o"
+        case Ivm.CountDistinct(c, o) => s"agg\tcountd\t$c\t$o"
+      }
+    atomicWrite(fs(spark, dir), new Path(dir, "SPEC"), lines.mkString("\n"))
+  }
+
+  def readSpec(spark: SparkSession, dir: String): Spec = {
+    val lines = readSmall(fs(spark, dir), new Path(dir, "SPEC")).split("\n")
+    val join = lines(0).split("\t", 2)(1).split(",").toSeq
+    val group = lines(1).split("\t", 2)(1).split(",").toSeq
+    val aggs = lines.drop(2).toSeq.map { l =>
+      val p = l.split("\t", -1)
+      (p(1), p(2), p(3)) match {
+        case ("count", _, o)  => Ivm.Count(o)
+        case ("sum", c, o)    => Ivm.Sum(c, o)
+        case ("avg", c, o)    => Ivm.Avg(c, o)
+        case ("min", c, o)    => Ivm.Min(c, o)
+        case ("max", c, o)    => Ivm.Max(c, o)
+        case ("countd", c, o) => Ivm.CountDistinct(c, o)
+        case (k, _, _) => throw new IllegalArgumentException(s"bad agg $k")
+      }
+    }
+    Spec(join, group, aggs)
+  }
+
+  /** Create the empty maintained view. Side projections are inferred:
+    * each side's z-set carries the join cols plus the group/value cols
+    * found in ITS schema; the inner Ivm's input schema is the joined
+    * (G, V) projection. */
+  def create(spark: SparkSession, dir: String, factSchema: StructType,
+             dimSchema: StructType, spec: Spec, nBuckets: Int = 64): Unit = {
+    spec.joinCols.foreach(c => require(
+      factSchema.fieldNames.contains(c) && dimSchema.fieldNames.contains(c),
+      s"join column $c must exist in BOTH schemas (rename upstream)"))
+    (spec.groupCols ++ spec.valueCols).foreach { c =>
+      val inF = factSchema.fieldNames.contains(c)
+      val inD = dimSchema.fieldNames.contains(c)
+      require(inF ^ inD,
+        s"column $c must exist in exactly one side's schema " +
+          s"(fact: $inF, dim: $inD)")
+    }
+    writeSpec(spark, dir, spec)
+    def zSchema(side: StructType): StructType = {
+      val own = (spec.groupCols ++ spec.valueCols)
+        .filter(side.fieldNames.contains).distinct
+      StructType((spec.joinCols ++ own).map(c => side(c)) :+
+        StructField(Mult, org.apache.spark.sql.types.LongType))
+    }
+    MergeTable.create(spark, factzDir(dir), zSchema(factSchema),
+      keyCols = zSchema(factSchema).fieldNames.toSeq.filterNot(_ == Mult),
+      bucketCols = spec.joinCols, nBuckets = nBuckets)
+    MergeTable.create(spark, dimzDir(dir), zSchema(dimSchema),
+      keyCols = zSchema(dimSchema).fieldNames.toSeq.filterNot(_ == Mult),
+      bucketCols = spec.joinCols, nBuckets = nBuckets)
+    def typeOf(c: String) =
+      if (factSchema.fieldNames.contains(c)) factSchema(c)
+      else dimSchema(c)
+    Ivm.create(spark, ivmDir(dir),
+      StructType((spec.groupCols ++ spec.valueCols).map(typeOf)),
+      spec.inner, nBuckets = nBuckets)
+    syncMarker(spark, dir, 1, 1, 1)
+  }
+
+  private def syncMarker(spark: SparkSession, dir: String, fv: Int,
+                         dv: Int, zv: Int): Unit =
+    atomicWrite(fs(spark, dir), new Path(dir, "SYNC"), s"$fv $dv $zv")
+
+  private def readSync(spark: SparkSession, dir: String): (Int, Int, Int) = {
+    val p = readSmall(fs(spark, dir), new Path(dir, "SYNC")).split(" ")
+    (p(0).toInt, p(1).toInt, p(2).toInt)
+  }
+
+  /** Fold one side's signed delta into its z-set (identical contract
+    * to JoinIvm's side fold: negative multiplicities reject the
+    * commit). */
+  private def foldSide(spark: SparkSession, zdir: String, what: String,
+                       cols: Seq[String], delta: DataFrame): Unit = {
+    var nzH: Option[DataFrame] = None
+    try MergeTable.mergeCompute(spark, zdir, delta) { old =>
+      val nz = old.select(cols.map(col) :+ col(Mult): _*)
+        .unionByName(delta.withColumnRenamed("__d", Mult))
+        .groupBy(cols.map(col): _*).agg(sum(col(Mult)).as(Mult))
+        .filter(col(Mult) =!= 0)
+        .persist()
+      nzH = Some(nz)
+      val neg = nz.filter(col(Mult) < 0).count()
+      require(neg == 0,
+        s"$neg $what rows would go NEGATIVE — the batch deletes rows " +
+          "that were never inserted; the change stream is inconsistent " +
+          "with the maintained state (nothing was committed)")
+      nz
+    } finally nzH.foreach(_.unpersist(blocking = false))
+  }
+
+  /**
+   * Apply one two-sided CDC batch (deletes carry BEFORE-IMAGES; any
+   * frame may be empty). Commits factz, dimz, then the inner Ivm
+   * (z-set + view), in O(batch + touched join-key buckets + touched
+   * groups' z-set mass). Returns (factzVersion, dimzVersion,
+   * innerZsetVersion).
+   *
+   * Crash recovery: the commits are sequential; an INFLIGHT marker
+   * brackets them. If a crash leaves it behind, the next applyDelta
+   * refuses: run [[rebuild]] (which recomputes the joined z-set from
+   * whatever side state landed and clears the marker), then re-submit
+   * ONLY the side(s) whose z-set version did not advance — an
+   * applyDelta with the landed side's frames empty (its effect is
+   * already in the rebuilt state; the bilinear formula with that
+   * side's delta zero applies exactly the remaining term).
+   */
+  def applyDelta(spark: SparkSession, dir: String,
+                 factInserts: DataFrame, factDeletes: DataFrame,
+                 dimInserts: DataFrame, dimDeletes: DataFrame)
+      : (Int, Int, Int) = {
+    val spec = readSpec(spark, dir)
+    val fv0 = MergeTable.latestVersion(spark, factzDir(dir))
+    val dv0 = MergeTable.latestVersion(spark, dimzDir(dir))
+    val zv0 = Ivm.latestVersion(spark, ivmDir(dir))
+    val fsys = fs(spark, dir)
+    val inflight = new Path(dir, "INFLIGHT")
+    require(!fsys.exists(inflight), {
+      val rec = readSmall(fsys, inflight)
+      s"view at $dir has an interrupted refresh (INFLIGHT pre-versions " +
+        s"$rec; state now at $fv0 $dv0 $zv0 — a side that advanced past " +
+        "its recorded pre-version already absorbed the batch): run " +
+        "IvmOverJoin.rebuild, then re-submit only the side(s) that did " +
+        "not land"
+    })
+    require(readSync(spark, dir) == ((fv0, dv0, zv0)),
+      s"view at $dir is behind its side z-sets (crash between " +
+        "commits?) — run IvmOverJoin.rebuild first")
+    atomicWrite(fsys, inflight, s"$fv0 $dv0 $zv0")
+    def abortCleanIfNothingLanded(): Unit =
+      if (MergeTable.latestVersion(spark, factzDir(dir)) == fv0 &&
+          MergeTable.latestVersion(spark, dimzDir(dir)) == dv0 &&
+          Ivm.latestVersion(spark, ivmDir(dir)) == zv0)
+        fsys.delete(inflight, false)
+    val fMeta = MergeTable.readMeta(spark, factzDir(dir))
+    val dMeta = MergeTable.readMeta(spark, dimzDir(dir))
+    val fCols = fMeta.schema.fieldNames.toSeq.filterNot(_ == Mult)
+    val dCols = dMeta.schema.fieldNames.toSeq.filterNot(_ == Mult)
+    def zdelta(ins: DataFrame, del: DataFrame, cols: Seq[String],
+               schema: StructType): DataFrame = {
+      def proj(df: DataFrame, sign: Int): DataFrame =
+        df.select(cols.map(c =>
+          col(c).cast(schema(c).dataType).as(c)) :+
+          lit(sign.toLong).as("__d"): _*)
+      proj(ins, 1).unionByName(proj(del, -1))
+        .groupBy(cols.map(col): _*).agg(sum(col("__d")).as("__d"))
+        .persist()
+    }
+    val dF = zdelta(factInserts, factDeletes, fCols, fMeta.schema)
+    val dD = zdelta(dimInserts, dimDeletes, dCols, dMeta.schema)
+    try {
+      def nullCheck(d: DataFrame, what: String): Unit = {
+        val present = (spec.joinCols ++ spec.groupCols)
+          .filter(d.columns.contains)
+        val n = d.filter(present.map(col(_).isNull).reduce(_ || _)).count()
+        require(n == 0,
+          s"$n $what delta rows carry NULL join/group columns — null " +
+            "join keys and null groups are not supported (coalesce " +
+            "upstream); nothing was committed")
+      }
+      nullCheck(dF, "fact")
+      nullCheck(dD, "dim")
+      foldSide(spark, factzDir(dir), "fact z-set", fCols, dF)
+      foldSide(spark, dimzDir(dir), "dim z-set", dCols, dD)
+      val fvN = MergeTable.latestVersion(spark, factzDir(dir))
+      val dvN = MergeTable.latestVersion(spark, dimzDir(dir))
+      // Δ(F⋈D) = ΔF ⋈ D′ + (F′ − ΔF) ⋈ ΔD, multiplicities multiplied
+      // — identical reads to JoinIvm.applyDelta, but the result is
+      // projected onto (G, V) with its signed multiplicities instead
+      // of being folded into per-group sums.
+      val dimForDF = MergeTable.readForKeysAt(spark, dimzDir(dir), dvN,
+        dF.select(spec.joinCols.map(col): _*))._1
+      val j1 = dF.join(dimForDF, spec.joinCols)
+        .withColumn("__jm", col("__d") * col(Mult))
+      val dDKeys = dD.select(spec.joinCols.map(col): _*).distinct()
+      val factNewForDD = MergeTable.readForKeysAt(spark, factzDir(dir),
+        fvN, dDKeys)._1
+        .join(broadcast(dDKeys), spec.joinCols, "left_semi")
+        .select(fCols.map(col) :+ col(Mult): _*)
+      val factDeltaForDD = dF
+        .join(broadcast(dDKeys), spec.joinCols, "left_semi")
+        .select(fCols.map(col) :+ (-col("__d")).as(Mult): _*)
+      val factOldForDD = factNewForDD.unionByName(factDeltaForDD)
+        .groupBy(fCols.map(col): _*).agg(sum(col(Mult)).as(Mult))
+        .filter(col(Mult) =!= 0)
+      val j2 = factOldForDD.join(dD, spec.joinCols)
+        .withColumn("__jm", col(Mult) * col("__d"))
+      val gv = spec.groupCols ++ spec.valueCols
+      val signed = j1.unionByName(j2, allowMissingColumns = true)
+        .select(gv.map(col) :+ col("__jm").as("__d"): _*)
+      val (zv, _) = Ivm.applyZDelta(spark, ivmDir(dir), signed)
+      syncMarker(spark, dir, fvN, dvN, zv)
+      fsys.delete(inflight, false)
+      (fvN, dvN, zv)
+    } catch {
+      case e: Throwable => abortCleanIfNothingLanded(); throw e
+    } finally {
+      dF.unpersist(blocking = false)
+      dD.unpersist(blocking = false)
+    }
+  }
+
+  /** Recompute the joined z-set π(G, V) from the two side z-sets (a
+    * bucket-co-located join — both are bucketed by the join cols) and
+    * rebuild the inner view from it — the crash-repair path, O(state),
+    * never a base-table access. Clears the INFLIGHT marker. */
+  def rebuild(spark: SparkSession, dir: String): Int = {
+    val spec = readSpec(spark, dir)
+    val f = MergeTable.read(spark, factzDir(dir))
+    val d = MergeTable.read(spark, dimzDir(dir))
+    val gv = spec.groupCols ++ spec.valueCols
+    val z = f.withColumnRenamed(Mult, "__fm")
+      .join(d.withColumnRenamed(Mult, "__dm"), spec.joinCols)
+      .withColumn(Mult, col("__fm") * col("__dm"))
+      .groupBy(gv.map(col): _*).agg(sum(col(Mult)).as(Mult))
+      .filter(col(Mult) =!= 0)
+      .persist()
+    try {
+      Ivm.replaceZset(spark, ivmDir(dir), z)
+      val zv = Ivm.rebuildView(spark, ivmDir(dir))
+      syncMarker(spark, dir,
+        MergeTable.latestVersion(spark, factzDir(dir)),
+        MergeTable.latestVersion(spark, dimzDir(dir)),
+        Ivm.latestVersion(spark, ivmDir(dir)))
+      fs(spark, dir).delete(new Path(dir, "INFLIGHT"), false)
+      zv
+    } finally z.unpersist(blocking = false)
+  }
+
+  /** The maintained view: one row per live group with ALL requested
+    * aggregates (min/max/count-distinct exact under retraction — they
+    * recompute group-locally from the joined z-set). */
+  def readView(spark: SparkSession, dir: String): DataFrame =
+    Ivm.readView(spark, ivmDir(dir))
+
+  /** The joined-projection counting z-set (audits). */
+  def readZset(spark: SparkSession, dir: String): DataFrame =
+    Ivm.readZset(spark, ivmDir(dir))
+
+  def latestVersions(spark: SparkSession, dir: String): (Int, Int, Int) =
+    (MergeTable.latestVersion(spark, factzDir(dir)),
+      MergeTable.latestVersion(spark, dimzDir(dir)),
+      Ivm.latestVersion(spark, ivmDir(dir)))
+
+  def exists(spark: SparkSession, dir: String): Boolean =
+    fs(spark, dir).exists(new Path(dir, "SPEC")) &&
+      MergeTable.exists(spark, factzDir(dir))
+
+  def gc(spark: SparkSession, dir: String, retainLast: Int): Unit = {
+    MergeTable.gc(spark, factzDir(dir), retainLast)
+    MergeTable.gc(spark, dimzDir(dir), retainLast)
+    Ivm.gc(spark, ivmDir(dir), retainLast)
+  }
+}

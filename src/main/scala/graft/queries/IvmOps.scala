@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Ivm, JoinIvm, MergeTable}
+import graft.operators.{Ivm, IvmOverJoin, JoinIvm, MergeTable}
 
 /**
  * Incremental-view-maintenance queries: the persisted [[MergeTable]] /
@@ -133,7 +133,56 @@ object IvmOps {
       d
     })
 
+  /** The same two-sided orders ⋈ customer history as [[joinDir]], but
+    * maintained by [[IvmOverJoin]] with the NON-INVERTIBLE aggregate
+    * set (min/max/count-distinct) — the joined-projection z-set path.
+    * The order deletes retract group minima (every %9==4 order dies,
+    * including segment-minimum prices), so the oracle equality proves
+    * the extremes recompute exactly under retraction. */
+  private def joinMinmaxDir(spark: SparkSession, dir: String): String =
+    dirs.computeIfAbsent(dir + "#ivmoj", _ => {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_ivmoj").toString + "/view"
+      val fact = Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val dim = Tables.load(spark, dir, "customer")
+        .select(col("c_custkey").as("custkey"),
+          col("c_mktsegment").as("segment"))
+      val factP = fact.select("custkey", "cents")
+      IvmOverJoin.create(spark, d, factP.schema, dim.schema,
+        IvmOverJoin.Spec(
+          joinCols = Seq("custkey"), groupCols = Seq("segment"),
+          aggs = Seq(Ivm.Count("orders"), Ivm.Min("cents", "min_cents"),
+            Ivm.Max("cents", "max_cents"),
+            Ivm.CountDistinct("cents", "n_prices"),
+            Ivm.Sum("cents", "revenue"))), nBuckets = 8)
+      IvmOverJoin.applyDelta(spark, d, factP, factP.limit(0),
+        dim, dim.limit(0))
+      IvmOverJoin.applyDelta(spark, d,
+        fact.filter(col("o_orderkey") % 5 === 0)
+          .select(col("custkey"), (col("cents") + 555).as("cents")),
+        fact.filter(col("o_orderkey") % 9 === 4)
+          .select("custkey", "cents"),
+        dim.filter(col("custkey") % 7 === 3)
+          .withColumn("segment", lit("AUG")),
+        dim.filter(col("custkey") % 7 === 3))
+      d
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The maintained join view with the NON-INVERTIBLE aggregates —
+    // min/max/count-distinct over orders ⋈ customer kept exact through
+    // the same two-sided CDC batch as q_ivm_join_agg: the joined
+    // projection π(segment, cents) is itself maintained as a counting
+    // z-set (IvmOverJoin = bilinear join delta feeding Ivm's
+    // group-local recompute), so retracting a segment's minimum price
+    // recovers the runner-up exactly.
+    "q_ivm_join_minmax" -> { (spark, dir) =>
+      IvmOverJoin.readView(spark, joinMinmaxDir(spark, dir))
+        .orderBy("segment")
+    },
+
     // The maintained JOIN-aggregate (orders ⋈ customer revenue rollup)
     // after a two-sided CDC batch — the bilinear join-delta algebra
     // (ΔF⋈D' + F⋈ΔD) over join-key-bucketed z-sets; the oracle
@@ -160,6 +209,28 @@ object IvmOps {
     })
 
   def oracleSql: Map[String, String] = Map(
+    "q_ivm_join_minmax" ->
+      """WITH fact AS (
+        |  SELECT o_custkey AS custkey,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 9 <> 4
+        |  UNION ALL
+        |  SELECT o_custkey,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) + 555
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |dim AS (
+        |  SELECT c_custkey AS custkey,
+        |         CASE WHEN c_custkey % 7 = 3 THEN 'AUG'
+        |              ELSE c_mktsegment END AS segment
+        |  FROM customer)
+        |SELECT segment,
+        |       CAST(count(*) AS BIGINT) AS orders,
+        |       min(cents) AS min_cents,
+        |       max(cents) AS max_cents,
+        |       CAST(count(DISTINCT cents) AS BIGINT) AS n_prices,
+        |       CAST(sum(cents) AS BIGINT) AS revenue
+        |FROM fact JOIN dim USING (custkey)
+        |GROUP BY segment ORDER BY segment""".stripMargin,
     "q_ivm_join_agg" ->
       """WITH fact AS (
         |  SELECT o_custkey AS custkey,

@@ -584,6 +584,129 @@ class IvmSpec extends AnyFunSuite {
       jModel(fact, dim))
   }
 
+  // ---- IvmOverJoin (min/max/count-distinct over a maintained join) ----
+
+  private val ojspec = graft.operators.IvmOverJoin.Spec(Seq("k"), Seq("seg"),
+    Seq(Ivm.Count("cnt"), Ivm.Min("v", "min_v"), Ivm.Max("v", "max_v"),
+      Ivm.CountDistinct("v", "n_vals"), Ivm.Sum("v", "sum_v")))
+
+  /** From-scratch full-agg join model. */
+  private def ojModel(fact: Seq[(Long, Long)],
+                      dim: Seq[(Long, String)]): Set[Row] = {
+    val joined = for {(k, v) <- fact; (k2, s) <- dim if k == k2} yield (s, v)
+    joined.groupBy(_._1).map { case (s, rs) =>
+      val vs = rs.map(_._2)
+      Row(s, rs.size.toLong, vs.min, vs.max, vs.distinct.size.toLong, vs.sum)
+    }.toSet
+  }
+
+  test("ivm-over-join: min/max/count-distinct stay exact when the extremes retract; crash repair resumes") {
+    import graft.operators.IvmOverJoin
+    val dir = tmp("graft_ivmoj")
+    IvmOverJoin.create(spark, dir, factDf(Seq((1L, 1L))).schema,
+      dimDf(Seq((1L, "s"))).schema, ojspec, nBuckets = 4)
+    val f0 = Seq((1L, 10L), (1L, 20L), (2L, 30L), (3L, 5L), (3L, 40L))
+    val d0 = Seq((1L, "s0"), (2L, "s0"), (3L, "s1"))
+    IvmOverJoin.applyDelta(spark, dir, factDf(f0), factDf(Seq.empty),
+      dimDf(d0), dimDf(Seq.empty))
+    assert(IvmOverJoin.readView(spark, dir).collect().toSet ==
+      ojModel(f0, d0))
+    // retract s1's CURRENT MINIMUM (3, 5): min must climb to 40 — the
+    // case no invertible fold can answer; the joined z-set can
+    val f1 = f0.filterNot(_ == ((3L, 5L)))
+    IvmOverJoin.applyDelta(spark, dir, factDf(Seq.empty),
+      factDf(Seq((3L, 5L))), dimDf(Seq.empty), dimDf(Seq.empty))
+    val got1 = IvmOverJoin.readView(spark, dir).collect().toSet
+    assert(got1 == ojModel(f1, d0))
+    assert(got1.find(_.getString(0) == "s1").get.getLong(2) == 40L)
+    // dim reassignment (key 1 → s1) + fact churn two-sided: every
+    // joined row of key 1 moves groups, extremes recompute in both
+    val f2 = f1 :+ ((2L, 3L))
+    val d2 = d0.filterNot(_ == ((1L, "s0"))) :+ ((1L, "s1"))
+    IvmOverJoin.applyDelta(spark, dir,
+      factDf(Seq((2L, 3L))), factDf(Seq.empty),
+      dimDf(Seq((1L, "s1"))), dimDf(Seq((1L, "s0"))))
+    assert(IvmOverJoin.readView(spark, dir).collect().toSet ==
+      ojModel(f2, d2))
+    // duplicate values collapse in the z-set but count correctly
+    // (multiplicity 2), and count-distinct sees one
+    val f3 = f2 :+ ((2L, 3L))
+    IvmOverJoin.applyDelta(spark, dir, factDf(Seq((2L, 3L))),
+      factDf(Seq.empty), dimDf(Seq.empty), dimDf(Seq.empty))
+    assert(IvmOverJoin.readView(spark, dir).collect().toSet ==
+      ojModel(f3, d2))
+    // inconsistent batch: clean abort, nothing committed, no INFLIGHT
+    val vBefore = IvmOverJoin.latestVersions(spark, dir)
+    intercept[IllegalArgumentException] {
+      IvmOverJoin.applyDelta(spark, dir, factDf(Seq.empty),
+        factDf(Seq((9L, 999L))), dimDf(Seq.empty), dimDf(Seq.empty))
+    }
+    assert(IvmOverJoin.latestVersions(spark, dir) == vBefore)
+    assert(!new java.io.File(s"$dir/INFLIGHT").exists)
+    // the INFLIGHT window: a crash after the fact fold — construct the
+    // torn state (fact folded by hand + marker), then rebuild and
+    // re-submit only the dim side (per the documented recovery)
+    val b4fIns = Seq((4L, 50L))
+    val b4dIns = Seq((4L, "s0"))
+    val dF4 = factDf(b4fIns).withColumn("__d", lit(1L))
+      .groupBy("k", "v").agg(sum($"__d").as("__d"))
+    MergeTable.mergeCompute(spark, s"$dir/factz", dF4) { old =>
+      old.select($"k", $"v", $"__mult")
+        .unionByName(dF4.withColumnRenamed("__d", "__mult"))
+        .groupBy("k", "v").agg(sum($"__mult").as("__mult"))
+        .filter($"__mult" =!= 0)
+    }
+    graft.operators.VersionedLayout.atomicWrite(
+      graft.operators.VersionedLayout.fs(spark, dir),
+      new org.apache.hadoop.fs.Path(dir, "INFLIGHT"), "x")
+    val e = intercept[IllegalArgumentException] {
+      IvmOverJoin.applyDelta(spark, dir, factDf(Seq.empty),
+        factDf(Seq.empty), dimDf(Seq.empty), dimDf(Seq.empty))
+    }
+    assert(e.getMessage.contains("interrupted refresh"))
+    IvmOverJoin.rebuild(spark, dir)
+    // fact landed → fact frames EMPTY on the re-submit; dim did not
+    IvmOverJoin.applyDelta(spark, dir, factDf(Seq.empty),
+      factDf(Seq.empty), dimDf(b4dIns), dimDf(Seq.empty))
+    val f4 = f3 ++ b4fIns
+    val d4 = d2 ++ b4dIns
+    assert(IvmOverJoin.readView(spark, dir).collect().toSet ==
+      ojModel(f4, d4))
+    // rebuild is idempotent and gc keeps the view readable
+    IvmOverJoin.rebuild(spark, dir)
+    assert(IvmOverJoin.readView(spark, dir).collect().toSet ==
+      ojModel(f4, d4))
+    IvmOverJoin.gc(spark, dir, retainLast = 1)
+    assert(IvmOverJoin.readView(spark, dir).collect().toSet ==
+      ojModel(f4, d4))
+  }
+
+  test("ivm-over-join random two-sided walk: full-agg view == from-scratch recompute after every commit") {
+    import graft.operators.IvmOverJoin
+    val dir = tmp("graft_ivmoj_model")
+    IvmOverJoin.create(spark, dir, factDf(Seq((1L, 1L))).schema,
+      dimDf(Seq((1L, "s"))).schema, ojspec, nBuckets = 4)
+    val rnd = new scala.util.Random(29)
+    val segs = Array("s0", "s1", "s2")
+    var fact = Vector[(Long, Long)]()
+    var dim = Vector[(Long, String)]()
+    (1 to 8).foreach { step =>
+      val fIns = (0 until rnd.nextInt(4)).map(_ =>
+        (rnd.nextInt(6).toLong, rnd.nextInt(4).toLong))
+      val fDel = rnd.shuffle(fact).take(rnd.nextInt(2))
+      val dIns = (0 until rnd.nextInt(3)).map(_ =>
+        (rnd.nextInt(6).toLong, segs(rnd.nextInt(segs.length))))
+      val dDel = rnd.shuffle(dim).take(rnd.nextInt(2))
+      IvmOverJoin.applyDelta(spark, dir, factDf(fIns), factDf(fDel),
+        dimDf(dIns), dimDf(dDel))
+      fact = (fact diff fDel) ++ fIns
+      dim = (dim diff dDel) ++ dIns
+      val got = IvmOverJoin.readView(spark, dir).collect().toSet
+      assert(got == ojModel(fact, dim),
+        s"step $step:\n got  $got\n want ${ojModel(fact, dim)}")
+    }
+  }
+
   test("ivm random CDC walk: maintained view == from-scratch recompute after every commit") {
     val dir = tmp("graft_ivm_model")
     Ivm.create(spark, dir, baseDf(Seq((1L, "a", 1L, "t"))).schema, specG,
