@@ -66,5 +66,10 @@ object SparkEntry {
     // dedup via the digest index; min-of-3 times the steady-state
     // probe (bloom pass + candidate-sized verify), build amortizes on
     // run 1 like its siblings (35 queries)
-    "dedup_exact_idx")
+    "dedup_exact_idx",
+    // round 12: the maintained-view layer's STEADY-STATE REFRESH cost
+    // (net-zero churn pair per run: two commits + gc + view read;
+    // builds amortize on run 1) — mt/ivm/jivm regressions now show in
+    // the driver artifact (38 queries; totals not comparable to r11)
+    "q_ivm_refresh", "q_ivm_join_refresh", "q_ivm_mirror_refresh")
 }

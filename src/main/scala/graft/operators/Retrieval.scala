@@ -85,6 +85,20 @@ object Retrieval {
    * setting this returns EXACTLY [[hybridRrf]]'s output over the
    * indexed corpus (RetrievalSpec), and with nProbe < nList it trades
    * dense recall for probe cost like any IVF query.
+   *
+   * PROBE-COST GATE (default on, `termCfg.maxCandidateFraction`): the
+   * BM25 leg is priced by [[TermIndex.estimateProbeCost]] before any
+   * posting is read. A batch priced above the gate is document-shaped
+   * — its exact sparse cost is corpus-linear by the adjudicated floor
+   * (BENCH_NOTES_r10 §2) — and this method FALLS BACK to the dense
+   * leg alone for the batch (RRF over one ranking): the automated
+   * form of the deployment routing that adjudication prescribes.
+   * Search-shaped probes price far below the gate and fuse both legs
+   * untouched. The last gate decision is observable at
+   * [[lastGateDecision]]; set `termCfg.maxCandidateFraction =
+   * TermIndex.ExactUnbounded` to force the exact sparse leg
+   * regardless of shape (the oracled q_hybrid_rrf_idx does — its
+   * contract is equality with the inline hybrid).
    */
   def hybridRrfIndexed(spark: org.apache.spark.sql.SparkSession,
                        termIdxDir: String, ivfIdxDir: String,
@@ -96,15 +110,39 @@ object Retrieval {
                        nProbe: Int = 4,
                        rrfK: Int = 60, scale: Long = 1000000L): DataFrame = {
     require(kInner > 0 && k > 0, "kInner and k must be > 0")
-    val bm = TermIndex.topK(spark, termIdxDir, probesText, id, text,
-        kInner, termCfg, terms)
-      .select(col("probe_id"), col("doc_id"), col("rank").as("__rt"))
+    val gated =
+      if (termCfg.maxCandidateFraction.isPosInfinity) None
+      else {
+        val cost = TermIndex.estimateProbeCost(spark, termIdxDir,
+          probesText, id, text, termCfg, terms)
+        if (cost.candidateFraction > termCfg.maxCandidateFraction)
+          Some(cost)
+        else None
+      }
+    lastGateDecision = gated
+    val bm = gated match {
+      case Some(_) =>
+        // gated: the sparse leg is skipped for this batch — candidates
+        // come from the dense leg alone, cost ∝ probed lists
+        probesText.limit(0).select(lit(0L).as("probe_id"),
+          lit(0L).as("doc_id"), lit(0L).as("__rt"))
+      case None =>
+        TermIndex.topK(spark, termIdxDir, probesText, id, text,
+            kInner, termCfg, terms)
+          .select(col("probe_id"), col("doc_id"), col("rank").as("__rt"))
+    }
     val dn = IvfIndex.topK(spark, ivfIdxDir, probesEmb, id, vec, kInner,
         nProbe)
       .select(col("query_id").as("probe_id"),
         col("neighbor_id").as("doc_id"), col("rnk").cast("long").as("__rd"))
     fuseRrf(bm, dn, k, rrfK, scale)
   }
+
+  /** The most recent [[hybridRrfIndexed]] gate decision: Some(cost)
+    * when the batch was priced above the gate and served dense-only,
+    * None when both legs ran — observability for specs and stress
+    * harnesses (the [[TermIndex]] max-score counter's sibling). */
+  @volatile var lastGateDecision: Option[TermIndex.ProbeCost] = None
 
   /**
    * DSIR-style importance weights (Xie et al., "Data Selection for

@@ -77,6 +77,17 @@ import org.apache.spark.sql.functions._
  * Compactions fold tombstones physically and re-base the correction
  * over the segments they keep.
  */
+/** A probe batch priced above the index's `maxCandidateFraction` gate:
+  * its exact BM25 cost would be linear in the corpus (document-shaped
+  * probes — the adjudicated exact-scoring floor). Nothing was scored.
+  * Route the batch to the approximate first stage
+  * ([[Retrieval.hybridRrfIndexed]]) or re-run with an explicit
+  * [[TermIndex.ExactUnbounded]] config for a deliberate exact pass.
+  * Carries the priced [[TermIndex.ProbeCost]]. */
+final class ProbeCostExceededException(msg: String,
+                                       val cost: TermIndex.ProbeCost)
+  extends RuntimeException(msg)
+
 object TermIndex {
 
   import VersionedLayout._
@@ -97,10 +108,30 @@ object TermIndex {
   /** `tombMaxBytes`: byte budget for RETAINED tombstone datasets —
     * past it a fold escalates to a full merge so every tombstone
     * retires (the DigestIndex sibling's policy; see its Config doc
-    * for the amortization argument). */
+    * for the amortization argument).
+    *
+    * `maxCandidateFraction`: the probe-cost GATE. Every probe batch is
+    * priced by [[estimateProbeCost]] (count-sized df slices, no
+    * posting read) BEFORE any posting is touched; a batch whose
+    * average candidate fraction exceeds this threshold is
+    * document-shaped — its exact BM25 cost is linear in the corpus by
+    * adjudicated necessity (BENCH_NOTES_r10 §2: the elided tier IS
+    * the floor) — and [[topK]]/[[topKAt]] fail fast with the priced
+    * estimate instead of walking into hours of exact scoring at
+    * 100 TB; route such workloads to the approximate first stage
+    * ([[Retrieval.hybridRrfIndexed]], which degrades to its dense leg
+    * under the same gate). Search-query-shaped probes (rare-term
+    * candidates only) price far below the default and pass untouched.
+    * Set [[ExactUnbounded]] for a DELIBERATE exact run — the oracled
+    * q_bm25 queries and self-probe ingest streams do, eyes open. */
   case class Config(buckets: Int = 32, maxSegments: Int = 8,
                     termsTag: String = "unigram",
-                    tombMaxBytes: Long = 64L * 1024 * 1024)
+                    tombMaxBytes: Long = 64L * 1024 * 1024,
+                    maxCandidateFraction: Double = 0.25)
+
+  /** Opt-out value for `Config.maxCandidateFraction`: no gate — a
+    * deliberate corpus-linear exact probe run. */
+  val ExactUnbounded: Double = Double.PositiveInfinity
 
   def exists(spark: SparkSession, dir: String): Boolean =
     VersionedLayout.exists(spark, dir)
@@ -660,6 +691,26 @@ object TermIndex {
     require(k > 0, "k must be > 0")
     requireLiveVersion(spark, dir, version)
     requireTerms(spark, dir, cfg)
+    // default-on probe-cost gate: price the batch from the count-sized
+    // df slices BEFORE any posting is read, and refuse document-shaped
+    // batches whose exact cost is corpus-linear (see Config's
+    // maxCandidateFraction doc; ExactUnbounded opts out deliberately)
+    if (!cfg.maxCandidateFraction.isPosInfinity) {
+      val cost = estimateProbeCostAt(spark, dir, version, probes, id,
+        text, cfg, terms)
+      if (cost.candidateFraction > cfg.maxCandidateFraction)
+        throw new ProbeCostExceededException(
+          f"probe batch priced ABOVE the exact-scoring gate: average " +
+            f"candidate fraction ${cost.candidateFraction}%.3f > " +
+            f"maxCandidateFraction ${cfg.maxCandidateFraction}%.3f " +
+            f"(${cost.probeCount} probes would score " +
+            f"${cost.scoredPostings} postings against ${cost.corpusDocs} " +
+            "docs — document-shaped, corpus-linear by the adjudicated " +
+            "exact floor). Nothing was scored. Route the batch to the " +
+            "approximate first stage (Retrieval.hybridRrfIndexed) or " +
+            "set maxCandidateFraction = TermIndex.ExactUnbounded for a " +
+            "deliberate exact run.", cost)
+    }
     val segs = readManifest(spark, dir, version)
     val (masked, tombs) = readTombstones(spark, dir, version)
     // corpus scalars shed the tombstoned docs exactly (the manifest
@@ -714,8 +765,16 @@ object TermIndex {
   def estimateProbeCost(spark: SparkSession, dir: String,
                         probes: DataFrame, id: String, text: String,
                         cfg: Config = Config(),
-                        terms: Column => Column = TF.tokens): ProbeCost = {
-    val version = latestVersion(spark, dir)
+                        terms: Column => Column = TF.tokens): ProbeCost =
+    estimateProbeCostAt(spark, dir, latestVersion(spark, dir), probes,
+      id, text, cfg, terms)
+
+  /** [[estimateProbeCost]] against a pinned version — what the
+    * default-on probe gate inside [[topKAt]] prices. */
+  def estimateProbeCostAt(spark: SparkSession, dir: String, version: Int,
+                          probes: DataFrame, id: String, text: String,
+                          cfg: Config = Config(),
+                          terms: Column => Column = TF.tokens): ProbeCost = {
     requireTerms(spark, dir, cfg)
     val segs = readManifest(spark, dir, version)
     val (masked, _) = readTombstones(spark, dir, version)

@@ -24,7 +24,12 @@ object CorpusOps {
   private val FunnelWithinUs = 12L * 3600 * 1000000 // 12 h per step
   private val DayUs = 86400000000L
 
-  private val bm25IdxCfg = TermIndex.Config(termsTag = "bigram")
+  // DELIBERATE exact run: q_bm25_topk_idx's probes are full documents
+  // (the adjudicated corpus-linear exact floor, BENCH_NOTES_r10 §2)
+  // and the query is oracled pair-for-pair against the inline BM25 —
+  // so the probe-cost gate is explicitly opted out here, eyes open
+  private val bm25IdxCfg = TermIndex.Config(termsTag = "bigram",
+    maxCandidateFraction = TermIndex.ExactUnbounded)
 
   private val tIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

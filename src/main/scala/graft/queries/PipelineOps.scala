@@ -265,7 +265,11 @@ object PipelineOps {
       val d = Tables.load(spark, dir, "documents")
       val e = Tables.load(spark, dir, "embeddings")
         .withColumnRenamed("vec_id", "doc_id")
-      val tCfg = TermIndex.Config(buckets = 8, termsTag = "bigram")
+      // gate opt-out: this query's contract is EQUALITY with the
+      // inline hybrid (both legs always run) — a deliberate exact
+      // sparse leg over document-shaped probes, oracled
+      val tCfg = TermIndex.Config(buckets = 8, termsTag = "bigram",
+        maxCandidateFraction = TermIndex.ExactUnbounded)
       val vCfg = IvfIndex.Config(dim = EmbDim, nList = 8, iters = 0,
         maxImbalance = 1e12)
       val tDir = ivfIndexes.computeIfAbsent(dir + "#hyb_t", _ => {

@@ -262,10 +262,14 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(annOut == annAt1,
       "ANN redelivery after out-of-band gc must re-emit identically")
 
-    // TermIndex (BM25 topK): same own-version contract
+    // TermIndex (BM25 topK): same own-version contract. The wrapper
+    // self-probes with the ingested documents (bigram terms →
+    // document-shaped), a deliberate exact emission contract — probe
+    // gate opted out.
     val tDir = java.nio.file.Files
       .createTempDirectory("graft_chaos_gc_t").toString + "/idx"
-    val tCfg = TermIndex.Config(buckets = 4)
+    val tCfg = TermIndex.Config(buckets = 4,
+      maxCandidateFraction = TermIndex.ExactUnbounded)
     var tOut: Set[(Long, Long, Long, Long)] = Set.empty
     def tRun(b: org.apache.spark.sql.DataFrame, bid: Long): Unit =
       graft.streaming.Streams.retrievalIndexedBatch(

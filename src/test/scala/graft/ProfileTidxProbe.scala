@@ -18,7 +18,8 @@ object ProfileTidxProbe {
     val d = Tables.load(spark, dir, "documents")
     val isProbe =
       Sampling.hashBucket(col("doc_id")) < lit(Sampling.cuts(Seq(0.05))(1))
-    val cfg = TermIndex.Config(buckets = 8, termsTag = "bigram")
+    val cfg = TermIndex.Config(buckets = 8, termsTag = "bigram",
+      maxCandidateFraction = TermIndex.ExactUnbounded)
     val idx = java.nio.file.Files.createTempDirectory("graft_tidx_prof")
       .toString + "/idx"
     var jobs = 0

@@ -133,6 +133,58 @@ class RetrievalSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("hybridRrfIndexed probe-cost gate: document-shaped batch falls back to the dense leg; search probes fuse both legs") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_rrf_gate").toString
+    // synthetic corpus with rare tokens (so positive-idf mass exists)
+    // + deterministic embeddings on the same ids
+    val corpusT = (0L until 60L).map(i => (i, s"common u$i s${i % 12}"))
+      .toDF("doc_id", "text")
+    val corpusE = (0L until 60L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 3 + d) % 7).toFloat)))
+      .toDF("doc_id", "embedding")
+    val tCfg = graft.operators.TermIndex.Config(buckets = 8) // gate on
+    graft.operators.TermIndex.build(spark, corpusT, "doc_id", "text",
+      s"$base/t", tCfg)
+    graft.operators.IvfIndex.build(spark, corpusE, "doc_id", "embedding",
+      s"$base/v", graft.operators.IvfIndex.Config(dim = 8, nList = 2,
+        iters = 1))
+    val probesEmb = Seq(
+      (100L, Array.tabulate(8)(d => (d % 7).toFloat)),
+      (101L, Array.tabulate(8)(d => ((d + 3) % 7).toFloat)))
+      .toDF("doc_id", "embedding")
+    def run(texts: Seq[String]): Set[(Long, Long, Long, Long)] =
+      Retrieval.hybridRrfIndexed(spark, s"$base/t", s"$base/v",
+          texts.zipWithIndex.map { case (t, i) => (100L + i, t) }
+            .toDF("doc_id", "text"),
+          probesEmb, "doc_id", "text", "embedding", kInner = 10, k = 5,
+          termCfg = tCfg, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    // document-shaped batch: priced above the gate → dense-only fusion
+    val docText = (0 until 60).map(i => s"u$i").mkString(" ")
+    val gotGated = run(Seq(docText, docText))
+    assert(Retrieval.lastGateDecision.isDefined,
+      "document-shaped batch must trip the gate")
+    assert(Retrieval.lastGateDecision.get.candidateFraction > 0.25)
+    // equality check for the fallback: probes whose terms are UNKNOWN
+    // cost zero (not gated) and produce an empty sparse leg — the
+    // fusion must be identical to the gated batch's dense-only fusion
+    val wantDense = run(Seq("zzz qqq", "zzz qqq"))
+    assert(Retrieval.lastGateDecision.isEmpty,
+      "zero-cost probes must not trip the gate")
+    assert(gotGated == wantDense && gotGated.nonEmpty)
+    // search-shaped probes pass untouched and the sparse leg
+    // CONTRIBUTES: u7's unique doc must surface for probe 100
+    val gotSearch = run(Seq("u7", "u13"))
+    assert(Retrieval.lastGateDecision.isEmpty,
+      "search probes must not trip the gate")
+    assert(gotSearch.exists { case (p, _, d, _) => p == 100L && d == 7L },
+      s"sparse hit for the rare term must fuse in: $gotSearch")
+    spark.catalog.clearCache()
+  }
+
   // --- dsirWeights --------------------------------------------------------
 
   test("dsirWeights: target-typical docs score above off-target docs") {

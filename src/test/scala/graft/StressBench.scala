@@ -304,7 +304,9 @@ object StressBench {
     import graft.operators.{TermIndex, Terms}
     val tidxDir = java.nio.file.Files.createTempDirectory("graft_stress_tidx")
       .toString + "/idx"
-    val tCfg = TermIndex.Config(buckets = 32, maxSegments = 3)
+    // deliberate exact floor timing — document-shaped probes, gate off
+    val tCfg = TermIndex.Config(buckets = 32, maxSegments = 3,
+      maxCandidateFraction = TermIndex.ExactUnbounded)
     val tBase = docs.filter(col("doc_id") % 20 >= 8)
     time("tidx_build")(
       TermIndex.build(spark, tBase, "doc_id", "text", tidxDir, tCfg))

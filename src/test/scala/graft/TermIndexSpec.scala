@@ -88,7 +88,9 @@ class TermIndexSpec extends AnyFunSuite {
       (graft.functions.TextFunctions.tokens _, "unigram"),
       (Terms.bigramTerms _, "bigram"))) {
       val dir = tmpDir()
-      val cfg = TermIndex.Config(buckets = 8, termsTag = tag)
+      // deliberate exact document-probe equality — gate opted out
+      val cfg = TermIndex.Config(buckets = 8, termsTag = tag,
+        maxCandidateFraction = TermIndex.ExactUnbounded)
       TermIndex.build(spark, d, "doc_id", "text", dir, cfg, terms)
       val got = TermIndex.topK(spark, dir, probesOf(d), "doc_id", "text",
         k = 5, cfg, terms)
@@ -108,7 +110,9 @@ class TermIndexSpec extends AnyFunSuite {
       val mid = if (i % 2 == 0) "midtok" else "othertok"
       (i.toLong, s"filler1 filler2 filler3 $mid grp${i / 8} uniq$i payload${i % 16}")
     }.toDF("doc_id", "text")
-    val cfg = TermIndex.Config(buckets = 8)
+    // deliberate exact document-probe equality — gate opted out
+    val cfg = TermIndex.Config(buckets = 8,
+      maxCandidateFraction = TermIndex.ExactUnbounded)
     val dir = tmpDir()
     TermIndex.build(spark, docs240, "doc_id", "text", dir, cfg)
     // (a) search-query-shaped probes only → the STATS path: tier-1
@@ -275,7 +279,9 @@ class TermIndexSpec extends AnyFunSuite {
   test("upsert: replaced text scores as new; == inline over the updated corpus") {
     val d = docs
     val dir = tmpDir()
-    val cfg = TermIndex.Config(buckets = 8)
+    // deliberate exact document-probe equality — gate opted out
+    val cfg = TermIndex.Config(buckets = 8,
+      maxCandidateFraction = TermIndex.ExactUnbounded)
     TermIndex.build(spark, d, "doc_id", "text", dir, cfg)
     // rewrite every %7==3 doc's text (dedup-shifted token stream)
     val updated = d.filter(col("doc_id") % 7 === 3)
@@ -535,5 +541,41 @@ class TermIndexSpec extends AnyFunSuite {
       Seq((300L, "zzz qqq")).toDF("doc_id", "text"), "doc_id", "text", cfg)
     assert(cNone.scoredPostings == 0L && cNone.candidateFraction == 0.0,
       cNone.toString)
+  }
+
+  test("probe-cost gate (default on): document-shaped batches refuse before any posting is read; search probes pass untouched; ExactUnbounded opts out") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val corpus = (0L until 60L).map(i =>
+      (i, s"common u$i s${i % 12}")).toDF("doc_id", "text")
+    val cfg = TermIndex.Config(buckets = 8) // default gate 0.25
+    TermIndex.build(spark, corpus, "doc_id", "text", dir, cfg)
+    // search-query-shaped probe: prices far below the gate, runs the
+    // normal exact plan untouched
+    val searchProbe = Seq((100L, "u7 s3")).toDF("doc_id", "text")
+    val hits = TermIndex.topK(spark, dir, searchProbe, "doc_id", "text",
+      3, cfg).collect()
+    assert(hits.nonEmpty)
+    // document-shaped batch: fails FAST with the priced estimate — the
+    // carried cost must equal what estimateProbeCost reports (the
+    // spec-pinned count-sized pricing), and the message must carry the
+    // routing guidance
+    val docProbes = (0 until 3).map(p =>
+      (200L + p, (0 until 60).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val want = TermIndex.estimateProbeCost(spark, dir, docProbes,
+      "doc_id", "text", cfg)
+    val e = intercept[graft.operators.ProbeCostExceededException] {
+      TermIndex.topK(spark, dir, docProbes, "doc_id", "text", 3, cfg)
+    }
+    assert(e.cost == want, s"gate priced ${e.cost}, estimate says $want")
+    assert(e.getMessage.contains("hybridRrfIndexed") &&
+      e.getMessage.contains("ExactUnbounded"), e.getMessage)
+    // explicit opt-out: the same batch runs the deliberate exact plan
+    val exact = TermIndex.topK(spark, dir, docProbes, "doc_id", "text",
+      3, cfg.copy(maxCandidateFraction = TermIndex.ExactUnbounded))
+      .collect()
+    assert(exact.nonEmpty)
+    spark.catalog.clearCache()
   }
 }
