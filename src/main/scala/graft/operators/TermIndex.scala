@@ -485,6 +485,18 @@ object TermIndex {
       tombIds = Some(live.select(col(id)).unionByName(delIds)))
   }
 
+  /** Per-phase wall-clock attribution for the commit path, printed
+    * when `graft.tidx.profile=true` — the ProfileTidxChurn
+    * decomposition knob (the [[IvfIndex]] sibling's pattern). Costs
+    * one conf read per use when off. */
+  private def phased[T](spark: SparkSession, tag: String)(f: => T): T =
+    if (spark.conf.getOption("graft.tidx.profile").contains("true")) {
+      val t0 = System.nanoTime()
+      val x = f
+      println(f"    [tidx-phase] $tag%-22s ${(System.nanoTime() - t0) / 1e9}%7.3fs")
+      x
+    } else f
+
   private def appendImpl(spark: SparkSession, dir: String, batch: DataFrame,
                          id: String, text: String, cfg: Config,
                          terms: Column => Column,
@@ -499,18 +511,24 @@ object TermIndex {
       var tombs = tombsPrev
       tombIds.foreach { t =>
         val dName = f"d${v + 1}%05d$fx"
-        t.select(col(t.columns.head).cast("long").as("doc_id")).distinct()
-          .write.mode("overwrite").parquet(tombPath(dir, dName))
-        val (dnd, dnt) = liveDelta(spark, dir, segsPrev, tombsPrev,
-          tombPath(dir, dName), cfg)
+        phased(spark, "tombstone-write") {
+          t.select(col(t.columns.head).cast("long").as("doc_id")).distinct()
+            .write.mode("overwrite").parquet(tombPath(dir, dName))
+        }
+        val (dnd, dnt) = phased(spark, "live-delta") {
+          liveDelta(spark, dir, segsPrev, tombsPrev,
+            tombPath(dir, dName), cfg)
+        }
         if (dnd > 0) {
           masked = (maskedPrev._1 + dnd, maskedPrev._2 + dnt)
           tombs = tombsPrev :+ dName
         }
       }
       val seg = f"s${v + 1}%05d$fx"
-      val (nd, nt) = writeSegment(spark, batch, id, text, cfg, terms,
-        segPath(dir, seg))
+      val (nd, nt) = phased(spark, "segment-write") {
+        writeSegment(spark, batch, id, text, cfg, terms,
+          segPath(dir, seg))
+      }
       val newSegs = segsPrev :+ ((seg, nd, nt))
       if (newSegs.length > cfg.maxSegments) {
         // size-tiered: fold the batch-sized `s` segments into one new
@@ -542,14 +560,17 @@ object TermIndex {
         val kept = rSegs.filterNot(s => rMerge(s._1))
         val comp = f"r${v + 1}%05d$fx"
         val tombF = tombFrame(spark, dir, tombs)
-        val tfU = toMerge.map(s => readTf(spark, segPath(dir, s._1))
-            .withColumn("seg_seq", lit(nameSeq(s._1))))
-          .reduce(_.unionByName(_))
-        maskBySeq(tfU, tombF)
-          .repartition(col("bkt"))
-          .write.mode("overwrite").partitionBy("bkt")
-          .parquet(s"${segPath(dir, comp)}/tf")
+        phased(spark, "fold-tf") {
+          val tfU = toMerge.map(s => readTf(spark, segPath(dir, s._1))
+              .withColumn("seg_seq", lit(nameSeq(s._1))))
+            .reduce(_.unionByName(_))
+          maskBySeq(tfU, tombF)
+            .repartition(col("bkt"))
+            .write.mode("overwrite").partitionBy("bkt")
+            .parquet(s"${segPath(dir, comp)}/tf")
+        }
         val committed = readTf(spark, segPath(dir, comp))
+        phased(spark, "fold-df") {
         if (tombs.isEmpty)
           // df re-derives from the count-sized per-segment df tables —
           // the corpus-sized tf is unioned once for the write, not
@@ -569,32 +590,41 @@ object TermIndex {
             .repartition(col("bkt"))
             .write.mode("overwrite").partitionBy("bkt")
             .parquet(s"${segPath(dir, comp)}/df")
-        writeDocsStats(spark, segPath(dir, comp), committed, cfg)
-        val rr = committed.agg(countDistinct(col("doc_id")), sum("tf")).head()
-        val (ndC, ntC) =
+        }
+        val (ndC, ntC) = phased(spark, "fold-docs-stats") {
+          writeDocsStats(spark, segPath(dir, comp), committed, cfg)
+          val rr = committed.agg(countDistinct(col("doc_id")), sum("tf"))
+            .head()
           (rr.getLong(0), if (rr.isNullAt(1)) 0L else rr.getLong(1))
+        }
         // retire tombstones no kept segment is older than; re-base the
         // masked scalars over the KEPT segments only (the folded copies
         // are physically gone and the comp read-back already excludes
         // them). One semi-join counts each masked row exactly once.
-        val tombsKept = coalesceTombs(spark, dir, v + 1,
-          tombs.filter(t => kept.exists(s => nameSeq(s._1) < nameSeq(t))))
-        val maskedKept =
-          if (tombsKept.isEmpty) (0L, 0L)
-          else {
-            val docsU = kept.map { case (s, _, _) =>
-                readDocs(spark, segPath(dir, s))
-                  .withColumn("seg_seq", lit(nameSeq(s)))
-              }.reduce(_.unionByName(_))
-            val t = tombFrame(spark, dir, tombsKept).get
-            val m = docsU.join(broadcast(t),
-                col("doc_id") === col("t_id") && col("t_seq") > col("seg_seq"),
-                "left_semi")
-              .agg(count(lit(1)), sum("dl")).head()
-            (m.getLong(0), if (m.isNullAt(1)) 0L else m.getLong(1))
-          }
-        writeManifest(spark, dir, v + 1, kept :+ ((comp, ndC, ntC)))
-        writeTombstonesFile(spark, dir, v + 1, maskedKept, tombsKept)
+        val (maskedKept, tombsKept) = phased(spark, "fold-rebase") {
+          val tk = coalesceTombs(spark, dir, v + 1,
+            tombs.filter(t => kept.exists(s => nameSeq(s._1) < nameSeq(t))))
+          val mk =
+            if (tk.isEmpty) (0L, 0L)
+            else {
+              val docsU = kept.map { case (s, _, _) =>
+                  readDocs(spark, segPath(dir, s))
+                    .withColumn("seg_seq", lit(nameSeq(s)))
+                }.reduce(_.unionByName(_))
+              val t = tombFrame(spark, dir, tk).get
+              val m = docsU.join(broadcast(t),
+                  col("doc_id") === col("t_id") &&
+                    col("t_seq") > col("seg_seq"),
+                  "left_semi")
+                .agg(count(lit(1)), sum("dl")).head()
+              (m.getLong(0), if (m.isNullAt(1)) 0L else m.getLong(1))
+            }
+          (mk, tk)
+        }
+        phased(spark, "manifest") {
+          writeManifest(spark, dir, v + 1, kept :+ ((comp, ndC, ntC)))
+          writeTombstonesFile(spark, dir, v + 1, maskedKept, tombsKept)
+        }
       } else {
         writeManifest(spark, dir, v + 1, newSegs)
         writeTombstonesFile(spark, dir, v + 1, masked, tombs)

@@ -463,6 +463,59 @@ object StressBench {
     health("ivf_frozen_mass_pct") =
       math.round(ivfH.frozenMassFraction * 100.0)
     health("ivf_tombstone_datasets") = ivfH.tombstoneDatasets.toLong
+
+    // --- ADVERSARIAL frozen-list phase (round 12): the steady-state
+    // churn above reads frozen 0/0 because the corpus has no
+    // identical-vector clumps — this phase ingests one (the shape
+    // k-means cannot spread: tied assignments all pick one centroid),
+    // so lists actually FREEZE. Pins, at every scale: (a) nonzero
+    // frozen mass in the artifact; (b) probe cost with the clump
+    // present — a query AT the clump scans the frozen list's full
+    // mass (the documented exposure, bounded by and only by that
+    // mass), a far query does not pay it; (c) retrain() as the
+    // remediation — the frozen set resets and a clump query then
+    // answers entirely from the clump, exactly.
+    val clumpN = math.max(1000L, nDocs / 10)
+    health("ivf_adv_clump_rows") = clumpN
+    val clumpVec = array((0 until dim).map(_ => lit(7.0f)): _*)
+    val clump = spark.range(clumpN)
+      .select((col("id") + 10000000L).as("vec_id"), clumpVec.as("embedding"))
+    time("ivf_adv_clump_ingest_4") {
+      (0 until 4).foreach { i =>
+        IvfIndex.append(spark, ivfDir,
+          clump.filter(col("vec_id") % 4 === i), "vec_id", "embedding",
+          ivfCfg)
+        IvfIndex.gc(spark, ivfDir, retainLast = 2)
+      }
+    }
+    val advH = IvfIndex.health(spark, ivfDir)
+    health("ivf_adv_frozen_lists") = advH.frozenLists.toLong
+    health("ivf_adv_frozen_mass_pct") =
+      math.round(advH.frozenMassFraction * 100.0)
+    val clumpQ = spark.range(2)
+      .select((col("id") + 20000000L).as("vec_id"), clumpVec.as("embedding"))
+    time("ivf_adv_probe_frozen") {
+      health("ivf_adv_frozen_hits") = IvfIndex.topK(spark, ivfDir, clumpQ,
+        "vec_id", "embedding", k = 10, nProbe = 4).count()
+    }
+    time("ivf_adv_probe_far") {
+      health("ivf_adv_far_hits") = IvfIndex.topK(spark, ivfDir, queries,
+        "vec_id", "embedding", k = 10).count()
+    }
+    time("ivf_adv_retrain")(IvfIndex.retrain(spark, ivfDir, ivfCfg))
+    val advH2 = IvfIndex.health(spark, ivfDir)
+    health("ivf_adv_frozen_lists_after_retrain") = advH2.frozenLists.toLong
+    health("ivf_adv_frozen_mass_pct_after_retrain") =
+      math.round(advH2.frozenMassFraction * 100.0)
+    time("ivf_adv_probe_after_retrain") {
+      val advTop = IvfIndex.topK(spark, ivfDir, clumpQ,
+        "vec_id", "embedding", k = 10, nProbe = 4).collect()
+      // every hit for a clump-vector query must BE a clump id (exact
+      // distance 0 everywhere in the clump)
+      health("ivf_adv_post_retrain_clump_exact") =
+        if (advTop.nonEmpty && advTop.forall(_.getLong(2) >= 10000000L))
+          1L else 0L
+    }
     emb.unpersist()
 
     // digest-index churn, same discipline: 30 one-commit CDC rounds of
@@ -697,6 +750,96 @@ object StressBench {
       if (jGot.exceptAll(jWant).isEmpty && jWant.exceptAll(jGot).isEmpty)
         1L else 0L
     health("jivm_segments") = jGot.count()
+
+    // --- SCATTER-BATCH churn (round 12): the phases above churn
+    // block-prefix-CLUSTERED keys (the favorable steady state — a
+    // constant batch touches ~1 bucket / ~4 groups at every scale).
+    // This phase churns a ~200-key batch UNIFORMLY SPREAD over the
+    // key space (every `stride`-th doc), so each commit touches
+    // ~min(batch, nBuckets) buckets — the documented copy-on-write
+    // worst case (≈ a corpus-sized rewrite per commit once batch ≥
+    // nBuckets). The measured trajectory across the triplet IS the
+    // adjudicated bound: cost/commit ∝ touched-bucket mass, i.e. it
+    // GROWS with corpus size by design — the artifact shows by how
+    // much, and the exactness flags prove the scattered refreshes
+    // stay correct. 6 commits (vs the clustered 12) bound the
+    // 500k leg's wall clock; per-commit cost is the signal.
+    val stride = math.max(1L, nDocs / 200)
+    val skeys = mirror.filter(col("doc_id") >= 200 &&
+      col("doc_id") % stride === 7).persist()
+    health("mt_scatter_keys") = skeys.count()
+    health("mt_scatter_blocks_touched") =
+      skeys.select("block").distinct().count()
+    health("mt_scatter_buckets_total") = nBk.toLong
+    time("mt_scatter_6") {
+      (1 to 6).foreach { i =>
+        val ups = skeys.select(col("block"), col("doc_id"),
+          concat_ws(" ", lit(s"s$i"), col("text")).as("text"))
+        MergeTable.merge(spark, mtDir, ups,
+          ups.select("block", "doc_id").limit(0))
+        MergeTable.gc(spark, mtDir, retainLast = 2)
+      }
+    }
+    health("mt_scatter_rows") = MergeTable.read(spark, mtDir).count()
+    health("mt_scatter_exact") = {
+      val got = MergeTable.read(spark, mtDir)
+        .filter(col("doc_id") >= 200 && col("doc_id") % stride === 7)
+        .filter(col("text").startsWith("s6 ")).count()
+      if (got == health("mt_scatter_keys")) 1L else 0L
+    }
+
+    // Ivm scatter: the same spread keys as CDC updates — touched
+    // GROUPS ≈ batch size, scattered over every z-set bucket
+    def ivmScatter(i: Int) = ivmBase(skeys)
+      .withColumn("v", col("v") + lit(i * 500L))
+    time("ivm_scatter_6") {
+      (1 to 6).foreach { i =>
+        Ivm.applyDelta(spark, ivmDir, ivmScatter(i), ivmScatter(i - 1))
+        Ivm.gc(spark, ivmDir, retainLast = 2)
+      }
+    }
+    val ivmWant2 = ivmBase(docs.filter(col("doc_id") >= 200))
+      .exceptAll(ivmBase(skeys))
+      .unionByName(ivmScatter(6)).unionByName(churnRows(12))
+      .groupBy("g").agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"),
+        max("v").as("max_v"))
+    val ivmGot2 = Ivm.readView(spark, ivmDir)
+      .select("g", "cnt", "sum_v", "max_v")
+    health("ivm_scatter_exact") =
+      if (ivmGot2.exceptAll(ivmWant2).isEmpty &&
+          ivmWant2.exceptAll(ivmGot2).isEmpty) 1L else 0L
+
+    // JoinIvm scatter: spread fact churn PLUS a spread dim
+    // reassignment (every 37th domain) — the dimension-update fan-out
+    // now reads ~nDomains/37 fact buckets scattered across the whole
+    // table per commit, the two-sided worst case
+    def jScatter(i: Int) = ivmBase(skeys).withColumnRenamed("g", "k")
+      .withColumn("v", col("v") + lit(i * 500L))
+    def dimScatter(shift: Int) = domains
+      .filter(col("k") >= 4 && col("k") % 37 === 5)
+      .select(col("k"), dimSeg(col("k"), shift).as("seg"))
+    health("jivm_scatter_dims") = dimScatter(0).count()
+    time("jivm_scatter_6") {
+      (1 to 6).foreach { i =>
+        JoinIvm.applyDelta(spark, jivmDir,
+          jScatter(i), jScatter(i - 1),
+          dimScatter(i), dimScatter(i - 1))
+        JoinIvm.gc(spark, jivmDir, retainLast = 2)
+      }
+    }
+    val jFactFinal2 = jFactFinal.exceptAll(jScatter(0))
+      .unionByName(jScatter(6))
+    val jDimFinal2 = domains.select(col("k"),
+      when(col("k") < 4, dimSeg(col("k"), 12))
+        .when(col("k") >= 4 && col("k") % 37 === 5, dimSeg(col("k"), 6))
+        .otherwise(dimSeg(col("k"), 0)).as("seg"))
+    val jWant2 = jFactFinal2.join(jDimFinal2, "k").groupBy("seg")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+    val jGot2 = JoinIvm.readView(spark, jivmDir).select("seg", "cnt", "sum_v")
+    health("jivm_scatter_exact") =
+      if (jGot2.exceptAll(jWant2).isEmpty && jWant2.exceptAll(jGot2).isEmpty)
+        1L else 0L
+    skeys.unpersist()
     mtKeys.unpersist()
 
     val q = times.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(",")
