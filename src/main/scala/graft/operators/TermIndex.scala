@@ -124,10 +124,15 @@ object TermIndex {
     * candidates only) price far below the default and pass untouched.
     * Set [[ExactUnbounded]] for a DELIBERATE exact run — the oracled
     * q_bm25 queries and self-probe ingest streams do, eyes open. */
+  /** `smallSegmentPostings`: append/CDC segments at or under this many
+    * tf rows write the ONE-FILE sorted layout instead of the bucket-
+    * partitioned one (see [[writeSegment]]'s layout note) — the
+    * batch-commit constant at steady-state CDC. 0 disables. */
   case class Config(buckets: Int = 32, maxSegments: Int = 8,
                     termsTag: String = "unigram",
                     tombMaxBytes: Long = 64L * 1024 * 1024,
-                    maxCandidateFraction: Double = 0.25)
+                    maxCandidateFraction: Double = 0.25,
+                    smallSegmentPostings: Long = 1L << 20)
 
   /** Opt-out value for `Config.maxCandidateFraction`: no gate — a
     * deliberate corpus-linear exact probe run. */
@@ -261,13 +266,28 @@ object TermIndex {
   private def hasDocs(spark: SparkSession, path: String): Boolean =
     fs(spark, path).exists(new Path(s"$path/docs"))
 
-  /** Write one segment (tf + df, both bucket-partitioned) and return
+  /** Write one segment (tf + df + docs stats) and return
     * (nDocs, nTokens) read back from the committed files — the
-    * manifest always reflects on-disk truth. */
+    * manifest always reflects on-disk truth.
+    *
+    * LAYOUT, the [[IvfIndex]] small-segment discipline ported: a
+    * batch-sized segment (≤ `cfg.smallSegmentPostings` tf rows, probed
+    * when `maybeSmall`) writes each table as ONE file SORTED by its
+    * bucket column with the bucket as a data column — commit cost
+    * O(batch), not O(buckets) directory fan-out (the three 32-way
+    * partitionBy writes cost a batch-size-INDEPENDENT ~5 s/commit at
+    * 500k in ProfileTidxChurn — ~96 task commits for a 10k-row batch).
+    * Probes filter the same `bkt` column either way: partition pruning
+    * on the partitioned layout, row-group stats pruning on the sorted
+    * one-file layout (the file is batch-sized — reading it whole would
+    * also be fine). Corpus-sized segments (build, compaction folds)
+    * keep the partitioned layout, whose per-bucket files are then
+    * row-group-sized. Readers are layout-blind: the schema-pinned
+    * reads surface `bkt`/`dbkt` as a column from either layout. */
   private def writeSegment(spark: SparkSession, corpus: DataFrame,
                            id: String, text: String, cfg: Config,
-                           terms: Column => Column,
-                           path: String): (Long, Long) = {
+                           terms: Column => Column, path: String,
+                           maybeSmall: Boolean = false): (Long, Long) = {
     val tfRaw = corpus
       .select(col(id).cast("long").as("doc_id"),
         explode(terms(col(text))).as("tok"))
@@ -277,31 +297,66 @@ object TermIndex {
     val tf = tfRaw
       .withColumn("dl", sum("tf").over(Window.partitionBy("doc_id")))
       .withColumn("bkt", bkt(col("tok"), cfg.buckets))
-    // repartition on the partition column first: without it every
-    // shuffle partition writes a sliver into every bkt= dir — buckets ×
-    // tasks files per segment, and the probe-side scan goes file-bound
-    // (measured 1.2× SLOWER than inline at 500k docs before this; the
-    // one-file-per-bucket layout restores big row groups)
-    tf.repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/tf")
-    val committed = readTf(spark, path)
-    dfFromTf(committed)
-      .withColumn("bkt", bkt(col("tok"), cfg.buckets))
-      .repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/df")
-    writeDocsStats(spark, path, committed, cfg)
-    val r = committed.agg(countDistinct(col("doc_id")), sum("tf")).head()
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    val tfP = if (maybeSmall) tf.persist() else tf
+    val small = maybeSmall &&
+      phased(spark, "seg-tf-count")(tfP.count()) <= cfg.smallSegmentPostings
+    try {
+      phased(spark, "seg-tf-write") {
+        if (small)
+          tfP.coalesce(1).sortWithinPartitions("bkt", "tok")
+            .write.mode("overwrite").parquet(s"$path/tf")
+        else
+          // repartition on the partition column first: without it every
+          // shuffle partition writes a sliver into every bkt= dir —
+          // buckets × tasks files per segment, and the probe-side scan
+          // goes file-bound (measured 1.2× SLOWER than inline at 500k
+          // docs before this; one file per bucket restores big row
+          // groups)
+          tfP.repartition(col("bkt"))
+            .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/tf")
+      }
+      // derived tables: the big path re-reads the committed files (the
+      // manifest-reflects-disk discipline for corpus-sized lineage);
+      // the small path derives from the CACHED tf — materialized by
+      // the count, so equally stable, and each derivation is then an
+      // in-memory agg instead of a file re-read
+      val committed = if (small) tfP else readTf(spark, path)
+      phased(spark, "seg-df-write") {
+        if (small)
+          dfFromTf(committed)
+            .withColumn("bkt", bkt(col("tok"), cfg.buckets))
+            .coalesce(1).sortWithinPartitions("bkt", "tok")
+            .write.mode("overwrite").parquet(s"$path/df")
+        else
+          dfFromTf(committed)
+            .withColumn("bkt", bkt(col("tok"), cfg.buckets))
+            .repartition(col("bkt"))
+            .write.mode("overwrite").partitionBy("bkt").parquet(s"$path/df")
+      }
+      phased(spark, "seg-docs-write") {
+        writeDocsStats(spark, path, committed, cfg, small)
+      }
+      val r = phased(spark, "seg-counts") {
+        committed.agg(countDistinct(col("doc_id")), sum("tf")).head()
+      }
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    } finally if (maybeSmall) tfP.unpersist(blocking = false)
   }
 
   /** The narrow (doc_id, dl) per-segment stats, doc-hash partitioned —
     * what a delete's scalar correction scans instead of the tf body. */
   private def writeDocsStats(spark: SparkSession, path: String,
-                             committedTf: DataFrame, cfg: Config): Unit =
-    committedTf.select(col("doc_id"), col("dl")).distinct()
+                             committedTf: DataFrame, cfg: Config,
+                             small: Boolean = false): Unit = {
+    val d = committedTf.select(col("doc_id"), col("dl")).distinct()
       .withColumn("dbkt", pmod(xxhash64(col("doc_id")), lit(cfg.buckets)).cast("int"))
-      .repartition(col("dbkt"))
-      .write.mode("overwrite").partitionBy("dbkt").parquet(s"$path/docs")
+    if (small)
+      d.coalesce(1).sortWithinPartitions("dbkt", "doc_id")
+        .write.mode("overwrite").parquet(s"$path/docs")
+    else
+      d.repartition(col("dbkt"))
+        .write.mode("overwrite").partitionBy("dbkt").parquet(s"$path/docs")
+  }
 
   /** Create the index at `dir` from an initial corpus; returns the
     * committed version (1). */
@@ -526,8 +581,10 @@ object TermIndex {
       }
       val seg = f"s${v + 1}%05d$fx"
       val (nd, nt) = phased(spark, "segment-write") {
+        // append/CDC batches are the small-segment candidates; build
+        // and fold outputs stay bucket-partitioned (corpus-sized)
         writeSegment(spark, batch, id, text, cfg, terms,
-          segPath(dir, seg))
+          segPath(dir, seg), maybeSmall = cfg.smallSegmentPostings > 0)
       }
       val newSegs = segsPrev :+ ((seg, nd, nt))
       if (newSegs.length > cfg.maxSegments) {
