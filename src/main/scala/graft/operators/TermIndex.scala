@@ -127,12 +127,15 @@ object TermIndex {
   /** `smallSegmentPostings`: append/CDC segments at or under this many
     * tf rows write the ONE-FILE sorted layout instead of the bucket-
     * partitioned one (see [[writeSegment]]'s layout note) — the
-    * batch-commit constant at steady-state CDC. 0 disables. */
+    * batch-commit constant at steady-state CDC. Small files are
+    * written with 4 MB row groups so bucket pruning stays row-group-
+    * effective across the whole range (a default-128 MB row group
+    * would make a 60 MB segment one unprunable block). 0 disables. */
   case class Config(buckets: Int = 32, maxSegments: Int = 8,
                     termsTag: String = "unigram",
                     tombMaxBytes: Long = 64L * 1024 * 1024,
                     maxCandidateFraction: Double = 0.25,
-                    smallSegmentPostings: Long = 1L << 20)
+                    smallSegmentPostings: Long = 4L << 20)
 
   /** Opt-out value for `Config.maxCandidateFraction`: no gate — a
     * deliberate corpus-linear exact probe run. */
@@ -304,7 +307,9 @@ object TermIndex {
       phased(spark, "seg-tf-write") {
         if (small)
           tfP.coalesce(1).sortWithinPartitions("bkt", "tok")
-            .write.mode("overwrite").parquet(s"$path/tf")
+            .write.mode("overwrite")
+            .option("parquet.block.size", 4L * 1024 * 1024)
+            .parquet(s"$path/tf")
         else
           // repartition on the partition column first: without it every
           // shuffle partition writes a sliver into every bkt= dir —
@@ -326,7 +331,9 @@ object TermIndex {
           dfFromTf(committed)
             .withColumn("bkt", bkt(col("tok"), cfg.buckets))
             .coalesce(1).sortWithinPartitions("bkt", "tok")
-            .write.mode("overwrite").parquet(s"$path/df")
+            .write.mode("overwrite")
+            .option("parquet.block.size", 4L * 1024 * 1024)
+            .parquet(s"$path/df")
         else
           dfFromTf(committed)
             .withColumn("bkt", bkt(col("tok"), cfg.buckets))
@@ -352,7 +359,9 @@ object TermIndex {
       .withColumn("dbkt", pmod(xxhash64(col("doc_id")), lit(cfg.buckets)).cast("int"))
     if (small)
       d.coalesce(1).sortWithinPartitions("dbkt", "doc_id")
-        .write.mode("overwrite").parquet(s"$path/docs")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 4L * 1024 * 1024)
+        .parquet(s"$path/docs")
     else
       d.repartition(col("dbkt"))
         .write.mode("overwrite").partitionBy("dbkt").parquet(s"$path/docs")
