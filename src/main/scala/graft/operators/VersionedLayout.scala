@@ -67,7 +67,23 @@ private[graft] object VersionedLayout {
     require(fmtV == format,
       s"$what at $dir has layout format $fmtV; this build reads format " +
         s"$format — rebuild the index from the corpus")
-    readSmall(f, p).toInt
+    // LATEST flips via delete + rename ([[atomicWrite]]): a concurrent
+    // reader can land in the sub-millisecond window between the two
+    // (observed once in the 500k concurrent-ingest stress race). The
+    // pointer always reappears — the commit protocol never leaves it
+    // absent past the rename — so the read retries briefly instead of
+    // surfacing a phantom missing-index error to a live reader.
+    var attempts = 0
+    while (true) {
+      try return readSmall(f, p).toInt
+      catch {
+        case e: java.io.FileNotFoundException =>
+          attempts += 1
+          if (attempts >= 10) throw e
+          Thread.sleep(20)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Commit version `v`: FORMAT written once, then LATEST flipped
