@@ -156,7 +156,7 @@ object DigestIndex {
 
   private[graft] def readManifest(spark: SparkSession, dir: String,
                                   v: Int): Seq[(String, Long)] = {
-    val s = readSmall(fs(spark, dir),
+    val s = VersionedLayout.fencedRead(fs(spark, dir),
       new Path(versionDir(dir, v), "segments.txt"))
     if (s.isEmpty) Seq.empty
     else s.split("\n").toSeq.map { l =>
@@ -167,15 +167,15 @@ object DigestIndex {
   private def writeTombstonesFile(spark: SparkSession, dir: String, v: Int,
                                   tombs: Seq[String]): Unit =
     if (tombs.nonEmpty)
-      atomicWrite(fs(spark, dir),
+      // fenced like segments.txt — same shared-path clobber class
+      VersionedLayout.fencedWrite(spark, dir, v, "DigestIndex",
         new Path(versionDir(dir, v), "tombstones.txt"), tombs.mkString("\n"))
 
   private[graft] def readTombstones(spark: SparkSession, dir: String,
                                     v: Int): Seq[String] = {
     val p = new Path(versionDir(dir, v), "tombstones.txt")
-    val f = fs(spark, dir)
-    if (!f.exists(p)) Seq.empty
-    else readSmall(f, p).split("\n").toSeq.filter(_.nonEmpty)
+    VersionedLayout.fencedReadOpt(fs(spark, dir), p)
+      .map(_.split("\n").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
   }
 
   private def requireLiveVersion(spark: SparkSession, dir: String,

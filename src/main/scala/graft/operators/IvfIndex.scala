@@ -209,11 +209,10 @@ object IvfIndex {
   private[graft] def readFrozen(spark: SparkSession, dir: String,
                                 v: Int): Set[Int] = {
     val p = new Path(versionDir(dir, v), "frozen.txt")
-    val f = fs(spark, dir)
-    if (!f.exists(p)) Set.empty
-    else {
-      val s = readSmall(f, p)
-      if (s.isEmpty) Set.empty else s.split("\n").map(_.toInt).toSet
+    VersionedLayout.fencedReadOpt(fs(spark, dir), p) match {
+      case None => Set.empty
+      case Some(s) =>
+        if (s.isEmpty) Set.empty else s.split("\n").map(_.toInt).toSet
     }
   }
 
@@ -222,22 +221,22 @@ object IvfIndex {
   private[graft] def readTombstones(spark: SparkSession, dir: String,
                                     v: Int): Seq[String] = {
     val p = new Path(versionDir(dir, v), "tombstones.txt")
-    val f = fs(spark, dir)
-    if (!f.exists(p)) Seq.empty
-    else {
-      val s = readSmall(f, p)
-      if (s.isEmpty) Seq.empty else s.split("\n").toSeq
+    VersionedLayout.fencedReadOpt(fs(spark, dir), p) match {
+      case None => Seq.empty
+      case Some(s) => if (s.isEmpty) Seq.empty else s.split("\n").toSeq
     }
   }
 
   private[graft] def readCentroids(spark: SparkSession, dir: String,
                                    v: Int): Array[Array[Double]] =
-    readSmall(fs(spark, dir), new Path(versionDir(dir, v), "centroids.txt"))
+    VersionedLayout.fencedRead(fs(spark, dir),
+        new Path(versionDir(dir, v), "centroids.txt"))
       .split("\n").map(_.split(",").map(_.toDouble))
 
   private[graft] def readSegments(spark: SparkSession, dir: String,
                                   v: Int): Seq[String] = {
-    val s = readSmall(fs(spark, dir), new Path(versionDir(dir, v), "segments.txt"))
+    val s = VersionedLayout.fencedRead(fs(spark, dir),
+      new Path(versionDir(dir, v), "segments.txt"))
     if (s.isEmpty) Seq.empty else s.split("\n").toSeq
   }
 
@@ -256,10 +255,10 @@ object IvfIndex {
   private[graft] def readBooks(spark: SparkSession, dir: String,
                                v: Int): Option[graft.functions.PqBooks] = {
     val p = new Path(versionDir(dir, v), "pqbooks.txt")
-    val f = fs(spark, dir)
-    if (!f.exists(p)) None
-    else {
-      val lines = readSmall(f, p).split("\n")
+    VersionedLayout.fencedReadOpt(fs(spark, dir), p) match {
+      case None => None
+      case Some(raw) =>
+      val lines = raw.split("\n")
       val Array(m, ksub, _) = lines.head.split(" ").map(_.toInt)
       val flat = lines.tail.map(_.split(",").map(_.toDouble))
       Some(new graft.functions.PqBooks(
@@ -269,7 +268,8 @@ object IvfIndex {
 
   private[graft] def readCounts(spark: SparkSession, dir: String,
                                 v: Int): Map[Int, Long] = {
-    val s = readSmall(fs(spark, dir), new Path(versionDir(dir, v), "counts.txt"))
+    val s = VersionedLayout.fencedRead(fs(spark, dir),
+      new Path(versionDir(dir, v), "counts.txt"))
     if (s.isEmpty) Map.empty
     else s.split("\n").map { l =>
       val Array(k, c) = l.split(","); k.toInt -> c.toLong

@@ -125,7 +125,7 @@ object MergeTable {
 
   private[graft] def readManifest(spark: SparkSession, dir: String,
                                   v: Int): Seq[(Int, String, Long)] = {
-    val s = readSmall(fs(spark, dir),
+    val s = VersionedLayout.fencedRead(fs(spark, dir),
       new Path(versionDir(dir, v), "buckets.txt"))
     if (s.isEmpty) Seq.empty
     else s.split("\n").toSeq.map { l =>

@@ -119,7 +119,7 @@ object Retrieval {
           Some(cost)
         else None
       }
-    lastGateDecision = gated
+    lastGate.set(gated)
     val bm = gated match {
       case Some(_) =>
         // gated: the sparse leg is skipped for this batch — candidates
@@ -138,11 +138,18 @@ object Retrieval {
     fuseRrf(bm, dn, k, rrfK, scale)
   }
 
-  /** The most recent [[hybridRrfIndexed]] gate decision: Some(cost)
-    * when the batch was priced above the gate and served dense-only,
-    * None when both legs ran — observability for specs and stress
-    * harnesses (the [[TermIndex]] max-score counter's sibling). */
-  @volatile var lastGateDecision: Option[TermIndex.ProbeCost] = None
+  /** The most recent [[hybridRrfIndexed]] gate decision ON THIS
+    * THREAD: Some(cost) when the batch was priced above the gate and
+    * served dense-only, None when both legs ran — observability for
+    * specs and stress harnesses (the [[TermIndex]] max-score counter's
+    * sibling). Thread-scoped so concurrent hybridRrfIndexed callers
+    * never observe each other's decision (a query runs synchronously
+    * on its calling thread, so "my last call" is well-defined). */
+  def lastGateDecision: Option[TermIndex.ProbeCost] =
+    Option(lastGate.get).flatten
+
+  private val lastGate =
+    new ThreadLocal[Option[TermIndex.ProbeCost]]()
 
   /**
    * DSIR-style importance weights (Xie et al., "Data Selection for

@@ -174,11 +174,12 @@ object TermIndex {
       v: Int): ((Long, Long), Seq[String]) = {
     val p = new Path(versionDir(dir, v), "tombstones.txt")
     val f = fs(spark, dir)
-    if (!f.exists(p)) ((0L, 0L), Seq.empty)
-    else {
-      val lines = readSmall(f, p).split("\n").toSeq
-      val Array(nd, nt) = lines.head.split(",")
-      ((nd.toLong, nt.toLong), lines.tail.filter(_.nonEmpty))
+    VersionedLayout.fencedReadOpt(f, p) match {
+      case None => ((0L, 0L), Seq.empty)
+      case Some(s) =>
+        val lines = s.split("\n").toSeq
+        val Array(nd, nt) = lines.head.split(",")
+        ((nd.toLong, nt.toLong), lines.tail.filter(_.nonEmpty))
     }
   }
 
@@ -192,7 +193,7 @@ object TermIndex {
 
   private[graft] def readManifest(spark: SparkSession, dir: String,
                                   v: Int): Seq[(String, Long, Long)] = {
-    val s = readSmall(fs(spark, dir),
+    val s = VersionedLayout.fencedRead(fs(spark, dir),
       new Path(versionDir(dir, v), "segments.txt"))
     if (s.isEmpty) Seq.empty
     else s.split("\n").toSeq.map { l =>

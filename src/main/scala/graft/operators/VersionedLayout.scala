@@ -50,52 +50,104 @@ private[graft] object VersionedLayout {
     require(f.rename(tmp, dst), s"failed to commit $dst")
   }
 
+  private def latestDir(dir: String): Path =
+    new Path(s"${dir.stripSuffix("/")}/latest")
+
+  /** Pointer-file retention window: readers take the max, so anything
+    * but the newest name is garbage — a trailing window is kept only
+    * so a reader that listed just before a commit can still open the
+    * file it picked. */
+  private val LatestKeep = 8
+
+  /** Highest committed version, or None when nothing was committed.
+    *
+    * Pointer files are MONOTONIC: each commit CREATES
+    * `latest/vNNNNN` (the NAME is the datum — a 0-length file from a
+    * crash mid-write still reads correctly), the read is max over the
+    * listing, and commits prune names older than a trailing window.
+    * Nothing is ever renamed over or deleted-then-recreated on the
+    * read path, so there is NO window in which a live index reads as
+    * absent — the structural fix for the delete+rename flip gap the
+    * pre-r13 single LATEST file had (observed once as a phantom
+    * missing-index error in the 500k concurrent-ingest stress race,
+    * then papered over with a bounded retry). Falls back to the
+    * legacy LATEST file for indexes committed before this layout;
+    * once a new commit lands, `latest/` takes precedence and the
+    * stale legacy pointer is harmless. */
+  private[graft] def readLatestOpt(f: FileSystem, dir: String): Option[Int] = {
+    val ld = latestDir(dir)
+    val fromDir: Option[Int] =
+      if (!f.exists(ld)) None
+      else {
+        val vs = f.listStatus(ld).flatMap { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("v")) n.drop(1).toIntOption else None
+        }
+        if (vs.isEmpty) None else Some(vs.max)
+      }
+    fromDir.orElse {
+      val p = new Path(dir, "LATEST")
+      // legacy single-file pointer (delete+rename flip): retry its
+      // sub-ms absence window instead of surfacing a phantom miss
+      var attempts = 0
+      var out: Option[Int] = None
+      while (out.isEmpty && attempts < 10 && f.exists(p)) {
+        try out = Some(readSmall(f, p).toInt)
+        catch {
+          case _: java.io.FileNotFoundException =>
+            attempts += 1; Thread.sleep(20)
+        }
+      }
+      out
+    }
+  }
+
   /** True if `dir` holds a committed index. */
   def exists(spark: SparkSession, dir: String): Boolean =
-    fs(spark, dir).exists(new Path(dir, "LATEST"))
+    readLatestOpt(fs(spark, dir), dir).isDefined
 
-  /** Current committed version from the LATEST pointer, after
+  /** Current committed version from the monotonic pointer files, after
     * validating the FORMAT marker against `format` (indexes without a
     * FORMAT marker are format 1). */
   def latestVersion(spark: SparkSession, dir: String, format: Int,
                     what: String): Int = {
     val f = fs(spark, dir)
-    val p = new Path(dir, "LATEST")
-    require(f.exists(p), s"no $what at $dir (missing LATEST)")
+    val v = readLatestOpt(f, dir)
+    require(v.isDefined, s"no $what at $dir (no committed version)")
     val fmt = new Path(dir, "FORMAT")
     val fmtV = if (!f.exists(fmt)) 1 else readSmall(f, fmt).toInt
     require(fmtV == format,
       s"$what at $dir has layout format $fmtV; this build reads format " +
         s"$format — rebuild the index from the corpus")
-    // LATEST flips via delete + rename ([[atomicWrite]]): a concurrent
-    // reader can land in the sub-millisecond window between the two
-    // (observed once in the 500k concurrent-ingest stress race). The
-    // pointer always reappears — the commit protocol never leaves it
-    // absent past the rename — so the read retries briefly instead of
-    // surfacing a phantom missing-index error to a live reader.
-    var attempts = 0
-    while (true) {
-      try return readSmall(f, p).toInt
-      catch {
-        case e: java.io.FileNotFoundException =>
-          attempts += 1
-          if (attempts >= 10) throw e
-          Thread.sleep(20)
-      }
-    }
-    throw new IllegalStateException("unreachable")
+    v.get
   }
 
-  /** Commit version `v`: FORMAT written once, then LATEST flipped
-    * last — concurrent readers of the previous version are never
-    * disturbed, and a crash before the flip leaves the index
-    * untouched. */
+  /** Commit version `v`: FORMAT written once, then the monotonic
+    * pointer file created last — concurrent readers of the previous
+    * version are never disturbed (their pointer file stays in the
+    * retention window), a crash before the create leaves the index
+    * untouched, and the create itself is one atomic metadata op (no
+    * delete, no rename — see [[readLatestOpt]]). */
   def commitLatest(spark: SparkSession, dir: String, v: Int,
                    format: Int): Unit = {
     val f = fs(spark, dir)
     val fmt = new Path(dir, "FORMAT")
     if (!f.exists(fmt)) atomicWrite(f, fmt, format.toString)
-    atomicWrite(f, new Path(dir, "LATEST"), v.toString)
+    val ld = latestDir(dir)
+    f.mkdirs(ld)
+    val p = new Path(ld, f"v$v%05d")
+    val out = f.create(p, true)
+    try out.write(v.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // prune pointer names that left the retention window (a reader
+    // that already listed still opens only names ≥ its observed max,
+    // which a newer commit never deletes)
+    f.listStatus(ld).foreach { st =>
+      st.getPath.getName.drop(1).toIntOption.foreach { pv =>
+        if (pv <= v - LatestKeep) f.delete(st.getPath, false)
+      }
+    }
   }
 
   // ---- writer mutual exclusion (lease-based optimistic concurrency) ----
@@ -229,18 +281,25 @@ private[graft] object VersionedLayout {
     if (g == null || g.intValue == 0) "" else s"x${g.intValue}"
   }
 
-  /** Rename-based fenced write for shared-path manifest files — the
-    * commit-side half of the data-path fencing story. The FULL content
-    * write goes to a CLAIMANT-PRIVATE temp (generation-suffixed, so a
-    * fenced-out loser and its stealer can never collide even on the
-    * temp); the lease is re-verified AFTER that write completes; only
-    * then does one rename publish it at the shared destination. A
-    * writer paused for ANY length of time during the content write —
-    * including across a stealer's entire commit — wakes into the lease
-    * re-check and aborts having touched nothing shared. The residual
-    * window is the single metadata op between the re-check and the
-    * rename (was: the whole manifest write) — the TTL-sizing rule in
-    * the protocol doc covers it as for any lease-file scheme. */
+  /** Rename-based fenced write for manifest files, at a
+    * GENERATION-STAMPED destination. The FULL content write goes to a
+    * claimant-private temp; the lease is re-verified AFTER that write
+    * completes; one rename then publishes it at THIS GENERATION'S
+    * name — the plain `dst` for generation 0 (the uncontended common
+    * case, byte-identical to the historical layout), `dst.gNNNNN` for
+    * a stolen generation. Readers resolve the HIGHEST generation
+    * present ([[fencedReadOpt]]).
+    *
+    * Cross-generation writers therefore never share a destination
+    * path AT ALL: a gen-k loser that wakes after the gen-k+1 stealer
+    * committed, passes its own (staled a metadata-op later) re-check
+    * and renames, lands stale content only in its OWN generation's
+    * name — which the max-generation read rule never picks. This
+    * closes the pre-r13 residual window (the single rename after the
+    * re-check could still clobber the winner's committed manifest on
+    * the shared path). The only same-path delete+rename left is the
+    * SAME claimant overwriting its own failed attempt's strand, which
+    * the claim registry serializes. */
   def fencedWrite(spark: SparkSession, dir: String, v: Int, what: String,
                   dst: Path, content: String): Unit = {
     val key = claimKey(dir, v)
@@ -257,9 +316,37 @@ private[graft] object VersionedLayout {
     // publish — a steal during the write is detected here
     try fenceCheck(spark, dir, v, what)
     catch { case e: Throwable => f.delete(tmp, false); throw e }
-    f.delete(dst, false)
-    require(f.rename(tmp, dst), s"failed to commit $dst")
+    val dstGen =
+      if (gen == 0) dst
+      else new Path(dst.getParent, f"${dst.getName}.g$gen%05d")
+    f.delete(dstGen, false)
+    require(f.rename(tmp, dstGen), s"failed to commit $dstGen")
   }
+
+  /** Resolve + read the highest-generation variant of a fenced
+    * manifest file (`name` = gen 0, `name.gNNNNN` = stolen
+    * generations) — None when no generation exists. The `.wip.g*`
+    * temps never match (different suffix shape). */
+  def fencedReadOpt(f: FileSystem, dst: Path): Option[String] = {
+    val base = dst.getName
+    val parent = dst.getParent
+    if (!f.exists(parent)) return None
+    def genOf(n: String): Option[Int] =
+      if (n == base) Some(0)
+      else if (n.startsWith(base + ".g") && n.length > base.length + 2) {
+        val d = n.drop(base.length + 2)
+        if (d.forall(_.isDigit)) d.toIntOption else None
+      } else None
+    val cands = f.listStatus(parent)
+      .flatMap(st => genOf(st.getPath.getName).map(_ -> st.getPath))
+    if (cands.isEmpty) None
+    else Some(readSmall(f, cands.maxBy(_._1)._2))
+  }
+
+  /** [[fencedReadOpt]] that requires the file to exist. */
+  def fencedRead(f: FileSystem, dst: Path): String =
+    fencedReadOpt(f, dst).getOrElse(
+      throw new java.io.FileNotFoundException(dst.toString))
 
   /** Re-verify, immediately before a shared-path manifest write, that
     * the claim for (dir, v) is still held by THIS JVM's token (the
@@ -382,12 +469,11 @@ private[graft] object VersionedLayout {
       }
       // stale-read guard: holding the claim for v proves nothing if v
       // is already committed (its original claim was retired by the
-      // commit, freeing the name for re-creation). LATEST cannot
-      // advance to v after this check while we hold the claim —
-      // committing v requires it, and committing any w > v requires
-      // LATEST ≥ v first.
-      val lp = new Path(dir, "LATEST")
-      if (f.exists(lp) && readSmall(f, lp).toInt >= v) {
+      // commit, freeing the name for re-creation). The committed
+      // version cannot advance to v after this check while we hold
+      // the claim — committing v requires it, and committing any
+      // w > v requires the pointer ≥ v first.
+      if (readLatestOpt(f, dir).exists(_ >= v)) {
         f.delete(claimGenPath(dir, v, gen), false)
         throw new ConcurrentCommitException(
           s"$what at $dir: version $v was already committed by another " +

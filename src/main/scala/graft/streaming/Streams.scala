@@ -611,9 +611,18 @@ object Streams {
     val expected = base + (batchId - firstB).toInt + 1
     val latest = if (TermIndex.exists(spark, indexDir))
       TermIndex.latestVersion(spark, indexDir) else 0
+    // the emit probe is a SELF-PROBE: the batch's own documents against
+    // the corpus — document-shaped by nature, so under the default
+    // probe-cost gate any corpus with overlapping vocabulary would
+    // price above maxCandidateFraction and throw DETERMINISTICALLY on
+    // every replay: a permanent poison-pill batch. The emit is a
+    // deliberate exact batch-sized run (the Config doc's own carve-out),
+    // so it always runs ungated; the caller's gate still applies to the
+    // index's ad-hoc probe traffic.
+    val emitCfg = cfg.copy(maxCandidateFraction = TermIndex.ExactUnbounded)
     def emitAt(version: Int): Unit = {
       val out = TermIndex.topKAt(spark, indexDir, version, slim, id, text,
-        k, cfg, terms).persist()
+        k, emitCfg, terms).persist()
       out.count()
       try onTopK(out, batchId)
       finally out.unpersist()
@@ -708,9 +717,13 @@ object Streams {
     val expected = base + (batchId - firstB).toInt + 1
     val latest = if (TermIndex.exists(spark, indexDir))
       TermIndex.latestVersion(spark, indexDir) else 0
+    // self-probe emit runs ungated — see retrievalIndexedBatch (a
+    // document-shaped batch pricing above the gate would otherwise be a
+    // deterministic poison pill that halts the stream on every replay)
+    val emitCfg = cfg.copy(maxCandidateFraction = TermIndex.ExactUnbounded)
     def emitAt(version: Int): Unit = {
       val out = TermIndex.topKAt(spark, indexDir, version, ups, id, text,
-        k, cfg, terms).persist()
+        k, emitCfg, terms).persist()
       out.count()
       try onTopK(out, batchId)
       finally out.unpersist()

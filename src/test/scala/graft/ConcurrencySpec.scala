@@ -377,17 +377,21 @@ class ConcurrencySpec extends AnyFunSuite {
       loserContent.getBytes("UTF-8"))
     // WINNER (another app): steals the lease — exclusive-creates the
     // next claim generation — and completes a FULL commit: its own
-    // manifest at the shared path, the LATEST flip, claim retirement.
+    // manifest at ITS GENERATION'S name (gen 1 publishes
+    // buckets.txt.g00001 — generations never share a destination),
+    // the monotonic pointer-file create, claim retirement.
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "claims", "v00003.g00001"),
       s"app-elsewhere-456#cafe#${System.currentTimeMillis()}".getBytes("UTF-8"))
     val winnerContent = "0,p00003x1/__bucket=0,7"
     val f = graft.operators.VersionedLayout.fs(spark, dir)
     graft.operators.VersionedLayout.atomicWrite(f,
-      new org.apache.hadoop.fs.Path(s"$dir/v00003", "buckets.txt"),
+      new org.apache.hadoop.fs.Path(s"$dir/v00003", "buckets.txt.g00001"),
       winnerContent)
-    graft.operators.VersionedLayout.atomicWrite(f,
-      new org.apache.hadoop.fs.Path(dir, "LATEST"), "3")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "latest"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "latest", "v00003"), "3".getBytes("UTF-8"))
     // loser WAKES and resumes its manifest write on the production path
     // (fencedWrite re-writes its private temp, then re-verifies the
     // lease AFTER the content write): it must abort, having touched
@@ -400,12 +404,71 @@ class ConcurrencySpec extends AnyFunSuite {
         loserContent)
     }
     assert(ex.getMessage.contains("fenced out"), ex.getMessage)
-    assert(new String(java.nio.file.Files.readAllBytes(
-      vd.resolve("buckets.txt")), "UTF-8") == winnerContent,
+    assert(graft.operators.VersionedLayout.fencedRead(f,
+      new org.apache.hadoop.fs.Path(s"$dir/v00003", "buckets.txt"))
+      == winnerContent,
       "the winner's committed manifest must be byte-intact")
     assert(!java.nio.file.Files.exists(vd.resolve("buckets.txt.wip.g00000")),
       "the fenced-out loser's temp is cleaned up")
+    // the r12 residual window — a loser whose lease re-check passes and
+    // is then fenced out WITHIN the single rename metadata op — is now
+    // structurally closed: even if the loser's rename LANDS (simulated
+    // here by writing its stale content at the gen-0 shared name), the
+    // max-generation read rule still resolves the winner's manifest
+    java.nio.file.Files.write(vd.resolve("buckets.txt"),
+      loserContent.getBytes("UTF-8"))
+    assert(graft.operators.VersionedLayout.fencedRead(f,
+      new org.apache.hadoop.fs.Path(s"$dir/v00003", "buckets.txt"))
+      == winnerContent,
+      "a late gen-0 rename must never shadow the higher generation")
+    assert(graft.operators.MergeTable.readManifest(spark, dir, 3)
+      == Seq((0, "p00003x1/__bucket=0", 7L)),
+      "readManifest resolves the winner's generation")
     graft.operators.VersionedLayout.releaseClaim(spark, dir, 3, tok)
+  }
+
+  test("monotonic pointer files: readers during a commit storm never observe an absent or retreating version") {
+    // the pre-r13 single LATEST file flipped via delete+rename, leaving
+    // a sub-ms window where a live index read as missing (observed once
+    // in the 500k stress race, then retried around). The pointer is now
+    // a MONOTONIC FILE SET — commit = one atomic create, read = max
+    // over the listing — so the correctness argument needs no sleep and
+    // no retry: this test hammers latestVersion from two reader threads
+    // through 40 rapid commits and asserts every read is a version that
+    // exists and never decreases.
+    val dir = tmpDir("graft_occ_flip") + "/t"
+    graft.operators.VersionedLayout.commitLatest(spark, dir, 1, 1)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val readers = (1 to 2).map { _ =>
+      new Thread(() => {
+        var last = 0
+        while (!stop.get) {
+          try {
+            val v = graft.operators.VersionedLayout.latestVersion(
+              spark, dir, 1, "t")
+            if (v < last) bad.add(s"version retreated: $last -> $v")
+            last = v
+          } catch {
+            case e: Throwable => bad.add(e.toString); stop.set(true)
+          }
+        }
+      })
+    }
+    readers.foreach(_.start())
+    (2 to 40).foreach { v =>
+      graft.operators.VersionedLayout.commitLatest(spark, dir, v, 1)
+    }
+    stop.set(true)
+    readers.foreach(_.join(10000))
+    assert(bad.isEmpty, bad.toString)
+    assert(graft.operators.VersionedLayout.latestVersion(spark, dir, 1, "t")
+      == 40)
+    // retention window pruned: old pointer names are swept
+    val names = new java.io.File(s"$dir/latest").listFiles.map(_.getName)
+      .filter(_.startsWith("v"))
+    assert(names.length <= 8, names.mkString(","))
+    assert(names.contains("v00040"))
   }
 
   test("commit verifies ownership: a stolen claim aborts the slow writer's flip") {
