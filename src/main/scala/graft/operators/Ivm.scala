@@ -274,33 +274,44 @@ object Ivm {
       require(nullG == 0,
         s"$nullG delta rows carry NULL group columns — null groups are " +
           "not supported (coalesce them upstream); nothing was committed")
-      val zv = MergeTable.mergeCompute(spark, zd, delta) { old =>
-        val nz = old.select(cols.map(col) :+ col(Mult): _*)
-          .unionByName(delta.withColumnRenamed("__d", Mult))
-          .groupBy(cols.map(col): _*).agg(sum(col(Mult)).as(Mult))
-          .filter(col(Mult) =!= 0)
-          .persist()
-        nzH = Some(nz)
-        val neg = nz.filter(col(Mult) < 0).count()
-        require(neg == 0,
-          s"$neg (group, value) rows would go NEGATIVE — the batch " +
-            "deletes rows that were never inserted; the change stream " +
-            "is inconsistent with the maintained state (nothing was " +
-            "committed)")
-        nz
-      }
-      // touched groups' rows recompute from the z-set state just
-      // committed — nzH is exactly the touched buckets' new state, so
-      // no re-read; restrict to touched GROUPS (other groups sharing
-      // the buckets are unchanged and must not churn the view)
+      // Fold the TOUCHED GROUPS' state (old rows ∪ delta, reconciled —
+      // the read is touched-bucket + overlay, pinned at zLatest): one
+      // frame serves the negativity check, the batch-sized z-set write
+      // AND the view recompute, so the refresh never re-reads state.
       val tg = delta.select(spec.groupCols.map(col): _*).distinct()
-      val recomputed = nzH.get
-        .join(broadcast(tg), spec.groupCols, "left_semi")
+      val (bucketRows, _) = MergeTable.readForKeysAt(spark, zd, zLatest, tg)
+      val gOld = bucketRows.join(broadcast(tg), spec.groupCols, "left_semi")
+      val nz = gOld.select(cols.map(col) :+ col(Mult): _*)
+        .unionByName(delta.withColumnRenamed("__d", Mult))
+        .groupBy(cols.map(col): _*).agg(sum(col(Mult)).as(Mult))
+        .persist()
+      nzH = Some(nz)
+      val neg = nz.filter(col(Mult) < 0).count()
+      require(neg == 0,
+        s"$neg (group, value) rows would go NEGATIVE — the batch " +
+          "deletes rows that were never inserted; the change stream " +
+          "is inconsistent with the maintained state (nothing was " +
+          "committed)")
+      // the z-set write is BATCH-SIZED for any key distribution: only
+      // the delta's own keys can have changed — MergeTable picks the
+      // commit mode (COW buckets / overlay delta / budget fold)
+      val dKeys = delta.select(cols.map(col): _*)
+      // null-SAFE key mask: value columns are legal-null z-set keys
+      val changed = MergeTable.keyJoin(nz, dKeys, cols, "left_semi")
+      val zv = MergeTable.mergeResolved(spark, zd,
+        changed.filter(col(Mult) =!= 0),
+        changed.filter(col(Mult) === 0).select(cols.map(col): _*))
+      // touched groups' view rows recompute from the same folded state
+      // (live rows only); groups whose rows all died are deleted
+      val live = nz.filter(col(Mult) =!= 0)
+      val recomputed = live
         .groupBy(spec.groupCols.map(col): _*)
         .agg(aggExprs(spec, zMeta.schema).head,
              aggExprs(spec, zMeta.schema).tail: _*)
-      val vv = MergeTable.merge(spark, viewDir(dir), recomputed, tg,
-        deleteWins = false)
+      val vDels = tg.join(recomputed.select(spec.groupCols.map(col): _*),
+        spec.groupCols, "left_anti")
+      val vv = MergeTable.mergeResolved(spark, viewDir(dir), recomputed,
+        vDels)
       syncMarker(spark, dir, zv)
       (zv, vv)
     } finally {

@@ -156,27 +156,12 @@ object IvmOverJoin {
     (p(0).toInt, p(1).toInt, p(2).toInt)
   }
 
-  /** Fold one side's signed delta into its z-set (identical contract
-    * to JoinIvm's side fold: negative multiplicities reject the
-    * commit). */
+  /** One side's z-set fold — [[JoinIvm.foldSide]] (the batch-sized
+    * upsert/delete fold with the scoped negative-multiplicity
+    * rejection) is shared verbatim. */
   private def foldSide(spark: SparkSession, zdir: String, what: String,
-                       cols: Seq[String], delta: DataFrame): Unit = {
-    var nzH: Option[DataFrame] = None
-    try MergeTable.mergeCompute(spark, zdir, delta) { old =>
-      val nz = old.select(cols.map(col) :+ col(Mult): _*)
-        .unionByName(delta.withColumnRenamed("__d", Mult))
-        .groupBy(cols.map(col): _*).agg(sum(col(Mult)).as(Mult))
-        .filter(col(Mult) =!= 0)
-        .persist()
-      nzH = Some(nz)
-      val neg = nz.filter(col(Mult) < 0).count()
-      require(neg == 0,
-        s"$neg $what rows would go NEGATIVE — the batch deletes rows " +
-          "that were never inserted; the change stream is inconsistent " +
-          "with the maintained state (nothing was committed)")
-      nz
-    } finally nzH.foreach(_.unpersist(blocking = false))
-  }
+                       cols: Seq[String], delta: DataFrame): Unit =
+    JoinIvm.foldSide(spark, zdir, what, cols, delta)
 
   /**
    * Apply one two-sided CDC batch (deletes carry BEFORE-IMAGES; any
@@ -249,8 +234,44 @@ object IvmOverJoin {
       }
       nullCheck(dF, "fact")
       nullCheck(dD, "dim")
-      foldSide(spark, factzDir(dir), "fact z-set", fCols, dF)
-      foldSide(spark, dimzDir(dir), "dim z-set", dCols, dD)
+      // STAGE both side folds read-only (negativity rejection before
+      // ANY commit — a rejected batch is a clean abort on either
+      // side), then commit both concurrently; the two sides touch
+      // disjoint state, like [[JoinIvm.applyDeltaFolding]]. A CRASH
+      // between the commits can leave either side landed; [[rebuild]]
+      // + a one-sided re-submit recover symmetrically.
+      locally {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        def par2[T](a: => T, b: => T): Unit = {
+          import scala.concurrent.duration._
+          val both = scala.concurrent.Future.sequence(Seq(
+            scala.concurrent.Future(a).map(Right(_))
+              .recover { case e => Left(e) },
+            scala.concurrent.Future(b).map(Right(_))
+              .recover { case e => Left(e) }))
+          scala.concurrent.Await.result(both, 3600.seconds)
+            .collectFirst { case Left(e) => throw e }
+          ()
+        }
+        var nzF: Option[DataFrame] = None
+        var nzD: Option[DataFrame] = None
+        try {
+          par2(
+            { nzF = Some(JoinIvm.stageFold(spark, factzDir(dir),
+                "fact z-set", fCols, dF)) },
+            { nzD = Some(JoinIvm.stageFold(spark, dimzDir(dir),
+                "dim z-set", dCols, dD)) })
+          par2(
+            JoinIvm.commitFold(spark, factzDir(dir), fCols, nzF.get),
+            JoinIvm.commitFold(spark, dimzDir(dir), dCols, nzD.get))
+        } finally {
+          pool.shutdown()
+          nzF.foreach(_.unpersist(blocking = false))
+          nzD.foreach(_.unpersist(blocking = false))
+        }
+      }
       val fvN = MergeTable.latestVersion(spark, factzDir(dir))
       val dvN = MergeTable.latestVersion(spark, dimzDir(dir))
       // Δ(F⋈D) = ΔF ⋈ D′ + (F′ − ΔF) ⋈ ΔD, multiplicities multiplied

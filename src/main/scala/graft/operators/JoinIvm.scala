@@ -200,30 +200,66 @@ object JoinIvm {
     (p(0).toInt, p(1).toInt)
   }
 
-  /** Fold one side's signed delta into its z-set MergeTable. Rejects
-    * batches that would drive a multiplicity negative — a delete of a
-    * row never inserted. (The folded frame is only cached for the
-    * negativity check + write; both join-delta terms re-read committed
-    * state bucket-pruned by THEIR key sets, which the fold's touched
-    * buckets need not cover — so the cache is released here, not
-    * handed to the caller.) */
-  private def foldSide(spark: SparkSession, zdir: String, what: String,
-                       cols: Seq[String], delta: DataFrame): Unit = {
-    var nzH: Option[DataFrame] = None
-    try MergeTable.mergeCompute(spark, zdir, delta) { old =>
-      val nz = old.select(cols.map(col) :+ col(Mult): _*)
-        .unionByName(delta.withColumnRenamed("__d", Mult))
-        .groupBy(cols.map(col): _*).agg(sum(col(Mult)).as(Mult))
-        .filter(col(Mult) =!= 0)
-        .persist()
-      nzH = Some(nz)
-      val neg = nz.filter(col(Mult) < 0).count()
-      require(neg == 0,
-        s"$neg $what rows would go NEGATIVE — the batch deletes rows " +
-          "that were never inserted; the change stream is inconsistent " +
-          "with the maintained state (nothing was committed)")
-      nz
-    } finally nzH.foreach(_.unpersist(blocking = false))
+  /** Stage one side's z-set fold READ-ONLY: net the signed delta
+    * against the committed state (touched-bucket + overlay read) and
+    * reject a batch that would drive a multiplicity negative — a
+    * delete of a row never inserted. Nothing is written here, so a
+    * rejection anywhere in a multi-side refresh is a CLEAN abort:
+    * "nothing was committed by this refresh" is true for EVERY side
+    * (the pre-r13 fold committed as it validated, so a dim-side
+    * rejection left the fact side landed and the operator parsing
+    * INFLIGHT recovery docs — the r12 ADVICE item, now structural).
+    * Returns the persisted netted key-state frame for [[commitFold]];
+    * the caller unpersists. */
+  private[graft] def stageFold(spark: SparkSession, zdir: String,
+                               what: String, cols: Seq[String],
+                               delta: DataFrame): DataFrame = {
+    val zLatest = MergeTable.latestVersion(spark, zdir)
+    val dKeys = delta.select(cols.map(col): _*)
+    val (bucketRows, _) =
+      MergeTable.readForKeysAt(spark, zdir, zLatest, dKeys)
+    val oldKeyRows =
+      MergeTable.keyJoin(bucketRows, dKeys, cols, "left_semi")
+    val nz = oldKeyRows.select(cols.map(col) :+ col(Mult): _*)
+      .unionByName(delta.withColumnRenamed("__d", Mult))
+      .groupBy(cols.map(col): _*).agg(sum(col(Mult)).as(Mult))
+      .persist()
+    val neg =
+      try nz.filter(col(Mult) < 0).count()
+      catch { case e: Throwable => nz.unpersist(blocking = false); throw e }
+    if (neg > 0) {
+      nz.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        s"requirement failed: $neg $what rows would go NEGATIVE — the " +
+          "batch deletes rows that were never inserted; the change " +
+          "stream is inconsistent with the maintained state (nothing " +
+          "was committed by this refresh — staging validates every " +
+          "side before any side commits)")
+    }
+    nz
+  }
+
+  /** Commit a staged fold: a BATCH-SIZED upsert/delete write — only
+    * the delta's own keys changed, and [[MergeTable.mergeResolved]]
+    * picks the commit mode (COW buckets for clustered keys, an overlay
+    * delta for scattered ones), so a uniform-key CDC batch no longer
+    * rewrites ~every bucket. Advances the side by exactly one
+    * version. */
+  private[graft] def commitFold(spark: SparkSession, zdir: String,
+                                cols: Seq[String], nz: DataFrame): Unit = {
+    MergeTable.mergeResolved(spark, zdir,
+      nz.filter(col(Mult) =!= 0),
+      nz.filter(col(Mult) === 0).select(cols.map(col): _*))
+    ()
+  }
+
+  /** Stage + commit one side (the single-side resume path). */
+  private[graft] def foldSide(spark: SparkSession, zdir: String,
+                              what: String, cols: Seq[String],
+                              delta: DataFrame): Unit = {
+    val nz = stageFold(spark, zdir, what, cols, delta)
+    try commitFold(spark, zdir, cols, nz)
+    finally nz.unpersist(blocking = false)
   }
 
   /**
@@ -333,9 +369,54 @@ object JoinIvm {
       }
       nullCheck(dF, "fact")
       nullCheck(dD, "dim")
-      // 1+2: commit both side z-sets (order fixed: fact, then dim)
-      if (foldFact) foldSide(spark, factzDir(dir), "fact z-set", fCols, dF)
-      if (foldDim) foldSide(spark, dimzDir(dir), "dim z-set", dCols, dD)
+      // 1+2: commit both side z-sets, STAGED-THEN-COMMITTED. Staging
+      // (read + net + negativity rejection) is read-only and runs for
+      // BOTH sides before EITHER commits, so any rejected batch is a
+      // clean abort regardless of which side is inconsistent. The two
+      // sides touch disjoint state (factz/ vs dimz/ — separate claim
+      // keys, separate data paths), so both the stages and the commits
+      // run CONCURRENTLY — the serial fold segment of the refresh
+      // chain halves (the latency floor is per-job scheduler cost,
+      // BENCH_NOTES_r12 §1). A CRASH between the commits can leave
+      // either side landed — the INFLIGHT recovery and the stream
+      // wrapper handle both one-sided states symmetrically.
+      if (foldFact && foldDim) {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        def par2[T](a: => T, b: => T): Unit = {
+          import scala.concurrent.duration._
+          // surface the FIRST failure after both settle (awaiting one
+          // leg while the other is mid-flight would leak a running job)
+          val both = scala.concurrent.Future.sequence(Seq(
+            scala.concurrent.Future(a).map(Right(_))
+              .recover { case e => Left(e) },
+            scala.concurrent.Future(b).map(Right(_))
+              .recover { case e => Left(e) }))
+          scala.concurrent.Await.result(both, 3600.seconds)
+            .collectFirst { case Left(e) => throw e }
+          ()
+        }
+        var nzF: Option[DataFrame] = None
+        var nzD: Option[DataFrame] = None
+        try {
+          par2(
+            { nzF = Some(stageFold(spark, factzDir(dir), "fact z-set",
+                fCols, dF)) },
+            { nzD = Some(stageFold(spark, dimzDir(dir), "dim z-set",
+                dCols, dD)) })
+          par2(
+            commitFold(spark, factzDir(dir), fCols, nzF.get),
+            commitFold(spark, dimzDir(dir), dCols, nzD.get))
+        } finally {
+          pool.shutdown()
+          nzF.foreach(_.unpersist(blocking = false))
+          nzD.foreach(_.unpersist(blocking = false))
+        }
+      } else {
+        if (foldFact) foldSide(spark, factzDir(dir), "fact z-set", fCols, dF)
+        if (foldDim) foldSide(spark, dimzDir(dir), "dim z-set", dCols, dD)
+      }
       val fvN = MergeTable.latestVersion(spark, factzDir(dir))
       val dvN = MergeTable.latestVersion(spark, dimzDir(dir))
       // Δ(F⋈D) = ΔF ⋈ D′  +  F ⋈ ΔD, multiplicities multiplied.
@@ -366,27 +447,37 @@ object JoinIvm {
         j1.unionByName(j2, allowMissingColumns = true)).persist()
       handles += deltas
       // 3: fold the signed deltas into the view (a z-set of sums —
-      // groups whose count reaches 0 drop)
+      // groups whose count reaches 0 drop). Batch-sized write: only
+      // the delta's groups change, so read their old hidden rows,
+      // net, and upsert/delete exactly those groups (MergeTable picks
+      // COW vs overlay — scattered group churn no longer rewrites
+      // ~every view bucket).
       val hidden = hiddenSchema(spec, fMeta.schema, dMeta.schema)
       val hCols = hidden.fieldNames.toSeq
-      val vv = MergeTable.mergeCompute(spark, viewDir(dir),
-        deltas.select(spec.groupCols.map(col): _*)) { old =>
-        val folded = old.select(hCols.map(col): _*)
-          .unionByName(deltas.select(hCols.map(col): _*))
-          .groupBy(spec.groupCols.map(col): _*)
-          .agg(sum(col("__cnt")).cast(LongType).as("__cnt"),
-            spec.sumCols.flatMap(c => Seq(
-              sum(col(s"__sum_$c")).as(s"__sum_$c"),
-              sum(col(s"__cntnn_$c")).cast(LongType)
-                .as(s"__cntnn_$c"))): _*)
-          .filter(col("__cnt") =!= 0).persist()
-        handles += folded
-        val neg = folded.filter(col("__cnt") < 0).count()
-        require(neg == 0,
-          s"$neg view groups would go NEGATIVE — inconsistent change " +
-            "stream (nothing was committed to the view)")
-        folded
-      }
+      val vd0 = viewDir(dir)
+      val tg = deltas.select(spec.groupCols.map(col): _*).distinct()
+      val (vOldBuckets, _) = MergeTable.readForKeysAt(spark, vd0,
+        MergeTable.latestVersion(spark, vd0), tg)
+      val vOld = vOldBuckets
+        .join(broadcast(tg), spec.groupCols, "left_semi")
+      val folded = vOld.select(hCols.map(col): _*)
+        .unionByName(deltas.select(hCols.map(col): _*))
+        .groupBy(spec.groupCols.map(col): _*)
+        .agg(sum(col("__cnt")).cast(LongType).as("__cnt"),
+          spec.sumCols.flatMap(c => Seq(
+            sum(col(s"__sum_$c")).as(s"__sum_$c"),
+            sum(col(s"__cntnn_$c")).cast(LongType)
+              .as(s"__cntnn_$c"))): _*)
+        .persist()
+      handles += folded
+      val neg = folded.filter(col("__cnt") < 0).count()
+      require(neg == 0,
+        s"$neg view groups would go NEGATIVE — inconsistent change " +
+          "stream (nothing was committed to the view)")
+      val vv = MergeTable.mergeResolved(spark, vd0,
+        folded.filter(col("__cnt") =!= 0),
+        folded.filter(col("__cnt") === 0)
+          .select(spec.groupCols.map(col): _*))
       syncMarker(spark, dir, fvN, dvN)
       fsys.delete(inflight, false)
       (fvN, dvN, vv)

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -49,13 +49,53 @@ import org.apache.spark.sql.functions._
  * too-large one degrades read listing. Both ends are visible in
  * [[stats]].
  *
+ * SCATTER BATCHES — the merge-on-read delta overlay (round 13): a
+ * batch whose keys are UNIFORMLY spread (every k-th key of the whole
+ * table — the documented copy-on-write worst case) touches
+ * ~min(batch, nBuckets) buckets, making the COW rewrite a near-full
+ * table rewrite PER COMMIT. [[merge]] therefore picks a commit mode
+ * from the manifest's own bucket row counts (no data read):
+ *
+ *   - COW (the clustered steady state): touched-bucket rewrite, as
+ *     before. Chosen whenever the touched mass is a small fraction of
+ *     the table.
+ *   - DELTA (scatter batches): the batch is committed AS-IS as one
+ *     batch-sized overlay dataset (`state/dNNNNN/` — upsert rows +
+ *     delete keys under an `__op` column) listed in the manifest in
+ *     commit order; NO bucket is rewritten. Reads reconcile: the
+ *     per-key winner across overlay datasets (max commit seq) replaces
+ *     the base row unless the row's bucket was rewritten at a later
+ *     seq (each bucket entry's path carries the seq that wrote it, so
+ *     masking is a broadcast nBuckets-sized seq map + a batch-sized
+ *     anti-join — the DigestIndex tombstone-overlay machinery applied
+ *     to a keyed table). Write cost O(batch) for ANY key distribution.
+ *   - FOLD (budget breach): when outstanding overlay rows + batch
+ *     would exceed the byte-budget analog `deltaBudgetRows`
+ *     (max(minRows, tableRows/8) capped at maxRows — the broadcast-
+ *     safety bound for the read-side key mask), the commit folds the
+ *     whole overlay AND the batch into their buckets in ONE version —
+ *     so overlay depth is bounded, a scatter stream's bucket rewrites
+ *     amortize to O(batch · tableRows/budget) per commit, and the
+ *     quiet-batch / one-version-per-merge contract the streaming
+ *     wrappers pair against is never violated (no hidden extra
+ *     commits).
+ *
+ * Spark-conf knobs (all optional): `graft.mergetable.scatterFraction`
+ * (default 0.25 — DELTA when touched mass exceeds this fraction of the
+ * table and the batch is at least 2× smaller than the touched mass),
+ * `graft.mergetable.delta.minRows` (65536), `.maxRows` (4194304),
+ * `.tableFraction` (0.125).
+ *
  * Merge plan shape (what makes it 100 TB-safe): touched-bucket ids are
  * computed FROM THE BATCH (batch-sized agg, collect bounded by
  * nBuckets); old rows are read from touched bucket dirs only; the
  * touched-key mask is a BROADCAST anti-join (batch-sized build side);
  * the rewrite shuffles only touched-bucket mass, partitioned by bucket
  * so each bucket lands as one contiguous file set. No corpus scan, no
- * corpus shuffle, no driver materialization of data rows.
+ * corpus shuffle, no driver materialization of data rows. Overlay
+ * reconciliation adds one overlay-sized (≤ budget) window shuffle and
+ * two broadcast joins to reads, and nothing when the overlay is empty
+ * (the plan is byte-identical to the overlay-free layout).
  */
 object MergeTable {
 
@@ -113,23 +153,57 @@ object MergeTable {
     pmod(xxhash64(m.bucketCols.map(col): _*), lit(m.nBuckets.toLong))
       .cast("int")
 
+  /** Overlay dataset entry: (relpath, upsertRows, deleteRows), listed
+    * in commit order (the rel's seq — [[relSeq]] — IS the order). */
+  private[graft] type DeltaEntry = (String, Long, Long)
+
+  /** Commit seq encoded in a state relpath: p00007/… and d00007 (and
+    * their fence-suffixed forms p00007x1/…) → 7. */
+  private def relSeq(rel: String): Int =
+    rel.drop(1).takeWhile(_.isDigit).toInt
+
   private def writeManifest(spark: SparkSession, dir: String, v: Int,
-                            entries: Seq[(Int, String, Long)]): Unit =
+                            buckets: Seq[(Int, String, Long)],
+                            deltas: Seq[DeltaEntry]): Unit = {
+    // rows == 0 bucket entries are "emptied at seq" markers — needed
+    // only so overlay rows older than the emptying rewrite stay masked;
+    // with no overlay left they are pure noise and are pruned here
+    val bs = if (deltas.isEmpty) buckets.filter(_._3 > 0) else buckets
     // rename-based fenced commit: content lands in a claimant-private
-    // temp, lease re-verified AFTER the write, one rename publishes —
-    // a loser paused mid-write across a steal aborts untouched
+    // temp, lease re-verified AFTER the write, one rename publishes at
+    // this generation's name — a loser paused mid-write across a steal
+    // aborts untouched
     VersionedLayout.fencedWrite(spark, dir, v, "MergeTable",
       new Path(versionDir(dir, v), "buckets.txt"),
-      entries.sortBy(_._1)
-        .map { case (b, rel, n) => s"$b,$rel,$n" }.mkString("\n"))
+      (bs.sortBy(_._1).map { case (b, rel, n) => s"$b,$rel,$n" } ++
+        deltas.map { case (rel, u, d) => s"D,$rel,$u,$d" }).mkString("\n"))
+  }
 
+  /** Live bucket entries of a version (rows == 0 entries are
+    * emptied-at-seq markers carrying no data). */
   private[graft] def readManifest(spark: SparkSession, dir: String,
-                                  v: Int): Seq[(Int, String, Long)] = {
+                                  v: Int): Seq[(Int, String, Long)] =
+    readManifestFull(spark, dir, v)._1
+
+  /** Outstanding overlay datasets of a version, oldest first. */
+  private[graft] def readDeltas(spark: SparkSession, dir: String,
+                                v: Int): Seq[DeltaEntry] =
+    readManifestFull(spark, dir, v)._2
+
+  private[graft] def readManifestFull(spark: SparkSession, dir: String,
+      v: Int): (Seq[(Int, String, Long)], Seq[DeltaEntry]) = {
     val s = VersionedLayout.fencedRead(fs(spark, dir),
       new Path(versionDir(dir, v), "buckets.txt"))
-    if (s.isEmpty) Seq.empty
-    else s.split("\n").toSeq.map { l =>
-      val Array(b, rel, n) = l.split(","); (b.toInt, rel, n.toLong)
+    if (s.isEmpty) (Seq.empty, Seq.empty)
+    else {
+      val lines = s.split("\n").toSeq
+      val (d, b) = lines.partition(_.startsWith("D,"))
+      (b.map { l =>
+        val Array(bk, rel, n) = l.split(","); (bk.toInt, rel, n.toLong)
+      },
+        d.map { l =>
+          val Array(_, rel, u, dl) = l.split(","); (rel, u.toLong, dl.toLong)
+        })
     }
   }
 
@@ -150,7 +224,7 @@ object MergeTable {
     val m = Meta(keyCols, bucketCols, nBuckets, schema)
     withClaim(spark, dir, 1, FormatVersion, "MergeTable") {
       writeMeta(spark, dir, m)
-      writeManifest(spark, dir, 1, Seq.empty)
+      writeManifest(spark, dir, 1, Seq.empty, Seq.empty)
     }
     1
   }
@@ -164,17 +238,97 @@ object MergeTable {
     merge(spark, dir, rows, rows.select(keyCols.map(col): _*).limit(0))
   }
 
+  private def emptyOf(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Broadcast semi/anti join of `left` against a batch-sized key
+    * frame, NULL-SAFE on every key column: the IVM z-sets key by
+    * (group, value) tuples where a SQL NULL value is a legal key — a
+    * plain equi-join would silently never match those keys (the
+    * pre-r13 fold avoided joins entirely via groupBy, which treats
+    * nulls as equal; every key mask on this layout must too). */
+  private[graft] def keyJoin(left: DataFrame, keys: DataFrame,
+                             cols: Seq[String],
+                             joinType: String): DataFrame = {
+    val r = keys.select(cols.map(c => col(c).as(s"__k_$c")): _*)
+    left.join(broadcast(r),
+      cols.map(c => left(c) <=> col(s"__k_$c")).reduce(_ && _), joinType)
+  }
+
+  /** The overlay dataset schema: row schema + `__op` ('u' upsert with a
+    * full row, 'd' delete carrying only the key columns). */
+  private def deltaSchema(m: Meta): StructType =
+    StructType(m.schema.fields :+
+      StructField("__op", org.apache.spark.sql.types.StringType))
+
+  /** All rows of the outstanding overlay datasets with their commit
+    * seq (`__dseq`) attached — batch-sized × overlay depth, bounded by
+    * the delta budget. */
+  private def deltaRows(spark: SparkSession, dir: String, m: Meta,
+                        deltas: Seq[DeltaEntry]): DataFrame =
+    deltas.map { case (rel, _, _) =>
+      spark.read.schema(deltaSchema(m)).parquet(statePath(dir, rel))
+        .withColumn("__dseq", lit(relSeq(rel)))
+    }.reduce(_.unionByName(_))
+
+  /**
+   * Effective rows of (a subset of) a version's buckets: base bucket
+   * data reconciled with the outstanding overlay. Per key, the
+   * highest-seq overlay row wins UNLESS the key's bucket was rewritten
+   * at a later seq (the rewrite already folded it in — bucket paths
+   * carry their write seq). With an empty overlay this is exactly the
+   * bucket-union plan of the overlay-free layout. All driver-side
+   * inputs are manifest metadata (≤ nBuckets entries); the overlay
+   * winner shuffle is overlay-sized and the key mask is a broadcast.
+   */
+  private def reconcile(spark: SparkSession, dir: String, m: Meta,
+                        buckets: Seq[(Int, String, Long)],
+                        deltas: Seq[DeltaEntry],
+                        restrict: Option[Set[Int]]): DataFrame = {
+    val bks = restrict match {
+      case Some(t) => buckets.filter(e => t(e._1))
+      case None    => buckets
+    }
+    val paths = bks.filter(_._3 > 0).map(e => statePath(dir, e._2))
+    val base =
+      if (paths.isEmpty) emptyOf(spark, m.schema)
+      else spark.read.schema(m.schema).parquet(paths: _*)
+    if (deltas.isEmpty) return base
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val withBkt = deltaRows(spark, dir, m, deltas)
+      .withColumn("__bkt", bucketExpr(m))
+    val scoped = restrict match {
+      case Some(t) =>
+        withBkt.join(broadcast(t.toSeq.toDF("__bkt")), Seq("__bkt"),
+          "left_semi")
+      case None => withBkt
+    }
+    val w = Window.partitionBy(m.keyCols.map(col): _*)
+      .orderBy(col("__dseq").desc)
+    val winners = scoped
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+    // bucket → seq-of-last-rewrite (markers included): overlay rows at
+    // or before that seq are already folded into the bucket's data
+    val bseq = bks.map(e => (e._1, relSeq(e._2))).toDF("__bkt", "__bseq")
+    val winnersEff = winners
+      .join(broadcast(bseq), Seq("__bkt"), "left")
+      .filter(col("__dseq") > coalesce(col("__bseq"), lit(0)))
+    val mask = winnersEff.select(m.keyCols.map(col): _*)
+    keyJoin(base, mask, m.keyCols, "left_anti")
+      .unionByName(winnersEff.filter(col("__op") === "u")
+        .select(m.schema.fieldNames.toSeq.map(col): _*))
+  }
+
   /** Full table at a pinned version: the union of every live bucket's
-    * parquet dir — read cost O(live buckets), no merge-on-read overlay
-    * to reconcile (each bucket has exactly ONE current path). */
+    * parquet dir, reconciled with the overlay (free when the overlay
+    * is empty — each bucket then has exactly ONE current path). */
   def readAt(spark: SparkSession, dir: String, version: Int): DataFrame = {
     requireLiveVersion(spark, dir, version)
     val m = readMeta(spark, dir)
-    val paths = readManifest(spark, dir, version).map(e => statePath(dir, e._2))
-    if (paths.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-    else spark.read.schema(m.schema).parquet(paths: _*)
+    val (buckets, deltas) = readManifestFull(spark, dir, version)
+    reconcile(spark, dir, m, buckets, deltas, None)
   }
 
   def read(spark: SparkSession, dir: String): DataFrame =
@@ -192,14 +346,8 @@ object MergeTable {
     val m = readMeta(spark, dir)
     val touched = keys.select(bucketExpr(m).as("__bucket")).distinct()
       .collect().map(_.getInt(0)).toSet
-    val paths = readManifest(spark, dir, version)
-      .filter(e => touched(e._1)).map(e => statePath(dir, e._2))
-    val rows =
-      if (paths.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-      else spark.read.schema(m.schema).parquet(paths: _*)
-    (rows, touched)
+    val (buckets, deltas) = readManifestFull(spark, dir, version)
+    (reconcile(spark, dir, m, buckets, deltas, Some(touched)), touched)
   }
 
   /**
@@ -217,7 +365,16 @@ object MergeTable {
    * commit (the claim releases, nothing is published).
    */
   def mergeCompute(spark: SparkSession, dir: String, touchKeys: DataFrame)
-                  (f: DataFrame => DataFrame): Int = {
+                  (f: DataFrame => DataFrame): Int =
+    mergeComputeInner(spark, dir, touchKeys, dropDeltas = false)(f)
+
+  /** [[mergeCompute]] with overlay control: `dropDeltas` is set by the
+    * fold paths whose touch keys provably cover every overlay key —
+    * the rewritten buckets then mask the whole overlay by seq and its
+    * manifest entries retire. */
+  private def mergeComputeInner(spark: SparkSession, dir: String,
+                                touchKeys: DataFrame, dropDeltas: Boolean)
+                               (f: DataFrame => DataFrame): Int = {
     val m = readMeta(spark, dir)
     val v = latestVersion(spark, dir)
     withClaim(spark, dir, v + 1, FormatVersion, "MergeTable") {
@@ -228,14 +385,12 @@ object MergeTable {
           "cannot be merged (the equi-join mask never matches them)")
       val touched = touchKeys.select(bucketExpr(m).as("__bucket")).distinct()
         .collect().map(_.getInt(0)).toSet
-      val prev = readManifest(spark, dir, v)
+      val (prev, deltas) = readManifestFull(spark, dir, v)
       val (touchedPrev, keptPrev) = prev.partition(e => touched(e._1))
-      val oldPaths = touchedPrev.map(e => statePath(dir, e._2))
-      val old =
-        if (oldPaths.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-        else spark.read.schema(m.schema).parquet(oldPaths: _*)
+      // f sees the EFFECTIVE old state of the touched buckets (base
+      // reconciled with the overlay); the rewrite's higher seq then
+      // masks those overlay rows, so nothing is applied twice
+      val old = reconcile(spark, dir, m, touchedPrev, deltas, Some(touched))
       val rel = f"p${v + 1}%05d${VersionedLayout.fence(dir, v + 1)}"
       val out = f(old)
         .select(m.schema.fields.map(fd =>
@@ -264,12 +419,147 @@ object MergeTable {
       require(stray.isEmpty,
         s"refresh produced rows for untouched buckets ${stray.mkString(",")}" +
           " — key routing bug in the caller (bucket cols mutated?)")
+      val deltasAfter = if (dropDeltas) Seq.empty else deltas
+      // a touched bucket that ended EMPTY still needs an emptied-at-seq
+      // marker while overlay rows remain, or an older overlay upsert
+      // for it would resurrect at read ([[writeManifest]] prunes the
+      // markers once the overlay drains)
+      val emptied =
+        if (deltasAfter.isEmpty) Seq.empty
+        else (touched -- written.filter(_._2 > 0).keySet).toSeq
+          .map(b => (b, s"$rel/__bucket=$b", 0L))
       val entries = keptPrev ++ written.toSeq.collect {
         case (b, n) if n > 0 => (b, s"$rel/__bucket=$b", n)
-      }
-      writeManifest(spark, dir, v + 1, entries)
+      } ++ emptied
+      writeManifest(spark, dir, v + 1, entries, deltasAfter)
+      if (dropDeltas && deltas.nonEmpty) foldCommits.incrementAndGet()
+      else cowCommits.incrementAndGet()
     }
     v + 1
+  }
+
+  /** Commit-mode counters (process-wide, observability for specs and
+    * the stress harness — the [[TermIndex]] max-score counter's
+    * sibling). */
+  val cowCommits = new java.util.concurrent.atomic.AtomicLong
+  val deltaCommits = new java.util.concurrent.atomic.AtomicLong
+  val foldCommits = new java.util.concurrent.atomic.AtomicLong
+
+  private def confD(spark: SparkSession, key: String, dflt: Double): Double =
+    spark.conf.get(key, dflt.toString).toDouble
+
+  private def confL(spark: SparkSession, key: String, dflt: Long): Long =
+    spark.conf.get(key, dflt.toString).toLong
+
+  /** Outstanding overlay budget for a table of `tableRows` live rows:
+    * scales with the table (fold amortizes to O(batch) bucket-rewrite
+    * work per commit) but is capped absolutely — the overlay's key
+    * mask is BROADCAST on every read, so its row count must stay
+    * driver/executor-memory safe regardless of table size. */
+  private def deltaBudget(spark: SparkSession, tableRows: Long): Long = {
+    val lo = confL(spark, "graft.mergetable.delta.minRows", 65536L)
+    val hi = confL(spark, "graft.mergetable.delta.maxRows", 4194304L)
+    val frac = confD(spark, "graft.mergetable.delta.tableFraction", 0.125)
+    math.min(hi, math.max(lo, (tableRows * frac).toLong))
+  }
+
+  /**
+   * The resolved-batch commit primitive behind [[merge]]: `upserts`
+   * (full rows, unique per key) and `deleteKeys` (key columns) with
+   * DISJOINT key sets — validation is the public API's job; the IVM
+   * layer lands here with sets that are disjoint by construction.
+   * Exactly ONE version per call (quiet batches included), in the
+   * mode the manifest's own row counts pick — COW, DELTA, or FOLD
+   * (see the class doc).
+   */
+  private[graft] def mergeResolved(spark: SparkSession, dir: String,
+                                   upserts: DataFrame,
+                                   deleteKeys: DataFrame): Int = {
+    val m = readMeta(spark, dir)
+    val v = latestVersion(spark, dir)
+    val kc = m.keyCols
+    val ups = upserts.select(m.schema.fields.map(fd =>
+      col(fd.name).cast(fd.dataType).as(fd.name)): _*)
+    val dels = deleteKeys.select(kc.map(n =>
+      col(n).cast(m.schema(n).dataType).as(n)): _*)
+    val touch = ups.select(kc.map(col): _*).unionByName(dels)
+    // ONE batch-sized job decides the mode: per-bucket batch key
+    // counts give the touched set AND the batch size; the touched
+    // MASS comes from the manifest (driver metadata, no data read)
+    val perBucket = touch.select(bucketExpr(m).as("__bucket"))
+      .groupBy("__bucket").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val touched = perBucket.keySet
+    val batchRows = perBucket.values.sum
+    val (buckets, deltas) = readManifestFull(spark, dir, v)
+    val tableRows = buckets.map(_._3).sum
+    val touchedMass = buckets.filter(e => touched(e._1)).map(_._3).sum
+    val outstanding = deltas.map(d => d._2 + d._3).sum
+    val budget = deltaBudget(spark, tableRows)
+    val overBudget = outstanding + batchRows > budget
+    val scatterFraction =
+      confD(spark, "graft.mergetable.scatterFraction", 0.25)
+    val scatterish = tableRows > 0 && batchRows > 0 &&
+      touchedMass > scatterFraction * tableRows &&
+      2 * batchRows < touchedMass
+    if (scatterish && !overBudget) {
+      // DELTA: commit the batch as one overlay dataset — no bucket read,
+      // no bucket write, O(batch) for any key distribution
+      withClaim(spark, dir, v + 1, FormatVersion, "MergeTable") {
+        val rel = f"d${v + 1}%05d${VersionedLayout.fence(dir, v + 1)}"
+        val nullRest = m.schema.fields.filterNot(fd => kc.contains(fd.name))
+        val data = ups.withColumn("__op", lit("u")).unionByName(
+          dels.select(kc.map(col) ++ nullRest.map(fd =>
+            lit(null).cast(fd.dataType).as(fd.name)) :+
+            lit("d").as("__op"): _*))
+        // batch-sized dataset: keep the file count low (the TermIndex
+        // small-segment lesson — per-commit file fan-out is the DFS
+        // metadata-pressure term)
+        data.coalesce(8).write.mode("overwrite")
+          .parquet(statePath(dir, rel))
+        // counts from the WRITTEN files (footer-only), so the manifest
+        // reflects on-disk truth — they drive the fold budget
+        val byOp = spark.read.schema(deltaSchema(m))
+          .parquet(statePath(dir, rel))
+          .groupBy("__op").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        writeManifest(spark, dir, v + 1, buckets,
+          deltas :+ ((rel, byOp.getOrElse("u", 0L), byOp.getOrElse("d", 0L))))
+        deltaCommits.incrementAndGet()
+      }
+      v + 1
+    } else if (deltas.nonEmpty && overBudget) {
+      // FOLD: one COW commit over batch ∪ overlay keys retires the
+      // whole overlay and applies the batch — still one version
+      val m2 = m
+      val overlayKeys = deltaRows(spark, dir, m2, deltas)
+        .select(kc.map(col): _*)
+      val allTouch = touch.unionByName(overlayKeys).distinct()
+      mergeComputeInner(spark, dir, allTouch, dropDeltas = true) { old =>
+        keyJoin(old, touch.distinct(), kc, "left_anti").unionByName(ups)
+      }
+    } else {
+      // COW: rewrite the touched buckets (the clustered steady state)
+      mergeComputeInner(spark, dir, touch, dropDeltas = false) { old =>
+        keyJoin(old, touch.distinct(), kc, "left_anti").unionByName(ups)
+      }
+    }
+  }
+
+  /** Fold the whole overlay into its buckets in one committed version
+    * (idempotent — returns the current version when the overlay is
+    * already empty). Runs automatically when a merge would breach the
+    * overlay budget; call it explicitly to hand the read path its
+    * zero-overlay plan before a latency-sensitive consumer. */
+  def compact(spark: SparkSession, dir: String): Int = {
+    val v = latestVersion(spark, dir)
+    val (_, deltas) = readManifestFull(spark, dir, v)
+    if (deltas.isEmpty) return v
+    val m = readMeta(spark, dir)
+    val overlayKeys = deltaRows(spark, dir, m, deltas)
+      .select(m.keyCols.map(col): _*).distinct()
+    // the reconciled old state IS the folded state — identity rewrite
+    mergeComputeInner(spark, dir, overlayKeys, dropDeltas = true)(old => old)
   }
 
   /**
@@ -293,6 +583,9 @@ object MergeTable {
       col(n).cast(m.schema(n).dataType).as(n)): _*)
     val liveUp =
       if (deleteWins) up.join(broadcast(del), kc, "left_anti") else up
+    val liveDel =
+      if (deleteWins) del
+      else del.join(broadcast(up.select(kc.map(col): _*)), kc, "left_anti")
     val dupKeys = liveUp.groupBy(kc.map(col): _*).count()
       .filter(col("count") > 1).count()
     require(dupKeys == 0,
@@ -304,9 +597,7 @@ object MergeTable {
     require(nullKeys == 0,
       s"$nullKeys batch keys carry null key columns — null keys cannot " +
         "be merged (the equi-join mask never matches them)")
-    mergeCompute(spark, dir, touch) { old =>
-      old.join(broadcast(touch), kc, "left_anti").unionByName(liveUp)
-    }
+    mergeResolved(spark, dir, liveUp, liveDel.distinct())
   }
 
   /** Live bucket stats at LATEST: (bucket, rows) plus the manifest's
@@ -315,6 +606,13 @@ object MergeTable {
     * tail of stale p-dirs → run [[gc]]). */
   def stats(spark: SparkSession, dir: String): Seq[(Int, String, Long)] =
     readManifest(spark, dir, latestVersion(spark, dir))
+
+  /** Outstanding overlay at LATEST: (datasets, upsertRows, deleteRows)
+    * — the read-amplification health view ([[compact]] drains it). */
+  def overlayStats(spark: SparkSession, dir: String): (Int, Long, Long) = {
+    val d = readDeltas(spark, dir, latestVersion(spark, dir))
+    (d.length, d.map(_._2).sum, d.map(_._3).sum)
+  }
 
   /** Drop version dirs older than the last `retainLast` and bucket
     * data dirs no retained manifest references (bucket-granular: one
@@ -330,8 +628,9 @@ object MergeTable {
       f.delete(new Path(versionDir(dir, v)), true))
     val liveVersions = (keepFrom to latest)
       .filter(v => f.exists(new Path(versionDir(dir, v))))
-    val referenced = liveVersions
-      .flatMap(readManifest(spark, dir, _).map(_._2)).toSet
+    val manifests = liveVersions.map(readManifestFull(spark, dir, _))
+    val referenced = manifests.flatMap(_._1.map(_._2)).toSet
+    val referencedDeltas = manifests.flatMap(_._2.map(_._1)).toSet
     val stateRoot = new Path(s"${dir.stripSuffix("/")}/state")
     if (f.exists(stateRoot))
       f.listStatus(stateRoot).foreach { p =>
@@ -339,15 +638,20 @@ object MergeTable {
         val pSeq = pName.drop(1).takeWhile(_.isDigit).toIntOption
           .getOrElse(Int.MaxValue)
         if (pSeq <= latest) {
-          f.listStatus(p.getPath).foreach { b =>
-            val rel = s"$pName/${b.getPath.getName}"
-            if (b.getPath.getName.startsWith("__bucket=") &&
-                !referenced.contains(rel))
-              f.delete(b.getPath, true)
+          if (pName.startsWith("d")) {
+            // overlay datasets are whole-dir referenced
+            if (!referencedDeltas.contains(pName)) f.delete(p.getPath, true)
+          } else {
+            f.listStatus(p.getPath).foreach { b =>
+              val rel = s"$pName/${b.getPath.getName}"
+              if (b.getPath.getName.startsWith("__bucket=") &&
+                  !referenced.contains(rel))
+                f.delete(b.getPath, true)
+            }
+            if (f.listStatus(p.getPath)
+                  .forall(st => !st.getPath.getName.startsWith("__bucket=")))
+              f.delete(p.getPath, true)
           }
-          if (f.listStatus(p.getPath)
-                .forall(st => !st.getPath.getName.startsWith("__bucket=")))
-            f.delete(p.getPath, true)
         }
       }
   }

@@ -186,6 +186,130 @@ class IvmSpec extends AnyFunSuite {
     assert(MergeTable.read(spark, dir).count() == 4)
   }
 
+  test("scatter merges commit as overlay deltas: no bucket rewrite, exact reads, newest-wins, compact drains") {
+    val dir = tmp("graft_mt_delta")
+    val init = (0L until 64L).map(k => (k, "g", k))
+    MergeTable.build(spark, dir, rowsDf(init), Seq("k"), Seq("k"), 16)
+    val v1 = MergeTable.latestVersion(spark, dir)
+    val bucketsBefore = MergeTable.readManifest(spark, dir, v1).toSet
+    val d0 = MergeTable.deltaCommits.get
+    // scattered batch: every 4th key upserted (touches ~most buckets,
+    // far more touched mass than batch size) + two deletes
+    val upKeys = (0L until 64L by 4L)
+    MergeTable.merge(spark, dir,
+      rowsDf(upKeys.map(k => (k, "gX", k + 100L))),
+      Seq(1L, 2L).toDF("k"))
+    assert(MergeTable.deltaCommits.get == d0 + 1,
+      "a scattered batch must take the overlay path")
+    val v2 = MergeTable.latestVersion(spark, dir)
+    assert(v2 == v1 + 1, "exactly one version per merge")
+    assert(MergeTable.readManifest(spark, dir, v2).toSet == bucketsBefore,
+      "an overlay commit must not rewrite ANY bucket pointer")
+    assert(MergeTable.overlayStats(spark, dir) ==
+      ((1, upKeys.size.toLong, 2L)))
+    def asSet(df: DataFrame): Set[(Long, String, Long)] =
+      df.as[(Long, String, Long)].collect().toSet
+    val want1 = init.filterNot(r =>
+      upKeys.contains(r._1) || r._1 == 1L || r._1 == 2L).toSet ++
+      upKeys.map(k => (k, "gX", k + 100L))
+    assert(asSet(MergeTable.read(spark, dir)) == want1)
+    // pinned read at v1 is undisturbed by the overlay
+    assert(MergeTable.readAt(spark, dir, v1).count() == 64)
+    // second overlay: the NEWEST delta wins per key; a deleted key
+    // re-inserts; readForKeysAt sees the reconciled rows too
+    MergeTable.merge(spark, dir,
+      rowsDf(Seq((0L, "gY", 200L), (1L, "gY", 201L))),
+      Seq(4L).toDF("k"))
+    val want2 = want1.filterNot(r => Set(0L, 1L, 4L).contains(r._1)) ++
+      Set((0L, "gY", 200L), (1L, "gY", 201L))
+    assert(asSet(MergeTable.read(spark, dir)) == want2)
+    val (forKeys, _) = MergeTable.readForKeysAt(spark, dir,
+      MergeTable.latestVersion(spark, dir), Seq(0L, 4L, 3L).toDF("k"))
+    val fk = asSet(forKeys)
+    assert(fk.contains((0L, "gY", 200L)) && !fk.exists(_._1 == 4L) &&
+      fk.contains((3L, "g", 3L)))
+    // clustered COW merge with the overlay outstanding: the rewritten
+    // bucket folds its overlay rows (higher seq masks them); others
+    // keep reconciling
+    val c0 = MergeTable.cowCommits.get
+    MergeTable.merge(spark, dir, rowsDf(Seq((3L, "gZ", 303L))),
+      Seq.empty[Long].toDF("k"))
+    assert(MergeTable.cowCommits.get == c0 + 1,
+      "a one-bucket batch must stay copy-on-write")
+    val want3 = want2.filterNot(_._1 == 3L) + ((3L, "gZ", 303L))
+    assert(asSet(MergeTable.read(spark, dir)) == want3)
+    // compact drains the overlay; content identical; delta dirs reaped
+    MergeTable.compact(spark, dir)
+    assert(MergeTable.overlayStats(spark, dir) == ((0, 0L, 0L)))
+    assert(asSet(MergeTable.read(spark, dir)) == want3)
+    MergeTable.gc(spark, dir, retainLast = 1)
+    val dDirs = Option(new java.io.File(s"$dir/state").listFiles)
+      .get.count(_.getName.startsWith("d"))
+    assert(dDirs == 0, "gc must reap unreferenced overlay datasets")
+  }
+
+  test("overlay budget breach folds overlay + batch in ONE version") {
+    val dir = tmp("graft_mt_fold")
+    spark.conf.set("graft.mergetable.delta.minRows", "20")
+    spark.conf.set("graft.mergetable.delta.maxRows", "20")
+    try {
+      val init = (0L until 64L).map(k => (k, "g", k))
+      MergeTable.build(spark, dir, rowsDf(init), Seq("k"), Seq("k"), 16)
+      def scatter(tag: String, bump: Long) = MergeTable.merge(spark, dir,
+        rowsDf((0L until 64L by 8L).map(k => (k, tag, k + bump))),
+        Seq.empty[Long].toDF("k"))
+      val (d0, f0) = (MergeTable.deltaCommits.get, MergeTable.foldCommits.get)
+      val va = scatter("gA", 100L) // 8 rows ≤ budget 20 → overlay
+      scatter("gB", 200L)          // 16 ≤ 20 → overlay
+      assert(MergeTable.deltaCommits.get == d0 + 2)
+      assert(MergeTable.overlayStats(spark, dir)._1 == 2)
+      val vc = scatter("gC", 300L) // 16 + 8 > 20 → FOLD, one version
+      assert(vc == va + 2, "a fold must not consume an extra version")
+      assert(MergeTable.foldCommits.get == f0 + 1)
+      assert(MergeTable.overlayStats(spark, dir) == ((0, 0L, 0L)))
+      assert(MergeTable.read(spark, dir)
+        .filter($"g" === "gC").count() == 8)
+      assert(MergeTable.read(spark, dir).count() == 64)
+    } finally {
+      spark.conf.unset("graft.mergetable.delta.minRows")
+      spark.conf.unset("graft.mergetable.delta.maxRows")
+    }
+  }
+
+  test("a COW rewrite that EMPTIES a bucket still masks older overlay rows for it (emptied-at-seq marker)") {
+    val dir = tmp("graft_mt_marker")
+    spark.conf.set("graft.mergetable.scatterFraction", "0.01")
+    try {
+      val init = (0L until 16L).map(k => (k, "g", k))
+      MergeTable.build(spark, dir, rowsDf(init), Seq("k"), Seq("k"), 4)
+      val d0 = MergeTable.deltaCommits.get
+      MergeTable.merge(spark, dir, rowsDf(Seq((7L, "gO", 700L))),
+        Seq.empty[Long].toDF("k"))
+      assert(MergeTable.deltaCommits.get == d0 + 1,
+        "the tiny scatterFraction must force the overlay path")
+      // keys living in 7's bucket (overlay-reconciled)
+      val b7 = MergeTable.readForKeysAt(spark, dir,
+        MergeTable.latestVersion(spark, dir), Seq(7L).toDF("k"))._1
+        .as[(Long, String, Long)].collect().map(_._1).toSet
+      assert(b7.contains(7L))
+      // COW-empty that bucket while the overlay still lists 7's upsert:
+      // without the emptied-at-seq marker the overlay row would
+      // resurrect key 7 on the next read
+      MergeTable.mergeCompute(spark, dir, Seq(7L).toDF("k"))(old =>
+        old.limit(0))
+      val after = MergeTable.read(spark, dir)
+        .as[(Long, String, Long)].collect().map(_._1).toSet
+      assert(!after.contains(7L), "emptied bucket must not resurrect")
+      assert(after == init.map(_._1).toSet -- b7)
+      // and the masking survives compaction + gc
+      MergeTable.compact(spark, dir)
+      MergeTable.gc(spark, dir, retainLast = 1)
+      val after2 = MergeTable.read(spark, dir)
+        .as[(Long, String, Long)].collect().map(_._1).toSet
+      assert(after2 == init.map(_._1).toSet -- b7)
+    } finally spark.conf.unset("graft.mergetable.scatterFraction")
+  }
+
   // ---- Ivm ----
 
   private val specG = Ivm.Spec(
