@@ -71,5 +71,9 @@ object SparkEntry {
     // (net-zero churn pair per run: two commits + gc + view read;
     // builds amortize on run 1) — mt/ivm/jivm regressions now show in
     // the driver artifact (38 queries; totals not comparable to r11)
-    "q_ivm_refresh", "q_ivm_join_refresh", "q_ivm_mirror_refresh")
+    "q_ivm_refresh", "q_ivm_join_refresh", "q_ivm_mirror_refresh",
+    // round 13: the NON-INVERTIBLE maintained join's refresh (joined-
+    // projection z-set + group-local recompute) joins its three
+    // siblings (39 queries; totals not comparable to r12)
+    "q_ivm_join_minmax_refresh")
 }

@@ -182,6 +182,20 @@ object IvmOverJoin {
   def applyDelta(spark: SparkSession, dir: String,
                  factInserts: DataFrame, factDeletes: DataFrame,
                  dimInserts: DataFrame, dimDeletes: DataFrame)
+      : (Int, Int, Int) =
+    applyDeltaFolding(spark, dir, factInserts, factDeletes, dimInserts,
+      dimDeletes, foldFact = true, foldDim = true)
+
+  /** [[applyDelta]] with per-side fold control — the RESUME primitive
+    * after a crash between the side commits, to be called only after
+    * [[rebuild]] restored consistency: a side with fold = false
+    * already absorbed this batch (its z-set version does not advance
+    * again) and its delta is ZEROED in the joined-delta math, exactly
+    * as in [[JoinIvm.applyDeltaFolding]]. */
+  private[graft] def applyDeltaFolding(spark: SparkSession, dir: String,
+                 factInserts: DataFrame, factDeletes: DataFrame,
+                 dimInserts: DataFrame, dimDeletes: DataFrame,
+                 foldFact: Boolean, foldDim: Boolean)
       : (Int, Int, Int) = {
     val spec = readSpec(spark, dir)
     val fv0 = MergeTable.latestVersion(spark, factzDir(dir))
@@ -220,8 +234,15 @@ object IvmOverJoin {
         .groupBy(cols.map(col): _*).agg(sum(col("__d")).as("__d"))
         .persist()
     }
-    val dF = zdelta(factInserts, factDeletes, fCols, fMeta.schema)
-    val dD = zdelta(dimInserts, dimDeletes, dCols, dMeta.schema)
+    // a landed (fold = false) side contributes a ZERO delta
+    val dF =
+      if (foldFact) zdelta(factInserts, factDeletes, fCols, fMeta.schema)
+      else zdelta(factInserts.limit(0), factDeletes.limit(0), fCols,
+        fMeta.schema)
+    val dD =
+      if (foldDim) zdelta(dimInserts, dimDeletes, dCols, dMeta.schema)
+      else zdelta(dimInserts.limit(0), dimDeletes.limit(0), dCols,
+        dMeta.schema)
     try {
       def nullCheck(d: DataFrame, what: String): Unit = {
         val present = (spec.joinCols ++ spec.groupCols)
@@ -240,7 +261,7 @@ object IvmOverJoin {
       // disjoint state, like [[JoinIvm.applyDeltaFolding]]. A CRASH
       // between the commits can leave either side landed; [[rebuild]]
       // + a one-sided re-submit recover symmetrically.
-      locally {
+      if (foldFact && foldDim) {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.fromExecutor(pool)
@@ -271,6 +292,11 @@ object IvmOverJoin {
           nzF.foreach(_.unpersist(blocking = false))
           nzD.foreach(_.unpersist(blocking = false))
         }
+      } else {
+        if (foldFact)
+          JoinIvm.foldSide(spark, factzDir(dir), "fact z-set", fCols, dF)
+        if (foldDim)
+          JoinIvm.foldSide(spark, dimzDir(dir), "dim z-set", dCols, dD)
       }
       val fvN = MergeTable.latestVersion(spark, factzDir(dir))
       val dvN = MergeTable.latestVersion(spark, dimzDir(dir))
@@ -351,6 +377,132 @@ object IvmOverJoin {
     (MergeTable.latestVersion(spark, factzDir(dir)),
       MergeTable.latestVersion(spark, dimzDir(dir)),
       Ivm.latestVersion(spark, ivmDir(dir)))
+
+  // ---- streaming-wrapper support (the shared maintained-family
+  // contract: batch↔version pairing on the SIDE versions, pinned
+  // read-only re-emit, self-healing replay) ----
+
+  /** True when the composite state lags (crash between the sequential
+    * commits) — [[heal]] / [[rebuild]] repair. */
+  def viewStale(spark: SparkSession, dir: String): Boolean =
+    readSync(spark, dir) != latestVersions(spark, dir)
+
+  /** True when an interrupted refresh's INFLIGHT marker is behind. */
+  def inflight(spark: SparkSession, dir: String): Boolean =
+    fs(spark, dir).exists(new Path(dir, "INFLIGHT"))
+
+  /** The (fact, dim) z-set column lists — the projections CDC batch
+    * frames must carry. */
+  def sideCols(spark: SparkSession, dir: String): (Seq[String], Seq[String]) = {
+    val f = MergeTable.readMeta(spark, factzDir(dir))
+      .schema.fieldNames.toSeq.filterNot(_ == Mult)
+    val d = MergeTable.readMeta(spark, dimzDir(dir))
+      .schema.fieldNames.toSeq.filterNot(_ == Mult)
+    (f, d)
+  }
+
+  /** Repair a view whose BOTH side z-sets already reflect the batch
+    * (the replay path with side versions at their expected values) but
+    * whose inner Ivm / SYNC / INFLIGHT may lag from a crash inside the
+    * tail of the refresh. Three sub-states, told apart by the INFLIGHT
+    * marker's recorded pre-batch inner version:
+    *   - inner z-set still AT the recorded pre-version → the joined
+    *     delta never landed: full [[rebuild]] (recomputes π(G, V) from
+    *     the sides — exactly the post-batch state);
+    *   - inner z-set advanced but its view lags (crash between the
+    *     inner Ivm's two commits) → [[Ivm.rebuildView]] + sync;
+    *   - everything landed, only SYNC / the marker delete remain →
+    *     finish the bookkeeping.
+    * No-op when nothing lags. */
+  def heal(spark: SparkSession, dir: String): Unit = {
+    val fsys = fs(spark, dir)
+    val marker = new Path(dir, "INFLIGHT")
+    if (fsys.exists(marker)) {
+      val zv0 = readSmall(fsys, marker).split(" ")(2).toInt
+      if (Ivm.latestVersion(spark, ivmDir(dir)) == zv0) {
+        rebuild(spark, dir)
+        return
+      }
+      if (Ivm.viewStale(spark, ivmDir(dir)))
+        Ivm.rebuildView(spark, ivmDir(dir))
+      val (fv, dv, zv) = latestVersions(spark, dir)
+      syncMarker(spark, dir, fv, dv, zv)
+      fsys.delete(marker, false)
+    } else if (viewStale(spark, dir)) {
+      // no marker to tell the sub-state apart — the conservative
+      // repair is the full rebuild (idempotent, O(state))
+      rebuild(spark, dir)
+    }
+  }
+
+  /** Read-only re-emit of one batch's refreshed view rows against the
+    * PINNED post-batch side versions — the streaming redelivery path.
+    * The batch's touched groups are recomputed from the same bilinear
+    * delta formula the refresh ran (every read bucket-pruned and
+    * version-pinned, so the set is identical on every replay) and the
+    * view's rows for those groups are returned via [[Ivm.groupsAt]]
+    * at the inner z-set version SYNC records (live groups only).
+    * Requires SYNC to reflect exactly (factVersion, dimVersion) — the
+    * single-writer streaming contract; run [[heal]] first on replay. */
+  def groupsAt(spark: SparkSession, dir: String, factVersion: Int,
+               dimVersion: Int,
+               factInserts: DataFrame, factDeletes: DataFrame,
+               dimInserts: DataFrame, dimDeletes: DataFrame): DataFrame = {
+    val spec = readSpec(spark, dir)
+    val (sf, sd, szv) = readSync(spark, dir)
+    require((sf, sd) == ((factVersion, dimVersion)),
+      s"view at $dir does not reflect side versions " +
+        s"($factVersion, $dimVersion) — run IvmOverJoin.heal first")
+    val fMeta = MergeTable.readMeta(spark, factzDir(dir))
+    val dMeta = MergeTable.readMeta(spark, dimzDir(dir))
+    val fCols = fMeta.schema.fieldNames.toSeq.filterNot(_ == Mult)
+    val dCols = dMeta.schema.fieldNames.toSeq.filterNot(_ == Mult)
+    def zdelta(ins: DataFrame, del: DataFrame, cols: Seq[String],
+               schema: StructType): DataFrame = {
+      def proj(df: DataFrame, sign: Int): DataFrame =
+        df.select(cols.map(c =>
+          col(c).cast(schema(c).dataType).as(c)) :+
+          lit(sign.toLong).as("__d"): _*)
+      proj(ins, 1).unionByName(proj(del, -1))
+        .groupBy(cols.map(col): _*).agg(sum(col("__d")).as("__d"))
+    }
+    val dF = zdelta(factInserts, factDeletes, fCols, fMeta.schema).persist()
+    try {
+      val dD = zdelta(dimInserts, dimDeletes, dCols, dMeta.schema)
+      val dimForDF = MergeTable.readForKeysAt(spark, dimzDir(dir),
+        dimVersion, dF.select(spec.joinCols.map(col): _*))._1
+      val g1 = dF.join(dimForDF, spec.joinCols)
+        .select(spec.groupCols.map(col): _*)
+      val dDKeys = dD.select(spec.joinCols.map(col): _*).distinct()
+      val factNewForDD = MergeTable.readForKeysAt(spark, factzDir(dir),
+        factVersion, dDKeys)._1
+        .join(broadcast(dDKeys), spec.joinCols, "left_semi")
+        .select(fCols.map(col) :+ col(Mult): _*)
+      val factDeltaForDD = dF
+        .join(broadcast(dDKeys), spec.joinCols, "left_semi")
+        .select(fCols.map(col) :+ (-col("__d")).as(Mult): _*)
+      val factOldForDD = factNewForDD.unionByName(factDeltaForDD)
+        .groupBy(fCols.map(col): _*).agg(sum(col(Mult)).as(Mult))
+        .filter(col(Mult) =!= 0)
+      val g2 = factOldForDD.join(dD, spec.joinCols)
+        .select(spec.groupCols.map(col): _*)
+      val tg = g1.unionByName(g2).distinct()
+      Ivm.groupsAt(spark, ivmDir(dir), szv, tg)
+    } finally dF.unpersist(blocking = false)
+  }
+
+  /** Small named marker alongside the view (stream wrappers pin their
+    * batch↔version pairing here — the maintained-family contract). */
+  def readMarker(spark: SparkSession, dir: String,
+                 name: String): Option[String] = {
+    val f = fs(spark, dir)
+    val p = new Path(dir, name)
+    if (!f.exists(p)) None else Some(readSmall(f, p))
+  }
+
+  def writeMarker(spark: SparkSession, dir: String, name: String,
+                  content: String): Unit =
+    atomicWrite(fs(spark, dir), new Path(dir, name), content)
 
   def exists(spark: SparkSession, dir: String): Boolean =
     fs(spark, dir).exists(new Path(dir, "SPEC")) &&

@@ -217,6 +217,30 @@ object IvmOps {
       JoinIvm.readView(spark, d).orderBy("segment")
     },
 
+    // IvmOverJoin (the non-invertible aggregate set): a two-sided
+    // net-zero pair against the memoized joined-projection state —
+    // two bilinear refreshes, each feeding the inner Ivm's group-local
+    // recompute (the most state-heavy maintained family) + gc. Shares
+    // q_ivm_join_minmax's oracle exactly.
+    "q_ivm_join_minmax_refresh" -> { (spark, dir) =>
+      val d = joinMinmaxDir(spark, dir)
+      val fBatch = Tables.load(spark, dir, "orders")
+        .filter(col("o_orderkey") % 11 === 5)
+        .select(col("o_custkey").as("custkey"),
+          (floor(col("o_totalprice") * 100).cast("long") + 999)
+            .as("cents"))
+      val dBatch = Tables.load(spark, dir, "customer")
+        .filter(col("c_custkey") % 13 === 2)
+        .select((col("c_custkey") + 10000000L).as("custkey"),
+          lit("TMP").as("segment"))
+      IvmOverJoin.applyDelta(spark, d, fBatch, fBatch.limit(0),
+        dBatch, dBatch.limit(0))
+      IvmOverJoin.applyDelta(spark, d, fBatch.limit(0), fBatch,
+        dBatch.limit(0), dBatch)
+      IvmOverJoin.gc(spark, d, retainLast = 2)
+      IvmOverJoin.readView(spark, d).orderBy("segment")
+    },
+
     // MergeTable: upsert a batch of fresh keys, then delete exactly
     // those keys — two touched-bucket copy-on-write merges + gc.
     "q_ivm_mirror_refresh" -> { (spark, dir) =>
@@ -275,6 +299,7 @@ object IvmOps {
     // refresh-path correctness is oracle-gated, not just timed
     "q_ivm_refresh" -> baseOracleSql("q_ivm_agg"),
     "q_ivm_join_refresh" -> baseOracleSql("q_ivm_join_agg"),
+    "q_ivm_join_minmax_refresh" -> baseOracleSql("q_ivm_join_minmax"),
     "q_ivm_mirror_refresh" -> baseOracleSql("q_ivm_mirror"))
 
   private val baseOracleSql: Map[String, String] = Map(

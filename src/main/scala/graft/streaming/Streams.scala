@@ -1295,13 +1295,155 @@ object Streams {
         foldFact = false, foldDim = true)
       emit()
       JoinIvm.gc(spark, viewDir, retainVersions)
+    } else if (fv == expF - 1 && dv == expD) {
+      // the SYMMETRIC window — possible since the side folds commit
+      // concurrently (r13): dim landed, fact did not. Same recovery,
+      // mirrored: rebuild, then fold only the fact side (ΔD = 0 makes
+      // the bilinear formula apply exactly the remaining ΔF ⋈ D′ term).
+      JoinIvm.rebuildView(spark, viewDir)
+      JoinIvm.applyDeltaFolding(spark, viewDir, fi, fd, di, dd,
+        foldFact = true, foldDim = false)
+      emit()
+      JoinIvm.gc(spark, viewDir, retainVersions)
     } else {
       throw new IllegalStateException(
         s"view at $viewDir is at z-set versions ($fv, $dv) but batch " +
           s"$batchId expects ($expF, $expD) committed, " +
-          s"(${expF - 1}, ${expD - 1}) fresh, or ($expF, ${expD - 1}) " +
-          "interrupted: stream checkpoint and view state disagree — " +
-          "one was deleted or rolled back without the other")
+          s"(${expF - 1}, ${expD - 1}) fresh, or ($expF, ${expD - 1}) / " +
+          s"(${expF - 1}, $expD) interrupted: stream checkpoint and " +
+          "view state disagree — one was deleted or rolled back " +
+          "without the other")
+    }
+  }
+
+  /** Maintain a persisted [[graft.operators.IvmOverJoin]] view — the
+    * maintained join with the FULL aggregate set (min / max /
+    * count-distinct exact under retraction) — from a two-sided CDC
+    * stream: the SEVENTH streaming-maintained family, under the same
+    * contract as [[cdcJoinViewStream]]. Events carry `sideCol` ∈
+    * "fact" | "dim" and `opCol` ∈ "insert" | "delete" (deletes with
+    * BEFORE-IMAGES); each row must carry its side's z-set columns
+    * ([[graft.operators.IvmOverJoin.sideCols]]).
+    *
+    * This view's refresh is the LONGEST commit chain of the family —
+    * factz, dimz (concurrent), then the inner Ivm's z-set AND view —
+    * so its crash window set is the widest. Pairing is arithmetic on
+    * the two SIDE versions only (each batch advances both by exactly
+    * one); the inner Ivm's versions float (recovery rebuilds consume
+    * extra ones) and the pinned re-emit reads the inner version the
+    * SYNC marker records. Redelivery states: both sides landed →
+    * [[graft.operators.IvmOverJoin.heal]] (which tells apart "joined
+    * delta never landed" / "inner view lags" / "bookkeeping only" via
+    * the INFLIGHT marker's recorded pre-version) then a read-only
+    * re-emit; one side landed → [[graft.operators.IvmOverJoin
+    * .rebuild]] + a one-sided resume fold; neither → normal apply.
+    * Exactly-once is by idempotence. `onRefresh` receives the
+    * refreshed view rows of the batch's touched groups (live groups
+    * only) and the batch id. */
+  def cdcFullJoinViewStream(events: DataFrame, opCol: String,
+                            sideCol: String, viewDir: String,
+                            checkpointLocation: String,
+                            retainVersions: Int = 2)
+                           (onRefresh: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(retainVersions >= 2,
+      s"retainVersions must be >= 2 (replay needs the prior version): $retainVersions")
+    events.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        cdcFullJoinViewBatch(batch, batchId, opCol, sideCol, viewDir,
+          retainVersions)(onRefresh)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[cdcFullJoinViewStream]] — factored out so
+    * fault-injection tests drive the production path directly. */
+  private[graft] def cdcFullJoinViewBatch(
+      batch: Dataset[org.apache.spark.sql.Row], batchId: Long,
+      opCol: String, sideCol: String, viewDir: String, retainVersions: Int)
+      (onRefresh: (DataFrame, Long) => Unit): Unit = {
+    import graft.operators.IvmOverJoin
+    val spark = batch.sparkSession
+    require(IvmOverJoin.exists(spark, viewDir),
+      s"no IvmOverJoin view at $viewDir — create it (spec + side " +
+        "schemas) before starting the stream")
+    // fail LOUDLY on op/side values outside the contract — a quiet
+    // partial batch would leave the view silently wrong forever
+    val bad = batch.filter(!col(opCol).isin("insert", "delete") ||
+      !col(sideCol).isin("fact", "dim")).count()
+    require(bad == 0,
+      s"$bad batch rows carry an op outside 'insert'/'delete' or a " +
+        "side outside 'fact'/'dim' — this view's CDC contract is " +
+        "two-sided insert/delete with before-images; nothing was applied")
+    val (fCols, dCols) = IvmOverJoin.sideCols(spark, viewDir)
+    def part(side: String, op: String, cols: Seq[String]): DataFrame =
+      batch.filter(col(sideCol) === side && col(opCol) === op)
+        .select(cols.map(col): _*)
+    val fi = part("fact", "insert", fCols)
+    val fd = part("fact", "delete", fCols)
+    val di = part("dim", "insert", dCols)
+    val dd = part("dim", "delete", dCols)
+    val (firstB, baseF, baseD) =
+      IvmOverJoin.readMarker(spark, viewDir, "STREAM") match {
+        case Some(s) =>
+          val p = s.split(" ")
+          (p(0).toLong, p(1).toInt, p(2).toInt)
+        case None =>
+          val (bf, bd, _) = IvmOverJoin.latestVersions(spark, viewDir)
+          IvmOverJoin.writeMarker(spark, viewDir, "STREAM",
+            s"$batchId $bf $bd")
+          (batchId, bf, bd)
+      }
+    require(batchId >= firstB,
+      s"batch id $batchId precedes this view's first stream batch " +
+        s"$firstB — the stream checkpoint was reset against an existing " +
+        "view; checkpoint and view are one unit of state (delete both " +
+        "or neither)")
+    val off = (batchId - firstB).toInt
+    val (expF, expD) = (baseF + off + 1, baseD + off + 1)
+    val (fv, dv, _) = IvmOverJoin.latestVersions(spark, viewDir)
+    def emit(): Unit = {
+      val rows = IvmOverJoin.groupsAt(spark, viewDir, expF, expD,
+        fi, fd, di, dd).persist()
+      rows.count()
+      try onRefresh(rows, batchId) finally rows.unpersist()
+    }
+    if (fv == expF && dv == expD) {
+      // replayed batch, both sides landed: heal whatever tail state
+      // the crash left (joined delta, inner view, or bookkeeping),
+      // then re-emit READ-ONLY against the pinned versions
+      IvmOverJoin.heal(spark, viewDir)
+      emit()
+    } else if (fv == expF - 1 && dv == expD - 1) {
+      // fresh batch; a leftover INFLIGHT with nothing of THIS batch
+      // landed is cleared by the same repair applyDelta would demand
+      if (IvmOverJoin.inflight(spark, viewDir) ||
+          IvmOverJoin.viewStale(spark, viewDir))
+        IvmOverJoin.rebuild(spark, viewDir)
+      IvmOverJoin.applyDelta(spark, viewDir, fi, fd, di, dd)
+      emit()
+      IvmOverJoin.gc(spark, viewDir, retainVersions)
+    } else if ((fv == expF && dv == expD - 1) ||
+               (fv == expF - 1 && dv == expD)) {
+      // one side landed (the folds commit concurrently — either side
+      // can be the one): rebuild restores a consistent joined state
+      // from whatever sides committed, then the resume fold applies
+      // ONLY the missing side — the batch still consumes exactly one
+      // version per side, so the pairing stays arithmetic.
+      IvmOverJoin.rebuild(spark, viewDir)
+      IvmOverJoin.applyDeltaFolding(spark, viewDir, fi, fd, di, dd,
+        foldFact = fv == expF - 1, foldDim = dv == expD - 1)
+      emit()
+      IvmOverJoin.gc(spark, viewDir, retainVersions)
+    } else {
+      throw new IllegalStateException(
+        s"view at $viewDir is at side versions ($fv, $dv) but batch " +
+          s"$batchId expects ($expF, $expD) committed, " +
+          s"(${expF - 1}, ${expD - 1}) fresh, or one-sided " +
+          s"($expF, ${expD - 1}) / (${expF - 1}, $expD) interrupted: " +
+          "stream checkpoint and view state disagree — one was deleted " +
+          "or rolled back without the other")
     }
   }
 

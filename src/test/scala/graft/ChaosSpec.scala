@@ -362,6 +362,41 @@ class ChaosSpec extends AnyFunSuite with BeforeAndAfterAll {
     jRun(jb1, 1L)
     assert(jOut == jAt1,
       "join-view redelivery after out-of-band gc must re-emit identically")
+
+    // the 7th family under the same chaos: full-agg join view —
+    // redelivery after an out-of-band gc must re-emit identically
+    val oDir = java.nio.file.Files.createTempDirectory("chaos_ovj")
+      .toString + "/view"
+    locally {
+      val s = spark; import s.implicits._
+      graft.operators.IvmOverJoin.create(spark, oDir,
+        Seq((1L, 1L)).toDF("k", "v").schema,
+        Seq((1L, "s")).toDF("k", "seg").schema,
+        graft.operators.IvmOverJoin.Spec(Seq("k"), Seq("seg"),
+          Seq(graft.operators.Ivm.Count("cnt"),
+            graft.operators.Ivm.Min("v", "min_v"),
+            graft.operators.Ivm.Max("v", "max_v"))), nBuckets = 4)
+    }
+    var oOut: Set[(String, Long, Long, Long)] = Set.empty
+    def oRun(b: org.apache.spark.sql.DataFrame, bid: Long): Unit =
+      graft.streaming.Streams.cdcFullJoinViewBatch(b, bid, "op", "side",
+        oDir, 2) { (rows, _) =>
+        oOut = rows.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      }
+    oRun(jev2(Seq((1L, 10L), (1L, 5L), (2L, 20L)),
+      Seq((1L, "sa"), (2L, "sb")), Seq.empty), 0L)
+    // batch 1: dim reassignment + the group minimum retracting via the
+    // move — the non-invertible shape, replayed
+    val ob1 = jev2(Seq((3L, 30L)), Seq((2L, "sa"), (3L, "sb")),
+      Seq((2L, "sb")))
+    oRun(ob1, 1L)
+    val oAt1 = oOut
+    graft.operators.IvmOverJoin.gc(spark, oDir, retainLast = 1)
+    oRun(ob1, 1L)
+    assert(oOut == oAt1,
+      "full-join-view redelivery after out-of-band gc must re-emit " +
+        "identically")
   }
 
   test("ann indexed streaming ingest: redelivery re-emits identical top-k, torn states recover, divergence fails fast") {

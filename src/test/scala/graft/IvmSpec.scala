@@ -805,6 +805,135 @@ class IvmSpec extends AnyFunSuite {
       ojModel(f4, d4))
   }
 
+  test("full-join-view stream wrapper (7th family): redelivery re-emits identically; tail, joined-delta and one-sided crash states self-heal") {
+    import graft.operators.IvmOverJoin
+    val dir = tmp("graft_ovj_stream")
+    val clean = tmp("graft_ovj_stream_clean")
+    Seq(dir, clean).foreach(d => IvmOverJoin.create(spark, d,
+      factDf(Seq((1L, 1L))).schema, dimDf(Seq((1L, "s"))).schema, ojspec,
+      nBuckets = 4))
+    var emitted = Map[(String, Long), Set[Row]]()
+    def drive(d: String, b: DataFrame, id: Long): Unit =
+      graft.streaming.Streams.cdcFullJoinViewBatch(b, id, "op", "side",
+        d, 2) { (rows, bid) => emitted += (d, bid) -> rows.collect().toSet }
+    val f0 = Seq((1L, 10L), (1L, 20L), (2L, 30L), (3L, 5L), (3L, 40L))
+    val d0 = Seq((1L, "s0"), (2L, "s0"), (3L, "s1"))
+    val b0 = jev(f0, Seq.empty, d0, Seq.empty)
+    // batch 1: retract s1's MINIMUM + dim reassignment — the
+    // non-invertible recompute, streamed
+    val b1 = jev(Seq((2L, 31L)), Seq((3L, 5L)), Seq((1L, "s1")),
+      Seq((1L, "s0")))
+    val f1 = f0.filterNot(_ == ((3L, 5L))) :+ ((2L, 31L))
+    val d1 = d0.filterNot(_ == ((1L, "s0"))) :+ ((1L, "s1"))
+    drive(dir, b0, 0L)
+    val (fvA, dvA, _) = IvmOverJoin.latestVersions(spark, dir)
+    assert((fvA, dvA) == ((2, 2)),
+      "each batch advances BOTH side z-sets by exactly one")
+    drive(dir, b1, 1L)
+    val (fv1, dv1, zv1) = IvmOverJoin.latestVersions(spark, dir)
+    assert((fv1, dv1) == ((3, 3)))
+    val view1 = IvmOverJoin.readView(spark, dir).collect().toSet
+    assert(view1 == ojModel(f1, d1))
+    assert(view1.find(_.getString(0) == "s1").get.getLong(2) == 10L,
+      "s1's min recovered after the minimum (3,5) retracted and key 1 " +
+        "moved in with {10,20}")
+    val e1 = emitted((dir, 1L))
+    // plain redelivery: no double-apply, identical emit
+    drive(dir, b1, 1L)
+    assert(IvmOverJoin.latestVersions(spark, dir)._1 == 3)
+    assert(emitted((dir, 1L)) == e1)
+    // tail crash A: between the inner Ivm's two commits — inner view
+    // stale + outer SYNC/INFLIGHT behind; the replay heals + re-emits
+    val fsy = graft.operators.VersionedLayout.fs(spark, dir)
+    graft.operators.VersionedLayout.atomicWrite(fsy,
+      new org.apache.hadoop.fs.Path(s"$dir/ivm", "VIEWSYNC"),
+      (zv1 - 1).toString)
+    graft.operators.VersionedLayout.atomicWrite(fsy,
+      new org.apache.hadoop.fs.Path(dir, "SYNC"), s"2 2 ${zv1 - 1}")
+    graft.operators.VersionedLayout.atomicWrite(fsy,
+      new org.apache.hadoop.fs.Path(dir, "INFLIGHT"), s"2 2 ${zv1 - 1}")
+    drive(dir, b1, 1L)
+    assert(!IvmOverJoin.inflight(spark, dir) &&
+      !IvmOverJoin.viewStale(spark, dir))
+    assert(IvmOverJoin.readView(spark, dir).collect().toSet == view1)
+    assert(emitted((dir, 1L)) == e1)
+    // crash B: both side folds committed, the JOINED delta never
+    // landed (INFLIGHT records the inner pre-version still current) —
+    // replay detects it and rebuilds π(G, V) from the sides
+    val b2fIns = Seq((4L, 50L)); val b2dIns = Seq((4L, "s1"))
+    val b2 = jev(b2fIns, Seq.empty, b2dIns, Seq.empty)
+    val f2 = f1 ++ b2fIns
+    val d2 = d1 ++ b2dIns
+    def foldFactByHand(ins: Seq[(Long, Long)]): Unit = {
+      val dF = factDf(ins).withColumn("__d", lit(1L))
+        .groupBy("k", "v").agg(sum($"__d").as("__d"))
+      MergeTable.mergeCompute(spark, s"$dir/factz", dF) { old =>
+        old.select($"k", $"v", $"__mult")
+          .unionByName(dF.withColumnRenamed("__d", "__mult"))
+          .groupBy("k", "v").agg(sum($"__mult").as("__mult"))
+          .filter($"__mult" =!= 0)
+      }
+    }
+    def foldDimByHand(ins: Seq[(Long, String)]): Unit = {
+      val dD = dimDf(ins).withColumn("__d", lit(1L))
+        .groupBy("k", "seg").agg(sum($"__d").as("__d"))
+      MergeTable.mergeCompute(spark, s"$dir/dimz", dD) { old =>
+        old.select($"k", $"seg", $"__mult")
+          .unionByName(dD.withColumnRenamed("__d", "__mult"))
+          .groupBy("k", "seg").agg(sum($"__mult").as("__mult"))
+          .filter($"__mult" =!= 0)
+      }
+    }
+    foldFactByHand(b2fIns)
+    foldDimByHand(b2dIns)
+    val zvB = IvmOverJoin.latestVersions(spark, dir)._3
+    graft.operators.VersionedLayout.atomicWrite(fsy,
+      new org.apache.hadoop.fs.Path(dir, "INFLIGHT"), s"3 3 $zvB")
+    drive(dir, b2, 2L)
+    val (fv2, dv2, _) = IvmOverJoin.latestVersions(spark, dir)
+    assert((fv2, dv2) == ((4, 4)))
+    assert(!IvmOverJoin.inflight(spark, dir) &&
+      !IvmOverJoin.viewStale(spark, dir))
+    assert(IvmOverJoin.readView(spark, dir).collect().toSet ==
+      ojModel(f2, d2))
+    // crash C: ONE side landed (the folds commit concurrently — here
+    // the DIM side) — replay rebuilds, then resumes folding only the
+    // missing fact side; still one version per side
+    val b3fIns = Seq((5L, 60L)); val b3dIns = Seq((5L, "s0"))
+    val b3 = jev(b3fIns, Seq.empty, b3dIns, Seq.empty)
+    val f3 = f2 ++ b3fIns
+    val d3 = d2 ++ b3dIns
+    foldDimByHand(b3dIns)
+    graft.operators.VersionedLayout.atomicWrite(fsy,
+      new org.apache.hadoop.fs.Path(dir, "INFLIGHT"),
+      s"4 4 ${IvmOverJoin.latestVersions(spark, dir)._3}")
+    drive(dir, b3, 3L)
+    assert(IvmOverJoin.latestVersions(spark, dir)._1 == 5)
+    assert(IvmOverJoin.latestVersions(spark, dir)._2 == 5)
+    assert(IvmOverJoin.readView(spark, dir).collect().toSet ==
+      ojModel(f3, d3))
+    // a crashed-and-healed run is indistinguishable from a clean one
+    drive(clean, b0, 0L); drive(clean, b1, 1L)
+    drive(clean, b2, 2L); drive(clean, b3, 3L)
+    assert(IvmOverJoin.readView(spark, clean).collect().toSet ==
+      IvmOverJoin.readView(spark, dir).collect().toSet)
+    assert(emitted((clean, 1L)) == emitted((dir, 1L)))
+    assert(emitted((clean, 2L)) == emitted((dir, 2L)))
+    assert(emitted((clean, 3L)) == emitted((dir, 3L)))
+    // contract violations fail loudly; divergence fails fast
+    val vBefore = IvmOverJoin.latestVersions(spark, dir)
+    val eBad = intercept[IllegalArgumentException] {
+      drive(dir, jev(Seq((9L, 9L)), Seq.empty, Seq.empty, Seq.empty)
+        .withColumn("op", lit("upsert")), 4L)
+    }
+    assert(eBad.getMessage.contains("two-sided"))
+    assert(IvmOverJoin.latestVersions(spark, dir) == vBefore)
+    val eDiv = intercept[IllegalStateException] {
+      drive(dir, jev(Seq((9L, 9L)), Seq.empty, Seq.empty, Seq.empty), 99L)
+    }
+    assert(eDiv.getMessage.contains("disagree"))
+  }
+
   test("ivm-over-join random two-sided walk: full-agg view == from-scratch recompute after every commit") {
     import graft.operators.IvmOverJoin
     val dir = tmp("graft_ivmoj_model")

@@ -249,6 +249,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.operators.DigestIndex.latestVersion(spark, s"$base/idx") == 4)
   }
 
+  test("cdcFullJoinViewStream: two-sided CDC stream maintains the full-agg join view (min/max/distinct) == batch recompute") {
+    import graft.operators.{Ivm, IvmOverJoin}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String, Long, Option[Long], Option[String])]
+    val base = java.nio.file.Files.createTempDirectory("cdc_fjview").toString
+    val dir = s"$base/view"
+    IvmOverJoin.create(spark, dir,
+      Seq((1L, 1L)).toDF("k", "v").schema,
+      Seq((1L, "s")).toDF("k", "seg").schema,
+      IvmOverJoin.Spec(Seq("k"), Seq("seg"),
+        Seq(Ivm.Count("cnt"), Ivm.Min("v", "min_v"), Ivm.Max("v", "max_v"),
+          Ivm.CountDistinct("v", "n_vals"))),
+      nBuckets = 4)
+    val emitted = scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+    val q = Streams.cdcFullJoinViewStream(
+      source.toDF().toDF("side", "op", "k", "v", "seg"), "op", "side",
+      dir, s"$base/ckpt") { (rows, bid) =>
+      emitted += ((bid, rows.collect().length))
+    }
+    def f(op: String, k: Long, v: Long) =
+      ("fact", op, k, Option(v), Option.empty[String])
+    def d(op: String, k: Long, seg: String) =
+      ("dim", op, k, Option.empty[Long], Option(seg))
+    source.addData(f("insert", 1L, 10L), f("insert", 1L, 20L),
+      f("insert", 2L, 30L), f("insert", 3L, 5L), f("insert", 3L, 40L),
+      d("insert", 1L, "s0"), d("insert", 2L, "s0"), d("insert", 3L, "s1"))
+    q.processAllAvailable()
+    // batch 1: retract s1's MINIMUM (3,5) — the non-invertible case —
+    // plus a dim reassignment moving key 1's rows into s1
+    source.addData(f("delete", 3L, 5L),
+      d("delete", 1L, "s0"), d("insert", 1L, "s1"))
+    q.processAllAvailable()
+    // batch 2: duplicate value joins in (count 2, distinct 1 for s0)
+    source.addData(f("insert", 4L, 30L), f("insert", 4L, 30L)
+      , d("insert", 4L, "s0"))
+    q.processAllAvailable()
+    q.stop()
+    val factNow = Seq((1L, 10L), (1L, 20L), (2L, 30L), (3L, 40L),
+      (4L, 30L), (4L, 30L)).toDF("k", "v")
+    val dimNow = Seq((1L, "s1"), (2L, "s0"), (3L, "s1"), (4L, "s0"))
+      .toDF("k", "seg")
+    val want = factNow.join(dimNow, "k").groupBy("seg")
+      .agg(count(lit(1)).as("cnt"), min("v").as("min_v"),
+        max("v").as("max_v"), count_distinct($"v").as("n_vals"))
+      .collect().toSet
+    assert(IvmOverJoin.readView(spark, dir).collect().toSet === want)
+    val (fv, dv, _) = IvmOverJoin.latestVersions(spark, dir)
+    assert((fv, dv) == ((4, 4)),
+      "one version per SIDE per batch")
+    assert(emitted.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(emitted.forall(_._2 > 0))
+  }
+
   test("cdcJoinViewStream: two-sided CDC stream maintains the join rollup == batch join-aggregate; one version per side per batch") {
     import graft.operators.{Ivm, JoinIvm}
     import spark.implicits._
