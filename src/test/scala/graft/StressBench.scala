@@ -771,6 +771,13 @@ object StressBench {
     health("mt_scatter_blocks_touched") =
       skeys.select("block").distinct().count()
     health("mt_scatter_buckets_total") = nBk.toLong
+    // round 13: scatter batches now commit via the merge-on-read
+    // overlay (O(batch) writes for any key distribution, folded at the
+    // budget) — the per-mode commit counters pin WHICH path each phase
+    // actually took at each scale, and the exactness flags below prove
+    // the overlay reconciliation right under churn + gc.
+    val modes0 = (MergeTable.cowCommits.get, MergeTable.deltaCommits.get,
+      MergeTable.foldCommits.get)
     time("mt_scatter_6") {
       (1 to 6).foreach { i =>
         val ups = skeys.select(col("block"), col("doc_id"),
@@ -780,6 +787,13 @@ object StressBench {
         MergeTable.gc(spark, mtDir, retainLast = 2)
       }
     }
+    health("mt_scatter_delta_commits") =
+      MergeTable.deltaCommits.get - modes0._2
+    health("mt_scatter_fold_commits") =
+      MergeTable.foldCommits.get - modes0._3
+    val ovl = MergeTable.overlayStats(spark, mtDir)
+    health("mt_scatter_overlay_datasets") = ovl._1.toLong
+    health("mt_scatter_overlay_rows") = ovl._2 + ovl._3
     health("mt_scatter_rows") = MergeTable.read(spark, mtDir).count()
     health("mt_scatter_exact") = {
       val got = MergeTable.read(spark, mtDir)
@@ -792,12 +806,17 @@ object StressBench {
     // GROUPS ≈ batch size, scattered over every z-set bucket
     def ivmScatter(i: Int) = ivmBase(skeys)
       .withColumn("v", col("v") + lit(i * 500L))
+    val modesIvm0 = (MergeTable.deltaCommits.get, MergeTable.foldCommits.get)
     time("ivm_scatter_6") {
       (1 to 6).foreach { i =>
         Ivm.applyDelta(spark, ivmDir, ivmScatter(i), ivmScatter(i - 1))
         Ivm.gc(spark, ivmDir, retainLast = 2)
       }
     }
+    health("ivm_scatter_delta_commits") =
+      MergeTable.deltaCommits.get - modesIvm0._1
+    health("ivm_scatter_fold_commits") =
+      MergeTable.foldCommits.get - modesIvm0._2
     val ivmWant2 = ivmBase(docs.filter(col("doc_id") >= 200))
       .exceptAll(ivmBase(skeys))
       .unionByName(ivmScatter(6)).unionByName(churnRows(12))
@@ -819,6 +838,7 @@ object StressBench {
       .filter(col("k") >= 4 && col("k") % 37 === 5)
       .select(col("k"), dimSeg(col("k"), shift).as("seg"))
     health("jivm_scatter_dims") = dimScatter(0).count()
+    val modesJ0 = (MergeTable.deltaCommits.get, MergeTable.foldCommits.get)
     time("jivm_scatter_6") {
       (1 to 6).foreach { i =>
         JoinIvm.applyDelta(spark, jivmDir,
@@ -827,6 +847,10 @@ object StressBench {
         JoinIvm.gc(spark, jivmDir, retainLast = 2)
       }
     }
+    health("jivm_scatter_delta_commits") =
+      MergeTable.deltaCommits.get - modesJ0._1
+    health("jivm_scatter_fold_commits") =
+      MergeTable.foldCommits.get - modesJ0._2
     val jFactFinal2 = jFactFinal.exceptAll(jScatter(0))
       .unionByName(jScatter(6))
     val jDimFinal2 = domains.select(col("k"),
