@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
  * Layout (`dir/` on any Hadoop filesystem; [[VersionedLayout]]
  * conventions — immutable segments, atomic LATEST, writer claims):
  * {{{
- *   LATEST, FORMAT, claims/   version pointer + layout rev + writer
+ *   latest/, FORMAT, claims/  monotonic version pointers + layout rev + writer
  *                             mutual exclusion (ConcurrencySpec)
  *   segments/s00002/data/     (digest STRING, id LONG) parquet,
  *                             range-partitioned AND sorted by digest —

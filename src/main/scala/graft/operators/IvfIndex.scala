@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
  *
  * Layout (`dir/` on any Hadoop filesystem):
  * {{{
- *   LATEST, FORMAT        atomic version pointer + layout revision
+ *   latest/, FORMAT       monotonic version pointer files + layout revision
  *   segments/s00002/      one parquet dataset per append, PARTITIONED
  *                         BY list_id (immutable; shared by versions);
  *                         a batch under smallRowsPerList×nList rows is

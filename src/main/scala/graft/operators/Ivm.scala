@@ -268,6 +268,7 @@ object Ivm {
     // (Null VALUE columns are fine — the aggregates follow SQL
     // null-skipping semantics.)
     var nzH: Option[DataFrame] = None
+    var rowsH: Option[DataFrame] = None
     try {
       val nullG = delta
         .filter(spec.groupCols.map(col(_).isNull).reduce(_ || _)).count()
@@ -278,8 +279,14 @@ object Ivm {
       // the read is touched-bucket + overlay, pinned at zLatest): one
       // frame serves the negativity check, the batch-sized z-set write
       // AND the view recompute, so the refresh never re-reads state.
+      // ONE stats collect serves the bucket-pruned read and the z-set
+      // commit's mode decision (delta keys bucket by their group cols,
+      // so the per-bucket counts transfer exactly).
       val tg = delta.select(spec.groupCols.map(col): _*).distinct()
-      val (bucketRows, _) = MergeTable.readForKeysAt(spark, zd, zLatest, tg)
+      val zStats = MergeTable.bucketStats(spark, zd, delta)
+      val bucketRows = MergeTable.readBucketsAt(spark, zd, zLatest,
+        zStats.keySet).persist()
+      rowsH = Some(bucketRows)
       val gOld = bucketRows.join(broadcast(tg), spec.groupCols, "left_semi")
       val nz = gOld.select(cols.map(col) :+ col(Mult): _*)
         .unionByName(delta.withColumnRenamed("__d", Mult))
@@ -300,7 +307,8 @@ object Ivm {
       val changed = MergeTable.keyJoin(nz, dKeys, cols, "left_semi")
       val zv = MergeTable.mergeResolved(spark, zd,
         changed.filter(col(Mult) =!= 0),
-        changed.filter(col(Mult) === 0).select(cols.map(col): _*))
+        changed.filter(col(Mult) === 0).select(cols.map(col): _*),
+        preStats = Some(zStats), preOld = Some(bucketRows))
       // touched groups' view rows recompute from the same folded state
       // (live rows only); groups whose rows all died are deleted
       val live = nz.filter(col(Mult) =!= 0)
@@ -317,6 +325,7 @@ object Ivm {
     } finally {
       delta.unpersist(blocking = false)
       nzH.foreach(_.unpersist(blocking = false))
+      rowsH.foreach(_.unpersist(blocking = false))
     }
   }
 

@@ -276,8 +276,8 @@ object IvmOverJoin {
             .collectFirst { case Left(e) => throw e }
           ()
         }
-        var nzF: Option[DataFrame] = None
-        var nzD: Option[DataFrame] = None
+        var nzF: Option[JoinIvm.StagedFold] = None
+        var nzD: Option[JoinIvm.StagedFold] = None
         try {
           par2(
             { nzF = Some(JoinIvm.stageFold(spark, factzDir(dir),
@@ -289,8 +289,8 @@ object IvmOverJoin {
             JoinIvm.commitFold(spark, dimzDir(dir), dCols, nzD.get))
         } finally {
           pool.shutdown()
-          nzF.foreach(_.unpersist(blocking = false))
-          nzD.foreach(_.unpersist(blocking = false))
+          nzF.foreach(_.release())
+          nzD.foreach(_.release())
         }
       } else {
         if (foldFact)

@@ -211,24 +211,43 @@ object JoinIvm {
     * INFLIGHT recovery docs — the r12 ADVICE item, now structural).
     * Returns the persisted netted key-state frame for [[commitFold]];
     * the caller unpersists. */
+  /** A staged side fold: the persisted netted key-state frame, the
+    * per-bucket batch stats AND the staged touched-bucket read — its
+    * commit half reuses all three (one collect and one bucket read per
+    * fold, not three and two). `release()` drops both cached frames. */
+  private[graft] final case class StagedFold(nz: DataFrame,
+                                             stats: Map[Int, Long],
+                                             rows: DataFrame) {
+    def release(): Unit = {
+      nz.unpersist(blocking = false)
+      rows.unpersist(blocking = false)
+    }
+  }
+
   private[graft] def stageFold(spark: SparkSession, zdir: String,
                                what: String, cols: Seq[String],
-                               delta: DataFrame): DataFrame = {
+                               delta: DataFrame): StagedFold = {
     val zLatest = MergeTable.latestVersion(spark, zdir)
     val dKeys = delta.select(cols.map(col): _*)
-    val (bucketRows, _) =
-      MergeTable.readForKeysAt(spark, zdir, zLatest, dKeys)
+    // ONE collect serves the bucket-pruned read AND the commit-mode
+    // decision (delta keys and the netted ups/dels keys are the SAME
+    // key set, so the stats transfer exactly)
+    val stats = MergeTable.bucketStats(spark, zdir, dKeys)
+    val bucketRows =
+      MergeTable.readBucketsAt(spark, zdir, zLatest, stats.keySet)
+        .persist()
     val oldKeyRows =
       MergeTable.keyJoin(bucketRows, dKeys, cols, "left_semi")
     val nz = oldKeyRows.select(cols.map(col) :+ col(Mult): _*)
       .unionByName(delta.withColumnRenamed("__d", Mult))
       .groupBy(cols.map(col): _*).agg(sum(col(Mult)).as(Mult))
       .persist()
+    val staged = StagedFold(nz, stats, bucketRows)
     val neg =
       try nz.filter(col(Mult) < 0).count()
-      catch { case e: Throwable => nz.unpersist(blocking = false); throw e }
+      catch { case e: Throwable => staged.release(); throw e }
     if (neg > 0) {
-      nz.unpersist(blocking = false)
+      staged.release()
       throw new IllegalArgumentException(
         s"requirement failed: $neg $what rows would go NEGATIVE — the " +
           "batch deletes rows that were never inserted; the change " +
@@ -236,7 +255,7 @@ object JoinIvm {
           "was committed by this refresh — staging validates every " +
           "side before any side commits)")
     }
-    nz
+    staged
   }
 
   /** Commit a staged fold: a BATCH-SIZED upsert/delete write — only
@@ -246,10 +265,12 @@ object JoinIvm {
     * rewrites ~every bucket. Advances the side by exactly one
     * version. */
   private[graft] def commitFold(spark: SparkSession, zdir: String,
-                                cols: Seq[String], nz: DataFrame): Unit = {
+                                cols: Seq[String],
+                                staged: StagedFold): Unit = {
     MergeTable.mergeResolved(spark, zdir,
-      nz.filter(col(Mult) =!= 0),
-      nz.filter(col(Mult) === 0).select(cols.map(col): _*))
+      staged.nz.filter(col(Mult) =!= 0),
+      staged.nz.filter(col(Mult) === 0).select(cols.map(col): _*),
+      preStats = Some(staged.stats), preOld = Some(staged.rows))
     ()
   }
 
@@ -257,9 +278,9 @@ object JoinIvm {
   private[graft] def foldSide(spark: SparkSession, zdir: String,
                               what: String, cols: Seq[String],
                               delta: DataFrame): Unit = {
-    val nz = stageFold(spark, zdir, what, cols, delta)
-    try commitFold(spark, zdir, cols, nz)
-    finally nz.unpersist(blocking = false)
+    val staged = stageFold(spark, zdir, what, cols, delta)
+    try commitFold(spark, zdir, cols, staged)
+    finally staged.release()
   }
 
   /**
@@ -397,8 +418,8 @@ object JoinIvm {
             .collectFirst { case Left(e) => throw e }
           ()
         }
-        var nzF: Option[DataFrame] = None
-        var nzD: Option[DataFrame] = None
+        var nzF: Option[StagedFold] = None
+        var nzD: Option[StagedFold] = None
         try {
           par2(
             { nzF = Some(stageFold(spark, factzDir(dir), "fact z-set",
@@ -410,8 +431,8 @@ object JoinIvm {
             commitFold(spark, dimzDir(dir), dCols, nzD.get))
         } finally {
           pool.shutdown()
-          nzF.foreach(_.unpersist(blocking = false))
-          nzD.foreach(_.unpersist(blocking = false))
+          nzF.foreach(_.release())
+          nzD.foreach(_.release())
         }
       } else {
         if (foldFact) foldSide(spark, factzDir(dir), "fact z-set", fCols, dF)
@@ -456,8 +477,11 @@ object JoinIvm {
       val hCols = hidden.fieldNames.toSeq
       val vd0 = viewDir(dir)
       val tg = deltas.select(spec.groupCols.map(col): _*).distinct()
-      val (vOldBuckets, _) = MergeTable.readForKeysAt(spark, vd0,
-        MergeTable.latestVersion(spark, vd0), tg)
+      // one stats collect for the view read AND its commit decision
+      // (the folded frame's groups are exactly tg)
+      val vStats = MergeTable.bucketStats(spark, vd0, tg)
+      val vOldBuckets = MergeTable.readBucketsAt(spark, vd0,
+        MergeTable.latestVersion(spark, vd0), vStats.keySet)
       val vOld = vOldBuckets
         .join(broadcast(tg), spec.groupCols, "left_semi")
       val folded = vOld.select(hCols.map(col): _*)
@@ -477,7 +501,8 @@ object JoinIvm {
       val vv = MergeTable.mergeResolved(spark, vd0,
         folded.filter(col("__cnt") =!= 0),
         folded.filter(col("__cnt") === 0)
-          .select(spec.groupCols.map(col): _*))
+          .select(spec.groupCols.map(col): _*),
+        preStats = Some(vStats))
       syncMarker(spark, dir, fvN, dvN)
       fsys.delete(inflight, false)
       (fvN, dvN, vv)

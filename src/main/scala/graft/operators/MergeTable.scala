@@ -20,10 +20,11 @@ import org.apache.spark.sql.functions._
  * all — bigslice pipelines re-read whole inputs per run.)
  *
  * Layout (`dir/` on any Hadoop FS; [[VersionedLayout]] conventions —
- * immutable data, atomic LATEST flip, generation-fenced writer claims):
+ * immutable data, monotonic version pointers, generation-fenced writer
+ * claims):
  * {{{
- *   LATEST, FORMAT, claims/   version pointer + layout rev + writer
- *                             mutual exclusion
+ *   latest/, FORMAT, claims/  monotonic version pointer files + layout
+ *                             rev + writer mutual exclusion
  *   SCHEMA, META              row schema (StructType json) + key spec
  *   state/p00003/__bucket=N/  bucket N's COMPLETE row set, as rewritten
  *                             at version 3 (one parquet dir per bucket;
@@ -334,6 +335,30 @@ object MergeTable {
   def read(spark: SparkSession, dir: String): DataFrame =
     readAt(spark, dir, latestVersion(spark, dir))
 
+  /** Per-bucket key counts of a batch frame (ONE batch-sized job):
+    * the touched set AND the batch size in one collect — shared by the
+    * read and commit halves of a fold so each refresh pays the collect
+    * once. */
+  private[graft] def bucketStats(spark: SparkSession, dir: String,
+                                 keys: DataFrame): Map[Int, Long] = {
+    val m = readMeta(spark, dir)
+    keys.select(bucketExpr(m).as("__bucket"))
+      .groupBy("__bucket").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+  }
+
+  /** Reconciled rows of exactly the `touched` buckets at a pinned
+    * version — the collect-free half of [[readForKeysAt]] for callers
+    * that already hold [[bucketStats]]. */
+  private[graft] def readBucketsAt(spark: SparkSession, dir: String,
+                                   version: Int,
+                                   touched: Set[Int]): DataFrame = {
+    requireLiveVersion(spark, dir, version)
+    val m = readMeta(spark, dir)
+    val (buckets, deltas) = readManifestFull(spark, dir, version)
+    reconcile(spark, dir, m, buckets, deltas, Some(touched))
+  }
+
   /** Rows of exactly the buckets that `keys` (any frame carrying the
     * bucket columns) hash to, at a pinned version — the touched-bucket
     * read every incremental consumer starts from. Returns the rows and
@@ -342,12 +367,10 @@ object MergeTable {
     * manifest reads). */
   def readForKeysAt(spark: SparkSession, dir: String, version: Int,
                     keys: DataFrame): (DataFrame, Set[Int]) = {
-    requireLiveVersion(spark, dir, version)
     val m = readMeta(spark, dir)
     val touched = keys.select(bucketExpr(m).as("__bucket")).distinct()
       .collect().map(_.getInt(0)).toSet
-    val (buckets, deltas) = readManifestFull(spark, dir, version)
-    (reconcile(spark, dir, m, buckets, deltas, Some(touched)), touched)
+    (readBucketsAt(spark, dir, version, touched), touched)
   }
 
   /**
@@ -373,24 +396,38 @@ object MergeTable {
     * the rewritten buckets then mask the whole overlay by seq and its
     * manifest entries retire. */
   private def mergeComputeInner(spark: SparkSession, dir: String,
-                                touchKeys: DataFrame, dropDeltas: Boolean)
+                                touchKeys: DataFrame, dropDeltas: Boolean,
+                                preTouched: Option[Set[Int]] = None,
+                                preOld: Option[DataFrame] = None)
                                (f: DataFrame => DataFrame): Int = {
     val m = readMeta(spark, dir)
     val v = latestVersion(spark, dir)
     withClaim(spark, dir, v + 1, FormatVersion, "MergeTable") {
-      val nullKeys = touchKeys
-        .filter(m.bucketCols.map(col(_).isNull).reduce(_ || _)).count()
-      require(nullKeys == 0,
-        s"$nullKeys touch keys carry null bucket columns — null keys " +
-          "cannot be merged (the equi-join mask never matches them)")
-      val touched = touchKeys.select(bucketExpr(m).as("__bucket")).distinct()
-        .collect().map(_.getInt(0)).toSet
+      // `preTouched` carries an already-collected touched-bucket set
+      // (from [[bucketStats]], whose groupBy key is null-safe) so
+      // validated internal callers skip the null-key count and the
+      // touched collect — two driver jobs per commit that dominate
+      // small-batch refresh latency
+      if (preTouched.isEmpty) {
+        val nullKeys = touchKeys
+          .filter(m.bucketCols.map(col(_).isNull).reduce(_ || _)).count()
+        require(nullKeys == 0,
+          s"$nullKeys touch keys carry null bucket columns — null keys " +
+            "cannot be merged (the equi-join mask never matches them)")
+      }
+      val touched = preTouched.getOrElse(
+        touchKeys.select(bucketExpr(m).as("__bucket")).distinct()
+          .collect().map(_.getInt(0)).toSet)
       val (prev, deltas) = readManifestFull(spark, dir, v)
       val (touchedPrev, keptPrev) = prev.partition(e => touched(e._1))
       // f sees the EFFECTIVE old state of the touched buckets (base
       // reconciled with the overlay); the rewrite's higher seq then
-      // masks those overlay rows, so nothing is applied twice
-      val old = reconcile(spark, dir, m, touchedPrev, deltas, Some(touched))
+      // masks those overlay rows, so nothing is applied twice. A
+      // caller whose STAGED read already materialized exactly these
+      // buckets at this version passes it through (`preOld`) — the
+      // fold paths otherwise read every touched bucket twice.
+      val old = preOld.getOrElse(
+        reconcile(spark, dir, m, touchedPrev, deltas, Some(touched)))
       val rel = f"p${v + 1}%05d${VersionedLayout.fence(dir, v + 1)}"
       val out = f(old)
         .select(m.schema.fields.map(fd =>
@@ -474,7 +511,10 @@ object MergeTable {
    */
   private[graft] def mergeResolved(spark: SparkSession, dir: String,
                                    upserts: DataFrame,
-                                   deleteKeys: DataFrame): Int = {
+                                   deleteKeys: DataFrame,
+                                   preStats: Option[Map[Int, Long]] = None,
+                                   preOld: Option[DataFrame] = None)
+      : Int = {
     val m = readMeta(spark, dir)
     val v = latestVersion(spark, dir)
     val kc = m.keyCols
@@ -485,10 +525,13 @@ object MergeTable {
     val touch = ups.select(kc.map(col): _*).unionByName(dels)
     // ONE batch-sized job decides the mode: per-bucket batch key
     // counts give the touched set AND the batch size; the touched
-    // MASS comes from the manifest (driver metadata, no data read)
-    val perBucket = touch.select(bucketExpr(m).as("__bucket"))
-      .groupBy("__bucket").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // MASS comes from the manifest (driver metadata, no data read).
+    // Callers that already collected the stats for their read half
+    // pass them through — no second job.
+    val perBucket = preStats.getOrElse(
+      touch.select(bucketExpr(m).as("__bucket"))
+        .groupBy("__bucket").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap)
     val touched = perBucket.keySet
     val batchRows = perBucket.values.sum
     val (buckets, deltas) = readManifestFull(spark, dir, v)
@@ -499,8 +542,18 @@ object MergeTable {
     val overBudget = outstanding + batchRows > budget
     val scatterFraction =
       confD(spark, "graft.mergetable.scatterFraction", 0.25)
+    // absolute floor: below ~a million touched rows a bucket rewrite
+    // costs O(seconds) and the overlay's fixed machinery (winner
+    // window, masks, eventual fold) dominates — the overlay pays off
+    // when the AVOIDED write is large, which is an absolute property,
+    // not a ratio (at 100 TB a scattered batch touches GB-scale mass
+    // and the floor is far exceeded). Tests and harnesses that want
+    // the overlay path at toy scale set the conf to 0.
+    val scatterMinRows =
+      confL(spark, "graft.mergetable.scatter.minRows", 1000000L)
     val scatterish = tableRows > 0 && batchRows > 0 &&
       touchedMass > scatterFraction * tableRows &&
+      touchedMass >= scatterMinRows &&
       2 * batchRows < touchedMass
     if (scatterish && !overBudget) {
       // DELTA: commit the batch as one overlay dataset — no bucket read,
@@ -539,8 +592,11 @@ object MergeTable {
         keyJoin(old, touch.distinct(), kc, "left_anti").unionByName(ups)
       }
     } else {
-      // COW: rewrite the touched buckets (the clustered steady state)
-      mergeComputeInner(spark, dir, touch, dropDeltas = false) { old =>
+      // COW: rewrite the touched buckets (the clustered steady state);
+      // the touched set — and, from fold callers, the staged bucket
+      // read itself — is already materialized: no re-derivation
+      mergeComputeInner(spark, dir, touch, dropDeltas = false,
+        preTouched = Some(touched), preOld = preOld) { old =>
         keyJoin(old, touch.distinct(), kc, "left_anti").unionByName(ups)
       }
     }

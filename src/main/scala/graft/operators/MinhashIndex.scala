@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
  *
  * Layout (`dir/` on any Hadoop filesystem):
  * {{{
- *   LATEST              current version number (atomic rename swap)
+ *   latest/vNNNNN       monotonic version pointer files (read = max;
+ *                       commit = one atomic create — no flip window)
  *   v00001/docs/        (id, sharr ARRAY<STRING>) UNCAPPED distinct
  *                       shingles per doc — the narrow array form
  *   v00001/df/          (shingle, df)   corpus document frequency
@@ -36,9 +37,9 @@ import org.apache.spark.sql.functions._
  * }}}
  *
  * Versions are immutable: [[appendToIndex]] writes v{n+1} and flips
- * LATEST last, so concurrent readers of v{n} are never disturbed and a
+ * the pointer last, so concurrent readers of v{n} are never disturbed and a
  * failed append leaves the index untouched (rename is atomic on
- * HDFS/local; on S3 keep LATEST in a manifest store). Old versions are
+ * HDFS/local; on S3 keep the pointer in a manifest store). Old versions are
  * retained for the caller to garbage-collect.
  *
  * Probe-side shuffle discipline (what makes an ingest batch-sized at
@@ -105,7 +106,7 @@ object MinhashIndex {
     * error. */
   private val FormatVersion = 5
 
-  /** Current committed version, from the LATEST pointer. */
+  /** Current committed version, from the monotonic pointer files. */
   def latestVersion(spark: SparkSession, dir: String): Int =
     VersionedLayout.latestVersion(spark, dir, FormatVersion, "MinhashIndex")
 

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
  * immutable version dirs + atomically-flipped LATEST + FORMAT marker,
  * [[VersionedLayout]]):
  *
- *   dir/FORMAT, dir/LATEST, dir/TERMS       (termsTag sanity marker)
+ *   dir/FORMAT, dir/latest/, dir/TERMS      (termsTag sanity marker)
  *   dir/vNNNNN/segments.txt                 ("name,nDocs,nTokens" rows)
  *   dir/vNNNNN/tombstones.txt               (first line "ndMasked,ntMasked",
  *                                           then tombstone names; absent

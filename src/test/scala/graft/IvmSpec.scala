@@ -188,6 +188,9 @@ class IvmSpec extends AnyFunSuite {
 
   test("scatter merges commit as overlay deltas: no bucket rewrite, exact reads, newest-wins, compact drains") {
     val dir = tmp("graft_mt_delta")
+    // production floor (~1M touched rows) is above any toy table —
+    // zero it so the overlay path itself is what this test exercises
+    spark.conf.set("graft.mergetable.scatter.minRows", "0")
     val init = (0L until 64L).map(k => (k, "g", k))
     MergeTable.build(spark, dir, rowsDf(init), Seq("k"), Seq("k"), 16)
     val v1 = MergeTable.latestVersion(spark, dir)
@@ -246,10 +249,12 @@ class IvmSpec extends AnyFunSuite {
     val dDirs = Option(new java.io.File(s"$dir/state").listFiles)
       .get.count(_.getName.startsWith("d"))
     assert(dDirs == 0, "gc must reap unreferenced overlay datasets")
+    spark.conf.unset("graft.mergetable.scatter.minRows")
   }
 
   test("overlay budget breach folds overlay + batch in ONE version") {
     val dir = tmp("graft_mt_fold")
+    spark.conf.set("graft.mergetable.scatter.minRows", "0")
     spark.conf.set("graft.mergetable.delta.minRows", "20")
     spark.conf.set("graft.mergetable.delta.maxRows", "20")
     try {
@@ -271,6 +276,7 @@ class IvmSpec extends AnyFunSuite {
         .filter($"g" === "gC").count() == 8)
       assert(MergeTable.read(spark, dir).count() == 64)
     } finally {
+      spark.conf.unset("graft.mergetable.scatter.minRows")
       spark.conf.unset("graft.mergetable.delta.minRows")
       spark.conf.unset("graft.mergetable.delta.maxRows")
     }
@@ -279,6 +285,7 @@ class IvmSpec extends AnyFunSuite {
   test("a COW rewrite that EMPTIES a bucket still masks older overlay rows for it (emptied-at-seq marker)") {
     val dir = tmp("graft_mt_marker")
     spark.conf.set("graft.mergetable.scatterFraction", "0.01")
+    spark.conf.set("graft.mergetable.scatter.minRows", "0")
     try {
       val init = (0L until 16L).map(k => (k, "g", k))
       MergeTable.build(spark, dir, rowsDf(init), Seq("k"), Seq("k"), 4)
@@ -307,7 +314,10 @@ class IvmSpec extends AnyFunSuite {
       val after2 = MergeTable.read(spark, dir)
         .as[(Long, String, Long)].collect().map(_._1).toSet
       assert(after2 == init.map(_._1).toSet -- b7)
-    } finally spark.conf.unset("graft.mergetable.scatterFraction")
+    } finally {
+      spark.conf.unset("graft.mergetable.scatterFraction")
+      spark.conf.unset("graft.mergetable.scatter.minRows")
+    }
   }
 
   // ---- Ivm ----

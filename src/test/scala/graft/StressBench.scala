@@ -30,6 +30,14 @@ object StressBench {
       // (GRAFT_IVF_PROFILE=true env; default off, costs nothing)
       .config("graft.ivf.profile",
         sys.env.getOrElse("GRAFT_IVF_PROFILE", "false"))
+      // the scatter phases adjudicate the merge-on-read OVERLAY path's
+      // trajectory; the production default only engages it above ~1M
+      // touched rows (below that a bucket rewrite is cheaper than the
+      // overlay machinery — an absolute-cost property), which every
+      // test-scale table is under. Zero the floor so the artifact
+      // measures the path that 100 TB deployments actually run; the
+      // ratio and budget terms of the decision stay at their defaults.
+      .config("graft.mergetable.scatter.minRows", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs = spark.read.parquet(s"$dir/documents.parquet").persist()
