@@ -284,8 +284,18 @@ object Ivm {
       // so the per-bucket counts transfer exactly).
       val tg = delta.select(spec.groupCols.map(col): _*).distinct()
       val zStats = MergeTable.bucketStats(spark, zd, delta)
+      // scatter-shaped batches commit WITHOUT rewriting the touched
+      // buckets (overlay / fold), so staging their whole content is
+      // pure read amplification — push the touched groups' first-
+      // column candidates into the scan instead (bucket files are
+      // key-sorted, group columns first, so row-group stats prune);
+      // the semi-join below keeps the per-group rows exact either way
+      val prune =
+        if (MergeTable.commitBypassesCow(spark, zd, zStats))
+          MergeTable.pruneVals(spark, zMeta, tg)
+        else None
       val bucketRows = MergeTable.readBucketsAt(spark, zd, zLatest,
-        zStats.keySet).persist()
+        zStats.keySet, prune).persist()
       rowsH = Some(bucketRows)
       val gOld = bucketRows.join(broadcast(tg), spec.groupCols, "left_semi")
       val nz = gOld.select(cols.map(col) :+ col(Mult): _*)
@@ -308,7 +318,14 @@ object Ivm {
       val zv = MergeTable.mergeResolved(spark, zd,
         changed.filter(col(Mult) =!= 0),
         changed.filter(col(Mult) === 0).select(cols.map(col): _*),
-        preStats = Some(zStats), preOld = Some(bucketRows))
+        preStats = Some(zStats),
+        // a pruned read is NOT the complete touched-bucket state a COW
+        // rewrite needs — only the whole-bucket read can be reused
+        preOld = if (prune.isDefined) None else Some(bucketRows),
+        // staged-read fence: bucketRows/nz are pinned to zLatest — an
+        // interleaved z-set writer fails this commit loudly instead
+        // of having its changes silently erased by the staged state
+        preVersion = Some(zLatest))
       // touched groups' view rows recompute from the same folded state
       // (live rows only); groups whose rows all died are deleted
       val live = nz.filter(col(Mult) =!= 0)

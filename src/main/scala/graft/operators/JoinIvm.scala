@@ -217,7 +217,9 @@ object JoinIvm {
     * fold, not three and two). `release()` drops both cached frames. */
   private[graft] final case class StagedFold(nz: DataFrame,
                                              stats: Map[Int, Long],
-                                             rows: DataFrame) {
+                                             rows: DataFrame,
+                                             baseVersion: Int,
+                                             pruned: Boolean) {
     def release(): Unit = {
       nz.unpersist(blocking = false)
       rows.unpersist(blocking = false)
@@ -233,8 +235,16 @@ object JoinIvm {
     // decision (delta keys and the netted ups/dels keys are the SAME
     // key set, so the stats transfer exactly)
     val stats = MergeTable.bucketStats(spark, zdir, dKeys)
+    // scatter-shaped batches commit without rewriting the touched
+    // buckets, so stage a candidate-pushdown read (first key column
+    // isin → row-group stats) instead of the buckets whole; the exact
+    // key mask below is unchanged either way
+    val prune =
+      if (MergeTable.commitBypassesCow(spark, zdir, stats))
+        MergeTable.pruneVals(spark, MergeTable.readMeta(spark, zdir), dKeys)
+      else None
     val bucketRows =
-      MergeTable.readBucketsAt(spark, zdir, zLatest, stats.keySet)
+      MergeTable.readBucketsAt(spark, zdir, zLatest, stats.keySet, prune)
         .persist()
     val oldKeyRows =
       MergeTable.keyJoin(bucketRows, dKeys, cols, "left_semi")
@@ -242,7 +252,7 @@ object JoinIvm {
       .unionByName(delta.withColumnRenamed("__d", Mult))
       .groupBy(cols.map(col): _*).agg(sum(col(Mult)).as(Mult))
       .persist()
-    val staged = StagedFold(nz, stats, bucketRows)
+    val staged = StagedFold(nz, stats, bucketRows, zLatest, prune.isDefined)
     val neg =
       try nz.filter(col(Mult) < 0).count()
       catch { case e: Throwable => staged.release(); throw e }
@@ -270,7 +280,14 @@ object JoinIvm {
     MergeTable.mergeResolved(spark, zdir,
       staged.nz.filter(col(Mult) =!= 0),
       staged.nz.filter(col(Mult) === 0).select(cols.map(col): _*),
-      preStats = Some(staged.stats), preOld = Some(staged.rows))
+      preStats = Some(staged.stats),
+      // a pruned staged read is not the complete touched-bucket state
+      // a COW rewrite could reuse
+      preOld = if (staged.pruned) None else Some(staged.rows),
+      // staged-read fence: the staged frames are pinned to the version
+      // stageFold read — an interleaved writer fails the commit loudly
+      // (ConcurrentCommitException) instead of being silently erased
+      preVersion = Some(staged.baseVersion))
     ()
   }
 
@@ -480,8 +497,15 @@ object JoinIvm {
       // one stats collect for the view read AND its commit decision
       // (the folded frame's groups are exactly tg)
       val vStats = MergeTable.bucketStats(spark, vd0, tg)
+      val vBase = MergeTable.latestVersion(spark, vd0)
+      // scattered group churn commits as an overlay — prune the view
+      // read to the touched groups' first-column candidates too
+      val vPrune =
+        if (MergeTable.commitBypassesCow(spark, vd0, vStats))
+          MergeTable.pruneVals(spark, MergeTable.readMeta(spark, vd0), tg)
+        else None
       val vOldBuckets = MergeTable.readBucketsAt(spark, vd0,
-        MergeTable.latestVersion(spark, vd0), vStats.keySet)
+        vBase, vStats.keySet, vPrune)
       val vOld = vOldBuckets
         .join(broadcast(tg), spec.groupCols, "left_semi")
       val folded = vOld.select(hCols.map(col): _*)
@@ -502,7 +526,7 @@ object JoinIvm {
         folded.filter(col("__cnt") =!= 0),
         folded.filter(col("__cnt") === 0)
           .select(spec.groupCols.map(col): _*),
-        preStats = Some(vStats))
+        preStats = Some(vStats), preVersion = Some(vBase))
       syncMarker(spark, dir, fvN, dvN)
       fsys.delete(inflight, false)
       (fvN, dvN, vv)

@@ -87,6 +87,27 @@ import org.apache.spark.sql.functions._
  * `graft.mergetable.delta.minRows` (65536), `.maxRows` (4194304),
  * `.tableFraction` (0.125).
  *
+ * THE READ HALF OF THE SCATTER STORY (round 14): bucket files are
+ * KEY-SORTED at write, and reads that don't need whole buckets push
+ * the batch's first-key-column candidates into the scan as an `In`
+ * filter ([[pruneVals]]) — parquet row-group min/max stats then skip
+ * everything outside the candidates, so a scattered refresh reads
+ * ~candidate-sized bytes instead of ~the whole table (at 100 TB /
+ * 100k buckets the whole-touched-bucket read was a full-state scan on
+ * the steady-state path). Engaged (a) by the refresh staging paths
+ * exactly when the commit will bypass the COW rewrite
+ * ([[commitBypassesCow]] — a COW commit reuses the staged whole-bucket
+ * read instead, which is cheaper than reading twice), and (b) by
+ * [[readForKeysAt]] when the touched mass exceeds
+ * `graft.mergetable.keyPrune.minRows` (1M — below it the extra
+ * candidate-collect job costs more than the scan it saves). Knobs:
+ * `graft.mergetable.keyPrune.maxValues` (4096 — must stay ≤ the
+ * session's `spark.sql.parquet.pushdown.inFilterThreshold`, above it
+ * the read falls back to whole buckets), `.minRows` (1000000).
+ * Correctness never depends on the pushdown: the pruned frame is
+ * exactly the unpruned frame filtered by key, and every consumer
+ * masks exactly on top.
+ *
  * Merge plan shape (what makes it 100 TB-safe): touched-bucket ids are
  * computed FROM THE BATCH (batch-sized agg, collect bounded by
  * nBuckets); old rows are read from touched bucket dirs only; the
@@ -282,23 +303,39 @@ object MergeTable {
    * bucket-union plan of the overlay-free layout. All driver-side
    * inputs are manifest metadata (≤ nBuckets entries); the overlay
    * winner shuffle is overlay-sized and the key mask is a broadcast.
+   *
+   * `prune`: candidate first-key-column values pushed into the base
+   * scan (`isin` → parquet row-group stats pruning — bucket files are
+   * key-sorted at write). The result is the unpruned result filtered
+   * to rows whose first key column is among the values: the filter is
+   * a function of the key, so it commutes with the per-key
+   * reconciliation (both base and overlay are filtered identically).
    */
   private def reconcile(spark: SparkSession, dir: String, m: Meta,
                         buckets: Seq[(Int, String, Long)],
                         deltas: Seq[DeltaEntry],
-                        restrict: Option[Set[Int]]): DataFrame = {
+                        restrict: Option[Set[Int]],
+                        prune: Option[Seq[Any]] = None): DataFrame = {
     val bks = restrict match {
       case Some(t) => buckets.filter(e => t(e._1))
       case None    => buckets
     }
     val paths = bks.filter(_._3 > 0).map(e => statePath(dir, e._2))
+    // the values were collected from this very column, so their boxed
+    // types match the column type exactly — no cast, which would wrap
+    // the COLUMN side and defeat parquet pushdown
+    def pruneF(df: DataFrame): DataFrame = prune match {
+      case Some(vs) => df.filter(col(m.keyCols.head).isin(vs: _*))
+      case None     => df
+    }
+    if (prune.isDefined) keyPrunedReads.incrementAndGet()
     val base =
       if (paths.isEmpty) emptyOf(spark, m.schema)
-      else spark.read.schema(m.schema).parquet(paths: _*)
+      else pruneF(spark.read.schema(m.schema).parquet(paths: _*))
     if (deltas.isEmpty) return base
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val withBkt = deltaRows(spark, dir, m, deltas)
+    val withBkt = pruneF(deltaRows(spark, dir, m, deltas))
       .withColumn("__bkt", bucketExpr(m))
     val scoped = restrict match {
       case Some(t) =>
@@ -349,14 +386,38 @@ object MergeTable {
 
   /** Reconciled rows of exactly the `touched` buckets at a pinned
     * version — the collect-free half of [[readForKeysAt]] for callers
-    * that already hold [[bucketStats]]. */
+    * that already hold [[bucketStats]]. `prune`: optional candidate
+    * first-key-column values ([[pruneVals]]) — the returned frame is
+    * then restricted to rows whose first key column is among them (a
+    * SUPERSET of any exact key/prefix set sharing those values;
+    * callers apply their exact mask on top, as they already do). */
   private[graft] def readBucketsAt(spark: SparkSession, dir: String,
-                                   version: Int,
-                                   touched: Set[Int]): DataFrame = {
+                                   version: Int, touched: Set[Int],
+                                   prune: Option[Seq[Any]] = None)
+      : DataFrame = {
     requireLiveVersion(spark, dir, version)
     val m = readMeta(spark, dir)
     val (buckets, deltas) = readManifestFull(spark, dir, version)
-    reconcile(spark, dir, m, buckets, deltas, Some(touched))
+    reconcile(spark, dir, m, buckets, deltas, Some(touched), prune)
+  }
+
+  /** Candidate first-key-column values of `keys` for scan pushdown —
+    * ONE batch-sized job, bounded by `graft.mergetable.keyPrune.
+    * maxValues` (which must stay ≤ the session's parquet
+    * `pushdown.inFilterThreshold` for the or'd-equals row-group-stats
+    * form to be pushed). None (→ whole-bucket read) when the frame
+    * does not carry the column, the distinct count exceeds the cap, or
+    * a value is null (isin never matches null — pruning on it would
+    * DROP legal rows). */
+  private[graft] def pruneVals(spark: SparkSession, m: Meta,
+                               keys: DataFrame): Option[Seq[Any]] = {
+    val k1 = m.keyCols.head
+    if (!keys.columns.contains(k1)) return None
+    val cap = confL(spark, "graft.mergetable.keyPrune.maxValues", 4096L).toInt
+    val vs = keys.select(col(k1)).distinct().limit(cap + 1).collect()
+      .map(_.get(0)).toSeq
+    if (vs.isEmpty || vs.length > cap || vs.exists(_ == null)) None
+    else Some(vs)
   }
 
   /** Rows of exactly the buckets that `keys` (any frame carrying the
@@ -364,13 +425,46 @@ object MergeTable {
     * read every incremental consumer starts from. Returns the rows and
     * the touched bucket ids. The bucket-id collect is bounded by
     * nBuckets (driver metadata, same class as the index families'
-    * manifest reads). */
+    * manifest reads).
+    *
+    * When the touched-bucket MASS (manifest metadata) is at least
+    * `graft.mergetable.keyPrune.minRows`, the read additionally pushes
+    * the keys' first-key-column candidates into the scan
+    * ([[pruneVals]] — one extra small job) so a scattered key set
+    * reads ~candidate-sized bytes instead of every touched bucket
+    * whole; the exact per-key semantics are unchanged (the pruned
+    * rows' keys are a superset of the requested keys' first columns,
+    * and this method's contract was always bucket-granular-or-wider —
+    * every caller masks exactly on top). */
   def readForKeysAt(spark: SparkSession, dir: String, version: Int,
                     keys: DataFrame): (DataFrame, Set[Int]) = {
     val m = readMeta(spark, dir)
     val touched = keys.select(bucketExpr(m).as("__bucket")).distinct()
       .collect().map(_.getInt(0)).toSet
-    (readBucketsAt(spark, dir, version, touched), touched)
+    val minRows = confL(spark, "graft.mergetable.keyPrune.minRows", 1000000L)
+    val mass = readManifest(spark, dir, version)
+      .filter(e => touched(e._1)).map(_._3).sum
+    val prune =
+      if (mass >= minRows) pruneVals(spark, m, keys) else None
+    (readBucketsAt(spark, dir, version, touched, prune), touched)
+  }
+
+  /** True when a batch with these per-bucket key counts would commit
+    * WITHOUT consuming a staged whole-bucket read — as a DELTA overlay
+    * (scatter shape: no bucket is rewritten) or as a budget-breach
+    * FOLD (which re-derives its own old state over batch ∪ overlay
+    * keys). The READ half of a refresh uses this to stage the
+    * candidate-pushdown read instead of whole buckets: exactly the
+    * batches where the whole-bucket `preOld` would be wasted are the
+    * ones where the whole-bucket READ is the residual scale term.
+    * Manifest metadata only — no data read. */
+  private[graft] def commitBypassesCow(spark: SparkSession, dir: String,
+                                       perBucket: Map[Int, Long])
+      : Boolean = {
+    val (buckets, deltas) =
+      readManifestFull(spark, dir, latestVersion(spark, dir))
+    val (scatterish, overBudget) = modeOf(spark, perBucket, buckets, deltas)
+    (scatterish && !overBudget) || (deltas.nonEmpty && overBudget)
   }
 
   /**
@@ -398,10 +492,27 @@ object MergeTable {
   private def mergeComputeInner(spark: SparkSession, dir: String,
                                 touchKeys: DataFrame, dropDeltas: Boolean,
                                 preTouched: Option[Set[Int]] = None,
-                                preOld: Option[DataFrame] = None)
+                                preOld: Option[DataFrame] = None,
+                                preVersion: Option[Int] = None)
                                (f: DataFrame => DataFrame): Int = {
     val m = readMeta(spark, dir)
     val v = latestVersion(spark, dir)
+    // STAGED-READ FENCE: a caller that read state (preOld / a staged
+    // fold frame) at `preVersion` must commit against exactly that
+    // base — an interleaved writer's commit between the staging read
+    // and this claim would otherwise be silently erased in the touched
+    // buckets (the staged rows are pinned to the older version). The
+    // check-then-claim pair is race-free without re-checking inside
+    // the claim: if latest advances AFTER this read, our claim of
+    // v + 1 dies at claimCommit's already-committed guard (committing
+    // any w > v requires the LATEST pointer ≥ v + 1 first, which
+    // requires the v + 1 claim we hold).
+    preVersion.filter(_ != v).foreach { pv =>
+      throw new ConcurrentCommitException(
+        s"MergeTable at $dir: staged state was read at version $pv but " +
+          s"LATEST is now $v — another writer committed in between; " +
+          "re-stage against the current state and retry")
+    }
     withClaim(spark, dir, v + 1, FormatVersion, "MergeTable") {
       // `preTouched` carries an already-collected touched-bucket set
       // (from [[bucketStats]], whose groupBy key is null-safe) so
@@ -434,8 +545,14 @@ object MergeTable {
           col(fd.name).cast(fd.dataType).as(fd.name)): _*)
         .withColumn("__bucket", bucketExpr(m))
       // one contiguous file set per bucket: repartition by bucket id,
-      // then partitionBy splits dirs — each task writes whole buckets
+      // then partitionBy splits dirs — each task writes whole buckets.
+      // KEY-SORTED within each bucket: parquet row groups then carry
+      // tight min/max stats on the key columns, so a candidate-pushdown
+      // read ([[pruneVals]] isin) prunes row groups instead of scanning
+      // the bucket whole — the read half of the scatter story. (Also
+      // keeps one open parquet writer per task during partitionBy.)
       out.repartition(col("__bucket"))
+        .sortWithinPartitions(col("__bucket") +: m.keyCols.map(col): _*)
         .write.partitionBy("__bucket").mode("overwrite")
         .parquet(statePath(dir, rel))
       // per-bucket counts from the WRITTEN files (footer-only count,
@@ -481,6 +598,8 @@ object MergeTable {
   val cowCommits = new java.util.concurrent.atomic.AtomicLong
   val deltaCommits = new java.util.concurrent.atomic.AtomicLong
   val foldCommits = new java.util.concurrent.atomic.AtomicLong
+  /** Reads that engaged first-key candidate pushdown ([[pruneVals]]). */
+  val keyPrunedReads = new java.util.concurrent.atomic.AtomicLong
 
   private def confD(spark: SparkSession, key: String, dflt: Double): Double =
     spark.conf.get(key, dflt.toString).toDouble
@@ -488,11 +607,52 @@ object MergeTable {
   private def confL(spark: SparkSession, key: String, dflt: Long): Long =
     spark.conf.get(key, dflt.toString).toLong
 
+  /** The commit-mode arithmetic (see the class doc), from manifest
+    * metadata + the batch's per-bucket key counts alone — no data
+    * read. Returns (scatterish, overBudget): DELTA when scatterish
+    * and not over budget; FOLD when over budget with an outstanding
+    * overlay; COW otherwise. Shared by [[mergeResolved]] and the
+    * read-half gate [[commitBypassesCow]] so the two halves of a
+    * refresh always agree on the shape of the commit. */
+  private def modeOf(spark: SparkSession, perBucket: Map[Int, Long],
+                     buckets: Seq[(Int, String, Long)],
+                     deltas: Seq[DeltaEntry]): (Boolean, Boolean) = {
+    val touched = perBucket.keySet
+    val batchRows = perBucket.values.sum
+    val tableRows = buckets.map(_._3).sum
+    val touchedMass = buckets.filter(e => touched(e._1)).map(_._3).sum
+    val outstanding = deltas.map(d => d._2 + d._3).sum
+    val overBudget = outstanding + batchRows > deltaBudget(spark, tableRows)
+    val scatterFraction =
+      confD(spark, "graft.mergetable.scatterFraction", 0.25)
+    // absolute floor: below ~a million touched rows a bucket rewrite
+    // costs O(seconds) and the overlay's fixed machinery (winner
+    // window, masks, eventual fold) dominates — the overlay pays off
+    // when the AVOIDED write is large, which is an absolute property,
+    // not a ratio (at 100 TB a scattered batch touches GB-scale mass
+    // and the floor is far exceeded). Tests and harnesses that want
+    // the overlay path at toy scale set the conf to 0.
+    val scatterMinRows =
+      confL(spark, "graft.mergetable.scatter.minRows", 1000000L)
+    val scatterish = tableRows > 0 && batchRows > 0 &&
+      touchedMass > scatterFraction * tableRows &&
+      touchedMass >= scatterMinRows &&
+      2 * batchRows < touchedMass
+    (scatterish, overBudget)
+  }
+
   /** Outstanding overlay budget for a table of `tableRows` live rows:
     * scales with the table (fold amortizes to O(batch) bucket-rewrite
     * work per commit) but is capped absolutely — the overlay's key
     * mask is BROADCAST on every read, so its row count must stay
-    * driver/executor-memory safe regardless of table size. */
+    * driver/executor-memory safe regardless of table size.
+    *
+    * The manifest's outstanding counts are an UPPER BOUND on live
+    * overlay rows: a COW commit seq-masks the overlay rows of the
+    * buckets it rewrites but the per-delta counts are not re-derived
+    * (that would cost a data job per commit). The bound only ever
+    * triggers a FOLD early — never late — so the broadcast-safety
+    * property the budget protects is conservative by construction. */
   private def deltaBudget(spark: SparkSession, tableRows: Long): Long = {
     val lo = confL(spark, "graft.mergetable.delta.minRows", 65536L)
     val hi = confL(spark, "graft.mergetable.delta.maxRows", 4194304L)
@@ -513,10 +673,21 @@ object MergeTable {
                                    upserts: DataFrame,
                                    deleteKeys: DataFrame,
                                    preStats: Option[Map[Int, Long]] = None,
-                                   preOld: Option[DataFrame] = None)
+                                   preOld: Option[DataFrame] = None,
+                                   preVersion: Option[Int] = None)
       : Int = {
     val m = readMeta(spark, dir)
     val v = latestVersion(spark, dir)
+    // staged-read fence (see [[mergeComputeInner]]): `upserts` from a
+    // staged fold are themselves pinned to the staging version, so the
+    // check guards ALL THREE commit modes — the claim's
+    // already-committed guard closes the window after this read.
+    preVersion.filter(_ != v).foreach { pv =>
+      throw new ConcurrentCommitException(
+        s"MergeTable at $dir: staged batch was computed against version " +
+          s"$pv but LATEST is now $v — another writer committed in " +
+          "between; re-stage against the current state and retry")
+    }
     val kc = m.keyCols
     val ups = upserts.select(m.schema.fields.map(fd =>
       col(fd.name).cast(fd.dataType).as(fd.name)): _*)
@@ -533,28 +704,8 @@ object MergeTable {
         .groupBy("__bucket").count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap)
     val touched = perBucket.keySet
-    val batchRows = perBucket.values.sum
     val (buckets, deltas) = readManifestFull(spark, dir, v)
-    val tableRows = buckets.map(_._3).sum
-    val touchedMass = buckets.filter(e => touched(e._1)).map(_._3).sum
-    val outstanding = deltas.map(d => d._2 + d._3).sum
-    val budget = deltaBudget(spark, tableRows)
-    val overBudget = outstanding + batchRows > budget
-    val scatterFraction =
-      confD(spark, "graft.mergetable.scatterFraction", 0.25)
-    // absolute floor: below ~a million touched rows a bucket rewrite
-    // costs O(seconds) and the overlay's fixed machinery (winner
-    // window, masks, eventual fold) dominates — the overlay pays off
-    // when the AVOIDED write is large, which is an absolute property,
-    // not a ratio (at 100 TB a scattered batch touches GB-scale mass
-    // and the floor is far exceeded). Tests and harnesses that want
-    // the overlay path at toy scale set the conf to 0.
-    val scatterMinRows =
-      confL(spark, "graft.mergetable.scatter.minRows", 1000000L)
-    val scatterish = tableRows > 0 && batchRows > 0 &&
-      touchedMass > scatterFraction * tableRows &&
-      touchedMass >= scatterMinRows &&
-      2 * batchRows < touchedMass
+    val (scatterish, overBudget) = modeOf(spark, perBucket, buckets, deltas)
     if (scatterish && !overBudget) {
       // DELTA: commit the batch as one overlay dataset — no bucket read,
       // no bucket write, O(batch) for any key distribution
@@ -567,8 +718,10 @@ object MergeTable {
             lit("d").as("__op"): _*))
         // batch-sized dataset: keep the file count low (the TermIndex
         // small-segment lesson — per-commit file fan-out is the DFS
-        // metadata-pressure term)
-        data.coalesce(8).write.mode("overwrite")
+        // metadata-pressure term); key-sorted so pruned reads skip
+        // overlay row groups too
+        data.coalesce(8).sortWithinPartitions(kc.map(col): _*)
+          .write.mode("overwrite")
           .parquet(statePath(dir, rel))
         // counts from the WRITTEN files (footer-only), so the manifest
         // reflects on-disk truth — they drive the fold budget
@@ -588,7 +741,8 @@ object MergeTable {
       val overlayKeys = deltaRows(spark, dir, m2, deltas)
         .select(kc.map(col): _*)
       val allTouch = touch.unionByName(overlayKeys).distinct()
-      mergeComputeInner(spark, dir, allTouch, dropDeltas = true) { old =>
+      mergeComputeInner(spark, dir, allTouch, dropDeltas = true,
+        preVersion = preVersion) { old =>
         keyJoin(old, touch.distinct(), kc, "left_anti").unionByName(ups)
       }
     } else {
@@ -596,7 +750,8 @@ object MergeTable {
       // the touched set — and, from fold callers, the staged bucket
       // read itself — is already materialized: no re-derivation
       mergeComputeInner(spark, dir, touch, dropDeltas = false,
-        preTouched = Some(touched), preOld = preOld) { old =>
+        preTouched = Some(touched), preOld = preOld,
+        preVersion = preVersion) { old =>
         keyJoin(old, touch.distinct(), kc, "left_anti").unionByName(ups)
       }
     }
@@ -659,9 +814,12 @@ object MergeTable {
   /** Live bucket stats at LATEST: (bucket, rows) plus the manifest's
     * path spread — the health view that shows a mis-sized nBuckets
     * (few huge buckets → merges degrade toward full rewrites; a long
-    * tail of stale p-dirs → run [[gc]]). */
+    * tail of stale p-dirs → run [[gc]]). Emptied-at-seq marker entries
+    * (rows == 0, kept in the manifest only to seq-mask older overlay
+    * rows) carry no data and are filtered out — callers counting
+    * buckets or summing rows see live state only. */
   def stats(spark: SparkSession, dir: String): Seq[(Int, String, Long)] =
-    readManifest(spark, dir, latestVersion(spark, dir))
+    readManifest(spark, dir, latestVersion(spark, dir)).filter(_._3 > 0)
 
   /** Outstanding overlay at LATEST: (datasets, upsertRows, deleteRows)
     * — the read-amplification health view ([[compact]] drains it). */

@@ -1120,8 +1120,13 @@ object Streams {
     // fail LOUDLY on op values outside this view's contract — the four
     // index wrappers in this file use "upsert" for the add side, so
     // wiring the same CDC feed in here would otherwise yield a quiet
-    // partial batch (quiet-batch contract) and a silently-wrong view
-    val badOps = batch.filter(!col(opCol).isin("insert", "delete")).count()
+    // partial batch (quiet-batch contract) and a silently-wrong view.
+    // NULL-safe: a null op makes isin() NULL, which a bare !isin filter
+    // would silently DROP — and the row then also fails every equality
+    // split below, i.e. exactly the quiet partial batch this check
+    // exists to prevent.
+    val badOps = batch.filter(
+      !coalesce(col(opCol).isin("insert", "delete"), lit(false))).count()
     require(badOps == 0,
       s"$badOps batch rows carry an op value other than " +
         "'insert'/'delete' — this view's CDC contract is insert/delete " +
@@ -1224,8 +1229,10 @@ object Streams {
         "before starting the stream")
     // fail LOUDLY on op/side values outside the contract — a quiet
     // partial batch would leave the view silently wrong forever
-    val bad = batch.filter(!col(opCol).isin("insert", "delete") ||
-      !col(sideCol).isin("fact", "dim")).count()
+    // (NULL-safe: null op/side would make !isin NULL → silently dropped)
+    val bad = batch.filter(
+      !coalesce(col(opCol).isin("insert", "delete"), lit(false)) ||
+      !coalesce(col(sideCol).isin("fact", "dim"), lit(false))).count()
     require(bad == 0,
       s"$bad batch rows carry an op outside 'insert'/'delete' or a " +
         "side outside 'fact'/'dim' — this view's CDC contract is " +
@@ -1370,8 +1377,10 @@ object Streams {
         "schemas) before starting the stream")
     // fail LOUDLY on op/side values outside the contract — a quiet
     // partial batch would leave the view silently wrong forever
-    val bad = batch.filter(!col(opCol).isin("insert", "delete") ||
-      !col(sideCol).isin("fact", "dim")).count()
+    // (NULL-safe: null op/side would make !isin NULL → silently dropped)
+    val bad = batch.filter(
+      !coalesce(col(opCol).isin("insert", "delete"), lit(false)) ||
+      !coalesce(col(sideCol).isin("fact", "dim"), lit(false))).count()
     require(bad == 0,
       s"$bad batch rows carry an op outside 'insert'/'delete' or a " +
         "side outside 'fact'/'dim' — this view's CDC contract is " +

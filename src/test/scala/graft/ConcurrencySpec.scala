@@ -549,4 +549,45 @@ class ConcurrencySpec extends AnyFunSuite {
     spark.catalog.clearCache()
     d.unpersist()
   }
+
+  test("staged-read fence: a fold staged against an older version aborts loudly after an interleaved commit — the interleaved writer's rows survive") {
+    import spark.implicits._
+    val dir = tmpDir("graft_occ_stage") + "/t"
+    // a z-set-shaped table: key (k, x) bucketed by k, counting __mult
+    graft.operators.MergeTable.build(spark, dir,
+      Seq((1L, "a", 2L), (2L, "b", 1L), (3L, "c", 4L))
+        .toDF("k", "x", "__mult"),
+      keyCols = Seq("k", "x"), bucketCols = Seq("k"), nBuckets = 4)
+    // STAGE a fold read-only at the current version (the r13 staged
+    // path: bucket read + netted frame pinned to this version)
+    val delta = Seq((1L, "a", 1L)).toDF("k", "x", "__d")
+    val staged = graft.operators.JoinIvm.stageFold(spark, dir, "z-set",
+      Seq("k", "x"), delta)
+    // an INTERLEAVED writer completes a full commit between the
+    // staging read and the staged commit's claim
+    graft.operators.MergeTable.merge(spark, dir,
+      Seq((9L, "z", 5L)).toDF("k", "x", "__mult"),
+      Seq.empty[(Long, String)].toDF("k", "x"))
+    // the staged commit must abort — committing it would publish the
+    // pre-interleave bucket state at a later version, silently erasing
+    // the interleaved writer's rows in the touched buckets
+    val ex = intercept[ConcurrentCommitException] {
+      graft.operators.JoinIvm.commitFold(spark, dir, Seq("k", "x"), staged)
+    }
+    staged.release()
+    assert(ex.getMessage.contains("staged"), ex.getMessage)
+    assert(graft.operators.MergeTable.latestVersion(spark, dir) == 3)
+    assert(graft.operators.MergeTable.read(spark, dir)
+      .as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "a", 2L), (2L, "b", 1L), (3L, "c", 4L), (9L, "z", 5L)),
+      "interleaved commit intact, staged batch not applied")
+    // re-staged against the current state, the same fold commits fine
+    val staged2 = graft.operators.JoinIvm.stageFold(spark, dir, "z-set",
+      Seq("k", "x"), delta)
+    graft.operators.JoinIvm.commitFold(spark, dir, Seq("k", "x"), staged2)
+    staged2.release()
+    assert(graft.operators.MergeTable.read(spark, dir)
+      .as[(Long, String, Long)].collect().toSet ==
+      Set((1L, "a", 3L), (2L, "b", 1L), (3L, "c", 4L), (9L, "z", 5L)))
+  }
 }

@@ -282,6 +282,109 @@ class IvmSpec extends AnyFunSuite {
     }
   }
 
+  test("key-pruned reads: candidate pushdown scans candidate-sized rows (row-group stats), results identical to whole-bucket") {
+    val dir = tmp("graft_mt_prune")
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = Option(hc.get("parquet.block.size"))
+    // tiny row groups so stats pruning is observable at test scale
+    // (with the 128 MB default a toy bucket is ONE row group and the
+    // isin can prune nothing; dictionary + delta encoding pack ~700
+    // of these rows per 4 KB group — 16 KB held ~2750/group, too
+    // coarse for the ≤¼-scan assertion below)
+    hc.setInt("parquet.block.size", 4 * 1024)
+    spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
+    try {
+      val n = 40000L
+      MergeTable.build(spark, dir,
+        rowsDf((0L until n).map(k => (k, s"g${k % 7}", k))),
+        Seq("k"), Seq("k"), 4)
+      val v = MergeTable.latestVersion(spark, dir)
+      val cand: Seq[Long] = (0L until n by 4000L) // 10 scattered keys
+      val touched = (0 until 4).toSet
+      def scanRows(df: DataFrame): Long = {
+        df.collect()
+        import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+        import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+        def scans(p: SparkPlan): Seq[Long] = p.collect {
+          case f: FileSourceScanExec =>
+            Seq(f.metrics("numOutputRows").value)
+          case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        }.flatten
+        scans(df.queryExecution.executedPlan).sum
+      }
+      val whole = MergeTable.readBucketsAt(spark, dir, v, touched)
+      val pruned = MergeTable.readBucketsAt(spark, dir, v, touched,
+        Some(cand))
+      val rowsWhole = scanRows(whole)
+      val rowsPruned = scanRows(pruned)
+      assert(rowsWhole == n, s"whole-bucket read must scan the table: " +
+        s"$rowsWhole")
+      assert(rowsPruned <= rowsWhole / 4,
+        s"candidate pushdown must prune row groups: scanned $rowsPruned " +
+          s"of $rowsWhole rows for ${cand.size} candidates")
+      // exactness: the pruned frame masked to the candidates is
+      // byte-identical to the whole-bucket frame masked the same way
+      val kDf = cand.toDF("k")
+      def exact(df: DataFrame): Set[(Long, String, Long)] =
+        df.join(broadcast(kDf), Seq("k"), "left_semi")
+          .as[(Long, String, Long)].collect().toSet
+      val (ep, ew) = (exact(pruned), exact(whole))
+      assert(ep == ew && ew.size == cand.size)
+    } finally {
+      oldBlock match {
+        case Some(b) => hc.set("parquet.block.size", b)
+        case None    => hc.unset("parquet.block.size")
+      }
+    }
+  }
+
+  test("key-pruned scattered refresh: a scatter-shaped Ivm batch stages the pruned read and the maintained view stays exact (clean-twin equal)") {
+    val dirty = tmp("graft_ivm_prune")
+    val clean = tmp("graft_ivm_prune_clean")
+    spark.conf.set("graft.mergetable.scatter.minRows", "0")
+    try {
+      // 2000 groups × 4 rows — a batch touching every 100th group is
+      // the scatter shape (touched mass ≈ the whole z-set, batch tiny)
+      val init = (0L until 8000L).map(k =>
+        (k, s"g${k % 2000}", k % 97, s"t${k % 5}"))
+      Seq(dirty, clean).foreach { d =>
+        Ivm.create(spark, d, baseDf(init).schema, specG, nBuckets = 8)
+        Ivm.applyDelta(spark, d, baseDf(init), baseDf(Seq.empty))
+      }
+      val ins = (0L until 2000L by 100L).map(g =>
+        (100000L + g, s"g$g", 1000L, "tX"))
+      // deletes carry before-images of seeded rows in the same groups
+      val dels = init.filter(r => r._2.stripPrefix("g").toLong % 100 == 0)
+        .take(20)
+      val (d0, p0) =
+        (MergeTable.deltaCommits.get, MergeTable.keyPrunedReads.get)
+      Ivm.applyDelta(spark, dirty, baseDf(ins), baseDf(dels))
+      assert(MergeTable.deltaCommits.get > d0,
+        "the batch must be scatter-shaped (overlay commit)")
+      assert(MergeTable.keyPrunedReads.get > p0,
+        "a scatter-shaped refresh must stage the key-pruned read")
+      // clean twin: same batch with pruning disabled (cap 0) — the
+      // staged read is whole-bucket, everything else identical
+      spark.conf.set("graft.mergetable.keyPrune.maxValues", "0")
+      val p1 = MergeTable.keyPrunedReads.get
+      Ivm.applyDelta(spark, clean, baseDf(ins), baseDf(dels))
+      assert(MergeTable.keyPrunedReads.get == p1,
+        "cap 0 must disable pruning")
+      val model = init.filterNot(dels.toSet) ++ ins
+      assert(Ivm.readView(spark, dirty).collect().toSet == modelView(model))
+      assert(Ivm.readView(spark, dirty).collect().toSet ==
+        Ivm.readView(spark, clean).collect().toSet)
+      assert(Ivm.readZset(spark, dirty)
+          .as[(String, Long, String, Long)].collect().toSet ==
+        Ivm.readZset(spark, clean)
+          .as[(String, Long, String, Long)].collect().toSet,
+        "pruned and whole-bucket staging must land identical z-sets")
+    } finally {
+      spark.conf.unset("graft.mergetable.scatter.minRows")
+      spark.conf.unset("graft.mergetable.keyPrune.maxValues")
+    }
+  }
+
   test("a COW rewrite that EMPTIES a bucket still masks older overlay rows for it (emptied-at-seq marker)") {
     val dir = tmp("graft_mt_marker")
     spark.conf.set("graft.mergetable.scatterFraction", "0.01")
@@ -425,6 +528,30 @@ class IvmSpec extends AnyFunSuite {
     // an index-family feed (upsert/delete) wired in by mistake: the
     // batch must be rejected up front, not silently half-applied
     val bad = baseDf(Seq((1L, "a", 5L, "t1"))).withColumn("op", lit("upsert"))
+      .unionByName(baseDf(Seq((2L, "b", 7L, "t2")))
+        .withColumn("op", lit("insert")))
+    val zv = Ivm.latestVersion(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Streams.cdcViewBatch(bad, 0L, "op", dir, 2) {
+        (_, _) => fail("must not emit")
+      }
+    }
+    assert(e.getMessage.contains("insert"))
+    assert(Ivm.latestVersion(spark, dir) == zv)
+    assert(Ivm.readView(spark, dir).count() == 0)
+  }
+
+  test("ivm stream wrapper: a NULL op value fails loudly (null-safe validation), nothing applied") {
+    val dir = tmp("graft_ivm_nullop")
+    Ivm.create(spark, dir, baseDf(Seq((1L, "a", 1L, "t"))).schema, specG,
+      nBuckets = 4)
+    // a NULL op makes isin() NULL — a bare !isin validation filter
+    // would drop the row (bad == 0 passes) and the equality splits
+    // below would silently exclude it: the exact quiet partial batch
+    // the validation exists to prevent
+    val bad = baseDf(Seq((1L, "a", 5L, "t1")))
+      .withColumn("op", org.apache.spark.sql.functions.lit(null)
+        .cast("string"))
       .unionByName(baseDf(Seq((2L, "b", 7L, "t2")))
         .withColumn("op", lit("insert")))
     val zv = Ivm.latestVersion(spark, dir)
@@ -813,6 +940,24 @@ class IvmSpec extends AnyFunSuite {
     IvmOverJoin.gc(spark, dir, retainLast = 1)
     assert(IvmOverJoin.readView(spark, dir).collect().toSet ==
       ojModel(f4, d4))
+  }
+
+  test("full-join stream wrapper: NULL op/side values fail loudly (null-safe validation), nothing applied") {
+    import graft.operators.IvmOverJoin
+    val dir = tmp("graft_ovj_nullop")
+    IvmOverJoin.create(spark, dir, factDf(Seq((1L, 1L))).schema,
+      dimDf(Seq((1L, "s"))).schema, ojspec, nBuckets = 4)
+    val bad = jev(Seq((1L, 10L)), Seq.empty, Seq((1L, "s0")), Seq.empty)
+      .withColumn("side",
+        when(col("side") === "dim", lit(null).cast("string"))
+          .otherwise(col("side")))
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Streams.cdcFullJoinViewBatch(bad, 0L, "op", "side",
+        dir, 2) { (_, _) => fail("must not emit") }
+    }
+    assert(e.getMessage.contains("side"))
+    assert(IvmOverJoin.latestVersions(spark, dir) == ((1, 1, 1)))
+    assert(IvmOverJoin.readView(spark, dir).count() == 0)
   }
 
   test("full-join-view stream wrapper (7th family): redelivery re-emits identically; tail, joined-delta and one-sided crash states self-heal") {
