@@ -71,16 +71,62 @@ object Bench {
 
   /** Per-query EXTERNAL-load gate for the clean-twin re-pass: a run's
     * external pressure is estimated as (1-min loadavg at run end)
-    * minus (this JVM's own CPU cores consumed during the run — the
+    * minus (this JVM's own 1-min-EWMA CPU cores, [[SelfLoad]] — the
     * bench saturates the box by design, so raw loadavg would flag
     * every query at any real SF). Queries whose HEADLINE run shows
     * external pressure at or above this gate are re-run once after
-    * the box quiets. */
-  private[graft] val CleanPassGate = 2.0
+    * the box quiets.
+    *
+    * 1.0, not 2.0: r13's box drifted to ~+2 ambient cores mid-run —
+    * a uniform ~1.1× across 19 queries — and the loadavg EWMA lag
+    * plus self-cores subtraction put the measured externals at
+    * 1.3–1.9, under the old 2.0 trigger, so only 7 of 21 regressed
+    * queries got clean twins and the round needed a by-hand
+    * adjudication pass. A genuinely quiet box measures ~0 external;
+    * 1.0 keeps subtraction slop from constant reruns while catching
+    * exactly the drift band r13 sat in. Cost when dirty: one extra
+    * run per flagged query, after the box quiets. */
+  private[graft] val CleanPassGate = 1.0
 
   private val osBean = java.lang.management.ManagementFactory
     .getOperatingSystemMXBean
     .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+
+  /** This JVM's own CPU cores as a 1-minute EWMA mirroring the
+    * kernel's loadavg smoothing (5 s samples, alpha = 1−e^(−5/60)).
+    * The external-pressure estimate subtracts self load from the 1-min
+    * loadavg; subtracting an INSTANTANEOUS self-cores reading from an
+    * EWMA misattributes our own recent history to "external" right
+    * after short queries (false dirty → spurious waits) and
+    * understates a drifting ambient during long ones (r13's uniform
+    * 1.1× sat between the mismatched readings). Like-for-like
+    * smoothing removes both biases. */
+  private object SelfLoad {
+    @volatile private var value = 0.0
+    private val alpha = 1.0 - math.exp(-5.0 / 60.0)
+    private val started = new java.util.concurrent.atomic.AtomicBoolean
+    def ewma: Double = value
+    def start(): Unit = if (started.compareAndSet(false, true)) {
+      val t = new Thread(() => {
+        var cpu0 = osBean.getProcessCpuTime
+        var t0 = System.nanoTime()
+        // seed at the first sample so the estimate tracks from the
+        // bench's steady state instead of ramping from zero
+        var seeded = false
+        while (true) {
+          Thread.sleep(5000)
+          val cpu1 = osBean.getProcessCpuTime
+          val t1 = System.nanoTime()
+          val cores = math.max(0.0, (cpu1 - cpu0).toDouble / (t1 - t0))
+          cpu0 = cpu1; t0 = t1
+          value = if (!seeded) { seeded = true; cores }
+                  else value + alpha * (cores - value)
+        }
+      }, "bench-self-load")
+      t.setDaemon(true)
+      t.start()
+    }
+  }
 
   /** (compact, detail): `compact` is the driver-facing line — headline
     * total + per-query mins + clean_runs + load fields, and NOTHING
@@ -94,12 +140,12 @@ object Bench {
                    org.apache.spark.sql.DataFrame)],
                  extraFields: String = ""): (String, String) = {
     val loadBefore = loadAvg()
-    // (wall secs, 1-min loadavg at end, self CPU cores during, err)
+    SelfLoad.start()
+    // (wall secs, 1-min loadavg at end, self EWMA cores at end, err)
     def timedRun(fn: (SparkSession, String) =>
         org.apache.spark.sql.DataFrame)
         : (Double, Double, Double, Option[String]) = {
       spark.catalog.clearCache()
-      val cpu0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).collect(); None }
@@ -108,14 +154,30 @@ object Bench {
             Option(t.getMessage).getOrElse("").take(300))
         }
       val wall = (System.nanoTime() - t0) / 1e9
-      val selfCores =
-        if (wall <= 0) 0.0
-        else (osBean.getProcessCpuTime - cpu0) / 1e9 / wall
-      (wall, loadAvg().headOption.getOrElse(0.0), selfCores, err)
+      (wall, loadAvg().headOption.getOrElse(0.0), SelfLoad.ewma, err)
     }
+    // MID-RUN RE-GATE (r13: the start gate passed at 1.77, then the
+    // box drifted to 3.7+ and 19 queries read ~1.1× dirty — the gate
+    // must re-check BETWEEN queries, not just before run 1): when the
+    // previous query's last run measured external pressure at or over
+    // the clean gate, pause until the raw loadavg decays below
+    // start-gate level (bounded — while we idle, our own EWMA
+    // contribution drains with the ~1-min time constant, so a raw
+    // gate is meaningful here even though per-run pressure needs the
+    // self-cores subtraction) before timing the next query. A
+    // transient spike then contaminates one query, not the tail of
+    // the artifact; a persistently loaded box exhausts each bounded
+    // wait and the clean-twin pass still adjudicates at the end.
+    var midrunWaits = 0
+    var midrunWaitSecs = 0
+    var lastExternal = 0.0
     val results
         : Seq[(String, Seq[(Double, Double, Double)], Option[String])] =
       queries.map { case (name, fn) =>
+        if (lastExternal >= CleanPassGate) {
+          val (_, w) = awaitQuietBox(gate = 2.0, maxWaitSecs = 150)
+          if (w > 0) { midrunWaits += 1; midrunWaitSecs += w }
+        }
         var err: Option[String] = None
         val times = Seq.newBuilder[(Double, Double, Double)]
         var run = 0
@@ -125,7 +187,10 @@ object Bench {
           times += ((t, la, sc))
           run += 1
         }
-        (name, times.result(), err)
+        val ts = times.result()
+        lastExternal = ts.lastOption
+          .map(t => math.max(0.0, t._2 - t._3)).getOrElse(0.0)
+        (name, ts, err)
       }
     // Clean-twin re-pass (self-adjudicating artifact): a query whose
     // HEADLINE (min-time) run ran under external pressure ≥ gate is
@@ -179,16 +244,20 @@ object Bench {
       if (errs.isEmpty) "" else errs.mkString(",\"errors\":{", ",", "}")
     val total = results.collect { case (_, ts, None) => ts.map(_._1).min }.sum
     val load = (loadBefore ++ loadAvg()).map(sec).mkString("[", ",", "]")
+    // mid-run gating stamp: how often (and for how long) the
+    // between-queries re-gate paused — a drifting box shows up here
+    val midrun =
+      s""","midrun_waits":$midrunWaits,"midrun_wait_secs":$midrunWaitSecs"""
     // compact must survive the driver's ~2 KB stdout-tail capture even
     // in the worst case (every query dirty → a full clean_runs map):
     // beyond the size guard, clean_runs stays detail-file-only
     val compactFull =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs$cleanField,"loadavg":$load$extraFields$errField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs$cleanField,"loadavg":$load$midrun$extraFields$errField,"sf":"$sfDir"}"""
     val compact =
       if (compactFull.length <= 1900) compactFull
-      else s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"loadavg":$load$extraFields$errField,"sf":"$sfDir"}"""
+      else s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"loadavg":$load$midrun$extraFields$errField,"sf":"$sfDir"}"""
     val detail =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"runs":$runs,"run_xload":$runLoad$cleanField,"loadavg":$load$extraFields$errField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"runs":$runs,"run_xload":$runLoad$cleanField,"loadavg":$load$midrun$extraFields$errField,"sf":"$sfDir"}"""
     (compact, detail)
   }
 
@@ -216,7 +285,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "512")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

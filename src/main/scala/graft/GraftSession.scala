@@ -39,10 +39,10 @@ object GraftSession {
     "spark.sql.autoBroadcastJoinThreshold" -> "64m",
     "spark.sql.parquet.filterPushdown" -> "true",
     // candidate-pushdown reads (MergeTable.pruneVals) push an In of up
-    // to graft.mergetable.keyPrune.maxValues (4096) key literals; the
+    // to graft.mergetable.keyPrune.maxValues (512) key literals; the
     // or'd-equals / parquet-IN form that prunes row groups by stats is
     // only chosen up to this threshold (default 10)
-    "spark.sql.parquet.pushdown.inFilterThreshold" -> "4096",
+    "spark.sql.parquet.pushdown.inFilterThreshold" -> "512",
     "spark.sql.session.timeZone" -> "UTC")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
@@ -53,7 +53,7 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "512")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // the corpus's events.ts is TIMESTAMP(NANOS), which Spark 4 only

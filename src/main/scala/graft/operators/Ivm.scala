@@ -52,13 +52,21 @@ import org.apache.spark.sql.functions._
  * counting IVM's standard bound; [[MergeTable.stats]] on `zset/`
  * surfaces such groups.
  *
- * Crash consistency: the two tables commit independently (zset first),
- * with a `VIEWSYNC` marker recording the zset version the view
- * reflects. A crash between the commits leaves the marker behind;
- * [[applyDelta]] refuses to proceed and [[rebuildView]] (an O(state)
- * group-local recompute, no base-table access) repairs. Writer mutual
- * exclusion, atomic versions, pinned-version reads and gc are
- * inherited from [[MergeTable]]/[[VersionedLayout]].
+ * Crash consistency: the two tables commit independently — and since
+ * round 14 CONCURRENTLY (both derive from the same staged fold, write
+ * disjoint tables, and each is one claim-guarded MergeTable commit;
+ * running them in parallel removes one serial commit stage from every
+ * refresh, including both of [[IvmOverJoin]]'s) — with a `VIEWSYNC`
+ * marker recording the (zset, view) version PAIR the view reflects.
+ * A crash anywhere in the commit window (z landed / view landed /
+ * both landed, marker unwritten) leaves the marker mismatched against
+ * at least one table's LATEST; [[applyDelta]] refuses to proceed and
+ * [[rebuildView]] (an O(state) group-local recompute, no base-table
+ * access) repairs every permutation. The pair is load-bearing: with
+ * the old z-only marker a view that got AHEAD of its z-set (possible
+ * only under concurrent commits) would have read as consistent.
+ * Writer mutual exclusion, atomic versions, pinned-version reads and
+ * gc are inherited from [[MergeTable]]/[[VersionedLayout]].
  *
  * (The reference has no materialized-view surface; its pipelines
  * re-reduce whole inputs per run — /root/reference/slice.go's Reduce
@@ -204,14 +212,27 @@ object Ivm {
     MergeTable.create(spark, viewDir(dir), viewSchema(spec, inputSchema),
       keyCols = spec.groupCols, bucketCols = spec.groupCols,
       nBuckets = nBuckets)
-    syncMarker(spark, dir, 1)
+    syncMarker(spark, dir, 1, 1)
   }
 
-  private def syncMarker(spark: SparkSession, dir: String, zv: Int): Unit =
-    atomicWrite(fs(spark, dir), new Path(dir, "VIEWSYNC"), zv.toString)
+  /** VIEWSYNC records the (zset, view) version PAIR the last completed
+    * refresh left behind — both sides are needed because the commits
+    * run concurrently (see the class doc): a z-only marker cannot see
+    * a view that landed while its z-set did not. */
+  private def syncMarker(spark: SparkSession, dir: String, zv: Int,
+                         vv: Int): Unit =
+    atomicWrite(fs(spark, dir), new Path(dir, "VIEWSYNC"), s"$zv $vv")
 
-  private def readSync(spark: SparkSession, dir: String): Int =
-    readSmall(fs(spark, dir), new Path(dir, "VIEWSYNC")).toInt
+  /** (zset version, view version) the marker records. Tolerates the
+    * pre-round-14 single-version format by substituting the view's
+    * current LATEST (those layouts committed z-first, so a view ahead
+    * of its marker was impossible). */
+  private def readSync(spark: SparkSession, dir: String): (Int, Int) = {
+    val parts = readSmall(fs(spark, dir), new Path(dir, "VIEWSYNC"))
+      .trim.split("\\s+")
+    if (parts.length >= 2) (parts(0).toInt, parts(1).toInt)
+    else (parts(0).toInt, MergeTable.latestVersion(spark, viewDir(dir)))
+  }
 
   /**
    * Apply one CDC batch: `inserts` are new base rows, `deletes` are
@@ -244,9 +265,10 @@ object Ivm {
     val spec = readSpec(spark, dir)
     val zd = zsetDir(dir)
     val zLatest = MergeTable.latestVersion(spark, zd)
-    require(readSync(spark, dir) == zLatest,
-      s"view at $dir is behind its z-set (crash between commits?) — " +
-        "run Ivm.rebuildView first")
+    require(readSync(spark, dir) ==
+        ((zLatest, MergeTable.latestVersion(spark, viewDir(dir)))),
+      s"view at $dir is out of sync with its z-set (crash in the " +
+        "commit window?) — run Ivm.rebuildView first")
     val cols = spec.groupCols ++ spec.valueCols
     val zMeta = MergeTable.readMeta(spark, zd)
     // net-zero (g, v) rows are KEPT in the delta: they change nothing
@@ -315,17 +337,6 @@ object Ivm {
       val dKeys = delta.select(cols.map(col): _*)
       // null-SAFE key mask: value columns are legal-null z-set keys
       val changed = MergeTable.keyJoin(nz, dKeys, cols, "left_semi")
-      val zv = MergeTable.mergeResolved(spark, zd,
-        changed.filter(col(Mult) =!= 0),
-        changed.filter(col(Mult) === 0).select(cols.map(col): _*),
-        preStats = Some(zStats),
-        // a pruned read is NOT the complete touched-bucket state a COW
-        // rewrite needs — only the whole-bucket read can be reused
-        preOld = if (prune.isDefined) None else Some(bucketRows),
-        // staged-read fence: bucketRows/nz are pinned to zLatest — an
-        // interleaved z-set writer fails this commit loudly instead
-        // of having its changes silently erased by the staged state
-        preVersion = Some(zLatest))
       // touched groups' view rows recompute from the same folded state
       // (live rows only); groups whose rows all died are deleted
       val live = nz.filter(col(Mult) =!= 0)
@@ -335,9 +346,46 @@ object Ivm {
              aggExprs(spec, zMeta.schema).tail: _*)
       val vDels = tg.join(recomputed.select(spec.groupCols.map(col): _*),
         spec.groupCols, "left_anti")
-      val vv = MergeTable.mergeResolved(spark, viewDir(dir), recomputed,
-        vDels)
-      syncMarker(spark, dir, zv)
+      // COMMIT CONCURRENTLY (round 14): both commits derive from the
+      // persisted staged fold (nz), write disjoint tables, and are
+      // each one claim-guarded MergeTable commit — running them in
+      // parallel removes a serial stage from every refresh chain (the
+      // per-commit job floor, not data volume, dominates refresh
+      // latency at deployment batch sizes). Every crash/failure
+      // permutation (either side landed without the other, or both
+      // landed with the marker unwritten) leaves VIEWSYNC mismatched,
+      // so the next refresh refuses and rebuildView repairs.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val (zr, vr) =
+        try {
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutor(pool)
+          def capture[T](body: => T): scala.concurrent.Future[Either[Throwable, T]] =
+            scala.concurrent.Future(body).map(Right(_): Either[Throwable, T])
+              .recover { case e => Left(e) }
+          val fz = capture(MergeTable.mergeResolved(spark, zd,
+            changed.filter(col(Mult) =!= 0),
+            changed.filter(col(Mult) === 0).select(cols.map(col): _*),
+            preStats = Some(zStats),
+            // a pruned read is NOT the complete touched-bucket state a
+            // COW rewrite needs — only the whole-bucket read is reused
+            preOld = if (prune.isDefined) None else Some(bucketRows),
+            // staged-read fence: bucketRows/nz are pinned to zLatest —
+            // an interleaved z-set writer fails this commit loudly
+            // instead of having its changes silently erased
+            preVersion = Some(zLatest)))
+          val fv = capture(MergeTable.mergeResolved(spark, viewDir(dir),
+            recomputed, vDels))
+          import scala.concurrent.duration._
+          // await BOTH (a still-running commit must not outlive this
+          // call), then propagate the first failure
+          val rs = scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(Seq(fz, fv)), 3600.seconds)
+          (rs(0), rs(1))
+        } finally pool.shutdown()
+      val zv = zr.fold(e => throw e, identity)
+      val vv = vr.fold(e => throw e, identity)
+      syncMarker(spark, dir, zv, vv)
       (zv, vv)
     } finally {
       delta.unpersist(blocking = false)
@@ -381,7 +429,7 @@ object Ivm {
     val vv = MergeTable.mergeCompute(spark, viewDir(dir), touch)(_ =>
       recomputed)
     recomputed.unpersist(blocking = false)
-    syncMarker(spark, dir, MergeTable.latestVersion(spark, zd))
+    syncMarker(spark, dir, MergeTable.latestVersion(spark, zd), vv)
     vv
   }
 
@@ -408,10 +456,14 @@ object Ivm {
   def latestVersion(spark: SparkSession, dir: String): Int =
     MergeTable.latestVersion(spark, zsetDir(dir))
 
-  /** True when the view lags its z-set (crash between the two inner
-    * commits) — [[rebuildView]] repairs. */
+  /** True when the VIEWSYNC pair mismatches either table's LATEST —
+    * a crash anywhere in the (concurrent) commit window: z landed
+    * without the view, the view landed without its z-set, or both
+    * landed with the marker unwritten — [[rebuildView]] repairs all
+    * of them. */
   def viewStale(spark: SparkSession, dir: String): Boolean =
-    readSync(spark, dir) != latestVersion(spark, dir)
+    readSync(spark, dir) != ((latestVersion(spark, dir),
+      MergeTable.latestVersion(spark, viewDir(dir))))
 
   /** Small named marker alongside the view (streaming wrappers pin
     * their batch↔version pairing here — the index-family contract). */

@@ -101,9 +101,12 @@ import org.apache.spark.sql.functions._
  * [[readForKeysAt]] when the touched mass exceeds
  * `graft.mergetable.keyPrune.minRows` (1M — below it the extra
  * candidate-collect job costs more than the scan it saves). Knobs:
- * `graft.mergetable.keyPrune.maxValues` (4096 — must stay ≤ the
+ * `graft.mergetable.keyPrune.maxValues` (512 — must stay ≤ the
  * session's `spark.sql.parquet.pushdown.inFilterThreshold`, above it
- * the read falls back to whole buckets), `.minRows` (1000000).
+ * the read falls back to whole buckets; both stay at 512 because
+ * Spark pushes the In as a BINARY OR-CHAIN of equals whose parquet
+ * predicate evaluation recurses per node — ~4096-deep chains overflow
+ * a default 1 MB thread stack), `.minRows` (1000000).
  * Correctness never depends on the pushdown: the pruned frame is
  * exactly the unpruned frame filtered by key, and every consumer
  * masks exactly on top.
@@ -413,7 +416,7 @@ object MergeTable {
                                keys: DataFrame): Option[Seq[Any]] = {
     val k1 = m.keyCols.head
     if (!keys.columns.contains(k1)) return None
-    val cap = confL(spark, "graft.mergetable.keyPrune.maxValues", 4096L).toInt
+    val cap = confL(spark, "graft.mergetable.keyPrune.maxValues", 512L).toInt
     val vs = keys.select(col(k1)).distinct().limit(cap + 1).collect()
       .map(_.get(0)).toSeq
     if (vs.isEmpty || vs.length > cap || vs.exists(_ == null)) None

@@ -1161,6 +1161,10 @@ object Streams {
       rows.count()
       try onRefresh(rows, batchId) finally rows.unpersist()
     } else if (latest == expected - 1) {
+      // the z-set did not land — but the VIEW may have (the two inner
+      // commits run concurrently since round 14): repair before
+      // re-applying, applyDelta refuses a mismatched VIEWSYNC pair
+      if (Ivm.viewStale(spark, viewDir)) Ivm.rebuildView(spark, viewDir)
       Ivm.applyDelta(spark, viewDir, ins, dels)
       val rows = Ivm.groupsAt(spark, viewDir, expected,
         batch.drop(opCol)).persist()

@@ -292,7 +292,7 @@ class IvmSpec extends AnyFunSuite {
     // of these rows per 4 KB group — 16 KB held ~2750/group, too
     // coarse for the ≤¼-scan assertion below)
     hc.setInt("parquet.block.size", 4 * 1024)
-    spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
+    spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "512")
     try {
       val n = 40000L
       MergeTable.build(spark, dir,
@@ -583,6 +583,40 @@ class IvmSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("rebuildView"))
     Ivm.rebuildView(spark, dir)
+    Ivm.applyDelta(spark, dir, baseDf(Seq((3L, "a", 9L, "t3"))),
+      baseDf(Seq.empty))
+    assert(Ivm.readView(spark, dir).collect().toSet == modelView(Seq(
+      (1L, "a", 5L, "t1"), (2L, "b", 7L, "t2"), (3L, "a", 9L, "t3"))))
+  }
+
+  test("ivm: view AHEAD of its z-set (concurrent-commit crash window) is detected and repaired — stale rows never survive") {
+    val dir = tmp("graft_ivm_ahead")
+    Ivm.create(spark, dir, baseDf(Seq((1L, "a", 1L, "t"))).schema, specG,
+      nBuckets = 4)
+    Ivm.applyDelta(spark, dir,
+      baseDf(Seq((1L, "a", 5L, "t1"), (2L, "b", 7L, "t2"))),
+      baseDf(Seq.empty))
+    // simulate the round-14 crash window the old z-only marker could
+    // NOT see: the view commit landed (with rows computed from a z
+    // delta that never landed) while the z-set and the marker stayed
+    // behind — advance the view table directly with a wrong row
+    val garbage = Ivm.readView(spark, dir)
+      .filter(col("g") === "a")
+      .withColumn("sum_v", col("sum_v") + 1000L)
+    MergeTable.mergeResolved(spark, s"$dir/view", garbage,
+      garbage.select("g").limit(0))
+    assert(Ivm.viewStale(spark, dir),
+      "a view ahead of its marker pair must read as stale")
+    val e = intercept[IllegalArgumentException] {
+      Ivm.applyDelta(spark, dir, baseDf(Seq((3L, "a", 9L, "t3"))),
+        baseDf(Seq.empty))
+    }
+    assert(e.getMessage.contains("rebuildView"))
+    Ivm.rebuildView(spark, dir)
+    assert(!Ivm.viewStale(spark, dir))
+    // the garbage row is gone — the repair recomputed from the z-set
+    assert(Ivm.readView(spark, dir).collect().toSet == modelView(Seq(
+      (1L, "a", 5L, "t1"), (2L, "b", 7L, "t2"))))
     Ivm.applyDelta(spark, dir, baseDf(Seq((3L, "a", 9L, "t3"))),
       baseDf(Seq.empty))
     assert(Ivm.readView(spark, dir).collect().toSet == modelView(Seq(

@@ -38,6 +38,12 @@ object StressBench {
       // measures the path that 100 TB deployments actually run; the
       // ratio and budget terms of the decision stay at their defaults.
       .config("graft.mergetable.scatter.minRows", "0")
+      // round 14: the scatter refreshes stage candidate-pushdown reads
+      // (MergeTable.pruneVals — an In of up to 512 key literals);
+      // above this threshold Spark pushes only a min/max RANGE, which
+      // scattered candidates span entirely — same conf GraftSession
+      // sets
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "512")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs = spark.read.parquet(s"$dir/documents.parquet").persist()
@@ -54,6 +60,34 @@ object StressBench {
       val x = f
       times(tag) = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[stress-phase] $tag ${times(tag)}%.1fs")
+      x
+    }
+    // source-read accounting (round 14): per-phase records/bytes read
+    // from sources — the read-SIZE counters behind the scatter-refresh
+    // pruning claim (a candidate-pushdown read must stay ~batch-sized
+    // while the corpus grows 100×). Listener events are async; the
+    // settle sleeps OUTSIDE the timed block bound attribution error
+    // without touching the phase timings.
+    val inRec = new java.util.concurrent.atomic.AtomicLong
+    val inBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            inRec.addAndGet(m.inputMetrics.recordsRead)
+            inBytes.addAndGet(m.inputMetrics.bytesRead)
+          }
+        }
+      })
+    def readCounted[T](tag: String)(f: => T): T = {
+      Thread.sleep(400)
+      val (r0, b0) = (inRec.get, inBytes.get)
+      val x = f
+      Thread.sleep(400)
+      health(tag + "_records_in") = inRec.get - r0
+      health(tag + "_bytes_in") = inBytes.get - b0
       x
     }
 
@@ -649,6 +683,17 @@ object StressBench {
     // steady state
     val mirror = docs.select(expr("doc_id DIV 4000").as("block"),
       col("doc_id"), col("text"))
+    // SCALE-MODEL parquet geometry for the maintained-view section: a
+    // production bucket holds GBs in ~128 MB row groups / ~1 MB pages,
+    // so candidate pushdown prunes at ~1e-4 of table granularity. At
+    // 500k test rows the 128 MB default is ONE row group (= nothing to
+    // prune); these write-side knobs restore the production RATIO of
+    // prune-unit to table so the *_records_in counters measure the
+    // path's actual shape. Read-side column-index filtering (page
+    // skipping) is on by default.
+    val hadoopC = spark.sparkContext.hadoopConfiguration
+    hadoopC.setInt("parquet.block.size", 256 * 1024)
+    hadoopC.setInt("parquet.page.row.count.limit", 128)
     time("mt_build") {
       MergeTable.build(spark, mtDir, mirror,
         Seq("block", "doc_id"), Seq("block"), nBk)
@@ -786,13 +831,15 @@ object StressBench {
     // the overlay reconciliation right under churn + gc.
     val modes0 = (MergeTable.cowCommits.get, MergeTable.deltaCommits.get,
       MergeTable.foldCommits.get)
-    time("mt_scatter_6") {
-      (1 to 6).foreach { i =>
-        val ups = skeys.select(col("block"), col("doc_id"),
-          concat_ws(" ", lit(s"s$i"), col("text")).as("text"))
-        MergeTable.merge(spark, mtDir, ups,
-          ups.select("block", "doc_id").limit(0))
-        MergeTable.gc(spark, mtDir, retainLast = 2)
+    readCounted("mt_scatter_6") {
+      time("mt_scatter_6") {
+        (1 to 6).foreach { i =>
+          val ups = skeys.select(col("block"), col("doc_id"),
+            concat_ws(" ", lit(s"s$i"), col("text")).as("text"))
+          MergeTable.merge(spark, mtDir, ups,
+            ups.select("block", "doc_id").limit(0))
+          MergeTable.gc(spark, mtDir, retainLast = 2)
+        }
       }
     }
     health("mt_scatter_delta_commits") =
@@ -814,17 +861,24 @@ object StressBench {
     // GROUPS ≈ batch size, scattered over every z-set bucket
     def ivmScatter(i: Int) = ivmBase(skeys)
       .withColumn("v", col("v") + lit(i * 500L))
-    val modesIvm0 = (MergeTable.deltaCommits.get, MergeTable.foldCommits.get)
-    time("ivm_scatter_6") {
-      (1 to 6).foreach { i =>
-        Ivm.applyDelta(spark, ivmDir, ivmScatter(i), ivmScatter(i - 1))
-        Ivm.gc(spark, ivmDir, retainLast = 2)
+    val modesIvm0 = (MergeTable.deltaCommits.get, MergeTable.foldCommits.get,
+      MergeTable.keyPrunedReads.get)
+    readCounted("ivm_scatter_6") {
+      time("ivm_scatter_6") {
+        (1 to 6).foreach { i =>
+          Ivm.applyDelta(spark, ivmDir, ivmScatter(i), ivmScatter(i - 1))
+          Ivm.gc(spark, ivmDir, retainLast = 2)
+        }
       }
     }
     health("ivm_scatter_delta_commits") =
       MergeTable.deltaCommits.get - modesIvm0._1
     health("ivm_scatter_fold_commits") =
       MergeTable.foldCommits.get - modesIvm0._2
+    // round 14: scatter-shaped refreshes stage the candidate-pushdown
+    // read instead of whole touched buckets — prove the path engaged
+    health("ivm_scatter_pruned_reads") =
+      MergeTable.keyPrunedReads.get - modesIvm0._3
     val ivmWant2 = ivmBase(docs.filter(col("doc_id") >= 200))
       .exceptAll(ivmBase(skeys))
       .unionByName(ivmScatter(6)).unionByName(churnRows(12))
@@ -846,19 +900,24 @@ object StressBench {
       .filter(col("k") >= 4 && col("k") % 37 === 5)
       .select(col("k"), dimSeg(col("k"), shift).as("seg"))
     health("jivm_scatter_dims") = dimScatter(0).count()
-    val modesJ0 = (MergeTable.deltaCommits.get, MergeTable.foldCommits.get)
-    time("jivm_scatter_6") {
-      (1 to 6).foreach { i =>
-        JoinIvm.applyDelta(spark, jivmDir,
-          jScatter(i), jScatter(i - 1),
-          dimScatter(i), dimScatter(i - 1))
-        JoinIvm.gc(spark, jivmDir, retainLast = 2)
+    val modesJ0 = (MergeTable.deltaCommits.get, MergeTable.foldCommits.get,
+      MergeTable.keyPrunedReads.get)
+    readCounted("jivm_scatter_6") {
+      time("jivm_scatter_6") {
+        (1 to 6).foreach { i =>
+          JoinIvm.applyDelta(spark, jivmDir,
+            jScatter(i), jScatter(i - 1),
+            dimScatter(i), dimScatter(i - 1))
+          JoinIvm.gc(spark, jivmDir, retainLast = 2)
+        }
       }
     }
     health("jivm_scatter_delta_commits") =
       MergeTable.deltaCommits.get - modesJ0._1
     health("jivm_scatter_fold_commits") =
       MergeTable.foldCommits.get - modesJ0._2
+    health("jivm_scatter_pruned_reads") =
+      MergeTable.keyPrunedReads.get - modesJ0._3
     val jFactFinal2 = jFactFinal.exceptAll(jScatter(0))
       .unionByName(jScatter(6))
     val jDimFinal2 = domains.select(col("k"),
@@ -871,6 +930,77 @@ object StressBench {
     health("jivm_scatter_exact") =
       if (jGot2.exceptAll(jWant2).isEmpty && jWant2.exceptAll(jGot2).isEmpty)
         1L else 0L
+
+    // --- OVERLAY READ AMPLIFICATION + FOLD RETIREMENT (round 14) ---
+    // (a) ONE scatter-shaped fill batch (every 8th doc) grows the
+    //     outstanding overlay to ~its 65536-row default budget at the
+    //     500k leg (~97% full) — then time the documented WORST read
+    //     state (winner window + seq masks over a full-budget overlay)
+    //     against the drained read after the fold;
+    // (b) lower the budget so the NEXT scatter commit breaches it: the
+    //     budget-triggered FOLD retires the whole overlay in one
+    //     versioned rewrite — the amortized O(batch · tableRows/budget)
+    //     term, measured at every scale instead of pinned only at unit
+    //     scale (r13's fold counters were 0 across the triplet).
+    val fillKeys = mirror.filter(col("doc_id") >= 200 &&
+      col("doc_id") % 8 === 3).persist()
+    health("mt_fill_keys") = fillKeys.count()
+    val modesF0 = (MergeTable.deltaCommits.get, MergeTable.foldCommits.get)
+    time("mt_overlay_fill") {
+      val ups = fillKeys.select(col("block"), col("doc_id"),
+        concat_ws(" ", lit("f1"), col("text")).as("text"))
+      MergeTable.merge(spark, mtDir, ups,
+        ups.select("block", "doc_id").limit(0))
+    }
+    health("mt_fill_delta_commits") =
+      MergeTable.deltaCommits.get - modesF0._1
+    val ovlFull = MergeTable.overlayStats(spark, mtDir)
+    health("mt_overlay_full_rows") = ovlFull._2 + ovlFull._3
+    readCounted("mt_read_overlay_full") {
+      time("mt_read_overlay_full") {
+        health("mt_read_overlay_full_rows") =
+          MergeTable.read(spark, mtDir).count()
+      }
+    }
+    // (b): budget → 512 rows; the next 200-key scatter commit breaches
+    // it and folds. Conf-scoped to this phase — production budgets are
+    // row-mass-sized, the stress corpus is the scale model.
+    spark.conf.set("graft.mergetable.delta.minRows", "512")
+    spark.conf.set("graft.mergetable.delta.maxRows", "512")
+    readCounted("mt_fold_commit") {
+      time("mt_fold_commit") {
+        val ups = skeys.select(col("block"), col("doc_id"),
+          concat_ws(" ", lit("s7"), col("text")).as("text"))
+        MergeTable.merge(spark, mtDir, ups,
+          ups.select("block", "doc_id").limit(0))
+      }
+    }
+    spark.conf.unset("graft.mergetable.delta.minRows")
+    spark.conf.unset("graft.mergetable.delta.maxRows")
+    health("mt_fold_commits") = MergeTable.foldCommits.get - modesF0._2
+    val ovlDrained = MergeTable.overlayStats(spark, mtDir)
+    health("mt_fold_overlay_rows_after") = ovlDrained._2 + ovlDrained._3
+    MergeTable.gc(spark, mtDir, retainLast = 2)
+    readCounted("mt_read_drained") {
+      time("mt_read_drained") {
+        health("mt_read_drained_rows") = MergeTable.read(spark, mtDir).count()
+      }
+    }
+    // exactness across fill + fold: skeys rows carry the fold commit's
+    // s7 text, fill-only rows keep f1, nothing else moved
+    health("mt_fold_exact") = {
+      val overlap = mirror.filter(col("doc_id") >= 200 &&
+        col("doc_id") % 8 === 3 && col("doc_id") % stride === 7).count()
+      val t = MergeTable.read(spark, mtDir).persist()
+      val nS = t.filter(col("text").startsWith("s7 ")).count()
+      val nF = t.filter(col("text").startsWith("f1 ")).count()
+      val total = t.count()
+      t.unpersist()
+      if (nS == health("mt_scatter_keys") &&
+          nF == health("mt_fill_keys") - overlap &&
+          total == nDocs) 1L else 0L
+    }
+    fillKeys.unpersist()
     skeys.unpersist()
     mtKeys.unpersist()
 
