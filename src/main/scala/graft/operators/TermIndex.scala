@@ -302,15 +302,36 @@ object TermIndex {
       .withColumn("dl", sum("tf").over(Window.partitionBy("doc_id")))
       .withColumn("bkt", bkt(col("tok"), cfg.buckets))
     val tfP = if (maybeSmall) tf.persist() else tf
-    val small = maybeSmall &&
-      phased(spark, "seg-tf-count")(tfP.count()) <= cfg.smallSegmentPostings
+    val tfRows =
+      if (maybeSmall) phased(spark, "seg-tf-count")(tfP.count()) else 0L
+    val small = maybeSmall && tfRows <= cfg.smallSegmentPostings
+    // sharded sorted write: coalesce(1) serialized the whole segment
+    // write through ONE task, and the batch (2% churn) grows with the
+    // corpus — the term ProfileTidxChurn pinned as ~3 s of the ~8 s
+    // steady commit at 500k. repartitionByRange keeps the GLOBAL
+    // (bkt, tok) sort order across files (range partitioning), so
+    // probe-side row-group stats pruning is unchanged, while the file
+    // count stays a small CONSTANT (≤ 8 per table — still ~an order
+    // under the partitioned layout's ~96/commit, the DFS
+    // metadata-pressure term the one-file layout exists to bound).
+    def sortedShards(n: Long): Int =
+      math.min(8L, math.max(1L, n / 300000L + 1)).toInt
+    def writeSorted(df: DataFrame, n: Long, sortCols: Seq[String],
+                    out: String): Unit = {
+      val s = sortedShards(n)
+      val arranged =
+        if (s == 1) df.coalesce(1).sortWithinPartitions(
+          sortCols.head, sortCols.tail: _*)
+        else df.repartitionByRange(s, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+      arranged.write.mode("overwrite")
+        .option("parquet.block.size", 4L * 1024 * 1024)
+        .parquet(out)
+    }
     try {
       phased(spark, "seg-tf-write") {
         if (small)
-          tfP.coalesce(1).sortWithinPartitions("bkt", "tok")
-            .write.mode("overwrite")
-            .option("parquet.block.size", 4L * 1024 * 1024)
-            .parquet(s"$path/tf")
+          writeSorted(tfP, tfRows, Seq("bkt", "tok"), s"$path/tf")
         else
           // repartition on the partition column first: without it every
           // shuffle partition writes a sliver into every bkt= dir —
@@ -329,12 +350,12 @@ object TermIndex {
       val committed = if (small) tfP else readTf(spark, path)
       phased(spark, "seg-df-write") {
         if (small)
-          dfFromTf(committed)
-            .withColumn("bkt", bkt(col("tok"), cfg.buckets))
-            .coalesce(1).sortWithinPartitions("bkt", "tok")
-            .write.mode("overwrite")
-            .option("parquet.block.size", 4L * 1024 * 1024)
-            .parquet(s"$path/df")
+          // df is one row per distinct term — size it by tfRows/4 (the
+          // observed posting-to-term ratio is well above that; the
+          // shard count only needs the right order of magnitude)
+          writeSorted(dfFromTf(committed)
+            .withColumn("bkt", bkt(col("tok"), cfg.buckets)),
+            tfRows / 4, Seq("bkt", "tok"), s"$path/df")
         else
           dfFromTf(committed)
             .withColumn("bkt", bkt(col("tok"), cfg.buckets))

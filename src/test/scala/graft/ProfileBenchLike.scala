@@ -15,6 +15,13 @@ object ProfileBenchLike {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // A/B lever for runtime SQL confs, e.g.
+    // SPARK_GRAFT_CONF=spark.sql.parquet.pushdown.inFilterThreshold=512
+    sys.env.get("SPARK_GRAFT_CONF").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+      println(s"[profile] $k=$v")
+    }
     val fn = SparkEntry.queries(name)
     def run(dir: String): Double = {
       val t0 = System.nanoTime()
