@@ -292,20 +292,30 @@ object Ivm {
     var nzH: Option[DataFrame] = None
     var rowsH: Option[DataFrame] = None
     try {
-      val nullG = delta
-        .filter(spec.groupCols.map(col(_).isNull).reduce(_ || _)).count()
-      require(nullG == 0,
-        s"$nullG delta rows carry NULL group columns — null groups are " +
-          "not supported (coalesce them upstream); nothing was committed")
       // Fold the TOUCHED GROUPS' state (old rows ∪ delta, reconciled —
       // the read is touched-bucket + overlay, pinned at zLatest): one
       // frame serves the negativity check, the batch-sized z-set write
       // AND the view recompute, so the refresh never re-reads state.
-      // ONE stats collect serves the bucket-pruned read and the z-set
-      // commit's mode decision (delta keys bucket by their group cols,
-      // so the per-bucket counts transfer exactly).
+      // ONE FUSED stats job (round 14, guide §1.2 — the per-job
+      // scheduler floor dominates small-batch refresh latency) serves
+      // the bucket-pruned read, the z-set commit's mode decision
+      // (delta keys bucket by their group cols, so the per-bucket
+      // counts transfer exactly), the NULL-group rejection, AND the
+      // view commit's touch stats (the view is bucketed by the same
+      // group columns modulo the same nBuckets — re-checked below —
+      // and its upsert∪delete key set is exactly the delta's distinct
+      // groups) — previously three separate driver jobs per refresh.
       val tg = delta.select(spec.groupCols.map(col): _*).distinct()
-      val zStats = MergeTable.bucketStats(spark, zd, delta)
+      val (zStats, vGroupStats, nullG) =
+        MergeTable.bucketStatsFused(spark, zd, delta, spec.groupCols)
+      require(nullG == 0,
+        s"$nullG delta rows carry NULL group columns — null groups are " +
+          "not supported (coalesce them upstream); nothing was committed")
+      val vMeta = MergeTable.readMeta(spark, viewDir(dir))
+      val vStats: Option[Map[Int, Long]] =
+        if (vMeta.nBuckets == zMeta.nBuckets &&
+            vMeta.bucketCols == spec.groupCols) Some(vGroupStats)
+        else None
       // scatter-shaped batches commit WITHOUT rewriting the touched
       // buckets (overlay / fold), so staging their whole content is
       // pure read amplification — push the touched groups' first-
@@ -374,8 +384,12 @@ object Ivm {
             // an interleaved z-set writer fails this commit loudly
             // instead of having its changes silently erased
             preVersion = Some(zLatest)))
+          // the view commit's perBucket stats come FREE from the fused
+          // stats job (the view's upsert∪delete key set is exactly tg,
+          // whose per-bucket distinct-group counts vGroupStats carries)
+          // — without them mergeResolved runs its own collect job
           val fv = capture(MergeTable.mergeResolved(spark, viewDir(dir),
-            recomputed, vDels))
+            recomputed, vDels, preStats = vStats))
           import scala.concurrent.duration._
           // await BOTH (a still-running commit must not outlive this
           // call), then propagate the first failure

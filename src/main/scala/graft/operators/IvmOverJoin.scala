@@ -243,18 +243,14 @@ object IvmOverJoin {
       if (foldDim) zdelta(dimInserts, dimDeletes, dCols, dMeta.schema)
       else zdelta(dimInserts.limit(0), dimDeletes.limit(0), dCols,
         dMeta.schema)
+    // NULL join/group rejection is FUSED into each side's staging
+    // validation action (stageFold's nullCheckCols — one job per side
+    // instead of two extra serial driver jobs per refresh), still
+    // strictly before any commit; [[JoinIvm.applyDeltaFolding]] has
+    // the same shape.
+    def nullCols(sideCols: Seq[String]): Seq[String] =
+      (spec.joinCols ++ spec.groupCols).filter(sideCols.contains)
     try {
-      def nullCheck(d: DataFrame, what: String): Unit = {
-        val present = (spec.joinCols ++ spec.groupCols)
-          .filter(d.columns.contains)
-        val n = d.filter(present.map(col(_).isNull).reduce(_ || _)).count()
-        require(n == 0,
-          s"$n $what delta rows carry NULL join/group columns — null " +
-            "join keys and null groups are not supported (coalesce " +
-            "upstream); nothing was committed")
-      }
-      nullCheck(dF, "fact")
-      nullCheck(dD, "dim")
       // STAGE both side folds read-only (negativity rejection before
       // ANY commit — a rejected batch is a clean abort on either
       // side), then commit both concurrently; the two sides touch
@@ -281,9 +277,9 @@ object IvmOverJoin {
         try {
           par2(
             { nzF = Some(JoinIvm.stageFold(spark, factzDir(dir),
-                "fact z-set", fCols, dF)) },
+                "fact z-set", fCols, dF, nullCols(fCols))) },
             { nzD = Some(JoinIvm.stageFold(spark, dimzDir(dir),
-                "dim z-set", dCols, dD)) })
+                "dim z-set", dCols, dD, nullCols(dCols))) })
           par2(
             JoinIvm.commitFold(spark, factzDir(dir), fCols, nzF.get),
             JoinIvm.commitFold(spark, dimzDir(dir), dCols, nzD.get))
@@ -294,9 +290,11 @@ object IvmOverJoin {
         }
       } else {
         if (foldFact)
-          JoinIvm.foldSide(spark, factzDir(dir), "fact z-set", fCols, dF)
+          JoinIvm.foldSide(spark, factzDir(dir), "fact z-set", fCols, dF,
+            nullCols(fCols))
         if (foldDim)
-          JoinIvm.foldSide(spark, dimzDir(dir), "dim z-set", dCols, dD)
+          JoinIvm.foldSide(spark, dimzDir(dir), "dim z-set", dCols, dD,
+            nullCols(dCols))
       }
       val fvN = MergeTable.latestVersion(spark, factzDir(dir))
       val dvN = MergeTable.latestVersion(spark, dimzDir(dir))

@@ -228,7 +228,9 @@ object JoinIvm {
 
   private[graft] def stageFold(spark: SparkSession, zdir: String,
                                what: String, cols: Seq[String],
-                               delta: DataFrame): StagedFold = {
+                               delta: DataFrame,
+                               nullCheckCols: Seq[String] = Seq.empty)
+      : StagedFold = {
     val zLatest = MergeTable.latestVersion(spark, zdir)
     val dKeys = delta.select(cols.map(col): _*)
     // ONE collect serves the bucket-pruned read AND the commit-mode
@@ -253,9 +255,32 @@ object JoinIvm {
       .groupBy(cols.map(col): _*).agg(sum(col(Mult)).as(Mult))
       .persist()
     val staged = StagedFold(nz, stats, bucketRows, zLatest, prune.isDefined)
-    val neg =
-      try nz.filter(col(Mult) < 0).count()
+    // ONE validation action computes the negativity count AND (when
+    // requested) the NULL join/group key count — previously a separate
+    // driver job per side and per refresh (guide §1.2: the per-job
+    // floor dominates small-batch refresh latency). Null keys in nz
+    // can only come from the DELTA (committed state rejected them at
+    // its own ingest), so counting them here is equivalent to counting
+    // them on the delta — and still strictly BEFORE any commit.
+    val nullExpr =
+      if (nullCheckCols.isEmpty) lit(0L)
+      else sum(when(nullCheckCols.map(col(_).isNull).reduce(_ || _),
+        lit(1L)).otherwise(lit(0L)))
+    val checks =
+      try nz.agg(
+        coalesce(sum(when(col(Mult) < 0, lit(1L)).otherwise(lit(0L))),
+          lit(0L)).as("__neg"),
+        coalesce(nullExpr, lit(0L)).as("__nulls")).collect()(0)
       catch { case e: Throwable => staged.release(); throw e }
+    val (neg, nulls) = (checks.getLong(0), checks.getLong(1))
+    if (nulls > 0) {
+      staged.release()
+      throw new IllegalArgumentException(
+        s"requirement failed: $nulls $what key tuples carry NULL " +
+          "join/group columns — null join keys and null groups are not " +
+          "supported (coalesce upstream); nothing was committed " +
+          "(staging validates every side before any side commits)")
+    }
     if (neg > 0) {
       staged.release()
       throw new IllegalArgumentException(
@@ -294,8 +319,9 @@ object JoinIvm {
   /** Stage + commit one side (the single-side resume path). */
   private[graft] def foldSide(spark: SparkSession, zdir: String,
                               what: String, cols: Seq[String],
-                              delta: DataFrame): Unit = {
-    val staged = stageFold(spark, zdir, what, cols, delta)
+                              delta: DataFrame,
+                              nullCheckCols: Seq[String] = Seq.empty): Unit = {
+    val staged = stageFold(spark, zdir, what, cols, delta, nullCheckCols)
     try commitFold(spark, zdir, cols, staged)
     finally staged.release()
   }
@@ -389,24 +415,19 @@ object JoinIvm {
       if (foldDim) zdelta(dimInserts, dimDeletes, dCols, dMeta.schema)
       else zdelta(dimInserts.limit(0), dimDeletes.limit(0), dCols,
         dMeta.schema)
+    // NULL join keys / group columns reject BEFORE any commit — a
+    // null group discovered only at the view fold would leave a
+    // half-applied refresh that rebuildView (hitting the same null
+    // check) could not repair. SQL GROUP BY's null group is not
+    // supported; coalesce upstream. Null VALUE columns are fine.
+    // The check itself is FUSED into each side's staging validation
+    // action (stageFold's nullCheckCols — one job per side instead of
+    // two extra serial driver jobs per refresh, guide §1.2), which
+    // still runs strictly before any commit.
+    def nullCols(sideCols: Seq[String]): Seq[String] =
+      (spec.joinCols ++ spec.groupCols).filter(sideCols.contains)
     val handles = scala.collection.mutable.ListBuffer[DataFrame](dF, dD)
     try {
-      // NULL join keys / group columns reject BEFORE any commit — a
-      // null group discovered only at the view fold would leave a
-      // half-applied refresh that rebuildView (hitting the same null
-      // check) could not repair. SQL GROUP BY's null group is not
-      // supported; coalesce upstream. Null VALUE columns are fine.
-      def nullCheck(d: DataFrame, what: String): Unit = {
-        val present = (spec.joinCols ++ spec.groupCols)
-          .filter(d.columns.contains)
-        val n = d.filter(present.map(col(_).isNull).reduce(_ || _)).count()
-        require(n == 0,
-          s"$n $what delta rows carry NULL join/group columns — null " +
-            "join keys and null groups are not supported (coalesce " +
-            "upstream); nothing was committed")
-      }
-      nullCheck(dF, "fact")
-      nullCheck(dD, "dim")
       // 1+2: commit both side z-sets, STAGED-THEN-COMMITTED. Staging
       // (read + net + negativity rejection) is read-only and runs for
       // BOTH sides before EITHER commits, so any rejected batch is a
@@ -440,9 +461,9 @@ object JoinIvm {
         try {
           par2(
             { nzF = Some(stageFold(spark, factzDir(dir), "fact z-set",
-                fCols, dF)) },
+                fCols, dF, nullCols(fCols))) },
             { nzD = Some(stageFold(spark, dimzDir(dir), "dim z-set",
-                dCols, dD)) })
+                dCols, dD, nullCols(dCols))) })
           par2(
             commitFold(spark, factzDir(dir), fCols, nzF.get),
             commitFold(spark, dimzDir(dir), dCols, nzD.get))
@@ -452,8 +473,10 @@ object JoinIvm {
           nzD.foreach(_.release())
         }
       } else {
-        if (foldFact) foldSide(spark, factzDir(dir), "fact z-set", fCols, dF)
-        if (foldDim) foldSide(spark, dimzDir(dir), "dim z-set", dCols, dD)
+        if (foldFact) foldSide(spark, factzDir(dir), "fact z-set", fCols,
+          dF, nullCols(fCols))
+        if (foldDim) foldSide(spark, dimzDir(dir), "dim z-set", dCols,
+          dD, nullCols(dCols))
       }
       val fvN = MergeTable.latestVersion(spark, factzDir(dir))
       val dvN = MergeTable.latestVersion(spark, dimzDir(dir))

@@ -387,6 +387,35 @@ object MergeTable {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
   }
 
+  /** ONE batch-sized job serving THREE driver-side needs of an [[Ivm]]
+    * refresh that were three separate jobs (each pays the per-job
+    * scheduler floor that dominates small-batch refresh latency):
+    * per-bucket key counts of the delta (this table's touched set +
+    * commit-mode input), per-bucket DISTINCT-`groupCols`-tuple counts
+    * (the companion VIEW table's touch stats — valid because the view
+    * is bucketed by the same group columns modulo the same nBuckets;
+    * [[Ivm.create]] guarantees that, and the caller re-checks the
+    * metas), and the count of delta rows carrying NULL group columns
+    * (the up-front rejection — one more count job otherwise).
+    * Returns (perBucketRows, perBucketDistinctGroups, nullGroupRows). */
+  private[graft] def bucketStatsFused(spark: SparkSession, dir: String,
+                                      keys: DataFrame,
+                                      groupCols: Seq[String])
+      : (Map[Int, Long], Map[Int, Long], Long) = {
+    val m = readMeta(spark, dir)
+    val rows = keys.select(bucketExpr(m).as("__bucket"),
+        struct(groupCols.map(col): _*).as("__g"),
+        groupCols.map(col(_).isNull).reduce(_ || _)
+          .cast("long").as("__ng"))
+      .groupBy("__bucket")
+      .agg(count(lit(1)).as("__n"), count_distinct(col("__g")).as("__gn"),
+        sum(col("__ng")).as("__ngn"))
+      .collect()
+    (rows.map(r => r.getInt(0) -> r.getLong(1)).toMap,
+      rows.map(r => r.getInt(0) -> r.getLong(2)).toMap,
+      rows.map(_.getLong(3)).sum)
+  }
+
   /** Reconciled rows of exactly the `touched` buckets at a pinned
     * version — the collect-free half of [[readForKeysAt]] for callers
     * that already hold [[bucketStats]]. `prune`: optional candidate
@@ -567,9 +596,14 @@ object MergeTable {
       val fsys = fs(spark, dir)
       val anyBucket = fsys.exists(pOut) && fsys.listStatus(pOut)
         .exists(_.getPath.getName.startsWith("__bucket="))
+      // explicit schema (row schema + the __bucket partition column):
+      // a bare spark.read.parquet runs a schema-inference job first —
+      // one extra driver job per commit for information we already hold
       val written: Map[Int, Long] =
         if (!anyBucket) { fsys.delete(pOut, true); Map.empty }
-        else spark.read.parquet(statePath(dir, rel))
+        else spark.read.schema(StructType(m.schema.fields :+
+            StructField("__bucket", org.apache.spark.sql.types.IntegerType)))
+          .parquet(statePath(dir, rel))
           .groupBy("__bucket").count().collect()
           .map(r => r.getInt(0) -> r.getLong(1)).toMap
       val stray = written.keySet -- touched
@@ -800,18 +834,43 @@ object MergeTable {
     val liveDel =
       if (deleteWins) del
       else del.join(broadcast(up.select(kc.map(col): _*)), kc, "left_anti")
-    val dupKeys = liveUp.groupBy(kc.map(col): _*).count()
-      .filter(col("count") > 1).count()
+    // ONE fused validation + stats job (previously THREE driver jobs —
+    // duplicate-key count, null-key count, and mergeResolved's own
+    // per-bucket collect — each paying the per-job floor that dominates
+    // small-batch merge latency, guide §1.2): a per-key aggregate over
+    // the tagged batch key set yields, per bucket, the distinct touched
+    // keys (exactly mergeResolved's touch stats: liveUp ∪ liveDel key
+    // sets are disjoint after resolution, so |touch| per bucket =
+    // distinct(up ∪ del) keys per bucket), the count of keys that would
+    // survive resolution with more than one upsert row, and the count
+    // of null keys.
+    val tagged = up.select(kc.map(col) :+ lit(1L).as("__isUp"): _*)
+      .unionByName(del.select(kc.map(col) :+ lit(0L).as("__isUp"): _*))
+    val perKey = tagged.groupBy(kc.map(col): _*)
+      .agg(sum(col("__isUp")).as("__ups"),
+        max(lit(1L) - col("__isUp")).as("__hasDel"))
+    // a key duplicated among upserts only matters if it survives
+    // resolution: under delete-wins a deleted key's upserts are dropped
+    val dupCond =
+      if (deleteWins) col("__ups") > 1 && col("__hasDel") === 0
+      else col("__ups") > 1
+    val nullCond = kc.map(col(_).isNull).reduce(_ || _)
+    val statRows = perKey
+      .groupBy(bucketExpr(m).as("__bucket"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(dupCond, lit(1L)).otherwise(lit(0L))).as("__dups"),
+        sum(when(nullCond, lit(1L)).otherwise(lit(0L))).as("__nulls"))
+      .collect()
+    val dupKeys = statRows.map(_.getLong(2)).sum
     require(dupKeys == 0,
       s"$dupKeys upsert keys appear more than once in the batch — " +
         "deduplicate (pick a winner) before merging")
-    val touch = up.select(kc.map(col): _*).unionByName(del).distinct()
-    val nullKeys = touch
-      .filter(kc.map(col(_).isNull).reduce(_ || _)).count()
+    val nullKeys = statRows.map(_.getLong(3)).sum
     require(nullKeys == 0,
       s"$nullKeys batch keys carry null key columns — null keys cannot " +
         "be merged (the equi-join mask never matches them)")
-    mergeResolved(spark, dir, liveUp, liveDel.distinct())
+    mergeResolved(spark, dir, liveUp, liveDel.distinct(),
+      preStats = Some(statRows.map(r => r.getInt(0) -> r.getLong(1)).toMap))
   }
 
   /** Live bucket stats at LATEST: (bucket, rows) plus the manifest's
