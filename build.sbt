@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench contract: the forked JVM's stdout must reach the caller
+// verbatim (no "[info] " prefix) and the LAST stdout line must be the
+// bench's compact JSON (no trailing "[success] Total time ..." banner) —
+// every BENCH_r*.json through r14 has "parsed": null because the driver's
+// stdout-tail parser saw sbt's decorations instead of bare JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

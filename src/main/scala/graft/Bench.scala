@@ -212,9 +212,28 @@ object Bench {
         if (laQuiet >= CleanPassGate) Seq.empty // box never quieted: skip
         else {
           val byName = queries.toMap
+          val headlineMin = results.collect {
+            case (n, ts, None) if ts.nonEmpty => n -> ts.map(_._1).min
+          }.toMap
           dirtyQs.map { name =>
             val (t, la, sc, _) = timedRun(byName(name))
-            (name, t, math.max(0.0, la - sc))
+            val x = math.max(0.0, la - sc)
+            // A "clean" twin SLOWER than its dirty headline, or whose
+            // post-run load spiked, was itself contaminated — the 1-min
+            // loadavg EWMA lags fast load onset, so a short run can
+            // stamp xload 0 mid-burst (r14: q_bm25_topk twin 6.2 s at
+            // xload 0 vs 3.9 s headline). Re-run once after the box
+            // re-quiets and keep the faster reading. Bounded: one extra
+            // run per affected query.
+            if (t > headlineMin.getOrElse(name, Double.MaxValue) ||
+                x >= CleanPassGate) {
+              val (laQ2, _) = awaitQuietBox(CleanPassGate, maxWaitSecs = 120)
+              if (laQ2 < CleanPassGate) {
+                val (t2, la2, sc2, _) = timedRun(byName(name))
+                val x2 = math.max(0.0, la2 - sc2)
+                if (t2 < t) (name, t2, x2) else (name, t, x)
+              } else (name, t, x)
+            } else (name, t, x)
           }
         }
       }
@@ -306,7 +325,20 @@ object Bench {
         println(s"[bench] detail write failed (${t.getMessage}); detail inline:")
         println(detail)
     }
-    println(compact)
+    // Belt and braces for the driver contract: the compact line also
+    // lands in a root file, so even a mangled stdout tail can't lose it.
+    val compactPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_COMPACT",
+      "BENCH_COMPACT.json")
+    try {
+      val w = new java.io.PrintWriter(compactPath, "UTF-8")
+      try w.println(compact) finally w.close()
+    } catch { case _: Throwable => () }
+    // Stop Spark BEFORE printing the compact line and silence shutdown
+    // chatter, so the compact JSON is the process's final stdout line
+    // (r1–r14 artifacts all ended in sbt/log noise and parsed as null).
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(compact)
+    System.out.flush()
   }
 }
