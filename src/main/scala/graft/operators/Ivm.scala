@@ -251,6 +251,25 @@ object Ivm {
     applyZDelta(spark, dir, proj(inserts, 1).unionByName(proj(deletes, -1)))
   }
 
+  /** A staged (read-only validated) z-delta refresh: everything
+    * [[commitZDelta]] needs to land the z-set and view commits. Split
+    * from the old monolithic applyZDelta (r15) so [[IvmOverJoin]] can
+    * run this staging CONCURRENTLY with its side-fold commits (guide
+    * §2.6 — the staging touches only the inner tables, which the side
+    * commits never write). `nz`/`bucketRows`/`delta` are persisted;
+    * the caller releases. */
+  private[graft] final case class StagedZ(
+      delta: DataFrame, bucketRows: DataFrame, nz: DataFrame,
+      changed: DataFrame, recomputed: DataFrame, vDels: DataFrame,
+      zStats: Map[Int, Long], vStats: Option[Map[Int, Long]],
+      pruned: Boolean, zLatest: Int, cols: Seq[String]) {
+    def release(): Unit = {
+      delta.unpersist(blocking = false)
+      nz.unpersist(blocking = false)
+      bucketRows.unpersist(blocking = false)
+    }
+  }
+
   /**
    * Apply one PRE-SIGNED z-set delta: `signed` carries the z-set
    * columns plus a weight column `__d` (any signed long — rows need
@@ -262,6 +281,16 @@ object Ivm {
    */
   private[graft] def applyZDelta(spark: SparkSession, dir: String,
                                  signed: DataFrame): (Int, Int) = {
+    val staged = stageZDelta(spark, dir, signed)
+    try commitZDelta(spark, dir, staged)
+    finally staged.release()
+  }
+
+  /** The read-only half of [[applyZDelta]]: net the delta, validate
+    * (NULL groups, negativity) and pre-compute every frame the two
+    * commits fold — nothing is written. */
+  private[graft] def stageZDelta(spark: SparkSession, dir: String,
+                                 signed: DataFrame): StagedZ = {
     val spec = readSpec(spark, dir)
     val zd = zsetDir(dir)
     val zLatest = MergeTable.latestVersion(spark, zd)
@@ -313,8 +342,13 @@ object Ivm {
           "not supported (coalesce them upstream); nothing was committed")
       val vMeta = MergeTable.readMeta(spark, viewDir(dir))
       val vStats: Option[Map[Int, Long]] =
+        // both sides re-validated: the fused distinct-group counts are
+        // computed with the Z-SET's bucketExpr, so its bucketCols must
+        // equal spec.groupCols too (create pins it; the guard exists
+        // precisely to re-check invariants, r14 ADVICE)
         if (vMeta.nBuckets == zMeta.nBuckets &&
-            vMeta.bucketCols == spec.groupCols) Some(vGroupStats)
+            vMeta.bucketCols == spec.groupCols &&
+            zMeta.bucketCols == spec.groupCols) Some(vGroupStats)
         else None
       // scatter-shaped batches commit WITHOUT rewriting the touched
       // buckets (overlay / fold), so staging their whole content is
@@ -356,56 +390,48 @@ object Ivm {
              aggExprs(spec, zMeta.schema).tail: _*)
       val vDels = tg.join(recomputed.select(spec.groupCols.map(col): _*),
         spec.groupCols, "left_anti")
-      // COMMIT CONCURRENTLY (round 14): both commits derive from the
-      // persisted staged fold (nz), write disjoint tables, and are
-      // each one claim-guarded MergeTable commit — running them in
-      // parallel removes a serial stage from every refresh chain (the
-      // per-commit job floor, not data volume, dominates refresh
-      // latency at deployment batch sizes). Every crash/failure
-      // permutation (either side landed without the other, or both
-      // landed with the marker unwritten) leaves VIEWSYNC mismatched,
-      // so the next refresh refuses and rebuildView repairs.
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-      val (zr, vr) =
-        try {
-          implicit val ec: scala.concurrent.ExecutionContext =
-            scala.concurrent.ExecutionContext.fromExecutor(pool)
-          def capture[T](body: => T): scala.concurrent.Future[Either[Throwable, T]] =
-            scala.concurrent.Future(body).map(Right(_): Either[Throwable, T])
-              .recover { case e => Left(e) }
-          val fz = capture(MergeTable.mergeResolved(spark, zd,
-            changed.filter(col(Mult) =!= 0),
-            changed.filter(col(Mult) === 0).select(cols.map(col): _*),
-            preStats = Some(zStats),
-            // a pruned read is NOT the complete touched-bucket state a
-            // COW rewrite needs — only the whole-bucket read is reused
-            preOld = if (prune.isDefined) None else Some(bucketRows),
-            // staged-read fence: bucketRows/nz are pinned to zLatest —
-            // an interleaved z-set writer fails this commit loudly
-            // instead of having its changes silently erased
-            preVersion = Some(zLatest)))
-          // the view commit's perBucket stats come FREE from the fused
-          // stats job (the view's upsert∪delete key set is exactly tg,
-          // whose per-bucket distinct-group counts vGroupStats carries)
-          // — without them mergeResolved runs its own collect job
-          val fv = capture(MergeTable.mergeResolved(spark, viewDir(dir),
-            recomputed, vDels, preStats = vStats))
-          import scala.concurrent.duration._
-          // await BOTH (a still-running commit must not outlive this
-          // call), then propagate the first failure
-          val rs = scala.concurrent.Await.result(
-            scala.concurrent.Future.sequence(Seq(fz, fv)), 3600.seconds)
-          (rs(0), rs(1))
-        } finally pool.shutdown()
-      val zv = zr.fold(e => throw e, identity)
-      val vv = vr.fold(e => throw e, identity)
-      syncMarker(spark, dir, zv, vv)
-      (zv, vv)
-    } finally {
-      delta.unpersist(blocking = false)
-      nzH.foreach(_.unpersist(blocking = false))
-      rowsH.foreach(_.unpersist(blocking = false))
+      StagedZ(delta, bucketRows, nz, changed, recomputed, vDels,
+        zStats, vStats, prune.isDefined, zLatest, cols)
+    } catch {
+      case e: Throwable =>
+        delta.unpersist(blocking = false)
+        nzH.foreach(_.unpersist(blocking = false))
+        rowsH.foreach(_.unpersist(blocking = false))
+        throw e
     }
+  }
+
+  /** The write half of [[applyZDelta]]: land the z-set and view
+    * commits CONCURRENTLY (round 14 — both derive from the persisted
+    * staged fold, write disjoint tables, and are each one
+    * claim-guarded MergeTable commit; the per-commit job floor, not
+    * data volume, dominates refresh latency at deployment batch
+    * sizes). Every crash/failure permutation (either side landed
+    * without the other, or both landed with the marker unwritten)
+    * leaves VIEWSYNC mismatched, so the next refresh refuses and
+    * rebuildView repairs. */
+  private[graft] def commitZDelta(spark: SparkSession, dir: String,
+                                  s: StagedZ): (Int, Int) = {
+    val (zv, vv) = Par.par2(
+      MergeTable.mergeResolved(spark, zsetDir(dir),
+        s.changed.filter(col(Mult) =!= 0),
+        s.changed.filter(col(Mult) === 0).select(s.cols.map(col): _*),
+        preStats = Some(s.zStats),
+        // a pruned read is NOT the complete touched-bucket state a
+        // COW rewrite needs — only the whole-bucket read is reused
+        preOld = if (s.pruned) None else Some(s.bucketRows),
+        // staged-read fence: bucketRows/nz are pinned to zLatest —
+        // an interleaved z-set writer fails this commit loudly
+        // instead of having its changes silently erased
+        preVersion = Some(s.zLatest)),
+      // the view commit's perBucket stats come FREE from the fused
+      // stats job (the view's upsert∪delete key set is exactly tg,
+      // whose per-bucket distinct-group counts vStats carries) —
+      // without them mergeResolved runs its own collect job
+      MergeTable.mergeResolved(spark, viewDir(dir),
+        s.recomputed, s.vDels, preStats = s.vStats))
+    syncMarker(spark, dir, zv, vv)
+    (zv, vv)
   }
 
   /** Replace the ENTIRE z-set with `z` (z-set columns + `__mult`, one

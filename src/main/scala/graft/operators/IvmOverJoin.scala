@@ -156,13 +156,6 @@ object IvmOverJoin {
     (p(0).toInt, p(1).toInt, p(2).toInt)
   }
 
-  /** One side's z-set fold — [[JoinIvm.foldSide]] (the batch-sized
-    * upsert/delete fold with the scoped negative-multiplicity
-    * rejection) is shared verbatim. */
-  private def foldSide(spark: SparkSession, zdir: String, what: String,
-                       cols: Seq[String], delta: DataFrame): Unit =
-    JoinIvm.foldSide(spark, zdir, what, cols, delta)
-
   /**
    * Apply one two-sided CDC batch (deletes carry BEFORE-IMAGES; any
    * frame may be empty). Commits factz, dimz, then the inner Ivm
@@ -251,81 +244,86 @@ object IvmOverJoin {
     def nullCols(sideCols: Seq[String]): Seq[String] =
       (spec.joinCols ++ spec.groupCols).filter(sideCols.contains)
     try {
+      // ---- inner-Ivm staging (READ-ONLY, runs concurrently with the
+      // side commits below). Δ(F⋈D) = ΔF ⋈ D′ + F ⋈ ΔD with both
+      // terms derived from PRE-COMMIT state + the staged folds — the
+      // same r15 derivation as [[JoinIvm.applyDeltaFolding]]:
+      //   D′ on ΔF's keys = (D@dv0 minus ΔD's tuples, null-safe)
+      //                     ∪ (staged dim fold's new state, mult ≠ 0);
+      //   F  on ΔD's keys = F@fv0 directly (was F′ − ΔF re-aggregated).
+      // The joined delta is projected onto (G, V) with its signed
+      // multiplicities and STAGED into the inner Ivm
+      // ([[Ivm.stageZDelta]] — nets, validates, pre-computes the two
+      // commit frames; nothing written). `dimNz` is None on the
+      // one-sided RESUME paths, where either ΔD or ΔF is empty and
+      // the pre-commit reads stay exact (see JoinIvm).
+      def stageInner(dimNz: Option[DataFrame]): Ivm.StagedZ = {
+        val dimOldForDF = MergeTable.readForKeysAt(spark, dimzDir(dir),
+          dv0, dF.select(spec.joinCols.map(col): _*))._1
+        val dimForDF = dimNz match {
+          case Some(nz) =>
+            MergeTable.keyJoin(dimOldForDF, dD, dCols, "left_anti")
+              .unionByName(nz.filter(col(Mult) =!= 0))
+          case None => dimOldForDF
+        }
+        val j1 = dF.join(dimForDF, spec.joinCols)
+          .withColumn("__jm", col("__d") * col(Mult))
+        val dDKeys = dD.select(spec.joinCols.map(col): _*).distinct()
+        val factOldForDD = MergeTable.readForKeysAt(spark, factzDir(dir),
+          fv0, dDKeys)._1
+          .join(broadcast(dDKeys), spec.joinCols, "left_semi")
+          .select(fCols.map(col) :+ col(Mult): _*)
+        val j2 = factOldForDD.join(dD, spec.joinCols)
+          .withColumn("__jm", col(Mult) * col("__d"))
+        val gv = spec.groupCols ++ spec.valueCols
+        val signed = j1.unionByName(j2, allowMissingColumns = true)
+          .select(gv.map(col) :+ col("__jm").as("__d"): _*)
+        Ivm.stageZDelta(spark, ivmDir(dir), signed)
+      }
       // STAGE both side folds read-only (negativity rejection before
       // ANY commit — a rejected batch is a clean abort on either
-      // side), then commit both concurrently; the two sides touch
-      // disjoint state, like [[JoinIvm.applyDeltaFolding]]. A CRASH
-      // between the commits can leave either side landed; [[rebuild]]
+      // side), then commit both concurrently WITH the inner-Ivm
+      // staging as a third leg (it reads only pre-commit side versions
+      // and the inner tables, which the side commits never write); the
+      // inner COMMIT itself stays strictly after both side commits
+      // landed, so the composite ordering contract is unchanged. A
+      // CRASH in the window can leave either side landed; [[rebuild]]
       // + a one-sided re-submit recover symmetrically.
-      if (foldFact && foldDim) {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-        implicit val ec: scala.concurrent.ExecutionContext =
-          scala.concurrent.ExecutionContext.fromExecutor(pool)
-        def par2[T](a: => T, b: => T): Unit = {
-          import scala.concurrent.duration._
-          val both = scala.concurrent.Future.sequence(Seq(
-            scala.concurrent.Future(a).map(Right(_))
-              .recover { case e => Left(e) },
-            scala.concurrent.Future(b).map(Right(_))
-              .recover { case e => Left(e) }))
-          scala.concurrent.Await.result(both, 3600.seconds)
-            .collectFirst { case Left(e) => throw e }
-          ()
+      var stagedZ: Option[Ivm.StagedZ] = None
+      try {
+        if (foldFact && foldDim) {
+          var nzF: Option[JoinIvm.StagedFold] = None
+          var nzD: Option[JoinIvm.StagedFold] = None
+          try {
+            Par.par2(
+              { nzF = Some(JoinIvm.stageFold(spark, factzDir(dir),
+                  "fact z-set", fCols, dF, nullCols(fCols))) },
+              { nzD = Some(JoinIvm.stageFold(spark, dimzDir(dir),
+                  "dim z-set", dCols, dD, nullCols(dCols))) })
+            Par.par3(
+              JoinIvm.commitFold(spark, factzDir(dir), fCols, nzF.get),
+              JoinIvm.commitFold(spark, dimzDir(dir), dCols, nzD.get),
+              { stagedZ = Some(stageInner(Some(nzD.get.nz))) })
+          } finally {
+            nzF.foreach(_.release())
+            nzD.foreach(_.release())
+          }
+        } else {
+          if (foldFact)
+            JoinIvm.foldSide(spark, factzDir(dir), "fact z-set", fCols, dF,
+              nullCols(fCols))
+          if (foldDim)
+            JoinIvm.foldSide(spark, dimzDir(dir), "dim z-set", dCols, dD,
+              nullCols(dCols))
+          stagedZ = Some(stageInner(None))
         }
-        var nzF: Option[JoinIvm.StagedFold] = None
-        var nzD: Option[JoinIvm.StagedFold] = None
-        try {
-          par2(
-            { nzF = Some(JoinIvm.stageFold(spark, factzDir(dir),
-                "fact z-set", fCols, dF, nullCols(fCols))) },
-            { nzD = Some(JoinIvm.stageFold(spark, dimzDir(dir),
-                "dim z-set", dCols, dD, nullCols(dCols))) })
-          par2(
-            JoinIvm.commitFold(spark, factzDir(dir), fCols, nzF.get),
-            JoinIvm.commitFold(spark, dimzDir(dir), dCols, nzD.get))
-        } finally {
-          pool.shutdown()
-          nzF.foreach(_.release())
-          nzD.foreach(_.release())
-        }
-      } else {
-        if (foldFact)
-          JoinIvm.foldSide(spark, factzDir(dir), "fact z-set", fCols, dF,
-            nullCols(fCols))
-        if (foldDim)
-          JoinIvm.foldSide(spark, dimzDir(dir), "dim z-set", dCols, dD,
-            nullCols(dCols))
-      }
-      val fvN = MergeTable.latestVersion(spark, factzDir(dir))
-      val dvN = MergeTable.latestVersion(spark, dimzDir(dir))
-      // Δ(F⋈D) = ΔF ⋈ D′ + (F′ − ΔF) ⋈ ΔD, multiplicities multiplied
-      // — identical reads to JoinIvm.applyDelta, but the result is
-      // projected onto (G, V) with its signed multiplicities instead
-      // of being folded into per-group sums.
-      val dimForDF = MergeTable.readForKeysAt(spark, dimzDir(dir), dvN,
-        dF.select(spec.joinCols.map(col): _*))._1
-      val j1 = dF.join(dimForDF, spec.joinCols)
-        .withColumn("__jm", col("__d") * col(Mult))
-      val dDKeys = dD.select(spec.joinCols.map(col): _*).distinct()
-      val factNewForDD = MergeTable.readForKeysAt(spark, factzDir(dir),
-        fvN, dDKeys)._1
-        .join(broadcast(dDKeys), spec.joinCols, "left_semi")
-        .select(fCols.map(col) :+ col(Mult): _*)
-      val factDeltaForDD = dF
-        .join(broadcast(dDKeys), spec.joinCols, "left_semi")
-        .select(fCols.map(col) :+ (-col("__d")).as(Mult): _*)
-      val factOldForDD = factNewForDD.unionByName(factDeltaForDD)
-        .groupBy(fCols.map(col): _*).agg(sum(col(Mult)).as(Mult))
-        .filter(col(Mult) =!= 0)
-      val j2 = factOldForDD.join(dD, spec.joinCols)
-        .withColumn("__jm", col(Mult) * col("__d"))
-      val gv = spec.groupCols ++ spec.valueCols
-      val signed = j1.unionByName(j2, allowMissingColumns = true)
-        .select(gv.map(col) :+ col("__jm").as("__d"): _*)
-      val (zv, _) = Ivm.applyZDelta(spark, ivmDir(dir), signed)
-      syncMarker(spark, dir, fvN, dvN, zv)
-      fsys.delete(inflight, false)
-      (fvN, dvN, zv)
+        val fvN = MergeTable.latestVersion(spark, factzDir(dir))
+        val dvN = MergeTable.latestVersion(spark, dimzDir(dir))
+        val (zv, _) = Ivm.commitZDelta(spark, ivmDir(dir), stagedZ.get)
+        syncMarker(spark, dir, fvN, dvN, zv)
+        fsys.delete(inflight, false)
+        (fvN, dvN, zv)
+      } finally stagedZ.foreach(_.release())
     } catch {
       case e: Throwable => abortCleanIfNothingLanded(); throw e
     } finally {

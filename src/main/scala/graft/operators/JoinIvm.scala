@@ -428,47 +428,128 @@ object JoinIvm {
       (spec.joinCols ++ spec.groupCols).filter(sideCols.contains)
     val handles = scala.collection.mutable.ListBuffer[DataFrame](dF, dD)
     try {
+      // ---- view staging (READ-ONLY, runs concurrently with the side
+      // commits below). Δ(F⋈D) = ΔF ⋈ D′ + F ⋈ ΔD, multiplicities
+      // multiplied — with BOTH terms derived from PRE-COMMIT state +
+      // the staged folds (r15, guide §2.6: the serial joined-delta
+      // segment after the side commits was the remaining chain cost):
+      //   D′ on ΔF's keys = (D@dv0 on ΔF's keys  MINUS  ΔD's tuples)
+      //                     ∪ (staged dim fold's netted new state,
+      //                        mult ≠ 0 — exactly ΔD's tuples' new
+      //                        rows), null-safe on the full tuple;
+      //   F  on ΔD's keys = F@fv0 directly (the old post-commit form
+      //                     recovered it as F′ − ΔF: an extra union +
+      //                     re-aggregation per refresh).
+      // `dimNz` is None on the one-sided RESUME paths — there either
+      // ΔD is empty (the anti∪union is the identity) or ΔF is empty
+      // (the D′ term joins against an empty delta), so reading the
+      // dim state at dv0 stays exact in every case.
+      // Returns (folded view rows [persisted+materialized], view
+      // commit stats, view base version).
+      val hidden = hiddenSchema(spec, fMeta.schema, dMeta.schema)
+      val hCols = hidden.fieldNames.toSeq
+      val vd0 = viewDir(dir)
+      def stageView(dimNz: Option[DataFrame])
+          : (DataFrame, Map[Int, Long], Int) = {
+        val dimOldForDF = MergeTable.readForKeysAt(spark, dimzDir(dir),
+          dv0, dF.select(spec.joinCols.map(col): _*))._1
+        val dimForDF = dimNz match {
+          case Some(nz) =>
+            MergeTable.keyJoin(dimOldForDF, dD, dCols, "left_anti")
+              .select(dimOldForDF.columns.map(col).toSeq: _*)
+              .unionByName(nz.filter(col(Mult) =!= 0))
+          case None => dimOldForDF
+        }
+        val j1 = dF.join(dimForDF, spec.joinCols)
+          .withColumn("__jm", col("__d") * col(Mult))
+        val dDKeys = dD.select(spec.joinCols.map(col): _*).distinct()
+        val factOldForDD = MergeTable.readForKeysAt(spark, factzDir(dir),
+          fv0, dDKeys)._1
+          .join(broadcast(dDKeys), spec.joinCols, "left_semi")
+          .select(fCols.map(col) :+ col(Mult): _*)
+        val j2 = factOldForDD.join(dD, spec.joinCols)
+          .withColumn("__jm", col(Mult) * col("__d"))
+        val deltas = hiddenDeltas(spec,
+          j1.unionByName(j2, allowMissingColumns = true)).persist()
+        try {
+          // fold the signed deltas into the view (a z-set of sums —
+          // groups whose count reaches 0 drop). Batch-sized write:
+          // only the delta's groups change, so read their old hidden
+          // rows, net, and upsert/delete exactly those groups
+          // (MergeTable picks COW vs overlay).
+          val tg = deltas.select(spec.groupCols.map(col): _*).distinct()
+          // one stats collect for the view read AND its commit
+          // decision (the folded frame's groups are exactly tg)
+          val vStats = MergeTable.bucketStats(spark, vd0, tg)
+          val vBase = MergeTable.latestVersion(spark, vd0)
+          // scattered group churn commits as an overlay — prune the
+          // view read to the touched groups' first-column candidates
+          val vPrune =
+            if (MergeTable.commitBypassesCow(spark, vd0, vStats))
+              MergeTable.pruneVals(spark, MergeTable.readMeta(spark, vd0),
+                tg)
+            else None
+          val vOld = MergeTable.readBucketsAt(spark, vd0,
+              vBase, vStats.keySet, vPrune)
+            .join(broadcast(tg), spec.groupCols, "left_semi")
+          val folded = vOld.select(hCols.map(col): _*)
+            .unionByName(deltas.select(hCols.map(col): _*))
+            .groupBy(spec.groupCols.map(col): _*)
+            .agg(sum(col("__cnt")).cast(LongType).as("__cnt"),
+              spec.sumCols.flatMap(c => Seq(
+                sum(col(s"__sum_$c")).as(s"__sum_$c"),
+                sum(col(s"__cntnn_$c")).cast(LongType)
+                  .as(s"__cntnn_$c"))): _*)
+            .persist()
+          try {
+            // the count also MATERIALIZES folded, so the view commit
+            // below reads the cache, never the (by then stale-able)
+            // derivation
+            val neg = folded.filter(col("__cnt") < 0).count()
+            require(neg == 0,
+              s"$neg view groups would go NEGATIVE — inconsistent " +
+                "change stream (nothing was committed to the view)")
+            // registered HERE (not by the caller) so a side-commit
+            // failure racing a successful staging still unpersists it
+            // via the outer finally; only this one staging leg touches
+            // handles during par3, and Await publishes the mutation
+            handles += folded
+            (folded, vStats, vBase)
+          } catch {
+            case e: Throwable =>
+              folded.unpersist(blocking = false); throw e
+          }
+        } finally deltas.unpersist(blocking = false)
+      }
       // 1+2: commit both side z-sets, STAGED-THEN-COMMITTED. Staging
       // (read + net + negativity rejection) is read-only and runs for
       // BOTH sides before EITHER commits, so any rejected batch is a
       // clean abort regardless of which side is inconsistent. The two
       // sides touch disjoint state (factz/ vs dimz/ — separate claim
       // keys, separate data paths), so both the stages and the commits
-      // run CONCURRENTLY — the serial fold segment of the refresh
-      // chain halves (the latency floor is per-job scheduler cost,
-      // BENCH_NOTES_r12 §1). A CRASH between the commits can leave
-      // either side landed — the INFLIGHT recovery and the stream
-      // wrapper handle both one-sided states symmetrically.
+      // run CONCURRENTLY (the latency floor is per-job scheduler cost,
+      // BENCH_NOTES_r12 §1) — and the VIEW STAGING runs as a third
+      // concurrent leg beside the commits (it reads only pre-commit
+      // side versions and the view table, which the side commits never
+      // write). A CRASH anywhere in the window can leave either side
+      // landed — the INFLIGHT recovery and the stream wrapper handle
+      // both one-sided states symmetrically, exactly as before; the
+      // view itself commits strictly AFTER both sides landed.
+      var stagedV: Option[(DataFrame, Map[Int, Long], Int)] = None
       if (foldFact && foldDim) {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-        implicit val ec: scala.concurrent.ExecutionContext =
-          scala.concurrent.ExecutionContext.fromExecutor(pool)
-        def par2[T](a: => T, b: => T): Unit = {
-          import scala.concurrent.duration._
-          // surface the FIRST failure after both settle (awaiting one
-          // leg while the other is mid-flight would leak a running job)
-          val both = scala.concurrent.Future.sequence(Seq(
-            scala.concurrent.Future(a).map(Right(_))
-              .recover { case e => Left(e) },
-            scala.concurrent.Future(b).map(Right(_))
-              .recover { case e => Left(e) }))
-          scala.concurrent.Await.result(both, 3600.seconds)
-            .collectFirst { case Left(e) => throw e }
-          ()
-        }
         var nzF: Option[StagedFold] = None
         var nzD: Option[StagedFold] = None
         try {
-          par2(
+          Par.par2(
             { nzF = Some(stageFold(spark, factzDir(dir), "fact z-set",
                 fCols, dF, nullCols(fCols))) },
             { nzD = Some(stageFold(spark, dimzDir(dir), "dim z-set",
                 dCols, dD, nullCols(dCols))) })
-          par2(
+          Par.par3(
             commitFold(spark, factzDir(dir), fCols, nzF.get),
-            commitFold(spark, dimzDir(dir), dCols, nzD.get))
+            commitFold(spark, dimzDir(dir), dCols, nzD.get),
+            { stagedV = Some(stageView(Some(nzD.get.nz))) })
         } finally {
-          pool.shutdown()
           nzF.foreach(_.release())
           nzD.foreach(_.release())
         }
@@ -477,74 +558,14 @@ object JoinIvm {
           dF, nullCols(fCols))
         if (foldDim) foldSide(spark, dimzDir(dir), "dim z-set", dCols,
           dD, nullCols(dCols))
+        stagedV = Some(stageView(None))
       }
       val fvN = MergeTable.latestVersion(spark, factzDir(dir))
       val dvN = MergeTable.latestVersion(spark, dimzDir(dir))
-      // Δ(F⋈D) = ΔF ⋈ D′  +  F ⋈ ΔD, multiplicities multiplied.
-      // D′ over ΔF's keys: dNew is the new state of the dim buckets
-      // touched by ΔD — NOT ΔF — so read the dim buckets for ΔF's keys
-      // at the just-committed version (bucket-pruned).
-      val dimForDF = MergeTable.readForKeysAt(spark, dimzDir(dir), dvN,
-        dF.select(spec.joinCols.map(col): _*))._1
-      val j1 = dF.join(dimForDF, spec.joinCols)
-        .withColumn("__jm", col("__d") * col(Mult))
-      // F (OLD fact state) over ΔD's keys: recovered as F′ − ΔF on
-      // those keys — read the new fact buckets for ΔD's keys, subtract
-      // the fact delta restricted to the same keys.
-      val dDKeys = dD.select(spec.joinCols.map(col): _*).distinct()
-      val factNewForDD = MergeTable.readForKeysAt(spark, factzDir(dir),
-        fvN, dDKeys)._1
-        .join(broadcast(dDKeys), spec.joinCols, "left_semi")
-        .select(fCols.map(col) :+ col(Mult): _*)
-      val factDeltaForDD = dF
-        .join(broadcast(dDKeys), spec.joinCols, "left_semi")
-        .select(fCols.map(col) :+ (-col("__d")).as(Mult): _*)
-      val factOldForDD = factNewForDD.unionByName(factDeltaForDD)
-        .groupBy(fCols.map(col): _*).agg(sum(col(Mult)).as(Mult))
-        .filter(col(Mult) =!= 0)
-      val j2 = factOldForDD.join(dD, spec.joinCols)
-        .withColumn("__jm", col(Mult) * col("__d"))
-      val deltas = hiddenDeltas(spec,
-        j1.unionByName(j2, allowMissingColumns = true)).persist()
-      handles += deltas
-      // 3: fold the signed deltas into the view (a z-set of sums —
-      // groups whose count reaches 0 drop). Batch-sized write: only
-      // the delta's groups change, so read their old hidden rows,
-      // net, and upsert/delete exactly those groups (MergeTable picks
-      // COW vs overlay — scattered group churn no longer rewrites
-      // ~every view bucket).
-      val hidden = hiddenSchema(spec, fMeta.schema, dMeta.schema)
-      val hCols = hidden.fieldNames.toSeq
-      val vd0 = viewDir(dir)
-      val tg = deltas.select(spec.groupCols.map(col): _*).distinct()
-      // one stats collect for the view read AND its commit decision
-      // (the folded frame's groups are exactly tg)
-      val vStats = MergeTable.bucketStats(spark, vd0, tg)
-      val vBase = MergeTable.latestVersion(spark, vd0)
-      // scattered group churn commits as an overlay — prune the view
-      // read to the touched groups' first-column candidates too
-      val vPrune =
-        if (MergeTable.commitBypassesCow(spark, vd0, vStats))
-          MergeTable.pruneVals(spark, MergeTable.readMeta(spark, vd0), tg)
-        else None
-      val vOldBuckets = MergeTable.readBucketsAt(spark, vd0,
-        vBase, vStats.keySet, vPrune)
-      val vOld = vOldBuckets
-        .join(broadcast(tg), spec.groupCols, "left_semi")
-      val folded = vOld.select(hCols.map(col): _*)
-        .unionByName(deltas.select(hCols.map(col): _*))
-        .groupBy(spec.groupCols.map(col): _*)
-        .agg(sum(col("__cnt")).cast(LongType).as("__cnt"),
-          spec.sumCols.flatMap(c => Seq(
-            sum(col(s"__sum_$c")).as(s"__sum_$c"),
-            sum(col(s"__cntnn_$c")).cast(LongType)
-              .as(s"__cntnn_$c"))): _*)
-        .persist()
-      handles += folded
-      val neg = folded.filter(col("__cnt") < 0).count()
-      require(neg == 0,
-        s"$neg view groups would go NEGATIVE — inconsistent change " +
-          "stream (nothing was committed to the view)")
+      // 3: commit the staged view fold — strictly after BOTH side
+      // commits succeeded (Par.par3 rethrows any leg's failure), so
+      // the view can never reflect versions that did not land.
+      val (folded, vStats, vBase) = stagedV.get
       val vv = MergeTable.mergeResolved(spark, vd0,
         folded.filter(col("__cnt") =!= 0),
         folded.filter(col("__cnt") === 0)

@@ -743,6 +743,85 @@ class IvmSpec extends AnyFunSuite {
     assert(JoinIvm.readView(spark, dir).collect().toSet == jModel(f2, d1))
   }
 
+  test("join-ivm + ivm-over-join: pre-commit joined-delta derivation " +
+      "stays exact when ΔF and ΔD overlap keys and dim tuples carry " +
+      "NULL value columns") {
+    // r15: the joined delta is derived from PRE-COMMIT state + the
+    // staged folds (D′ = D@dv0 minus ΔD's tuples ∪ staged new state,
+    // null-safe on the FULL tuple) so the view staging can overlap the
+    // side commits. The sharp edges this pins: (a) ΔD updates a dim
+    // tuple whose VALUE column is NULL — a null-unsafe anti-join would
+    // fail to remove the old tuple and double-count it in D′; (b) ΔF
+    // churns the SAME join keys in the same batch, so both bilinear
+    // terms engage over the overlap.
+    val dir = tmp("graft_jivm_precommit")
+    def fDf(rows: Seq[(Long, Long)]): DataFrame = rows.toDF("k", "v")
+    def dDf(rows: Seq[(Long, String, Option[Long])]): DataFrame =
+      rows.toDF("k", "seg", "w")
+    val spec = JoinIvm.Spec(Seq("k"), Seq("seg"),
+      Seq(Ivm.Count("cnt"), Ivm.Sum("v", "sum_v"), Ivm.Sum("w", "sum_w")))
+    JoinIvm.create(spark, dir, fDf(Seq((1L, 1L))).schema,
+      dDf(Seq((1L, "s", Some(1L)))).schema, spec, nBuckets = 4)
+    def model(fact: Seq[(Long, Long)],
+              dim: Seq[(Long, String, Option[Long])]): Set[Row] = {
+      val joined = for { (k, v) <- fact; (k2, s, w) <- dim if k == k2 }
+        yield (s, v, w)
+      joined.groupBy(_._1).map { case (s, rs) =>
+        val ws = rs.flatMap(_._3)
+        Row(s, rs.size.toLong, rs.map(_._2).sum,
+          if (ws.isEmpty) null else ws.sum)
+      }.toSet
+    }
+    val f0 = Seq((1L, 10L), (1L, 20L), (2L, 30L), (3L, 40L))
+    val d0 = Seq((1L, "a", Some(5L)), (2L, "a", None), (3L, "b", None))
+    JoinIvm.applyDelta(spark, dir, fDf(f0), fDf(Seq.empty),
+      dDf(d0), dDf(Seq.empty))
+    assert(JoinIvm.readView(spark, dir).collect().toSet == model(f0, d0))
+    // the overlap batch: ΔD updates BOTH a null-w tuple (2,a,NULL →
+    // 2,b,NULL) and a non-null one (1,a,5 → 1,a,7) while ΔF churns
+    // the same keys 1 and 2
+    val f1 = f0.filterNot(x => x == ((1L, 10L)) || x == ((2L, 30L))) ++
+      Seq((1L, 25L), (2L, 31L))
+    val d1 = Seq((1L, "a", Some(7L)), (2L, "b", None), (3L, "b", None))
+    JoinIvm.applyDelta(spark, dir,
+      fDf(Seq((1L, 25L), (2L, 31L))), fDf(Seq((1L, 10L), (2L, 30L))),
+      dDf(Seq((1L, "a", Some(7L)), (2L, "b", None))),
+      dDf(Seq((1L, "a", Some(5L)), (2L, "a", None))))
+    assert(JoinIvm.readView(spark, dir).collect().toSet == model(f1, d1),
+      "pre-commit D′ derivation must handle null-valued ΔD tuples " +
+        "(null-safe anti∪union) and overlapping ΔF keys")
+    // the same shape through IvmOverJoin (non-invertible aggregates —
+    // its stageInner shares the derivation)
+    val oDir = tmp("graft_ovj_precommit")
+    val oSpec = graft.operators.IvmOverJoin.Spec(Seq("k"), Seq("seg"),
+      Seq(Ivm.Count("cnt"), Ivm.Min("w", "min_w"), Ivm.Max("v", "max_v")))
+    graft.operators.IvmOverJoin.create(spark, oDir,
+      fDf(Seq((1L, 1L))).schema, dDf(Seq((1L, "s", Some(1L)))).schema,
+      oSpec, nBuckets = 4)
+    def oModel(fact: Seq[(Long, Long)],
+               dim: Seq[(Long, String, Option[Long])]): Set[Row] = {
+      val joined = for { (k, v) <- fact; (k2, s, w) <- dim if k == k2 }
+        yield (s, v, w)
+      joined.groupBy(_._1).map { case (s, rs) =>
+        val ws = rs.flatMap(_._3)
+        Row(s, rs.size.toLong, if (ws.isEmpty) null else ws.min,
+          rs.map(_._2).max)
+      }.toSet
+    }
+    graft.operators.IvmOverJoin.applyDelta(spark, oDir, fDf(f0),
+      fDf(Seq.empty), dDf(d0), dDf(Seq.empty))
+    assert(graft.operators.IvmOverJoin.readView(spark, oDir)
+      .collect().toSet == oModel(f0, d0))
+    graft.operators.IvmOverJoin.applyDelta(spark, oDir,
+      fDf(Seq((1L, 25L), (2L, 31L))), fDf(Seq((1L, 10L), (2L, 30L))),
+      dDf(Seq((1L, "a", Some(7L)), (2L, "b", None))),
+      dDf(Seq((1L, "a", Some(5L)), (2L, "a", None))))
+    assert(graft.operators.IvmOverJoin.readView(spark, oDir)
+      .collect().toSet == oModel(f1, d1),
+      "ivm-over-join stageInner shares the null-safe pre-commit " +
+        "derivation")
+  }
+
   /** Two-sided CDC events frame for the join-view stream wrapper. */
   private def jev(fIns: Seq[(Long, Long)], fDel: Seq[(Long, Long)],
                   dIns: Seq[(Long, String)], dDel: Seq[(Long, String)])
