@@ -254,13 +254,28 @@ object IvmOverJoin {
       // The joined delta is projected onto (G, V) with its signed
       // multiplicities and STAGED into the inner Ivm
       // ([[Ivm.stageZDelta]] — nets, validates, pre-computes the two
-      // commit frames; nothing written). `dimNz` is None on the
+      // commit frames; nothing written). `sidesStaged` is None on the
       // one-sided RESUME paths, where either ΔD or ΔF is empty and
       // the pre-commit reads stay exact (see JoinIvm).
-      def stageInner(dimNz: Option[DataFrame]): Ivm.StagedZ = {
-        val dimOldForDF = MergeTable.readForKeysAt(spark, dimzDir(dir),
-          dv0, dF.select(spec.joinCols.map(col): _*))._1
-        val dimForDF = dimNz match {
+      def stageInner(sidesStaged: Option[(JoinIvm.StagedFold,
+          JoinIvm.StagedFold)]): Ivm.StagedZ = {
+        // stats transfer (r15, see JoinIvm.stageView): both side z-sets
+        // bucket by spec.joinCols with the same nBuckets, so one side's
+        // staged touched-bucket set is the other's — re-checked on
+        // nBuckets and join-column types; saves the two touched-bucket
+        // collect jobs per staging
+        val transfer = sidesStaged.isDefined &&
+          fMeta.nBuckets == dMeta.nBuckets &&
+          spec.joinCols.forall(c =>
+            fMeta.schema(c).dataType == dMeta.schema(c).dataType)
+        val dimOldForDF =
+          if (transfer)
+            MergeTable.readForKeysPre(spark, dimzDir(dir), dv0,
+              dF.select(spec.joinCols.map(col): _*),
+              sidesStaged.get._1.stats.keySet)
+          else MergeTable.readForKeysAt(spark, dimzDir(dir),
+            dv0, dF.select(spec.joinCols.map(col): _*))._1
+        val dimForDF = sidesStaged.map(_._2.nz) match {
           case Some(nz) =>
             MergeTable.keyJoin(dimOldForDF, dD, dCols, "left_anti")
               .unionByName(nz.filter(col(Mult) =!= 0))
@@ -269,8 +284,12 @@ object IvmOverJoin {
         val j1 = dF.join(dimForDF, spec.joinCols)
           .withColumn("__jm", col("__d") * col(Mult))
         val dDKeys = dD.select(spec.joinCols.map(col): _*).distinct()
-        val factOldForDD = MergeTable.readForKeysAt(spark, factzDir(dir),
-          fv0, dDKeys)._1
+        val factOldForDD =
+          (if (transfer)
+            MergeTable.readForKeysPre(spark, factzDir(dir), fv0, dDKeys,
+              sidesStaged.get._2.stats.keySet)
+          else MergeTable.readForKeysAt(spark, factzDir(dir),
+            fv0, dDKeys)._1)
           .join(broadcast(dDKeys), spec.joinCols, "left_semi")
           .select(fCols.map(col) :+ col(Mult): _*)
         val j2 = factOldForDD.join(dD, spec.joinCols)
@@ -303,7 +322,7 @@ object IvmOverJoin {
             Par.par3(
               JoinIvm.commitFold(spark, factzDir(dir), fCols, nzF.get),
               JoinIvm.commitFold(spark, dimzDir(dir), dCols, nzD.get),
-              { stagedZ = Some(stageInner(Some(nzD.get.nz))) })
+              { stagedZ = Some(stageInner(Some((nzF.get, nzD.get)))) })
           } finally {
             nzF.foreach(_.release())
             nzD.foreach(_.release())

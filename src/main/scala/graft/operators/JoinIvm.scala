@@ -440,20 +440,35 @@ object JoinIvm {
       //   F  on ΔD's keys = F@fv0 directly (the old post-commit form
       //                     recovered it as F′ − ΔF: an extra union +
       //                     re-aggregation per refresh).
-      // `dimNz` is None on the one-sided RESUME paths — there either
-      // ΔD is empty (the anti∪union is the identity) or ΔF is empty
-      // (the D′ term joins against an empty delta), so reading the
-      // dim state at dv0 stays exact in every case.
+      // `sidesStaged` is None on the one-sided RESUME paths — there
+      // either ΔD is empty (the anti∪union is the identity) or ΔF is
+      // empty (the D′ term joins against an empty delta), so reading
+      // the dim state at dv0 stays exact in every case.
       // Returns (folded view rows [persisted+materialized], view
       // commit stats, view base version).
       val hidden = hiddenSchema(spec, fMeta.schema, dMeta.schema)
       val hCols = hidden.fieldNames.toSeq
       val vd0 = viewDir(dir)
-      def stageView(dimNz: Option[DataFrame])
+      def stageView(sidesStaged: Option[(StagedFold, StagedFold)])
           : (DataFrame, Map[Int, Long], Int) = {
-        val dimOldForDF = MergeTable.readForKeysAt(spark, dimzDir(dir),
-          dv0, dF.select(spec.joinCols.map(col): _*))._1
-        val dimForDF = dimNz match {
+        // STATS TRANSFER (r15, guide §1.2): both side z-sets bucket by
+        // spec.joinCols with the same nBuckets (create pins it), so a
+        // delta's touched-bucket set computed against ONE side is the
+        // other side's too — re-checked here on nBuckets AND the join
+        // columns' types (xxhash64 of an int and a long differ). Saves
+        // the two touched-bucket collect jobs per staging.
+        val transfer = sidesStaged.isDefined &&
+          fMeta.nBuckets == dMeta.nBuckets &&
+          spec.joinCols.forall(c =>
+            fMeta.schema(c).dataType == dMeta.schema(c).dataType)
+        val dimOldForDF =
+          if (transfer)
+            MergeTable.readForKeysPre(spark, dimzDir(dir), dv0,
+              dF.select(spec.joinCols.map(col): _*),
+              sidesStaged.get._1.stats.keySet)
+          else MergeTable.readForKeysAt(spark, dimzDir(dir),
+            dv0, dF.select(spec.joinCols.map(col): _*))._1
+        val dimForDF = sidesStaged.map(_._2.nz) match {
           case Some(nz) =>
             MergeTable.keyJoin(dimOldForDF, dD, dCols, "left_anti")
               .select(dimOldForDF.columns.map(col).toSeq: _*)
@@ -463,8 +478,12 @@ object JoinIvm {
         val j1 = dF.join(dimForDF, spec.joinCols)
           .withColumn("__jm", col("__d") * col(Mult))
         val dDKeys = dD.select(spec.joinCols.map(col): _*).distinct()
-        val factOldForDD = MergeTable.readForKeysAt(spark, factzDir(dir),
-          fv0, dDKeys)._1
+        val factOldForDD =
+          (if (transfer)
+            MergeTable.readForKeysPre(spark, factzDir(dir), fv0, dDKeys,
+              sidesStaged.get._2.stats.keySet)
+          else MergeTable.readForKeysAt(spark, factzDir(dir),
+            fv0, dDKeys)._1)
           .join(broadcast(dDKeys), spec.joinCols, "left_semi")
           .select(fCols.map(col) :+ col(Mult): _*)
         val j2 = factOldForDD.join(dD, spec.joinCols)
@@ -548,7 +567,7 @@ object JoinIvm {
           Par.par3(
             commitFold(spark, factzDir(dir), fCols, nzF.get),
             commitFold(spark, dimzDir(dir), dCols, nzD.get),
-            { stagedV = Some(stageView(Some(nzD.get.nz))) })
+            { stagedV = Some(stageView(Some((nzF.get, nzD.get)))) })
         } finally {
           nzF.foreach(_.release())
           nzD.foreach(_.release())

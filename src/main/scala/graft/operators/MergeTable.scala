@@ -473,12 +473,25 @@ object MergeTable {
     val m = readMeta(spark, dir)
     val touched = keys.select(bucketExpr(m).as("__bucket")).distinct()
       .collect().map(_.getInt(0)).toSet
+    (readForKeysPre(spark, dir, version, keys, touched), touched)
+  }
+
+  /** [[readForKeysAt]] for callers that ALREADY hold the keys' touched
+    * bucket set (e.g. transferred from a sibling table bucketed by the
+    * same columns/nBuckets/types — the join-IVM families' side z-sets)
+    * — skips the touched-bucket collect job while keeping the
+    * mass-gated candidate pushdown (r15, guide §1.2: one driver job
+    * per transferred read). */
+  private[graft] def readForKeysPre(spark: SparkSession, dir: String,
+                                    version: Int, keys: DataFrame,
+                                    touched: Set[Int]): DataFrame = {
+    val m = readMeta(spark, dir)
     val minRows = confL(spark, "graft.mergetable.keyPrune.minRows", 1000000L)
     val mass = readManifest(spark, dir, version)
       .filter(e => touched(e._1)).map(_._3).sum
     val prune =
       if (mass >= minRows) pruneVals(spark, m, keys) else None
-    (readBucketsAt(spark, dir, version, touched, prune), touched)
+    readBucketsAt(spark, dir, version, touched, prune)
   }
 
   /** True when a batch with these per-bucket key counts would commit
@@ -594,18 +607,12 @@ object MergeTable {
       // p-dir — a file-less dir would fail schema inference later).
       val pOut = new Path(statePath(dir, rel))
       val fsys = fs(spark, dir)
-      val anyBucket = fsys.exists(pOut) && fsys.listStatus(pOut)
-        .exists(_.getPath.getName.startsWith("__bucket="))
-      // explicit schema (row schema + the __bucket partition column):
-      // a bare spark.read.parquet runs a schema-inference job first —
-      // one extra driver job per commit for information we already hold
+      val bucketDirs = if (!fsys.exists(pOut)) Array.empty[Path]
+        else fsys.listStatus(pOut).map(_.getPath)
+          .filter(_.getName.startsWith("__bucket="))
       val written: Map[Int, Long] =
-        if (!anyBucket) { fsys.delete(pOut, true); Map.empty }
-        else spark.read.schema(StructType(m.schema.fields :+
-            StructField("__bucket", org.apache.spark.sql.types.IntegerType)))
-          .parquet(statePath(dir, rel))
-          .groupBy("__bucket").count().collect()
-          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        if (bucketDirs.isEmpty) { fsys.delete(pOut, true); Map.empty }
+        else footerCounts(spark, bucketDirs, m)
       val stray = written.keySet -- touched
       require(stray.isEmpty,
         s"refresh produced rows for untouched buckets ${stray.mkString(",")}" +
@@ -627,6 +634,47 @@ object MergeTable {
       else cowCommits.incrementAndGet()
     }
     v + 1
+  }
+
+  /** Per-bucket row counts of a just-written p-dir, from the parquet
+    * FOOTERS read on the driver — no Spark job at all (r15, guide
+    * §1.2: the read-the-files-back count was one more driver job per
+    * COW commit, and with AQE each job is 1–3 stage-jobs paying the
+    * per-job scheduler floor that dominates small-batch refresh
+    * latency). The counts are the same on-disk truth the Spark job
+    * produced: a parquet footer's record count IS the file's row
+    * count. Driver-side footer reads are one metadata RPC per file —
+    * bounded here by `graft.mergetable.footerCount.maxFiles` (64);
+    * a wide rewrite (fold / many touched buckets) falls back to the
+    * old distributed footer-count job, whose task parallelism is the
+    * right tool at that width. */
+  private def footerCounts(spark: SparkSession, bucketDirs: Array[Path],
+                           m: Meta): Map[Int, Long] = {
+    val maxFiles = confL(spark, "graft.mergetable.footerCount.maxFiles", 64L)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fsys = bucketDirs.head.getFileSystem(conf)
+    val perBucket = bucketDirs.map { bd =>
+      val files = fsys.listStatus(bd).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      (bd.getName.stripPrefix("__bucket=").toInt, files)
+    }
+    if (perBucket.iterator.map(_._2.length).sum > maxFiles)
+      // parent p-dir read: partition discovery supplies __bucket
+      spark.read.schema(StructType(m.schema.fields :+
+          StructField("__bucket", org.apache.spark.sql.types.IntegerType)))
+        .parquet(bucketDirs.head.getParent.toString)
+        .groupBy("__bucket").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    else perBucket.map { case (b, files) =>
+      b -> files.map { st =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+    }.toMap
   }
 
   /** Commit-mode counters (process-wide, observability for specs and

@@ -11,14 +11,22 @@ import org.apache.spark.sql.SparkSession
 object ProfileQueryJobs {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("q_ivm_refresh")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.parquet.pushdown.inFilterThreshold", "512")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    // A/B lever: GRAFT_PROFILE_CONF="k=v;k=v" overlays session confs
+    // (e.g. spark.sql.adaptive.enabled=false) for job-count A/Bs
+    val overrides = sys.env.getOrElse("GRAFT_PROFILE_CONF", "")
+      .split(";").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2); k -> v
+      }
+    val spark = overrides.foldLeft(
+      SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "512")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")) {
+      case (b, (k, v)) => b.config(k, v)
+    }.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = SparkEntry.queries(name)
     def run(dir: String): Double = {

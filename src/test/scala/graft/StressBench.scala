@@ -479,6 +479,28 @@ object StressBench {
     health("tidx_churn_topk_rows") = TermIndex.topK(spark, tidxDir,
       tProbes, "doc_id", "text", 5, tCfg).count()
 
+    // FIXED-SIZE churn A/B (r15 punch item 6): the 2%-churn batch
+    // above GROWS with the corpus, so its per-commit trajectory mixes
+    // batch-size-linear cost with any shape-wrong scale term. This
+    // phase commits a ~200-doc batch (CONSTANT count at every scale) —
+    // a flat per-commit cost across the triplet adjudicates the
+    // residual as batch-size-linear; growth here would be shape-wrong.
+    val fixedStride = math.max(1L, nDocs / 200)
+    val fixedChurn = docs.filter(col("doc_id") % fixedStride === 3)
+    health("tidx_churn_fixed_batch_rows") = fixedChurn.count()
+    time("tidx_cdc_churn_fixed12") {
+      (1 to 12).foreach { i =>
+        val ups = fixedChurn.select(col("doc_id"),
+          concat_ws(" ", lit(s"fchurn$i"), col("text")).as("text"))
+        TermIndex.applyCdc(spark, tidxDir, ups,
+          fixedChurn.select("doc_id").limit(0), "doc_id", "text", tCfg)
+        TermIndex.gc(spark, tidxDir, retainLast = 2)
+      }
+    }
+    // the index still answers after the fixed-batch churn
+    health("tidx_churn_fixed_topk_rows") = TermIndex.topK(spark, tidxDir,
+      tProbes, "doc_id", "text", 5, tCfg).count()
+
     // same discipline for the ANN index: 30 re-embed churn commits
     val vchurn = emb.filter(col("vec_id") % 50 === 13)
       .select(col("vec_id"),
@@ -1003,6 +1025,71 @@ object StressBench {
     fillKeys.unpersist()
     skeys.unpersist()
     mtKeys.unpersist()
+
+    // --- Candidate-pushdown EFFECTIVE-REGIME phase (r15 punch item 5).
+    // r14's scatter counters measured only 26% row skip because the
+    // 500k-model geometry sits ABOVE the page-range law's knee
+    // (nCand × pageRows / bucketRows ≈ 8): no candidate set can prune a
+    // page whose min/max range covers it. This phase builds a z-set-
+    // shaped table AT the knee — 8M scattered keys in ONE bucket,
+    // 1000-row pages (law: 512 × 1000 / 8M ≈ 0.064) — the same
+    // dimensionless ratio as the production point (512 cands ×
+    // 20k-row pages / 1e9-row buckets ≈ 0.01), and measures the REAL
+    // read path ([[MergeTable.readBucketsAt]]) whole vs pruned.
+    // Synthetic spark.range data (deterministic, no corpus
+    // dependency); runs once, on the largest leg only.
+    if (nDocs >= 500000) {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val pageBefore = hconf.get("parquet.page.row.count.limit")
+      hconf.setInt("parquet.page.row.count.limit", 1000)
+      val regDir = java.nio.file.Files
+        .createTempDirectory("graft_stress_regime").toString + "/tbl"
+      val regRows = 8000000L
+      val regBase = spark.range(regRows)
+        .select((col("id") * lit(2862933555777941757L)).as("k"),
+          (col("id") % 1000).as("v"))
+      time("prune_regime_build") {
+        MergeTable.build(spark, regDir, regBase, keyCols = Seq("k"),
+          bucketCols = Seq("k"), nBuckets = 1)
+      }
+      if (pageBefore == null) hconf.unset("parquet.page.row.count.limit")
+      else hconf.set("parquet.page.row.count.limit", pageBefore)
+      val regV = MergeTable.latestVersion(spark, regDir)
+      val regStep = regRows / 512
+      val regCands: Seq[Any] = (0L until 512L)
+        .map(i => i * regStep * 2862933555777941757L)
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      readCounted("prune_regime_whole") {
+        time("prune_regime_whole") {
+          noop(MergeTable.readBucketsAt(spark, regDir, regV, Set(0), None))
+        }
+      }
+      readCounted("prune_regime_pruned") {
+        time("prune_regime_pruned") {
+          noop(MergeTable.readBucketsAt(spark, regDir, regV, Set(0),
+            Some(regCands)))
+        }
+      }
+      // exactness: pruned read + the exact key mask every consumer
+      // applies == the whole read's restriction to the same keys
+      import spark.implicits._
+      val regKeys = regCands.map(_.asInstanceOf[Long]).toDF("k")
+      val exactP = MergeTable.readBucketsAt(spark, regDir, regV, Set(0),
+          Some(regCands))
+        .join(broadcast(regKeys), Seq("k"), "left_semi")
+      val exactW = MergeTable.readBucketsAt(spark, regDir, regV, Set(0),
+          None)
+        .join(broadcast(regKeys), Seq("k"), "left_semi")
+      health("prune_regime_exact") =
+        if (exactP.exceptAll(exactW).isEmpty &&
+            exactW.exceptAll(exactP).isEmpty &&
+            exactP.count() == 512L) 1L else 0L
+      def rmAll(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rmAll)); f.delete(); ()
+      }
+      rmAll(new java.io.File(regDir).getParentFile)
+    }
 
     val q = times.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(",")
     val h = health.map { case (k, v) => s""""$k":$v""" }.mkString(",")
