@@ -76,7 +76,7 @@ object ProfilePruneRegime {
     // uniformly spread (value gaps ≈ keyspace / bucketRows, the z-set
     // shape the page-range law models)
     val base = spark.range(rows)
-      .select((col("id") * lit(2862933555777941757L))
+      .select((col("id") * lit(1000003L))
         .as("k"), (col("id") % 1000).as("v"))
     counted("build") {
       MergeTable.build(spark, dir, base, keyCols = Seq("k"),
@@ -87,7 +87,7 @@ object ProfilePruneRegime {
     // uniformly spread over the keyspace like a scattered CDC batch
     val step = rows / nCand
     val cands: Seq[Any] = (0L until nCand.toLong)
-      .map(i => i * step * 2862933555777941757L)
+      .map(i => i * step * 1000003L)
     val touched = (0 until nBuckets).toSet
     val pageKept = math.min(1.0, nCand.toDouble * pageRows /
       (rows.toDouble / nBuckets))

@@ -1046,7 +1046,7 @@ object StressBench {
         .createTempDirectory("graft_stress_regime").toString + "/tbl"
       val regRows = 8000000L
       val regBase = spark.range(regRows)
-        .select((col("id") * lit(2862933555777941757L)).as("k"),
+        .select((col("id") * lit(1000003L)).as("k"),
           (col("id") % 1000).as("v"))
       time("prune_regime_build") {
         MergeTable.build(spark, regDir, regBase, keyCols = Seq("k"),
@@ -1057,7 +1057,7 @@ object StressBench {
       val regV = MergeTable.latestVersion(spark, regDir)
       val regStep = regRows / 512
       val regCands: Seq[Any] = (0L until 512L)
-        .map(i => i * regStep * 2862933555777941757L)
+        .map(i => i * regStep * 1000003L)
       def noop(df: org.apache.spark.sql.DataFrame): Unit =
         df.write.format("noop").mode("overwrite").save()
       readCounted("prune_regime_whole") {
